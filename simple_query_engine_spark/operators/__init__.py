@@ -1,0 +1,43 @@
+"""Operator catalog.
+
+Each submodule exposes ``QUERIES`` (name → callable(spark, sf_dir) →
+DataFrame) and ``ORACLES`` (name → equivalent DuckDB SQL, or absent for
+non-SQL-expressible operators).  ``__spark_entry__.py`` merges them into the
+driver contract.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+
+def all_queries() -> dict[str, QueryFn]:
+    merged: dict[str, QueryFn] = {}
+    for module in _modules():
+        merged.update(module.QUERIES)
+    return merged
+
+
+def all_oracles() -> dict[str, str]:
+    merged: dict[str, str] = {}
+    for module in _modules():
+        merged.update(module.ORACLES)
+    return merged
+
+
+def _modules():
+    from simple_query_engine_spark.operators import (
+        dedup,
+        multimodal,
+        parity,
+        relational,
+        similarity,
+        streaming_ops,
+        text,
+    )
+
+    return (parity, relational, text, dedup, similarity, streaming_ops, multimodal)

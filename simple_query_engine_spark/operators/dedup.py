@@ -1,0 +1,318 @@
+"""Deduplication operators for the training-data pipeline.
+
+Four tiers, from exact to fuzzy, all shuffle-shaped (never all-pairs):
+
+- **exact**: hash-groupBy on a content digest — shuffles 16-byte digests.
+- **n-gram Jaccard**: shingle → explode → self-equi-join on shingle →
+  per-pair overlap counts.  This is the *exact* near-dup baseline; its join
+  fans out on frequent shingles, which is why the scale path is…
+- **MinHash + LSH banding**: fixed-width signatures (64 mins), banded so
+  only same-band-hash docs are join candidates — the join key is the band
+  hash, candidate volume is tunable via bands×rows, independent of corpus
+  size.  100 TB path: signatures are 64×8 bytes/doc regardless of doc size.
+- **SimHash**: 64-bit fingerprint via per-token hash bit-voting; candidate
+  pairs from equal 16-bit chunks (pigeonhole: hamming ≤ 3 ⇒ ≥1 of 4 chunks
+  equal), verified by exact hamming distance.
+
+MinHash/SimHash use Spark's ``xxhash64`` and are deliberately rows-only in
+the oracle contract (the hash function is engine-specific); the Jaccard
+baseline IS the oracle for them in tests (candidate recall asserted there).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from simple_query_engine_spark.operators.text import _normalized
+from simple_query_engine_spark.sources.catalog import table
+
+JACCARD_THRESHOLD = 0.5
+NUM_MINHASH = 64
+MINHASH_BANDS = 16  # 16 bands × 4 rows
+SIMHASH_MAX_HAMMING = 3
+
+# Deterministic odd multipliers/offsets for the minhash permutation family
+# h_i(x) = (a_i * x + b_i) with 64-bit wraparound (2-universal enough here).
+_MINHASH_PARAMS = [
+    (2 * i + 1 + 0x9E3779B9, (i * 0x85EBCA6B) & 0x7FFFFFFF) for i in range(NUM_MINHASH)
+]
+
+
+def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """doc_id → exploded distinct word-3-gram shingles (short docs collapse
+    to one whole-text shingle)."""
+    documents = table(spark, sf_dir, "documents")
+    words = F.split(_normalized(F.col("text")), " ")
+    shingle_array = F.when(
+        F.size(words) >= 3,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.size(words) - 2),
+                lambda i: F.concat_ws(" ", F.slice(words, i, 3)),
+            )
+        ),
+    ).otherwise(F.array(F.concat_ws(" ", words)))
+    return documents.select(
+        "doc_id", F.explode(shingle_array).alias("shingle")
+    )
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: group by content digest, keep the smallest doc_id.
+
+    At 100 TB the shuffle carries (digest, doc_id) pairs only — documents
+    themselves never move; survivors are recovered by a later semi-join.
+    """
+    documents = table(spark, sf_dir, "documents")
+    return (
+        documents.select("doc_id", F.md5(F.col("text")).alias("text_hash"))
+        .groupBy("text_hash")
+        .agg(
+            F.min("doc_id").alias("keep_doc_id"),
+            F.count(F.lit(1)).alias("dup_count"),
+        )
+    )
+
+
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs (the LSH methods' ground truth).
+
+    Plan: shingle explode → distinct → self-equi-join on shingle (hash
+    shuffle on the shingle key, AQE splits skewed frequent shingles) →
+    per-pair overlap count → Jaccard from per-doc set sizes.
+    """
+    shingles = _shingles(spark, sf_dir)
+    sizes = shingles.groupBy("doc_id").agg(F.count(F.lit(1)).alias("set_size"))
+    left = shingles.alias("a")
+    right = shingles.alias("b")
+    common = (
+        left.join(
+            right,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_id_a"), F.col("b.doc_id").alias("doc_id_b")
+        )
+        .agg(F.count(F.lit(1)).alias("common_shingles"))
+    )
+    sa = sizes.select(
+        F.col("doc_id").alias("doc_id_a"), F.col("set_size").alias("size_a")
+    )
+    sb = sizes.select(
+        F.col("doc_id").alias("doc_id_b"), F.col("set_size").alias("size_b")
+    )
+    jaccard = F.col("common_shingles") / (
+        F.col("size_a") + F.col("size_b") - F.col("common_shingles")
+    )
+    return (
+        common.join(sa, "doc_id_a")
+        .join(sb, "doc_id_b")
+        .withColumn("jaccard", F.round(jaccard, 4))
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+        .select("doc_id_a", "doc_id_b", "common_shingles", "jaccard")
+    )
+
+
+def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """doc_id → array of NUM_MINHASH minimum permuted shingle hashes.
+
+    One explode + one groupBy: the shuffle carries (doc_id, shingle_hash)
+    longs; signature width is constant per doc regardless of doc length.
+    """
+    hashed = _shingles(spark, sf_dir).select(
+        "doc_id", F.xxhash64("shingle").alias("h")
+    )
+    mins = [
+        F.min(F.lit(a) * F.col("h") + F.lit(b)).alias(f"m{i}")
+        for i, (a, b) in enumerate(_MINHASH_PARAMS)
+    ]
+    sig = hashed.groupBy("doc_id").agg(*mins)
+    return sig.select(
+        "doc_id", F.array(*[f"m{i}" for i in range(NUM_MINHASH)]).alias("signature")
+    )
+
+
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup pairs: band signatures, join on band hash,
+    verify candidates by estimated Jaccard (fraction of equal mins).
+
+    This is the 100 TB near-dup path: candidate generation is an equi-join
+    on (band_index, band_hash) — no all-pairs anywhere; the verify step
+    compares two 64-long arrays per candidate.
+    """
+    rows_per_band = NUM_MINHASH // MINHASH_BANDS
+    sig = minhash_signatures(spark, sf_dir)
+    bands = sig.select(
+        "doc_id",
+        "signature",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(band).alias("band_idx"),
+                        F.xxhash64(
+                            *[
+                                F.col("signature")[band * rows_per_band + r]
+                                for r in range(rows_per_band)
+                            ]
+                        ).alias("band_hash"),
+                    )
+                    for band in range(MINHASH_BANDS)
+                ]
+            )
+        ).alias("band"),
+    ).select("doc_id", "signature", "band.band_idx", "band.band_hash")
+    left = bands.alias("a")
+    right = bands.alias("b")
+    candidates = (
+        left.join(
+            right,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_id_a"),
+            F.col("b.doc_id").alias("doc_id_b"),
+            F.col("a.signature").alias("sig_a"),
+            F.col("b.signature").alias("sig_b"),
+        )
+        .dropDuplicates(["doc_id_a", "doc_id_b"])
+    )
+    est = F.size(
+        F.filter(
+            F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda eq: eq
+        )
+    ) / F.lit(NUM_MINHASH)
+    return (
+        candidates.withColumn("est_jaccard", F.round(est, 4))
+        .filter(F.col("est_jaccard") >= JACCARD_THRESHOLD)
+        .select("doc_id_a", "doc_id_b", "est_jaccard")
+    )
+
+
+def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """doc_id → 64-bit SimHash as four 16-bit chunks (chunks double as the
+    LSH bucketing key for hamming-distance candidate generation)."""
+    documents = table(spark, sf_dir, "documents")
+    tokens = documents.select(
+        "doc_id",
+        F.explode(F.split(_normalized(F.col("text")), " ")).alias("token"),
+    ).select("doc_id", F.xxhash64("token").alias("h"))
+    # Bit-vote: sum(+1/-1) per bit position, one aggregate pass.  Bits are
+    # extracted with an unsigned shift (1 << 63 would overflow a signed
+    # long literal).
+    votes = [
+        F.sum(
+            F.when(
+                F.shiftrightunsigned(F.col("h"), bit).bitwiseAND(F.lit(1)) == 1, 1
+            ).otherwise(-1)
+        ).alias(f"v{bit}")
+        for bit in range(64)
+    ]
+    voted = tokens.groupBy("doc_id").agg(*votes)
+    chunks = [
+        sum(
+            (F.when(F.col(f"v{chunk * 16 + i}") > 0, F.lit(1 << i)).otherwise(0))
+            for i in range(16)
+        ).alias(f"chunk{chunk}")
+        for chunk in range(4)
+    ]
+    return voted.select("doc_id", *chunks)
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs: candidates share ≥1 equal 16-bit chunk
+    (pigeonhole guarantees recall for hamming ≤ 3), verified exactly."""
+    sig = simhash_signatures(spark, sf_dir)
+    chunk_rows = sig.select(
+        "doc_id",
+        "chunk0",
+        "chunk1",
+        "chunk2",
+        "chunk3",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("chunk_idx"), F.col(f"chunk{i}").alias("chunk_val")
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("c"),
+    ).select("doc_id", "chunk0", "chunk1", "chunk2", "chunk3", "c.chunk_idx", "c.chunk_val")
+    left = chunk_rows.alias("a")
+    right = chunk_rows.alias("b")
+    hamming = sum(
+        F.bit_count(
+            F.col(f"a.chunk{i}").bitwiseXOR(F.col(f"b.chunk{i}")).cast("long")
+        )
+        for i in range(4)
+    )
+    return (
+        left.join(
+            right,
+            (F.col("a.chunk_idx") == F.col("b.chunk_idx"))
+            & (F.col("a.chunk_val") == F.col("b.chunk_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_id_a"),
+            F.col("b.doc_id").alias("doc_id_b"),
+            hamming.alias("hamming_distance"),
+        )
+        .dropDuplicates(["doc_id_a", "doc_id_b"])
+        .filter(F.col("hamming_distance") <= SIMHASH_MAX_HAMMING)
+    )
+
+
+QUERIES = {
+    "dedup_exact": q_dedup_exact,
+    "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+    "dedup_minhash_lsh": q_dedup_minhash_lsh,
+    "dedup_simhash": q_dedup_simhash,
+}
+
+_NORM = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+
+ORACLES = {
+    "dedup_exact": """
+        SELECT md5(text) AS text_hash,
+               MIN(doc_id) AS keep_doc_id,
+               COUNT(*) AS dup_count
+        FROM documents GROUP BY md5(text)
+    """,
+    "dedup_ngram_jaccard": f"""
+        WITH docs AS (
+            SELECT doc_id, string_split({_NORM}, ' ') w FROM documents
+        ), sh AS (
+            SELECT doc_id, unnest(list_distinct(
+                CASE WHEN len(w) >= 3
+                     THEN list_transform(range(1, len(w)-1),
+                                         i -> concat_ws(' ', w[i], w[i+1], w[i+2]))
+                     ELSE [array_to_string(w, ' ')] END)) AS shingle
+            FROM docs
+        ), sizes AS (
+            SELECT doc_id, COUNT(*) AS set_size FROM sh GROUP BY doc_id
+        ), pairs AS (
+            SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+                   COUNT(*) AS common_shingles
+            FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        )
+        SELECT doc_id_a, doc_id_b, common_shingles,
+               ROUND(common_shingles * 1.0
+                     / (sa.set_size + sb.set_size - common_shingles), 4) AS jaccard
+        FROM pairs
+        JOIN sizes sa ON doc_id_a = sa.doc_id
+        JOIN sizes sb ON doc_id_b = sb.doc_id
+        WHERE ROUND(common_shingles * 1.0
+                    / (sa.set_size + sb.set_size - common_shingles), 4) >= {JACCARD_THRESHOLD}
+    """,
+    # dedup_minhash_lsh / dedup_simhash: engine-specific hash (xxhash64) →
+    # rows-only driver check; recall vs the exact Jaccard baseline is
+    # asserted in tests/test_dedup.py instead.
+}

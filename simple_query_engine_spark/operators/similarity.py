@@ -1,0 +1,232 @@
+"""Embedding similarity search over the ``embeddings`` table
+(``array<float>`` column, 64-dim).
+
+Two paths, mirroring production ANN practice:
+
+- **brute-force cosine top-k** — the correctness baseline.  The query set
+  is small and broadcast; the candidate side streams: per (query, candidate)
+  the dot product runs JVM-side via ``zip_with``/``aggregate`` (no Python in
+  the loop).  Cost is |Q|·N — fine when |Q| is small; at 100 TB the
+  candidate scan is embarrassingly parallel and shuffle-free until the
+  final per-query top-k (TakeOrdered per group over k rows).
+- **LSH-bucketed ANN (random hyperplanes)** — the scale path: each vector
+  gets a b-bit sign signature against fixed hyperplanes; candidates are an
+  equi-join on the bucket key (multi-probe = several rotated plane sets), so
+  candidate volume is controlled by b, independent of N².
+
+All arithmetic is cast to double *before* summation, in array-index order,
+so results are bit-comparable with the DuckDB oracle's double math.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from simple_query_engine_spark.sources.catalog import table
+
+TOP_K = 10
+NUM_QUERY_VECTORS = 5  # vec_id < 5 plays the query set
+NUM_HYPERPLANES = 8
+NEARDUP_COSINE = 0.8
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(_dot(a, a))
+
+
+def _with_norm(df: DataFrame, id_alias: str, emb_alias: str, norm_alias: str) -> DataFrame:
+    return df.select(
+        F.col("vec_id").alias(id_alias),
+        F.col("embedding").alias(emb_alias),
+        _norm(F.col("embedding")).alias(norm_alias),
+    )
+
+
+def q_sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-k for each query vector (vec_id < NUM_QUERY_VECTORS).
+
+    The query side is broadcast — the join is a BroadcastNestedLoopJoin over
+    a |Q|-row build side, i.e. a single streaming pass over candidates.
+    """
+    embeddings = table(spark, sf_dir, "embeddings")
+    queries = _with_norm(
+        embeddings.filter(F.col("vec_id") < NUM_QUERY_VECTORS), "query_id", "q_emb", "q_norm"
+    )
+    candidates = _with_norm(embeddings, "neighbor_id", "c_emb", "c_norm")
+    cosine = _dot(F.col("q_emb"), F.col("c_emb")) / (F.col("q_norm") * F.col("c_norm"))
+    scored = (
+        F.broadcast(queries)
+        .crossJoin(candidates)
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine, 4).alias("similarity"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("similarity").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("sim_rank", F.row_number().over(w))
+        .filter(F.col("sim_rank") <= TOP_K)
+    )
+
+
+def q_sim_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-duplicate pairs: cosine ≥ NEARDUP_COSINE, a < b.
+
+    Declared as the exact baseline; production-scale variant is
+    :func:`q_sim_ann_lsh` (bucketed).  The N² pair space here is pruned by
+    nothing — acceptable ≤ ~10⁴ vectors, the reason the LSH path exists.
+    """
+    embeddings = table(spark, sf_dir, "embeddings")
+    a = _with_norm(embeddings, "vec_id_a", "emb_a", "norm_a")
+    b = _with_norm(embeddings, "vec_id_b", "emb_b", "norm_b")
+    cosine = _dot(F.col("emb_a"), F.col("emb_b")) / (F.col("norm_a") * F.col("norm_b"))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("vec_id_a") < F.col("vec_id_b"))
+        .withColumn("similarity", F.round(cosine, 4))
+        .filter(F.col("similarity") >= NEARDUP_COSINE)
+        .select("vec_id_a", "vec_id_b", "similarity")
+    )
+
+
+def _hyperplanes(dim: int = 64, count: int = NUM_HYPERPLANES) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes (fixed seed → stable buckets)."""
+    import numpy as np
+
+    rng = np.random.RandomState(20240813)
+    return rng.standard_normal((count, dim)).tolist()
+
+
+def q_sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN top-k via random-hyperplane LSH buckets.
+
+    Signature = sign bits against NUM_HYPERPLANES fixed planes; vectors
+    sharing a bucket are candidates (equi-join on the bucket key).  Exact
+    cosine then ranks within bucket.  Approximate by construction → driver
+    rows-only check; recall vs brute force is asserted in tests.
+    """
+    embeddings = table(spark, sf_dir, "embeddings")
+    planes = _hyperplanes()
+    signature = sum(
+        (
+            F.when(
+                _dot(F.col("embedding"), F.array(*[F.lit(v) for v in plane])) >= 0,
+                F.lit(1 << i),
+            ).otherwise(0)
+        )
+        for i, plane in enumerate(planes)
+    )
+    signed = embeddings.withColumn("bucket", signature)
+    queries = signed.filter(F.col("vec_id") < NUM_QUERY_VECTORS).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        _norm(F.col("embedding")).alias("q_norm"),
+        "bucket",
+    )
+    candidates = signed.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("c_emb"),
+        _norm(F.col("embedding")).alias("c_norm"),
+        "bucket",
+    )
+    cosine = _dot(F.col("q_emb"), F.col("c_emb")) / (F.col("q_norm") * F.col("c_norm"))
+    scored = (
+        F.broadcast(queries)
+        .join(candidates, "bucket")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", F.round(cosine, 4).alias("similarity"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("similarity").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("sim_rank", F.row_number().over(w))
+        .filter(F.col("sim_rank") <= TOP_K)
+    )
+
+
+def q_sim_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid norm + count — grouped vector aggregation
+    (posexplode → per-(label, dim) mean → re-assemble), all JVM-side."""
+    embeddings = table(spark, sf_dir, "embeddings")
+    exploded = embeddings.select(
+        "label", F.posexplode(F.col("embedding")).alias("dim", "val")
+    )
+    per_dim = exploded.groupBy("label", "dim").agg(
+        F.avg(F.col("val").cast("double")).alias("mean_val")
+    )
+    return per_dim.groupBy("label").agg(
+        F.round(F.sqrt(F.sum(F.col("mean_val") * F.col("mean_val"))), 4).alias(
+            "centroid_norm"
+        ),
+        F.count(F.lit(1)).alias("n_dims"),
+    )
+
+
+QUERIES = {
+    "sim_topk_bruteforce": q_sim_topk_bruteforce,
+    "sim_neardup_pairs": q_sim_neardup_pairs,
+    "sim_ann_lsh": q_sim_ann_lsh,
+    "sim_label_centroids": q_sim_label_centroids,
+}
+
+ORACLES = {
+    "sim_topk_bruteforce": f"""
+        WITH e AS (
+            SELECT vec_id, embedding::DOUBLE[] AS v,
+                   sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+            FROM embeddings
+        ), scored AS (
+            SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                   ROUND(list_dot_product(q.v, c.v) / (q.nrm * c.nrm), 4) AS similarity
+            FROM e q JOIN e c ON q.vec_id < {NUM_QUERY_VECTORS} AND q.vec_id <> c.vec_id
+        )
+        SELECT query_id, neighbor_id, similarity, sim_rank FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                         ORDER BY similarity DESC, neighbor_id) AS sim_rank
+            FROM scored
+        ) WHERE sim_rank <= {TOP_K}
+    """,
+    "sim_neardup_pairs": f"""
+        WITH e AS (
+            SELECT vec_id, embedding::DOUBLE[] AS v,
+                   sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+            FROM embeddings
+        )
+        SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b,
+               ROUND(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 4) AS similarity
+        FROM e a JOIN e b ON a.vec_id < b.vec_id
+        WHERE ROUND(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 4) >= {NEARDUP_COSINE}
+    """,
+    "sim_label_centroids": """
+        WITH per_elem AS (
+            SELECT label,
+                   unnest(embedding::DOUBLE[]) AS val,
+                   generate_subscripts(embedding, 1) - 1 AS dim
+            FROM embeddings
+        ), per_dim AS (
+            SELECT label, dim, AVG(val) AS mean_val
+            FROM per_elem GROUP BY label, dim
+        )
+        SELECT label,
+               ROUND(sqrt(SUM(mean_val * mean_val)), 4) AS centroid_norm,
+               COUNT(*) AS n_dims
+        FROM per_dim GROUP BY label
+    """,
+    # sim_ann_lsh: approximate by construction → rows-only check; recall vs
+    # sim_topk_bruteforce asserted in tests/test_similarity.py.
+}

@@ -1,0 +1,92 @@
+"""Driver-contract wrappers for the streaming slice.
+
+``stream_tumbling_counts`` runs the REAL Structured Streaming pipeline
+(readStream → watermark → availableNow → memory sink) — on static input its
+result equals the batch window aggregation, which is what the DuckDB oracle
+expresses.  Sliding and session windows use the same window operators in
+batch mode (their streaming execution is covered in tests/test_streaming.py).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+from simple_query_engine_spark.sources.catalog import table
+from simple_query_engine_spark.streaming.windows import (
+    run_streaming_tumbling_counts,
+    session_window_counts,
+    sliding_window_counts,
+    tumbling_window_counts,
+)
+
+
+def q_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return run_streaming_tumbling_counts(
+        spark, os.path.join(sf_dir, "events.parquet")
+    )
+
+
+def q_batch_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tumbling_window_counts(table(spark, sf_dir, "events"))
+
+
+def q_window_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sliding_window_counts(table(spark, sf_dir, "events"))
+
+
+def q_window_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return session_window_counts(table(spark, sf_dir, "events"))
+
+
+QUERIES = {
+    "stream_tumbling_counts": q_stream_tumbling,
+    "window_tumbling_counts": q_batch_tumbling,
+    "window_sliding_counts": q_window_sliding,
+    "window_session_counts": q_window_session,
+}
+
+# Tumbling 1h window start == date_trunc('hour').  Sliding 1h/30m: each event
+# belongs to exactly two windows, starts at floor(epoch/1800)*1800 and that
+# minus 1800.  Sessions: classic gaps-and-islands with a 600 s gap.
+_TUMBLING_SQL = """
+    SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS window_start,
+           event_type,
+           COUNT(*) AS event_count,
+           ROUND(SUM(value), 2) AS value_sum
+    FROM events GROUP BY 1, 2
+"""
+
+ORACLES = {
+    "stream_tumbling_counts": _TUMBLING_SQL,
+    "window_tumbling_counts": _TUMBLING_SQL,
+    "window_sliding_counts": """
+        WITH starts AS (
+            SELECT event_type,
+                   CAST(floor(epoch(ts) / 1800) * 1800 AS BIGINT) - offs AS window_start
+            FROM events, unnest([0, 1800]) AS t(offs)
+        )
+        SELECT window_start, event_type, COUNT(*) AS event_count
+        FROM starts GROUP BY 1, 2
+    """,
+    "window_session_counts": """
+        WITH marked AS (
+            SELECT user_id, ts,
+                   CASE WHEN epoch(ts) - epoch(LAG(ts) OVER w) > 600
+                         OR LAG(ts) OVER w IS NULL
+                        THEN 1 ELSE 0 END AS is_new
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        ), sessions AS (
+            SELECT user_id, ts,
+                   SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+            FROM marked
+        )
+        SELECT CAST(floor(epoch(MIN(ts))) AS BIGINT) AS session_start,
+               user_id,
+               COUNT(*) AS event_count
+        FROM sessions GROUP BY session_id, user_id
+    """,
+}

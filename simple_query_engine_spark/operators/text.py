@@ -1,0 +1,165 @@
+"""Text-analysis operators for the training-data pipeline (documents table).
+
+All hot-path logic stays JVM-side (built-in string/regexp/array functions →
+whole-stage codegen); there is no Python in any of these plans, so they
+vectorize and scale linearly with input splits — a 100 TB documents corpus is
+just more parquet splits, no shuffle except the explicit aggregations.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from simple_query_engine_spark.sources.catalog import table
+
+# One shared normalization: lowercase, collapse runs of whitespace, trim.
+def _normalized(col):
+    return F.trim(F.regexp_replace(F.lower(col), r"\s+", " "))
+
+
+def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace token count per document (tokenization baseline)."""
+    documents = table(spark, sf_dir, "documents")
+    return documents.select(
+        "doc_id",
+        F.size(F.split(_normalized(F.col("text")), " ")).alias("n_tokens"),
+        F.length("text").alias("n_chars_actual"),
+    )
+
+
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic quality signals: token count, mean token length,
+    whitespace ratio, stopword ratio — the classic pretraining-data filters."""
+    documents = table(spark, sf_dir, "documents")
+    norm = _normalized(F.col("text"))
+    tokens = F.split(norm, " ")
+    n_tokens = F.size(tokens)
+    n_chars = F.length(norm)
+    n_spaces = n_tokens - 1
+    stopwords = F.size(
+        F.filter(tokens, lambda t: t.isin("the", "a", "of", "and", "to"))
+    )
+    return documents.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        F.round((n_chars - n_spaces) / n_tokens, 4).alias("mean_token_len"),
+        F.round(n_spaces / n_chars, 4).alias("space_ratio"),
+        F.round(stopwords / n_tokens, 4).alias("stopword_ratio"),
+        (n_tokens >= 20).cast("boolean").alias("passes_min_length"),
+    )
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-token language heuristic vs the labeled ``lang`` column.
+
+    A deterministic stand-in for n-gram language ID: score = count of
+    English marker tokens; prediction thresholds on the marker ratio.  (The
+    synthetic corpus is English word-salad with random ``lang`` labels, so
+    agreement with the label is not the point — determinism and the
+    plan shape are.)
+    """
+    documents = table(spark, sf_dir, "documents")
+    tokens = F.split(_normalized(F.col("text")), " ")
+    markers = F.size(
+        F.filter(tokens, lambda t: t.isin("the", "a", "of", "and", "to", "in"))
+    )
+    ratio = F.round(markers / F.size(tokens), 4)
+    return documents.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        ratio.alias("en_marker_ratio"),
+        F.when(ratio >= F.lit(0.05), "en").otherwise("unknown").alias("predicted_lang"),
+    )
+
+
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprint: MD5 over the normalized text — the join key for
+    exact dedup across shards (hash is computed scan-side, shuffle ships
+    16-byte digests, not documents)."""
+    documents = table(spark, sf_dir, "documents")
+    return documents.select(
+        "doc_id",
+        F.md5(_normalized(F.col("text"))).alias("fingerprint"),
+        F.length("text").alias("n_chars_actual"),
+    )
+
+
+def q_word_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level token frequency, top 20 — explode → partial-agg →
+    shuffle of (token, count) pairs only."""
+    documents = table(spark, sf_dir, "documents")
+    return (
+        documents.select(
+            F.explode(F.split(_normalized(F.col("text")), " ")).alias("token")
+        )
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("token_count"))
+        .orderBy(F.col("token_count").desc(), F.col("token"))
+        .limit(20)
+    )
+
+
+QUERIES = {
+    "text_token_count": q_token_count,
+    "text_quality_score": q_quality_score,
+    "text_lang_id": q_lang_id,
+    "text_fingerprint": q_fingerprint,
+    "text_word_freq": q_word_freq,
+}
+
+# DuckDB equivalents.  Normalization mirrored exactly:
+# lower → regexp_replace(\s+ → ' ', 'g') → trim.
+_NORM = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+_TOKENS = f"string_split({_NORM}, ' ')"
+
+ORACLES = {
+    "text_token_count": f"""
+        SELECT doc_id,
+               CAST(len({_TOKENS}) AS INT) AS n_tokens,
+               CAST(length(text) AS INT) AS n_chars_actual
+        FROM documents
+    """,
+    "text_quality_score": f"""
+        WITH t AS (
+            SELECT doc_id,
+                   {_TOKENS} AS toks,
+                   length({_NORM}) AS n_chars
+            FROM documents
+        )
+        SELECT doc_id,
+               CAST(len(toks) AS INT) AS n_tokens,
+               ROUND((n_chars - (len(toks) - 1)) / CAST(len(toks) AS DOUBLE), 4) AS mean_token_len,
+               ROUND((len(toks) - 1) / CAST(n_chars AS DOUBLE), 4) AS space_ratio,
+               ROUND(len(list_filter(toks, t -> t IN ('the', 'a', 'of', 'and', 'to')))
+                     / CAST(len(toks) AS DOUBLE), 4) AS stopword_ratio,
+               len(toks) >= 20 AS passes_min_length
+        FROM t
+    """,
+    "text_lang_id": f"""
+        WITH t AS (
+            SELECT doc_id, lang, {_TOKENS} AS toks FROM documents
+        )
+        SELECT doc_id,
+               lang AS labeled_lang,
+               ROUND(len(list_filter(toks, t -> t IN ('the', 'a', 'of', 'and', 'to', 'in')))
+                     / CAST(len(toks) AS DOUBLE), 4) AS en_marker_ratio,
+               CASE WHEN ROUND(len(list_filter(toks, t -> t IN ('the', 'a', 'of', 'and', 'to', 'in')))
+                               / CAST(len(toks) AS DOUBLE), 4) >= 0.05
+                    THEN 'en' ELSE 'unknown' END AS predicted_lang
+        FROM t
+    """,
+    "text_fingerprint": f"""
+        SELECT doc_id,
+               md5({_NORM}) AS fingerprint,
+               CAST(length(text) AS INT) AS n_chars_actual
+        FROM documents
+    """,
+    "text_word_freq": f"""
+        SELECT token, COUNT(*) AS token_count
+        FROM (SELECT unnest({_TOKENS}) AS token FROM documents)
+        GROUP BY token
+        ORDER BY token_count DESC, token
+        LIMIT 20
+    """,
+}

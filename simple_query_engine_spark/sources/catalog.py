@@ -1,0 +1,89 @@
+"""Multi-table catalog over a directory of Parquet tables.
+
+The reference is hard-limited to one anonymous table per process (reference
+``src/main.rs:20-29``; the grammar has no table names, ``src/query.rs:5-8``).
+The natural Spark generalization is a catalog: every ``<name>.parquet`` in a
+directory becomes a named temp view, queryable via DataFrame ops or
+``spark.sql``.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+# The driver's synthetic star schema (TESTDATA.md).
+TABLE_NAMES: tuple[str, ...] = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def load_tables(
+    spark: SparkSession,
+    sf_dir: str,
+    names: tuple[str, ...] = TABLE_NAMES,
+    register_views: bool = True,
+) -> dict[str, DataFrame]:
+    """Load each ``<name>.parquet`` under ``sf_dir``; optionally register views.
+
+    Loading is lazy (a DataFrame per table); nothing is scanned until a query
+    runs, so "loading" 100 TB of tables is metadata-only.
+    """
+    tables: dict[str, DataFrame] = {}
+    for name in names:
+        path = os.path.join(sf_dir, f"{name}.parquet")
+        if not os.path.exists(path):
+            continue
+        df = _read(spark, path)
+        tables[name] = df
+        if register_views:
+            df.createOrReplaceTempView(name)
+    return tables
+
+
+def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load a single named table from ``sf_dir``."""
+    return _read(spark, os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def _read(spark: SparkSession, path: str) -> DataFrame:
+    """Parquet read tolerant of TIMESTAMP(NANOS) columns.
+
+    Spark rejects nanosecond parquet timestamps outright
+    (PARQUET_TYPE_ILLEGAL); with ``nanosAsLong`` they surface as epoch-nanos
+    LongType, which we convert back to TimestampType (microsecond precision —
+    the same truncation DuckDB applies, keeping oracle comparisons exact).
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(path)
+    nanos_cols = _nanos_timestamp_columns(path)
+    for col in nanos_cols:
+        if col in df.columns:
+            df = df.withColumn(col, F.timestamp_micros(F.expr(f"`{col}` div 1000")))
+    return df
+
+
+def _nanos_timestamp_columns(path: str) -> list[str]:
+    try:
+        import pyarrow.dataset as ds
+        import pyarrow as pa
+
+        schema = ds.dataset(path, format="parquet").schema
+        return [
+            field.name
+            for field in schema
+            if pa.types.is_timestamp(field.type) and field.type.unit == "ns"
+        ]
+    except Exception:
+        return []

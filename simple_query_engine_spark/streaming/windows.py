@@ -1,0 +1,125 @@
+"""Event-time windowed aggregation — batch and Structured Streaming paths.
+
+The reference has no streaming at all (SURVEY.md §2.2); this module is the
+extension slice.  The same windowed aggregations are defined once and run
+two ways:
+
+- **batch**: ``F.window`` / ``F.session_window`` over the static events
+  table — this is what the driver's DuckDB oracle can check exactly.
+- **streaming**: ``readStream`` over the same parquet directory with a
+  watermark, ``availableNow`` trigger and an in-memory sink — identical
+  results on static input, plus the late-data drop semantics exercised in
+  tests (a file-per-batch replay drives the watermark forward).
+
+Window starts are emitted as epoch seconds (``long``) so timestamps hash
+identically across engines.
+
+Scale notes: event-time windows keyed by (window, event_type) shuffle only
+(key, partial-agg) pairs; watermarks bound state size — without one, 100 TB
+of stream history would accumulate in the state store.  Session windows use
+Spark's built-in merging state; gap-based sessions never require a global
+sort.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TUMBLE = "1 hour"
+SLIDE_SIZE = "1 hour"
+SLIDE_STEP = "30 minutes"
+SESSION_GAP = "10 minutes"
+WATERMARK = "1 hour"
+
+
+def _epoch(col: str) -> F.Column:
+    return F.col(col).cast("long")
+
+
+def tumbling_window_counts(events: DataFrame) -> DataFrame:
+    """1-hour tumbling windows per event_type: count + sum(value)."""
+    return (
+        events.groupBy(F.window("ts", TUMBLE), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("event_count"),
+            F.round(F.sum("value"), 2).alias("value_sum"),
+        )
+        .select(
+            F.col("window.start").cast("long").alias("window_start"),
+            "event_type",
+            "event_count",
+            "value_sum",
+        )
+    )
+
+
+def sliding_window_counts(events: DataFrame) -> DataFrame:
+    """1-hour windows sliding every 30 minutes (each event in 2 windows)."""
+    return (
+        events.groupBy(F.window("ts", SLIDE_SIZE, SLIDE_STEP), "event_type")
+        .agg(F.count(F.lit(1)).alias("event_count"))
+        .select(
+            F.col("window.start").cast("long").alias("window_start"),
+            "event_type",
+            "event_count",
+        )
+    )
+
+
+def session_window_counts(events: DataFrame) -> DataFrame:
+    """Per-user sessions with a 10-minute inactivity gap."""
+    return (
+        events.groupBy(F.session_window("ts", SESSION_GAP), "user_id")
+        .agg(F.count(F.lit(1)).alias("event_count"))
+        .select(
+            F.col("session_window.start").cast("long").alias("session_start"),
+            "user_id",
+            "event_count",
+        )
+    )
+
+
+def run_streaming_tumbling_counts(
+    spark: SparkSession,
+    events_path: str,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """True Structured Streaming run of :func:`tumbling_window_counts`.
+
+    ``readStream`` (schema from a batch peek) → watermark → windowed agg →
+    ``availableNow`` into a memory sink; returns the sink table.  With
+    ``max_files_per_trigger`` the static input replays as multiple
+    micro-batches, driving the watermark (used by the late-data test).
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(events_path).schema
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    if os.path.isfile(events_path):
+        # Spark's file stream source wants a directory; stream the parent
+        # with a glob pinned to this one file.
+        reader = reader.option("pathGlobFilter", os.path.basename(events_path))
+        stream = reader.parquet(os.path.dirname(events_path))
+    else:
+        stream = reader.parquet(events_path)
+    if dict(stream.dtypes).get("ts") == "bigint":  # nanos-as-long parquet
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    windowed = tumbling_window_counts(stream.withWatermark("ts", WATERMARK))
+    sink_name = f"tumbling_{uuid.uuid4().hex[:8]}"
+    checkpoint = os.path.join(tempfile.gettempdir(), f"ckpt_{sink_name}")
+    query = (
+        windowed.writeStream.format("memory")
+        .queryName(sink_name)
+        .outputMode("complete")
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return spark.table(sink_name)
