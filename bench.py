@@ -1,0 +1,85 @@
+"""Benchmark harness — headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+    {"metric": "...", "value": <total sec>, "unit": "sec",
+     "queries": {name: sec, ...}, "sf": <sf>}
+
+Each query executes fully via the `noop` sink (forces the whole plan —
+df.count() would let Catalyst prune projections and under-report).  A
+warm-up run of the flagship query is excluded so JVM/codegen startup isn't
+billed to the first query.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    # name_in_queries()  (one per operator family)
+    "parity_project_filter_combo",
+    "agg_pricing_summary",
+    "agg_count_distinct",
+    "join_broadcast_dim",
+    "join_large_revenue",
+    "window_topn_per_group",
+    "sort_topk",
+    "date_funcs",
+    "json_funcs",
+    "window_tumbling_counts",
+    "window_session_counts",
+    "text_fingerprint",
+    "text_word_freq",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "sim_topk_bruteforce",
+]
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+
+    from simple_query_engine_spark.session import get_spark
+
+    import __spark_entry__ as entrymod
+
+    spark = get_spark(app_name="sqe-spark-bench")
+    queries = entrymod.queries()
+
+    def run(name: str) -> float:
+        start = time.time()
+        df = queries[name](spark, sf_dir)
+        df.write.mode("overwrite").format("noop").save()
+        return time.time() - start
+
+    # Warm-up: JVM + codegen + parquet footer caches, not billed.
+    run("agg_pricing_summary")
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        timings[name] = round(run(name), 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_wall_time",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,65 @@
+"""Dedup operator tests — the exact n-gram Jaccard result is the ground
+truth the LSH methods are measured against (their oracle is rows-only at
+the driver, so recall is pinned here)."""
+
+from __future__ import annotations
+
+import pytest
+
+from simple_query_engine_spark.operators import dedup as D
+
+
+@pytest.fixture(scope="module")
+def exact_pairs(spark, sf_dir):
+    rows = D.q_dedup_ngram_jaccard(spark, sf_dir).collect()
+    return {(r.doc_id_a, r.doc_id_b): r.jaccard for r in rows}
+
+
+def test_exact_dedup_partitions_corpus(spark, sf_dir):
+    rows = D.q_dedup_exact(spark, sf_dir).collect()
+    total_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    assert sum(r.dup_count for r in rows) == total_docs
+    keepers = [r.keep_doc_id for r in rows]
+    assert len(keepers) == len(set(keepers))
+
+
+def test_jaccard_finds_planted_neardups(exact_pairs):
+    # The synthetic corpus plants high-similarity pairs (verified ≥ 0.9).
+    assert len(exact_pairs) > 0
+    assert all(j >= D.JACCARD_THRESHOLD for j in exact_pairs.values())
+
+
+def test_minhash_recall_against_exact(spark, sf_dir, exact_pairs):
+    lsh_rows = D.q_dedup_minhash_lsh(spark, sf_dir).collect()
+    lsh_pairs = {(r.doc_id_a, r.doc_id_b) for r in lsh_rows}
+    strong = {p for p, j in exact_pairs.items() if j >= 0.8}
+    if not strong:
+        pytest.skip("no strong near-dup pairs at this sf")
+    recall = len(strong & lsh_pairs) / len(strong)
+    assert recall >= 0.9, f"minhash recall {recall} over {len(strong)} strong pairs"
+
+
+def test_minhash_estimates_track_exact(spark, sf_dir, exact_pairs):
+    lsh_rows = D.q_dedup_minhash_lsh(spark, sf_dir).collect()
+    for r in lsh_rows:
+        true_j = exact_pairs.get((r.doc_id_a, r.doc_id_b))
+        if true_j is not None:
+            assert abs(r.est_jaccard - true_j) <= 0.25, (
+                f"pair ({r.doc_id_a},{r.doc_id_b}): est {r.est_jaccard} vs {true_j}"
+            )
+
+
+def test_simhash_finds_neardups_and_bounds_distance(spark, sf_dir, exact_pairs):
+    rows = D.q_dedup_simhash(spark, sf_dir).collect()
+    assert all(r.hamming_distance <= D.SIMHASH_MAX_HAMMING for r in rows)
+    found = {(r.doc_id_a, r.doc_id_b) for r in rows}
+    very_strong = {p for p, j in exact_pairs.items() if j >= 0.95}
+    if very_strong:
+        overlap = len(very_strong & found) / len(very_strong)
+        assert overlap >= 0.5, f"simhash found {overlap} of near-identical pairs"
+
+
+def test_signatures_are_deterministic(spark, sf_dir):
+    a = D.minhash_signatures(spark, sf_dir).orderBy("doc_id").limit(3).collect()
+    b = D.minhash_signatures(spark, sf_dir).orderBy("doc_id").limit(3).collect()
+    assert [r.signature for r in a] == [r.signature for r in b]

@@ -1,0 +1,49 @@
+"""Multimodal plumbing tests: binary schema, Arrow-batched featurizer
+correctness vs a pure-Python recomputation, stubbed decode contract."""
+
+from __future__ import annotations
+
+import pytest
+
+from simple_query_engine_spark.operators import multimodal as M
+
+
+def test_decode_is_stubbed():
+    with pytest.raises(NotImplementedError):
+        M.decode_image(b"\x89PNG...")
+
+
+def test_binary_payload_schema(spark, sf_dir):
+    df = M.with_binary_payload(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+    dtypes = dict(df.dtypes)
+    assert dtypes["payload"] == "binary"
+    assert dtypes["meta"].startswith("struct<mime:string,n_bytes:int")
+
+
+def test_features_match_python_recomputation(spark, sf_dir):
+    import numpy as np
+
+    features = {
+        r.doc_id: r for r in M.q_multimodal_features(spark, sf_dir).collect()
+    }
+    sample = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(20).collect()
+    assert len(features) >= len(sample)
+    for doc in sample:
+        payload = doc.text.encode("utf-8")
+        arr = np.frombuffer(payload, dtype=np.uint8)
+        got = features[doc.doc_id]
+        assert got.n_bytes == len(payload)
+        assert abs(got.byte_mean - round(float(arr.mean()), 4)) <= 1e-6
+        assert got.byte_max == int(arr.max())
+
+
+def test_meta_matches_payload_length(spark, sf_dir):
+    rows = M.q_multimodal_meta(spark, sf_dir).limit(50).collect()
+    docs = {
+        r.doc_id: r.text
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet").limit(200).collect()
+    }
+    for r in rows:
+        if r.doc_id in docs:
+            assert r.n_bytes == len(docs[r.doc_id].encode("utf-8"))
+            assert r.mime == "text/plain"

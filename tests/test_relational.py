@@ -1,0 +1,88 @@
+"""Relational operator tests: result sanity at sf0.001 + physical-plan
+shape assertions (the scale contract: pushdown, broadcast, top-k)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from simple_query_engine_spark.operators import relational as R
+
+
+@pytest.fixture(scope="module")
+def sf(sf_dir):
+    return sf_dir
+
+
+def plan_of(df) -> str:
+    import contextlib
+    import io
+
+    buffer = io.StringIO()
+    with contextlib.redirect_stdout(buffer):
+        df.explain("formatted")
+    return buffer.getvalue()
+
+
+def test_pricing_summary_pushes_filter_to_scan(spark, sf):
+    plan = plan_of(R.q_agg_pricing_summary(spark, sf))
+    assert "PushedFilters" in plan
+    assert "l_shipdate" in plan.split("PushedFilters")[1][:200]
+
+
+def test_broadcast_dim_join_plans_broadcast(spark, sf):
+    plan = plan_of(R.q_join_broadcast_dim(spark, sf))
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan
+
+
+def test_topk_plans_take_ordered(spark, sf):
+    plan = plan_of(R.q_sort_topk(spark, sf))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_column_pruning_reaches_scan(spark, sf):
+    plan = plan_of(R.q_sort_topk(spark, sf))
+    # The lineitem scan must read only the 3 projected columns.
+    scan_schema = plan.split("ReadSchema")[1][:250]
+    assert "l_extendedprice" in scan_schema
+    assert "l_comment" not in scan_schema and "l_shipdate" not in scan_schema
+
+
+def test_semi_anti_partition_customers(spark, sf):
+    semi = R.q_join_semi(spark, sf).count()
+    # semi(open orders) + customers without open orders == all customers
+    customer_count = spark.read.parquet(f"{sf}/customer.parquet").count()
+    assert 0 < semi <= customer_count
+
+
+def test_left_outer_keeps_all_nations(spark, sf):
+    rows = R.q_join_left_outer_agg(spark, sf).collect()
+    assert len(rows) == 25  # every nation survives, even customer-less ones
+    total = sum(r.customer_count for r in rows)
+    assert total == spark.read.parquet(f"{sf}/customer.parquet").count()
+
+
+def test_rollup_grand_total_consistent(spark, sf):
+    rows = {(r.returnflag, r.linestatus): r.row_count for r in R.q_agg_rollup(spark, sf).collect()}
+    grand = rows[("ALL", "ALL")]
+    leaves = sum(v for (rf, ls), v in rows.items() if rf != "ALL" and ls != "ALL")
+    assert grand == leaves == spark.read.parquet(f"{sf}/lineitem.parquet").count()
+
+
+def test_window_topn_rank_bounds(spark, sf):
+    ranks = R.q_window_topn_per_group(spark, sf).select("price_rank").distinct().collect()
+    assert {r.price_rank for r in ranks} <= {1, 2}
+
+
+def test_set_ops_algebra(spark, sf):
+    union = R.q_set_union(spark, sf).count()
+    intersect = R.q_set_intersect(spark, sf).count()
+    customer_nations = (
+        spark.read.parquet(f"{sf}/customer.parquet").select("c_nationkey").distinct().count()
+    )
+    supplier_nations = (
+        spark.read.parquet(f"{sf}/supplier.parquet").select("s_nationkey").distinct().count()
+    )
+    # inclusion-exclusion
+    assert union == customer_nations + supplier_nations - intersect

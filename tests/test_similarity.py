@@ -1,0 +1,62 @@
+"""Similarity-search tests: exact top-k invariants, ANN recall against the
+exact baseline, centroid shape."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from simple_query_engine_spark.operators import similarity as S
+
+
+@pytest.fixture(scope="module")
+def exact_topk(spark, sf_dir):
+    rows = S.q_sim_topk_bruteforce(spark, sf_dir).collect()
+    by_query: dict[int, list] = {}
+    for r in sorted(rows, key=lambda r: (r.query_id, r.sim_rank)):
+        by_query.setdefault(r.query_id, []).append(r)
+    return by_query
+
+
+def test_topk_shape_and_ordering(exact_topk):
+    assert len(exact_topk) == S.NUM_QUERY_VECTORS
+    for query_id, rows in exact_topk.items():
+        assert [r.sim_rank for r in rows] == list(range(1, S.TOP_K + 1))
+        sims = [r.similarity for r in rows]
+        assert sims == sorted(sims, reverse=True)
+        assert all(-1.0001 <= s <= 1.0001 for s in sims)
+        assert all(r.neighbor_id != query_id for r in rows)
+
+
+def test_cosine_matches_numpy(spark, sf_dir, exact_topk):
+    import numpy as np
+
+    embeddings = {
+        r.vec_id: np.array(r.embedding, dtype=np.float64)
+        for r in spark.read.parquet(f"{sf_dir}/embeddings.parquet").collect()
+    }
+    for query_id, rows in exact_topk.items():
+        for r in rows[:3]:
+            a, b = embeddings[query_id], embeddings[r.neighbor_id]
+            expected = float(a @ b / (math.sqrt(a @ a) * math.sqrt(b @ b)))
+            assert abs(r.similarity - round(expected, 4)) <= 1e-4
+
+
+def test_ann_results_are_valid_and_bounded(spark, sf_dir, exact_topk):
+    ann_rows = S.q_sim_ann_lsh(spark, sf_dir).collect()
+    best_exact = {qid: rows[0].similarity for qid, rows in exact_topk.items()}
+    for r in ann_rows:
+        # ANN can miss neighbors but can never beat the exact best.
+        assert r.similarity <= best_exact[r.query_id] + 1e-4
+
+
+def test_ann_finds_some_candidates(spark, sf_dir):
+    ann_rows = S.q_sim_ann_lsh(spark, sf_dir).collect()
+    assert len(ann_rows) > 0  # buckets are non-degenerate
+
+
+def test_label_centroids_cover_dims(spark, sf_dir):
+    rows = S.q_sim_label_centroids(spark, sf_dir).collect()
+    assert all(r.n_dims == 64 for r in rows)
+    assert all(r.centroid_norm >= 0 for r in rows)

@@ -1,0 +1,102 @@
+"""Streaming tests: streaming == batch on static input, session algebra,
+and real late-data drop under a watermark (multi-batch file replay)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from simple_query_engine_spark.operators import streaming_ops as SO
+from simple_query_engine_spark.streaming.windows import (
+    TUMBLE,
+    tumbling_window_counts,
+)
+
+
+def rows_set(df):
+    return {tuple(r) for r in df.collect()}
+
+
+def test_streaming_equals_batch_on_static_input(spark, sf_dir):
+    streaming = rows_set(SO.q_stream_tumbling(spark, sf_dir))
+    batch = rows_set(SO.q_batch_tumbling(spark, sf_dir))
+    assert streaming == batch
+
+
+def test_sliding_doubles_tumbling_mass(spark, sf_dir):
+    total_events = spark.read.parquet(f"{sf_dir}/events.parquet").count()
+    sliding_mass = sum(
+        r.event_count for r in SO.q_window_sliding(spark, sf_dir).collect()
+    )
+    assert sliding_mass == 2 * total_events  # 1h window / 30m slide → 2 windows each
+
+
+def test_sessions_partition_all_events(spark, sf_dir):
+    total_events = spark.read.parquet(f"{sf_dir}/events.parquet").count()
+    session_mass = sum(
+        r.event_count for r in SO.q_window_session(spark, sf_dir).collect()
+    )
+    assert session_mass == total_events
+
+
+def test_watermark_drops_late_data(spark, tmp_path):
+    """Three micro-batches: the watermark passes window [10:00,11:00) after
+    batch 1, the window's state is evicted and emitted at the end of batch 2,
+    and a 3-hours-late event arriving in batch 3 must be dropped (watermark
+    is a lower-bound guarantee: a late row in the batch *immediately* after
+    the advance can still merge, so the drop is only observable one batch
+    later — verified empirically against Spark 4.1)."""
+    import glob
+
+    input_dir = str(tmp_path / "events_in")
+    os.makedirs(input_dir)
+
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1, 10, 0, 0)
+
+    def at(hours: float):
+        return t0 + dt.timedelta(hours=hours)
+
+    batches = [
+        # Batch 1: on-time; max ts 12:30 → watermark becomes 11:30.
+        ("b1", [(at(0.1), "click", 1.0), (at(0.5), "click", 1.0), (at(2.5), "view", 1.0)]),
+        # Batch 2: runs under watermark 11:30 → [10:00,11:00) evicted+emitted.
+        ("b2", [(at(2.6), "view", 1.0)]),
+        # Batch 3: a late event into the already-closed window → dropped.
+        ("b3", [(at(0.2), "click", 99.0), (at(2.7), "view", 1.0)]),
+    ]
+    for i, (name, rows) in enumerate(batches):
+        df = spark.createDataFrame(rows, "ts timestamp, event_type string, value double")
+        df.coalesce(1).write.parquet(f"{input_dir}/{name}")
+        for part in glob.glob(f"{input_dir}/{name}/*.parquet"):
+            os.utime(part, (1_000_000 * (i + 1),) * 2)
+
+    stream = (
+        spark.readStream.schema("ts timestamp, event_type string, value double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{input_dir}/*")
+    )
+    windowed = tumbling_window_counts(stream.withWatermark("ts", "1 hour"))
+    sink = "late_data_test"
+    query = (
+        windowed.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    emitted = {
+        (r.window_start, r.event_type): (r.event_count, r.value_sum)
+        for r in spark.table(sink).collect()
+    }
+    ten_am = int(t0.timestamp())
+    assert (ten_am, "click") in emitted
+    count, value_sum = emitted[(ten_am, "click")]
+    # Only the two on-time events; the late value=99 event was dropped.
+    assert count == 2
+    assert value_sum == 2.0
