@@ -28,6 +28,7 @@ HEADLINE = [
     "join_broadcast_dim",
     "join_large_revenue",
     "window_topn_per_group",
+    "join_asof",
     "sort_topk",
     "date_funcs",
     "json_funcs",

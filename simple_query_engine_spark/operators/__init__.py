@@ -35,9 +35,19 @@ def _modules():
         multimodal,
         parity,
         relational,
+        relational2,
         similarity,
         streaming_ops,
         text,
     )
 
-    return (parity, relational, text, dedup, similarity, streaming_ops, multimodal)
+    return (
+        parity,
+        relational,
+        relational2,
+        text,
+        dedup,
+        similarity,
+        streaming_ops,
+        multimodal,
+    )
