@@ -255,6 +255,20 @@ def q_date_advanced(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ approximate distinct counts per event_type, alongside
+    the exact count.  At 100 TB approx_count_distinct is the only viable
+    form — fixed-size sketches merge map-side instead of shuffling every
+    distinct value.  Sketch estimates are engine-specific → rows-only at
+    the driver; the ≤5% error bound vs exact is pinned in tests.
+    """
+    events = table(spark, sf_dir, "events")
+    return events.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+        F.countDistinct("user_id").alias("exact_users"),
+    )
+
+
 def q_subquery_in(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IN-subquery: orders from BUILDING-segment customers, per status."""
     table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
@@ -285,6 +299,7 @@ QUERIES = {
     "string_advanced": q_string_advanced,
     "date_advanced": q_date_advanced,
     "subquery_in": q_subquery_in,
+    "agg_approx_distinct": q_agg_approx_distinct,
 }
 
 ORACLES = {

@@ -159,6 +159,67 @@ def q_sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+NUM_IVF_CELLS = 16
+IVF_NPROBE = 4
+
+
+def q_sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN top-k via IVF (inverted-file) coarse quantization.
+
+    "Training" is deterministic: the first NUM_IVF_CELLS vectors serve as
+    cell centroids.  Every vector is assigned to its nearest centroid (one
+    broadcast pass — |cells| is tiny); each query probes its IVF_NPROBE
+    nearest cells and searches exactly inside them.  At 100 TB the
+    assignment is a narrow broadcast map over the corpus and the search
+    touches nprobe/cells of the data — the standard recall/throughput dial.
+    Approximate → rows-only at the driver; recall vs brute force in tests.
+    """
+    embeddings = table(spark, sf_dir, "embeddings")
+    centroids = _with_norm(
+        embeddings.filter(F.col("vec_id") < NUM_IVF_CELLS), "cell_id", "cent_emb", "cent_norm"
+    )
+    vectors = _with_norm(embeddings, "vec_id", "emb", "nrm")
+    affinity = _dot(F.col("emb"), F.col("cent_emb")) / (F.col("nrm") * F.col("cent_norm"))
+    scored_cells = vectors.crossJoin(F.broadcast(centroids)).select(
+        "vec_id", "emb", "nrm", "cell_id", affinity.alias("cell_affinity")
+    )
+    w_assign = Window.partitionBy("vec_id").orderBy(
+        F.col("cell_affinity").desc(), F.col("cell_id")
+    )
+    ranked = scored_cells.withColumn("cell_rank", F.row_number().over(w_assign))
+    assignments = ranked.filter(F.col("cell_rank") == 1).select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("emb").alias("c_emb"),
+        F.col("nrm").alias("c_norm"),
+        "cell_id",
+    )
+    probes = (
+        ranked.filter(
+            (F.col("vec_id") < NUM_QUERY_VECTORS) & (F.col("cell_rank") <= IVF_NPROBE)
+        )
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("emb").alias("q_emb"),
+            F.col("nrm").alias("q_norm"),
+            "cell_id",
+        )
+    )
+    cosine = _dot(F.col("q_emb"), F.col("c_emb")) / (F.col("q_norm") * F.col("c_norm"))
+    scored = (
+        F.broadcast(probes)
+        .join(assignments, "cell_id")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", F.round(cosine, 4).alias("similarity"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("similarity").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("sim_rank", F.row_number().over(w))
+        .filter(F.col("sim_rank") <= TOP_K)
+    )
+
+
 def q_sim_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label centroid norm + count — grouped vector aggregation
     (posexplode → per-(label, dim) mean → re-assemble), all JVM-side."""
@@ -181,6 +242,7 @@ QUERIES = {
     "sim_topk_bruteforce": q_sim_topk_bruteforce,
     "sim_neardup_pairs": q_sim_neardup_pairs,
     "sim_ann_lsh": q_sim_ann_lsh,
+    "sim_ivf_topk": q_sim_ivf_topk,
     "sim_label_centroids": q_sim_label_centroids,
 }
 

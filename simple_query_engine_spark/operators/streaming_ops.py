@@ -14,6 +14,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 
 from simple_query_engine_spark.sources.catalog import table
+from simple_query_engine_spark.streaming.stateful import run_stateful_user_profiles
 from simple_query_engine_spark.streaming.windows import (
     run_streaming_tumbling_counts,
     session_window_counts,
@@ -40,8 +41,16 @@ def q_window_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     return session_window_counts(table(spark, sf_dir, "events"))
 
 
+def q_stream_stateful_profiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful operator (applyInPandasWithState): per-user running
+    profile.  Single-batch replay ⇒ final state equals the batch aggregate,
+    which the oracle checks; cross-batch state is pinned in tests."""
+    return run_stateful_user_profiles(spark, os.path.join(sf_dir, "events.parquet"))
+
+
 QUERIES = {
     "stream_tumbling_counts": q_stream_tumbling,
+    "stream_stateful_profiles": q_stream_stateful_profiles,
     "window_tumbling_counts": q_batch_tumbling,
     "window_sliding_counts": q_window_sliding,
     "window_session_counts": q_window_session,
@@ -60,6 +69,13 @@ _TUMBLING_SQL = """
 
 ORACLES = {
     "stream_tumbling_counts": _TUMBLING_SQL,
+    "stream_stateful_profiles": """
+        SELECT user_id,
+               COUNT(*) AS event_count,
+               ROUND(SUM(value), 2) AS value_sum,
+               CAST(floor(epoch(MAX(ts))) AS BIGINT) AS last_epoch
+        FROM events GROUP BY user_id
+    """,
     "window_tumbling_counts": _TUMBLING_SQL,
     "window_sliding_counts": """
         WITH starts AS (

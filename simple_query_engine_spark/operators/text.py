@@ -28,6 +28,23 @@ def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BPE_PATTERN = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+
+
+def q_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish regex tokenization (letter runs / digit runs / single
+    punctuation) — the pre-tokenizer split most BPE vocabularies assume.
+    The pattern stays in the portable regex subset shared by Java and RE2.
+    """
+    documents = table(spark, sf_dir, "documents")
+    tokens = F.expr(f"regexp_extract_all(lower(text), '{_BPE_PATTERN}', 0)")
+    return documents.select(
+        "doc_id",
+        F.size(tokens).alias("n_bpe_tokens"),
+        F.size(F.array_distinct(tokens)).alias("n_unique_tokens"),
+    )
+
+
 def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heuristic quality signals: token count, mean token length,
     whitespace ratio, stopword ratio — the classic pretraining-data filters."""
@@ -102,6 +119,7 @@ def q_word_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES = {
     "text_token_count": q_token_count,
+    "text_bpe_token_count": q_bpe_token_count,
     "text_quality_score": q_quality_score,
     "text_lang_id": q_lang_id,
     "text_fingerprint": q_fingerprint,
@@ -114,6 +132,12 @@ _NORM = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
 _TOKENS = f"string_split({_NORM}, ' ')"
 
 ORACLES = {
+    "text_bpe_token_count": f"""
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(lower(text), '{_BPE_PATTERN}', 0)) AS INT) AS n_bpe_tokens,
+               CAST(len(list_distinct(regexp_extract_all(lower(text), '{_BPE_PATTERN}', 0))) AS INT) AS n_unique_tokens
+        FROM documents
+    """,
     "text_token_count": f"""
         SELECT doc_id,
                CAST(len({_TOKENS}) AS INT) AS n_tokens,

@@ -56,6 +56,28 @@ def test_ann_finds_some_candidates(spark, sf_dir):
     assert len(ann_rows) > 0  # buckets are non-degenerate
 
 
+def test_ivf_recall_against_bruteforce(spark, sf_dir, exact_topk):
+    ivf_rows = S.q_sim_ivf_topk(spark, sf_dir).collect()
+    by_query: dict[int, set] = {}
+    for r in ivf_rows:
+        by_query.setdefault(r.query_id, set()).add(r.neighbor_id)
+    recalls = []
+    for query_id, rows in exact_topk.items():
+        truth = {r.neighbor_id for r in rows}
+        got = by_query.get(query_id, set())
+        recalls.append(len(truth & got) / len(truth))
+    # nprobe=4 of 16 cells: recall is imperfect by design but must beat
+    # the random-subset floor (≈ nprobe/cells = 0.25) decisively.
+    assert sum(recalls) / len(recalls) >= 0.3, f"IVF recalls {recalls}"
+
+
+def test_approx_distinct_within_error_bound(spark, sf_dir):
+    from simple_query_engine_spark.operators.relational2 import q_agg_approx_distinct
+
+    for r in q_agg_approx_distinct(spark, sf_dir).collect():
+        assert abs(r.approx_users - r.exact_users) <= max(2, 0.05 * r.exact_users)
+
+
 def test_label_centroids_cover_dims(spark, sf_dir):
     rows = S.q_sim_label_centroids(spark, sf_dir).collect()
     assert all(r.n_dims == 64 for r in rows)

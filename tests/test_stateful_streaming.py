@@ -1,0 +1,70 @@
+"""Custom stateful operator tests: cross-batch state accumulation and the
+single-batch == batch-aggregate equivalence."""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from simple_query_engine_spark.streaming.stateful import run_stateful_user_profiles
+
+
+def test_single_batch_equals_batch_aggregate(spark, sf_dir, tables):
+    result = run_stateful_user_profiles(spark, f"{sf_dir}/events.parquet")
+    got = {r.user_id: (r.event_count, r.value_sum, r.last_epoch) for r in result.collect()}
+    expected_rows = (
+        tables["events"]
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.round(F.sum("value"), 2).alias("vsum"),
+            F.max(F.col("ts").cast("long")).alias("last"),
+        )
+        .collect()
+    )
+    expected = {r.user_id: (r.cnt, r.vsum, r.last) for r in expected_rows}
+    assert set(got) == set(expected)
+    for user_id, (cnt, vsum, last) in expected.items():
+        g_cnt, g_vsum, g_last = got[user_id]
+        assert g_cnt == cnt and g_last == last
+        assert abs(g_vsum - vsum) <= 0.02
+
+
+def test_state_carries_across_batches(spark, tmp_path):
+    """Same user appears in two micro-batches; the final emitted profile
+    must reflect BOTH batches (update mode emits once per touching batch;
+    the max-count row is the final state)."""
+    import datetime as dt
+
+    input_dir = str(tmp_path / "ev")
+    os.makedirs(input_dir)
+    t0 = dt.datetime(2024, 1, 1, 9, 0, 0)
+    batches = [
+        ("b1", [(t0, 7, 1.0), (t0, 8, 2.0)]),
+        ("b2", [(t0.replace(hour=10), 7, 3.0)]),
+    ]
+    for i, (name, rows) in enumerate(batches):
+        spark.createDataFrame(
+            rows, "ts timestamp, user_id long, value double"
+        ).coalesce(1).write.parquet(f"{input_dir}/{name}")
+        for part in glob.glob(f"{input_dir}/{name}/*.parquet"):
+            os.utime(part, (1_000_000 * (i + 1),) * 2)
+
+    result = run_stateful_user_profiles(
+        spark, f"{input_dir}/*", max_files_per_trigger=1
+    )
+    rows = result.collect()
+    final = {}
+    for r in rows:
+        prev = final.get(r.user_id)
+        if prev is None or r.event_count > prev.event_count:
+            final[r.user_id] = r
+    # user 7: 1 event in batch 1 + 1 in batch 2 → final count 2, sum 4.0
+    assert final[7].event_count == 2
+    assert abs(final[7].value_sum - 4.0) <= 1e-9
+    assert final[8].event_count == 1
+    # update mode emitted user 7 twice (once per touching batch)
+    assert sum(1 for r in rows if r.user_id == 7) == 2
