@@ -92,12 +92,21 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     Plan: shingle explode → distinct → self-equi-join on shingle (hash
     shuffle on the shingle key, AQE splits skewed frequent shingles) →
     per-pair overlap count → Jaccard from per-doc set sizes.
+
+    Set sizes ride along on each shingle row via a count window over
+    doc_id — the window reuses the partitioning the shingle stage already
+    has (no extra exchange), and it removes the two separate size-lookup
+    join legs a naive plan needs (4 recomputations of the shingle subtree
+    → 2, and two fewer join shuffles).
     """
-    shingles = _shingles(spark, sf_dir)
-    sizes = shingles.groupBy("doc_id").agg(F.count(F.lit(1)).alias("set_size"))
+    from pyspark.sql.window import Window
+
+    shingles = _shingles(spark, sf_dir).withColumn(
+        "set_size", F.count(F.lit(1)).over(Window.partitionBy("doc_id"))
+    )
     left = shingles.alias("a")
     right = shingles.alias("b")
-    common = (
+    pairs = (
         left.join(
             right,
             (F.col("a.shingle") == F.col("b.shingle"))
@@ -106,21 +115,17 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(
             F.col("a.doc_id").alias("doc_id_a"), F.col("b.doc_id").alias("doc_id_b")
         )
-        .agg(F.count(F.lit(1)).alias("common_shingles"))
-    )
-    sa = sizes.select(
-        F.col("doc_id").alias("doc_id_a"), F.col("set_size").alias("size_a")
-    )
-    sb = sizes.select(
-        F.col("doc_id").alias("doc_id_b"), F.col("set_size").alias("size_b")
+        .agg(
+            F.count(F.lit(1)).alias("common_shingles"),
+            F.min("a.set_size").alias("size_a"),
+            F.min("b.set_size").alias("size_b"),
+        )
     )
     jaccard = F.col("common_shingles") / (
         F.col("size_a") + F.col("size_b") - F.col("common_shingles")
     )
     return (
-        common.join(sa, "doc_id_a")
-        .join(sb, "doc_id_b")
-        .withColumn("jaccard", F.round(jaccard, 4))
+        pairs.withColumn("jaccard", F.round(jaccard, 4))
         .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
         .select("doc_id_a", "doc_id_b", "common_shingles", "jaccard")
     )
