@@ -1,11 +1,21 @@
 """Interactive REPL — reference op #9 (reference ``src/main.rs:19-63``).
 
-Load one CSV, then loop: read a query line, parse, execute, print.  Output
-format matches the reference sink (``src/main.rs:46-51``): header line of
-comma-joined projected names, a dashes separator sized to the header, then
-one comma-joined line per row.  Parse/execution errors are printed and the
-loop continues; ``exit`` / ``quit`` / ``q`` ends the session
-(``src/main.rs:17,39``).
+Load one CSV (reference contract) or a directory of parquet tables
+(multi-table catalog extension), then loop: read a query line, parse,
+execute, print.  Two query dialects per line:
+
+- the reference mini-language ``PROJECT cols [FILTER col (>|=) value]``,
+  running against the single CSV (or a chosen default table in catalog
+  mode), and
+- full Spark SQL (any line starting with SELECT/WITH/SHOW/DESCRIBE),
+  running against the registered temp views — the SURVEY §3.1 "accept SQL
+  directly via spark.sql()" shape.
+
+Output format matches the reference sink (``src/main.rs:46-51``): header
+line of comma-joined projected names, a dashes separator sized to the
+header, then one comma-joined line per row.  Parse/execution errors are
+printed and the loop continues; ``exit`` / ``quit`` / ``q`` ends the
+session (``src/main.rs:17,39``).
 
 The load-once/query-many pattern maps to ``df.cache()`` — the Spark analogue
 of the reference's eager index build amortized across REPL queries
@@ -14,6 +24,7 @@ of the reference's eager index build amortized across REPL queries
 
 from __future__ import annotations
 
+import os
 import sys
 
 from pyspark.sql import DataFrame
@@ -21,9 +32,11 @@ from pyspark.sql import DataFrame
 from simple_query_engine_spark.executor import QueryExecutionError, execute
 from simple_query_engine_spark.minilang.parser import QueryParseError, parse
 from simple_query_engine_spark.session import get_spark
+from simple_query_engine_spark.sources.catalog import load_tables
 from simple_query_engine_spark.sources.readers import read_csv
 
 EXIT_COMMANDS = frozenset({"exit", "quit", "q"})
+_SQL_KEYWORDS = ("select", "with", "show", "describe")
 
 
 def format_result(df: DataFrame, limit: int | None = None) -> str:
@@ -45,17 +58,36 @@ def _render(value) -> str:
 
 
 def run(
-    csv_path: str,
+    data_path: str,
     input_stream=None,
     output_stream=None,
+    default_table: str | None = None,
+    row_limit: int | None = 1000,
 ) -> None:
-    """Run the REPL against one CSV file (reference CLI contract)."""
+    """Run the REPL against one CSV file or a parquet-table directory."""
     input_stream = input_stream or sys.stdin
     output_stream = output_stream or sys.stdout
     spark = get_spark(app_name="simple-query-engine-repl")
-    df = read_csv(spark, csv_path).cache()
-    df.count()  # materialize the cache up front, like the reference's eager load
-    print("Enter a query (PROJECT col, ... [FILTER col (>|=) value]):", file=output_stream)
+    if os.path.isdir(data_path):
+        tables = load_tables(spark, data_path)
+        if not tables:
+            print(f"Error: no <name>.parquet tables under {data_path}", file=output_stream)
+            return
+        default_table = default_table or next(iter(tables))
+        df = tables[default_table]
+        print(
+            f"Loaded tables: {', '.join(tables)} "
+            f"(mini-language queries target '{default_table}'; SQL sees all)",
+            file=output_stream,
+        )
+    else:
+        df = read_csv(spark, data_path).cache()
+        df.count()  # materialize up front, like the reference's eager load
+        df.createOrReplaceTempView(default_table or "t")
+    print(
+        "Enter a query (PROJECT col, ... [FILTER col (>|=) value]) or SQL:",
+        file=output_stream,
+    )
     for line in input_stream:
         line = line.strip()
         if not line:
@@ -63,21 +95,27 @@ def run(
         if line in EXIT_COMMANDS:
             break
         try:
-            query = parse(line)
-            result = execute(query, df)
-            print(format_result(result), file=output_stream)
+            if line.lower().startswith(_SQL_KEYWORDS):
+                result = spark.sql(line)
+            else:
+                result = execute(parse(line), df)
+            print(format_result(result, limit=row_limit), file=output_stream)
         except (QueryParseError, QueryExecutionError) as error:
             print(f"Error: {error}", file=output_stream)
         except Exception as error:  # Catalyst analysis errors etc.
-            print(f"Error: {error}", file=output_stream)
+            first_line = str(error).strip().splitlines()[0] if str(error).strip() else repr(error)
+            print(f"Error: {first_line}", file=output_stream)
 
 
 def main(argv: list[str] | None = None) -> int:
     argv = argv if argv is not None else sys.argv[1:]
-    if len(argv) != 1:
-        print("usage: python -m simple_query_engine_spark.repl <csv-path>", file=sys.stderr)
+    if len(argv) not in (1, 2):
+        print(
+            "usage: python -m simple_query_engine_spark.repl <csv-path|parquet-dir> [default-table]",
+            file=sys.stderr,
+        )
         return 1
-    run(argv[0])
+    run(argv[0], default_table=argv[1] if len(argv) == 2 else None)
     return 0
 
 

@@ -1,0 +1,72 @@
+"""REPL tests: output format (reference sink contract), both dialects,
+error recovery, exit commands."""
+
+from __future__ import annotations
+
+import io
+
+import pytest
+
+from simple_query_engine_spark import repl
+
+
+@pytest.fixture()
+def city_csv(tmp_path):
+    path = tmp_path / "cities.csv"
+    path.write_text(
+        "city,country,population\n"
+        "Berlin,Germany,3645000\n"
+        "Madrid,Spain,3223000\n"
+        "Paris,France,2161000\n"
+    )
+    return str(path)
+
+
+def run_repl(data_path, lines, **kwargs):
+    out = io.StringIO()
+    repl.run(data_path, input_stream=io.StringIO("\n".join(lines) + "\n"), output_stream=out, **kwargs)
+    return out.getvalue()
+
+
+def test_single_csv_minilang_and_format(spark, city_csv):
+    output = run_repl(city_csv, ["PROJECT city FILTER population > 3000000", "exit"])
+    # Reference sink format: header, dashes sized to header, comma rows.
+    assert "city\n----\n" in output
+    assert "Berlin" in output and "Madrid" in output and "Paris" not in output
+
+
+def test_error_then_recovery(spark, city_csv):
+    output = run_repl(
+        city_csv,
+        ["PROJECT nope", "PROJEKT city", "PROJECT country FILTER city = \"Paris\"", "q"],
+    )
+    assert "Error: Column 'nope' not found" in output
+    assert "Expected keyword 'PROJECT'" in output
+    assert "France" in output  # loop recovered after both errors
+
+
+def test_catalog_mode_sql_and_minilang(spark, sf_dir):
+    output = run_repl(
+        sf_dir,
+        [
+            "PROJECT n_name FILTER n_regionkey = 0",
+            "SELECT count(*) AS c FROM region",
+            "SELECT x FROM missing_table",
+            "exit",
+        ],
+        default_table="nation",
+    )
+    assert "n_name" in output and "NATION_0" in output
+    assert "c\n-\n5" in output
+    assert "Error:" in output and "missing_table" in output
+    # error message is trimmed to one line
+    error_lines = [l for l in output.splitlines() if l.startswith("Error:")]
+    assert all("\n" not in l for l in error_lines)
+
+
+def test_sql_against_single_csv_view(spark, city_csv):
+    output = run_repl(
+        city_csv,
+        ["SELECT upper(city) AS c FROM t WHERE country = 'France'", "quit"],
+    )
+    assert "PARIS" in output
