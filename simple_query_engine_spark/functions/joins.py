@@ -1,0 +1,46 @@
+"""Join strategies for hostile key distributions.
+
+AQE's skew-join splitting (on by default, session.py) handles most skew at
+runtime by splitting oversized partitions.  ``salted_join`` is the explicit
+fallback for the pathological case AQE can't fix: a *single* join key so hot
+that one hash partition exceeds executor memory no matter how it's split —
+the classic null-key / celebrity-entity / default-value skew at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def salted_join(
+    skewed: DataFrame,
+    small: DataFrame,
+    key: str,
+    salt_buckets: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-join where ``skewed`` has hot keys: salt the skewed side,
+    replicate the other side once per salt bucket.
+
+    The skewed side gets a deterministic salt derived from its full row
+    hash (``xxhash64(*)`` mod buckets — deterministic for retries, unlike
+    rand()); the small side is exploded ×``salt_buckets``.  The shuffle key
+    becomes (key, salt), spreading each hot key over ``salt_buckets``
+    reducers.  Replication cost is |small| × buckets, so the replicated
+    side must be the moderate one — for a truly tiny side you'd broadcast
+    instead and need no salt at all.
+    """
+    if how not in ("inner", "left", "left_outer", "leftouter", "left_semi", "leftsemi"):
+        # Replicating the right side breaks right/full-outer semantics: an
+        # unmatched right key would surface once per salt bucket.
+        raise ValueError(f"salted_join supports inner/left joins, not {how!r}")
+    salted_left = skewed.withColumn(
+        "_salt", F.pmod(F.xxhash64(*skewed.columns), F.lit(salt_buckets)).cast("int")
+    )
+    replicated_right = small.withColumn(
+        "_salt",
+        F.explode(F.array(*[F.lit(i) for i in range(salt_buckets)])),
+    )
+    joined = salted_left.join(replicated_right, on=[key, "_salt"], how=how)
+    return joined.drop("_salt")

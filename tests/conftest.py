@@ -11,7 +11,14 @@ SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
 
 @pytest.fixture(scope="session")
 def spark():
-    spark = get_spark(app_name="sqe-spark-tests", master="local[4]")
+    import tempfile
+
+    warehouse = tempfile.mkdtemp(prefix="sqe_warehouse_")
+    spark = get_spark(
+        app_name="sqe-spark-tests",
+        master="local[4]",
+        extra_conf={"spark.sql.warehouse.dir": warehouse},
+    )
     yield spark
     spark.stop()
 

@@ -1,0 +1,100 @@
+"""Bucketed co-located join + salted skew join: correctness and the plan
+properties that matter at scale (no exchange on bucketed joins)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from simple_query_engine_spark.functions.joins import salted_join
+from simple_query_engine_spark.sources.sinks import write_bucketed_table
+
+
+def plan_of(df) -> str:
+    import contextlib
+    import io
+
+    buffer = io.StringIO()
+    with contextlib.redirect_stdout(buffer):
+        df.explain("formatted")
+    return buffer.getvalue()
+
+
+@pytest.fixture(scope="module")
+def bucketed_tables(spark, sf_dir):
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    lineitem = spark.read.parquet(f"{sf_dir}/lineitem.parquet").withColumnRenamed(
+        "l_orderkey", "o_orderkey"
+    )
+    write_bucketed_table(orders, "orders_bkt", "o_orderkey", 8)
+    write_bucketed_table(lineitem, "lineitem_bkt", "o_orderkey", 8)
+    yield spark.table("orders_bkt"), spark.table("lineitem_bkt")
+    spark.sql("DROP TABLE IF EXISTS orders_bkt")
+    spark.sql("DROP TABLE IF EXISTS lineitem_bkt")
+
+
+def test_bucketed_join_has_no_exchange(spark, bucketed_tables):
+    orders_bkt, lineitem_bkt = bucketed_tables
+    # Disable auto-broadcast: at test scale Spark would broadcast the small
+    # side, hiding exactly the shuffle that bucketing exists to elide at
+    # fact-fact scale.
+    previous = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = orders_bkt.join(lineitem_bkt, "o_orderkey").groupBy(
+            "o_orderpriority"
+        ).agg(F.count(F.lit(1)).alias("cnt"))
+        plan = plan_of(joined)
+        join_section = plan.split("HashAggregate")[0]
+        # The join consumes the bucketed scans directly — no shuffle
+        # exchange between the scans and the join.
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+        assert "Exchange hashpartitioning(o_orderkey" not in join_section
+        assert "SelectedBucketsCount" in plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", previous)
+
+
+def test_bucketed_join_matches_unbucketed(spark, sf_dir, bucketed_tables):
+    orders_bkt, lineitem_bkt = bucketed_tables
+    bucketed = (
+        orders_bkt.join(lineitem_bkt, "o_orderkey")
+        .groupBy("o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    lineitem = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    plain = (
+        orders.join(lineitem, orders.o_orderkey == lineitem.l_orderkey)
+        .groupBy("o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    assert sorted(map(tuple, bucketed.collect())) == sorted(map(tuple, plain.collect()))
+
+
+def test_salted_join_matches_plain_join(spark, sf_dir):
+    lineitem = spark.read.parquet(f"{sf_dir}/lineitem.parquet").withColumnRenamed(
+        "l_orderkey", "o_orderkey"
+    )
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    salted = (
+        salted_join(lineitem, orders, "o_orderkey", salt_buckets=4)
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("cnt"), F.round(F.sum("l_quantity"), 2).alias("qty"))
+    )
+    plain = (
+        lineitem.join(orders, "o_orderkey")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("cnt"), F.round(F.sum("l_quantity"), 2).alias("qty"))
+    )
+    assert sorted(map(tuple, salted.collect())) == sorted(map(tuple, plain.collect()))
+
+
+def test_salted_join_preserves_outer_semantics(spark):
+    left = spark.createDataFrame([(1, "a"), (1, "b"), (2, "c"), (3, "d")], ["k", "v"])
+    right = spark.createDataFrame([(1, "x"), (2, "y")], ["k", "w"])
+    result = salted_join(left, right, "k", salt_buckets=3, how="left")
+    rows = sorted(map(tuple, result.select("k", "v", "w").collect()))
+    assert rows == [(1, "a", "x"), (1, "b", "x"), (2, "c", "y"), (3, "d", None)]
