@@ -39,12 +39,14 @@ def _modules():
         similarity,
         streaming_ops,
         text,
+        tpch,
     )
 
     return (
         parity,
         relational,
         relational2,
+        tpch,
         text,
         dedup,
         similarity,

@@ -85,6 +85,78 @@ def fake_featurizer(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         )
 
 
+THUMB_SIDE = 8  # fake "resize" output: 8×8 = 64 values
+FRAME_SIZE = 256  # fake "video frame" = 256-byte block
+FRAME_STRIDE = 4  # sample every 4th frame
+
+RESIZE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("thumbnail", T.ArrayType(T.IntegerType())),
+    ]
+)
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("frame_bytes", T.IntegerType()),
+        T.StructField("frame_checksum", T.LongType()),
+    ]
+)
+
+
+def resize_image(payload: bytes, side: int) -> bytes:
+    """Real image resize — stubbed (no codecs in this environment)."""
+    raise NotImplementedError("media codecs unavailable; see fake_resizer")
+
+
+def fake_resizer(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Deterministic resize stand-in: tile/truncate the payload to a fixed
+    8×8 grid of byte values — same output shape a real thumbnailer has."""
+    import numpy as np
+
+    size = THUMB_SIDE * THUMB_SIDE
+    for pdf in batches:
+        thumbs = []
+        for blob in pdf["payload"]:
+            arr = np.frombuffer(blob, dtype=np.uint8)
+            tiled = np.resize(arr, size) if len(arr) else np.zeros(size, dtype=np.uint8)
+            thumbs.append([int(v) for v in tiled])
+        yield pd.DataFrame({"doc_id": pdf["doc_id"].astype("int64"), "thumbnail": thumbs})
+
+
+def frame_sampler(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Deterministic frame-sampling stand-in: treat the payload as a frame
+    sequence (256-byte blocks), keep every FRAME_STRIDE-th frame, emit one
+    row per sampled frame — the 1→N row shape real video sampling has."""
+    import zlib
+
+    for pdf in batches:
+        out: dict[str, list] = {"doc_id": [], "frame_idx": [], "frame_bytes": [], "frame_checksum": []}
+        for doc_id, blob in zip(pdf["doc_id"], pdf["payload"]):
+            n_frames = max(1, (len(blob) + FRAME_SIZE - 1) // FRAME_SIZE)
+            for idx in range(0, n_frames, FRAME_STRIDE):
+                frame = bytes(blob[idx * FRAME_SIZE : (idx + 1) * FRAME_SIZE])
+                out["doc_id"].append(int(doc_id))
+                out["frame_idx"].append(idx)
+                out["frame_bytes"].append(len(frame))
+                out["frame_checksum"].append(zlib.crc32(frame))
+        yield pd.DataFrame(out)
+
+
+def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched fake resize over the binary column (1 row → 1 thumb)."""
+    payloads = with_binary_payload(table(spark, sf_dir, "documents"))
+    return payloads.select("doc_id", "payload").mapInPandas(fake_resizer, RESIZE_SCHEMA)
+
+
+def q_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched fake frame-sampling (1 row → N frame rows)."""
+    payloads = with_binary_payload(table(spark, sf_dir, "documents"))
+    return payloads.select("doc_id", "payload").mapInPandas(frame_sampler, FRAME_SCHEMA)
+
+
 def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Typed-metadata projection over the binary payload (pure JVM path)."""
     payloads = with_binary_payload(table(spark, sf_dir, "documents"))
@@ -107,6 +179,8 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "multimodal_meta": q_multimodal_meta,
     "multimodal_features": q_multimodal_features,
+    "multimodal_resize": q_multimodal_resize,
+    "multimodal_frame_sample": q_multimodal_frame_sample,
 }
 
 ORACLES = {

@@ -1,0 +1,80 @@
+"""TPC-H-shaped analytical queries, adapted to the synthetic star schema.
+
+Each query is ONE dialect-neutral SQL string executed verbatim by both
+``spark.sql`` (over temp views) and the DuckDB oracle — the strongest
+possible parity statement: not "equivalent" formulations, the *same* text.
+Dialect-neutral means: ANSI joins, ROUND on double aggregates, timestamp
+literals instead of INTERVAL arithmetic, no vendor functions.
+
+Catalyst plans these with the full optimizer pipeline — predicate pushdown
+into the parquet scans, broadcast of the dimension tables, partial
+aggregation — with zero engine code here; that IS the design stance
+(SURVEY.md §7.0).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from simple_query_engine_spark.sources.catalog import load_tables
+
+# Q3-shaped: shipping-priority revenue for a market segment before a date.
+_Q3 = """
+    SELECT l_orderkey,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+           CAST(o_orderdate AS DATE) AS orderdate
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-01-01'
+      AND l_shipdate > TIMESTAMP '1998-01-01'
+    GROUP BY l_orderkey, o_orderdate
+"""
+
+# Q5-shaped: revenue by nation through the full region hierarchy.
+_Q5 = """
+    SELECT n_name AS nation_name,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS revenue
+    FROM region
+    JOIN nation ON n_regionkey = r_regionkey
+    JOIN customer ON c_nationkey = n_nationkey
+    JOIN orders ON o_custkey = c_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate < TIMESTAMP '1999-01-01'
+    GROUP BY n_name
+"""
+
+# Q10-shaped: top returned-item customers by lost revenue.
+_Q10 = """
+    SELECT c_custkey, c_name,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+           n_name AS nation_name
+    FROM customer
+    JOIN orders ON o_custkey = c_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN nation ON c_nationkey = n_nationkey
+    WHERE l_returnflag = 'R'
+      AND o_orderdate >= TIMESTAMP '1997-01-01'
+      AND o_orderdate < TIMESTAMP '1998-01-01'
+    GROUP BY c_custkey, c_name, n_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+"""
+
+_SQL = {"tpch_q3_shipping_priority": _Q3, "tpch_q5_local_volume": _Q5, "tpch_q10_returned_items": _Q10}
+
+
+def _runner(sql: str):
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        load_tables(spark, sf_dir)  # registers the temp views the SQL names
+        return spark.sql(sql)
+
+    return run
+
+
+QUERIES = {name: _runner(sql) for name, sql in _SQL.items()}
+# The oracle is the SAME string the Spark side executes.
+ORACLES = dict(_SQL)

@@ -37,6 +37,34 @@ def test_features_match_python_recomputation(spark, sf_dir):
         assert got.byte_max == int(arr.max())
 
 
+def test_resize_is_stubbed_and_fake_has_fixed_shape(spark, sf_dir):
+    with pytest.raises(NotImplementedError):
+        M.resize_image(b"...", 8)
+    rows = M.q_multimodal_resize(spark, sf_dir).limit(10).collect()
+    assert all(len(r.thumbnail) == M.THUMB_SIDE * M.THUMB_SIDE for r in rows)
+    assert all(0 <= v <= 255 for r in rows for v in r.thumbnail)
+
+
+def test_frame_sample_shape_and_checksums(spark, sf_dir):
+    import zlib
+
+    frames = M.q_multimodal_frame_sample(spark, sf_dir).collect()
+    by_doc: dict[int, list] = {}
+    for r in frames:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    docs = {
+        r.doc_id: r.text.encode("utf-8")
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet").limit(20).collect()
+    }
+    for doc_id, payload in docs.items():
+        sampled = sorted(by_doc[doc_id], key=lambda r: r.frame_idx)
+        assert [r.frame_idx for r in sampled] == list(
+            range(0, max(1, (len(payload) + M.FRAME_SIZE - 1) // M.FRAME_SIZE), M.FRAME_STRIDE)
+        )
+        first = sampled[0]
+        assert first.frame_checksum == zlib.crc32(payload[: M.FRAME_SIZE])
+
+
 def test_meta_matches_payload_length(spark, sf_dir):
     rows = M.q_multimodal_meta(spark, sf_dir).limit(50).collect()
     docs = {
