@@ -39,6 +39,8 @@ HEADLINE = [
     "dedup_exact",
     "dedup_minhash_lsh",
     "sim_topk_bruteforce",
+    "tpch_q3_shipping_priority",
+    "pipeline_corpus_curation",
 ]
 
 

@@ -35,6 +35,7 @@ def _modules():
         multimodal,
         parity,
         relational,
+        pipeline,
         relational2,
         similarity,
         streaming_ops,
@@ -52,4 +53,5 @@ def _modules():
         similarity,
         streaming_ops,
         multimodal,
+        pipeline,
     )
