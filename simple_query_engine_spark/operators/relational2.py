@@ -285,8 +285,45 @@ def q_subquery_in(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event funnel: of users who signed up, how many purchased within 24 h
+    of their first signup — two conditional aggregations and one equi-join
+    on user_id, no event-sequence explosion.
+    """
+    events = table(spark, sf_dir, "events")
+    signups = (
+        events.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_signup"))
+    )
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("purchase_ts")
+    )
+    converted = (
+        signups.join(purchases, "user_id", "left")
+        .withColumn(
+            "in_window",
+            (F.col("purchase_ts") >= F.col("first_signup"))
+            & (
+                F.col("purchase_ts")
+                <= F.col("first_signup") + F.expr("INTERVAL 24 HOURS")
+            ),
+        )
+        .groupBy("user_id")
+        .agg(F.max(F.coalesce("in_window", F.lit(False))).alias("converted"))
+    )
+    return converted.agg(
+        F.count(F.lit(1)).alias("signup_users"),
+        F.sum(F.col("converted").cast("long")).alias("converted_users"),
+        F.round(
+            F.sum(F.col("converted").cast("long")) / F.count(F.lit(1)), 4
+        ).alias("conversion_rate"),
+    )
+
+
 QUERIES = {
     "join_asof": q_join_asof,
+    "funnel_conversion": q_funnel_conversion,
     "join_range": q_join_range,
     "pivot_status": q_pivot_status,
     "sample_hash": q_sample_hash,
@@ -303,6 +340,26 @@ QUERIES = {
 }
 
 ORACLES = {
+    "funnel_conversion": """
+        WITH signups AS (
+            SELECT user_id, MIN(ts) AS first_signup
+            FROM events WHERE event_type = 'signup' GROUP BY user_id
+        ), converted AS (
+            SELECT s.user_id,
+                   MAX(COALESCE(p.ts >= s.first_signup
+                                AND p.ts <= s.first_signup + INTERVAL 24 HOUR,
+                                FALSE)) AS converted
+            FROM signups s
+            LEFT JOIN (SELECT user_id, ts FROM events WHERE event_type = 'purchase') p
+              ON s.user_id = p.user_id
+            GROUP BY s.user_id
+        )
+        SELECT COUNT(*) AS signup_users,
+               CAST(SUM(CASE WHEN converted THEN 1 ELSE 0 END) AS BIGINT) AS converted_users,
+               ROUND(SUM(CASE WHEN converted THEN 1 ELSE 0 END)
+                     / CAST(COUNT(*) AS DOUBLE), 4) AS conversion_rate
+        FROM converted
+    """,
     "join_asof": """
         SELECT p.event_id AS purchase_id,
                p.user_id,
