@@ -140,11 +140,15 @@ def q_agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Array function coverage over the embedding column."""
     embeddings = table(spark, sf_dir, "embeddings")
+    # first/last are pass-through values: both engines widen the same
+    # float32 to the identical double, so NO rounding — rounding would
+    # CREATE a half-boundary hazard (hit at sf0.1: one value rounded to
+    # -0.0001 in Spark and -0.0 in DuckDB under differing half modes).
     return embeddings.select(
         "vec_id",
         F.size("embedding").alias("dim"),
-        F.round(F.element_at("embedding", 1).cast("double"), 4).alias("first_val"),
-        F.round(F.element_at("embedding", -1).cast("double"), 4).alias("last_val"),
+        F.element_at("embedding", 1).cast("double").alias("first_val"),
+        F.element_at("embedding", -1).cast("double").alias("last_val"),
         F.round(
             F.aggregate(
                 F.slice("embedding", 1, 8),
@@ -404,8 +408,8 @@ ORACLES = {
     "array_funcs": """
         SELECT vec_id,
                CAST(len(embedding) AS INT) AS dim,
-               ROUND(embedding[1]::DOUBLE, 4) AS first_val,
-               ROUND(embedding[len(embedding)]::DOUBLE, 4) AS last_val,
+               embedding[1]::DOUBLE AS first_val,
+               embedding[len(embedding)]::DOUBLE AS last_val,
                ROUND(list_sum(list_transform(embedding[1:8], x -> x::DOUBLE)), 4) AS head_sum
         FROM embeddings
     """,
