@@ -289,6 +289,17 @@ def q_subquery_in(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_agg_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bivariate statistics per group: Pearson correlation + sample
+    covariance (quantity vs extended price)."""
+    lineitem = table(spark, sf_dir, "lineitem")
+    return lineitem.groupBy("l_returnflag").agg(
+        F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias("qty_price_corr"),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 2).alias("qty_price_covar"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
 def q_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Event funnel: of users who signed up, how many purchased within 24 h
     of their first signup — two conditional aggregations and one equi-join
@@ -328,6 +339,7 @@ def q_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "join_asof": q_join_asof,
     "funnel_conversion": q_funnel_conversion,
+    "agg_correlation": q_agg_correlation,
     "join_range": q_join_range,
     "pivot_status": q_pivot_status,
     "sample_hash": q_sample_hash,
@@ -344,6 +356,13 @@ QUERIES = {
 }
 
 ORACLES = {
+    "agg_correlation": """
+        SELECT l_returnflag,
+               ROUND(corr(l_quantity, l_extendedprice), 4) AS qty_price_corr,
+               ROUND(covar_samp(l_quantity, l_extendedprice), 2) AS qty_price_covar,
+               COUNT(*) AS n_rows
+        FROM lineitem GROUP BY l_returnflag
+    """,
     "funnel_conversion": """
         WITH signups AS (
             SELECT user_id, MIN(ts) AS first_signup
