@@ -298,8 +298,79 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+MAX_CC_ITERATIONS = 15
+
+
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive near-dup clusters: connected components over the Jaccard
+    pair graph via iterative min-label propagation.
+
+    Pair-dropping (pipeline_corpus_curation) removes the higher id of each
+    pair; for chains a ⇔ b ⇔ c that can orphan or double-keep — the correct
+    semantics is one survivor per *component*.  Label propagation:
+    ``label(v) ← min(label(v), min label over neighbors)`` repeated until a
+    fixpoint, i.e. O(component diameter) shuffle rounds of join + groupBy —
+    the standard iterative-algorithm shape on Spark (driver steers the
+    loop, data never leaves the cluster; the only driver-side value per
+    round is the 1-row convergence count).  Iterative ⇒ not
+    SQL-expressible ⇒ rows-only at the driver; equality with a union-find
+    ground truth is pinned in tests.
+    """
+    pairs = q_dedup_ngram_jaccard(spark, sf_dir).select("doc_id_a", "doc_id_b")
+    edges = (
+        pairs.union(
+            pairs.select(
+                F.col("doc_id_b").alias("doc_id_a"), F.col("doc_id_a").alias("doc_id_b")
+            )
+        )
+        .withColumnRenamed("doc_id_a", "src")
+        .withColumnRenamed("doc_id_b", "dst")
+        .cache()
+    )
+    labels = (
+        edges.select(F.col("src").alias("doc_id"))
+        .distinct()
+        .withColumn("label", F.col("doc_id"))
+        .cache()
+    )
+    for _ in range(MAX_CC_ITERATIONS):
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.doc_id)
+            .groupBy("src")
+            .agg(F.min("label").alias("neighbor_label"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.doc_id == neighbor_min.src, "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("label"), F.coalesce("neighbor_label", F.col("label"))
+                ).alias("label"),
+            )
+            .cache()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return (
+        labels.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("cluster_size"),
+            F.min("doc_id").alias("keep_doc_id"),
+        )
+        .withColumnRenamed("label", "cluster_id")
+    )
+
+
 QUERIES = {
     "dedup_exact": q_dedup_exact,
+    "dedup_clusters": q_dedup_clusters,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_simhash": q_dedup_simhash,

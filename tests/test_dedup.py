@@ -59,6 +59,38 @@ def test_simhash_finds_neardups_and_bounds_distance(spark, sf_dir, exact_pairs):
         assert overlap >= 0.5, f"simhash found {overlap} of near-identical pairs"
 
 
+def test_clusters_match_union_find(spark, sf_dir, exact_pairs):
+    """Label-propagation components must equal a driver-side union-find
+    ground truth over the same pair list."""
+    clusters = D.q_dedup_clusters(spark, sf_dir).collect()
+
+    parent: dict[int, int] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    for a, b in exact_pairs:
+        union(a, b)
+    expected: dict[int, set] = {}
+    for node in list(parent):
+        expected.setdefault(find(node), set()).add(node)
+
+    got = {r.cluster_id: r for r in clusters}
+    assert set(got) == set(expected)
+    for root, members in expected.items():
+        assert got[root].cluster_size == len(members)
+        assert got[root].keep_doc_id == min(members)
+
+
 def test_signatures_are_deterministic(spark, sf_dir):
     a = D.minhash_signatures(spark, sf_dir).orderBy("doc_id").limit(3).collect()
     b = D.minhash_signatures(spark, sf_dir).orderBy("doc_id").limit(3).collect()
