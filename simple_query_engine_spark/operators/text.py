@@ -112,6 +112,26 @@ def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_ROLL_MOD = 2_147_483_647  # 2^31 - 1 (Mersenne prime): products stay in long range
+_ROLL_BASE = 31
+
+
+def q_rolling_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Polynomial rolling-hash fingerprint (Rabin-Karp style) over the
+    normalized text: ``h = Σ c_i · B^(n-i) mod M`` computed as a left fold
+    — engine-portable (pure integer arithmetic, unlike engine hash
+    builtins), so it IS oracle-checkable, and the building block for
+    content-defined chunking at scale."""
+    documents = _documents(spark, sf_dir)
+    chars = F.split(_normalized(F.col("text")), "")
+    rolled = F.aggregate(
+        chars,
+        F.lit(0).cast("long"),
+        lambda acc, c: (acc * _ROLL_BASE + F.ascii(c)) % _ROLL_MOD,
+    )
+    return documents.select("doc_id", rolled.alias("rolling_hash"))
+
+
 def q_word_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-level token frequency, top 20 — explode → partial-agg →
     shuffle of (token, count) pairs only."""
@@ -133,6 +153,7 @@ QUERIES = {
     "text_quality_score": q_quality_score,
     "text_lang_id": q_lang_id,
     "text_fingerprint": q_fingerprint,
+    "text_rolling_hash": q_rolling_hash,
     "text_word_freq": q_word_freq,
 }
 
@@ -187,6 +208,15 @@ ORACLES = {
         SELECT doc_id,
                md5({_NORM}) AS fingerprint,
                CAST(length(text) AS INT) AS n_chars_actual
+        FROM documents
+    """,
+    "text_rolling_hash": f"""
+        SELECT doc_id,
+               list_reduce(
+                   list_prepend(CAST(0 AS BIGINT),
+                                list_transform(string_split({_NORM}, ''),
+                                               c -> CAST(unicode(c) AS BIGINT))),
+                   (a, b) -> (a * {_ROLL_BASE} + b) % {_ROLL_MOD}) AS rolling_hash
         FROM documents
     """,
     "text_word_freq": f"""
