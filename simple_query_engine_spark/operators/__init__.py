@@ -37,6 +37,7 @@ def _modules():
         relational,
         pipeline,
         relational2,
+        relational3,
         similarity,
         streaming_ops,
         text,
@@ -47,6 +48,7 @@ def _modules():
         parity,
         relational,
         relational2,
+        relational3,
         tpch,
         text,
         dedup,
