@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 from simple_query_engine_spark.sources.catalog import table
 from simple_query_engine_spark.streaming.stateful import run_stateful_user_profiles
 from simple_query_engine_spark.streaming.windows import (
+    run_stream_stream_join,
     run_streaming_tumbling_counts,
     session_window_counts,
     sliding_window_counts,
@@ -48,9 +49,16 @@ def q_stream_stateful_profiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_stateful_user_profiles(spark, os.path.join(sf_dir, "events.parquet"))
 
 
+def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream join (clicks ⋈ purchases ≤1 h later, per user) with
+    watermarked state on both sides."""
+    return run_stream_stream_join(spark, os.path.join(sf_dir, "events.parquet"))
+
+
 QUERIES = {
     "stream_tumbling_counts": q_stream_tumbling,
     "stream_stateful_profiles": q_stream_stateful_profiles,
+    "stream_stream_join": q_stream_stream_join,
     "window_tumbling_counts": q_batch_tumbling,
     "window_sliding_counts": q_window_sliding,
     "window_session_counts": q_window_session,
@@ -75,6 +83,18 @@ ORACLES = {
                ROUND(SUM(value), 2) AS value_sum,
                CAST(floor(epoch(MAX(ts))) AS BIGINT) AS last_epoch
         FROM events GROUP BY user_id
+    """,
+    "stream_stream_join": """
+        SELECT c.user_id,
+               c.event_id AS click_id,
+               p.event_id AS purchase_id,
+               CAST(floor(epoch(c.ts)) AS BIGINT) AS click_epoch,
+               CAST(floor(epoch(p.ts)) AS BIGINT) AS purchase_epoch
+        FROM (SELECT * FROM events WHERE event_type = 'click') c
+        JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+          ON c.user_id = p.user_id
+         AND p.ts >= c.ts
+         AND p.ts <= c.ts + INTERVAL 1 HOUR
     """,
     "window_tumbling_counts": _TUMBLING_SQL,
     "window_sliding_counts": """

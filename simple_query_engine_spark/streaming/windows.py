@@ -84,6 +84,81 @@ def session_window_counts(events: DataFrame) -> DataFrame:
     )
 
 
+def run_stream_stream_join(
+    spark: SparkSession,
+    events_path: str,
+) -> DataFrame:
+    """Stream-stream inner join: click events joined to purchase events by
+    the same user within the following hour.
+
+    Both sides are real streams with watermarks — the state store holds
+    each side's rows only until the other side's watermark passes the join
+    window (the time-bound condition is what lets Spark evict; an
+    unbounded stream-stream join would accumulate state forever).  On a
+    single-batch ``availableNow`` replay the result equals the equivalent
+    batch interval join, which is what the oracle checks.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # Stateful streaming gets no AQE coalescing: shuffle.partitions fixes
+    # the state-store task count for the query's lifetime.  Size it to the
+    # workload (tiny local replay → few partitions; a real deployment sizes
+    # this to state volume / executor count before first start).
+    previous_partitions = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    schema = spark.read.parquet(events_path).schema
+
+    def side(event_type: str, alias_prefix: str) -> DataFrame:
+        reader = spark.readStream.schema(schema)
+        if os.path.isfile(events_path):
+            reader = reader.option("pathGlobFilter", os.path.basename(events_path))
+            stream = reader.parquet(os.path.dirname(events_path))
+        else:
+            stream = reader.parquet(events_path)
+        if dict(stream.dtypes).get("ts") == "bigint":
+            stream = stream.withColumn(
+                "ts", F.timestamp_micros(F.expr("ts div 1000"))
+            )
+        return (
+            stream.filter(F.col("event_type") == event_type)
+            .select(
+                F.col("user_id").alias(f"{alias_prefix}_user"),
+                F.col("event_id").alias(f"{alias_prefix}_id"),
+                F.col("ts").alias(f"{alias_prefix}_ts"),
+            )
+            .withWatermark(f"{alias_prefix}_ts", WATERMARK)
+        )
+
+    clicks = side("click", "click")
+    purchases = side("purchase", "purchase")
+    joined = clicks.join(
+        purchases,
+        (F.col("click_user") == F.col("purchase_user"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr("INTERVAL 1 HOUR")),
+    ).select(
+        F.col("click_user").alias("user_id"),
+        "click_id",
+        "purchase_id",
+        F.col("click_ts").cast("long").alias("click_epoch"),
+        F.col("purchase_ts").cast("long").alias("purchase_epoch"),
+    )
+    sink_name = f"ssj_{uuid.uuid4().hex[:8]}"
+    checkpoint = os.path.join(tempfile.gettempdir(), f"ckpt_{sink_name}")
+    try:
+        query = (
+            joined.writeStream.format("memory")
+            .queryName(sink_name)
+            .outputMode("append")
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", previous_partitions)
+    return spark.table(sink_name)
+
+
 def run_streaming_tumbling_counts(
     spark: SparkSession,
     events_path: str,

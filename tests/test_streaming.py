@@ -41,6 +41,39 @@ def test_sessions_partition_all_events(spark, sf_dir):
     assert session_mass == total_events
 
 
+def test_stream_stream_join_equals_batch_interval_join(spark, sf_dir, tables):
+    from simple_query_engine_spark.streaming.windows import run_stream_stream_join
+
+    streamed = {
+        tuple(r)
+        for r in run_stream_stream_join(spark, f"{sf_dir}/events.parquet").collect()
+    }
+    events = tables["events"]
+    clicks = events.filter(F.col("event_type") == "click").select(
+        F.col("user_id"), F.col("event_id").alias("click_id"), F.col("ts").alias("cts")
+    )
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id"), F.col("event_id").alias("purchase_id"), F.col("ts").alias("pts")
+    )
+    batch = {
+        tuple(r)
+        for r in clicks.join(purchases, "user_id")
+        .filter(
+            (F.col("pts") >= F.col("cts"))
+            & (F.col("pts") <= F.col("cts") + F.expr("INTERVAL 1 HOUR"))
+        )
+        .select(
+            "user_id",
+            "click_id",
+            "purchase_id",
+            F.col("cts").cast("long").alias("click_epoch"),
+            F.col("pts").cast("long").alias("purchase_epoch"),
+        )
+        .collect()
+    }
+    assert streamed == batch and len(streamed) > 0
+
+
 def test_watermark_drops_late_data(spark, tmp_path):
     """Three micro-batches: the watermark passes window [10:00,11:00) after
     batch 1, the window's state is evicted and emitted at the end of batch 2,
