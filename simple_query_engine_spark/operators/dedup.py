@@ -66,7 +66,7 @@ def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).otherwise(F.array(F.concat_ws(" ", words)))
     return documents.select(
         "doc_id", F.explode(shingle_array).alias("shingle")
-    )
+    ).cache()
 
 
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:

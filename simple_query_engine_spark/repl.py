@@ -85,7 +85,8 @@ def run(
         df.count()  # materialize up front, like the reference's eager load
         df.createOrReplaceTempView(default_table or "t")
     print(
-        "Enter a query (PROJECT col, ... [FILTER col (>|=) value]) or SQL:",
+        "Enter a query (PROJECT col, ... [FILTER col (>|=) value]) or SQL; "
+        "prefix with 'explain' for the physical plan:",
         file=output_stream,
     )
     for line in input_stream:
@@ -95,11 +96,24 @@ def run(
         if line in EXIT_COMMANDS:
             break
         try:
+            explain = False
+            if line.lower().startswith("explain "):
+                explain = True
+                line = line[len("explain "):].strip()
             if line.lower().startswith(_SQL_KEYWORDS):
                 result = spark.sql(line)
             else:
                 result = execute(parse(line), df)
-            print(format_result(result, limit=row_limit), file=output_stream)
+            if explain:
+                import contextlib
+                import io
+
+                buffer = io.StringIO()
+                with contextlib.redirect_stdout(buffer):
+                    result.explain("formatted")
+                print(buffer.getvalue().rstrip(), file=output_stream)
+            else:
+                print(format_result(result, limit=row_limit), file=output_stream)
         except (QueryParseError, QueryExecutionError) as error:
             print(f"Error: {error}", file=output_stream)
         except Exception as error:  # Catalyst analysis errors etc.

@@ -64,6 +64,17 @@ def test_catalog_mode_sql_and_minilang(spark, sf_dir):
     assert all("\n" not in l for l in error_lines)
 
 
+def test_explain_command_shows_physical_plan(spark, sf_dir):
+    output = run_repl(
+        sf_dir,
+        ["explain PROJECT l_orderkey FILTER l_quantity > 45", "exit"],
+        default_table="lineitem",
+    )
+    assert "Physical Plan" in output
+    assert "PushedFilters" in output  # the minilang filter reached the scan
+    assert "GreaterThan(l_quantity,45.0)" in output
+
+
 def test_sql_against_single_csv_view(spark, city_csv):
     output = run_repl(
         city_csv,
