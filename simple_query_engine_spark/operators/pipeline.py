@@ -58,11 +58,99 @@ def q_pipeline_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-QUERIES = {"pipeline_corpus_curation": q_pipeline_corpus_curation}
+SAMPLES_PER_LANG = 40
+EVAL_SET_MAX_DOC_ID = 10  # doc_id < 10 plays the held-out benchmark set
+CONTAM_NGRAM = 5
+
+
+def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-balanced subsample: N docs per language, selected by hash
+    order (deterministic across engines/retries — corpus balancing without
+    a global sort; the per-group top-N is a TakeOrdered per partition)."""
+    documents = table(spark, sf_dir, "documents")
+    from pyspark.sql.window import Window
+
+    hash_key = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
+    ).cast("long")
+    w = Window.partitionBy("lang").orderBy(hash_key, F.col("doc_id"))
+    return (
+        documents.withColumn("sample_rank", F.row_number().over(w))
+        .filter(F.col("sample_rank") <= SAMPLES_PER_LANG)
+        .select("doc_id", "lang", "sample_rank")
+    )
+
+
+def q_text_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag corpus documents sharing any word
+    5-gram with the held-out eval set (doc_id < EVAL_SET_MAX_DOC_ID).
+
+    The canonical pretraining hygiene step.  Plan shape: eval-set shingles
+    are tiny and BROADCAST — the corpus side streams once, no shuffle; at
+    100 TB this is a broadcast semi-join of the whole corpus against a
+    benchmark fingerprint set.
+    """
+    documents = table(spark, sf_dir, "documents")
+    words = F.split(_normalized(F.col("text")), " ")
+    grams = F.when(
+        F.size(words) >= CONTAM_NGRAM,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.size(words) - (CONTAM_NGRAM - 1)),
+                lambda i: F.concat_ws(" ", F.slice(words, i, CONTAM_NGRAM)),
+            )
+        ),
+    ).otherwise(F.array(F.concat_ws(" ", words)))
+    shingled = documents.select("doc_id", F.explode(grams).alias("gram"))
+    eval_grams = (
+        shingled.filter(F.col("doc_id") < EVAL_SET_MAX_DOC_ID)
+        .select("gram")
+        .distinct()
+    )
+    return (
+        shingled.filter(F.col("doc_id") >= EVAL_SET_MAX_DOC_ID)
+        .join(F.broadcast(eval_grams), "gram", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("shared_ngrams"))
+    )
+
+
+QUERIES = {
+    "pipeline_corpus_curation": q_pipeline_corpus_curation,
+    "sample_stratified": q_sample_stratified,
+    "text_decontamination": q_text_decontamination,
+}
 
 _NORM = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
 
 ORACLES = {
+    "sample_stratified": f"""
+        SELECT doc_id, lang, sample_rank FROM (
+            SELECT doc_id, lang,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY lang
+                       ORDER BY CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT),
+                                doc_id) AS sample_rank
+            FROM documents
+        ) WHERE sample_rank <= {SAMPLES_PER_LANG}
+    """,
+    "text_decontamination": f"""
+        WITH grams AS (
+            SELECT doc_id, unnest(list_distinct(
+                CASE WHEN len(w) >= {CONTAM_NGRAM}
+                     THEN list_transform(range(1, len(w) - {CONTAM_NGRAM - 2}),
+                                         i -> concat_ws(' ', w[i], w[i+1], w[i+2], w[i+3], w[i+4]))
+                     ELSE [array_to_string(w, ' ')] END)) AS gram
+            FROM (SELECT doc_id, string_split({_NORM}, ' ') w FROM documents)
+        ), eval_grams AS (
+            SELECT DISTINCT gram FROM grams WHERE doc_id < {EVAL_SET_MAX_DOC_ID}
+        )
+        SELECT g.doc_id, COUNT(*) AS shared_ngrams
+        FROM grams g
+        WHERE g.doc_id >= {EVAL_SET_MAX_DOC_ID}
+          AND g.gram IN (SELECT gram FROM eval_grams)
+        GROUP BY g.doc_id
+    """,
     "pipeline_corpus_curation": f"""
         WITH quality AS (
             SELECT doc_id, lang,
