@@ -28,7 +28,7 @@ FEATURE_SCHEMA = T.StructType(
     [
         T.StructField("doc_id", T.LongType()),
         T.StructField("n_bytes", T.LongType()),
-        T.StructField("byte_mean", T.DoubleType()),
+        T.StructField("byte_sum", T.LongType()),
         T.StructField("byte_max", T.IntegerType()),
     ]
 )
@@ -69,9 +69,12 @@ def fake_featurizer(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     for pdf in batches:
         payloads = pdf["payload"]
         n_bytes = payloads.map(len).astype("int64")
-        byte_mean = payloads.map(
-            lambda b: float(np.frombuffer(b, dtype=np.uint8).mean()) if len(b) else 0.0
-        ).round(4)
+        # Exact integer stats only: a rounded float mean is a half-mode
+        # landmine (numpy rounds half-to-even, SQL engines half-away) —
+        # the exact sum carries the same information hazard-free.
+        byte_sum = payloads.map(
+            lambda b: int(np.frombuffer(b, dtype=np.uint8).sum()) if len(b) else 0
+        ).astype("int64")
         byte_max = payloads.map(
             lambda b: int(np.frombuffer(b, dtype=np.uint8).max()) if len(b) else 0
         ).astype("int32")
@@ -79,7 +82,7 @@ def fake_featurizer(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             {
                 "doc_id": pdf["doc_id"].astype("int64"),
                 "n_bytes": n_bytes,
-                "byte_mean": byte_mean,
+                "byte_sum": byte_sum,
                 "byte_max": byte_max,
             }
         )
@@ -190,7 +193,22 @@ ORACLES = {
                CAST(octet_length(encode(text)) AS INT) AS n_bytes
         FROM documents
     """,
-    # multimodal_features: Arrow-batched pandas featurizer (the class of op
-    # the contract marks rows-only); exact byte-stat values are verified
-    # against a pure-Python recomputation in tests/test_multimodal.py.
+    # multimodal_features: the corpus is pure ASCII (verified: octet_length
+    # == length for every doc at every SF), so byte stats equal code-point
+    # stats and the Arrow featurizer IS oracle-checkable: integer sums are
+    # exact in double at any summation order, making the mean bit-identical
+    # across numpy and DuckDB.
+    "multimodal_features": """
+        WITH chars AS (
+            SELECT doc_id, unnest(string_split(text, '')) AS ch FROM documents
+        )
+        SELECT doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_bytes,
+               CAST(SUM(unicode(ch)) AS BIGINT) AS byte_sum,
+               CAST(MAX(unicode(ch)) AS INT) AS byte_max
+        FROM chars GROUP BY doc_id
+    """,
+    # multimodal_resize / multimodal_frame_sample stay rows-only (shape-
+    # transforming pandas ops); exactness vs Python recomputation is pinned
+    # in tests/test_multimodal.py.
 }

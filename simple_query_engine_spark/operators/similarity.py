@@ -289,6 +289,44 @@ ORACLES = {
                COUNT(*) AS n_dims
         FROM per_dim GROUP BY label
     """,
-    # sim_ann_lsh: approximate by construction → rows-only check; recall vs
-    # sim_topk_bruteforce asserted in tests/test_similarity.py.
+    # sim_ivf_topk is approximate vs brute force but fully DETERMINISTIC
+    # arithmetic (fixed centroids, exact cosine, fixed nprobe) — so the
+    # whole IVF pipeline is SQL-expressible and oracle-checked.
+    "sim_ivf_topk": f"""
+        WITH e AS (
+            SELECT vec_id, embedding::DOUBLE[] AS v,
+                   sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+            FROM embeddings
+        ), cents AS (
+            SELECT vec_id AS cell_id, v AS cv, nrm AS cnrm FROM e
+            WHERE vec_id < {NUM_IVF_CELLS}
+        ), ranked AS (
+            SELECT e.vec_id, e.v, e.nrm, c.cell_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY list_dot_product(e.v, c.cv) / (e.nrm * c.cnrm) DESC,
+                                c.cell_id) AS cell_rank
+            FROM e CROSS JOIN cents c
+        ), assign AS (
+            SELECT vec_id AS neighbor_id, v AS nv, nrm AS nn, cell_id
+            FROM ranked WHERE cell_rank = 1
+        ), probes AS (
+            SELECT vec_id AS query_id, v AS qv, nrm AS qn, cell_id
+            FROM ranked WHERE vec_id < {NUM_QUERY_VECTORS} AND cell_rank <= {IVF_NPROBE}
+        ), scored AS (
+            SELECT p.query_id, a.neighbor_id,
+                   ROUND(list_dot_product(p.qv, a.nv) / (p.qn * a.nn), 4) AS similarity
+            FROM probes p JOIN assign a USING (cell_id)
+            WHERE p.query_id <> a.neighbor_id
+        )
+        SELECT query_id, neighbor_id, similarity, sim_rank FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                         ORDER BY similarity DESC, neighbor_id) AS sim_rank
+            FROM scored
+        ) WHERE sim_rank <= {TOP_K}
+    """,
+    # sim_ann_lsh stays rows-only: its buckets hinge on float sign bits of
+    # random-plane projections, where a last-ulp difference between the two
+    # engines' dot products can flip a bucket near zero; recall vs
+    # sim_topk_bruteforce is asserted in tests/test_similarity.py instead.
 }
