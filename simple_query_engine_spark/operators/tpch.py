@@ -64,7 +64,39 @@ _Q10 = """
     LIMIT 20
 """
 
-_SQL = {"tpch_q3_shipping_priority": _Q3, "tpch_q5_local_volume": _Q5, "tpch_q10_returned_items": _Q10}
+# Q6-shaped: forecast revenue change — tight single-scan aggregate whose
+# three predicates all push into the parquet scan.
+_Q6 = """
+    SELECT ROUND(SUM(l_extendedprice * l_discount), 4) AS revenue_delta,
+           COUNT(*) AS qualifying_lines
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1997-01-01'
+      AND l_discount >= 0.05 AND l_discount <= 0.07
+      AND l_quantity < 24
+"""
+
+# Q4-shaped: order counts per priority where at least one line is a
+# high-quantity return (decorrelated EXISTS → semi-join).
+_Q4 = """
+    SELECT o_orderpriority, COUNT(*) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate < TIMESTAMP '1997-01-01'
+      AND EXISTS (
+          SELECT 1 FROM lineitem
+          WHERE l_orderkey = o_orderkey AND l_quantity > 45
+      )
+    GROUP BY o_orderpriority
+"""
+
+_SQL = {
+    "tpch_q3_shipping_priority": _Q3,
+    "tpch_q4_priority_exists": _Q4,
+    "tpch_q5_local_volume": _Q5,
+    "tpch_q6_forecast_revenue": _Q6,
+    "tpch_q10_returned_items": _Q10,
+}
 
 
 def _runner(sql: str):
