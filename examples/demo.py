@@ -1,0 +1,82 @@
+"""End-to-end tour for users coming from the reference engine.
+
+Run: python examples/demo.py [sf_dir]      (defaults to /root/testdata/sf0.001)
+
+Shows the three API layers:
+1. the reference's PROJECT/FILTER mini-language on a CSV (what the
+   reference REPL does),
+2. the same queries + full SQL over a multi-table parquet catalog,
+3. the operator catalog (dedup / similarity / streaming) programmatically.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import tempfile
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from simple_query_engine_spark import execute, get_spark, load_tables, parse
+from simple_query_engine_spark.repl import format_result
+from simple_query_engine_spark.sources.readers import read_csv
+
+CITIES_CSV = """city,country,population,area_km2
+Metroville,Freedonia,4100000,512.5
+Portsbury,Freedonia,1900000,210.0
+Lakewood,Sylvania,2750000,340.8
+Hillford,Sylvania,800000,95.2
+Bayton,Atlantis,3300000,410.0
+"""
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    spark = get_spark(app_name="sqe-demo")
+
+    # --- 1. reference parity: mini-language over one CSV -----------------
+    csv_path = os.path.join(tempfile.mkdtemp(), "cities.csv")
+    with open(csv_path, "w") as f:
+        f.write(CITIES_CSV)
+    cities = read_csv(spark, csv_path)
+    for text in (
+        "PROJECT city, country FILTER population > 2000000",
+        'PROJECT city FILTER country = "Sylvania"',
+        "PROJECT city FILTER area_km2 > 300",  # float column: deviation §7.1.3
+    ):
+        print(f"\n>>> {text}")
+        print(format_result(execute(parse(text), cities)))
+
+    # --- 2. multi-table catalog + SQL ------------------------------------
+    tables = load_tables(spark, sf_dir)
+    print("\n>>> catalog tables:", ", ".join(sorted(tables)))
+    print(
+        format_result(
+            spark.sql(
+                """
+                SELECT r_name, COUNT(*) AS nations
+                FROM region JOIN nation ON r_regionkey = n_regionkey
+                GROUP BY r_name ORDER BY r_name
+                """
+            )
+        )
+    )
+
+    # --- 3. the operator catalog ------------------------------------------
+    from simple_query_engine_spark.operators.dedup import q_dedup_minhash_lsh
+    from simple_query_engine_spark.operators.similarity import q_sim_topk_bruteforce
+
+    near_dups = q_dedup_minhash_lsh(spark, sf_dir)
+    print(f"\n>>> MinHash-LSH near-duplicate pairs: {near_dups.count()}")
+    near_dups.show(5)
+
+    top_k = q_sim_topk_bruteforce(spark, sf_dir)
+    print(">>> cosine top-k for query vector 0:")
+    top_k.filter("query_id = 0").orderBy("sim_rank").show(5)
+
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -273,6 +273,26 @@ def q_agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_agg_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate quantiles (Greenwald-Khanna sketch) per group, alongside
+    the exact median.  The sketch analog of HLL for order statistics: at
+    100 TB, exact percentiles of a high-cardinality column require a full
+    sort or large state; the sketch is fixed-size and merges map-side.
+    Sketch values are engine-specific → rows-only; error bound pinned in
+    tests.
+    """
+    lineitem = table(spark, sf_dir, "lineitem")
+    return lineitem.groupBy("l_returnflag").agg(
+        F.round(
+            F.percentile_approx("l_extendedprice", F.lit(0.5), F.lit(1000)), 2
+        ).alias("approx_median"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.5)), 2).alias("exact_median"),
+        F.round(
+            F.percentile_approx("l_extendedprice", F.lit(0.99), F.lit(1000)), 2
+        ).alias("approx_p99"),
+    )
+
+
 def q_subquery_in(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IN-subquery: orders from BUILDING-segment customers, per status."""
     table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
@@ -353,6 +373,7 @@ QUERIES = {
     "date_advanced": q_date_advanced,
     "subquery_in": q_subquery_in,
     "agg_approx_distinct": q_agg_approx_distinct,
+    "agg_quantile_sketch": q_agg_quantile_sketch,
 }
 
 ORACLES = {

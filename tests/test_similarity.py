@@ -78,6 +78,16 @@ def test_approx_distinct_within_error_bound(spark, sf_dir):
         assert abs(r.approx_users - r.exact_users) <= max(2, 0.05 * r.exact_users)
 
 
+def test_quantile_sketch_tracks_exact(spark, sf_dir):
+    from simple_query_engine_spark.operators.relational2 import q_agg_quantile_sketch
+
+    for r in q_agg_quantile_sketch(spark, sf_dir).collect():
+        # GK sketch with accuracy=1000 → rank error ≤ 0.1%; values within
+        # a small relative band of the exact median.
+        assert abs(r.approx_median - r.exact_median) <= 0.05 * abs(r.exact_median)
+        assert r.approx_p99 >= r.approx_median
+
+
 def test_label_centroids_cover_dims(spark, sf_dir):
     rows = S.q_sim_label_centroids(spark, sf_dir).collect()
     assert all(r.n_dims == 64 for r in rows)
