@@ -32,7 +32,11 @@ class Filter:
     column_name: str
     filter_type: FilterType
     value: str  # raw literal text, quotes already stripped
-    quoted: bool = False  # True when the literal was written as "..."
+    # Informational: True when the literal was written as "...".  The
+    # executor deliberately ignores it (literals are typed by the target
+    # column, SURVEY.md §7.1.1); preserved so tooling/tests can observe
+    # what the user wrote, mirroring the reference's quote-trim step.
+    quoted: bool = False
 
 
 @dataclass(frozen=True)

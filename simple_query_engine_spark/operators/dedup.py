@@ -358,6 +358,15 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         labels = new_labels
         if changed == 0:
             break
+    else:
+        # Fail loudly rather than return partially-propagated labels: a
+        # component with diameter > MAX_CC_ITERATIONS would silently split
+        # into several clusters (double-keeping duplicates downstream).
+        raise RuntimeError(
+            f"connected components did not converge within {MAX_CC_ITERATIONS} "
+            f"iterations ({changed} labels still changing) — raise "
+            "MAX_CC_ITERATIONS for graphs with very long near-dup chains"
+        )
     return (
         labels.groupBy("label")
         .agg(

@@ -328,12 +328,18 @@ def q_set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """EXCEPT: nations with customers but no suppliers."""
+    """EXCEPT (set difference): nations with customers but no suppliers.
+
+    ``subtract`` is Spark's EXCEPT DISTINCT.  (An earlier revision used
+    ``exceptAll().distinct()``, which is multiset difference — it keeps a
+    key whenever the left *multiplicity* exceeds the right, a different
+    relation from the documented semantics.)
+    """
     customer = table(spark, sf_dir, "customer")
     supplier = table(spark, sf_dir, "supplier")
-    return customer.select(F.col("c_nationkey").alias("nationkey")).exceptAll(
+    return customer.select(F.col("c_nationkey").alias("nationkey")).subtract(
         supplier.select(F.col("s_nationkey").alias("nationkey"))
-    ).distinct()
+    )
 
 
 # --- expression / scalar-function family ---
@@ -595,11 +601,9 @@ ORACLES = {
         SELECT s_nationkey AS nationkey FROM supplier
     """,
     "set_except": """
-        SELECT DISTINCT nationkey FROM (
-            SELECT c_nationkey AS nationkey FROM customer
-            EXCEPT ALL
-            SELECT s_nationkey AS nationkey FROM supplier
-        )
+        SELECT c_nationkey AS nationkey FROM customer
+        EXCEPT
+        SELECT s_nationkey AS nationkey FROM supplier
     """,
     "string_funcs": """
         SELECT p_partkey,

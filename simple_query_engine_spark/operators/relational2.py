@@ -244,8 +244,9 @@ def q_string_advanced(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_date_advanced(spark: SparkSession, sf_dir: str) -> DataFrame:
     """date_add / datediff / last_day / dayofweek / date_format coverage.
 
-    dayofweek is normalized to ISO (1=Monday) — Spark's raw builtin is
-    1=Sunday, DuckDB's is 0=Sunday; both map cleanly onto ISO.
+    ``dow_sunday1`` carries Spark's native 1=Sunday convention (the column
+    name states it); the DuckDB oracle shifts its 0=Sunday convention by
+    +1 to match.
     """
     orders = table(spark, sf_dir, "orders")
     order_date = F.col("o_orderdate").cast("date")

@@ -107,9 +107,12 @@ ORACLES = {
         FROM starts GROUP BY 1, 2
     """,
     "window_session_counts": """
+        -- Spark's session window is end-exclusive [start, last+gap): an
+        -- event exactly gap seconds after the previous one starts a NEW
+        -- session, hence >= (not >) in the boundary test.
         WITH marked AS (
             SELECT user_id, ts,
-                   CASE WHEN epoch(ts) - epoch(LAG(ts) OVER w) > 600
+                   CASE WHEN epoch(ts) - epoch(LAG(ts) OVER w) >= 600
                          OR LAG(ts) OVER w IS NULL
                         THEN 1 ELSE 0 END AS is_new
             FROM events

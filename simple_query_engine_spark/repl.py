@@ -74,6 +74,13 @@ def run(
             print(f"Error: no <name>.parquet tables under {data_path}", file=output_stream)
             return
         default_table = default_table or next(iter(tables))
+        if default_table not in tables:
+            print(
+                f"Error: table '{default_table}' not found; available: "
+                f"{', '.join(tables)}",
+                file=output_stream,
+            )
+            return
         df = tables[default_table]
         print(
             f"Loaded tables: {', '.join(tables)} "

@@ -37,38 +37,37 @@ def run_streaming_to_parquet(
     re-delivered batch overwrites exactly the windows it carries
     (``partitionOverwriteMode=dynamic``), never the whole table.
     """
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    from simple_query_engine_spark.streaming.windows import read_event_stream
+
+    # Scope the overwrite-mode change to this query: leaking
+    # partitionOverwriteMode=dynamic would silently change every later
+    # partitioned mode='overwrite' write in the session from full-table to
+    # partial overwrite.
+    previous_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    schema = spark.read.parquet(events_path).schema
-    reader = spark.readStream.schema(schema)
-    if max_files_per_trigger is not None:
-        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
-    if os.path.isfile(events_path):
-        reader = reader.option("pathGlobFilter", os.path.basename(events_path))
-        stream = reader.parquet(os.path.dirname(events_path))
-    else:
-        stream = reader.parquet(events_path)
-    if dict(stream.dtypes).get("ts") == "bigint":
-        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    windowed = tumbling_window_counts(stream.withWatermark("ts", WATERMARK))
+    try:
+        stream = read_event_stream(spark, events_path, max_files_per_trigger)
+        windowed = tumbling_window_counts(stream.withWatermark("ts", WATERMARK))
 
-    def upsert_batch(batch_df: DataFrame, batch_id: int) -> None:
-        (
-            batch_df.withColumn("batch_id", F.lit(batch_id))
-            .write.mode("overwrite")
-            .partitionBy("window_start")
-            .parquet(output_path)
+        def upsert_batch(batch_df: DataFrame, batch_id: int) -> None:
+            (
+                batch_df.withColumn("batch_id", F.lit(batch_id))
+                .write.mode("overwrite")
+                .partitionBy("window_start")
+                .parquet(output_path)
+            )
+
+        checkpoint = os.path.join(
+            tempfile.gettempdir(), f"ckpt_fb_{uuid.uuid4().hex[:8]}"
         )
-
-    checkpoint = os.path.join(
-        tempfile.gettempdir(), f"ckpt_fb_{uuid.uuid4().hex[:8]}"
-    )
-    query = (
-        windowed.writeStream.foreachBatch(upsert_batch)
-        .outputMode("complete")
-        .option("checkpointLocation", checkpoint)
-        .trigger(availableNow=True)
-        .start()
-    )
-    query.awaitTermination()
+        query = (
+            windowed.writeStream.foreachBatch(upsert_batch)
+            .outputMode("complete")
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", previous_mode)
     return spark.read.parquet(output_path)

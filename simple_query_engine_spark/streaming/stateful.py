@@ -83,18 +83,9 @@ def run_stateful_user_profiles(
     batches (update-mode emits one row per user per touching batch; the
     LAST row per user is the final profile).
     """
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    schema = spark.read.parquet(events_path).schema
-    reader = spark.readStream.schema(schema)
-    if max_files_per_trigger is not None:
-        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
-    if os.path.isfile(events_path):
-        reader = reader.option("pathGlobFilter", os.path.basename(events_path))
-        stream = reader.parquet(os.path.dirname(events_path))
-    else:
-        stream = reader.parquet(events_path)
-    if dict(stream.dtypes).get("ts") == "bigint":
-        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    from simple_query_engine_spark.streaming.windows import read_event_stream
+
+    stream = read_event_stream(spark, events_path, max_files_per_trigger)
     events = stream.select(
         "user_id", "value", F.col("ts").cast("long").alias("epoch")
     )

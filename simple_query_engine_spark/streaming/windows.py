@@ -41,6 +41,34 @@ def _epoch(col: str) -> F.Column:
     return F.col(col).cast("long")
 
 
+def read_event_stream(
+    spark: SparkSession,
+    events_path: str,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """File-source readStream over an events parquet path (file or dir).
+
+    Centralizes the quirks every streaming entry point needs: the
+    nanos-as-long conf + ts reconstruction (Spark rejects TIMESTAMP(NANOS)
+    parquet), schema peek via a batch read, and the single-file case
+    (Spark's file stream source requires a directory, so a file path
+    becomes parent-dir + pathGlobFilter).
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(events_path).schema
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    if os.path.isfile(events_path):
+        reader = reader.option("pathGlobFilter", os.path.basename(events_path))
+        stream = reader.parquet(os.path.dirname(events_path))
+    else:
+        stream = reader.parquet(events_path)
+    if dict(stream.dtypes).get("ts") == "bigint":  # nanos-as-long parquet
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return stream
+
+
 def tumbling_window_counts(events: DataFrame) -> DataFrame:
     """1-hour tumbling windows per event_type: count + sum(value)."""
     return (
@@ -98,26 +126,15 @@ def run_stream_stream_join(
     single-batch ``availableNow`` replay the result equals the equivalent
     batch interval join, which is what the oracle checks.
     """
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     # Stateful streaming gets no AQE coalescing: shuffle.partitions fixes
     # the state-store task count for the query's lifetime.  Size it to the
     # workload (tiny local replay → few partitions; a real deployment sizes
     # this to state volume / executor count before first start).
     previous_partitions = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
-    schema = spark.read.parquet(events_path).schema
 
     def side(event_type: str, alias_prefix: str) -> DataFrame:
-        reader = spark.readStream.schema(schema)
-        if os.path.isfile(events_path):
-            reader = reader.option("pathGlobFilter", os.path.basename(events_path))
-            stream = reader.parquet(os.path.dirname(events_path))
-        else:
-            stream = reader.parquet(events_path)
-        if dict(stream.dtypes).get("ts") == "bigint":
-            stream = stream.withColumn(
-                "ts", F.timestamp_micros(F.expr("ts div 1000"))
-            )
+        stream = read_event_stream(spark, events_path)
         return (
             stream.filter(F.col("event_type") == event_type)
             .select(
@@ -171,20 +188,7 @@ def run_streaming_tumbling_counts(
     ``max_files_per_trigger`` the static input replays as multiple
     micro-batches, driving the watermark (used by the late-data test).
     """
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    schema = spark.read.parquet(events_path).schema
-    reader = spark.readStream.schema(schema)
-    if max_files_per_trigger is not None:
-        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
-    if os.path.isfile(events_path):
-        # Spark's file stream source wants a directory; stream the parent
-        # with a glob pinned to this one file.
-        reader = reader.option("pathGlobFilter", os.path.basename(events_path))
-        stream = reader.parquet(os.path.dirname(events_path))
-    else:
-        stream = reader.parquet(events_path)
-    if dict(stream.dtypes).get("ts") == "bigint":  # nanos-as-long parquet
-        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    stream = read_event_stream(spark, events_path, max_files_per_trigger)
     windowed = tumbling_window_counts(stream.withWatermark("ts", WATERMARK))
     sink_name = f"tumbling_{uuid.uuid4().hex[:8]}"
     checkpoint = os.path.join(tempfile.gettempdir(), f"ckpt_{sink_name}")
