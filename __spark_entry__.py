@@ -13,7 +13,15 @@ adapts it to the driver contract.
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
+
+# Keep the package importable even when this module is loaded by file path
+# from a different working directory.
+_REPO_ROOT = os.path.dirname(os.path.abspath(__file__))
+if _REPO_ROOT not in sys.path:
+    sys.path.insert(0, _REPO_ROOT)
 
 from pyspark.sql import DataFrame, SparkSession
 

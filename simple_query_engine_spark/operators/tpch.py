@@ -47,6 +47,32 @@ _Q5 = """
     GROUP BY n_name
 """
 
+# Q14-shaped: share of revenue from a part-type family (conditional
+# aggregation over a fact-dimension join).
+_Q14 = """
+    SELECT ROUND(100.0 * SUM(CASE WHEN p_type LIKE 'STANDARD%'
+                                  THEN l_extendedprice * (1 - l_discount)
+                                  ELSE 0 END)
+                 / SUM(l_extendedprice * (1 - l_discount)), 6) AS standard_revenue_pct,
+           COUNT(*) AS line_count
+    FROM lineitem
+    JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l_shipdate < TIMESTAMP '1997-07-01'
+"""
+
+# Q19-shaped: disjunctive multi-attribute predicate (brand × quantity bands)
+# — the optimizer must not collapse the OR into a cross product.
+_Q19 = """
+    SELECT ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+           COUNT(*) AS line_count
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#1' AND l_quantity >= 1 AND l_quantity <= 20)
+       OR (p_brand = 'Brand#2' AND l_quantity >= 10 AND l_quantity <= 30)
+       OR (p_brand = 'Brand#3' AND l_quantity >= 20 AND l_quantity <= 40)
+"""
+
 # Q10-shaped: top returned-item customers by lost revenue.
 _Q10 = """
     SELECT c_custkey, c_name,
@@ -96,6 +122,8 @@ _SQL = {
     "tpch_q5_local_volume": _Q5,
     "tpch_q6_forecast_revenue": _Q6,
     "tpch_q10_returned_items": _Q10,
+    "tpch_q14_promo_share": _Q14,
+    "tpch_q19_brand_bands": _Q19,
 }
 
 
