@@ -14,9 +14,13 @@ Four tiers, from exact to fuzzy, all shuffle-shaped (never all-pairs):
   pairs from equal 16-bit chunks (pigeonhole: hamming ≤ 3 ⇒ ≥1 of 4 chunks
   equal), verified by exact hamming distance.
 
-MinHash/SimHash use Spark's ``xxhash64`` and are deliberately rows-only in
-the oracle contract (the hash function is engine-specific); the Jaccard
-baseline IS the oracle for them in tests (candidate recall asserted there).
+MinHash uses an ENGINE-PORTABLE hash family — md5 hex truncated to an
+integer, reduced mod a Mersenne prime, then affine permutations with
+overflow-safe modular arithmetic (DuckDB errors on BIGINT overflow where
+Spark silently wraps, so every product is kept < 2⁶³ by construction) —
+which makes the full MinHash-LSH pipeline oracle-checkable.  SimHash still
+uses Spark's ``xxhash64`` (bit-voting over 64 md5-derived bits in SQL is
+disproportionate) and stays rows-only with recall pinned in tests.
 """
 
 from __future__ import annotations
@@ -32,10 +36,13 @@ NUM_MINHASH = 64
 MINHASH_BANDS = 16  # 16 bands × 4 rows
 SIMHASH_MAX_HAMMING = 3
 
-# Deterministic odd multipliers/offsets for the minhash permutation family
-# h_i(x) = (a_i * x + b_i) with 64-bit wraparound (2-universal enough here).
+# Modular hash family, identical in Spark and DuckDB:
+#   base(x)  = int(md5(x)[:15 hex], 16) % P      (60-bit value → % P < 2³¹)
+#   h_i(x)   = (a_i * base(x) + b_i) % P         (product < 2³¹·2³¹ = 2⁶² ✓)
+_MERSENNE_P = 2_147_483_647  # 2³¹ − 1
 _MINHASH_PARAMS = [
-    (2 * i + 1 + 0x9E3779B9, (i * 0x85EBCA6B) & 0x7FFFFFFF) for i in range(NUM_MINHASH)
+    ((2 * i + 1 + 0x9E3779B9) % _MERSENNE_P, (i * 0x85EBCA6B) % _MERSENNE_P)
+    for i in range(NUM_MINHASH)
 ]
 
 
@@ -136,12 +143,15 @@ def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     One explode + one groupBy: the shuffle carries (doc_id, shingle_hash)
     longs; signature width is constant per doc regardless of doc length.
+    The base hash is md5-derived (engine-portable) — see module docstring.
     """
-    hashed = _shingles(spark, sf_dir).select(
-        "doc_id", F.xxhash64("shingle").alias("h")
+    base = (
+        F.conv(F.substring(F.md5("shingle"), 1, 15), 16, 10).cast("long")
+        % _MERSENNE_P
     )
+    hashed = _shingles(spark, sf_dir).select("doc_id", base.alias("h"))
     mins = [
-        F.min(F.lit(a) * F.col("h") + F.lit(b)).alias(f"m{i}")
+        F.min((F.lit(a) * F.col("h") + F.lit(b)) % _MERSENNE_P).alias(f"m{i}")
         for i, (a, b) in enumerate(_MINHASH_PARAMS)
     ]
     sig = hashed.groupBy("doc_id").agg(*mins)
@@ -173,11 +183,16 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
                 *[
                     F.struct(
                         F.lit(band).alias("band_idx"),
-                        F.xxhash64(
-                            *[
-                                F.col("signature")[band * rows_per_band + r]
-                                for r in range(rows_per_band)
-                            ]
+                        # Portable band key: md5 over the pipe-joined band
+                        # slice (longs render identically in both engines).
+                        F.md5(
+                            F.concat_ws(
+                                "|",
+                                *[
+                                    F.col("signature")[band * rows_per_band + r]
+                                    for r in range(rows_per_band)
+                                ],
+                            )
                         ).alias("band_hash"),
                     )
                     for band in range(MINHASH_BANDS)
@@ -387,7 +402,65 @@ QUERIES = {
 
 _NORM = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
 
+
+def _minhash_oracle_sql() -> str:
+    """DuckDB oracle for the full MinHash-LSH pipeline, generated from the
+    same permutation constants the Spark side uses (identical modular
+    integer arithmetic → identical signatures, bands, and estimates)."""
+    rows_per_band = NUM_MINHASH // MINHASH_BANDS
+    min_exprs = ",\n                   ".join(
+        f"MIN(({a} * h + {b}) % {_MERSENNE_P}) AS m{i}"
+        for i, (a, b) in enumerate(_MINHASH_PARAMS)
+    )
+    band_selects = "\n            UNION ALL ".join(
+        "SELECT doc_id, {idx} AS band_idx, md5(concat_ws('|', {cols})) AS band_hash FROM sig".format(
+            idx=band,
+            cols=", ".join(
+                f"m{band * rows_per_band + r}" for r in range(rows_per_band)
+            ),
+        )
+        for band in range(MINHASH_BANDS)
+    )
+    eq_sum = " + ".join(
+        f"(CASE WHEN sa.m{i} = sb.m{i} THEN 1 ELSE 0 END)" for i in range(NUM_MINHASH)
+    )
+    return f"""
+        WITH docs AS (
+            SELECT doc_id, string_split({_NORM}, ' ') w FROM documents
+        ), sh AS (
+            SELECT doc_id, unnest(list_distinct(
+                CASE WHEN len(w) >= 3
+                     THEN list_transform(range(1, len(w)-1),
+                                         i -> concat_ws(' ', w[i], w[i+1], w[i+2]))
+                     ELSE [array_to_string(w, ' ')] END)) AS shingle
+            FROM docs
+        ), hashed AS (
+            SELECT doc_id,
+                   CAST('0x' || substr(md5(shingle), 1, 15) AS BIGINT) % {_MERSENNE_P} AS h
+            FROM sh
+        ), sig AS (
+            SELECT doc_id,
+                   {min_exprs}
+            FROM hashed GROUP BY doc_id
+        ), bands AS (
+            {band_selects}
+        ), candidates AS (
+            SELECT DISTINCT a.doc_id AS ida, b.doc_id AS idb
+            FROM bands a JOIN bands b
+              ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+             AND a.doc_id < b.doc_id
+        )
+        SELECT ida AS doc_id_a, idb AS doc_id_b,
+               ROUND(({eq_sum}) / {NUM_MINHASH}.0, 4) AS est_jaccard
+        FROM candidates
+        JOIN sig sa ON ida = sa.doc_id
+        JOIN sig sb ON idb = sb.doc_id
+        WHERE ROUND(({eq_sum}) / {NUM_MINHASH}.0, 4) >= {JACCARD_THRESHOLD}
+    """
+
+
 ORACLES = {
+    "dedup_minhash_lsh": _minhash_oracle_sql(),
     "dedup_exact": """
         SELECT md5(text) AS text_hash,
                MIN(doc_id) AS keep_doc_id,
@@ -421,7 +494,7 @@ ORACLES = {
         WHERE ROUND(common_shingles * 1.0
                     / (sa.set_size + sb.set_size - common_shingles), 4) >= {JACCARD_THRESHOLD}
     """,
-    # dedup_minhash_lsh / dedup_simhash: engine-specific hash (xxhash64) →
-    # rows-only driver check; recall vs the exact Jaccard baseline is
+    # dedup_simhash (xxhash64 bit-voting) and dedup_clusters (iterative) →
+    # rows-only driver check; recall/equality vs exact baselines is
     # asserted in tests/test_dedup.py instead.
 }
