@@ -459,8 +459,56 @@ def _minhash_oracle_sql() -> str:
     """
 
 
+def _clusters_oracle_sql() -> str:
+    """DuckDB oracle for connected components: recursive transitive closure
+    over the Jaccard pair graph; a node's cluster id is the minimum node it
+    can reach.  (The Spark side iterates label propagation — a different
+    algorithm for the same relation, which is exactly what an oracle should
+    be.)"""
+    return f"""
+        WITH RECURSIVE docs AS (
+            SELECT doc_id, string_split({_NORM}, ' ') w FROM documents
+        ), sh AS (
+            SELECT doc_id, unnest(list_distinct(
+                CASE WHEN len(w) >= 3
+                     THEN list_transform(range(1, len(w)-1),
+                                         i -> concat_ws(' ', w[i], w[i+1], w[i+2]))
+                     ELSE [array_to_string(w, ' ')] END)) AS shingle
+            FROM docs
+        ), sizes AS (
+            SELECT doc_id, COUNT(*) AS set_size FROM sh GROUP BY doc_id
+        ), pairs AS (
+            SELECT a.doc_id AS ida, b.doc_id AS idb, COUNT(*) AS common
+            FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        ), near AS (
+            SELECT ida, idb FROM pairs
+            JOIN sizes sa ON ida = sa.doc_id
+            JOIN sizes sb ON idb = sb.doc_id
+            WHERE ROUND(common * 1.0 / (sa.set_size + sb.set_size - common), 4)
+                  >= {JACCARD_THRESHOLD}
+        ), edges AS (
+            SELECT ida AS src, idb AS dst FROM near
+            UNION SELECT idb, ida FROM near
+            UNION SELECT ida, ida FROM near
+            UNION SELECT idb, idb FROM near
+        ), reach(src, dst) AS (
+            SELECT src, dst FROM edges
+            UNION
+            SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+        ), labels AS (
+            SELECT src AS doc_id, MIN(dst) AS cluster_id FROM reach GROUP BY src
+        )
+        SELECT cluster_id,
+               COUNT(*) AS cluster_size,
+               MIN(doc_id) AS keep_doc_id
+        FROM labels GROUP BY cluster_id
+    """
+
+
 ORACLES = {
     "dedup_minhash_lsh": _minhash_oracle_sql(),
+    "dedup_clusters": _clusters_oracle_sql(),
     "dedup_exact": """
         SELECT md5(text) AS text_hash,
                MIN(doc_id) AS keep_doc_id,

@@ -104,7 +104,7 @@ FRAME_SCHEMA = T.StructType(
         T.StructField("doc_id", T.LongType()),
         T.StructField("frame_idx", T.IntegerType()),
         T.StructField("frame_bytes", T.IntegerType()),
-        T.StructField("frame_checksum", T.LongType()),
+        T.StructField("frame_byte_sum", T.LongType()),
     ]
 )
 
@@ -132,19 +132,21 @@ def fake_resizer(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
 def frame_sampler(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     """Deterministic frame-sampling stand-in: treat the payload as a frame
     sequence (256-byte blocks), keep every FRAME_STRIDE-th frame, emit one
-    row per sampled frame — the 1→N row shape real video sampling has."""
-    import zlib
+    row per sampled frame — the 1→N row shape real video sampling has.
+    The per-frame fingerprint is an exact byte sum (integer → engine-
+    portable, hence oracle-checkable; crc32 has no DuckDB counterpart)."""
+    import numpy as np
 
     for pdf in batches:
-        out: dict[str, list] = {"doc_id": [], "frame_idx": [], "frame_bytes": [], "frame_checksum": []}
+        out: dict[str, list] = {"doc_id": [], "frame_idx": [], "frame_bytes": [], "frame_byte_sum": []}
         for doc_id, blob in zip(pdf["doc_id"], pdf["payload"]):
             n_frames = max(1, (len(blob) + FRAME_SIZE - 1) // FRAME_SIZE)
             for idx in range(0, n_frames, FRAME_STRIDE):
-                frame = bytes(blob[idx * FRAME_SIZE : (idx + 1) * FRAME_SIZE])
+                frame = np.frombuffer(bytes(blob[idx * FRAME_SIZE : (idx + 1) * FRAME_SIZE]), dtype=np.uint8)
                 out["doc_id"].append(int(doc_id))
                 out["frame_idx"].append(idx)
                 out["frame_bytes"].append(len(frame))
-                out["frame_checksum"].append(zlib.crc32(frame))
+                out["frame_byte_sum"].append(int(frame.sum()) if len(frame) else 0)
         yield pd.DataFrame(out)
 
 
@@ -208,7 +210,31 @@ ORACLES = {
                CAST(MAX(unicode(ch)) AS INT) AS byte_max
         FROM chars GROUP BY doc_id
     """,
-    # multimodal_resize / multimodal_frame_sample stay rows-only (shape-
-    # transforming pandas ops); exactness vs Python recomputation is pinned
-    # in tests/test_multimodal.py.
+    # ASCII corpus ⇒ bytes == code points, so even the shape-transforming
+    # pandas ops are oracle-checkable: the tiled 8×8 thumbnail via a cyclic
+    # list_transform, the sampled frames via stepped range + substr sums.
+    "multimodal_resize": """
+        WITH c AS (
+            SELECT doc_id, string_split(text, '') AS ch, length(text) AS n
+            FROM documents
+        )
+        SELECT doc_id,
+               list_transform(range(0, 64), i -> unicode(ch[(i % n) + 1])) AS thumbnail
+        FROM c
+    """,
+    "multimodal_frame_sample": """
+        WITH f AS (
+            SELECT doc_id, text, length(text) AS n FROM documents
+        ), idx AS (
+            SELECT doc_id, text,
+                   unnest(range(0, GREATEST(CAST(ceil(n / 256.0) AS INT), 1), 4)) AS frame_idx
+            FROM f
+        )
+        SELECT doc_id,
+               CAST(frame_idx AS INT) AS frame_idx,
+               CAST(length(substr(text, frame_idx * 256 + 1, 256)) AS INT) AS frame_bytes,
+               CAST(list_sum(list_transform(string_split(substr(text, frame_idx * 256 + 1, 256), ''),
+                                            c -> unicode(c))) AS BIGINT) AS frame_byte_sum
+        FROM idx
+    """,
 }

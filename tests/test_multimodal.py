@@ -46,7 +46,7 @@ def test_resize_is_stubbed_and_fake_has_fixed_shape(spark, sf_dir):
 
 
 def test_frame_sample_shape_and_checksums(spark, sf_dir):
-    import zlib
+    import numpy as np
 
     frames = M.q_multimodal_frame_sample(spark, sf_dir).collect()
     by_doc: dict[int, list] = {}
@@ -62,7 +62,8 @@ def test_frame_sample_shape_and_checksums(spark, sf_dir):
             range(0, max(1, (len(payload) + M.FRAME_SIZE - 1) // M.FRAME_SIZE), M.FRAME_STRIDE)
         )
         first = sampled[0]
-        assert first.frame_checksum == zlib.crc32(payload[: M.FRAME_SIZE])
+        expected = int(np.frombuffer(payload[: M.FRAME_SIZE], dtype=np.uint8).sum())
+        assert first.frame_byte_sum == expected
 
 
 def test_meta_matches_payload_length(spark, sf_dir):
