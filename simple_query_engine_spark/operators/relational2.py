@@ -128,10 +128,17 @@ def q_sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Statistical aggregates: stddev/variance/median per group."""
     lineitem = table(spark, sf_dir, "lineitem")
+    # Median uses percentile_disc (an ACTUAL data value) rather than the
+    # interpolated percentile: with even counts, interpolation of 2-decimal
+    # values lands exactly on the half-cent, where the engines' different
+    # interpolation formulas ((1-d)a+db vs a+d(b-a)) diverge by one ulp and
+    # round to different cents (caught at sf0.001).
     return lineitem.groupBy("l_returnflag").agg(
         F.round(F.stddev("l_extendedprice"), 2).alias("price_stddev"),
         F.round(F.variance("l_extendedprice"), 2).alias("price_variance"),
-        F.round(F.percentile("l_extendedprice", F.lit(0.5)), 2).alias("price_median"),
+        F.expr(
+            "percentile_disc(0.5) WITHIN GROUP (ORDER BY l_extendedprice)"
+        ).alias("price_median"),
         F.round(F.min("l_extendedprice"), 2).alias("price_min"),
         F.round(F.max("l_extendedprice"), 2).alias("price_max"),
     )
@@ -441,7 +448,7 @@ ORACLES = {
         SELECT l_returnflag,
                ROUND(stddev_samp(l_extendedprice), 2) AS price_stddev,
                ROUND(var_samp(l_extendedprice), 2) AS price_variance,
-               ROUND(CAST(quantile_cont(l_extendedprice, 0.5) AS DOUBLE), 2) AS price_median,
+               CAST(quantile_disc(l_extendedprice, 0.5) AS DOUBLE) AS price_median,
                ROUND(MIN(l_extendedprice), 2) AS price_min,
                ROUND(MAX(l_extendedprice), 2) AS price_max
         FROM lineitem GROUP BY l_returnflag
