@@ -38,6 +38,7 @@ def _modules():
         pipeline,
         relational2,
         relational3,
+        relational4,
         similarity,
         streaming_ops,
         text,
@@ -49,6 +50,7 @@ def _modules():
         relational,
         relational2,
         relational3,
+        relational4,
         tpch,
         text,
         dedup,

@@ -1,0 +1,114 @@
+"""Scalar-function completion: conditional expressions, bitwise operators,
+regexp counting, and value-picking window functions."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from simple_query_engine_spark.sources.catalog import table
+
+
+def q_conditional_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GREATEST / LEAST / NULLIF / IFNULL over order amounts."""
+    orders = table(spark, sf_dir, "orders")
+    return orders.select(
+        "o_orderkey",
+        F.round(F.greatest(F.col("o_totalprice"), F.lit(100_000.0)), 2).alias(
+            "price_floor_100k"
+        ),
+        F.round(F.least(F.col("o_totalprice"), F.lit(100_000.0)), 2).alias(
+            "price_cap_100k"
+        ),
+        F.nullif(F.col("o_orderstatus"), F.lit("O")).alias("status_unless_open"),
+        F.ifnull(F.nullif(F.col("o_orderstatus"), F.lit("O")), F.lit("OPEN")).alias(
+            "status_or_open"
+        ),
+    )
+
+
+def q_bitwise_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise AND/OR/XOR/shift over integer keys (hash-partitioning and
+    bucket math building blocks)."""
+    lineitem = table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") <= 200)
+    key = F.col("l_orderkey")
+    return lineitem.select(
+        "l_orderkey",
+        "l_linenumber",
+        key.bitwiseAND(F.lit(255)).alias("key_and_255"),
+        key.bitwiseOR(F.lit(1)).alias("key_or_1"),
+        key.bitwiseXOR(F.col("l_linenumber").cast("long")).alias("key_xor_line"),
+        F.shiftleft(key, 2).alias("key_shl_2"),
+        F.shiftright(key, 1).alias("key_shr_1"),
+    )
+
+
+def q_regexp_count_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RLIKE filtering + per-row regexp match counting."""
+    documents = table(spark, sf_dir, "documents")
+    return documents.filter(F.col("text").rlike("join")).select(
+        "doc_id",
+        F.regexp_count(F.col("text"), F.lit("join")).alias("join_mentions"),
+        F.regexp_count(F.col("text"), F.lit("[aeiou]{2}")).alias("vowel_pairs"),
+    )
+
+
+def q_window_value_picks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FIRST_VALUE / LAST_VALUE / NTH_VALUE over full-partition frames."""
+    orders = table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.first("o_orderkey").over(w).alias("first_order"),
+        F.last("o_orderkey").over(w).alias("last_order"),
+        F.nth_value("o_orderkey", 2).over(w).alias("second_order"),
+    )
+
+
+QUERIES = {
+    "conditional_funcs": q_conditional_funcs,
+    "bitwise_funcs": q_bitwise_funcs,
+    "regexp_count_funcs": q_regexp_count_funcs,
+    "window_value_picks": q_window_value_picks,
+}
+
+ORACLES = {
+    "conditional_funcs": """
+        SELECT o_orderkey,
+               ROUND(greatest(o_totalprice, 100000.0), 2) AS price_floor_100k,
+               ROUND(least(o_totalprice, 100000.0), 2) AS price_cap_100k,
+               nullif(o_orderstatus, 'O') AS status_unless_open,
+               ifnull(nullif(o_orderstatus, 'O'), 'OPEN') AS status_or_open
+        FROM orders
+    """,
+    "bitwise_funcs": """
+        SELECT l_orderkey, l_linenumber,
+               l_orderkey & 255 AS key_and_255,
+               l_orderkey | 1 AS key_or_1,
+               xor(l_orderkey, CAST(l_linenumber AS BIGINT)) AS key_xor_line,
+               l_orderkey << 2 AS key_shl_2,
+               l_orderkey >> 1 AS key_shr_1
+        FROM lineitem WHERE l_orderkey <= 200
+    """,
+    "regexp_count_funcs": """
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(text, 'join')) AS INT) AS join_mentions,
+               CAST(len(regexp_extract_all(text, '[aeiou]{2}')) AS INT) AS vowel_pairs
+        FROM documents WHERE regexp_matches(text, 'join')
+    """,
+    "window_value_picks": """
+        SELECT o_custkey, o_orderkey,
+               FIRST_VALUE(o_orderkey) OVER w AS first_order,
+               LAST_VALUE(o_orderkey) OVER w AS last_order,
+               NTH_VALUE(o_orderkey, 2) OVER w AS second_order
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+}
