@@ -14,13 +14,12 @@ Four tiers, from exact to fuzzy, all shuffle-shaped (never all-pairs):
   pairs from equal 16-bit chunks (pigeonhole: hamming ≤ 3 ⇒ ≥1 of 4 chunks
   equal), verified by exact hamming distance.
 
-MinHash uses an ENGINE-PORTABLE hash family — md5 hex truncated to an
-integer, reduced mod a Mersenne prime, then affine permutations with
-overflow-safe modular arithmetic (DuckDB errors on BIGINT overflow where
-Spark silently wraps, so every product is kept < 2⁶³ by construction) —
-which makes the full MinHash-LSH pipeline oracle-checkable.  SimHash still
-uses Spark's ``xxhash64`` (bit-voting over 64 md5-derived bits in SQL is
-disproportionate) and stays rows-only with recall pinned in tests.
+Both LSH families use an ENGINE-PORTABLE hash base — md5 hex truncated to
+60 bits — so their entire pipelines are oracle-checkable: MinHash adds
+affine permutations in overflow-safe modular arithmetic (DuckDB errors on
+BIGINT overflow where Spark silently wraps, so every product is kept
+< 2⁶³ by construction); SimHash bit-votes the 60 raw bits into 4×15-bit
+chunks.
 """
 
 from __future__ import annotations
@@ -235,34 +234,47 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SIMHASH_BITS = 60  # md5-derived base hash is 15 hex digits = 60 bits
+SIMHASH_CHUNKS = 4  # 4 × 15-bit chunks (pigeonhole: hamming ≤ 3 ⇒ ≥1 equal)
+_CHUNK_BITS = SIMHASH_BITS // SIMHASH_CHUNKS
+
+
 def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """doc_id → 64-bit SimHash as four 16-bit chunks (chunks double as the
-    LSH bucketing key for hamming-distance candidate generation)."""
+    """doc_id → 60-bit SimHash as four 15-bit chunks (chunks double as the
+    LSH bucketing key for hamming-distance candidate generation).
+
+    The per-token hash is the same portable md5-derived 60-bit value the
+    MinHash family uses, so the whole bit-voting pipeline is
+    oracle-checkable.
+    """
     documents = table(spark, sf_dir, "documents").repartition(
         spark.sparkContext.defaultParallelism, "doc_id"
     )
+    base = F.conv(F.substring(F.md5("token"), 1, 15), 16, 10).cast("long")
     tokens = documents.select(
         "doc_id",
         F.explode(F.split(_normalized(F.col("text")), " ")).alias("token"),
-    ).select("doc_id", F.xxhash64("token").alias("h"))
-    # Bit-vote: sum(+1/-1) per bit position, one aggregate pass.  Bits are
-    # extracted with an unsigned shift (1 << 63 would overflow a signed
-    # long literal).
+    ).select("doc_id", base.alias("h"))
+    # Bit-vote: sum(+1/-1) per bit position, one aggregate pass.
     votes = [
         F.sum(
             F.when(
                 F.shiftrightunsigned(F.col("h"), bit).bitwiseAND(F.lit(1)) == 1, 1
             ).otherwise(-1)
         ).alias(f"v{bit}")
-        for bit in range(64)
+        for bit in range(SIMHASH_BITS)
     ]
     voted = tokens.groupBy("doc_id").agg(*votes)
     chunks = [
         sum(
-            (F.when(F.col(f"v{chunk * 16 + i}") > 0, F.lit(1 << i)).otherwise(0))
-            for i in range(16)
+            (
+                F.when(
+                    F.col(f"v{chunk * _CHUNK_BITS + i}") > 0, F.lit(1 << i)
+                ).otherwise(0)
+            )
+            for i in range(_CHUNK_BITS)
         ).alias(f"chunk{chunk}")
-        for chunk in range(4)
+        for chunk in range(SIMHASH_CHUNKS)
     ]
     return voted.select("doc_id", *chunks)
 
@@ -506,9 +518,67 @@ def _clusters_oracle_sql() -> str:
     """
 
 
+def _simhash_oracle_sql() -> str:
+    """DuckDB oracle for the SimHash pipeline: same md5-derived 60-bit
+    token hash, 60 bit-vote sums, 4×15-bit chunk assembly, equal-chunk
+    candidate join, exact hamming via bit_count(xor)."""
+    vote_exprs = ",\n                   ".join(
+        f"SUM(CASE WHEN (h >> {bit}) & 1 = 1 THEN 1 ELSE -1 END) AS v{bit}"
+        for bit in range(SIMHASH_BITS)
+    )
+    chunk_exprs = ",\n                   ".join(
+        "("
+        + " + ".join(
+            f"(CASE WHEN v{chunk * _CHUNK_BITS + i} > 0 THEN {1 << i} ELSE 0 END)"
+            for i in range(_CHUNK_BITS)
+        )
+        + f") AS chunk{chunk}"
+        for chunk in range(SIMHASH_CHUNKS)
+    )
+    chunk_rows = "\n            UNION ALL ".join(
+        f"SELECT doc_id, {c} AS chunk_idx, chunk{c} AS chunk_val FROM sig"
+        for c in range(SIMHASH_CHUNKS)
+    )
+    hamming = " + ".join(
+        f"bit_count(xor(CAST(sa.chunk{c} AS BIGINT), CAST(sb.chunk{c} AS BIGINT)))"
+        for c in range(SIMHASH_CHUNKS)
+    )
+    return f"""
+        WITH toks AS (
+            SELECT doc_id, unnest(string_split({_NORM}, ' ')) AS token
+            FROM documents
+        ), hashed AS (
+            SELECT doc_id, CAST('0x' || substr(md5(token), 1, 15) AS BIGINT) AS h
+            FROM toks
+        ), voted AS (
+            SELECT doc_id,
+                   {vote_exprs}
+            FROM hashed GROUP BY doc_id
+        ), sig AS (
+            SELECT doc_id,
+                   {chunk_exprs}
+            FROM voted
+        ), chunk_rows AS (
+            {chunk_rows}
+        ), cand AS (
+            SELECT DISTINCT a.doc_id AS ida, b.doc_id AS idb
+            FROM chunk_rows a JOIN chunk_rows b
+              ON a.chunk_idx = b.chunk_idx AND a.chunk_val = b.chunk_val
+             AND a.doc_id < b.doc_id
+        )
+        SELECT ida AS doc_id_a, idb AS doc_id_b,
+               CAST({hamming} AS INT) AS hamming_distance
+        FROM cand
+        JOIN sig sa ON ida = sa.doc_id
+        JOIN sig sb ON idb = sb.doc_id
+        WHERE {hamming} <= {SIMHASH_MAX_HAMMING}
+    """
+
+
 ORACLES = {
     "dedup_minhash_lsh": _minhash_oracle_sql(),
     "dedup_clusters": _clusters_oracle_sql(),
+    "dedup_simhash": _simhash_oracle_sql(),
     "dedup_exact": """
         SELECT md5(text) AS text_hash,
                MIN(doc_id) AS keep_doc_id,
@@ -542,7 +612,4 @@ ORACLES = {
         WHERE ROUND(common_shingles * 1.0
                     / (sa.set_size + sb.set_size - common_shingles), 4) >= {JACCARD_THRESHOLD}
     """,
-    # dedup_simhash (xxhash64 bit-voting) and dedup_clusters (iterative) →
-    # rows-only driver check; recall/equality vs exact baselines is
-    # asserted in tests/test_dedup.py instead.
 }

@@ -116,8 +116,68 @@ _Q4 = """
     GROUP BY o_orderpriority
 """
 
+# Q7-shaped: trade volume between customer-nation / supplier-nation pairs
+# (two independent dimension paths out of the same fact row).
+_Q7 = """
+    SELECT cn.n_name AS cust_nation,
+           sn.n_name AS supp_nation,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS volume
+    FROM lineitem
+    JOIN orders ON o_orderkey = l_orderkey
+    JOIN customer ON c_custkey = o_custkey
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN nation cn ON cn.n_nationkey = c_nationkey
+    JOIN nation sn ON sn.n_nationkey = s_nationkey
+    WHERE cn.n_name <> sn.n_name
+      AND o_orderdate >= TIMESTAMP '1997-01-01'
+      AND o_orderdate < TIMESTAMP '1998-01-01'
+    GROUP BY cn.n_name, sn.n_name
+"""
+
+# Q13-shaped: distribution of customers by order count (count-of-counts,
+# outer join preserving zero-order customers).
+_Q13 = """
+    SELECT order_count, COUNT(*) AS customer_count
+    FROM (
+        SELECT c_custkey, COUNT(o_orderkey) AS order_count
+        FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+        GROUP BY c_custkey
+    )
+    GROUP BY order_count
+"""
+
+# Q18-shaped: customers whose single order exceeds a quantity threshold
+# (IN over a HAVING subquery).
+_Q18 = """
+    SELECT c_custkey, c_name, o_orderkey,
+           ROUND(o_totalprice, 2) AS totalprice,
+           CAST(qty_sum AS DOUBLE) AS total_quantity
+    FROM customer
+    JOIN orders ON o_custkey = c_custkey
+    JOIN (
+        SELECT l_orderkey, SUM(l_quantity) AS qty_sum
+        FROM lineitem GROUP BY l_orderkey HAVING SUM(l_quantity) > 150
+    ) big ON big.l_orderkey = o_orderkey
+"""
+
+# Q22-shaped: wealthy customers with no orders (anti-join + scalar
+# subquery over an aggregate).
+_Q22 = """
+    SELECT c_mktsegment,
+           COUNT(*) AS customer_count,
+           ROUND(SUM(c_acctbal), 2) AS total_balance
+    FROM customer
+    WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM customer WHERE c_acctbal > 0)
+      AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    GROUP BY c_mktsegment
+"""
+
 _SQL = {
     "tpch_q3_shipping_priority": _Q3,
+    "tpch_q7_nation_trade": _Q7,
+    "tpch_q13_order_distribution": _Q13,
+    "tpch_q18_large_orders": _Q18,
+    "tpch_q22_idle_balances": _Q22,
     "tpch_q4_priority_exists": _Q4,
     "tpch_q5_local_volume": _Q5,
     "tpch_q6_forecast_revenue": _Q6,
