@@ -5,13 +5,19 @@ Four tiers, from exact to fuzzy, all shuffle-shaped (never all-pairs):
 - **exact**: hash-groupBy on a content digest — shuffles 16-byte digests.
 - **n-gram Jaccard**: shingle → explode → self-equi-join on shingle →
   per-pair overlap counts.  This is the *exact* near-dup baseline; its join
-  fans out on frequent shingles, which is why the scale path is…
+  fans out on frequent shingles, so shingles appearing in more than
+  ``MAX_SHINGLE_DF`` documents are dropped before the join (bounding any
+  one join key's fan-out to ≤ K²/2 candidate rows).  High-DF shingles are
+  boilerplate with no discriminative power; a pair is only missed if it
+  depends on shingles hotter than the cap (none exist at the test scales —
+  observed max DF is 25 at sf0.1 — so the cap is a pure scale guard here).
+  For true scale the production path is…
 - **MinHash + LSH banding**: fixed-width signatures (64 mins), banded so
   only same-band-hash docs are join candidates — the join key is the band
   hash, candidate volume is tunable via bands×rows, independent of corpus
   size.  100 TB path: signatures are 64×8 bytes/doc regardless of doc size.
-- **SimHash**: 64-bit fingerprint via per-token hash bit-voting; candidate
-  pairs from equal 16-bit chunks (pigeonhole: hamming ≤ 3 ⇒ ≥1 of 4 chunks
+- **SimHash**: 60-bit fingerprint via per-token hash bit-voting; candidate
+  pairs from equal 15-bit chunks (pigeonhole: hamming ≤ 3 ⇒ ≥1 of 4 chunks
   equal), verified by exact hamming distance.
 
 Both LSH families use an ENGINE-PORTABLE hash base — md5 hex truncated to
@@ -34,6 +40,11 @@ JACCARD_THRESHOLD = 0.5
 NUM_MINHASH = 64
 MINHASH_BANDS = 16  # 16 bands × 4 rows
 SIMHASH_MAX_HAMMING = 3
+# Document-frequency cap for the exact-Jaccard baseline's shingle self-join:
+# a shingle present in more than this many documents is dropped before the
+# join, bounding per-key fan-out (a df-D shingle alone produces D·(D−1)/2
+# join rows; at 100 TB a boilerplate shingle would otherwise be quadratic).
+MAX_SHINGLE_DF = 64
 
 # Modular hash family, identical in Spark and DuckDB:
 #   base(x)  = int(md5(x)[:15 hex], 16) % P      (60-bit value → % P < 2³¹)
@@ -92,12 +103,26 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact n-gram Jaccard near-dup pairs (the LSH methods' ground truth).
+def _cap_shingle_df(shingles: DataFrame, max_df: int = MAX_SHINGLE_DF) -> DataFrame:
+    """Drop shingles whose document frequency exceeds ``max_df``.
 
-    Plan: shingle explode → distinct → self-equi-join on shingle (hash
-    shuffle on the shingle key, AQE splits skewed frequent shingles) →
-    per-pair overlap count → Jaccard from per-doc set sizes.
+    The hot-shingle list is found by a full aggregate (map-side partial
+    combine shrinks it to one row per distinct shingle) and is tiny by
+    definition — only keys hotter than the cap survive the HAVING — so it
+    broadcasts, and the removal is a broadcast anti-join that preserves the
+    stream side's partitioning (no extra exchange before the set-size
+    window)."""
+    hot = (
+        shingles.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") > max_df)
+        .select("shingle")
+    )
+    return shingles.join(F.broadcast(hot), "shingle", "left_anti")
+
+
+def _jaccard_pairs(shingles: DataFrame) -> DataFrame:
+    """Pair docs by shared shingles and score exact Jaccard ≥ threshold.
 
     Set sizes ride along on each shingle row via a count window over
     doc_id — the window reuses the partitioning the shingle stage already
@@ -107,7 +132,7 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from pyspark.sql.window import Window
 
-    shingles = _shingles(spark, sf_dir).withColumn(
+    shingles = shingles.withColumn(
         "set_size", F.count(F.lit(1)).over(Window.partitionBy("doc_id"))
     )
     left = shingles.alias("a")
@@ -135,6 +160,19 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
         .select("doc_id_a", "doc_id_b", "common_shingles", "jaccard")
     )
+
+
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs (the LSH methods' ground truth).
+
+    Plan: shingle explode → distinct → df-cap anti-join (see
+    ``_cap_shingle_df``) → self-equi-join on shingle (hash shuffle on the
+    shingle key, AQE splits skewed frequent shingles) → per-pair overlap
+    count → Jaccard from per-doc set sizes.  Jaccard is computed over the
+    *capped* shingle sets on both sides, and the DuckDB oracle applies the
+    identical cap, so the two engines agree bit-for-bit.
+    """
+    return _jaccard_pairs(_cap_shingle_df(_shingles(spark, sf_dir)))
 
 
 def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -280,7 +318,7 @@ def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs: candidates share ≥1 equal 16-bit chunk
+    """SimHash near-dup pairs: candidates share ≥1 equal 15-bit chunk
     (pigeonhole guarantees recall for hamming ≤ 3), verified exactly."""
     sig = simhash_signatures(spark, sf_dir)
     chunk_rows = sig.select(
@@ -414,6 +452,26 @@ QUERIES = {
 
 _NORM = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
 
+# Shared oracle fragment: word-3-gram shingles with the same document-
+# frequency cap the Spark side applies (``_cap_shingle_df``).  ``sh`` is
+# the capped set every downstream CTE (sizes/pairs) reads.
+_SH_CTES = f"""docs AS (
+            SELECT doc_id, string_split({_NORM}, ' ') w FROM documents
+        ), sh_all AS (
+            SELECT doc_id, unnest(list_distinct(
+                CASE WHEN len(w) >= 3
+                     THEN list_transform(range(1, len(w)-1),
+                                         i -> concat_ws(' ', w[i], w[i+1], w[i+2]))
+                     ELSE [array_to_string(w, ' ')] END)) AS shingle
+            FROM docs
+        ), hot AS (
+            SELECT shingle FROM sh_all
+            GROUP BY shingle HAVING COUNT(*) > {MAX_SHINGLE_DF}
+        ), sh AS (
+            SELECT doc_id, shingle FROM sh_all
+            WHERE shingle NOT IN (SELECT shingle FROM hot)
+        )"""
+
 
 def _minhash_oracle_sql() -> str:
     """DuckDB oracle for the full MinHash-LSH pipeline, generated from the
@@ -478,16 +536,7 @@ def _clusters_oracle_sql() -> str:
     algorithm for the same relation, which is exactly what an oracle should
     be.)"""
     return f"""
-        WITH RECURSIVE docs AS (
-            SELECT doc_id, string_split({_NORM}, ' ') w FROM documents
-        ), sh AS (
-            SELECT doc_id, unnest(list_distinct(
-                CASE WHEN len(w) >= 3
-                     THEN list_transform(range(1, len(w)-1),
-                                         i -> concat_ws(' ', w[i], w[i+1], w[i+2]))
-                     ELSE [array_to_string(w, ' ')] END)) AS shingle
-            FROM docs
-        ), sizes AS (
+        WITH RECURSIVE {_SH_CTES}, sizes AS (
             SELECT doc_id, COUNT(*) AS set_size FROM sh GROUP BY doc_id
         ), pairs AS (
             SELECT a.doc_id AS ida, b.doc_id AS idb, COUNT(*) AS common
@@ -586,16 +635,7 @@ ORACLES = {
         FROM documents GROUP BY md5(text)
     """,
     "dedup_ngram_jaccard": f"""
-        WITH docs AS (
-            SELECT doc_id, string_split({_NORM}, ' ') w FROM documents
-        ), sh AS (
-            SELECT doc_id, unnest(list_distinct(
-                CASE WHEN len(w) >= 3
-                     THEN list_transform(range(1, len(w)-1),
-                                         i -> concat_ws(' ', w[i], w[i+1], w[i+2]))
-                     ELSE [array_to_string(w, ' ')] END)) AS shingle
-            FROM docs
-        ), sizes AS (
+        WITH {_SH_CTES}, sizes AS (
             SELECT doc_id, COUNT(*) AS set_size FROM sh GROUP BY doc_id
         ), pairs AS (
             SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,

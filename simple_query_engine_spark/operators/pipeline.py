@@ -4,17 +4,22 @@ One query chains the pipeline a pretraining corpus actually runs:
 
 1. quality gate  — keep documents with ≥ 20 whitespace tokens
 2. exact dedup   — keep the lowest doc_id per md5(text)
-3. near-dup drop — remove the higher-id member of every n-gram-Jaccard
-                   pair ≥ threshold (survivor = lowest id, transitively)
+3. near-dup drop — remove the higher-id member of every MinHash-LSH pair
+                   with estimated Jaccard ≥ threshold
 4. corpus stats  — per-language doc count + token mass of the survivors
 
 Every stage composes from operators that are independently oracle-checked
-(text_quality_score, dedup_exact, dedup_ngram_jaccard); the whole chain is
+(text_quality_score, dedup_exact, dedup_minhash_lsh); the whole chain is
 itself SQL-expressible, so the driver verifies the *composition*, not just
-the parts.  At 100 TB each stage is the shuffle shape documented on its
-operator; nothing here adds a new one — filters are scan-side, the
-near-dup drop is a broadcast-able anti-join against a pair list orders of
-magnitude smaller than the corpus.
+the parts.  The near-dup stage is deliberately the LSH path, not the exact
+shingle self-join: candidate generation joins on (band_idx, band_hash), so
+candidate volume is governed by bands×rows, independent of corpus size —
+no raw-shingle self-join appears anywhere in this plan.  The exact-Jaccard
+operator remains in the catalog as the LSH family's ground-truth baseline
+(recall pinned in ``tests/test_dedup.py``).  At 100 TB each stage is the
+shuffle shape documented on its operator; nothing here adds a new one —
+filters are scan-side, the near-dup drop is a broadcast-able anti-join
+against a pair list orders of magnitude smaller than the corpus.
 """
 
 from __future__ import annotations
@@ -23,9 +28,9 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from simple_query_engine_spark.operators.dedup import (
-    JACCARD_THRESHOLD,
+    _minhash_oracle_sql,
     q_dedup_exact,
-    q_dedup_ngram_jaccard,
+    q_dedup_minhash_lsh,
 )
 from simple_query_engine_spark.operators.text import _normalized
 from simple_query_engine_spark.sources.catalog import table
@@ -43,7 +48,7 @@ def q_pipeline_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact_keepers = q_dedup_exact(spark, sf_dir).select(
         F.col("keep_doc_id").alias("doc_id")
     )
-    near_dup_losers = q_dedup_ngram_jaccard(spark, sf_dir).select(
+    near_dup_losers = q_dedup_minhash_lsh(spark, sf_dir).select(
         F.col("doc_id_b").alias("doc_id")
     ).distinct()
 
@@ -59,6 +64,7 @@ def q_pipeline_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SAMPLES_PER_LANG = 40
+SAMPLE_SALTS = 16  # phase-1 fan-out: corpus-wide work spreads over lang×salt
 EVAL_SET_MAX_DOC_ID = 10  # doc_id < 10 plays the held-out benchmark set
 CONTAM_NGRAM = 5
 
@@ -66,16 +72,37 @@ CONTAM_NGRAM = 5
 def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Language-balanced subsample: N docs per language, selected by hash
     order (deterministic across engines/retries — corpus balancing without
-    a global sort; the per-group top-N is a TakeOrdered per partition)."""
+    a global sort).
+
+    Two-phase top-N: a single window over ``partitionBy(lang)`` would
+    funnel the whole corpus through one reducer task per language (~10
+    tasks at 100 TB).  Instead phase 1 ranks within (lang, salt) — the
+    full-corpus shuffle spreads over ``langs × SAMPLE_SALTS`` keys and each
+    salt keeps its own top N — and phase 2 re-ranks only the ≤ salts × N
+    survivors per language.  Every member of a language's true top N is in
+    some salt's top N, so the result is identical to the one-phase window
+    (same deterministic (hash, doc_id) order), which is exactly what the
+    unchanged one-phase SQL oracle verifies.
+    """
     documents = table(spark, sf_dir, "documents")
     from pyspark.sql.window import Window
 
     hash_key = F.conv(
         F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
     ).cast("long")
-    w = Window.partitionBy("lang").orderBy(hash_key, F.col("doc_id"))
+    salted = documents.select(
+        "doc_id",
+        "lang",
+        hash_key.alias("hash_key"),
+        F.pmod(F.col("doc_id"), F.lit(SAMPLE_SALTS)).alias("salt"),
+    )
+    pre = Window.partitionBy("lang", "salt").orderBy("hash_key", "doc_id")
+    survivors = salted.withColumn("pre_rank", F.row_number().over(pre)).filter(
+        F.col("pre_rank") <= SAMPLES_PER_LANG
+    )
+    final = Window.partitionBy("lang").orderBy("hash_key", "doc_id")
     return (
-        documents.withColumn("sample_rank", F.row_number().over(w))
+        survivors.withColumn("sample_rank", F.row_number().over(final))
         .filter(F.col("sample_rank") <= SAMPLES_PER_LANG)
         .select("doc_id", "lang", "sample_rank")
     )
@@ -159,28 +186,9 @@ ORACLES = {
             WHERE len(string_split({_NORM}, ' ')) >= {MIN_TOKENS}
         ), exact_keepers AS (
             SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)
-        ), docs AS (
-            SELECT doc_id, string_split({_NORM}, ' ') w FROM documents
-        ), sh AS (
-            SELECT doc_id, unnest(list_distinct(
-                CASE WHEN len(w) >= 3
-                     THEN list_transform(range(1, len(w)-1),
-                                         i -> concat_ws(' ', w[i], w[i+1], w[i+2]))
-                     ELSE [array_to_string(w, ' ')] END)) AS shingle
-            FROM docs
-        ), sizes AS (
-            SELECT doc_id, COUNT(*) AS set_size FROM sh GROUP BY doc_id
-        ), pairs AS (
-            SELECT a.doc_id AS ida, b.doc_id AS idb, COUNT(*) AS common
-            FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-            GROUP BY 1, 2
         ), near_dup_losers AS (
-            SELECT DISTINCT idb AS doc_id
-            FROM pairs
-            JOIN sizes sa ON ida = sa.doc_id
-            JOIN sizes sb ON idb = sb.doc_id
-            WHERE ROUND(common * 1.0 / (sa.set_size + sb.set_size - common), 4)
-                  >= {JACCARD_THRESHOLD}
+            SELECT DISTINCT doc_id_b AS doc_id
+            FROM ({_minhash_oracle_sql()}) mh
         )
         SELECT lang,
                COUNT(*) AS n_docs,

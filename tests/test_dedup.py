@@ -91,6 +91,28 @@ def test_clusters_match_union_find(spark, sf_dir, exact_pairs):
         assert got[root].keep_doc_id == min(members)
 
 
+def test_shingle_df_cap_drops_hot_shingles(spark):
+    """A shingle present in more docs than the cap is excluded before the
+    self-join; Jaccard is then computed over the capped sets."""
+    rows = [(d, "hot hot hot") for d in range(6)] + [(0, "rare one"), (1, "rare one")]
+    df = spark.createDataFrame(rows, ["doc_id", "shingle"])
+    capped = D._cap_shingle_df(df, max_df=5)
+    assert {(r.doc_id, r.shingle) for r in capped.collect()} == {
+        (0, "rare one"),
+        (1, "rare one"),
+    }
+    pairs = D._jaccard_pairs(capped).collect()
+    assert {(r.doc_id_a, r.doc_id_b, r.jaccard) for r in pairs} == {(0, 1, 1.0)}
+
+
+def test_shingle_df_cap_is_inert_at_test_scale(spark, sf_dir):
+    """Observed max shingle DF is far below MAX_SHINGLE_DF on the synthetic
+    corpus — the cap is a pure scale guard, results are identical."""
+    uncapped = D._jaccard_pairs(D._shingles(spark, sf_dir)).collect()
+    capped = D.q_dedup_ngram_jaccard(spark, sf_dir).collect()
+    assert sorted(map(tuple, uncapped)) == sorted(map(tuple, capped))
+
+
 def test_signatures_are_deterministic(spark, sf_dir):
     a = D.minhash_signatures(spark, sf_dir).orderBy("doc_id").limit(3).collect()
     b = D.minhash_signatures(spark, sf_dir).orderBy("doc_id").limit(3).collect()

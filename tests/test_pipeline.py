@@ -1,0 +1,87 @@
+"""Curation pipeline composition tests — the scale property that matters:
+the near-dup stage must be the LSH path (band-hash equi-join), never the
+raw-shingle self-join whose hot keys fan out quadratically at corpus scale.
+"""
+
+from __future__ import annotations
+
+from simple_query_engine_spark.operators import dedup as D
+from simple_query_engine_spark.operators.pipeline import (
+    q_pipeline_corpus_curation,
+)
+
+
+def optimized_plan(df) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+def test_curation_plan_has_no_raw_shingle_self_join(spark, sf_dir):
+    plan = optimized_plan(q_pipeline_corpus_curation(spark, sf_dir))
+    offending = [
+        line
+        for line in plan.splitlines()
+        if "Join" in line and "shingle" in line
+    ]
+    assert not offending, f"raw-shingle join in curation plan: {offending}"
+    # The near-dup stage joins on the LSH band key instead.
+    assert any(
+        "Join" in line and "band_hash" in line for line in plan.splitlines()
+    )
+
+
+def test_stratified_sample_is_two_phase(spark, sf_dir):
+    """The full-corpus window must partition by (lang, salt); only the
+    ≤ salts × N survivors may pass through a per-lang-only window."""
+    from simple_query_engine_spark.operators.pipeline import (
+        SAMPLES_PER_LANG,
+        SAMPLE_SALTS,
+        q_sample_stratified,
+    )
+
+    plan = optimized_plan(q_sample_stratified(spark, sf_dir))
+    window_lines = [
+        line for line in plan.splitlines() if "windowspecdefinition(" in line
+    ]
+    assert len(window_lines) == 2
+    final_line, pre_line = window_lines  # plan prints top-down
+    assert "salt" in pre_line, pre_line  # corpus-wide phase is salted
+    assert "salt" not in final_line  # final rank phase is per-lang
+    # The per-lang phase reads only phase-1 survivors (bounded input).
+    assert f"(pre_rank#" in plan and f"<= {SAMPLES_PER_LANG})" in plan
+    rows = q_sample_stratified(spark, sf_dir).collect()
+    per_lang: dict[str, list[int]] = {}
+    for r in rows:
+        per_lang.setdefault(r.lang, []).append(r.sample_rank)
+    for lang, ranks in per_lang.items():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))
+        assert len(ranks) <= SAMPLES_PER_LANG
+
+
+def test_curation_losers_match_lsh_pairs(spark, sf_dir):
+    """The docs the pipeline drops as near-dups are exactly the higher-id
+    members of the MinHash-LSH pair list."""
+    lsh_losers = {
+        r.doc_id_b for r in D.q_dedup_minhash_lsh(spark, sf_dir).collect()
+    }
+    survivors = q_pipeline_corpus_curation(spark, sf_dir)
+    # Recompute the survivor doc set with the stages inlined, then confirm
+    # no LSH loser appears among survivors at doc granularity.
+    from pyspark.sql import functions as F
+
+    from simple_query_engine_spark.operators.text import _normalized
+    from simple_query_engine_spark.sources.catalog import table
+
+    documents = table(spark, sf_dir, "documents")
+    tokens = F.split(_normalized(F.col("text")), " ")
+    quality_ids = {
+        r.doc_id
+        for r in documents.select(
+            "doc_id", F.size(tokens).alias("n")
+        ).filter(F.col("n") >= 20).collect()
+    }
+    keep_ids = {
+        r.keep_doc_id for r in D.q_dedup_exact(spark, sf_dir).collect()
+    }
+    expected_docs = (quality_ids & keep_ids) - lsh_losers
+    total = survivors.agg(F.sum("n_docs").alias("n")).collect()[0].n
+    assert total == len(expected_docs)
