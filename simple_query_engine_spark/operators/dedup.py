@@ -366,20 +366,130 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 MAX_CC_ITERATIONS = 15
 
 
+def _persistent_rdd_ids(spark: SparkSession) -> set[int]:
+    jmap = spark.sparkContext._jsc.getPersistentRDDs()
+    return {int(k) for k in jmap.keySet().toArray()}
+
+
+def _unpersist_rdds(spark: SparkSession, rdd_ids: set[int]) -> None:
+    jmap = spark.sparkContext._jsc.getPersistentRDDs()
+    for rdd_id in rdd_ids:
+        jrdd = jmap.get(rdd_id)
+        if jrdd is not None:
+            jrdd.unpersist(False)
+
+
+def _propagate_labels(
+    edges: DataFrame, max_iterations: int = MAX_CC_ITERATIONS
+) -> tuple[DataFrame, int]:
+    """Min-label propagation with pointer doubling over a bidirectional
+    edge list ``(src, dst)``; returns the fixpoint ``(doc_id, label)``
+    table and the number of rounds it took.
+
+    Each round does two jumps: (a) take the minimum label over direct
+    neighbors, then (b) jump again to *that label's own current label*
+    (pointer doubling).  Plain neighbor-min needs O(component diameter)
+    shuffle rounds — a 64-link chain of near-dups would exceed the
+    iteration budget — while the doubling step lets label pointers skip
+    geometrically, converging in O(log diameter) rounds (pinned in tests
+    on a 64-chain).
+
+    Two iterative-Spark disciplines, both load-bearing:
+
+    - **Lineage truncation**: each round's label table is materialized
+      with an eager ``localCheckpoint``.  Without it the logical plan
+      nests one round inside the next and the analyzer's self-join
+      deduplication *copies* the nested subtree — exponential plan growth
+      that OOMs the driver around round 5 (observed).  Checkpointing makes
+      every round's plan start from a leaf, so per-round planning cost is
+      constant.
+    - **Bounded executor storage**: the previous round's checkpoint
+      blocks are explicitly released once the convergence count has
+      materialized the new one, so storage stays one label-table wide no
+      matter how many rounds run (rather than waiting on the JVM's
+      reference-tracking cleaner).
+
+    The driver sees only the 1-row convergence count per round; label
+    data never leaves the executors.
+    """
+    spark = edges.sparkSession
+    before_ids = _persistent_rdd_ids(spark)
+    labels = (
+        edges.select(F.col("src").alias("doc_id"))
+        .distinct()
+        .withColumn("label", F.col("doc_id"))
+        .localCheckpoint(eager=True)
+    )
+    round_ids = _persistent_rdd_ids(spark) - before_ids
+    rounds = 0
+    for rounds in range(1, max_iterations + 1):
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.doc_id)
+            .groupBy("src")
+            .agg(F.min("label").alias("neighbor_label"))
+        )
+        stepped = (
+            labels.join(neighbor_min, labels.doc_id == neighbor_min.src, "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("label"), F.coalesce("neighbor_label", F.col("label"))
+                ).alias("label"),
+            )
+        )
+        # Pointer doubling: every label value is itself a doc_id, so look
+        # up the label's label and jump straight to it.
+        anchor = stepped.select(
+            F.col("doc_id").alias("anchor"), F.col("label").alias("anchor_label")
+        )
+        before_ids = _persistent_rdd_ids(spark)
+        new_labels = (
+            stepped.join(anchor, stepped.label == anchor.anchor, "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("label"), F.coalesce("anchor_label", F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        new_ids = _persistent_rdd_ids(spark) - before_ids
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        _unpersist_rdds(spark, round_ids)
+        round_ids = new_ids
+        labels = new_labels
+        if changed == 0:
+            break
+    else:
+        # Fail loudly rather than return partially-propagated labels: a
+        # component needing more than MAX_CC_ITERATIONS doubling rounds
+        # (diameter ≳ 2^MAX_CC_ITERATIONS) would silently split into
+        # several clusters (double-keeping duplicates downstream).
+        raise RuntimeError(
+            f"connected components did not converge within {max_iterations} "
+            f"iterations ({changed} labels still changing) — raise "
+            "MAX_CC_ITERATIONS for graphs with very long near-dup chains"
+        )
+    return labels, rounds
+
+
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Transitive near-dup clusters: connected components over the Jaccard
-    pair graph via iterative min-label propagation.
+    pair graph via iterative min-label propagation with pointer doubling
+    (see ``_propagate_labels`` for the convergence + caching story).
 
     Pair-dropping (pipeline_corpus_curation) removes the higher id of each
     pair; for chains a ⇔ b ⇔ c that can orphan or double-keep — the correct
-    semantics is one survivor per *component*.  Label propagation:
-    ``label(v) ← min(label(v), min label over neighbors)`` repeated until a
-    fixpoint, i.e. O(component diameter) shuffle rounds of join + groupBy —
-    the standard iterative-algorithm shape on Spark (driver steers the
-    loop, data never leaves the cluster; the only driver-side value per
-    round is the 1-row convergence count).  Iterative ⇒ not
-    SQL-expressible ⇒ rows-only at the driver; equality with a union-find
-    ground truth is pinned in tests.
+    semantics is one survivor per *component*.  Iterative ⇒ not
+    SQL-expressible round-by-round, but the *fixpoint* is: the DuckDB
+    oracle computes the same relation via a recursive-CTE transitive
+    closure, and equality with a union-find ground truth is pinned in
+    tests.
     """
     pairs = q_dedup_ngram_jaccard(spark, sf_dir).select("doc_id_a", "doc_id_b")
     edges = (
@@ -392,46 +502,8 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumnRenamed("doc_id_b", "dst")
         .cache()
     )
-    labels = (
-        edges.select(F.col("src").alias("doc_id"))
-        .distinct()
-        .withColumn("label", F.col("doc_id"))
-        .cache()
-    )
-    for _ in range(MAX_CC_ITERATIONS):
-        neighbor_min = (
-            edges.join(labels, edges.dst == labels.doc_id)
-            .groupBy("src")
-            .agg(F.min("label").alias("neighbor_label"))
-        )
-        new_labels = (
-            labels.join(neighbor_min, labels.doc_id == neighbor_min.src, "left")
-            .select(
-                "doc_id",
-                F.least(
-                    F.col("label"), F.coalesce("neighbor_label", F.col("label"))
-                ).alias("label"),
-            )
-            .cache()
-        )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "doc_id")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
-            break
-    else:
-        # Fail loudly rather than return partially-propagated labels: a
-        # component with diameter > MAX_CC_ITERATIONS would silently split
-        # into several clusters (double-keeping duplicates downstream).
-        raise RuntimeError(
-            f"connected components did not converge within {MAX_CC_ITERATIONS} "
-            f"iterations ({changed} labels still changing) — raise "
-            "MAX_CC_ITERATIONS for graphs with very long near-dup chains"
-        )
+    labels, _ = _propagate_labels(edges)
+    edges.unpersist()
     return (
         labels.groupBy("label")
         .agg(

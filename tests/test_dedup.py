@@ -113,6 +113,27 @@ def test_shingle_df_cap_is_inert_at_test_scale(spark, sf_dir):
     assert sorted(map(tuple, uncapped)) == sorted(map(tuple, capped))
 
 
+def test_label_propagation_doubles_pointers_on_chains(spark):
+    """A 64-link chain needs ~63 rounds under plain neighbor-min
+    propagation; pointer doubling must converge in O(log n) rounds and
+    still label every node with the component minimum."""
+    from pyspark.sql import functions as F
+
+    n = 64
+    one_way = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], ["src", "dst"]
+    )
+    edges = one_way.union(
+        one_way.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    labels, rounds = D._propagate_labels(edges, max_iterations=15)
+    rows = labels.collect()
+    assert len(rows) == n
+    assert all(r.label == 0 for r in rows)
+    assert rounds <= 8, f"took {rounds} rounds for a {n}-chain"
+    labels.unpersist()
+
+
 def test_signatures_are_deterministic(spark, sf_dir):
     a = D.minhash_signatures(spark, sf_dir).orderBy("doc_id").limit(3).collect()
     b = D.minhash_signatures(spark, sf_dir).orderBy("doc_id").limit(3).collect()
