@@ -40,6 +40,7 @@ def _modules():
         relational3,
         relational4,
         similarity,
+        storage,
         streaming_ops,
         text,
         tpch,
@@ -55,6 +56,7 @@ def _modules():
         text,
         dedup,
         similarity,
+        storage,
         streaming_ops,
         multimodal,
         pipeline,

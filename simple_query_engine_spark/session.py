@@ -29,6 +29,12 @@ _DEFAULT_CONF: dict[str, str] = {
     "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
     "spark.sql.files.maxPartitionBytes": str(128 * 1024 * 1024),
     "spark.sql.parquet.filterPushdown": "true",
+    # Engine-wide semantic: TIMESTAMP(NANOS) parquet columns surface as
+    # epoch-nanos longs (Spark otherwise rejects them outright with
+    # PARQUET_TYPE_ILLEGAL); sources/catalog.py converts them back to
+    # microsecond timestamps.  A session default, not a per-read mutation —
+    # every read path (batch + streaming) needs the same behavior.
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
     "spark.sql.parquet.aggregatePushdown": "true",
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     "spark.sql.session.timeZone": "UTC",

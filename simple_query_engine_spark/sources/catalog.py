@@ -61,11 +61,11 @@ def _read(spark: SparkSession, path: str) -> DataFrame:
     """Parquet read tolerant of TIMESTAMP(NANOS) columns.
 
     Spark rejects nanosecond parquet timestamps outright
-    (PARQUET_TYPE_ILLEGAL); with ``nanosAsLong`` they surface as epoch-nanos
+    (PARQUET_TYPE_ILLEGAL); with ``nanosAsLong`` — an engine-wide session
+    default set in ``session._DEFAULT_CONF`` — they surface as epoch-nanos
     LongType, which we convert back to TimestampType (microsecond precision —
     the same truncation DuckDB applies, keeping oracle comparisons exact).
     """
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(path)
     nanos_cols = _nanos_timestamp_columns(path)
     for col in nanos_cols:

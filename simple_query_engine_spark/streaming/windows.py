@@ -48,13 +48,13 @@ def read_event_stream(
 ) -> DataFrame:
     """File-source readStream over an events parquet path (file or dir).
 
-    Centralizes the quirks every streaming entry point needs: the
-    nanos-as-long conf + ts reconstruction (Spark rejects TIMESTAMP(NANOS)
-    parquet), schema peek via a batch read, and the single-file case
-    (Spark's file stream source requires a directory, so a file path
-    becomes parent-dir + pathGlobFilter).
+    Centralizes the quirks every streaming entry point needs: ts
+    reconstruction from nanos-as-long parquet (Spark rejects
+    TIMESTAMP(NANOS); the ``nanosAsLong`` conf is an engine-wide session
+    default, ``session._DEFAULT_CONF``), schema peek via a batch read, and
+    the single-file case (Spark's file stream source requires a directory,
+    so a file path becomes parent-dir + pathGlobFilter).
     """
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     schema = spark.read.parquet(events_path).schema
     reader = spark.readStream.schema(schema)
     if max_files_per_trigger is not None:
