@@ -10,9 +10,11 @@ Two paths, mirroring production ANN practice:
   candidate scan is embarrassingly parallel and shuffle-free until the
   final per-query top-k (TakeOrdered per group over k rows).
 - **LSH-bucketed ANN (random hyperplanes)** — the scale path: each vector
-  gets a b-bit sign signature against fixed hyperplanes; candidates are an
-  equi-join on the bucket key (multi-probe = several rotated plane sets), so
-  candidate volume is controlled by b, independent of N².
+  gets a b-bit sign signature against fixed INTEGER-coefficient hyperplanes
+  over an integer-grid-scaled copy of the embedding (exact arithmetic in
+  both engines → the pipeline is oracle-checked, not rows-only); candidates
+  are an equi-join on the bucket key, so candidate volume is controlled by
+  b, independent of N².
 
 All arithmetic is cast to double *before* summation, in array-index order,
 so results are bit-comparable with the DuckDB oracle's double math.
@@ -83,14 +85,26 @@ def q_sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_sim_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+ALL_PAIRS_MAX_VECTORS = 100_000
+
+
+def q_sim_neardup_pairs_baseline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-duplicate pairs: cosine ≥ NEARDUP_COSINE, a < b.
 
-    Declared as the exact baseline; production-scale variant is
-    :func:`q_sim_ann_lsh` (bucketed).  The N² pair space here is pruned by
-    nothing — acceptable ≤ ~10⁴ vectors, the reason the LSH path exists.
+    **Exact baseline, not a production path** — the N² pair space here is
+    pruned by nothing.  The name says `_baseline` and a hard guard raises
+    beyond ALL_PAIRS_MAX_VECTORS so it cannot be pointed at a corpus by
+    accident; the scale paths are :func:`q_sim_ann_lsh` (bucketed
+    candidates) and :func:`q_sim_ivf_topk` (nprobe-bounded search).
     """
     embeddings = table(spark, sf_dir, "embeddings")
+    n_vectors = embeddings.count()
+    if n_vectors > ALL_PAIRS_MAX_VECTORS:
+        raise ValueError(
+            f"sim_neardup_pairs_baseline is an all-pairs O(N²) check, "
+            f"refused for {n_vectors} > {ALL_PAIRS_MAX_VECTORS} vectors — "
+            "use sim_ann_lsh (LSH-bucketed) or sim_ivf_topk instead"
+        )
     a = _with_norm(embeddings, "vec_id_a", "emb_a", "norm_a")
     b = _with_norm(embeddings, "vec_id_b", "emb_b", "norm_b")
     cosine = _dot(F.col("emb_a"), F.col("emb_b")) / (F.col("norm_a") * F.col("norm_b"))
@@ -103,34 +117,55 @@ def q_sim_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _hyperplanes(dim: int = 64, count: int = NUM_HYPERPLANES) -> list[list[float]]:
-    """Deterministic pseudo-random hyperplanes (fixed seed → stable buckets)."""
+EMB_SCALE = 10_000  # embedding floats → floor(x·SCALE): exact integer grid
+
+
+def _int_hyperplanes(dim: int = 64, count: int = NUM_HYPERPLANES) -> list[list[int]]:
+    """Deterministic pseudo-random hyperplanes with INTEGER coefficients
+    (standard normal × 1000, floored).  Integer planes against
+    integer-grid-scaled embeddings make every signature dot product exact
+    integral arithmetic (far below 2⁵³, so double math is lossless) — the
+    sign bit can never differ between engines, which is what lets the whole
+    LSH pipeline be oracle-checked instead of rows-only."""
     import numpy as np
 
     rng = np.random.RandomState(20240813)
-    return rng.standard_normal((count, dim)).tolist()
+    return np.floor(rng.standard_normal((count, dim)) * 1000).astype(int).tolist()
+
+
+def _scaled_embedding() -> Column:
+    """floor(x·EMB_SCALE) per element — both engines floor identically (no
+    round-half-mode hazard), and the result is integral in a double."""
+    return F.transform(
+        F.col("embedding"),
+        lambda x: F.floor(x.cast("double") * EMB_SCALE).cast("double"),
+    )
 
 
 def q_sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN top-k via random-hyperplane LSH buckets.
 
-    Signature = sign bits against NUM_HYPERPLANES fixed planes; vectors
-    sharing a bucket are candidates (equi-join on the bucket key).  Exact
-    cosine then ranks within bucket.  Approximate by construction → driver
-    rows-only check; recall vs brute force is asserted in tests.
+    Signature = sign bits of NUM_HYPERPLANES integer-plane dot products
+    over the integer-grid-scaled embedding (see :func:`_int_hyperplanes` —
+    exact arithmetic, so bucket assignment is engine-exact and the full
+    pipeline hash-matches its DuckDB oracle).  Vectors sharing a bucket
+    are candidates (equi-join on the bucket key); exact cosine then ranks
+    within bucket.  Approximate vs brute force by construction — recall is
+    asserted in tests.
     """
     embeddings = table(spark, sf_dir, "embeddings")
-    planes = _hyperplanes()
+    planes = _int_hyperplanes()
+    scaled = embeddings.withColumn("sv", _scaled_embedding())
     signature = sum(
         (
             F.when(
-                _dot(F.col("embedding"), F.array(*[F.lit(v) for v in plane])) >= 0,
+                _dot(F.col("sv"), F.array(*[F.lit(float(v)) for v in plane])) >= 0,
                 F.lit(1 << i),
             ).otherwise(0)
         )
         for i, plane in enumerate(planes)
     )
-    signed = embeddings.withColumn("bucket", signature)
+    signed = scaled.withColumn("bucket", signature)
     queries = signed.filter(F.col("vec_id") < NUM_QUERY_VECTORS).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("q_emb"),
@@ -238,9 +273,40 @@ def q_sim_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ann_lsh_oracle_sql() -> str:
+    """DuckDB oracle for the full LSH pipeline: same integer planes, same
+    floor-scaled embedding grid, so signature bits — and therefore buckets,
+    candidates, and ranks — are bit-identical to the Spark side."""
+    bucket_expr = " + ".join(
+        f"(CASE WHEN list_dot_product(sv, {plane}::DOUBLE[]) >= 0 "
+        f"THEN {1 << i} ELSE 0 END)"
+        for i, plane in enumerate(_int_hyperplanes())
+    )
+    return f"""
+        WITH e AS (
+            SELECT vec_id, embedding::DOUBLE[] AS v,
+                   sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm,
+                   list_transform(embedding::DOUBLE[], x -> floor(x * {EMB_SCALE})) AS sv
+            FROM embeddings
+        ), sig AS (
+            SELECT vec_id, v, nrm, {bucket_expr} AS bucket FROM e
+        ), scored AS (
+            SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                   ROUND(list_dot_product(q.v, c.v) / (q.nrm * c.nrm), 4) AS similarity
+            FROM sig q JOIN sig c ON q.bucket = c.bucket
+            WHERE q.vec_id < {NUM_QUERY_VECTORS} AND q.vec_id <> c.vec_id
+        )
+        SELECT query_id, neighbor_id, similarity, sim_rank FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                         ORDER BY similarity DESC, neighbor_id) AS sim_rank
+            FROM scored
+        ) WHERE sim_rank <= {TOP_K}
+    """
+
+
 QUERIES = {
     "sim_topk_bruteforce": q_sim_topk_bruteforce,
-    "sim_neardup_pairs": q_sim_neardup_pairs,
+    "sim_neardup_pairs_baseline": q_sim_neardup_pairs_baseline,
     "sim_ann_lsh": q_sim_ann_lsh,
     "sim_ivf_topk": q_sim_ivf_topk,
     "sim_label_centroids": q_sim_label_centroids,
@@ -263,7 +329,7 @@ ORACLES = {
             FROM scored
         ) WHERE sim_rank <= {TOP_K}
     """,
-    "sim_neardup_pairs": f"""
+    "sim_neardup_pairs_baseline": f"""
         WITH e AS (
             SELECT vec_id, embedding::DOUBLE[] AS v,
                    sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
@@ -325,8 +391,8 @@ ORACLES = {
             FROM scored
         ) WHERE sim_rank <= {TOP_K}
     """,
-    # sim_ann_lsh stays rows-only: its buckets hinge on float sign bits of
-    # random-plane projections, where a last-ulp difference between the two
-    # engines' dot products can flip a bucket near zero; recall vs
-    # sim_topk_bruteforce is asserted in tests/test_similarity.py instead.
+    # sim_ann_lsh: fully oracle-checked — integer-grid planes over the
+    # floor-scaled embedding make bucket sign bits exact in both engines
+    # (see _int_hyperplanes); no float-ulp bucket flips possible.
+    "sim_ann_lsh": _ann_lsh_oracle_sql(),
 }

@@ -71,6 +71,12 @@ def test_ivf_recall_against_bruteforce(spark, sf_dir, exact_topk):
     assert sum(recalls) / len(recalls) >= 0.3, f"IVF recalls {recalls}"
 
 
+def test_all_pairs_baseline_refuses_large_corpora(spark, sf_dir, monkeypatch):
+    monkeypatch.setattr(S, "ALL_PAIRS_MAX_VECTORS", 10)
+    with pytest.raises(ValueError, match="all-pairs"):
+        S.q_sim_neardup_pairs_baseline(spark, sf_dir)
+
+
 def test_approx_distinct_within_error_bound(spark, sf_dir):
     from simple_query_engine_spark.operators.relational2 import q_agg_approx_distinct
 
