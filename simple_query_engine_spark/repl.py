@@ -38,14 +38,33 @@ from simple_query_engine_spark.sources.readers import read_csv
 EXIT_COMMANDS = frozenset({"exit", "quit", "q"})
 _SQL_KEYWORDS = ("select", "with", "show", "describe")
 
+# Default driver-side row cap: the reference collects every row into the
+# sink (src/main.rs:46-51), which is fine for its in-memory tables but
+# would OOM the Spark driver on a fat-fingered full-table PROJECT at real
+# scale.  Capped by default, overridable per-session (``limit none``).
+DEFAULT_ROW_LIMIT = 1000
 
-def format_result(df: DataFrame, limit: int | None = None) -> str:
-    """Render a result DataFrame in the reference's text format."""
+
+def format_result(df: DataFrame, limit: int | None = DEFAULT_ROW_LIMIT) -> str:
+    """Render a result DataFrame in the reference's text format.
+
+    ``limit=None`` is the explicit opt-in to an unbounded collect.  When
+    the cap truncates, a trailing marker line says so (small results —
+    i.e. every reference-parity case — render identically either way).
+    """
     header = ",".join(df.columns)
-    rows = df.limit(limit).collect() if limit is not None else df.collect()
+    truncated = False
+    if limit is not None:
+        rows = df.limit(limit + 1).collect()
+        truncated = len(rows) > limit
+        rows = rows[:limit]
+    else:
+        rows = df.collect()
     lines = [header, "-" * len(header)]
     for row in rows:
         lines.append(",".join(_render(value) for value in row))
+    if truncated:
+        lines.append(f"... (first {limit} rows shown; 'limit none' removes the cap)")
     return "\n".join(lines)
 
 
@@ -62,7 +81,7 @@ def run(
     input_stream=None,
     output_stream=None,
     default_table: str | None = None,
-    row_limit: int | None = 1000,
+    row_limit: int | None = DEFAULT_ROW_LIMIT,
 ) -> None:
     """Run the REPL against one CSV file or a parquet-table directory."""
     input_stream = input_stream or sys.stdin
@@ -102,6 +121,20 @@ def run(
             continue
         if line in EXIT_COMMANDS:
             break
+        if line.lower().startswith("limit"):
+            arg = line.split(None, 1)[1].strip().lower() if " " in line else ""
+            if arg in {"none", "off"}:
+                row_limit = None
+                print("Row limit removed (unbounded collect)", file=output_stream)
+            elif arg.isdigit() and int(arg) > 0:
+                row_limit = int(arg)
+                print(f"Row limit set to {row_limit}", file=output_stream)
+            else:
+                print(
+                    f"Error: usage: limit <N|none> (current: {row_limit})",
+                    file=output_stream,
+                )
+            continue
         try:
             explain = False
             if line.lower().startswith("explain "):

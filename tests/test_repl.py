@@ -75,6 +75,37 @@ def test_explain_command_shows_physical_plan(spark, sf_dir):
     assert "GreaterThan(l_quantity,45.0)" in output
 
 
+def test_default_row_cap_truncates_with_marker(spark, city_csv):
+    output = run_repl(
+        city_csv,
+        ["PROJECT city", "exit"],
+        row_limit=2,
+    )
+    assert "... (first 2 rows shown; 'limit none' removes the cap)" in output
+    assert output.count("\n") < 12  # only 2 data rows printed
+
+
+def test_limit_command_overrides_cap(spark, city_csv):
+    output = run_repl(
+        city_csv,
+        ["limit 1", "PROJECT city", "limit none", "PROJECT city", "limit bogus", "exit"],
+    )
+    assert "Row limit set to 1" in output
+    assert "... (first 1 rows shown" in output
+    assert "Row limit removed" in output
+    # After removing the cap all three cities print with no marker.
+    tail = output.split("Row limit removed (unbounded collect)")[1]
+    assert tail.count("Berlin") == 1 and tail.count("Paris") == 1
+    assert "first 1 rows shown" not in tail
+    assert "usage: limit <N|none>" in output
+
+
+def test_small_results_render_identically_under_cap(spark, city_csv):
+    capped = run_repl(city_csv, ["PROJECT city", "exit"])
+    uncapped = run_repl(city_csv, ["PROJECT city", "exit"], row_limit=None)
+    assert capped == uncapped  # reference-parity output for small results
+
+
 def test_sql_against_single_csv_view(spark, city_csv):
     output = run_repl(
         city_csv,
