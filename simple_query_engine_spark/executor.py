@@ -29,6 +29,8 @@ artifact we do not reproduce).
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -70,16 +72,27 @@ def _predicate(filter_: Filter, df: DataFrame) -> Column:
     return column == F.lit(literal)
 
 
+# Python's int()/float()/Decimal() accept forms the declared literal
+# grammar does not: '1_2' (group separators), 'nan'/'inf', '+5', leading/
+# trailing whitespace.  Those must fall through to the match-nothing path,
+# so numeric literals are validated against a strict digits-only shape
+# first (optional leading '-', optional fraction/exponent for floats).
+_INT_LITERAL = re.compile(r"-?\d+\Z")
+_FLOAT_LITERAL = re.compile(r"-?(\d+(\.\d*)?|\.\d+)([eE][+-]?\d+)?\Z")
+
+
 def _type_literal(text: str, data_type: T.DataType):
     """Parse the raw literal under the column's type; None if unrepresentable."""
     try:
         if isinstance(data_type, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
-            return int(text)
+            return int(text) if _INT_LITERAL.fullmatch(text) else None
         if isinstance(data_type, (T.FloatType, T.DoubleType)):
-            return float(text)
+            return float(text) if _FLOAT_LITERAL.fullmatch(text) else None
         if isinstance(data_type, T.DecimalType):
             from decimal import Decimal
 
+            if not _FLOAT_LITERAL.fullmatch(text):
+                return None
             return Decimal(text)
         if isinstance(data_type, T.BooleanType):
             lowered = text.lower()

@@ -200,15 +200,24 @@ ORACLES = {
     # stats and the Arrow featurizer IS oracle-checkable: integer sums are
     # exact in double at any summation order, making the mean bit-identical
     # across numpy and DuckDB.
+    # Empty-doc guard: string_split('', '') is [''] (with unicode('') = -1),
+    # so empty docs are excluded from the chars CTE outright and their
+    # stats come back via LEFT JOIN + COALESCE(0) — matching the
+    # featurizer, which emits an explicit all-zero row for empty payloads.
     "multimodal_features": """
         WITH chars AS (
-            SELECT doc_id, unnest(string_split(text, '')) AS ch FROM documents
+            SELECT doc_id, unnest(string_split(text, '')) AS ch
+            FROM documents WHERE length(text) > 0
+        ), stats AS (
+            SELECT doc_id, COUNT(*) AS n, SUM(unicode(ch)) AS bsum,
+                   MAX(unicode(ch)) AS bmax
+            FROM chars GROUP BY doc_id
         )
-        SELECT doc_id,
-               CAST(COUNT(*) AS BIGINT) AS n_bytes,
-               CAST(SUM(unicode(ch)) AS BIGINT) AS byte_sum,
-               CAST(MAX(unicode(ch)) AS INT) AS byte_max
-        FROM chars GROUP BY doc_id
+        SELECT d.doc_id,
+               CAST(COALESCE(s.n, 0) AS BIGINT) AS n_bytes,
+               CAST(COALESCE(s.bsum, 0) AS BIGINT) AS byte_sum,
+               CAST(COALESCE(s.bmax, 0) AS INT) AS byte_max
+        FROM documents d LEFT JOIN stats s USING (doc_id)
     """,
     # ASCII corpus ⇒ bytes == code points, so even the shape-transforming
     # pandas ops are oracle-checkable: the tiled 8×8 thumbnail via a cyclic
@@ -219,7 +228,10 @@ ORACLES = {
             FROM documents
         )
         SELECT doc_id,
-               list_transform(range(0, 64), i -> unicode(ch[(i % n) + 1])) AS thumbnail
+               CASE WHEN n = 0
+                    THEN list_transform(range(0, 64), i -> 0)
+                    ELSE list_transform(range(0, 64), i -> unicode(ch[(i % n) + 1]))
+               END AS thumbnail
         FROM c
     """,
     "multimodal_frame_sample": """
@@ -229,12 +241,18 @@ ORACLES = {
             SELECT doc_id, text,
                    unnest(range(0, GREATEST(CAST(ceil(n / 256.0) AS INT), 1), 4)) AS frame_idx
             FROM f
+        ), fr AS (
+            SELECT doc_id, frame_idx,
+                   substr(text, frame_idx * 256 + 1, 256) AS frame
+            FROM idx
         )
         SELECT doc_id,
                CAST(frame_idx AS INT) AS frame_idx,
-               CAST(length(substr(text, frame_idx * 256 + 1, 256)) AS INT) AS frame_bytes,
-               CAST(list_sum(list_transform(string_split(substr(text, frame_idx * 256 + 1, 256), ''),
-                                            c -> unicode(c))) AS BIGINT) AS frame_byte_sum
-        FROM idx
+               CAST(length(frame) AS INT) AS frame_bytes,
+               CAST(CASE WHEN length(frame) = 0 THEN 0
+                         ELSE list_sum(list_transform(string_split(frame, ''),
+                                                      c -> unicode(c)))
+                    END AS BIGINT) AS frame_byte_sum
+        FROM fr
     """,
 }

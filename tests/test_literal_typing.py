@@ -53,6 +53,24 @@ def test_non_boolean_text_is_none_against_boolean(value):
     assert _type_literal(value, T.BooleanType()) is None
 
 
+def test_python_permissive_numeric_forms_are_rejected():
+    """Forms Python's int()/float() accept but the literal grammar does not
+    must fall through to match-nothing (None), not silently re-parse:
+    '1_2' is NOT 12, '+5' is NOT 5, 'nan'/'inf' are not column values."""
+    assert _type_literal("1_2", T.LongType()) is None
+    assert _type_literal("+5", T.LongType()) is None
+    assert _type_literal(" 5", T.LongType()) is None
+    assert _type_literal("5 ", T.LongType()) is None
+    for bad in ("nan", "NaN", "inf", "Infinity", "-inf", "+5.0", "1_000.5", " 1.5"):
+        assert _type_literal(bad, T.DoubleType()) is None, bad
+        assert _type_literal(bad, T.DecimalType(10, 2)) is None, bad
+    # ...while legitimate literal shapes still parse.
+    assert _type_literal("-5", T.LongType()) == -5
+    assert _type_literal("1e3", T.DoubleType()) == 1000.0
+    assert _type_literal(".5", T.DoubleType()) == 0.5
+    assert _type_literal("-2.25", T.DoubleType()) == -2.25
+
+
 def test_dates_and_timestamps():
     import datetime as dt
 

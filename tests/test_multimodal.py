@@ -66,6 +66,34 @@ def test_frame_sample_shape_and_checksums(spark, sf_dir):
         assert first.frame_byte_sum == expected
 
 
+def test_oracles_handle_empty_documents(spark):
+    """The testdata corpus has no empty docs, but the Spark/oracle pair
+    must not diverge if one appears: the featurizers emit explicit zero
+    rows, and the oracles COALESCE/CASE-guard the empty case (an
+    unguarded 'i % n' divides by zero; list_sum([]) is NULL in DuckDB)."""
+    import duckdb
+
+    docs = spark.createDataFrame(
+        [(1, "hello world", "en", "s", 11), (2, "", "en", "s", 0)],
+        ["doc_id", "text", "lang", "source", "n_chars"],
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE documents AS SELECT * FROM (VALUES "
+        "(1, 'hello world', 'en', 's', 11), (2, '', 'en', 's', 0)"
+        ") t(doc_id, text, lang, source, n_chars)"
+    )
+    payloads = M.with_binary_payload(docs).select("doc_id", "payload")
+    for name, runner in (
+        ("multimodal_features", lambda: payloads.mapInPandas(M.fake_featurizer, M.FEATURE_SCHEMA)),
+        ("multimodal_resize", lambda: payloads.mapInPandas(M.fake_resizer, M.RESIZE_SCHEMA)),
+        ("multimodal_frame_sample", lambda: payloads.mapInPandas(M.frame_sampler, M.FRAME_SCHEMA)),
+    ):
+        spark_rows = sorted(map(tuple, runner().collect()))
+        duck_rows = sorted(map(tuple, con.execute(M.ORACLES[name]).fetchall()))
+        assert spark_rows == duck_rows, name
+
+
 def test_meta_matches_payload_length(spark, sf_dir):
     rows = M.q_multimodal_meta(spark, sf_dir).limit(50).collect()
     docs = {
