@@ -9,6 +9,12 @@ Each query executes fully via the `noop` sink (forces the whole plan —
 df.count() would let Catalyst prune projections and under-report).  A
 warm-up run of the flagship query is excluded so JVM/codegen startup isn't
 billed to the first query.
+
+Set SPARK_GRAFT_BENCH_AMPLIFY=k (k > 1) to bench against a k×-amplified
+copy of the fact tables (key-shifted replicas; see
+tools/amplify_testdata.py) — lifts per-query cost above the local job-
+scheduling floor so deltas measure operator work.  The JSON then carries
+an extra "amplify" field; "sf" stays the base scale factor.
 """
 
 from __future__ import annotations
@@ -55,6 +61,12 @@ def main() -> int:
     spark = get_spark(app_name="sqe-spark-bench")
     queries = entrymod.queries()
 
+    amplify = int(os.environ.get("SPARK_GRAFT_BENCH_AMPLIFY", "0") or 0)
+    if amplify > 1:
+        from tools.amplify_testdata import ensure_amplified
+
+        sf_dir = ensure_amplified(spark, sf_dir, amplify)
+
     def run(name: str) -> float:
         start = time.time()
         df = queries[name](spark, sf_dir)
@@ -85,18 +97,17 @@ def main() -> int:
         timings[name] = round(min(cold[name], run(name)), 3)
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_suite_wall_time",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-                "cold_value": round(sum(cold.values()), 3),
-            }
-        )
-    )
+    payload = {
+        "metric": "headline_suite_wall_time",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "cold_value": round(sum(cold.values()), 3),
+    }
+    if amplify > 1:
+        payload["amplify"] = amplify
+    print(json.dumps(payload))
     spark.stop()
     return 0
 

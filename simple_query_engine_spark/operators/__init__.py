@@ -44,6 +44,7 @@ def _modules():
         streaming_ops,
         text,
         tpch,
+        udx,
     )
 
     return (
@@ -60,4 +61,5 @@ def _modules():
         streaming_ops,
         multimodal,
         pipeline,
+        udx,
     )

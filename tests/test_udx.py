@@ -1,0 +1,40 @@
+"""Extended UDF-surface tests: grouped-map semantics, UDAF math, UDTF
+bounds (the oracle gate covers engine parity; these pin the semantics)."""
+
+from __future__ import annotations
+
+from simple_query_engine_spark.operators import udx as U
+
+
+def test_grouped_map_zscores_are_standardized(spark, sf_dir):
+    rows = U.q_udf_grouped_map_zscore(spark, sf_dir).collect()
+    by_lang: dict[str, list[float]] = {}
+    for r in rows:
+        by_lang.setdefault(r.lang, []).append(r.z_score)
+    for lang, zs in by_lang.items():
+        mean = sum(zs) / len(zs)
+        assert abs(mean) < 1e-2, f"{lang}: mean z {mean}"
+        if len(zs) > 1:
+            var = sum(z * z for z in zs) / len(zs)
+            assert abs(var - 1.0) < 0.05, f"{lang}: z variance {var}"
+
+
+def test_weighted_avg_bounded_by_price_range(spark, sf_dir):
+    prices = U.table(spark, sf_dir, "lineitem").selectExpr(
+        "min(l_extendedprice) AS lo", "max(l_extendedprice) AS hi"
+    ).collect()[0]
+    for r in U.q_udaf_weighted_avg(spark, sf_dir).collect():
+        assert prices.lo <= r.weighted_avg_price <= prices.hi
+
+
+def test_udtf_emits_bounded_bigrams(spark, sf_dir):
+    rows = U.q_udtf_bigrams(spark, sf_dir).collect()
+    assert rows, "UDTF produced no rows"
+    assert all(r.doc_id < U.UDTF_MAX_DOC_ID for r in rows)
+    assert all(len(r.bigram.split(" ")) == 2 for r in rows)
+    # positions are dense per doc: max(pos) + 1 == count(bigrams)
+    by_doc: dict[int, list[int]] = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r.pos)
+    for doc_id, positions in by_doc.items():
+        assert sorted(positions) == list(range(len(positions)))

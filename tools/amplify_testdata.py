@@ -1,0 +1,103 @@
+"""Build a k×-amplified copy of a testdata scale dir for benchmarking.
+
+The largest driver-provided scale is sf0.1, where most headline queries sit
+on Spark's ~0.3-0.5 s job-scheduling floor — round-over-round deltas then
+measure scheduler noise, not operator cost.  This tool scales the FACT
+tables (lineitem, orders, customer, supplier, part, events) by unioning k
+replicas whose foreign/primary keys are shifted by a per-replica offset:
+join fan-outs, per-user event series, and group cardinalities all grow
+LINEARLY — exactly how real data growth behaves — instead of the k²
+join-duplication plain unioning would cause.
+
+Dimension tables (region, nation) and the text/vector tables (documents,
+embeddings) are copied as-is: dims grow slower than facts in any real
+warehouse, and replicating identical texts/vectors would manufacture k²
+near-duplicate pairs that no real corpus has.
+
+Output layout matches the driver's (<name>.parquet per table), so every
+consumer — bench.py, the catalog, the REPL — can point at the amplified
+dir unchanged.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import tempfile
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from simple_query_engine_spark.sources.catalog import TABLE_NAMES, table
+
+# Per-replica key offset: far above any real key, far below 2⁶³/k.
+REPLICA_OFFSET = 10**12
+
+# Key columns shifted per replica (FK relationships stay intact because
+# both sides of every join shift by the same offset).  Non-key attributes
+# and unamplified-dim FKs (c_nationkey, s_nationkey) are left alone.
+_SHIFT_COLUMNS: dict[str, tuple[str, ...]] = {
+    "lineitem": ("l_orderkey", "l_partkey", "l_suppkey"),
+    "orders": ("o_orderkey", "o_custkey"),
+    "customer": ("c_custkey",),
+    "supplier": ("s_suppkey",),
+    "part": ("p_partkey",),
+    "events": ("event_id", "user_id"),
+}
+
+
+def _amplified(df: DataFrame, shift_cols: tuple[str, ...], k: int) -> DataFrame:
+    replicas = []
+    for i in range(k):
+        replica = df
+        for col in shift_cols:
+            replica = replica.withColumn(
+                col, F.col(col) + F.lit(i * REPLICA_OFFSET)
+            )
+        replicas.append(replica)
+    out = replicas[0]
+    for replica in replicas[1:]:
+        out = out.unionAll(replica)
+    return out
+
+
+def amplify_dir(spark: SparkSession, sf_dir: str, k: int, dst_dir: str) -> str:
+    """Write the amplified copy of ``sf_dir`` to ``dst_dir``; idempotent."""
+    os.makedirs(dst_dir, exist_ok=True)
+    for name in TABLE_NAMES:
+        src = os.path.join(sf_dir, f"{name}.parquet")
+        if not os.path.exists(src):
+            continue
+        dst = os.path.join(dst_dir, f"{name}.parquet")
+        if os.path.exists(os.path.join(dst, "_SUCCESS")):
+            continue
+        df = table(spark, sf_dir, name)
+        if name in _SHIFT_COLUMNS:
+            df = _amplified(df, _SHIFT_COLUMNS[name], k)
+        df.write.mode("overwrite").parquet(dst)
+    return dst_dir
+
+
+def ensure_amplified(spark: SparkSession, sf_dir: str, k: int) -> str:
+    """Amplified copy under the system temp dir, built once per (sf, k)."""
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    dst = os.path.join(tempfile.gettempdir(), f"sqe_amplified_{tag}_x{k}")
+    return amplify_dir(spark, sf_dir, k, dst)
+
+
+def main() -> int:
+    if len(sys.argv) != 4:
+        print("usage: python tools/amplify_testdata.py <sf_dir> <dst_dir> <k>")
+        return 1
+    from simple_query_engine_spark.session import get_spark
+
+    spark = get_spark(app_name="amplify-testdata")
+    amplify_dir(spark, sys.argv[1], int(sys.argv[3]), sys.argv[2])
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
