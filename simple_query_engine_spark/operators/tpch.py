@@ -172,6 +172,78 @@ _Q22 = """
     GROUP BY c_mktsegment
 """
 
+# Q12-shaped: late-shipment counts by order priority (conditional count
+# over a fact-fact join with date-interval arithmetic).
+_Q12 = """
+    SELECT o_orderpriority,
+           COUNT(*) AS line_count,
+           CAST(SUM(CASE WHEN l_shipdate > o_orderdate + INTERVAL 60 DAY
+                         THEN 1 ELSE 0 END) AS BIGINT) AS late_count
+    FROM orders
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+      AND o_orderdate < TIMESTAMP '1998-01-01'
+    GROUP BY o_orderpriority
+"""
+
+# Q15-shaped: the top revenue supplier(s) over a quarter (CTE reused by
+# both the ranking aggregate and the scalar MAX subquery).
+_Q15 = """
+    WITH revenue AS (
+        SELECT l_suppkey AS supplier_no,
+               ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS total_revenue
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+          AND l_shipdate < TIMESTAMP '1997-04-01'
+        GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, total_revenue
+    FROM supplier
+    JOIN revenue ON s_suppkey = supplier_no
+    WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+"""
+
+# Q16-shaped: distinct supplier counts per part attribute band (the
+# distinct aggregate rides on a fact-dimension join; no partsupp table in
+# this schema, lineitem plays supply evidence).
+_Q16 = """
+    SELECT p_brand, p_size,
+           COUNT(DISTINCT l_suppkey) AS supplier_cnt
+    FROM part
+    JOIN lineitem ON l_partkey = p_partkey
+    WHERE p_brand <> 'Brand#1'
+      AND p_size IN (1, 4, 7, 10, 13)
+    GROUP BY p_brand, p_size
+"""
+
+# Q17-shaped: revenue from small-quantity lines of one brand, where
+# "small" is relative to the part's own average (correlated scalar
+# subquery — Catalyst decorrelates it into an aggregate + join).
+_Q17 = """
+    SELECT ROUND(SUM(l_extendedprice) / 7.0, 4) AS avg_weekly_revenue,
+           COUNT(*) AS qualifying_lines
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    WHERE p_brand = 'Brand#2'
+      AND l_quantity < (SELECT 0.5 * AVG(l2.l_quantity)
+                        FROM lineitem l2 WHERE l2.l_partkey = p_partkey)
+"""
+
+# Q9-shaped: profit proxy by supplier nation and order year (five-way
+# join, two dimension paths, LIKE filter on the part name).
+_Q9 = """
+    SELECT n_name AS nation_name,
+           CAST(year(o_orderdate) AS INT) AS o_year,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS profit_proxy
+    FROM lineitem
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN orders ON o_orderkey = l_orderkey
+    JOIN nation ON n_nationkey = s_nationkey
+    JOIN part ON p_partkey = l_partkey
+    WHERE p_name LIKE '%widget%'
+    GROUP BY 1, 2
+"""
+
 _SQL = {
     "tpch_q3_shipping_priority": _Q3,
     "tpch_q7_nation_trade": _Q7,
@@ -184,6 +256,11 @@ _SQL = {
     "tpch_q10_returned_items": _Q10,
     "tpch_q14_promo_share": _Q14,
     "tpch_q19_brand_bands": _Q19,
+    "tpch_q9_nation_profit": _Q9,
+    "tpch_q12_late_lines": _Q12,
+    "tpch_q15_top_supplier": _Q15,
+    "tpch_q16_supplier_counts": _Q16,
+    "tpch_q17_small_quantity": _Q17,
 }
 
 

@@ -35,6 +35,10 @@ _DEFAULT_CONF: dict[str, str] = {
     # microsecond timestamps.  A session default, not a per-read mutation —
     # every read path (batch + streaming) needs the same behavior.
     "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # Write timestamps as annotated TIMESTAMP_MICROS, not legacy INT96
+    # (pyarrow surfaces INT96 as nanoseconds, which would re-trigger the
+    # nanos handling on our own outputs).
+    "spark.sql.parquet.outputTimestampType": "TIMESTAMP_MICROS",
     "spark.sql.parquet.aggregatePushdown": "true",
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     "spark.sql.session.timeZone": "UTC",

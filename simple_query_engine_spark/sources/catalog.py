@@ -68,8 +68,12 @@ def _read(spark: SparkSession, path: str) -> DataFrame:
     """
     df = spark.read.parquet(path)
     nanos_cols = _nanos_timestamp_columns(path)
+    dtypes = dict(df.dtypes)
     for col in nanos_cols:
-        if col in df.columns:
+        # Only convert if Spark actually surfaced the column as epoch-nanos
+        # longs — pyarrow also reports legacy INT96 timestamps as
+        # timestamp[ns], but Spark reads those as proper timestamps.
+        if dtypes.get(col) == "bigint":
             df = df.withColumn(col, F.timestamp_micros(F.expr(f"`{col}` div 1000")))
     return df
 
