@@ -142,17 +142,12 @@ def _scaled_embedding() -> Column:
     )
 
 
-def q_sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ANN top-k via random-hyperplane LSH buckets.
-
-    Signature = sign bits of NUM_HYPERPLANES integer-plane dot products
-    over the integer-grid-scaled embedding (see :func:`_int_hyperplanes` —
-    exact arithmetic, so bucket assignment is engine-exact and the full
-    pipeline hash-matches its DuckDB oracle).  Vectors sharing a bucket
-    are candidates (equi-join on the bucket key); exact cosine then ranks
-    within bucket.  Approximate vs brute force by construction — recall is
-    asserted in tests.
-    """
+def _signed_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embeddings + their LSH bucket: sign bits of NUM_HYPERPLANES
+    integer-plane dot products over the integer-grid-scaled embedding
+    (see :func:`_int_hyperplanes` — exact arithmetic, so bucket
+    assignment is engine-exact and LSH pipelines hash-match their DuckDB
+    oracles)."""
     embeddings = table(spark, sf_dir, "embeddings")
     planes = _int_hyperplanes()
     scaled = embeddings.withColumn("sv", _scaled_embedding())
@@ -165,7 +160,17 @@ def q_sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         for i, plane in enumerate(planes)
     )
-    signed = scaled.withColumn("bucket", signature)
+    return scaled.withColumn("bucket", signature)
+
+
+def q_sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN top-k via random-hyperplane LSH buckets.
+
+    Vectors sharing a bucket are candidates (equi-join on the bucket
+    key); exact cosine then ranks within bucket.  Approximate vs brute
+    force by construction — recall is asserted in tests.
+    """
+    signed = _signed_embeddings(spark, sf_dir)
     queries = signed.filter(F.col("vec_id") < NUM_QUERY_VECTORS).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("q_emb"),
@@ -191,6 +196,47 @@ def q_sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         scored.withColumn("sim_rank", F.row_number().over(w))
         .filter(F.col("sim_rank") <= TOP_K)
+    )
+
+
+def q_sim_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs, LSH-bucketed — the scale path the
+    guarded all-pairs baseline points at.
+
+    Candidate pairs come from an equi-join on the bucket key (near-
+    identical vectors land in the same sign-bit bucket with high
+    probability), then exact cosine filters at NEARDUP_COSINE.  At 10¹⁰
+    vectors the join touches only same-bucket pairs — candidate volume is
+    governed by the signature width, not N².  Recall vs the exact
+    baseline is pinned in tests; the DuckDB oracle replays the identical
+    bucket assignment, so the whole pipeline hash-matches.
+    """
+    signed = _signed_embeddings(spark, sf_dir)
+    side = signed.select(
+        F.col("vec_id"),
+        F.col("embedding"),
+        _norm(F.col("embedding")).alias("nrm"),
+        "bucket",
+    )
+    a = side.select(
+        F.col("vec_id").alias("vec_id_a"),
+        F.col("embedding").alias("emb_a"),
+        F.col("nrm").alias("norm_a"),
+        "bucket",
+    )
+    b = side.select(
+        F.col("vec_id").alias("vec_id_b"),
+        F.col("embedding").alias("emb_b"),
+        F.col("nrm").alias("norm_b"),
+        "bucket",
+    )
+    cosine = _dot(F.col("emb_a"), F.col("emb_b")) / (F.col("norm_a") * F.col("norm_b"))
+    return (
+        a.join(b, "bucket")
+        .filter(F.col("vec_id_a") < F.col("vec_id_b"))
+        .withColumn("similarity", F.round(cosine, 4))
+        .filter(F.col("similarity") >= NEARDUP_COSINE)
+        .select("vec_id_a", "vec_id_b", "similarity")
     )
 
 
@@ -273,24 +319,28 @@ def q_sim_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _ann_lsh_oracle_sql() -> str:
-    """DuckDB oracle for the full LSH pipeline: same integer planes, same
-    floor-scaled embedding grid, so signature bits — and therefore buckets,
-    candidates, and ranks — are bit-identical to the Spark side."""
+def _lsh_sig_cte() -> str:
+    """Shared oracle CTE: per-vector norm + LSH bucket from the same
+    integer planes and floor-scaled grid the Spark side uses, so signature
+    bits — and therefore buckets and candidates — are bit-identical."""
     bucket_expr = " + ".join(
         f"(CASE WHEN list_dot_product(sv, {plane}::DOUBLE[]) >= 0 "
         f"THEN {1 << i} ELSE 0 END)"
         for i, plane in enumerate(_int_hyperplanes())
     )
-    return f"""
-        WITH e AS (
+    return f"""e AS (
             SELECT vec_id, embedding::DOUBLE[] AS v,
                    sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm,
                    list_transform(embedding::DOUBLE[], x -> floor(x * {EMB_SCALE})) AS sv
             FROM embeddings
         ), sig AS (
             SELECT vec_id, v, nrm, {bucket_expr} AS bucket FROM e
-        ), scored AS (
+        )"""
+
+
+def _ann_lsh_oracle_sql() -> str:
+    return f"""
+        WITH {_lsh_sig_cte()}, scored AS (
             SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
                    ROUND(list_dot_product(q.v, c.v) / (q.nrm * c.nrm), 4) AS similarity
             FROM sig q JOIN sig c ON q.bucket = c.bucket
@@ -307,6 +357,7 @@ def _ann_lsh_oracle_sql() -> str:
 QUERIES = {
     "sim_topk_bruteforce": q_sim_topk_bruteforce,
     "sim_neardup_pairs_baseline": q_sim_neardup_pairs_baseline,
+    "sim_neardup_lsh": q_sim_neardup_lsh,
     "sim_ann_lsh": q_sim_ann_lsh,
     "sim_ivf_topk": q_sim_ivf_topk,
     "sim_label_centroids": q_sim_label_centroids,
@@ -391,8 +442,15 @@ ORACLES = {
             FROM scored
         ) WHERE sim_rank <= {TOP_K}
     """,
-    # sim_ann_lsh: fully oracle-checked — integer-grid planes over the
+    # LSH entries fully oracle-checked — integer-grid planes over the
     # floor-scaled embedding make bucket sign bits exact in both engines
     # (see _int_hyperplanes); no float-ulp bucket flips possible.
     "sim_ann_lsh": _ann_lsh_oracle_sql(),
+    "sim_neardup_lsh": f"""
+        WITH {_lsh_sig_cte()}
+        SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b,
+               ROUND(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 4) AS similarity
+        FROM sig a JOIN sig b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+        WHERE ROUND(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 4) >= {NEARDUP_COSINE}
+    """,
 }

@@ -71,6 +71,44 @@ def test_ivf_recall_against_bruteforce(spark, sf_dir, exact_topk):
     assert sum(recalls) / len(recalls) >= 0.3, f"IVF recalls {recalls}"
 
 
+def test_neardup_lsh_finds_planted_pairs(spark, tmp_path):
+    """The shipped corpus has no cosine ≥ 0.8 pairs (both near-dup ops
+    correctly return empty there), so detection power is pinned on a
+    planted fixture: near-identical vectors must be found by the
+    LSH-bucketed path, and its pair set must equal the exact baseline's."""
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.RandomState(7)
+    base = rng.standard_normal((20, 64)).astype("float32")
+    vectors = list(base)
+    # Plant 5 near-duplicates of the first 5 vectors (tiny perturbation).
+    for i in range(5):
+        vectors.append((base[i] + 0.01 * rng.standard_normal(64)).astype("float32"))
+    pdf = pd.DataFrame(
+        {
+            "vec_id": range(len(vectors)),
+            "embedding": [v.tolist() for v in vectors],
+            "label": [0] * len(vectors),
+        }
+    )
+    path = tmp_path / "embeddings.parquet"
+    pdf.to_parquet(path)
+
+    lsh = {
+        (r.vec_id_a, r.vec_id_b)
+        for r in S.q_sim_neardup_lsh(spark, str(tmp_path)).collect()
+    }
+    exact = {
+        (r.vec_id_a, r.vec_id_b)
+        for r in S.q_sim_neardup_pairs_baseline(spark, str(tmp_path)).collect()
+    }
+    planted = {(i, 20 + i) for i in range(5)}
+    assert planted <= exact  # perturbed copies really are cosine ≥ 0.8
+    assert planted <= lsh, f"LSH missed planted pairs: {planted - lsh}"
+    assert lsh <= exact  # LSH can only miss, never invent
+
+
 def test_all_pairs_baseline_refuses_large_corpora(spark, sf_dir, monkeypatch):
     monkeypatch.setattr(S, "ALL_PAIRS_MAX_VECTORS", 10)
     with pytest.raises(ValueError, match="all-pairs"):
