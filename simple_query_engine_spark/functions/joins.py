@@ -19,24 +19,36 @@ def salted_join(
     key: str,
     salt_buckets: int = 8,
     how: str = "inner",
+    salt_cols: list[str] | None = None,
 ) -> DataFrame:
     """Equi-join where ``skewed`` has hot keys: salt the skewed side,
     replicate the other side once per salt bucket.
 
-    The skewed side gets a deterministic salt derived from its full row
-    hash (``xxhash64(*)`` mod buckets — deterministic for retries, unlike
+    The skewed side gets a deterministic salt derived from a row hash
+    (``xxhash64`` mod buckets — deterministic for retries, unlike
     rand()); the small side is exploded ×``salt_buckets``.  The shuffle key
     becomes (key, salt), spreading each hot key over ``salt_buckets``
     reducers.  Replication cost is |small| × buckets, so the replicated
     side must be the moderate one — for a truly tiny side you'd broadcast
     instead and need no salt at all.
+
+    ``salt_cols`` picks the columns hashed for the salt.  Default is every
+    column (always valid), but that forces the scan to read the whole row
+    just to salt it — pass a small set of per-row-varying columns (e.g.
+    the key plus a line number) to keep column pruning effective.  Any
+    choice is *correct* — the join result is salt-invariant because the
+    replicated side matches every bucket — salt quality only affects how
+    evenly a hot key spreads.
     """
     if how not in ("inner", "left", "left_outer", "leftouter", "left_semi", "leftsemi"):
         # Replicating the right side breaks right/full-outer semantics: an
         # unmatched right key would surface once per salt bucket.
         raise ValueError(f"salted_join supports inner/left joins, not {how!r}")
     salted_left = skewed.withColumn(
-        "_salt", F.pmod(F.xxhash64(*skewed.columns), F.lit(salt_buckets)).cast("int")
+        "_salt",
+        F.pmod(
+            F.xxhash64(*(salt_cols or skewed.columns)), F.lit(salt_buckets)
+        ).cast("int"),
     )
     replicated_right = small.withColumn(
         "_salt",

@@ -153,7 +153,15 @@ def q_join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     orders = table(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
     return (
-        salted_join(lineitem, orders, "o_orderkey", salt_buckets=8)
+        salted_join(
+            lineitem,
+            orders,
+            "o_orderkey",
+            salt_buckets=8,
+            # Key + line number vary per row and are already read — the
+            # salt costs no extra scan columns (pruning stays effective).
+            salt_cols=["o_orderkey", "l_linenumber"],
+        )
         .groupBy("o_orderpriority")
         .agg(
             F.count(F.lit(1)).alias("n_items"),
