@@ -1,10 +1,12 @@
 """Driver-contract wrappers for the streaming slice.
 
-``stream_tumbling_counts`` runs the REAL Structured Streaming pipeline
-(readStream → watermark → availableNow → memory sink) — on static input its
+``stream_tumbling_counts`` / ``stream_sliding_counts`` /
+``stream_session_counts`` run the REAL Structured Streaming pipeline
+(readStream → watermark → availableNow → memory sink) — on static input the
 result equals the batch window aggregation, which is what the DuckDB oracle
-expresses.  Sliding and session windows use the same window operators in
-batch mode (their streaming execution is covered in tests/test_streaming.py).
+expresses.  The ``window_*`` twins run the same window operators in batch
+mode; late-data and multi-batch watermark behavior is pinned in
+tests/test_streaming.py.
 """
 
 from __future__ import annotations
@@ -17,6 +19,8 @@ from simple_query_engine_spark.sources.catalog import table
 from simple_query_engine_spark.streaming.stateful import run_stateful_user_profiles
 from simple_query_engine_spark.streaming.windows import (
     run_stream_stream_join,
+    run_streaming_session_counts,
+    run_streaming_sliding_counts,
     run_streaming_tumbling_counts,
     session_window_counts,
     sliding_window_counts,
@@ -42,6 +46,18 @@ def q_window_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     return session_window_counts(table(spark, sf_dir, "events"))
 
 
+def q_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return run_streaming_sliding_counts(
+        spark, os.path.join(sf_dir, "events.parquet")
+    )
+
+
+def q_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return run_streaming_session_counts(
+        spark, os.path.join(sf_dir, "events.parquet")
+    )
+
+
 def q_stream_stateful_profiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful operator (applyInPandasWithState): per-user running
     profile.  Single-batch replay ⇒ final state equals the batch aggregate,
@@ -57,6 +73,8 @@ def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES = {
     "stream_tumbling_counts": q_stream_tumbling,
+    "stream_sliding_counts": q_stream_sliding,
+    "stream_session_counts": q_stream_session,
     "stream_stateful_profiles": q_stream_stateful_profiles,
     "stream_stream_join": q_stream_stream_join,
     "window_tumbling_counts": q_batch_tumbling,
@@ -75,8 +93,43 @@ _TUMBLING_SQL = """
     FROM events GROUP BY 1, 2
 """
 
+_SLIDING_SQL = """
+    WITH starts AS (
+        SELECT event_type,
+               CAST(floor(epoch(ts) / 1800) * 1800 AS BIGINT) - offs AS window_start
+        FROM events, unnest([0, 1800]) AS t(offs)
+    )
+    SELECT window_start, event_type, COUNT(*) AS event_count
+    FROM starts GROUP BY 1, 2
+"""
+
+_SESSION_SQL = """
+    -- Spark's session window is end-exclusive [start, last+gap): an
+    -- event exactly gap seconds after the previous one starts a NEW
+    -- session, hence >= (not >) in the boundary test.
+    WITH marked AS (
+        SELECT user_id, ts,
+               CASE WHEN epoch(ts) - epoch(LAG(ts) OVER w) >= 600
+                     OR LAG(ts) OVER w IS NULL
+                    THEN 1 ELSE 0 END AS is_new
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ), sessions AS (
+        SELECT user_id, ts,
+               SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        FROM marked
+    )
+    SELECT CAST(floor(epoch(MIN(ts))) AS BIGINT) AS session_start,
+           user_id,
+           COUNT(*) AS event_count
+    FROM sessions GROUP BY session_id, user_id
+"""
+
 ORACLES = {
     "stream_tumbling_counts": _TUMBLING_SQL,
+    "stream_sliding_counts": _SLIDING_SQL,
+    "stream_session_counts": _SESSION_SQL,
     "stream_stateful_profiles": """
         SELECT user_id,
                COUNT(*) AS event_count,
@@ -97,35 +150,6 @@ ORACLES = {
          AND p.ts <= c.ts + INTERVAL 1 HOUR
     """,
     "window_tumbling_counts": _TUMBLING_SQL,
-    "window_sliding_counts": """
-        WITH starts AS (
-            SELECT event_type,
-                   CAST(floor(epoch(ts) / 1800) * 1800 AS BIGINT) - offs AS window_start
-            FROM events, unnest([0, 1800]) AS t(offs)
-        )
-        SELECT window_start, event_type, COUNT(*) AS event_count
-        FROM starts GROUP BY 1, 2
-    """,
-    "window_session_counts": """
-        -- Spark's session window is end-exclusive [start, last+gap): an
-        -- event exactly gap seconds after the previous one starts a NEW
-        -- session, hence >= (not >) in the boundary test.
-        WITH marked AS (
-            SELECT user_id, ts,
-                   CASE WHEN epoch(ts) - epoch(LAG(ts) OVER w) >= 600
-                         OR LAG(ts) OVER w IS NULL
-                        THEN 1 ELSE 0 END AS is_new
-            FROM events
-            WINDOW w AS (PARTITION BY user_id ORDER BY ts)
-        ), sessions AS (
-            SELECT user_id, ts,
-                   SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
-                                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
-            FROM marked
-        )
-        SELECT CAST(floor(epoch(MIN(ts))) AS BIGINT) AS session_start,
-               user_id,
-               COUNT(*) AS event_count
-        FROM sessions GROUP BY session_id, user_id
-    """,
+    "window_sliding_counts": _SLIDING_SQL,
+    "window_session_counts": _SESSION_SQL,
 }

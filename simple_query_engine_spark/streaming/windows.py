@@ -176,21 +176,21 @@ def run_stream_stream_join(
     return spark.table(sink_name)
 
 
-def run_streaming_tumbling_counts(
+def _run_windowed_stream(
     spark: SparkSession,
     events_path: str,
+    window_fn,
+    sink_prefix: str,
     max_files_per_trigger: int | None = None,
 ) -> DataFrame:
-    """True Structured Streaming run of :func:`tumbling_window_counts`.
-
-    ``readStream`` (schema from a batch peek) → watermark → windowed agg →
-    ``availableNow`` into a memory sink; returns the sink table.  With
-    ``max_files_per_trigger`` the static input replays as multiple
-    micro-batches, driving the watermark (used by the late-data test).
-    """
+    """Shared Structured Streaming harness: ``readStream`` (schema from a
+    batch peek) → watermark → ``window_fn`` agg → ``availableNow`` into a
+    memory sink; returns the sink table.  With ``max_files_per_trigger``
+    the static input replays as multiple micro-batches, driving the
+    watermark (used by the late-data test)."""
     stream = read_event_stream(spark, events_path, max_files_per_trigger)
-    windowed = tumbling_window_counts(stream.withWatermark("ts", WATERMARK))
-    sink_name = f"tumbling_{uuid.uuid4().hex[:8]}"
+    windowed = window_fn(stream.withWatermark("ts", WATERMARK))
+    sink_name = f"{sink_prefix}_{uuid.uuid4().hex[:8]}"
     checkpoint = os.path.join(tempfile.gettempdir(), f"ckpt_{sink_name}")
     query = (
         windowed.writeStream.format("memory")
@@ -202,3 +202,30 @@ def run_streaming_tumbling_counts(
     )
     query.awaitTermination()
     return spark.table(sink_name)
+
+
+def run_streaming_tumbling_counts(
+    spark: SparkSession,
+    events_path: str,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """True Structured Streaming run of :func:`tumbling_window_counts`."""
+    return _run_windowed_stream(
+        spark, events_path, tumbling_window_counts, "tumbling", max_files_per_trigger
+    )
+
+
+def run_streaming_sliding_counts(
+    spark: SparkSession, events_path: str
+) -> DataFrame:
+    """True Structured Streaming run of :func:`sliding_window_counts` —
+    overlapping window state (each event lives in 2 windows)."""
+    return _run_windowed_stream(spark, events_path, sliding_window_counts, "sliding")
+
+
+def run_streaming_session_counts(
+    spark: SparkSession, events_path: str
+) -> DataFrame:
+    """True Structured Streaming run of :func:`session_window_counts` —
+    merging session-window state per user."""
+    return _run_windowed_stream(spark, events_path, session_window_counts, "session")
