@@ -79,11 +79,85 @@ def q_events_partition_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _roundtrip_path(sf_dir: str, fmt: str) -> str:
+    source = os.path.join(sf_dir, "events.parquet")
+    tag = f"{os.path.basename(os.path.normpath(sf_dir))}_{os.path.getsize(source)}"
+    return os.path.join(tempfile.gettempdir(), f"sqe_events_{fmt}_{tag}")
+
+
+def _events_for_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Events projected to roundtrip-stable types (timestamps as epoch
+    longs — JSON/CSV have no canonical timestamp encoding; the epoch long
+    survives any text format bit-exactly)."""
+    return table(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.col("ts").cast("long").alias("ts_epoch"),
+        "value",
+        "user_id",
+    )
+
+
+def _roundtrip_aggregate(df: DataFrame) -> DataFrame:
+    return df.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("event_id").alias("id_sum"),
+        F.min("ts_epoch").alias("first_epoch"),
+        F.max("ts_epoch").alias("last_epoch"),
+        F.round(F.sum("value"), 4).alias("total_value"),
+    )
+
+
+def q_source_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events → JSON sink → JSON source (schema inference) → aggregate.
+
+    The oracle runs the same aggregate on the ORIGINAL parquet, so a green
+    row proves the JSON write+read is lossless for these types.  The JSON
+    source shares the scan machinery of every file source (splits,
+    projection); schema inference samples the files like the reference's
+    CSV type sniffing (reference ``src/table.rs:111-136``) but per-column
+    over the whole sample.
+    """
+    path = _roundtrip_path(sf_dir, "json")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        _events_for_roundtrip(spark, sf_dir).write.mode("overwrite").json(path)
+    return _roundtrip_aggregate(spark.read.json(path))
+
+
+def q_source_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events → CSV sink (header) → CSV source (header + inferSchema) →
+    aggregate; oracle on the original parquet proves losslessness.  This
+    is the reference's own load contract (header row, per-column type
+    inference) exercised at catalog scale."""
+    path = _roundtrip_path(sf_dir, "csv")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        _events_for_roundtrip(spark, sf_dir).write.mode("overwrite").option(
+            "header", True
+        ).csv(path)
+    df = spark.read.option("header", True).option("inferSchema", True).csv(path)
+    return _roundtrip_aggregate(df)
+
+
 QUERIES = {
     "events_partition_prune": q_events_partition_prune,
+    "source_json_roundtrip": q_source_json_roundtrip,
+    "source_csv_roundtrip": q_source_csv_roundtrip,
 }
 
+_ROUNDTRIP_ORACLE = """
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(event_id) AS BIGINT) AS id_sum,
+           CAST(floor(epoch(MIN(ts))) AS BIGINT) AS first_epoch,
+           CAST(floor(epoch(MAX(ts))) AS BIGINT) AS last_epoch,
+           ROUND(SUM(value), 4) AS total_value
+    FROM events
+    GROUP BY event_type
+"""
+
 ORACLES = {
+    "source_json_roundtrip": _ROUNDTRIP_ORACLE,
+    "source_csv_roundtrip": _ROUNDTRIP_ORACLE,
     "events_partition_prune": f"""
         SELECT event_type,
                COUNT(*) AS n_events,
