@@ -126,15 +126,17 @@ def _jaccard_pairs(shingles: DataFrame) -> DataFrame:
 
     Set sizes ride along on each shingle row via a count window over
     doc_id — the window reuses the partitioning the shingle stage already
-    has (no extra exchange), and it removes the two separate size-lookup
-    join legs a naive plan needs (4 recomputations of the shingle subtree
-    → 2, and two fewer join shuffles).
+    has (no extra exchange when defaultParallelism == shuffle.partitions),
+    and it removes the two separate size-lookup join legs a naive plan
+    needs.  The windowed table is cached so the self-join's two legs read
+    one materialization instead of recomputing the cap anti-join + window
+    per side.
     """
     from pyspark.sql.window import Window
 
     shingles = shingles.withColumn(
         "set_size", F.count(F.lit(1)).over(Window.partitionBy("doc_id"))
-    )
+    ).cache()
     left = shingles.alias("a")
     right = shingles.alias("b")
     pairs = (
