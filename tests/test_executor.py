@@ -115,3 +115,87 @@ def test_cross_type_literal_matches_nothing(df):
 def test_string_column_integer_like_literal(df):
     # Against a string column the literal stays a string.
     assert bag(execute(parse('PROJECT rank FILTER name = "a"'), df)) == [(1,)]
+
+
+# ---------------------------------------------------------------------------
+# Differential property test: random queries vs an independent Python model
+# of the declared semantics (SURVEY §7.1) — filter-before-project, literals
+# typed by the COLUMN's type with match-nothing for unrepresentable forms,
+# results compared as bags.
+# ---------------------------------------------------------------------------
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_MODEL_ROWS = [
+    ("a", 1, 10),
+    ("b", 2, 20),
+    ("c", 2, 20),
+    ("d", 3, 30),
+    ("e", 5, 50),
+    ("f", 1, 10),
+    ("1", 4, 40),   # digit-like string value
+    ("", 0, 0),     # empty string + column minimum
+]
+_MODEL_COLS = {"name": str, "rank": int, "score": int}
+
+_LITERALS = st.sampled_from(
+    # present values, absent values, and forms Python parses but the
+    # literal grammar must reject
+    ["a", "e", "zz", "1", "2", "0", "-1", "99", "1_2", "+5", "nan", '"2"', '"a"']
+)
+
+
+def _model_literal(text: str, col_type):
+    import re
+
+    if text.startswith('"') and text.endswith('"') and len(text) >= 2:
+        text = text[1:-1]  # parser strips quotes before typing
+    if col_type is int:
+        return int(text) if re.fullmatch(r"-?\d+", text) else None
+    return text
+
+
+def _model_execute(project, filt):
+    rows = _MODEL_ROWS
+    if filt is not None:
+        col, op, raw = filt
+        idx = list(_MODEL_COLS).index(col)
+        lit = _model_literal(raw, _MODEL_COLS[col])
+        if lit is None:
+            rows = []
+        elif op == "=":
+            rows = [r for r in rows if r[idx] == lit]
+        else:
+            rows = [r for r in rows if r[idx] > lit]
+    out_idx = [list(_MODEL_COLS).index(c) for c in project]
+    return sorted(tuple(r[i] for i in out_idx) for r in rows)
+
+
+@pytest.fixture(scope="module")
+def prop_df(spark):
+    return spark.createDataFrame(_MODEL_ROWS, list(_MODEL_COLS))
+
+
+@given(
+    project=st.lists(st.sampled_from(list(_MODEL_COLS)), min_size=1, max_size=4),
+    filt=st.one_of(
+        st.none(),
+        st.tuples(
+            st.sampled_from(list(_MODEL_COLS)),
+            st.sampled_from(["=", ">"]),
+            _LITERALS,
+        ),
+    ),
+)
+@settings(
+    max_examples=40,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_executor_matches_reference_model(prop_df, project, filt):
+    query = "PROJECT " + ", ".join(project)
+    if filt is not None:
+        query += f" FILTER {filt[0]} {filt[1]} {filt[2]}"
+    got = bag(execute(parse(query), prop_df))
+    assert got == _model_execute(project, filt), query
