@@ -10,6 +10,13 @@ shuffle — state volume is O(distinct users), not O(events); the state store
 checkpoints incrementally.  With a watermark-driven timeout
 (``GroupStateTimeout.EventTimeTimeout``) idle users' state would be evicted;
 kept ``NoTimeout`` here because the replay is finite.
+
+(Spark 4's successor API, ``transformWithStateInPandas`` +
+``StatefulProcessor``/ValueState, was evaluated but its Python driver
+worker requires ``google.protobuf``, which this environment does not ship
+— verified failing with STREAMING_PYTHON_RUNNER_INITIALIZATION_FAILURE —
+so the stable ``applyInPandasWithState`` API carries the custom-state
+exhibit.)
 """
 
 from __future__ import annotations
