@@ -77,8 +77,10 @@ def _predicate(filter_: Filter, df: DataFrame) -> Column:
 # trailing whitespace.  Those must fall through to the match-nothing path,
 # so numeric literals are validated against a strict digits-only shape
 # first (optional leading '-', optional fraction/exponent for floats).
-_INT_LITERAL = re.compile(r"-?\d+\Z")
-_FLOAT_LITERAL = re.compile(r"-?(\d+(\.\d*)?|\.\d+)([eE][+-]?\d+)?\Z")
+# re.ASCII: \d must mean [0-9] only — Unicode digits ('١٢') would slip
+# through to int()/float(), which happily parse them.
+_INT_LITERAL = re.compile(r"-?\d+\Z", re.ASCII)
+_FLOAT_LITERAL = re.compile(r"-?(\d+(\.\d*)?|\.\d+)([eE][+-]?\d+)?\Z", re.ASCII)
 
 
 def _type_literal(text: str, data_type: T.DataType):

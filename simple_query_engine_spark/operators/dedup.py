@@ -130,7 +130,8 @@ def _jaccard_pairs(shingles: DataFrame) -> DataFrame:
     and it removes the two separate size-lookup join legs a naive plan
     needs.  The windowed table is cached so the self-join's two legs read
     one materialization instead of recomputing the cap anti-join + window
-    per side.
+    per side.  (Like ``_shingles``, the cache is deliberately left for the
+    session — load-once/query-many; Spark evicts LRU under pressure.)
     """
     from pyspark.sql.window import Window
 
@@ -415,6 +416,12 @@ def _propagate_labels(
     data never leaves the executors.
     """
     spark = edges.sparkSession
+    # Materialize the edge list (and everything cached upstream of it —
+    # shingle/window caches) BEFORE snapshotting persistent-RDD ids:
+    # otherwise the first eager checkpoint is what materializes those
+    # caches, their ids land in the round's id-diff, and the end-of-round
+    # sweep would unpersist caches later rounds still read.
+    edges.count()
     before_ids = _persistent_rdd_ids(spark)
     labels = (
         edges.select(F.col("src").alias("doc_id"))

@@ -98,11 +98,12 @@ def q_sim_neardup_pairs_baseline(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidates) and :func:`q_sim_ivf_topk` (nprobe-bounded search).
     """
     embeddings = table(spark, sf_dir, "embeddings")
-    n_vectors = embeddings.count()
-    if n_vectors > ALL_PAIRS_MAX_VECTORS:
+    # Bounded probe: scan at most MAX+1 rows to decide, so the guard's own
+    # cost stays constant no matter how big the corpus is.
+    if embeddings.limit(ALL_PAIRS_MAX_VECTORS + 1).count() > ALL_PAIRS_MAX_VECTORS:
         raise ValueError(
             f"sim_neardup_pairs_baseline is an all-pairs O(N²) check, "
-            f"refused for {n_vectors} > {ALL_PAIRS_MAX_VECTORS} vectors — "
+            f"refused above {ALL_PAIRS_MAX_VECTORS} vectors — "
             "use sim_ann_lsh (LSH-bucketed) or sim_ivf_topk instead"
         )
     a = _with_norm(embeddings, "vec_id_a", "emb_a", "norm_a")

@@ -35,12 +35,17 @@ PRUNE_WEEK_START = "2024-01-08"
 PRUNE_WEEK_END = "2024-01-14"
 
 
-def _partitioned_events_path(sf_dir: str) -> str:
-    """Deterministic per-scale cache path; the source file's size is part
-    of the tag so a regenerated testdata set invalidates the copy."""
+def events_cache_path(sf_dir: str, prefix: str) -> str:
+    """Deterministic per-scale cache path for derived copies of the events
+    table; the source file's size is part of the tag so a regenerated
+    testdata set invalidates every derived copy."""
     source = os.path.join(sf_dir, "events.parquet")
     tag = f"{os.path.basename(os.path.normpath(sf_dir))}_{os.path.getsize(source)}"
-    return os.path.join(tempfile.gettempdir(), f"sqe_events_by_day_{tag}")
+    return os.path.join(tempfile.gettempdir(), f"sqe_events_{prefix}_{tag}")
+
+
+def _partitioned_events_path(sf_dir: str) -> str:
+    return events_cache_path(sf_dir, "by_day")
 
 
 def partitioned_events(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -80,9 +85,7 @@ def q_events_partition_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _roundtrip_path(sf_dir: str, fmt: str) -> str:
-    source = os.path.join(sf_dir, "events.parquet")
-    tag = f"{os.path.basename(os.path.normpath(sf_dir))}_{os.path.getsize(source)}"
-    return os.path.join(tempfile.gettempdir(), f"sqe_events_{fmt}_{tag}")
+    return events_cache_path(sf_dir, fmt)
 
 
 def _events_for_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:

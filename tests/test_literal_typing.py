@@ -59,6 +59,8 @@ def test_python_permissive_numeric_forms_are_rejected():
     '1_2' is NOT 12, '+5' is NOT 5, 'nan'/'inf' are not column values."""
     assert _type_literal("1_2", T.LongType()) is None
     assert _type_literal("+5", T.LongType()) is None
+    assert _type_literal("١٢", T.LongType()) is None  # Unicode digits
+    assert _type_literal("١٢.٥", T.DoubleType()) is None
     assert _type_literal(" 5", T.LongType()) is None
     assert _type_literal("5 ", T.LongType()) is None
     for bad in ("nan", "NaN", "inf", "Infinity", "-inf", "+5.0", "1_000.5", " 1.5"):

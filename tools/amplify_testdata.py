@@ -81,8 +81,16 @@ def amplify_dir(spark: SparkSession, sf_dir: str, k: int, dst_dir: str) -> str:
 
 
 def ensure_amplified(spark: SparkSession, sf_dir: str, k: int) -> str:
-    """Amplified copy under the system temp dir, built once per (sf, k)."""
-    tag = os.path.basename(os.path.normpath(sf_dir))
+    """Amplified copy under the system temp dir, built once per (sf, k,
+    source contents) — total source byte size is part of the tag, so a
+    regenerated testdata set invalidates the amplified copy instead of
+    silently benchmarking stale data."""
+    total_bytes = sum(
+        os.path.getsize(os.path.join(sf_dir, f"{name}.parquet"))
+        for name in TABLE_NAMES
+        if os.path.exists(os.path.join(sf_dir, f"{name}.parquet"))
+    )
+    tag = f"{os.path.basename(os.path.normpath(sf_dir))}_{total_bytes}"
     dst = os.path.join(tempfile.gettempdir(), f"sqe_amplified_{tag}_x{k}")
     return amplify_dir(spark, sf_dir, k, dst)
 
