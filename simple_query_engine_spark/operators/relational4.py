@@ -71,11 +71,37 @@ def q_window_value_picks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-typed column operations: per-document word-count map built with
+    ``map_from_entries`` over grouped counts, then ``element_at`` lookup and
+    ``map_keys`` cardinality.  The map stays an intermediate (engines render
+    map values differently); the projected lookups are engine-portable.
+    The DuckDB oracle computes the same answers WITHOUT a map type — a
+    deliberately different formulation."""
+    from simple_query_engine_spark.operators.text import _normalized
+
+    documents = table(spark, sf_dir, "documents")
+    words = documents.select(
+        "doc_id",
+        F.explode(F.split(_normalized(F.col("text")), " ")).alias("word"),
+    )
+    counts = words.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("cnt"))
+    wc_map = counts.groupBy("doc_id").agg(
+        F.map_from_entries(F.collect_list(F.struct("word", "cnt"))).alias("wc")
+    )
+    return wc_map.select(
+        "doc_id",
+        F.coalesce(F.element_at(F.col("wc"), "the"), F.lit(0)).alias("the_count"),
+        F.size(F.map_keys(F.col("wc"))).alias("distinct_words"),
+    )
+
+
 QUERIES = {
     "conditional_funcs": q_conditional_funcs,
     "bitwise_funcs": q_bitwise_funcs,
     "regexp_count_funcs": q_regexp_count_funcs,
     "window_value_picks": q_window_value_picks,
+    "map_funcs": q_map_funcs,
 }
 
 ORACLES = {
@@ -110,5 +136,16 @@ ORACLES = {
         FROM orders
         WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
                      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+    "map_funcs": """
+        WITH words AS (
+            SELECT doc_id,
+                   unnest(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS word
+            FROM documents
+        )
+        SELECT doc_id,
+               CAST(COALESCE(SUM(CASE WHEN word = 'the' THEN 1 END), 0) AS BIGINT) AS the_count,
+               CAST(COUNT(DISTINCT word) AS INT) AS distinct_words
+        FROM words GROUP BY doc_id
     """,
 }
