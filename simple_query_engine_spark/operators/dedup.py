@@ -487,20 +487,9 @@ def _propagate_labels(
     return labels, rounds
 
 
-def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Transitive near-dup clusters: connected components over the Jaccard
-    pair graph via iterative min-label propagation with pointer doubling
-    (see ``_propagate_labels`` for the convergence + caching story).
-
-    Pair-dropping (pipeline_corpus_curation) removes the higher id of each
-    pair; for chains a ⇔ b ⇔ c that can orphan or double-keep — the correct
-    semantics is one survivor per *component*.  Iterative ⇒ not
-    SQL-expressible round-by-round, but the *fixpoint* is: the DuckDB
-    oracle computes the same relation via a recursive-CTE transitive
-    closure, and equality with a union-find ground truth is pinned in
-    tests.
-    """
-    pairs = q_dedup_ngram_jaccard(spark, sf_dir).select("doc_id_a", "doc_id_b")
+def _cluster_components(pairs: DataFrame) -> DataFrame:
+    """Connected components over a (doc_id_a, doc_id_b) pair list →
+    (cluster_id, cluster_size, keep_doc_id)."""
     edges = (
         pairs.union(
             pairs.select(
@@ -523,9 +512,38 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive near-dup clusters: connected components over the EXACT
+    Jaccard pair graph via iterative min-label propagation with pointer
+    doubling (see ``_propagate_labels`` for the convergence + caching
+    story).
+
+    Pair-dropping (pipeline_corpus_curation) removes the higher id of each
+    pair; for chains a ⇔ b ⇔ c that can orphan or double-keep — the correct
+    semantics is one survivor per *component*.  Iterative ⇒ not
+    SQL-expressible round-by-round, but the *fixpoint* is: the DuckDB
+    oracle computes the same relation via a recursive-CTE transitive
+    closure, and equality with a union-find ground truth is pinned in
+    tests.
+    """
+    pairs = q_dedup_ngram_jaccard(spark, sf_dir).select("doc_id_a", "doc_id_b")
+    return _cluster_components(pairs)
+
+
+def q_dedup_clusters_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the MinHash-LSH pair graph — the 100 TB
+    cluster path end-to-end: bucketed candidate generation feeds the same
+    pointer-doubling propagation, so no stage of the composition is
+    quadratic in the corpus.  Oracle: recursive-CTE closure over the same
+    LSH pair SQL."""
+    pairs = q_dedup_minhash_lsh(spark, sf_dir).select("doc_id_a", "doc_id_b")
+    return _cluster_components(pairs)
+
+
 QUERIES = {
     "dedup_exact": q_dedup_exact,
     "dedup_clusters": q_dedup_clusters,
+    "dedup_clusters_lsh": q_dedup_clusters_lsh,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_simhash": q_dedup_simhash,
@@ -610,25 +628,15 @@ def _minhash_oracle_sql() -> str:
     """
 
 
-def _clusters_oracle_sql() -> str:
-    """DuckDB oracle for connected components: recursive transitive closure
-    over the Jaccard pair graph; a node's cluster id is the minimum node it
-    can reach.  (The Spark side iterates label propagation — a different
-    algorithm for the same relation, which is exactly what an oracle should
-    be.)"""
+def _closure_sql(near_sql: str) -> str:
+    """DuckDB oracle for connected components over any (ida, idb) pair
+    source: recursive transitive closure; a node's cluster id is the
+    minimum node it can reach.  (The Spark side iterates label
+    propagation — a different algorithm for the same relation, which is
+    exactly what an oracle should be.)"""
     return f"""
-        WITH RECURSIVE {_SH_CTES}, sizes AS (
-            SELECT doc_id, COUNT(*) AS set_size FROM sh GROUP BY doc_id
-        ), pairs AS (
-            SELECT a.doc_id AS ida, b.doc_id AS idb, COUNT(*) AS common
-            FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-            GROUP BY 1, 2
-        ), near AS (
-            SELECT ida, idb FROM pairs
-            JOIN sizes sa ON ida = sa.doc_id
-            JOIN sizes sb ON idb = sb.doc_id
-            WHERE ROUND(common * 1.0 / (sa.set_size + sb.set_size - common), 4)
-                  >= {JACCARD_THRESHOLD}
+        WITH RECURSIVE near AS (
+            {near_sql}
         ), edges AS (
             SELECT ida AS src, idb AS dst FROM near
             UNION SELECT idb, ida FROM near
@@ -705,9 +713,29 @@ def _simhash_oracle_sql() -> str:
     """
 
 
+# Exact-Jaccard pair source for the closure oracle (same capped-shingle
+# semantics as the Spark side).
+_NGRAM_NEAR_SQL = f"""
+            WITH {_SH_CTES}, sizes AS (
+                SELECT doc_id, COUNT(*) AS set_size FROM sh GROUP BY doc_id
+            ), pairs AS (
+                SELECT a.doc_id AS ida, b.doc_id AS idb, COUNT(*) AS common
+                FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                GROUP BY 1, 2
+            )
+            SELECT ida, idb FROM pairs
+            JOIN sizes sa ON ida = sa.doc_id
+            JOIN sizes sb ON idb = sb.doc_id
+            WHERE ROUND(common * 1.0 / (sa.set_size + sb.set_size - common), 4)
+                  >= {JACCARD_THRESHOLD}
+"""
+
 ORACLES = {
     "dedup_minhash_lsh": _minhash_oracle_sql(),
-    "dedup_clusters": _clusters_oracle_sql(),
+    "dedup_clusters": _closure_sql(_NGRAM_NEAR_SQL),
+    "dedup_clusters_lsh": _closure_sql(
+        f"SELECT doc_id_a AS ida, doc_id_b AS idb FROM ({_minhash_oracle_sql()}) mh"
+    ),
     "dedup_simhash": _simhash_oracle_sql(),
     "dedup_exact": """
         SELECT md5(text) AS text_hash,
