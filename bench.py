@@ -84,17 +84,32 @@ def main() -> int:
     # Warm-up: JVM + codegen, not billed.
     run("agg_pricing_summary")
 
-    # Two passes per query: pass 1 pays one-time whole-stage-codegen
-    # compilation for each plan shape (~0.5-1 s/query on this JVM); pass 2
-    # is the steady-state latency a resident engine delivers.  Report the
-    # min (standard warm-run practice); keep the cold total for
-    # transparency.
+    # Three passes per query: pass 1 pays one-time whole-stage-codegen
+    # compilation for each plan shape (~0.5-1 s/query on this JVM); passes
+    # 2-3 are the steady-state latency a resident engine delivers.  Report
+    # the min (standard warm-run practice); keep the cold total for
+    # transparency.  The shared host has measurably fast and slow phases
+    # (same commit, same data: 3× wall-clock swings hours apart), so the
+    # JSON also carries a calibration probe — the warm time of a fixed
+    # JVM-side sum over 500M longs — letting round-over-round comparisons
+    # normalize out host speed.
     cold: dict[str, float] = {}
     timings: dict[str, float] = {}
     for name in HEADLINE:
         cold[name] = round(run(name), 3)
     for name in HEADLINE:
         timings[name] = round(min(cold[name], run(name)), 3)
+    for name in HEADLINE:
+        timings[name] = round(min(timings[name], run(name)), 3)
+
+    def _calibrate() -> float:
+        probe = lambda: spark.range(500_000_000, numPartitions=32).selectExpr(
+            "sum(id * 2)"
+        ).collect()
+        probe()  # codegen warm-up, not billed
+        start = time.time()
+        probe()
+        return round(time.time() - start, 3)
 
     total = round(sum(timings.values()), 3)
     payload = {
@@ -104,6 +119,7 @@ def main() -> int:
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "cold_value": round(sum(cold.values()), 3),
+        "calibration_jvm_sum_sec": _calibrate(),
     }
     if amplify > 1:
         payload["amplify"] = amplify
