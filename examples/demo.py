@@ -74,6 +74,20 @@ def main() -> int:
     print(">>> cosine top-k for query vector 0:")
     top_k.filter("query_id = 0").orderBy("sim_rank").show(5)
 
+    # --- 4. layout + composed pipeline ------------------------------------
+    from simple_query_engine_spark.operators.pipeline import (
+        q_pipeline_corpus_curation,
+    )
+    from simple_query_engine_spark.operators.storage import (
+        q_events_partition_prune,
+    )
+
+    print(">>> date-partitioned events, one-week window (pruned scan):")
+    q_events_partition_prune(spark, sf_dir).orderBy("event_type").show()
+
+    print(">>> corpus curation (quality gate → exact dedup → LSH near-dup drop):")
+    q_pipeline_corpus_curation(spark, sf_dir).orderBy("lang").show()
+
     spark.stop()
     return 0
 
