@@ -1,0 +1,61 @@
+"""Amplified-testdata invariants: key-shifted replication must scale fact
+tables and their join results exactly linearly (k×), or the amplified
+bench would measure a different workload, not a bigger one."""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from tools.amplify_testdata import amplify_dir
+
+
+K = 3
+
+
+@pytest.fixture(scope="module")
+def amp_dir(spark, sf_dir):
+    dst = tempfile.mkdtemp(prefix="sqe_amp_test_")
+    amplify_dir(spark, sf_dir, K, dst)
+    yield dst
+    shutil.rmtree(dst, ignore_errors=True)
+
+
+def test_fact_tables_scale_k_times(spark, sf_dir, amp_dir):
+    for name in ("lineitem", "orders", "customer", "events"):
+        base = spark.read.parquet(f"{sf_dir}/{name}.parquet").count()
+        amp = spark.read.parquet(f"{amp_dir}/{name}.parquet").count()
+        assert amp == K * base, name
+
+
+def test_dimensions_are_not_replicated(spark, sf_dir, amp_dir):
+    for name in ("region", "nation", "documents", "embeddings"):
+        base = spark.read.parquet(f"{sf_dir}/{name}.parquet").count()
+        amp = spark.read.parquet(f"{amp_dir}/{name}.parquet").count()
+        assert amp == base, name
+
+
+def test_keys_stay_unique_and_joins_scale_linearly(spark, sf_dir, amp_dir):
+    orders = spark.read.parquet(f"{amp_dir}/orders.parquet")
+    assert orders.count() == orders.select("o_orderkey").distinct().count()
+
+    def revenue(d):
+        li = spark.read.parquet(f"{d}/lineitem.parquet")
+        od = spark.read.parquet(f"{d}/orders.parquet")
+        return (
+            li.join(od, li.l_orderkey == od.o_orderkey)
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev"),
+            )
+            .collect()[0]
+        )
+
+    base, amp = revenue(sf_dir), revenue(amp_dir)
+    # FK offsets applied to BOTH sides: row count exactly k×, no cross-
+    # replica matches (which would make it super-linear).
+    assert amp.n == K * base.n
+    assert abs(amp.rev - K * base.rev) <= 1e-6 * abs(K * base.rev)
