@@ -74,6 +74,76 @@ def test_stream_stream_join_equals_batch_interval_join(spark, sf_dir, tables):
     assert streamed == batch and len(streamed) > 0
 
 
+def test_streaming_sliding_and_session_equal_batch(spark, sf_dir):
+    assert rows_set(SO.q_stream_sliding(spark, sf_dir)) == rows_set(
+        SO.q_window_sliding(spark, sf_dir)
+    )
+    assert rows_set(SO.q_stream_session(spark, sf_dir)) == rows_set(
+        SO.q_window_session(spark, sf_dir)
+    )
+
+
+def test_session_state_merges_across_batches(spark, tmp_path):
+    """A session spanning two micro-batches must merge into ONE window:
+    batch 1 ends a user's activity at 10:08, batch 2 resumes at 10:12
+    (inside the 10-minute gap) — the session-window state merge extends
+    the existing session instead of opening a new one."""
+    import glob
+
+    import datetime as dt
+
+    from simple_query_engine_spark.streaming.windows import session_window_counts
+
+    input_dir = str(tmp_path / "sess_in")
+    os.makedirs(input_dir)
+    t0 = dt.datetime(2024, 1, 1, 10, 0, 0)
+
+    def at(minutes: float):
+        return t0 + dt.timedelta(minutes=minutes)
+
+    batches = [
+        ("b1", [(at(0), 7, "click", 1.0), (at(8), 7, "click", 1.0)]),
+        # resumes within the gap (12 − 8 = 4 min < 10) → same session;
+        # a second user far away starts their own session.
+        ("b2", [(at(12), 7, "click", 1.0), (at(60), 8, "view", 1.0)]),
+    ]
+    for i, (name, rows) in enumerate(batches):
+        df = spark.createDataFrame(
+            rows, "ts timestamp, user_id long, event_type string, value double"
+        )
+        df.coalesce(1).write.parquet(f"{input_dir}/{name}")
+        for part in glob.glob(f"{input_dir}/{name}/*.parquet"):
+            os.utime(part, (1_000_000 * (i + 1),) * 2)
+
+    stream = (
+        spark.readStream.schema(
+            "ts timestamp, user_id long, event_type string, value double"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{input_dir}/*")
+    )
+    windowed = session_window_counts(stream.withWatermark("ts", "1 hour"))
+    sink = "session_merge_test"
+    query = (
+        windowed.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ckpt_sess"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    sessions = {
+        (r.user_id, r.session_start): r.event_count
+        for r in spark.table(sink).collect()
+    }
+    # User 7: one merged 3-event session starting at 10:00 — NOT two.
+    assert sessions == {
+        (7, int(t0.timestamp())): 3,
+        (8, int(at(60).timestamp())): 1,
+    }
+
+
 def test_watermark_drops_late_data(spark, tmp_path):
     """Three micro-batches: the watermark passes window [10:00,11:00) after
     batch 1, the window's state is evicted and emitted at the end of batch 2,
