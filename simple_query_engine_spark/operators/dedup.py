@@ -17,14 +17,15 @@ Four tiers, from exact to fuzzy, all shuffle-shaped (never all-pairs):
   hash, candidate volume is tunable via bands×rows, independent of corpus
   size.  100 TB path: signatures are 64×8 bytes/doc regardless of doc size.
 - **SimHash**: 60-bit fingerprint via per-token hash bit-voting; candidate
-  pairs from equal 15-bit chunks (pigeonhole: hamming ≤ 3 ⇒ ≥1 of 4 chunks
-  equal), verified by exact hamming distance.
+  pairs from equal two-chunk pair keys over 5×12-bit chunks (pigeonhole:
+  hamming ≤ 3 flips ≤ 3 chunks, leaving a clean pair — full recall at
+  2²⁴-wide join keys), verified by exact hamming distance.
 
 Both LSH families use an ENGINE-PORTABLE hash base — md5 hex truncated to
 60 bits — so their entire pipelines are oracle-checkable: MinHash adds
 affine permutations in overflow-safe modular arithmetic (DuckDB errors on
 BIGINT overflow where Spark silently wraps, so every product is kept
-< 2⁶³ by construction); SimHash bit-votes the 60 raw bits into 4×15-bit
+< 2⁶³ by construction); SimHash bit-votes the 60 raw bits into 5×12-bit
 chunks.
 """
 
@@ -276,13 +277,23 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SIMHASH_BITS = 60  # md5-derived base hash is 15 hex digits = 60 bits
-SIMHASH_CHUNKS = 4  # 4 × 15-bit chunks (pigeonhole: hamming ≤ 3 ⇒ ≥1 equal)
+# 5 × 12-bit chunks, candidates keyed on PAIRS of chunks (24-bit keys):
+# hamming ≤ 3 flips bits in ≤ 3 chunks, leaving ≥ 2 untouched, so some
+# two-chunk pair matches exactly — full recall, like single-chunk keys,
+# but each join key space is 2²⁴ instead of 2¹⁵: per-bucket fan-out (the
+# N²/2^keybits candidate volume) drops ~500× at any corpus size, for
+# C(5,2)=10 key families instead of 4.  (The standard fingerprint
+# block-permutation trade — wider keys × more tables.)
+SIMHASH_CHUNKS = 5
 _CHUNK_BITS = SIMHASH_BITS // SIMHASH_CHUNKS
+_CHUNK_PAIRS = [
+    (i, j) for i in range(SIMHASH_CHUNKS) for j in range(SIMHASH_CHUNKS) if i < j
+]
 
 
 def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """doc_id → 60-bit SimHash as four 15-bit chunks (chunks double as the
-    LSH bucketing key for hamming-distance candidate generation).
+    """doc_id → 60-bit SimHash as SIMHASH_CHUNKS equal-width chunks (chunk
+    pairs form the LSH bucketing keys for hamming-distance candidates).
 
     The per-token hash is the same portable md5-derived 60-bit value the
     MinHash family uses, so the whole bit-voting pipeline is
@@ -321,39 +332,42 @@ def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs: candidates share ≥1 equal 15-bit chunk
-    (pigeonhole guarantees recall for hamming ≤ 3), verified exactly."""
+    """SimHash near-dup pairs: candidates share an equal two-chunk pair
+    (see the SIMHASH_CHUNKS comment — ≤3 flipped bits leave ≥2 chunks
+    clean, so recall for hamming ≤ SIMHASH_MAX_HAMMING is guaranteed),
+    then verified by exact hamming distance over the full fingerprint."""
     sig = simhash_signatures(spark, sf_dir)
-    chunk_rows = sig.select(
+    chunk_cols = [f"chunk{i}" for i in range(SIMHASH_CHUNKS)]
+    pair_rows = sig.select(
         "doc_id",
-        "chunk0",
-        "chunk1",
-        "chunk2",
-        "chunk3",
+        *chunk_cols,
         F.explode(
             F.array(
                 *[
                     F.struct(
-                        F.lit(i).alias("chunk_idx"), F.col(f"chunk{i}").alias("chunk_val")
+                        F.lit(p).alias("pair_idx"),
+                        F.col(f"chunk{i}").alias("val_i"),
+                        F.col(f"chunk{j}").alias("val_j"),
                     )
-                    for i in range(4)
+                    for p, (i, j) in enumerate(_CHUNK_PAIRS)
                 ]
             )
         ).alias("c"),
-    ).select("doc_id", "chunk0", "chunk1", "chunk2", "chunk3", "c.chunk_idx", "c.chunk_val")
-    left = chunk_rows.alias("a")
-    right = chunk_rows.alias("b")
+    ).select("doc_id", *chunk_cols, "c.pair_idx", "c.val_i", "c.val_j")
+    left = pair_rows.alias("a")
+    right = pair_rows.alias("b")
     hamming = sum(
         F.bit_count(
             F.col(f"a.chunk{i}").bitwiseXOR(F.col(f"b.chunk{i}")).cast("long")
         )
-        for i in range(4)
+        for i in range(SIMHASH_CHUNKS)
     )
     return (
         left.join(
             right,
-            (F.col("a.chunk_idx") == F.col("b.chunk_idx"))
-            & (F.col("a.chunk_val") == F.col("b.chunk_val"))
+            (F.col("a.pair_idx") == F.col("b.pair_idx"))
+            & (F.col("a.val_i") == F.col("b.val_i"))
+            & (F.col("a.val_j") == F.col("b.val_j"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
         .select(
@@ -673,9 +687,9 @@ def _simhash_oracle_sql() -> str:
         + f") AS chunk{chunk}"
         for chunk in range(SIMHASH_CHUNKS)
     )
-    chunk_rows = "\n            UNION ALL ".join(
-        f"SELECT doc_id, {c} AS chunk_idx, chunk{c} AS chunk_val FROM sig"
-        for c in range(SIMHASH_CHUNKS)
+    pair_rows = "\n            UNION ALL ".join(
+        f"SELECT doc_id, {p} AS pair_idx, chunk{i} AS val_i, chunk{j} AS val_j FROM sig"
+        for p, (i, j) in enumerate(_CHUNK_PAIRS)
     )
     hamming = " + ".join(
         f"bit_count(xor(CAST(sa.chunk{c} AS BIGINT), CAST(sb.chunk{c} AS BIGINT)))"
@@ -696,13 +710,13 @@ def _simhash_oracle_sql() -> str:
             SELECT doc_id,
                    {chunk_exprs}
             FROM voted
-        ), chunk_rows AS (
-            {chunk_rows}
+        ), pair_rows AS (
+            {pair_rows}
         ), cand AS (
             SELECT DISTINCT a.doc_id AS ida, b.doc_id AS idb
-            FROM chunk_rows a JOIN chunk_rows b
-              ON a.chunk_idx = b.chunk_idx AND a.chunk_val = b.chunk_val
-             AND a.doc_id < b.doc_id
+            FROM pair_rows a JOIN pair_rows b
+              ON a.pair_idx = b.pair_idx AND a.val_i = b.val_i
+             AND a.val_j = b.val_j AND a.doc_id < b.doc_id
         )
         SELECT ida AS doc_id_a, idb AS doc_id_b,
                CAST({hamming} AS INT) AS hamming_distance
