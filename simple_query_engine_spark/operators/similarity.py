@@ -200,44 +200,76 @@ def q_sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_sim_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs, LSH-bucketed — the scale path the
-    guarded all-pairs baseline points at.
+# Multi-table LSH for the near-dup SELF-join: a self-join's candidate
+# volume is tables × N²/2^bits, so the per-table key must be wide (16-bit
+# buckets here vs the 8-bit single-table key the broadcast ANN query can
+# afford), with recall recovered by running several independent tables.
+# For near-duplicate cosines (≥ ~0.95) a 16-bit table keeps ~20-50% of
+# true pairs, and 8 tables push recall above 99%; the b/L pair is the
+# standard dial as N grows.
+NEARDUP_TABLES = 8
+NEARDUP_BITS = 16
 
-    Candidate pairs come from an equi-join on the bucket key (near-
-    identical vectors land in the same sign-bit bucket with high
-    probability), then exact cosine filters at NEARDUP_COSINE.  At 10¹⁰
-    vectors the join touches only same-bucket pairs — candidate volume is
-    governed by the signature width, not N².  Recall vs the exact
-    baseline is pinned in tests; the DuckDB oracle replays the identical
-    bucket assignment, so the whole pipeline hash-matches.
+
+def q_sim_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs via multi-table LSH — the scale
+    path the guarded all-pairs baseline points at.
+
+    Candidate pairs come from equi-joins on (table_idx, 16-bit bucket) —
+    NEARDUP_TABLES independent hyperplane tables — then exact cosine
+    filters at NEARDUP_COSINE.  Planes are the same integer-grid
+    construction as the ANN path, so bucket bits are engine-exact and the
+    whole pipeline hash-matches its DuckDB oracle; detection of planted
+    near-identical pairs is pinned in tests.
     """
-    signed = _signed_embeddings(spark, sf_dir)
-    side = signed.select(
-        F.col("vec_id"),
-        F.col("embedding"),
+    embeddings = table(spark, sf_dir, "embeddings")
+    planes = _int_hyperplanes(count=NEARDUP_TABLES * NEARDUP_BITS)
+    scaled = embeddings.withColumn("sv", _scaled_embedding())
+    bucket_cols = []
+    for t in range(NEARDUP_TABLES):
+        bucket = sum(
+            (
+                F.when(
+                    _dot(
+                        F.col("sv"),
+                        F.array(*[F.lit(float(v)) for v in planes[t * NEARDUP_BITS + i]]),
+                    )
+                    >= 0,
+                    F.lit(1 << i),
+                ).otherwise(0)
+            )
+            for i in range(NEARDUP_BITS)
+        )
+        bucket_cols.append(
+            F.struct(F.lit(t).alias("table_idx"), bucket.alias("bucket"))
+        )
+    side = scaled.select(
+        "vec_id",
+        "embedding",
         _norm(F.col("embedding")).alias("nrm"),
-        "bucket",
-    )
+        F.explode(F.array(*bucket_cols)).alias("tb"),
+    ).select("vec_id", "embedding", "nrm", "tb.table_idx", "tb.bucket")
     a = side.select(
         F.col("vec_id").alias("vec_id_a"),
         F.col("embedding").alias("emb_a"),
         F.col("nrm").alias("norm_a"),
+        "table_idx",
         "bucket",
     )
     b = side.select(
         F.col("vec_id").alias("vec_id_b"),
         F.col("embedding").alias("emb_b"),
         F.col("nrm").alias("norm_b"),
+        "table_idx",
         "bucket",
     )
     cosine = _dot(F.col("emb_a"), F.col("emb_b")) / (F.col("norm_a") * F.col("norm_b"))
     return (
-        a.join(b, "bucket")
+        a.join(b, ["table_idx", "bucket"])
         .filter(F.col("vec_id_a") < F.col("vec_id_b"))
-        .withColumn("similarity", F.round(cosine, 4))
+        .select("vec_id_a", "vec_id_b", F.round(cosine, 4).alias("similarity"))
+        .dropDuplicates(["vec_id_a", "vec_id_b"])
         .filter(F.col("similarity") >= NEARDUP_COSINE)
-        .select("vec_id_a", "vec_id_b", "similarity")
     )
 
 
@@ -337,6 +369,46 @@ def _lsh_sig_cte() -> str:
         ), sig AS (
             SELECT vec_id, v, nrm, {bucket_expr} AS bucket FROM e
         )"""
+
+
+def _neardup_lsh_oracle_sql() -> str:
+    """DuckDB oracle for the multi-table near-dup LSH: same integer
+    planes over the same floor-scaled grid per table, so (table, bucket)
+    keys — and therefore candidates — are bit-identical."""
+    planes = _int_hyperplanes(count=NEARDUP_TABLES * NEARDUP_BITS)
+    table_selects = "\n            UNION ALL ".join(
+        "SELECT vec_id, v, nrm, {t} AS table_idx, {bucket} AS bucket FROM e".format(
+            t=t,
+            bucket=" + ".join(
+                f"(CASE WHEN list_dot_product(sv, {planes[t * NEARDUP_BITS + i]}::DOUBLE[]) >= 0 "
+                f"THEN {1 << i} ELSE 0 END)"
+                for i in range(NEARDUP_BITS)
+            ),
+        )
+        for t in range(NEARDUP_TABLES)
+    )
+    return f"""
+        WITH e AS (
+            SELECT vec_id, embedding::DOUBLE[] AS v,
+                   sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm,
+                   list_transform(embedding::DOUBLE[], x -> floor(x * {EMB_SCALE})) AS sv
+            FROM embeddings
+        ), tb AS (
+            {table_selects}
+        ), cand AS (
+            SELECT DISTINCT a.vec_id AS ida, b.vec_id AS idb
+            FROM tb a JOIN tb b
+              ON a.table_idx = b.table_idx AND a.bucket = b.bucket
+             AND a.vec_id < b.vec_id
+        )
+        SELECT ida AS vec_id_a, idb AS vec_id_b,
+               ROUND(list_dot_product(ea.v, eb.v) / (ea.nrm * eb.nrm), 4) AS similarity
+        FROM cand
+        JOIN e ea ON ida = ea.vec_id
+        JOIN e eb ON idb = eb.vec_id
+        WHERE ROUND(list_dot_product(ea.v, eb.v) / (ea.nrm * eb.nrm), 4)
+              >= {NEARDUP_COSINE}
+    """
 
 
 def _ann_lsh_oracle_sql() -> str:
@@ -447,11 +519,5 @@ ORACLES = {
     # floor-scaled embedding make bucket sign bits exact in both engines
     # (see _int_hyperplanes); no float-ulp bucket flips possible.
     "sim_ann_lsh": _ann_lsh_oracle_sql(),
-    "sim_neardup_lsh": f"""
-        WITH {_lsh_sig_cte()}
-        SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b,
-               ROUND(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 4) AS similarity
-        FROM sig a JOIN sig b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
-        WHERE ROUND(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 4) >= {NEARDUP_COSINE}
-    """,
+    "sim_neardup_lsh": _neardup_lsh_oracle_sql(),
 }
