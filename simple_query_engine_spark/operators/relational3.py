@@ -83,10 +83,27 @@ def q_agg_string_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-hierarchy rollup (the "hypertable" continuous-aggregate shape):
+    hourly event stats that roll up to daily subtotals and a grand total in
+    one pass — ``ROLLUP(day, hour)`` plans a single shuffle with partial
+    aggregation; at scale this replaces maintaining three separate
+    aggregate tables.  NULL day/hour rows are the subtotal levels (the
+    standard rollup encoding, portable across engines)."""
+    events = table(spark, sf_dir, "events")
+    day = F.date_trunc("day", F.col("ts")).cast("long").alias("day_epoch")
+    hour = F.date_trunc("hour", F.col("ts")).cast("long").alias("hour_epoch")
+    return events.rollup(day, hour).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 2).alias("value_sum"),
+    )
+
+
 QUERIES = {
     "window_range_frame": q_window_range_frame,
     "window_distribution": q_window_distribution,
     "agg_string_concat": q_agg_string_concat,
+    "events_time_rollup": q_events_time_rollup,
 }
 
 ORACLES = {
@@ -118,5 +135,13 @@ ORACLES = {
                COUNT(*) AS nation_count
         FROM nation JOIN region ON n_regionkey = r_regionkey
         GROUP BY r_name
+    """,
+    "events_time_rollup": """
+        SELECT CAST(floor(epoch(date_trunc('day', ts))) AS BIGINT) AS day_epoch,
+               CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT) AS hour_epoch,
+               COUNT(*) AS n_events,
+               ROUND(SUM(value), 2) AS value_sum
+        FROM events
+        GROUP BY ROLLUP (1, 2)
     """,
 }
