@@ -86,6 +86,23 @@ def q_udf_grouped_map_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
 # NB: returnType must be a DataType instance, not a DDL string — string
 # parsing needs an active SparkContext, and executors re-import this
 # module without one.
+def q_zscore_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The scale-safe twin of :func:`q_udf_grouped_map_zscore`: identical
+    per-language z-scores computed entirely JVM-side with window
+    aggregates — no Python, no one-group-per-worker memory constraint.
+    This is the production path; the grouped-map UDF pins the API."""
+    from pyspark.sql.window import Window
+
+    documents = table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang")
+    mean = F.avg("n_chars").over(w)
+    std = F.stddev_pop("n_chars").over(w)
+    z = F.when(std > 0.0, (F.col("n_chars") - mean) / std).otherwise(0.0)
+    return documents.select(
+        "doc_id", "lang", "n_chars", F.round(z, 4).alias("z_score")
+    )
+
+
 @F.pandas_udf(T.DoubleType())
 def _weighted_avg(values: pd.Series, weights: pd.Series) -> float:
     """GROUPED_AGG pandas UDAF: sum(v·w)/sum(w) in float64."""
@@ -172,23 +189,28 @@ def q_join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES = {
     "udf_grouped_map_zscore": q_udf_grouped_map_zscore,
+    "zscore_window": q_zscore_window,
     "udaf_weighted_avg": q_udaf_weighted_avg,
     "udtf_bigrams": q_udtf_bigrams,
     "join_salted_skew": q_join_salted_skew,
 }
 
-ORACLES = {
-    # The window form is the set-based equivalent of the grouped-map UDF —
-    # a deliberately DIFFERENT formulation (guards against oracle-author
-    # bias: the same misunderstanding can't hide in both).
-    "udf_grouped_map_zscore": """
+_ZSCORE_ORACLE = """
         SELECT doc_id, lang, n_chars,
                ROUND(CASE WHEN stddev_pop(n_chars) OVER (PARTITION BY lang) > 0
                           THEN (n_chars - AVG(n_chars) OVER (PARTITION BY lang))
                                / stddev_pop(n_chars) OVER (PARTITION BY lang)
                           ELSE 0.0 END, 4) AS z_score
         FROM documents
-    """,
+    """
+
+ORACLES = {
+    # The window form is the set-based equivalent of the grouped-map UDF —
+    # a deliberately DIFFERENT formulation for the UDF entry (guards
+    # against oracle-author bias), and the direct translation for the
+    # built-in window twin.
+    "udf_grouped_map_zscore": _ZSCORE_ORACLE,
+    "zscore_window": _ZSCORE_ORACLE,
     "udaf_weighted_avg": """
         SELECT l_returnflag,
                ROUND(SUM(l_extendedprice * l_quantity) / SUM(l_quantity), 4)

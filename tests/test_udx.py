@@ -19,6 +19,16 @@ def test_grouped_map_zscores_are_standardized(spark, sf_dir):
             assert abs(var - 1.0) < 0.05, f"{lang}: z variance {var}"
 
 
+def test_window_twin_equals_grouped_map(spark, sf_dir):
+    """The JVM-side window z-score (production path) must emit exactly the
+    grouped-map UDF's rows."""
+    udf_rows = sorted(
+        map(tuple, U.q_udf_grouped_map_zscore(spark, sf_dir).collect())
+    )
+    win_rows = sorted(map(tuple, U.q_zscore_window(spark, sf_dir).collect()))
+    assert udf_rows == win_rows
+
+
 def test_weighted_avg_bounded_by_price_range(spark, sf_dir):
     prices = U.table(spark, sf_dir, "lineitem").selectExpr(
         "min(l_extendedprice) AS lo", "max(l_extendedprice) AS hi"
