@@ -34,7 +34,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from simple_query_engine_spark.operators.text import _normalized
+from simple_query_engine_spark.operators.text import _NORM, _normalized
 from simple_query_engine_spark.sources.catalog import table
 
 JACCARD_THRESHOLD = 0.5
@@ -336,6 +336,9 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     (see the SIMHASH_CHUNKS comment — ≤3 flipped bits leave ≥2 chunks
     clean, so recall for hamming ≤ SIMHASH_MAX_HAMMING is guaranteed),
     then verified by exact hamming distance over the full fingerprint."""
+    # Cache: both legs of the self-join read pair_rows — without the cache
+    # each leg re-runs the signature aggregation (token explode + 60
+    # bit-vote sums), doubling the dominant cost.
     sig = simhash_signatures(spark, sf_dir)
     chunk_cols = [f"chunk{i}" for i in range(SIMHASH_CHUNKS)]
     pair_rows = sig.select(
@@ -353,7 +356,7 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ]
             )
         ).alias("c"),
-    ).select("doc_id", *chunk_cols, "c.pair_idx", "c.val_i", "c.val_j")
+    ).select("doc_id", *chunk_cols, "c.pair_idx", "c.val_i", "c.val_j").cache()
     left = pair_rows.alias("a")
     right = pair_rows.alias("b")
     hamming = sum(
@@ -429,6 +432,8 @@ def _propagate_labels(
     The driver sees only the 1-row convergence count per round; label
     data never leaves the executors.
     """
+    if max_iterations < 1:
+        raise ValueError(f"max_iterations must be >= 1, got {max_iterations}")
     spark = edges.sparkSession
     # Materialize the edge list (and everything cached upstream of it —
     # shingle/window caches) BEFORE snapshotting persistent-RDD ids:
@@ -563,8 +568,6 @@ QUERIES = {
     "dedup_simhash": q_dedup_simhash,
 }
 
-_NORM = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
-
 # Shared oracle fragment: word-3-gram shingles with the same document-
 # frequency cap the Spark side applies (``_cap_shingle_df``).  ``sh`` is
 # the capped set every downstream CTE (sizes/pairs) reads.
@@ -672,8 +675,8 @@ def _closure_sql(near_sql: str) -> str:
 
 def _simhash_oracle_sql() -> str:
     """DuckDB oracle for the SimHash pipeline: same md5-derived 60-bit
-    token hash, 60 bit-vote sums, 4×15-bit chunk assembly, equal-chunk
-    candidate join, exact hamming via bit_count(xor)."""
+    token hash, 60 bit-vote sums, 5×12-bit chunk assembly, candidates on
+    equal two-chunk pair keys, exact hamming via bit_count(xor)."""
     vote_exprs = ",\n                   ".join(
         f"SUM(CASE WHEN (h >> {bit}) & 1 = 1 THEN 1 ELSE -1 END) AS v{bit}"
         for bit in range(SIMHASH_BITS)

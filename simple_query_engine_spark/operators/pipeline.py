@@ -32,7 +32,7 @@ from simple_query_engine_spark.operators.dedup import (
     q_dedup_exact,
     q_dedup_minhash_lsh,
 )
-from simple_query_engine_spark.operators.text import _normalized
+from simple_query_engine_spark.operators.text import _NORM, _normalized
 from simple_query_engine_spark.sources.catalog import table
 
 MIN_TOKENS = 20
@@ -147,8 +147,6 @@ QUERIES = {
     "sample_stratified": q_sample_stratified,
     "text_decontamination": q_text_decontamination,
 }
-
-_NORM = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
 
 ORACLES = {
     "sample_stratified": f"""

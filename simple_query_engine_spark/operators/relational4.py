@@ -7,6 +7,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from simple_query_engine_spark.operators.text import _NORM
 from simple_query_engine_spark.sources.catalog import table
 
 
@@ -137,10 +138,10 @@ ORACLES = {
         WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
                      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
     """,
-    "map_funcs": """
+    "map_funcs": f"""
         WITH words AS (
             SELECT doc_id,
-                   unnest(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS word
+                   unnest(string_split({_NORM}, ' ')) AS word
             FROM documents
         )
         SELECT doc_id,

@@ -243,12 +243,14 @@ def q_sim_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         bucket_cols.append(
             F.struct(F.lit(t).alias("table_idx"), bucket.alias("bucket"))
         )
+    # Cache: both self-join legs read this table — without it each leg
+    # recomputes all 128 hyperplane dot products per vector.
     side = scaled.select(
         "vec_id",
         "embedding",
         _norm(F.col("embedding")).alias("nrm"),
         F.explode(F.array(*bucket_cols)).alias("tb"),
-    ).select("vec_id", "embedding", "nrm", "tb.table_idx", "tb.bucket")
+    ).select("vec_id", "embedding", "nrm", "tb.table_idx", "tb.bucket").cache()
     a = side.select(
         F.col("vec_id").alias("vec_id_a"),
         F.col("embedding").alias("emb_a"),
@@ -300,7 +302,11 @@ def q_sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     w_assign = Window.partitionBy("vec_id").orderBy(
         F.col("cell_affinity").desc(), F.col("cell_id")
     )
-    ranked = scored_cells.withColumn("cell_rank", F.row_number().over(w_assign))
+    # Cache: assignments and probes both filter this ranking — without it
+    # the corpus × centroids scoring + window sort runs twice.
+    ranked = scored_cells.withColumn(
+        "cell_rank", F.row_number().over(w_assign)
+    ).cache()
     assignments = ranked.filter(F.col("cell_rank") == 1).select(
         F.col("vec_id").alias("neighbor_id"),
         F.col("emb").alias("c_emb"),

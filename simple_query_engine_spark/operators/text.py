@@ -159,6 +159,9 @@ QUERIES = {
 
 # DuckDB equivalents.  Normalization mirrored exactly:
 # lower → regexp_replace(\s+ → ' ', 'g') → trim.
+# _NORM is the single source of truth for the oracle-side normalization —
+# dedup.py, pipeline.py, and relational4.py import it rather than keeping
+# copies that could drift from the Spark-side ``_normalized``.
 _NORM = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
 _TOKENS = f"string_split({_NORM}, ' ')"
 
@@ -210,13 +213,18 @@ ORACLES = {
                CAST(length(text) AS INT) AS n_chars_actual
         FROM documents
     """,
+    # Empty-doc guard: DuckDB string_split('', '') is [''] (unicode('') =
+    # -1) where Spark split('', '') is [] — an empty/whitespace-only doc
+    # must hash to the fold seed 0 in both engines.
     "text_rolling_hash": f"""
         SELECT doc_id,
-               list_reduce(
-                   list_prepend(CAST(0 AS BIGINT),
-                                list_transform(string_split({_NORM}, ''),
-                                               c -> CAST(unicode(c) AS BIGINT))),
-                   (a, b) -> (a * {_ROLL_BASE} + b) % {_ROLL_MOD}) AS rolling_hash
+               CASE WHEN length({_NORM}) = 0 THEN CAST(0 AS BIGINT)
+                    ELSE list_reduce(
+                        list_prepend(CAST(0 AS BIGINT),
+                                     list_transform(string_split({_NORM}, ''),
+                                                    c -> CAST(unicode(c) AS BIGINT))),
+                        (a, b) -> (a * {_ROLL_BASE} + b) % {_ROLL_MOD})
+               END AS rolling_hash
         FROM documents
     """,
     "text_word_freq": f"""

@@ -12,7 +12,11 @@ taxonomy:
   z-scores document lengths within each language.
 - **grouped aggregate** (`pandas_udf` GROUPED_AGG): a custom vectorized
   aggregate — here a weighted average — evaluated per group JVM→Arrow→
-  numpy with partial aggregation handled by Spark.
+  numpy.  NB: unlike built-in aggregates there is NO map-side partial
+  aggregation — every raw row shuffles to its group's reducer — so at
+  scale this API fits bounded-cardinality/bounded-size groups; decompose
+  into built-in partial aggregates (as the oracle does) when groups are
+  unbounded.
 - **UDTF** (1 row → N rows table function, Spark ≥ 3.5): emits word
   bigrams per document via LATERAL join.  Row-at-a-time Python by nature,
   so the exhibit runs over a bounded slice (doc_id < UDTF_MAX_DOC_ID) —
