@@ -34,6 +34,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from simple_query_engine_spark.functions.hashing import (
+    md5_prefix_long,
+    md5_prefix_long_sql,
+)
 from simple_query_engine_spark.operators.text import _NORM, _normalized
 from simple_query_engine_spark.sources.catalog import table
 
@@ -186,10 +190,7 @@ def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     longs; signature width is constant per doc regardless of doc length.
     The base hash is md5-derived (engine-portable) — see module docstring.
     """
-    base = (
-        F.conv(F.substring(F.md5("shingle"), 1, 15), 16, 10).cast("long")
-        % _MERSENNE_P
-    )
+    base = md5_prefix_long("shingle", 15) % _MERSENNE_P
     hashed = _shingles(spark, sf_dir).select("doc_id", base.alias("h"))
     mins = [
         F.min((F.lit(a) * F.col("h") + F.lit(b)) % _MERSENNE_P).alias(f"m{i}")
@@ -302,7 +303,7 @@ def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     documents = table(spark, sf_dir, "documents").repartition(
         spark.sparkContext.defaultParallelism, "doc_id"
     )
-    base = F.conv(F.substring(F.md5("token"), 1, 15), 16, 10).cast("long")
+    base = md5_prefix_long("token", 15)
     tokens = documents.select(
         "doc_id",
         F.explode(F.split(_normalized(F.col("text")), " ")).alias("token"),
@@ -622,7 +623,7 @@ def _minhash_oracle_sql() -> str:
             FROM docs
         ), hashed AS (
             SELECT doc_id,
-                   CAST('0x' || substr(md5(shingle), 1, 15) AS BIGINT) % {_MERSENNE_P} AS h
+                   {md5_prefix_long_sql("shingle", 15)} % {_MERSENNE_P} AS h
             FROM sh
         ), sig AS (
             SELECT doc_id,
@@ -703,7 +704,7 @@ def _simhash_oracle_sql() -> str:
             SELECT doc_id, unnest(string_split({_NORM}, ' ')) AS token
             FROM documents
         ), hashed AS (
-            SELECT doc_id, CAST('0x' || substr(md5(token), 1, 15) AS BIGINT) AS h
+            SELECT doc_id, {md5_prefix_long_sql("token", 15)} AS h
             FROM toks
         ), voted AS (
             SELECT doc_id,

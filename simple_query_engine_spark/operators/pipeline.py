@@ -87,9 +87,9 @@ def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     documents = table(spark, sf_dir, "documents")
     from pyspark.sql.window import Window
 
-    hash_key = F.conv(
-        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
-    ).cast("long")
+    from simple_query_engine_spark.functions.hashing import md5_prefix_long
+
+    hash_key = md5_prefix_long(F.col("doc_id").cast("string"), 8)
     salted = documents.select(
         "doc_id",
         "lang",
@@ -148,13 +148,17 @@ QUERIES = {
     "text_decontamination": q_text_decontamination,
 }
 
+from simple_query_engine_spark.functions.hashing import md5_prefix_long_sql
+
+_hash8_sql = md5_prefix_long_sql("CAST(doc_id AS VARCHAR)", 8)
+
 ORACLES = {
     "sample_stratified": f"""
         SELECT doc_id, lang, sample_rank FROM (
             SELECT doc_id, lang,
                    ROW_NUMBER() OVER (
                        PARTITION BY lang
-                       ORDER BY CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT),
+                       ORDER BY {_hash8_sql},
                                 doc_id) AS sample_rank
             FROM documents
         ) WHERE sample_rank <= {SAMPLES_PER_LANG}

@@ -116,12 +116,10 @@ def q_sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     retries and partitionings — the property a 100 TB pipeline needs for
     consistent holdout sets.
     """
+    from simple_query_engine_spark.functions.hashing import md5_prefix_long
+
     orders = table(spark, sf_dir, "orders")
-    bucket = (
-        F.conv(F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 4), 16, 10)
-        .cast("long")
-        % 10
-    )
+    bucket = md5_prefix_long(F.col("o_orderkey").cast("string"), 4) % 10
     return orders.filter(bucket == 0).select("o_orderkey", "o_custkey", "o_totalprice")
 
 
@@ -384,6 +382,10 @@ QUERIES = {
     "agg_quantile_sketch": q_agg_quantile_sketch,
 }
 
+from simple_query_engine_spark.functions.hashing import md5_prefix_long_sql
+
+_sample_hash_sql = md5_prefix_long_sql("CAST(o_orderkey AS VARCHAR)", 4)
+
 ORACLES = {
     "agg_correlation": """
         SELECT l_returnflag,
@@ -439,10 +441,10 @@ ORACLES = {
                CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS status_p
         FROM orders GROUP BY o_orderpriority
     """,
-    "sample_hash": """
+    "sample_hash": f"""
         SELECT o_orderkey, o_custkey, o_totalprice
         FROM orders
-        WHERE CAST(CAST('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 4) AS INT) AS BIGINT) % 10 = 0
+        WHERE {_sample_hash_sql} % 10 = 0
     """,
     "agg_stats": """
         SELECT l_returnflag,
