@@ -147,6 +147,29 @@ def q_word_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+HIST_BUCKET_WIDTH = 100
+HIST_MAX_BUCKET = 19
+
+
+def q_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document-length histogram: fixed-width character buckets with a
+    clamped tail — the standard corpus-shape diagnostic before setting
+    quality-gate thresholds.  One partial-agg shuffle of ≤ 20 rows/task
+    regardless of corpus size."""
+    documents = _documents(spark, sf_dir)
+    bucket = F.least(
+        F.floor(F.col("n_chars") / HIST_BUCKET_WIDTH), F.lit(HIST_MAX_BUCKET)
+    ).cast("int")
+    return (
+        documents.groupBy(bucket.alias("length_bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+        )
+    )
+
+
 QUERIES = {
     "text_token_count": q_token_count,
     "text_bpe_token_count": q_bpe_token_count,
@@ -155,6 +178,7 @@ QUERIES = {
     "text_fingerprint": q_fingerprint,
     "text_rolling_hash": q_rolling_hash,
     "text_word_freq": q_word_freq,
+    "text_length_histogram": q_length_histogram,
 }
 
 # DuckDB equivalents.  Normalization mirrored exactly:
@@ -226,6 +250,15 @@ ORACLES = {
                         (a, b) -> (a * {_ROLL_BASE} + b) % {_ROLL_MOD})
                END AS rolling_hash
         FROM documents
+    """,
+    "text_length_histogram": f"""
+        SELECT CAST(LEAST(FLOOR(n_chars / {HIST_BUCKET_WIDTH}.0), {HIST_MAX_BUCKET}) AS INT)
+                   AS length_bucket,
+               COUNT(*) AS n_docs,
+               MIN(n_chars) AS min_chars,
+               MAX(n_chars) AS max_chars
+        FROM documents
+        GROUP BY 1
     """,
     "text_word_freq": f"""
         SELECT token, COUNT(*) AS token_count
