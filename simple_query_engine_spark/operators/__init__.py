@@ -14,19 +14,106 @@ from pyspark.sql import DataFrame, SparkSession
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
+# The driver's per-round correctness gate records verdicts for the FIRST 50
+# entries of ``queries()`` in registration order (verified against
+# CORRECTNESS_r01/r02: both files hold exactly entries 1-50).  The catalog is
+# larger than the window, so we rotate: ``_ROTATION_FRONT`` pins the queries
+# that have not yet received a driver verdict to the front of the dict;
+# everything else (already green in CORRECTNESS_r01/r02) follows in module
+# order.  ROUND3_NOTES.md tracks which round certified which query.
+#
+# Round-3 front window: every dedup / similarity / pipeline / storage /
+# streaming / multimodal / udx / text entry (never driver-checked, 43), then
+# the first TPC-H queries to fill the 50 slots.  Still unchecked after this
+# round (next rotation): remaining tpch_*, agg_string_concat,
+# events_time_rollup, relational4, and the two sketch queries.
+_ROTATION_FRONT = [
+    # dedup (6)
+    "dedup_exact",
+    "dedup_clusters",
+    "dedup_clusters_lsh",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    # similarity (6)
+    "sim_topk_bruteforce",
+    "sim_neardup_pairs_baseline",
+    "sim_neardup_lsh",
+    "sim_ann_lsh",
+    "sim_ivf_topk",
+    "sim_label_centroids",
+    # pipeline (3)
+    "pipeline_corpus_curation",
+    "sample_stratified",
+    "text_decontamination",
+    # storage (3)
+    "events_partition_prune",
+    "source_json_roundtrip",
+    "source_csv_roundtrip",
+    # streaming (8)
+    "stream_tumbling_counts",
+    "stream_sliding_counts",
+    "stream_session_counts",
+    "stream_stateful_profiles",
+    "stream_stream_join",
+    "window_tumbling_counts",
+    "window_sliding_counts",
+    "window_session_counts",
+    # multimodal (4)
+    "multimodal_meta",
+    "multimodal_features",
+    "multimodal_resize",
+    "multimodal_frame_sample",
+    # udx (5)
+    "udf_grouped_map_zscore",
+    "zscore_window",
+    "udaf_weighted_avg",
+    "udtf_bigrams",
+    "join_salted_skew",
+    # text (8)
+    "text_token_count",
+    "text_bpe_token_count",
+    "text_quality_score",
+    "text_lang_id",
+    "text_fingerprint",
+    "text_rolling_hash",
+    "text_word_freq",
+    "text_length_histogram",
+    # tpch — as many as fit in the remaining slots
+    "tpch_q3_shipping_priority",
+    "tpch_q7_nation_trade",
+    "tpch_q13_order_distribution",
+    "tpch_q18_large_orders",
+    "tpch_q22_idle_balances",
+    "tpch_q4_priority_exists",
+    "tpch_q5_local_volume",
+]
+
+
+def _rotated(merged: dict) -> dict:
+    ordered = {}
+    for name in _ROTATION_FRONT:
+        if name in merged:  # oracle dicts may lack rows-only entries
+            ordered[name] = merged.pop(name)
+    ordered.update(merged)
+    return ordered
+
 
 def all_queries() -> dict[str, QueryFn]:
     merged: dict[str, QueryFn] = {}
     for module in _modules():
         merged.update(module.QUERIES)
-    return merged
+    missing = [n for n in _ROTATION_FRONT if n not in merged]
+    if missing:  # typo guard: every front entry must exist in the catalog
+        raise KeyError(f"_ROTATION_FRONT names not in catalog: {missing}")
+    return _rotated(merged)
 
 
 def all_oracles() -> dict[str, str]:
     merged: dict[str, str] = {}
     for module in _modules():
         merged.update(module.ORACLES)
-    return merged
+    return _rotated(merged)
 
 
 def _modules():

@@ -18,8 +18,13 @@ no raw-shingle self-join appears anywhere in this plan.  The exact-Jaccard
 operator remains in the catalog as the LSH family's ground-truth baseline
 (recall pinned in ``tests/test_dedup.py``).  At 100 TB each stage is the
 shuffle shape documented on its operator; nothing here adds a new one —
-filters are scan-side, the near-dup drop is a broadcast-able anti-join
-against a pair list orders of magnitude smaller than the corpus.
+filters are scan-side, and the near-dup drop is an UNHINTED anti-join: the
+loser list is one doc_id per near-duplicate document, i.e. proportional to
+corpus size (10-30% dup rates are normal), so a forced broadcast would
+collect billions of ids onto the driver at 100 TB.  Left unhinted, AQE
+broadcasts it when the runtime size actually fits under
+``autoBroadcastJoinThreshold`` and falls back to a shuffled anti-join on
+16-byte (doc_id) rows otherwise — both safe.
 """
 
 from __future__ import annotations
@@ -54,7 +59,7 @@ def q_pipeline_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     survivors = (
         quality.join(exact_keepers, "doc_id", "left_semi")
-        .join(F.broadcast(near_dup_losers), "doc_id", "left_anti")
+        .join(near_dup_losers, "doc_id", "left_anti")
     )
     return survivors.groupBy("lang").agg(
         F.count(F.lit(1)).alias("n_docs"),
