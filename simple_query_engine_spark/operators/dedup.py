@@ -31,6 +31,8 @@ chunks.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -386,18 +388,22 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 MAX_CC_ITERATIONS = 15
 
+# Scratch root for the per-round connected-components label tables.  On a
+# cluster, point this at a path every executor can read (HDFS/S3); locally it
+# defaults under the system temp dir.  This replaces ``localCheckpoint``:
+# reliable files survive executor loss, and round cleanup is an ordinary
+# directory delete instead of private-API block bookkeeping.
+CC_SCRATCH_ENV = "SQE_CC_SCRATCH_DIR"
 
-def _persistent_rdd_ids(spark: SparkSession) -> set[int]:
-    jmap = spark.sparkContext._jsc.getPersistentRDDs()
-    return {int(k) for k in jmap.keySet().toArray()}
 
+def _cc_scratch_dir() -> str:
+    import tempfile
 
-def _unpersist_rdds(spark: SparkSession, rdd_ids: set[int]) -> None:
-    jmap = spark.sparkContext._jsc.getPersistentRDDs()
-    for rdd_id in rdd_ids:
-        jrdd = jmap.get(rdd_id)
-        if jrdd is not None:
-            jrdd.unpersist(False)
+    root = os.environ.get(CC_SCRATCH_ENV) or os.path.join(
+        tempfile.gettempdir(), "sqe_cc_scratch"
+    )
+    os.makedirs(root, exist_ok=True)
+    return tempfile.mkdtemp(prefix="cc_", dir=root)
 
 
 def _propagate_labels(
@@ -417,39 +423,47 @@ def _propagate_labels(
 
     Two iterative-Spark disciplines, both load-bearing:
 
-    - **Lineage truncation**: each round's label table is materialized
-      with an eager ``localCheckpoint``.  Without it the logical plan
-      nests one round inside the next and the analyzer's self-join
-      deduplication *copies* the nested subtree — exponential plan growth
-      that OOMs the driver around round 5 (observed).  Checkpointing makes
-      every round's plan start from a leaf, so per-round planning cost is
-      constant.
-    - **Bounded executor storage**: the previous round's checkpoint
-      blocks are explicitly released once the convergence count has
-      materialized the new one, so storage stays one label-table wide no
-      matter how many rounds run (rather than waiting on the JVM's
-      reference-tracking cleaner).
+    - **Lineage truncation**: each round's label table is materialized to
+      parquet in a scratch dir (``SQE_CC_SCRATCH_DIR``) and read back, so
+      every round's plan starts from a scan leaf.  Without truncation the
+      logical plan nests one round inside the next and the analyzer's
+      self-join deduplication *copies* the nested subtree — exponential
+      plan growth that OOMs the driver around round 5 (observed).
+      ``localCheckpoint`` would also truncate, but its executor-memory
+      blocks are lost on executor failure and cannot be released through
+      any public PySpark API; a reliable parquet round-trip costs one
+      write+read of a (doc_id, label) table per round and works unchanged
+      on a real cluster with the scratch dir on shared storage.
+    - **Bounded storage**: the previous round's files are deleted as soon
+      as the next round has materialized, so scratch stays one label-table
+      wide no matter how many rounds run.  Only the fixpoint table's files
+      survive the call (the returned DataFrame scans them); they live in
+      the session-scoped scratch dir.
 
     The driver sees only the 1-row convergence count per round; label
-    data never leaves the executors.
+    data never touches the driver.
     """
     if max_iterations < 1:
         raise ValueError(f"max_iterations must be >= 1, got {max_iterations}")
     spark = edges.sparkSession
-    # Materialize the edge list (and everything cached upstream of it —
-    # shingle/window caches) BEFORE snapshotting persistent-RDD ids:
-    # otherwise the first eager checkpoint is what materializes those
-    # caches, their ids land in the round's id-diff, and the end-of-round
-    # sweep would unpersist caches later rounds still read.
-    edges.count()
-    before_ids = _persistent_rdd_ids(spark)
-    labels = (
+    scratch = _cc_scratch_dir()
+
+    def _materialize(df: DataFrame, round_no: int) -> DataFrame:
+        path = os.path.join(scratch, f"round_{round_no}")
+        df.write.mode("overwrite").parquet(path)
+        return spark.read.parquet(path)
+
+    def _drop_round(round_no: int) -> None:
+        import shutil
+
+        shutil.rmtree(os.path.join(scratch, f"round_{round_no}"), ignore_errors=True)
+
+    labels = _materialize(
         edges.select(F.col("src").alias("doc_id"))
         .distinct()
-        .withColumn("label", F.col("doc_id"))
-        .localCheckpoint(eager=True)
+        .withColumn("label", F.col("doc_id")),
+        0,
     )
-    round_ids = _persistent_rdd_ids(spark) - before_ids
     rounds = 0
     for rounds in range(1, max_iterations + 1):
         neighbor_min = (
@@ -471,26 +485,23 @@ def _propagate_labels(
         anchor = stepped.select(
             F.col("doc_id").alias("anchor"), F.col("label").alias("anchor_label")
         )
-        before_ids = _persistent_rdd_ids(spark)
-        new_labels = (
+        new_labels = _materialize(
             stepped.join(anchor, stepped.label == anchor.anchor, "left")
             .select(
                 "doc_id",
                 F.least(
                     F.col("label"), F.coalesce("anchor_label", F.col("label"))
                 ).alias("label"),
-            )
-            .localCheckpoint(eager=True)
+            ),
+            rounds,
         )
-        new_ids = _persistent_rdd_ids(spark) - before_ids
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "doc_id")
             .filter(F.col("n.label") != F.col("o.label"))
             .count()
         )
-        _unpersist_rdds(spark, round_ids)
-        round_ids = new_ids
+        _drop_round(rounds - 1)
         labels = new_labels
         if changed == 0:
             break
