@@ -288,7 +288,15 @@ def q_sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     nearest cells and searches exactly inside them.  At 100 TB the
     assignment is a narrow broadcast map over the corpus and the search
     touches nprobe/cells of the data — the standard recall/throughput dial.
-    Approximate → rows-only at the driver; recall vs brute force in tests.
+
+    Assignment is an aggregating arg-max (``max`` over a
+    ``(affinity, -cell_id)`` struct): the 16 candidate rows per vector
+    collapse map-side (partial aggregation) before any shuffle, instead of
+    materializing and caching the corpus × cells ranking.  Only the
+    NUM_QUERY_VECTORS probe rows ever see a window rank, on a
+    filter-pushdown-pruned scan.  Approximate vs brute force but fully
+    deterministic arithmetic, so oracle-checked; recall vs brute force in
+    tests.
     """
     embeddings = table(spark, sf_dir, "embeddings")
     centroids = _with_norm(
@@ -299,24 +307,38 @@ def q_sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored_cells = vectors.crossJoin(F.broadcast(centroids)).select(
         "vec_id", "emb", "nrm", "cell_id", affinity.alias("cell_affinity")
     )
-    w_assign = Window.partitionBy("vec_id").orderBy(
+    # Struct max is lexicographic: highest affinity, then lowest cell_id —
+    # the same tie-break as the oracle's ROW_NUMBER ordering.  emb/nrm are
+    # constant within a vec_id group, so first() is deterministic in value.
+    assignments = (
+        scored_cells.groupBy("vec_id")
+        .agg(
+            F.max(
+                F.struct(
+                    F.col("cell_affinity"), (-F.col("cell_id")).alias("neg_cell")
+                )
+            ).alias("best"),
+            F.first("emb").alias("c_emb"),
+            F.first("nrm").alias("c_norm"),
+        )
+        .select(
+            F.col("vec_id").alias("neighbor_id"),
+            "c_emb",
+            "c_norm",
+            (-F.col("best.neg_cell")).alias("cell_id"),
+        )
+    )
+    probe_cells = (
+        vectors.filter(F.col("vec_id") < NUM_QUERY_VECTORS)
+        .crossJoin(F.broadcast(centroids))
+        .select("vec_id", "emb", "nrm", "cell_id", affinity.alias("cell_affinity"))
+    )
+    w_probe = Window.partitionBy("vec_id").orderBy(
         F.col("cell_affinity").desc(), F.col("cell_id")
     )
-    # Cache: assignments and probes both filter this ranking — without it
-    # the corpus × centroids scoring + window sort runs twice.
-    ranked = scored_cells.withColumn(
-        "cell_rank", F.row_number().over(w_assign)
-    ).cache()
-    assignments = ranked.filter(F.col("cell_rank") == 1).select(
-        F.col("vec_id").alias("neighbor_id"),
-        F.col("emb").alias("c_emb"),
-        F.col("nrm").alias("c_norm"),
-        "cell_id",
-    )
     probes = (
-        ranked.filter(
-            (F.col("vec_id") < NUM_QUERY_VECTORS) & (F.col("cell_rank") <= IVF_NPROBE)
-        )
+        probe_cells.withColumn("cell_rank", F.row_number().over(w_probe))
+        .filter(F.col("cell_rank") <= IVF_NPROBE)
         .select(
             F.col("vec_id").alias("query_id"),
             F.col("emb").alias("q_emb"),
