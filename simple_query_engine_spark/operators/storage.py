@@ -37,11 +37,43 @@ PRUNE_WEEK_END = "2024-01-14"
 
 def events_cache_path(sf_dir: str, prefix: str) -> str:
     """Deterministic per-scale cache path for derived copies of the events
-    table; the source file's size is part of the tag so a regenerated
-    testdata set invalidates every derived copy."""
+    table; the source file's size AND mtime are part of the tag so a
+    regenerated testdata set — even one of identical size — invalidates
+    every derived copy."""
     source = os.path.join(sf_dir, "events.parquet")
-    tag = f"{os.path.basename(os.path.normpath(sf_dir))}_{os.path.getsize(source)}"
+    stat = os.stat(source)
+    tag = (
+        f"{os.path.basename(os.path.normpath(sf_dir))}"
+        f"_{stat.st_size}_{stat.st_mtime_ns}"
+    )
     return os.path.join(tempfile.gettempdir(), f"sqe_events_{prefix}_{tag}")
+
+
+def materialize_once(path: str, write) -> None:
+    """Build a derived-copy directory exactly once, race-safely.
+
+    ``write(tmp_path)`` produces the directory at a process-private temp
+    path which is then atomically renamed into place, so a concurrent
+    process can never observe (or serve) a half-written copy.  If another
+    process won the rename race, our copy is discarded; a stale
+    ``_SUCCESS``-less directory from a crashed direct writer is cleared
+    first."""
+    import shutil
+
+    if os.path.exists(os.path.join(path, "_SUCCESS")):
+        return
+    if os.path.exists(path):  # crashed/partial previous materialization
+        shutil.rmtree(path, ignore_errors=True)
+    tmp = f"{path}.tmp.{os.getpid()}"
+    shutil.rmtree(tmp, ignore_errors=True)
+    write(tmp)
+    try:
+        os.rename(tmp, path)
+    except OSError:
+        if os.path.exists(os.path.join(path, "_SUCCESS")):
+            shutil.rmtree(tmp, ignore_errors=True)  # lost the race; theirs is complete
+        else:
+            raise
 
 
 def _partitioned_events_path(sf_dir: str) -> str:
@@ -55,11 +87,14 @@ def partitioned_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     :func:`write_parquet`, the same sink a production pipeline would use.
     """
     path = _partitioned_events_path(sf_dir)
-    if not os.path.exists(os.path.join(path, "_SUCCESS")):
-        events = table(spark, sf_dir, "events").withColumn(
-            "event_date", F.to_date("ts")
-        )
-        write_parquet(events, path, partition_by=["event_date"])
+    materialize_once(
+        path,
+        lambda tmp: write_parquet(
+            table(spark, sf_dir, "events").withColumn("event_date", F.to_date("ts")),
+            tmp,
+            partition_by=["event_date"],
+        ),
+    )
     return spark.read.parquet(path)
 
 
@@ -122,8 +157,12 @@ def q_source_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     over the whole sample.
     """
     path = _roundtrip_path(sf_dir, "json")
-    if not os.path.exists(os.path.join(path, "_SUCCESS")):
-        _events_for_roundtrip(spark, sf_dir).write.mode("overwrite").json(path)
+    materialize_once(
+        path,
+        lambda tmp: _events_for_roundtrip(spark, sf_dir)
+        .write.mode("overwrite")
+        .json(tmp),
+    )
     return _roundtrip_aggregate(spark.read.json(path))
 
 
@@ -133,10 +172,13 @@ def q_source_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     is the reference's own load contract (header row, per-column type
     inference) exercised at catalog scale."""
     path = _roundtrip_path(sf_dir, "csv")
-    if not os.path.exists(os.path.join(path, "_SUCCESS")):
-        _events_for_roundtrip(spark, sf_dir).write.mode("overwrite").option(
-            "header", True
-        ).csv(path)
+    materialize_once(
+        path,
+        lambda tmp: _events_for_roundtrip(spark, sf_dir)
+        .write.mode("overwrite")
+        .option("header", True)
+        .csv(tmp),
+    )
     df = spark.read.option("header", True).option("inferSchema", True).csv(path)
     return _roundtrip_aggregate(df)
 

@@ -64,33 +64,42 @@ def _amplified(df: DataFrame, shift_cols: tuple[str, ...], k: int) -> DataFrame:
 
 
 def amplify_dir(spark: SparkSession, sf_dir: str, k: int, dst_dir: str) -> str:
-    """Write the amplified copy of ``sf_dir`` to ``dst_dir``; idempotent."""
+    """Write the amplified copy of ``sf_dir`` to ``dst_dir``; idempotent
+    and race-safe (each table lands via temp-dir + atomic rename)."""
+    from simple_query_engine_spark.operators.storage import materialize_once
+
     os.makedirs(dst_dir, exist_ok=True)
     for name in TABLE_NAMES:
         src = os.path.join(sf_dir, f"{name}.parquet")
         if not os.path.exists(src):
             continue
-        dst = os.path.join(dst_dir, f"{name}.parquet")
-        if os.path.exists(os.path.join(dst, "_SUCCESS")):
-            continue
-        df = table(spark, sf_dir, name)
-        if name in _SHIFT_COLUMNS:
-            df = _amplified(df, _SHIFT_COLUMNS[name], k)
-        df.write.mode("overwrite").parquet(dst)
+
+        def _write(tmp: str, name: str = name) -> None:
+            df = table(spark, sf_dir, name)
+            if name in _SHIFT_COLUMNS:
+                df = _amplified(df, _SHIFT_COLUMNS[name], k)
+            df.write.mode("overwrite").parquet(tmp)
+
+        materialize_once(os.path.join(dst_dir, f"{name}.parquet"), _write)
     return dst_dir
 
 
 def ensure_amplified(spark: SparkSession, sf_dir: str, k: int) -> str:
     """Amplified copy under the system temp dir, built once per (sf, k,
-    source contents) — total source byte size is part of the tag, so a
-    regenerated testdata set invalidates the amplified copy instead of
-    silently benchmarking stale data."""
-    total_bytes = sum(
-        os.path.getsize(os.path.join(sf_dir, f"{name}.parquet"))
+    source contents) — total source byte size AND newest source mtime are
+    part of the tag, so a regenerated testdata set (even one of identical
+    size) invalidates the amplified copy instead of silently benchmarking
+    stale data."""
+    sources = [
+        os.path.join(sf_dir, f"{name}.parquet")
         for name in TABLE_NAMES
         if os.path.exists(os.path.join(sf_dir, f"{name}.parquet"))
+    ]
+    total_bytes = sum(os.path.getsize(p) for p in sources)
+    newest_mtime = max(os.stat(p).st_mtime_ns for p in sources)
+    tag = (
+        f"{os.path.basename(os.path.normpath(sf_dir))}_{total_bytes}_{newest_mtime}"
     )
-    tag = f"{os.path.basename(os.path.normpath(sf_dir))}_{total_bytes}"
     dst = os.path.join(tempfile.gettempdir(), f"sqe_amplified_{tag}_x{k}")
     return amplify_dir(spark, sf_dir, k, dst)
 
