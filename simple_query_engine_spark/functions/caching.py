@@ -1,0 +1,47 @@
+"""Session cache registry for load-once/query-many DataFrames.
+
+Several operators cache an expensive intermediate (shingle tables, LSH
+signature/bucket tables) for the session, because a typical analytics
+session loads one corpus and runs many queries against it.  Left
+unmanaged, a session that touches several scale dirs accumulates one
+cached copy per dir and relies on LRU eviction alone.
+
+``session_cache`` centralizes the policy: caches are tagged with the
+``sf_dir`` they derive from, and requesting a cache for a *different*
+``sf_dir`` unpersists every cache tagged with another dir first — the
+working set is always one scale dir wide.  Within one dir, repeated calls
+rebuild an identical plan and Spark's cache manager serves the existing
+materialization.
+
+Assumes queries run sequentially in a session (the harness does);
+concurrent queries over different scale dirs would evict each other.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+# key -> (sf_dir, cached handle)
+_TRACKED: dict[str, tuple[str, DataFrame]] = {}
+
+
+def session_cache(df: DataFrame, sf_dir: str, key: str) -> DataFrame:
+    """Cache ``df`` for the session under ``key``, evicting caches that
+    belong to a different scale dir."""
+    for other_key, (other_dir, handle) in list(_TRACKED.items()):
+        if other_dir != sf_dir:
+            handle.unpersist()
+            del _TRACKED[other_key]
+    prior = _TRACKED.get(key)
+    if prior is not None and df.sameSemantics(prior[1]):
+        return prior[1]
+    handle = df.cache()
+    _TRACKED[key] = (sf_dir, handle)
+    return handle
+
+
+def evict_all() -> None:
+    """Unpersist every tracked cache (test hook / explicit session reset)."""
+    for _, (_, handle) in list(_TRACKED.items()):
+        handle.unpersist()
+    _TRACKED.clear()

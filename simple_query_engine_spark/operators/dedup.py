@@ -40,6 +40,7 @@ from simple_query_engine_spark.functions.hashing import (
     md5_prefix_long,
     md5_prefix_long_sql,
 )
+from simple_query_engine_spark.functions.caching import session_cache
 from simple_query_engine_spark.operators.text import _NORM, _normalized
 from simple_query_engine_spark.sources.catalog import table
 
@@ -88,9 +89,11 @@ def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ),
     ).otherwise(F.array(F.concat_ws(" ", words)))
-    return documents.select(
-        "doc_id", F.explode(shingle_array).alias("shingle")
-    ).cache()
+    return session_cache(
+        documents.select("doc_id", F.explode(shingle_array).alias("shingle")),
+        sf_dir,
+        "dedup_shingles",
+    )
 
 
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -128,7 +131,7 @@ def _cap_shingle_df(shingles: DataFrame, max_df: int = MAX_SHINGLE_DF) -> DataFr
     return shingles.join(F.broadcast(hot), "shingle", "left_anti")
 
 
-def _jaccard_pairs(shingles: DataFrame) -> DataFrame:
+def _jaccard_pairs(shingles: DataFrame, sf_dir: str) -> DataFrame:
     """Pair docs by shared shingles and score exact Jaccard ≥ threshold.
 
     Set sizes ride along on each shingle row via a count window over
@@ -137,14 +140,17 @@ def _jaccard_pairs(shingles: DataFrame) -> DataFrame:
     and it removes the two separate size-lookup join legs a naive plan
     needs.  The windowed table is cached so the self-join's two legs read
     one materialization instead of recomputing the cap anti-join + window
-    per side.  (Like ``_shingles``, the cache is deliberately left for the
-    session — load-once/query-many; Spark evicts LRU under pressure.)
+    per side (session-scoped via :func:`session_cache`).
     """
     from pyspark.sql.window import Window
 
-    shingles = shingles.withColumn(
-        "set_size", F.count(F.lit(1)).over(Window.partitionBy("doc_id"))
-    ).cache()
+    shingles = session_cache(
+        shingles.withColumn(
+            "set_size", F.count(F.lit(1)).over(Window.partitionBy("doc_id"))
+        ),
+        sf_dir,
+        "dedup_jaccard_windowed",
+    )
     left = shingles.alias("a")
     right = shingles.alias("b")
     pairs = (
@@ -182,7 +188,7 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     *capped* shingle sets on both sides, and the DuckDB oracle applies the
     identical cap, so the two engines agree bit-for-bit.
     """
-    return _jaccard_pairs(_cap_shingle_df(_shingles(spark, sf_dir)))
+    return _jaccard_pairs(_cap_shingle_df(_shingles(spark, sf_dir)), sf_dir)
 
 
 def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -219,7 +225,7 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     signatures fetched afterwards for the deduped candidate pairs only.
     """
     rows_per_band = NUM_MINHASH // MINHASH_BANDS
-    sig = minhash_signatures(spark, sf_dir).cache()
+    sig = session_cache(minhash_signatures(spark, sf_dir), sf_dir, "dedup_minhash_sig")
     bands = sig.select(
         "doc_id",
         F.explode(
@@ -359,7 +365,8 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ]
             )
         ).alias("c"),
-    ).select("doc_id", *chunk_cols, "c.pair_idx", "c.val_i", "c.val_j").cache()
+    ).select("doc_id", *chunk_cols, "c.pair_idx", "c.val_i", "c.val_j")
+    pair_rows = session_cache(pair_rows, sf_dir, "dedup_simhash_pairs")
     left = pair_rows.alias("a")
     right = pair_rows.alias("b")
     hamming = sum(

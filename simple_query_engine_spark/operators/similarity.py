@@ -26,6 +26,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from simple_query_engine_spark.functions.caching import session_cache
 from simple_query_engine_spark.sources.catalog import table
 
 TOP_K = 10
@@ -250,7 +251,8 @@ def q_sim_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         "embedding",
         _norm(F.col("embedding")).alias("nrm"),
         F.explode(F.array(*bucket_cols)).alias("tb"),
-    ).select("vec_id", "embedding", "nrm", "tb.table_idx", "tb.bucket").cache()
+    ).select("vec_id", "embedding", "nrm", "tb.table_idx", "tb.bucket")
+    side = session_cache(side, sf_dir, "sim_lsh_tables")
     a = side.select(
         F.col("vec_id").alias("vec_id_a"),
         F.col("embedding").alias("emb_a"),

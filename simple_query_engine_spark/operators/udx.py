@@ -109,11 +109,18 @@ def q_zscore_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @F.pandas_udf(T.DoubleType())
 def _weighted_avg(values: pd.Series, weights: pd.Series) -> float:
-    """GROUPED_AGG pandas UDAF: sum(v·w)/sum(w) in float64."""
+    """GROUPED_AGG pandas UDAF: sum(v·w)/sum(w) in float64.
+
+    Sums use ``math.fsum`` (exactly-rounded, order-insensitive), not
+    numpy's pairwise summation: the oracle's engine sums sequentially, and
+    on knife-edge groups the pairwise result can differ in the last ulp —
+    enough to flip a ROUND(..., 4) under a strict hash compare."""
+    import math
+
     v = values.to_numpy(dtype="float64")
     w = weights.to_numpy(dtype="float64")
-    total = float(w.sum())
-    return float((v * w).sum() / total) if total else 0.0
+    total = math.fsum(w)
+    return math.fsum(v * w) / total if total else 0.0
 
 
 def q_udaf_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -101,14 +101,14 @@ def test_shingle_df_cap_drops_hot_shingles(spark):
         (0, "rare one"),
         (1, "rare one"),
     }
-    pairs = D._jaccard_pairs(capped).collect()
+    pairs = D._jaccard_pairs(capped, "synthetic-cap-test").collect()
     assert {(r.doc_id_a, r.doc_id_b, r.jaccard) for r in pairs} == {(0, 1, 1.0)}
 
 
 def test_shingle_df_cap_is_inert_at_test_scale(spark, sf_dir):
     """Observed max shingle DF is far below MAX_SHINGLE_DF on the synthetic
     corpus — the cap is a pure scale guard, results are identical."""
-    uncapped = D._jaccard_pairs(D._shingles(spark, sf_dir)).collect()
+    uncapped = D._jaccard_pairs(D._shingles(spark, sf_dir), sf_dir).collect()
     capped = D.q_dedup_ngram_jaccard(spark, sf_dir).collect()
     assert sorted(map(tuple, uncapped)) == sorted(map(tuple, capped))
 
