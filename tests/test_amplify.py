@@ -38,6 +38,25 @@ def test_dimensions_are_not_replicated(spark, sf_dir, amp_dir):
         assert amp == base, name
 
 
+def test_hot_key_mode_manufactures_skew(spark, sf_dir):
+    """hot_fraction rewrites ~that share of lineitem rows to ONE order key
+    (the uniform testdata never exercises skew without it); every rewritten
+    row still joins (HOT_ORDER_KEY exists in replica 0 of orders)."""
+    from tools.amplify_testdata import HOT_ORDER_KEY
+
+    dst = tempfile.mkdtemp(prefix="sqe_amp_hot_test_")
+    try:
+        amplify_dir(spark, sf_dir, 2, dst, hot_fraction=0.5)
+        li = spark.read.parquet(f"{dst}/lineitem.parquet")
+        total = li.count()
+        hot = li.filter(F.col("l_orderkey") == HOT_ORDER_KEY).count()
+        assert 0.4 <= hot / total <= 0.6, hot / total
+        orders = spark.read.parquet(f"{dst}/orders.parquet")
+        assert orders.filter(F.col("o_orderkey") == HOT_ORDER_KEY).count() == 1
+    finally:
+        shutil.rmtree(dst, ignore_errors=True)
+
+
 def test_keys_stay_unique_and_joins_scale_linearly(spark, sf_dir, amp_dir):
     orders = spark.read.parquet(f"{amp_dir}/orders.parquet")
     assert orders.count() == orders.select("o_orderkey").distinct().count()

@@ -92,6 +92,53 @@ def test_salted_join_matches_plain_join(spark, sf_dir):
     assert sorted(map(tuple, salted.collect())) == sorted(map(tuple, plain.collect()))
 
 
+def test_salted_join_spreads_hot_key(spark):
+    """Demonstrate the salt's effect on a genuinely skewed key (the driver
+    testdata is uniform, so this fixture manufactures 80% single-key skew):
+    the plain hash shuffle concentrates the hot key's rows in ONE reducer
+    partition, while the (key, salt) shuffle bounds the max partition near
+    1/salt_buckets of that — the difference between one OOMing straggler
+    task and ``salt_buckets`` even ones at 100 TB.
+    """
+    n_hot, n_cold, buckets, parts = 40_000, 10_000, 8, 32
+    hot = spark.range(n_hot).select(F.lit(7).alias("k"), F.col("id").alias("v"))
+    cold = spark.range(n_cold).select(
+        (F.col("id") % 997 + 100).alias("k"), F.col("id").alias("v")
+    )
+    skewed = hot.unionAll(cold)
+
+    def max_partition_fraction(df, *cols):
+        # repartition with an EXPLICIT count = the reducer layout a shuffle
+        # join would hash into (and explicit counts disable AQE coalescing).
+        counts = (
+            df.repartition(parts, *[F.col(c) for c in cols])
+            .withColumn("pid", F.spark_partition_id())
+            .groupBy("pid")
+            .count()
+            .collect()
+        )
+        total = sum(r["count"] for r in counts)
+        return max(r["count"] for r in counts) / total
+
+    plain_frac = max_partition_fraction(skewed, "k")
+    salted = skewed.withColumn(
+        "_salt", F.pmod(F.xxhash64("k", "v"), F.lit(buckets)).cast("int")
+    )
+    salted_frac = max_partition_fraction(salted, "k", "_salt")
+    assert plain_frac >= 0.75, plain_frac  # hot key owns one reducer
+    assert salted_frac <= plain_frac / 4, (plain_frac, salted_frac)
+
+    # And the join result on the skewed fixture is salt-invariant.
+    small = skewed.select("k").distinct().withColumn("w", F.col("k") * 10)
+    via_salt = (
+        salted_join(skewed, small, "k", salt_buckets=buckets, salt_cols=["k", "v"])
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    plain = skewed.join(small, "k").groupBy("w").agg(F.count(F.lit(1)).alias("cnt"))
+    assert sorted(map(tuple, via_salt.collect())) == sorted(map(tuple, plain.collect()))
+
+
 def test_salted_join_preserves_outer_semantics(spark):
     left = spark.createDataFrame([(1, "a"), (1, "b"), (2, "c"), (3, "d")], ["k", "v"])
     right = spark.createDataFrame([(1, "x"), (2, "y")], ["k", "w"])

@@ -48,7 +48,14 @@ _SHIFT_COLUMNS: dict[str, tuple[str, ...]] = {
 }
 
 
-def _amplified(df: DataFrame, shift_cols: tuple[str, ...], k: int) -> DataFrame:
+# Hot-key mode: the order key every skewed lineitem row is rewritten to.
+# Chosen from replica 0 so the FK stays valid against amplified orders.
+HOT_ORDER_KEY = 1
+
+
+def _amplified(
+    df: DataFrame, shift_cols: tuple[str, ...], k: int, hot_fraction: float = 0.0
+) -> DataFrame:
     replicas = []
     for i in range(k):
         replica = df
@@ -60,10 +67,28 @@ def _amplified(df: DataFrame, shift_cols: tuple[str, ...], k: int) -> DataFrame:
     out = replicas[0]
     for replica in replicas[1:]:
         out = out.unionAll(replica)
+    if hot_fraction > 0.0 and "l_orderkey" in df.columns:
+        # Deterministically rewrite ~hot_fraction of lineitem rows to ONE
+        # order key: manufactures the single-celebrity-key skew the uniform
+        # testdata never exhibits, for salted-vs-plain join A/B benching.
+        pct = int(hot_fraction * 100)
+        out = out.withColumn(
+            "l_orderkey",
+            F.when(
+                F.pmod(F.xxhash64("l_orderkey", "l_linenumber"), F.lit(100)) < pct,
+                F.lit(HOT_ORDER_KEY),
+            ).otherwise(F.col("l_orderkey")),
+        )
     return out
 
 
-def amplify_dir(spark: SparkSession, sf_dir: str, k: int, dst_dir: str) -> str:
+def amplify_dir(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int,
+    dst_dir: str,
+    hot_fraction: float = 0.0,
+) -> str:
     """Write the amplified copy of ``sf_dir`` to ``dst_dir``; idempotent
     and race-safe (each table lands via temp-dir + atomic rename)."""
     from simple_query_engine_spark.operators.storage import materialize_once
@@ -77,14 +102,16 @@ def amplify_dir(spark: SparkSession, sf_dir: str, k: int, dst_dir: str) -> str:
         def _write(tmp: str, name: str = name) -> None:
             df = table(spark, sf_dir, name)
             if name in _SHIFT_COLUMNS:
-                df = _amplified(df, _SHIFT_COLUMNS[name], k)
+                df = _amplified(df, _SHIFT_COLUMNS[name], k, hot_fraction)
             df.write.mode("overwrite").parquet(tmp)
 
         materialize_once(os.path.join(dst_dir, f"{name}.parquet"), _write)
     return dst_dir
 
 
-def ensure_amplified(spark: SparkSession, sf_dir: str, k: int) -> str:
+def ensure_amplified(
+    spark: SparkSession, sf_dir: str, k: int, hot_fraction: float = 0.0
+) -> str:
     """Amplified copy under the system temp dir, built once per (sf, k,
     source contents) — total source byte size AND newest source mtime are
     part of the tag, so a regenerated testdata set (even one of identical
@@ -100,8 +127,10 @@ def ensure_amplified(spark: SparkSession, sf_dir: str, k: int) -> str:
     tag = (
         f"{os.path.basename(os.path.normpath(sf_dir))}_{total_bytes}_{newest_mtime}"
     )
+    if hot_fraction > 0.0:
+        tag += f"_hot{int(hot_fraction * 100)}"
     dst = os.path.join(tempfile.gettempdir(), f"sqe_amplified_{tag}_x{k}")
-    return amplify_dir(spark, sf_dir, k, dst)
+    return amplify_dir(spark, sf_dir, k, dst, hot_fraction)
 
 
 def main() -> int:
