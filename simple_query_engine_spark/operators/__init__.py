@@ -25,7 +25,7 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # Round-3 front window: every dedup / similarity / pipeline / storage /
 # streaming / multimodal / udx / text entry (never driver-checked, 43), then
 # the first TPC-H queries to fill the 50 slots.  Still unchecked after this
-# round (next rotation): remaining tpch_*, agg_string_concat,
+# round (next rotation): remaining tpch_* (q5 onward), agg_string_concat,
 # events_time_rollup, relational4, and the two sketch queries.
 _ROTATION_FRONT = [
     # dedup (6)
@@ -50,12 +50,13 @@ _ROTATION_FRONT = [
     "events_partition_prune",
     "source_json_roundtrip",
     "source_csv_roundtrip",
-    # streaming (8)
+    # streaming (9)
     "stream_tumbling_counts",
     "stream_sliding_counts",
     "stream_session_counts",
     "stream_stateful_profiles",
     "stream_stream_join",
+    "stream_restart_resume",
     "window_tumbling_counts",
     "window_sliding_counts",
     "window_session_counts",
@@ -86,7 +87,6 @@ _ROTATION_FRONT = [
     "tpch_q18_large_orders",
     "tpch_q22_idle_balances",
     "tpch_q4_priority_exists",
-    "tpch_q5_local_volume",
 ]
 
 

@@ -71,12 +71,58 @@ def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_stream_stream_join(spark, os.path.join(sf_dir, "events.parquet"))
 
 
+def q_stream_restart_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-once file sink across a query restart.
+
+    Phase 1 streams the first half of the staged input files into a native
+    parquet sink with a checkpoint and terminates (availableNow); the
+    remaining files then arrive; phase 2 RESTARTS the query against the
+    same checkpoint + sink and drains the rest.  The oracle is the plain
+    projection of the whole events table, so the row is green only if the
+    restarted query neither re-emits phase-1 rows (offsets resumed, sink
+    commit log honored) nor loses phase-2 rows.  Mid-flight kills (stop()
+    between commits) are pinned in tests/test_streaming_sinks.py.
+    """
+    import shutil
+    import tempfile
+
+    from simple_query_engine_spark.operators.storage import (
+        events_cache_path,
+        materialize_once,
+    )
+    from simple_query_engine_spark.streaming.sinks import run_resumable_file_sink
+
+    staged = events_cache_path(sf_dir, "streamsrc")
+    materialize_once(
+        staged,
+        lambda tmp: table(spark, sf_dir, "events")
+        .select("event_id", "event_type", "value", "user_id")
+        .repartition(4)
+        .write.parquet(tmp),
+    )
+    part_files = sorted(f for f in os.listdir(staged) if f.endswith(".parquet"))
+    run_root = tempfile.mkdtemp(prefix="sqe_stream_resume_")
+    src = os.path.join(run_root, "in")
+    out = os.path.join(run_root, "out")
+    ckpt = os.path.join(run_root, "ckpt")
+    os.makedirs(src)
+    half = len(part_files) // 2 or 1
+    for f in part_files[:half]:
+        shutil.copy(os.path.join(staged, f), os.path.join(src, f))
+    run_resumable_file_sink(spark, src, out, ckpt)
+    for f in part_files[half:]:
+        shutil.copy(os.path.join(staged, f), os.path.join(src, f))
+    run_resumable_file_sink(spark, src, out, ckpt)
+    return spark.read.parquet(out)
+
+
 QUERIES = {
     "stream_tumbling_counts": q_stream_tumbling,
     "stream_sliding_counts": q_stream_sliding,
     "stream_session_counts": q_stream_session,
     "stream_stateful_profiles": q_stream_stateful_profiles,
     "stream_stream_join": q_stream_stream_join,
+    "stream_restart_resume": q_stream_restart_resume,
     "window_tumbling_counts": q_batch_tumbling,
     "window_sliding_counts": q_window_sliding,
     "window_session_counts": q_window_session,
@@ -148,6 +194,9 @@ ORACLES = {
           ON c.user_id = p.user_id
          AND p.ts >= c.ts
          AND p.ts <= c.ts + INTERVAL 1 HOUR
+    """,
+    "stream_restart_resume": """
+        SELECT event_id, event_type, value, user_id FROM events
     """,
     "window_tumbling_counts": _TUMBLING_SQL,
     "window_sliding_counts": _SLIDING_SQL,

@@ -71,3 +71,48 @@ def run_streaming_to_parquet(
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", previous_mode)
     return spark.read.parquet(output_path)
+
+
+def run_resumable_file_sink(
+    spark: SparkSession,
+    input_dir: str,
+    output_path: str,
+    checkpoint_dir: str,
+    select_cols: list[str] | None = None,
+    max_files_per_trigger: int | None = None,
+    await_termination: bool = True,
+):
+    """One run of a NATIVE parquet file sink with a durable checkpoint.
+
+    Restart-resume is the contract: call again — after the query finished,
+    after new input files arrived, or after a mid-flight ``stop()`` — with
+    the same ``checkpoint_dir``/``output_path`` and the restarted query
+    resumes from the checkpoint's recorded source offsets, while the
+    sink's ``_spark_metadata`` commit log exposes only whole committed
+    batches to readers.  Together they make the total output exactly-once
+    across any number of restarts — the property a 100 TB continuous
+    pipeline leans on every time an executor or driver dies.
+
+    Returns the running ``StreamingQuery`` when ``await_termination`` is
+    False (callers kill it mid-flight in tests); otherwise blocks until the
+    availableNow run drains and returns None.
+    """
+    schema = spark.read.parquet(input_dir).schema
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(input_dir)
+    if select_cols:
+        stream = stream.select(*select_cols)
+    query = (
+        stream.writeStream.format("parquet")
+        .option("path", output_path)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not await_termination:
+        return query
+    query.awaitTermination()
+    return None
