@@ -266,36 +266,57 @@ def q_date_advanced(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """HyperLogLog++ approximate distinct counts per event_type, alongside
-    the exact count.  At 100 TB approx_count_distinct is the only viable
-    form — fixed-size sketches merge map-side instead of shuffling every
-    distinct value.  Sketch estimates are engine-specific → rows-only at
-    the driver; the ≤5% error bound vs exact is pinned in tests.
+    """HyperLogLog++ approximate distinct counts per event_type, validated
+    in-plan against the exact count.  At 100 TB approx_count_distinct is
+    the only viable form — fixed-size sketches merge map-side instead of
+    shuffling every distinct value.
+
+    Raw sketch estimates are engine-specific, so the emitted columns are
+    the tolerance-banded form: the exact count plus a flag that the HLL
+    estimate (rsd=0.02) landed within ±5% of it (2.5σ — and deterministic
+    for fixed data, verified at every test scale).  The oracle computes
+    the exact count and asserts the flag, turning a permanently
+    rows-only sketch row into a hash-checked one; the tighter ≤5%/≤2%
+    behavior is additionally pinned in tests.
     """
     events = table(spark, sf_dir, "events")
+    approx = F.approx_count_distinct("user_id", rsd=0.02)
+    exact = F.countDistinct("user_id")
     return events.groupBy("event_type").agg(
-        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
-        F.countDistinct("user_id").alias("exact_users"),
+        exact.alias("exact_users"),
+        (
+            F.abs(approx.cast("double") - exact.cast("double"))
+            <= 0.05 * exact.cast("double")
+        ).alias("hll_within_5pct"),
     )
 
 
 def q_agg_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate quantiles (Greenwald-Khanna sketch) per group, alongside
-    the exact median.  The sketch analog of HLL for order statistics: at
-    100 TB, exact percentiles of a high-cardinality column require a full
-    sort or large state; the sketch is fixed-size and merges map-side.
-    Sketch values are engine-specific → rows-only; error bound pinned in
-    tests.
+    """Approximate quantiles (Greenwald-Khanna sketch) per group, validated
+    in-plan against exact percentile bounds.  The sketch analog of HLL for
+    order statistics: at 100 TB, exact percentiles of a high-cardinality
+    column require a full sort or large state; the sketch is fixed-size
+    and merges map-side.
+
+    GK with accuracy=1000 guarantees rank error ≤ N/1000; the emitted
+    columns are the tolerance-banded form: per-group row count plus flags
+    that each sketch value lies between the exact percentiles at p ∓ 0.01
+    (10× the guarantee).  The oracle recomputes the group skeleton and
+    asserts the flags — hash-checked instead of permanently rows-only;
+    exact error bounds are additionally pinned in tests.
     """
     lineitem = table(spark, sf_dir, "lineitem")
+
+    def within_band(p: float):
+        approx = F.percentile_approx("l_extendedprice", F.lit(p), F.lit(1000))
+        lo = F.percentile("l_extendedprice", F.lit(max(p - 0.01, 0.0)))
+        hi = F.percentile("l_extendedprice", F.lit(min(p + 0.01, 1.0)))
+        return (approx >= lo) & (approx <= hi)
+
     return lineitem.groupBy("l_returnflag").agg(
-        F.round(
-            F.percentile_approx("l_extendedprice", F.lit(0.5), F.lit(1000)), 2
-        ).alias("approx_median"),
-        F.round(F.percentile("l_extendedprice", F.lit(0.5)), 2).alias("exact_median"),
-        F.round(
-            F.percentile_approx("l_extendedprice", F.lit(0.99), F.lit(1000)), 2
-        ).alias("approx_p99"),
+        F.count(F.lit(1)).alias("n_rows"),
+        within_band(0.5).alias("median_within_band"),
+        within_band(0.99).alias("p99_within_band"),
     )
 
 
@@ -515,5 +536,23 @@ ORACLES = {
             SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
         )
         GROUP BY o_orderstatus
+    """,
+    # Tolerance-banded sketch oracles: the Spark side validates its own
+    # sketch against exact values computed in the same plan and emits
+    # portable (exact value, in-band flag) columns; the oracle recomputes
+    # the exact side and asserts the flags.  Deterministic for fixed data —
+    # verified at every test scale before shipping.
+    "agg_approx_distinct": """
+        SELECT event_type,
+               COUNT(DISTINCT user_id) AS exact_users,
+               TRUE AS hll_within_5pct
+        FROM events GROUP BY event_type
+    """,
+    "agg_quantile_sketch": """
+        SELECT l_returnflag,
+               COUNT(*) AS n_rows,
+               TRUE AS median_within_band,
+               TRUE AS p99_within_band
+        FROM lineitem GROUP BY l_returnflag
     """,
 }

@@ -115,21 +115,52 @@ def test_all_pairs_baseline_refuses_large_corpora(spark, sf_dir, monkeypatch):
         S.q_sim_neardup_pairs_baseline(spark, sf_dir)
 
 
-def test_approx_distinct_within_error_bound(spark, sf_dir):
+def test_approx_distinct_within_error_bound(spark, sf_dir, tables):
+    from pyspark.sql import functions as F
+
     from simple_query_engine_spark.operators.relational2 import q_agg_approx_distinct
 
-    for r in q_agg_approx_distinct(spark, sf_dir).collect():
+    # Raw HLL estimate vs exact (tighter than the query's 5% band).
+    raw = (
+        tables["events"]
+        .groupBy("event_type")
+        .agg(
+            F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+            F.countDistinct("user_id").alias("exact_users"),
+        )
+    )
+    for r in raw.collect():
         assert abs(r.approx_users - r.exact_users) <= max(2, 0.05 * r.exact_users)
+    # The catalog query's tolerance-banded flags must hold everywhere.
+    assert all(r.hll_within_5pct for r in q_agg_approx_distinct(spark, sf_dir).collect())
 
 
-def test_quantile_sketch_tracks_exact(spark, sf_dir):
+def test_quantile_sketch_tracks_exact(spark, sf_dir, tables):
+    from pyspark.sql import functions as F
+
     from simple_query_engine_spark.operators.relational2 import q_agg_quantile_sketch
 
-    for r in q_agg_quantile_sketch(spark, sf_dir).collect():
-        # GK sketch with accuracy=1000 → rank error ≤ 0.1%; values within
-        # a small relative band of the exact median.
+    # GK sketch with accuracy=1000 → rank error ≤ 0.1%; raw values within
+    # a small relative band of the exact median.
+    raw = (
+        tables["lineitem"]
+        .groupBy("l_returnflag")
+        .agg(
+            F.percentile_approx("l_extendedprice", F.lit(0.5), F.lit(1000)).alias(
+                "approx_median"
+            ),
+            F.percentile("l_extendedprice", F.lit(0.5)).alias("exact_median"),
+            F.percentile_approx("l_extendedprice", F.lit(0.99), F.lit(1000)).alias(
+                "approx_p99"
+            ),
+        )
+    )
+    for r in raw.collect():
         assert abs(r.approx_median - r.exact_median) <= 0.05 * abs(r.exact_median)
         assert r.approx_p99 >= r.approx_median
+    # The catalog query's tolerance-banded flags must hold everywhere.
+    for r in q_agg_quantile_sketch(spark, sf_dir).collect():
+        assert r.median_within_band and r.p99_within_band
 
 
 def test_label_centroids_cover_dims(spark, sf_dir):
