@@ -244,6 +244,112 @@ _Q9 = """
     GROUP BY 1, 2
 """
 
+# Q2-shaped: min-cost supplier per part (no partsupp table in this schema;
+# lineitem plays supply evidence, and the cost proxy is MIN(l_extendedprice)
+# — a pass-through value, so the correlated min-equality is exact in both
+# engines with no float-rounding hazard).
+_Q2 = """
+    WITH supply AS (
+        SELECT l_partkey AS partkey, l_suppkey AS suppkey,
+               MIN(l_extendedprice) AS min_price
+        FROM lineitem
+        GROUP BY l_partkey, l_suppkey
+    )
+    SELECT p_partkey, p_name, s_name, n_name AS supp_nation, min_price
+    FROM part
+    JOIN supply ON partkey = p_partkey
+    JOIN supplier ON s_suppkey = suppkey
+    JOIN nation ON n_nationkey = s_nationkey
+    WHERE p_size = 7
+      AND min_price = (SELECT MIN(min_price) FROM supply s2
+                       WHERE s2.partkey = p_partkey)
+"""
+
+# Q8-shaped: one supplier nation's market share of a region's revenue by
+# order year (two nation paths; the share is a ratio of conditional sums).
+_Q8 = """
+    SELECT o_year,
+           ROUND(SUM(CASE WHEN supp_nation = 'NATION_2' THEN volume ELSE 0 END)
+                 / SUM(volume), 6) AS mkt_share
+    FROM (
+        SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+               l_extendedprice * (1 - l_discount) AS volume,
+               sn.n_name AS supp_nation
+        FROM lineitem
+        JOIN orders ON o_orderkey = l_orderkey
+        JOIN customer ON c_custkey = o_custkey
+        JOIN nation cn ON cn.n_nationkey = c_nationkey
+        JOIN region ON r_regionkey = cn.n_regionkey
+        JOIN supplier ON s_suppkey = l_suppkey
+        JOIN nation sn ON sn.n_nationkey = s_nationkey
+        WHERE r_name = 'ASIA'
+    ) nation_volume
+    GROUP BY o_year
+"""
+
+# Q11-shaped: parts representing an outsized share of one nation's supply
+# value (HAVING-style threshold from a scalar subquery over the same CTE).
+_Q11 = """
+    WITH nation_value AS (
+        SELECT l_partkey AS partkey, SUM(l_extendedprice) AS part_value
+        FROM lineitem
+        JOIN supplier ON s_suppkey = l_suppkey
+        JOIN nation ON n_nationkey = s_nationkey
+        WHERE n_name = 'NATION_2'
+        GROUP BY l_partkey
+    )
+    SELECT partkey, ROUND(part_value, 2) AS part_value
+    FROM nation_value
+    WHERE part_value > (SELECT 0.001 * SUM(part_value) FROM nation_value)
+"""
+
+# Q20-shaped: suppliers who moved real volume of a part family in a year
+# (IN over a grouped HAVING subquery; quantities are integral, so the
+# HAVING threshold is exact in both engines).
+_Q20 = """
+    SELECT s_name, n_name AS supp_nation
+    FROM supplier
+    JOIN nation ON n_nationkey = s_nationkey
+    WHERE s_suppkey IN (
+        SELECT l_suppkey
+        FROM lineitem
+        JOIN part ON p_partkey = l_partkey
+        WHERE p_name LIKE '%widget%'
+          AND l_shipdate >= TIMESTAMP '1997-01-01'
+          AND l_shipdate < TIMESTAMP '1998-01-01'
+        GROUP BY l_suppkey
+        HAVING SUM(l_quantity) > 50
+    )
+"""
+
+# Q21-shaped: suppliers who were the SOLE late shipper on finished
+# multi-supplier orders ("late" = shipped >90 days after the order date —
+# this schema has no commit/receipt dates).  EXISTS + NOT EXISTS over the
+# same per-(order, supplier) CTE; Catalyst decorrelates to semi/anti joins.
+_Q21 = """
+    WITH line_status AS (
+        SELECT l_orderkey AS orderkey, l_suppkey AS suppkey,
+               MAX(CASE WHEN l_shipdate > o_orderdate + INTERVAL 90 DAY
+                        THEN 1 ELSE 0 END) AS is_late
+        FROM lineitem
+        JOIN orders ON o_orderkey = l_orderkey
+        WHERE o_orderstatus = 'F'
+        GROUP BY l_orderkey, l_suppkey
+    )
+    SELECT s_name, COUNT(*) AS numwait
+    FROM line_status l1
+    JOIN supplier ON s_suppkey = l1.suppkey
+    WHERE l1.is_late = 1
+      AND EXISTS (SELECT 1 FROM line_status l2
+                  WHERE l2.orderkey = l1.orderkey
+                    AND l2.suppkey <> l1.suppkey)
+      AND NOT EXISTS (SELECT 1 FROM line_status l3
+                      WHERE l3.orderkey = l1.orderkey
+                        AND l3.suppkey <> l1.suppkey
+                        AND l3.is_late = 1)
+    GROUP BY s_name
+"""
+
 _SQL = {
     "tpch_q3_shipping_priority": _Q3,
     "tpch_q7_nation_trade": _Q7,
@@ -261,7 +367,15 @@ _SQL = {
     "tpch_q15_top_supplier": _Q15,
     "tpch_q16_supplier_counts": _Q16,
     "tpch_q17_small_quantity": _Q17,
+    "tpch_q2_min_cost_supplier": _Q2,
+    "tpch_q8_market_share": _Q8,
+    "tpch_q11_important_parts": _Q11,
+    "tpch_q20_volume_suppliers": _Q20,
+    "tpch_q21_sole_late_supplier": _Q21,
 }
+# Q1's pricing-summary shape is covered by agg_pricing_summary
+# (operators/relational.py) in DataFrame-API form — all 22 TPC-H query
+# shapes now have a catalog analogue.
 
 
 def _runner(sql: str):
