@@ -150,10 +150,25 @@ def frame_sampler(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         yield pd.DataFrame(out)
 
 
-def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Arrow-batched fake resize over the binary column (1 row → 1 thumb)."""
+def resized_thumbnails(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Internal array-typed variant: one ``array<int>`` thumbnail per doc.
+    Downstream consumers (e.g. an embedding stage) want the typed array."""
     payloads = with_binary_payload(table(spark, sf_dir, "documents"))
     return payloads.select("doc_id", "payload").mapInPandas(fake_resizer, RESIZE_SCHEMA)
+
+
+def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched fake resize over the binary column (1 row → 1 thumb).
+
+    The checked output serializes the thumbnail as a comma-joined string:
+    result harnesses canonicalize rows by sorting over all columns, and an
+    ``array<int>`` cell is unhashable/unorderable in pandas — the typed
+    variant stays available as :func:`resized_thumbnails`.
+    """
+    return resized_thumbnails(spark, sf_dir).select(
+        "doc_id",
+        F.concat_ws(",", F.col("thumbnail").cast("array<string>")).alias("thumbnail"),
+    )
 
 
 def q_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -221,17 +236,19 @@ ORACLES = {
     """,
     # ASCII corpus ⇒ bytes == code points, so even the shape-transforming
     # pandas ops are oracle-checkable: the tiled 8×8 thumbnail via a cyclic
-    # list_transform, the sampled frames via stepped range + substr sums.
+    # list_transform (joined to a comma string so the result is sortable in
+    # any canonicalizer), the sampled frames via stepped range + substr sums.
     "multimodal_resize": """
         WITH c AS (
             SELECT doc_id, string_split(text, '') AS ch, length(text) AS n
             FROM documents
         )
         SELECT doc_id,
-               CASE WHEN n = 0
-                    THEN list_transform(range(0, 64), i -> 0)
-                    ELSE list_transform(range(0, 64), i -> unicode(ch[(i % n) + 1]))
-               END AS thumbnail
+               array_to_string(
+                   CASE WHEN n = 0
+                        THEN list_transform(range(0, 64), i -> 0)
+                        ELSE list_transform(range(0, 64), i -> unicode(ch[(i % n) + 1]))
+                   END, ',') AS thumbnail
         FROM c
     """,
     "multimodal_frame_sample": """

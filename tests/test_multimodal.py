@@ -5,6 +5,8 @@ from __future__ import annotations
 
 import pytest
 
+from pyspark.sql import functions as F
+
 from simple_query_engine_spark.operators import multimodal as M
 
 
@@ -40,9 +42,25 @@ def test_features_match_python_recomputation(spark, sf_dir):
 def test_resize_is_stubbed_and_fake_has_fixed_shape(spark, sf_dir):
     with pytest.raises(NotImplementedError):
         M.resize_image(b"...", 8)
-    rows = M.q_multimodal_resize(spark, sf_dir).limit(10).collect()
+    rows = M.resized_thumbnails(spark, sf_dir).limit(10).collect()
     assert all(len(r.thumbnail) == M.THUMB_SIDE * M.THUMB_SIDE for r in rows)
     assert all(0 <= v <= 255 for r in rows for v in r.thumbnail)
+
+
+def test_resize_checked_output_is_canonicalizable_string(spark, sf_dir):
+    """The driver sorts result rows over all columns; an array<int> cell is
+    unhashable in pandas, so the checked query must emit a scalar column."""
+    df = M.q_multimodal_resize(spark, sf_dir)
+    assert dict(df.dtypes)["thumbnail"] == "string"
+    rows = df.limit(10).collect()
+    for r in rows:
+        values = [int(v) for v in r.thumbnail.split(",")]
+        assert len(values) == M.THUMB_SIDE * M.THUMB_SIDE
+        assert all(0 <= v <= 255 for v in values)
+    # sortable in pandas exactly the way the driver canonicalizes
+    import pandas as pd
+
+    pd.DataFrame([r.asDict() for r in rows]).sort_values(["doc_id", "thumbnail"])
 
 
 def test_frame_sample_shape_and_checksums(spark, sf_dir):
@@ -86,7 +104,13 @@ def test_oracles_handle_empty_documents(spark):
     payloads = M.with_binary_payload(docs).select("doc_id", "payload")
     for name, runner in (
         ("multimodal_features", lambda: payloads.mapInPandas(M.fake_featurizer, M.FEATURE_SCHEMA)),
-        ("multimodal_resize", lambda: payloads.mapInPandas(M.fake_resizer, M.RESIZE_SCHEMA)),
+        (
+            "multimodal_resize",
+            lambda: payloads.mapInPandas(M.fake_resizer, M.RESIZE_SCHEMA).select(
+                "doc_id",
+                F.concat_ws(",", F.col("thumbnail").cast("array<string>")).alias("thumbnail"),
+            ),
+        ),
         ("multimodal_frame_sample", lambda: payloads.mapInPandas(M.frame_sampler, M.FRAME_SCHEMA)),
     ):
         spark_rows = sorted(map(tuple, runner().collect()))
