@@ -160,15 +160,22 @@ _Q18 = """
     ) big ON big.l_orderkey = o_orderkey
 """
 
-# Q22-shaped: wealthy customers with no orders (anti-join + scalar
-# subquery over an aggregate).
+# Q22-shaped: wealthy customers gone idle (anti-join + scalar subquery
+# over an aggregate).  "Idle" = no orders since 2000-01-01: the synthetic
+# corpus gives every customer at least one order overall (measured: 0
+# order-less customers at sf ≤ 0.01), so the classic no-orders-ever
+# predicate returns an empty — hence vacuously hash-matching — result.
+# The recency cutoff keeps the exact Q22 plan shape (correlated NOT
+# EXISTS → anti-join, scalar aggregate subquery) with a non-empty
+# result at every SF (5 / 55 / 646 customers at sf 0.001 / 0.01 / 0.1).
 _Q22 = """
     SELECT c_mktsegment,
            COUNT(*) AS customer_count,
            ROUND(SUM(c_acctbal), 2) AS total_balance
     FROM customer
     WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM customer WHERE c_acctbal > 0)
-      AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                      AND o_orderdate >= TIMESTAMP '2000-01-01')
     GROUP BY c_mktsegment
 """
 

@@ -71,11 +71,21 @@ def test_ivf_recall_against_bruteforce(spark, sf_dir, exact_topk):
     assert sum(recalls) / len(recalls) >= 0.3, f"IVF recalls {recalls}"
 
 
+def test_neardup_corpus_results_nonempty(spark, sf_dir):
+    """The checked threshold sits inside the corpus's actual cosine range
+    (see NEARDUP_COSINE rationale), so both near-dup ops must return real
+    pairs — an empty oracle-checked result proves nothing."""
+    baseline = S.q_sim_neardup_pairs_baseline(spark, sf_dir).count()
+    lsh = S.q_sim_neardup_lsh(spark, sf_dir).count()
+    assert baseline > 0
+    assert lsh > 0
+    assert lsh <= baseline  # LSH can only miss, never invent
+
+
 def test_neardup_lsh_finds_planted_pairs(spark, tmp_path):
-    """The shipped corpus has no cosine ≥ 0.8 pairs (both near-dup ops
-    correctly return empty there), so detection power is pinned on a
-    planted fixture: near-identical vectors must be found by the
-    LSH-bucketed path, and its pair set must equal the exact baseline's."""
+    """Detection power at true near-dup cosines is pinned on a planted
+    fixture: near-identical vectors (cosine ≈ 0.99) must be found by the
+    LSH-bucketed path, and its pair set must stay within the baseline's."""
     import numpy as np
     import pandas as pd
 
@@ -104,7 +114,7 @@ def test_neardup_lsh_finds_planted_pairs(spark, tmp_path):
         for r in S.q_sim_neardup_pairs_baseline(spark, str(tmp_path)).collect()
     }
     planted = {(i, 20 + i) for i in range(5)}
-    assert planted <= exact  # perturbed copies really are cosine ≥ 0.8
+    assert planted <= exact  # perturbed copies clear the threshold easily
     assert planted <= lsh, f"LSH missed planted pairs: {planted - lsh}"
     assert lsh <= exact  # LSH can only miss, never invent
 
