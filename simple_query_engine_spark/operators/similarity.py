@@ -27,6 +27,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from simple_query_engine_spark.functions.caching import session_cache
+from simple_query_engine_spark.functions.hashing import md5_prefix_long, md5_prefix_long_sql
 from simple_query_engine_spark.sources.catalog import table
 
 TOP_K = 10
@@ -290,13 +291,23 @@ def q_sim_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 NUM_IVF_CELLS = 16
 IVF_NPROBE = 4
+IVF_HASH_WIDTH = 15  # md5 hex-prefix width for centroid sampling
 
 
 def q_sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN top-k via IVF (inverted-file) coarse quantization.
 
-    "Training" is deterministic: the first NUM_IVF_CELLS vectors serve as
-    cell centroids.  Every vector is assigned to its nearest centroid (one
+    "Training" is deterministic: the NUM_IVF_CELLS vectors with the
+    lowest md5-prefix hash of their vec_id serve as cell centroids — a
+    hash-spread sample, statistically uniform over the corpus rather than
+    whatever happens to sit at the head of insertion order, yet still
+    engine-exact (both engines compute the identical md5 prefix, see
+    ``functions/hashing.py``), so the whole pipeline stays oracle-checked.
+    True k-means / k-means|| training is out of oracle scope by design:
+    its result depends on float accumulation order across partitions, so
+    no DuckDB twin could hash-match it.  Selection is a 16-row
+    TakeOrderedAndProject over (hash, vec_id) — no full sort at scale.
+    Every vector is assigned to its nearest centroid (one
     broadcast pass — |cells| is tiny); each query probes its IVF_NPROBE
     nearest cells and searches exactly inside them.  At 100 TB the
     assignment is a narrow broadcast map over the corpus and the search
@@ -312,9 +323,15 @@ def q_sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests.
     """
     embeddings = table(spark, sf_dir, "embeddings")
-    centroids = _with_norm(
-        embeddings.filter(F.col("vec_id") < NUM_IVF_CELLS), "cell_id", "cent_emb", "cent_norm"
+    sampled = (
+        embeddings.withColumn(
+            "centroid_hash", md5_prefix_long(F.col("vec_id").cast("string"), IVF_HASH_WIDTH)
+        )
+        .orderBy("centroid_hash", "vec_id")
+        .limit(NUM_IVF_CELLS)
+        .drop("centroid_hash")
     )
+    centroids = _with_norm(sampled, "cell_id", "cent_emb", "cent_norm")
     vectors = _with_norm(embeddings, "vec_id", "emb", "nrm")
     affinity = _dot(F.col("emb"), F.col("cent_emb")) / (F.col("nrm") * F.col("cent_norm"))
     scored_cells = vectors.crossJoin(F.broadcast(centroids)).select(
@@ -521,8 +538,8 @@ ORACLES = {
         FROM per_dim GROUP BY label
     """,
     # sim_ivf_topk is approximate vs brute force but fully DETERMINISTIC
-    # arithmetic (fixed centroids, exact cosine, fixed nprobe) — so the
-    # whole IVF pipeline is SQL-expressible and oracle-checked.
+    # arithmetic (hash-sampled centroids, exact cosine, fixed nprobe) — so
+    # the whole IVF pipeline is SQL-expressible and oracle-checked.
     "sim_ivf_topk": f"""
         WITH e AS (
             SELECT vec_id, embedding::DOUBLE[] AS v,
@@ -530,7 +547,8 @@ ORACLES = {
             FROM embeddings
         ), cents AS (
             SELECT vec_id AS cell_id, v AS cv, nrm AS cnrm FROM e
-            WHERE vec_id < {NUM_IVF_CELLS}
+            ORDER BY {md5_prefix_long_sql("CAST(vec_id AS VARCHAR)", 15)}, vec_id
+            LIMIT {NUM_IVF_CELLS}
         ), ranked AS (
             SELECT e.vec_id, e.v, e.nrm, c.cell_id,
                    ROW_NUMBER() OVER (
