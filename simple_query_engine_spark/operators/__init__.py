@@ -22,71 +22,76 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # everything else (already green in CORRECTNESS_r01/r02) follows in module
 # order.  ROUND3_NOTES.md tracks which round certified which query.
 #
-# Round-3 front window: every dedup / similarity / pipeline / storage /
-# streaming / multimodal / udx / text entry (never driver-checked, 43), then
-# the first TPC-H queries to fill the 50 slots.  Still unchecked after this
-# round (next rotation): remaining tpch_* (q5 onward), agg_string_concat,
-# events_time_rollup, relational4, and the two sketch queries.
+# Round-4 front window (exactly 50 = the driver's window size), in
+# priority order:
+#   1. the 25 names with no driver-green row after r03: 22 never-checked
+#      (remaining tpch_*, agg_string_concat, events_time_rollup, all of
+#      relational4), the 2 sketches whose tolerance-banded oracles have
+#      never been driver-run, and multimodal_resize (r03 err — output
+#      contract fixed this round);
+#   2. 4 re-checks for queries whose semantics changed this round
+#      (de-vacuated near-dup pair set, hash-sampled IVF centroids,
+#      recency-predicate q22);
+#   3. 21 stale-certification backfills: names last certified in r01/r02
+#      whose modules have changed since (all 15 remaining relational2
+#      entries, the 3 untouched multimodal entries, relational3's 2
+#      window queries, and sim_ann_lsh from the edited similarity
+#      module).
+# ROUND4_NOTES.md tracks the ledger.
 _ROTATION_FRONT = [
-    # dedup (6)
-    "dedup_exact",
-    "dedup_clusters",
-    "dedup_clusters_lsh",
-    "dedup_ngram_jaccard",
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    # similarity (6)
-    "sim_topk_bruteforce",
+    # --- 1. first-verdict names (25) ---
+    "multimodal_resize",
+    "agg_approx_distinct",
+    "agg_quantile_sketch",
+    "agg_string_concat",
+    "events_time_rollup",
+    "conditional_funcs",
+    "bitwise_funcs",
+    "regexp_count_funcs",
+    "window_value_picks",
+    "map_funcs",
+    "tpch_q2_min_cost_supplier",
+    "tpch_q5_local_volume",
+    "tpch_q6_forecast_revenue",
+    "tpch_q8_market_share",
+    "tpch_q9_nation_profit",
+    "tpch_q10_returned_items",
+    "tpch_q11_important_parts",
+    "tpch_q12_late_lines",
+    "tpch_q14_promo_share",
+    "tpch_q15_top_supplier",
+    "tpch_q16_supplier_counts",
+    "tpch_q17_small_quantity",
+    "tpch_q19_brand_bands",
+    "tpch_q20_volume_suppliers",
+    "tpch_q21_sole_late_supplier",
+    # --- 2. changed-this-round re-checks (4) ---
     "sim_neardup_pairs_baseline",
     "sim_neardup_lsh",
-    "sim_ann_lsh",
     "sim_ivf_topk",
-    "sim_label_centroids",
-    # pipeline (3)
-    "pipeline_corpus_curation",
-    "sample_stratified",
-    "text_decontamination",
-    # storage (3)
-    "events_partition_prune",
-    "source_json_roundtrip",
-    "source_csv_roundtrip",
-    # streaming (9)
-    "stream_tumbling_counts",
-    "stream_sliding_counts",
-    "stream_session_counts",
-    "stream_stateful_profiles",
-    "stream_stream_join",
-    "stream_restart_resume",
-    "window_tumbling_counts",
-    "window_sliding_counts",
-    "window_session_counts",
-    # multimodal (4)
+    "tpch_q22_idle_balances",
+    # --- 3. stale-certification backfill (21) ---
+    "join_asof",
+    "funnel_conversion",
+    "agg_correlation",
+    "join_range",
+    "pivot_status",
+    "sample_hash",
+    "agg_stats",
+    "array_funcs",
+    "union_by_name",
+    "null_handling",
+    "grouping_sets",
+    "udf_pandas_score",
+    "string_advanced",
+    "date_advanced",
+    "subquery_in",
     "multimodal_meta",
     "multimodal_features",
-    "multimodal_resize",
     "multimodal_frame_sample",
-    # udx (5)
-    "udf_grouped_map_zscore",
-    "zscore_window",
-    "udaf_weighted_avg",
-    "udtf_bigrams",
-    "join_salted_skew",
-    # text (8)
-    "text_token_count",
-    "text_bpe_token_count",
-    "text_quality_score",
-    "text_lang_id",
-    "text_fingerprint",
-    "text_rolling_hash",
-    "text_word_freq",
-    "text_length_histogram",
-    # tpch — as many as fit in the remaining slots
-    "tpch_q3_shipping_priority",
-    "tpch_q7_nation_trade",
-    "tpch_q13_order_distribution",
-    "tpch_q18_large_orders",
-    "tpch_q22_idle_balances",
-    "tpch_q4_priority_exists",
+    "window_range_frame",
+    "window_distribution",
+    "sim_ann_lsh",
 ]
 
 
