@@ -400,13 +400,19 @@ MAX_CC_ITERATIONS = 15
 # defaults under the system temp dir.  This replaces ``localCheckpoint``:
 # reliable files survive executor loss, and round cleanup is an ordinary
 # directory delete instead of private-API block bookkeeping.
+# Resolution order (see session.cc_scratch_root): the SQE_CC_SCRATCH_DIR
+# env var, then the ``spark.sqe.cc.scratchDir`` session conf, then the
+# system temp dir — so a cluster deployment configures it once on the
+# session instead of exporting an env var on every executor host.
 CC_SCRATCH_ENV = "SQE_CC_SCRATCH_DIR"
 
 
-def _cc_scratch_dir() -> str:
+def _cc_scratch_dir(spark: SparkSession) -> str:
     import tempfile
 
-    root = os.environ.get(CC_SCRATCH_ENV) or os.path.join(
+    from simple_query_engine_spark.session import cc_scratch_root
+
+    root = cc_scratch_root(spark) or os.path.join(
         tempfile.gettempdir(), "sqe_cc_scratch"
     )
     os.makedirs(root, exist_ok=True)
@@ -453,7 +459,7 @@ def _propagate_labels(
     if max_iterations < 1:
         raise ValueError(f"max_iterations must be >= 1, got {max_iterations}")
     spark = edges.sparkSession
-    scratch = _cc_scratch_dir()
+    scratch = _cc_scratch_dir(spark)
 
     def _materialize(df: DataFrame, round_no: int) -> DataFrame:
         path = os.path.join(scratch, f"round_{round_no}")

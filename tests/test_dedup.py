@@ -134,6 +134,40 @@ def test_label_propagation_doubles_pointers_on_chains(spark):
     labels.unpersist()
 
 
+def test_cc_scratch_root_session_conf_roundtrip(spark, tmp_path, monkeypatch):
+    """The CC scratch root is configurable via the spark.sqe.cc.scratchDir
+    session conf (cluster deployments set it once on the session instead of
+    exporting an env var per executor host); a relative path resolves and
+    round-trips, and the env var wins over the conf when both are set."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from simple_query_engine_spark.session import CC_SCRATCH_CONF, cc_scratch_root
+
+    monkeypatch.delenv("SQE_CC_SCRATCH_DIR", raising=False)
+    monkeypatch.chdir(tmp_path)
+    spark.conf.set(CC_SCRATCH_CONF, "cc_scratch_rel")
+    try:
+        assert cc_scratch_root(spark) == "cc_scratch_rel"
+        one_way = spark.createDataFrame([(0, 1), (1, 2)], ["src", "dst"])
+        edges = one_way.union(
+            one_way.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        labels, _ = D._propagate_labels(edges)
+        assert {(r.doc_id, r.label) for r in labels.collect()} == {
+            (0, 0), (1, 0), (2, 0)
+        }
+        # The rounds really materialized under the configured root.
+        assert os.path.isdir("cc_scratch_rel")
+        assert any(os.scandir("cc_scratch_rel"))
+        # Env var takes precedence over the session conf.
+        monkeypatch.setenv("SQE_CC_SCRATCH_DIR", str(tmp_path / "env_root"))
+        assert cc_scratch_root(spark) == str(tmp_path / "env_root")
+    finally:
+        spark.conf.unset(CC_SCRATCH_CONF)
+
+
 def test_signatures_are_deterministic(spark, sf_dir):
     a = D.minhash_signatures(spark, sf_dir).orderBy("doc_id").limit(3).collect()
     b = D.minhash_signatures(spark, sf_dir).orderBy("doc_id").limit(3).collect()
