@@ -58,7 +58,15 @@ def main() -> int:
 
     import __spark_entry__ as entrymod
 
-    spark = get_spark(app_name="sqe-spark-bench")
+    # Local-mode Spark defaults to a 1g driver heap — fine for the base
+    # SF but an OOM at 32×-amplified cached fact tables.  The bench rig
+    # has 128 GiB; claim a realistic slice (bench session only — tests
+    # and the driver harness keep their own sizing).
+    driver_mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g")
+    spark = get_spark(
+        app_name="sqe-spark-bench",
+        extra_conf={"spark.driver.memory": driver_mem},
+    )
     queries = entrymod.queries()
 
     amplify = int(os.environ.get("SPARK_GRAFT_BENCH_AMPLIFY", "0") or 0)
