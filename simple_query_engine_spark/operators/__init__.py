@@ -124,6 +124,7 @@ def all_oracles() -> dict[str, str]:
 def _modules():
     from simple_query_engine_spark.operators import (
         dedup,
+        dml,
         multimodal,
         parity,
         relational,
@@ -154,4 +155,5 @@ def _modules():
         multimodal,
         pipeline,
         udx,
+        dml,
     )

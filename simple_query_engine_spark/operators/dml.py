@@ -1,0 +1,209 @@
+"""DML catalog queries over the managed-table layer (sources/managed.py).
+
+The reference has no mutation surface at all (its dataset is immutable
+after load, reference ``src/main.rs:29-30``), so these queries certify the
+pure-extension DML layer: each one materializes a scratch managed table
+from the immutable testdata, applies a deterministic mutation sequence
+(INSERT / DELETE / UPDATE / MERGE / time travel), and returns an aggregate
+of the final state.  The DuckDB oracle expresses the same final state
+relationally over the ORIGINAL tables — so a hash-match proves the
+mutation engine transformed the data exactly as the relational semantics
+demand, file rewrites and all.
+
+Scale note: the mutations run through copy-on-write file rewrites
+(only files holding affected rows are rewritten; the rest carry over by
+manifest reference) and atomic manifest commits — the shape that holds at
+100 TB.  The scratch tables here are small by construction; the file-level
+hygiene is pinned in ``tests/test_managed.py``.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from simple_query_engine_spark.sources.catalog import table
+from simple_query_engine_spark.sources.managed import ManagedTable
+
+UPDATE_BONUS = 500.0
+MERGE_SCALE = 2.0
+
+
+def _scratch(prefix: str) -> str:
+    root = os.path.join(tempfile.gettempdir(), "sqe_dml_scratch")
+    os.makedirs(root, exist_ok=True)
+    return os.path.join(tempfile.mkdtemp(prefix=prefix, dir=root), "t")
+
+
+def q_dml_insert_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CREATE from pre-1998 orders, INSERT the rest, aggregate the union."""
+    orders = table(spark, sf_dir, "orders")
+    cutoff = F.lit("1998-01-01").cast("timestamp")
+    t = ManagedTable.create(
+        spark, _scratch("insert_"), orders.filter(F.col("o_orderdate") < cutoff)
+    )
+    t.insert(orders.filter(F.col("o_orderdate") >= cutoff))
+    return (
+        t.read()
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+    )
+
+
+def q_dml_delete_where(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DELETE all finished orders; aggregate the survivors by priority."""
+    orders = table(spark, sf_dir, "orders")
+    t = ManagedTable.create(spark, _scratch("delete_"), orders)
+    t.delete_where(F.col("o_orderstatus") == "F")
+    return (
+        t.read()
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+    )
+
+
+def q_dml_update_set(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UPDATE building-segment balances (+500); per-segment rollup after."""
+    customer = table(spark, sf_dir, "customer")
+    t = ManagedTable.create(spark, _scratch("update_"), customer)
+    t.update(
+        F.col("c_mktsegment") == "BUILDING",
+        {"c_acctbal": F.col("c_acctbal") + UPDATE_BONUS},
+    )
+    return (
+        t.read()
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(F.sum("c_acctbal"), 2).alias("total_balance"),
+        )
+    )
+
+
+def q_dml_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE an overlapping source into an even-key target.
+
+    Target = customers with even c_custkey; source = customers whose key is
+    divisible by 3, balances doubled.  Matched rows (key % 6 == 0) take the
+    doubled balance; unmatched source rows (odd multiples of 3) insert.
+    """
+    customer = table(spark, sf_dir, "customer")
+    t = ManagedTable.create(
+        spark, _scratch("merge_"), customer.filter(F.col("c_custkey") % 2 == 0)
+    )
+    source = customer.filter(F.col("c_custkey") % 3 == 0).withColumn(
+        "c_acctbal", F.col("c_acctbal") * MERGE_SCALE
+    )
+    t.merge(
+        source,
+        on="c_custkey",
+        update_assignments={"c_acctbal": F.col("s.c_acctbal")},
+    )
+    return (
+        t.read()
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(F.sum("c_acctbal"), 2).alias("total_balance"),
+        )
+    )
+
+
+def q_dml_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot isolation as data: per-version row count + total after a
+    CREATE → DELETE chain; the deleted rows must remain visible at v0."""
+    orders = table(spark, sf_dir, "orders")
+    t = ManagedTable.create(spark, _scratch("travel_"), orders)
+    t.delete_where(F.col("o_orderstatus") == "F")
+
+    def snapshot(version: int) -> DataFrame:
+        return (
+            t.read(version=version)
+            .agg(
+                F.count(F.lit(1)).alias("n_orders"),
+                F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+            )
+            .select(F.lit(version).alias("version"), "n_orders", "total_price")
+        )
+
+    return snapshot(0).unionAll(snapshot(1))
+
+
+QUERIES = {
+    "dml_insert_append": q_dml_insert_append,
+    "dml_delete_where": q_dml_delete_where,
+    "dml_update_set": q_dml_update_set,
+    "dml_merge_upsert": q_dml_merge_upsert,
+    "dml_time_travel": q_dml_time_travel,
+}
+
+ORACLES = {
+    # The INSERT splits on a date and re-unions — final state is the whole
+    # table, so the oracle aggregates orders directly.
+    "dml_insert_append": """
+        SELECT o_orderstatus,
+               COUNT(*) AS n_orders,
+               ROUND(SUM(o_totalprice), 2) AS total_price
+        FROM orders
+        GROUP BY o_orderstatus
+    """,
+    "dml_delete_where": """
+        SELECT o_orderpriority,
+               COUNT(*) AS n_orders,
+               ROUND(SUM(o_totalprice), 2) AS total_price
+        FROM orders
+        WHERE o_orderstatus <> 'F'
+        GROUP BY o_orderpriority
+    """,
+    "dml_update_set": f"""
+        SELECT c_mktsegment,
+               COUNT(*) AS n_customers,
+               ROUND(SUM(CASE WHEN c_mktsegment = 'BUILDING'
+                              THEN c_acctbal + {UPDATE_BONUS}
+                              ELSE c_acctbal END), 2) AS total_balance
+        FROM customer
+        GROUP BY c_mktsegment
+    """,
+    # Final merged state: even keys (balance doubled when also % 3 = 0)
+    # plus inserted odd multiples of 3 (doubled).
+    "dml_merge_upsert": f"""
+        WITH merged AS (
+            SELECT c_mktsegment,
+                   CASE WHEN c_custkey % 3 = 0
+                        THEN c_acctbal * {MERGE_SCALE}
+                        ELSE c_acctbal END AS bal
+            FROM customer
+            WHERE c_custkey % 2 = 0
+            UNION ALL
+            SELECT c_mktsegment, c_acctbal * {MERGE_SCALE} AS bal
+            FROM customer
+            WHERE c_custkey % 3 = 0 AND c_custkey % 2 <> 0
+        )
+        SELECT c_mktsegment,
+               COUNT(*) AS n_customers,
+               ROUND(SUM(bal), 2) AS total_balance
+        FROM merged
+        GROUP BY c_mktsegment
+    """,
+    "dml_time_travel": """
+        SELECT 0 AS version,
+               COUNT(*) AS n_orders,
+               ROUND(SUM(o_totalprice), 2) AS total_price
+        FROM orders
+        UNION ALL
+        SELECT 1 AS version,
+               COUNT(*) AS n_orders,
+               ROUND(SUM(o_totalprice), 2) AS total_price
+        FROM orders
+        WHERE o_orderstatus <> 'F'
+    """,
+}
