@@ -415,6 +415,10 @@ def _cc_scratch_dir(spark: SparkSession) -> str:
     root = cc_scratch_root(spark) or os.path.join(
         tempfile.gettempdir(), "sqe_cc_scratch"
     )
+    if "://" not in root:
+        # Python resolves relative paths against its cwd but the Spark JVM
+        # resolves them against ITS cwd — absolutize so both agree.
+        root = os.path.abspath(root)
     os.makedirs(root, exist_ok=True)
     return tempfile.mkdtemp(prefix="cc_", dir=root)
 

@@ -158,9 +158,17 @@ def test_cc_scratch_root_session_conf_roundtrip(spark, tmp_path, monkeypatch):
         assert {(r.doc_id, r.label) for r in labels.collect()} == {
             (0, 0), (1, 0), (2, 0)
         }
-        # The rounds really materialized under the configured root.
-        assert os.path.isdir("cc_scratch_rel")
-        assert any(os.scandir("cc_scratch_rel"))
+        # The rounds really materialized under the configured root — the
+        # fixpoint parquet files themselves, not just Python-side dirs
+        # (relative paths are absolutized so the JVM writes to the same
+        # place Python created; without that the JVM anchors to ITS cwd).
+        parquet_parts = [
+            os.path.join(dirpath, f)
+            for dirpath, _, files in os.walk("cc_scratch_rel")
+            for f in files
+            if f.endswith(".parquet")
+        ]
+        assert parquet_parts, "no parquet files under the configured root"
         # Env var takes precedence over the session conf.
         monkeypatch.setenv("SQE_CC_SCRATCH_DIR", str(tmp_path / "env_root"))
         assert cc_scratch_root(spark) == str(tmp_path / "env_root")
