@@ -135,6 +135,19 @@ class ManagedTable:
         """
         base = self.current_version()
         target_cols = self.read(base).columns
+        # SQL MERGE semantics: more than one source row per key is an
+        # error, not a silent fan-out of the matched target rows.
+        dup = (
+            source.groupBy(on)
+            .agg(F.count(F.lit(1)).alias("n"))
+            .filter(F.col("n") > 1)
+            .limit(1)
+            .collect()
+        )
+        if dup:
+            raise ValueError(
+                f"merge source has multiple rows for key {on}={dup[0][0]!r}"
+            )
         keys = source.select(on).distinct()
         affected = self._affected_files(
             self._with_file_path(base).join(keys, on, "left_semi")

@@ -108,6 +108,15 @@ def test_merge_matched_probe_survives_null_data_columns(spark, tmp_path):
     assert got == {1: None, 2: "b"}
 
 
+def test_merge_rejects_duplicate_source_keys(spark, tmp_path, people):
+    t = ManagedTable.create(spark, str(tmp_path / "t"), people)
+    source = spark.createDataFrame(
+        [(1, "a", 1.0, "odd"), (1, "b", 2.0, "odd")], people.schema
+    )
+    with pytest.raises(ValueError, match="multiple rows"):
+        t.merge(source, on="id", update_assignments={"name": F.col("s.name")})
+
+
 def test_concurrent_commit_conflict(spark, tmp_path, people):
     t = ManagedTable.create(spark, str(tmp_path / "t"), people)
     extra = spark.createDataFrame([(42, "x", 0.0, "even")], people.schema)
