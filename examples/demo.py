@@ -88,6 +88,26 @@ def main() -> int:
     print(">>> corpus curation (quality gate → exact dedup → LSH near-dup drop):")
     q_pipeline_corpus_curation(spark, sf_dir).orderBy("lang").show()
 
+    # --- 5. managed-table DML (snapshot versioning + time travel) ---------
+    from pyspark.sql import functions as F
+
+    from simple_query_engine_spark.sources.catalog import table
+    from simple_query_engine_spark.sources.managed import ManagedTable
+
+    with tempfile.TemporaryDirectory(prefix="sqe_demo_dml_") as scratch:
+        t = ManagedTable.create(
+            spark, os.path.join(scratch, "orders"), table(spark, sf_dir, "orders")
+        )
+        t.delete_where(F.col("o_orderstatus") == "F")
+        t.update(
+            F.col("o_orderpriority") == "1-URGENT",
+            {"o_totalprice": F.col("o_totalprice") * 1.1},
+        )
+        print(">>> managed orders table: v0 (created) → v1 (DELETE) → v2 (UPDATE)")
+        for version in t.versions():
+            n = t.read(version=version).count()
+            print(f"    version {version}: {n} rows (time travel)")
+
     spark.stop()
     return 0
 
