@@ -19,6 +19,7 @@ from simple_query_engine_spark.sources.catalog import table
 from simple_query_engine_spark.streaming.stateful import run_stateful_user_profiles
 from simple_query_engine_spark.streaming.windows import (
     run_stream_stream_join,
+    run_streaming_dedup_counts,
     run_streaming_session_counts,
     run_streaming_sliding_counts,
     run_streaming_tumbling_counts,
@@ -69,6 +70,13 @@ def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-stream join (clicks ⋈ purchases ≤1 h later, per user) with
     watermarked state on both sides."""
     return run_stream_stream_join(spark, os.path.join(sf_dir, "events.parquet"))
+
+
+def q_stream_dedup_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming dedup (watermark-bounded dropDuplicates state) chained
+    into a stateful distinct-user count — see
+    :func:`simple_query_engine_spark.streaming.windows.run_streaming_dedup_counts`."""
+    return run_streaming_dedup_counts(spark, os.path.join(sf_dir, "events.parquet"))
 
 
 def q_stream_restart_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -123,6 +131,7 @@ QUERIES = {
     "stream_stateful_profiles": q_stream_stateful_profiles,
     "stream_stream_join": q_stream_stream_join,
     "stream_restart_resume": q_stream_restart_resume,
+    "stream_dedup_user_counts": q_stream_dedup_user_counts,
     "window_tumbling_counts": q_batch_tumbling,
     "window_sliding_counts": q_window_sliding,
     "window_session_counts": q_window_session,
@@ -197,6 +206,13 @@ ORACLES = {
     """,
     "stream_restart_resume": """
         SELECT event_id, event_type, value, user_id FROM events
+    """,
+    # Dedup on (user_id, event_type) keeping only key columns ⇒ the
+    # surviving set is exactly the distinct pairs, arrival-order-free.
+    "stream_dedup_user_counts": """
+        SELECT event_type,
+               COUNT(DISTINCT user_id) AS unique_users
+        FROM events GROUP BY event_type
     """,
     "window_tumbling_counts": _TUMBLING_SQL,
     "window_sliding_counts": _SLIDING_SQL,

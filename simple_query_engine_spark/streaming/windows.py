@@ -204,6 +204,47 @@ def _run_windowed_stream(
     return spark.table(sink_name)
 
 
+def run_streaming_dedup_counts(
+    spark: SparkSession,
+    events_path: str,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Streaming deduplication → aggregation (two chained stateful ops).
+
+    ``dropDuplicates`` on (user_id, event_type) holds one state entry per
+    distinct key; the watermark bounds that state — without it a streaming
+    dedup accumulates every key it has ever seen, which is the classic
+    unbounded-state failure at 100 TB/day event volumes.  The deduped
+    stream then feeds a per-type distinct-user count (stateful agg chained
+    after stateful dedup — supported since multi-stateful-operator
+    pipelines landed in Spark 3.5).  Output only key columns survive the
+    dedup, so the result is arrival-order-independent and the whole
+    pipeline is oracle-checkable: on a finite replay it equals
+    ``COUNT(DISTINCT user_id) GROUP BY event_type``.
+    """
+    stream = read_event_stream(spark, events_path, max_files_per_trigger)
+    deduped = (
+        stream.withWatermark("ts", WATERMARK)
+        .dropDuplicates(["user_id", "event_type"])
+        .select("user_id", "event_type")
+    )
+    counts = deduped.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("unique_users")
+    )
+    sink_name = f"dedup_{uuid.uuid4().hex[:8]}"
+    checkpoint = os.path.join(tempfile.gettempdir(), f"ckpt_{sink_name}")
+    query = (
+        counts.writeStream.format("memory")
+        .queryName(sink_name)
+        .outputMode("complete")
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return spark.table(sink_name)
+
+
 def run_streaming_tumbling_counts(
     spark: SparkSession,
     events_path: str,

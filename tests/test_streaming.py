@@ -144,6 +144,62 @@ def test_session_state_merges_across_batches(spark, tmp_path):
     }
 
 
+def test_streaming_dedup_spans_micro_batches(spark, tmp_path):
+    """A key first seen in batch 1 and repeated in batch 2 must still
+    dedup to one row — the dropDuplicates state survives across
+    micro-batches (and is watermark-bounded, not unbounded)."""
+    import glob
+
+    import datetime as dt
+
+    input_dir = str(tmp_path / "dedup_in")
+    os.makedirs(input_dir)
+    t0 = dt.datetime(2024, 1, 1, 10, 0, 0)
+
+    def at(minutes: float):
+        return t0 + dt.timedelta(minutes=minutes)
+
+    batches = [
+        # user 7 clicks twice within batch 1 (intra-batch dup)...
+        ("b1", [(at(0), 7, "click", 1.0), (at(1), 7, "click", 1.0)]),
+        # ...and again in batch 2 (cross-batch dup); user 8 is new.
+        ("b2", [(at(5), 7, "click", 1.0), (at(6), 8, "click", 1.0)]),
+    ]
+    for i, (name, rows) in enumerate(batches):
+        df = spark.createDataFrame(
+            rows, "ts timestamp, user_id long, event_type string, value double"
+        )
+        df.coalesce(1).write.parquet(f"{input_dir}/{name}")
+        for part in glob.glob(f"{input_dir}/{name}/*.parquet"):
+            os.utime(part, (1_000_000 * (i + 1),) * 2)
+
+    stream = (
+        spark.readStream.schema(
+            "ts timestamp, user_id long, event_type string, value double"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{input_dir}/*")
+    )
+    deduped = (
+        stream.withWatermark("ts", "1 hour")
+        .dropDuplicates(["user_id", "event_type"])
+        .select("user_id", "event_type")
+    )
+    counts = deduped.groupBy("event_type").agg(F.count(F.lit(1)).alias("unique_users"))
+    sink = "dedup_batches_test"
+    query = (
+        counts.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ckpt_dedup"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    got = {r.event_type: r.unique_users for r in spark.table(sink).collect()}
+    assert got == {"click": 2}  # users 7 and 8 once each, all dups dropped
+
+
 def test_watermark_drops_late_data(spark, tmp_path):
     """Three micro-batches: the watermark passes window [10:00,11:00) after
     batch 1, the window's state is evicted and emitted at the end of batch 2,
