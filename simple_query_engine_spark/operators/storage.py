@@ -183,10 +183,50 @@ def q_source_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _roundtrip_aggregate(df)
 
 
+def q_source_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scan + aggregate over the custom Python Data Source connector.
+
+    The connector (``sources/pydatasource.py``) generates a deterministic
+    sensor-readings table sized to the events table, partition-parallel
+    with Arrow batches.  The ``reading_id >= cutoff`` predicate is pushed
+    INTO the connector (range narrowing — the rows below the cutoff are
+    never generated); the ``kind`` equality is declined by ``pushFilters``
+    and evaluated by Spark post-scan.  The oracle regenerates the same
+    table from ``range()`` with the shared closed forms, so a green row
+    proves the connector's planning, pushdown, and distributed reads are
+    lossless.
+    """
+    from simple_query_engine_spark.sources.pydatasource import (
+        register_readings_source,
+    )
+
+    register_readings_source(spark)
+    n_rows = table(spark, sf_dir, "events").count()
+    cutoff = n_rows // 10
+    readings = (
+        spark.read.format("sqe_readings")
+        .option("rows", n_rows)
+        .option("numPartitions", 8)
+        .load()
+    )
+    return (
+        readings.filter(
+            (F.col("reading_id") >= F.lit(cutoff)) & (F.col("kind") == "temp")
+        )
+        .groupBy("sensor_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_readings"),
+            F.round(F.sum("reading"), 4).alias("reading_sum"),
+            F.max("reading_id").alias("last_reading_id"),
+        )
+    )
+
+
 QUERIES = {
     "events_partition_prune": q_events_partition_prune,
     "source_json_roundtrip": q_source_json_roundtrip,
     "source_csv_roundtrip": q_source_csv_roundtrip,
+    "source_python_datasource": q_source_python_datasource,
 }
 
 _ROUNDTRIP_ORACLE = """
@@ -212,5 +252,21 @@ ORACLES = {
         WHERE CAST(ts AS DATE) BETWEEN DATE '{PRUNE_WEEK_START}'
                                    AND DATE '{PRUNE_WEEK_END}'
         GROUP BY event_type
+    """,
+    # Regenerates the connector's deterministic rows from range() with the
+    # closed forms documented in sources/pydatasource.py (keep in sync):
+    # kind = ('temp','humidity','pressure')[i % 3], so kind='temp' ⇔ i%3=0.
+    "source_python_datasource": """
+        WITH gen AS (  -- ids 0..count(events)-1 (range() rejects subqueries)
+            SELECT ROW_NUMBER() OVER () - 1 AS i FROM events
+        )
+        SELECT i % 97 AS sensor_id,
+               COUNT(*) AS n_readings,
+               ROUND(SUM(((i * 37) % 1000) / 10.0), 4) AS reading_sum,
+               MAX(i) AS last_reading_id
+        FROM gen
+        WHERE i >= (SELECT COUNT(*) // 10 FROM events)
+          AND i % 3 = 0
+        GROUP BY 1
     """,
 }

@@ -40,6 +40,9 @@ _DEFAULT_CONF: dict[str, str] = {
     # nanos handling on our own outputs).
     "spark.sql.parquet.outputTimestampType": "TIMESTAMP_MICROS",
     "spark.sql.parquet.aggregatePushdown": "true",
+    # Required for Python Data Source readers that implement pushFilters
+    # (sources/pydatasource.py); without it Spark refuses to plan the scan.
+    "spark.sql.python.filterPushdown.enabled": "true",
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     "spark.sql.session.timeZone": "UTC",
     "spark.sql.ansi.enabled": "false",
