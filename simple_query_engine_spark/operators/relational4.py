@@ -97,12 +97,54 @@ def q_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_variant_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured VARIANT round-trip (Spark 4 type).
+
+    Builds a nested JSON envelope from events columns (embedding the raw
+    ``props`` JSON as a sub-document), parses it to a VARIANT with
+    ``parse_json``, then pulls typed values back out with ``variant_get``
+    path extraction — including a predicate on an extracted field.  The
+    oracle aggregates the ORIGINAL columns directly, so a green row
+    proves construct → parse → extract is lossless.  VARIANT is the
+    100 TB answer to ragged semi-structured columns: one binary-encoded
+    column, no schema evolution on ingest, per-path extraction at query
+    time instead of a brittle wide schema.
+    """
+    events = table(spark, sf_dir, "events")
+    enveloped = events.select(
+        F.concat(
+            F.lit('{"evt": {"type": "'),
+            F.col("event_type"),
+            F.lit('", "uid": '),
+            F.col("user_id").cast("string"),
+            F.lit('}, "payload": '),
+            F.col("props"),
+            F.lit("}"),
+        ).alias("doc")
+    )
+    extracted = enveloped.select(F.parse_json("doc").alias("v")).select(
+        F.variant_get("v", "$.evt.type", "string").alias("etype"),
+        F.variant_get("v", "$.evt.uid", "long").alias("uid"),
+        F.variant_get("v", "$.payload.k", "long").alias("k"),
+    )
+    return (
+        extracted.filter(F.col("k") > 50)
+        .groupBy("etype")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("uid").alias("n_users"),
+            F.sum("k").alias("k_sum"),
+        )
+    )
+
+
 QUERIES = {
     "conditional_funcs": q_conditional_funcs,
     "bitwise_funcs": q_bitwise_funcs,
     "regexp_count_funcs": q_regexp_count_funcs,
     "window_value_picks": q_window_value_picks,
     "map_funcs": q_map_funcs,
+    "variant_funcs": q_variant_funcs,
 }
 
 ORACLES = {
@@ -148,5 +190,17 @@ ORACLES = {
                CAST(COALESCE(SUM(CASE WHEN word = 'the' THEN 1 END), 0) AS BIGINT) AS the_count,
                CAST(COUNT(DISTINCT word) AS INT) AS distinct_words
         FROM words GROUP BY doc_id
+    """,
+    # Deliberately formulated over the ORIGINAL columns (no JSON at all):
+    # the Spark side must reconstruct exactly these values through its
+    # envelope → VARIANT → variant_get round-trip.
+    "variant_funcs": """
+        SELECT event_type AS etype,
+               COUNT(*) AS n_events,
+               COUNT(DISTINCT user_id) AS n_users,
+               CAST(SUM(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS k_sum
+        FROM events
+        WHERE CAST(props->>'$.k' AS BIGINT) > 50
+        GROUP BY 1
     """,
 }

@@ -86,3 +86,19 @@ def test_set_ops_algebra(spark, sf):
     )
     # inclusion-exclusion
     assert union == customer_nations + supplier_nations - intersect
+
+
+def test_variant_roundtrip_and_malformed_contract(spark):
+    """VARIANT: typed path extraction round-trips values; try_parse_json
+    maps malformed input to NULL while parse_json raises — the permissive
+    vs strict contract callers choose between."""
+    df = spark.createDataFrame(
+        [('{"a": {"b": 7}, "s": "x"}',), ("not json",)], ["doc"]
+    )
+    lenient = df.select(
+        F.variant_get(F.try_parse_json("doc"), "$.a.b", "long").alias("b"),
+        F.variant_get(F.try_parse_json("doc"), "$.s", "string").alias("s"),
+    ).collect()
+    assert {(r.b, r.s) for r in lenient} == {(None, None), (7, "x")}
+    with pytest.raises(Exception):  # strict parse fails on the malformed row
+        df.select(F.parse_json("doc")).collect()
