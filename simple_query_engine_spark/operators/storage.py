@@ -222,11 +222,78 @@ def q_source_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming over the custom Python connector.
+
+    ``readStream`` against the connector's ``DataSourceStreamReader``:
+    the driver plans offset range + equal-width partitions, executors
+    generate Arrow batches, and the windowless grouped aggregate runs in
+    the streaming engine (complete mode, availableNow drain).  The
+    oracle is the same closed-form regeneration — green proves the
+    streaming planner and the batch reader agree on the data.  Restart
+    exactly-once for this connector is pinned in tests.
+    """
+    import uuid
+
+    from simple_query_engine_spark.sources.pydatasource import (
+        register_readings_source,
+    )
+
+    register_readings_source(spark)
+    n_rows = table(spark, sf_dir, "events").count()
+    stream = (
+        spark.readStream.format("sqe_readings")
+        .option("rows", n_rows)
+        .option("numPartitions", 8)
+        .load()
+    )
+    agg = stream.groupBy("kind").agg(
+        F.count(F.lit(1)).alias("n_readings"),
+        F.round(F.sum("reading"), 4).alias("reading_sum"),
+        F.max("reading_id").alias("last_reading_id"),
+    )
+    sink_name = f"pyds_stream_{uuid.uuid4().hex[:8]}"
+    query = (
+        agg.writeStream.format("memory")
+        .queryName(sink_name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return spark.table(sink_name)
+
+
+def q_sink_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events → custom manifest-committing sink → manifest read-back →
+    aggregate.  The writer is the Python Data Source writer API with the
+    two-phase commit protocol (task files + atomic driver manifest); the
+    oracle aggregates the ORIGINAL events, so green proves the custom
+    sink's write → commit → read path is lossless."""
+    from simple_query_engine_spark.sources.pydatasource import (
+        read_manifest_parquet,
+        register_manifest_sink,
+    )
+
+    register_manifest_sink(spark)
+    path = events_cache_path(sf_dir, "pysink")
+    materialize_once(
+        path,
+        lambda tmp: _events_for_roundtrip(spark, sf_dir)
+        .write.format("sqe_manifest_parquet")
+        .mode("append")
+        .save(tmp),
+    )
+    return _roundtrip_aggregate(read_manifest_parquet(spark, path))
+
+
 QUERIES = {
     "events_partition_prune": q_events_partition_prune,
     "source_json_roundtrip": q_source_json_roundtrip,
     "source_csv_roundtrip": q_source_csv_roundtrip,
     "source_python_datasource": q_source_python_datasource,
+    "stream_python_datasource": q_stream_python_datasource,
+    "sink_python_datasource": q_sink_python_datasource,
 }
 
 _ROUNDTRIP_ORACLE = """
@@ -269,4 +336,18 @@ ORACLES = {
           AND i % 3 = 0
         GROUP BY 1
     """,
+    "stream_python_datasource": """
+        WITH gen AS (
+            SELECT ROW_NUMBER() OVER () - 1 AS i FROM events
+        )
+        SELECT CASE i % 3 WHEN 0 THEN 'temp'
+                          WHEN 1 THEN 'humidity'
+                          ELSE 'pressure' END AS kind,
+               COUNT(*) AS n_readings,
+               ROUND(SUM(((i * 37) % 1000) / 10.0), 4) AS reading_sum,
+               MAX(i) AS last_reading_id
+        FROM gen
+        GROUP BY 1
+    """,
+    "sink_python_datasource": _ROUNDTRIP_ORACLE,
 }

@@ -40,12 +40,17 @@ Row formulas (shared with the DuckDB oracle in ``operators/storage.py``
 
 from __future__ import annotations
 
+import json
+import os
+import uuid
 from collections.abc import Iterator, Sequence
 from dataclasses import dataclass
 
 from pyspark.sql.datasource import (
     DataSource,
+    DataSourceArrowWriter,
     DataSourceReader,
+    DataSourceStreamReader,
     EqualTo,
     Filter,
     GreaterThan,
@@ -54,7 +59,9 @@ from pyspark.sql.datasource import (
     IsNotNull,
     LessThan,
     LessThanOrEqual,
+    WriterCommitMessage,
 )
+from pyspark.sql import DataFrame
 from pyspark.sql.session import SparkSession
 
 READINGS_SCHEMA_DDL = (
@@ -144,6 +151,53 @@ class ReadingsReader(DataSourceReader):
             yield _generate_batch(start, min(start + _BATCH_ROWS, partition.end))
 
 
+class ReadingsStreamReader(DataSourceStreamReader):
+    """Micro-batch stream over the same deterministic readings.
+
+    The executor-parallel streaming variant (NOT the driver-side
+    ``SimpleDataSourceStreamReader`` prototype path): the driver only
+    tracks offsets — ``{"next": <first unread id>}`` — and plans the same
+    equal-width :class:`_IdSlice` partitions per micro-batch; executors
+    run the same Arrow-vectorized ``read``.  Offsets are ABSOLUTE
+    (``latestOffset`` reports how much of the source currently exists,
+    never a cursor relative to this reader instance), which is what makes
+    restart exact: a resumed query plans ``(committed, latest)`` and
+    re-generates nothing before ``committed``.  Exactly-once across a
+    stop + more-data + restart cycle is pinned in
+    tests/test_pydatasource.py.
+    """
+
+    def __init__(self, options: dict) -> None:
+        self.total = int(options.get("rows", 1000))
+        self.num_partitions = int(options.get("numPartitions", 8))
+
+    def initialOffset(self) -> dict:
+        return {"next": 0}
+
+    def latestOffset(self) -> dict:
+        return {"next": self.total}
+
+    def partitions(self, start: dict, end: dict) -> Sequence[InputPartition]:
+        lo, hi = start["next"], end["next"]
+        n = max(1, self.num_partitions)
+        width, extra = divmod(max(0, hi - lo), n)
+        slices, cursor = [], lo
+        for i in range(n):
+            step = width + (1 if i < extra else 0)
+            if step == 0:
+                break
+            slices.append(_IdSlice(cursor, cursor + step))
+            cursor += step
+        return slices or [_IdSlice(lo, lo)]
+
+    def read(self, partition: _IdSlice):
+        for start in range(partition.start, partition.end, _BATCH_ROWS):
+            yield _generate_batch(start, min(start + _BATCH_ROWS, partition.end))
+
+    def commit(self, end: dict) -> None:
+        pass  # nothing to clean up — the generator has no retained state
+
+
 class ReadingsDataSource(DataSource):
     @classmethod
     def name(cls) -> str:
@@ -154,6 +208,119 @@ class ReadingsDataSource(DataSource):
 
     def reader(self, schema) -> ReadingsReader:
         return ReadingsReader(self.options)
+
+    def streamReader(self, schema) -> ReadingsStreamReader:
+        return ReadingsStreamReader(self.options)
+
+
+@dataclass
+class _FileCommit(WriterCommitMessage):
+    """Per-task commit message: the file this task produced (or None for
+    an empty partition) and its row count."""
+
+    filename: str | None
+    rows: int
+
+
+class ManifestParquetWriter(DataSourceArrowWriter):
+    """Batch sink with the two-phase commit protocol custom sinks need.
+
+    Spark's writer contract is exactly-once-by-manifest: every task
+    writes its Arrow batches to a uniquely named file (task retries and
+    speculative duplicates can never collide) and returns a
+    :class:`_FileCommit`; only the DRIVER's ``commit`` — called once,
+    after every task succeeded — makes the output visible by writing
+    ``manifest.json`` (temp + atomic rename).  A crashed or aborted job
+    leaves data files but no manifest, so readers (which go through the
+    manifest, :func:`read_manifest_parquet`) never observe partial
+    output; ``abort`` additionally removes the orphans eagerly.  The
+    same shape as the managed-table layer's snapshot commits
+    (``sources/managed.py``) — this is the task-level half of that
+    protocol, on the public writer API.
+
+    Files are parquet via pyarrow — Arrow batches are written as
+    received, no per-row Python.  Paths here are a shared filesystem
+    (driver + executors see the same directory); on a cluster this is a
+    shared mount or object store, locally it just works.
+    """
+
+    def __init__(self, options: dict) -> None:
+        path = options.get("path")
+        if not path:
+            raise ValueError("sqe_manifest_parquet requires a save path")
+        self.path = path
+        self.data_dir = os.path.join(path, "data")
+
+    def write(self, iterator) -> _FileCommit:
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from pyspark import TaskContext
+
+        batches = list(iterator)
+        rows = sum(b.num_rows for b in batches)
+        if rows == 0:
+            return _FileCommit(None, 0)
+        ctx = TaskContext.get()
+        part = ctx.partitionId() if ctx is not None else 0
+        filename = f"part-{part:05d}-{uuid.uuid4().hex}.parquet"
+        os.makedirs(self.data_dir, exist_ok=True)
+        pq.write_table(
+            pa.Table.from_batches(batches),
+            os.path.join(self.data_dir, filename),
+        )
+        return _FileCommit(filename, rows)
+
+    def commit(self, messages) -> None:
+        files = [m for m in messages if m is not None and m.filename]
+        manifest = {
+            "files": sorted(
+                ({"name": m.filename, "rows": m.rows} for m in files),
+                key=lambda f: f["name"],
+            ),
+            "total_rows": sum(m.rows for m in files),
+        }
+        os.makedirs(self.path, exist_ok=True)
+        tmp = os.path.join(self.path, f".manifest.{uuid.uuid4().hex}.tmp")
+        with open(tmp, "w") as fh:
+            json.dump(manifest, fh, indent=1)
+        os.replace(tmp, os.path.join(self.path, "manifest.json"))
+        # Spark-convention success marker so generic completeness checks
+        # (e.g. operators/storage.py::materialize_once) recognize the dir.
+        with open(os.path.join(self.path, "_SUCCESS"), "w"):
+            pass
+
+    def abort(self, messages) -> None:
+        for m in messages:
+            if m is not None and m.filename:
+                try:
+                    os.remove(os.path.join(self.data_dir, m.filename))
+                except FileNotFoundError:
+                    pass
+
+
+class ManifestParquetSink(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "sqe_manifest_parquet"
+
+    def writer(self, schema, overwrite: bool) -> ManifestParquetWriter:
+        if overwrite:
+            raise NotImplementedError(
+                "sqe_manifest_parquet is append-only; write to a fresh dir"
+            )
+        return ManifestParquetWriter(self.options)
+
+
+def read_manifest_parquet(spark: SparkSession, path: str) -> DataFrame:
+    """Read back ONLY the manifest-listed files (never orphans from failed
+    or in-flight writers)."""
+    with open(os.path.join(path, "manifest.json")) as fh:
+        manifest = json.load(fh)
+    files = [os.path.join(path, "data", f["name"]) for f in manifest["files"]]
+    if not files:
+        raise ValueError(f"empty manifest at {path}")
+    return spark.read.parquet(*files)
 
 
 def register_readings_source(spark: SparkSession) -> None:
@@ -166,3 +333,8 @@ def register_readings_source(spark: SparkSession) -> None:
     """
     spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     spark.dataSource.register(ReadingsDataSource)
+
+
+def register_manifest_sink(spark: SparkSession) -> None:
+    """Register the manifest-committing parquet sink (idempotent)."""
+    spark.dataSource.register(ManifestParquetSink)

@@ -92,3 +92,85 @@ def test_end_to_end_matches_formulas(spark):
         assert row["sensor_id"] == i % 97
         assert row["kind"] == KINDS[i % 3]
         assert abs(row["reading"] - ((i * 37) % 1000) / 10.0) < 1e-12
+
+
+def test_stream_restart_resumes_from_committed_offset(spark, tmp_path):
+    """Exactly-once across restart: run 1 sees 300 ids, stops; the source
+    'grows' to 500; run 2 on the same checkpoint must emit only 300..499 —
+    no duplicates, no gaps."""
+    register_readings_source(spark)
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+
+    def drain(rows):
+        q = (
+            spark.readStream.format("sqe_readings")
+            .option("rows", rows)
+            .option("numPartitions", 4)
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    drain(300)
+    drain(500)
+    ids = sorted(r["reading_id"] for r in spark.read.parquet(out).collect())
+    assert ids == list(range(500))
+
+
+def test_manifest_sink_roundtrip_ignores_orphans(spark, tmp_path):
+    """Only manifest-listed files are readable: an orphan parquet file in
+    data/ (a crashed task's leftovers) must not leak into reads."""
+    from simple_query_engine_spark.sources.pydatasource import (
+        read_manifest_parquet,
+        register_manifest_sink,
+    )
+
+    register_manifest_sink(spark)
+    path = str(tmp_path / "sink")
+    df = spark.range(0, 100).select(
+        F.col("id"), (F.col("id") * 2).alias("doubled")
+    )
+    df.write.format("sqe_manifest_parquet").mode("append").save(path)
+    back = read_manifest_parquet(spark, path)
+    assert sorted(r["id"] for r in back.collect()) == list(range(100))
+    # drop an orphan (same schema) into data/ — crashed-task simulation
+    df.limit(7).write.mode("append").parquet(str(tmp_path / "orphan"))
+    import glob
+    import shutil
+
+    orphan = glob.glob(str(tmp_path / "orphan" / "*.parquet"))[0]
+    shutil.copy(orphan, f"{path}/data/part-99999-deadbeef.parquet")
+    assert read_manifest_parquet(spark, path).count() == 100
+
+
+def test_manifest_writer_abort_removes_task_files(tmp_path):
+    import pyarrow as pa
+
+    from simple_query_engine_spark.sources.pydatasource import (
+        ManifestParquetWriter,
+        _FileCommit,
+    )
+
+    writer = ManifestParquetWriter({"path": str(tmp_path / "w")})
+    batch = pa.record_batch([pa.array([1, 2, 3])], names=["x"])
+    msg = writer.write(iter([batch]))
+    assert msg.rows == 3
+    import os
+
+    assert os.path.exists(f"{tmp_path}/w/data/{msg.filename}")
+    writer.abort([msg, None])
+    assert not os.path.exists(f"{tmp_path}/w/data/{msg.filename}")
+    # empty partition produces no file and commit skips it
+    empty = writer.write(iter([]))
+    assert empty == _FileCommit(None, 0)
+    writer.commit([msg2 := writer.write(iter([batch])), empty])
+    import json
+
+    with open(f"{tmp_path}/w/manifest.json") as fh:
+        manifest = json.load(fh)
+    assert manifest["total_rows"] == 3
+    assert [f["name"] for f in manifest["files"]] == [msg2.filename]
