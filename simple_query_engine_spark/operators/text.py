@@ -170,6 +170,54 @@ def q_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+TFIDF_TOP_K = 3
+
+
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-3 TF-IDF terms — the classic keyword extractor.
+
+    Shape at 100 TB: TF is a partial-agg shuffle of (doc_id, word) pairs;
+    DF reduces that to one row per vocabulary word; the TF⋈DF join is
+    keyed on the word (left unhinted — the vocabulary is small relative
+    to the corpus and AQE broadcasts it when it measurably fits, the same
+    policy as pipeline.py's anti-joins); the final top-k is a per-doc
+    window, shuffled by doc_id.  The corpus size N is a metadata-cheap
+    ``count()`` — the one driver-side scalar.
+
+    Determinism across engines: scores are ROUNDed to 6 decimals BEFORE
+    ranking (with the word as tie-break) so real-valued ties — e.g.
+    tf=2,df=N/2 vs tf=1,df=N/4, both exactly 2·ln2 — cannot rank
+    differently from last-ulp ln() differences between Spark and DuckDB.
+    """
+    documents = _documents(spark, sf_dir)
+    n_docs = documents.count()
+    words = documents.select(
+        "doc_id", F.explode(F.split(_normalized(F.col("text")), " ")).alias("word")
+    ).filter(F.col("word") != "")
+    tf = words.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("n_tf"))
+    dfreq = tf.groupBy("word").agg(F.count(F.lit(1)).alias("n_df"))
+    scored = tf.join(dfreq, "word").select(
+        "doc_id",
+        "word",
+        F.round(
+            F.col("n_tf") * F.log(F.lit(float(n_docs)) / F.col("n_df")), 6
+        ).alias("score"),
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), F.col("word"))
+    return (
+        scored.withColumn("term_rank", F.row_number().over(w))
+        .filter(F.col("term_rank") <= TFIDF_TOP_K)
+        .select(
+            "doc_id",
+            "word",
+            F.round("score", 4).alias("tfidf"),
+            "term_rank",
+        )
+    )
+
+
 QUERIES = {
     "text_token_count": q_token_count,
     "text_bpe_token_count": q_bpe_token_count,
@@ -179,6 +227,7 @@ QUERIES = {
     "text_rolling_hash": q_rolling_hash,
     "text_word_freq": q_word_freq,
     "text_length_histogram": q_length_histogram,
+    "text_tfidf_top_terms": q_tfidf_top_terms,
 }
 
 # DuckDB equivalents.  Normalization mirrored exactly:
@@ -266,5 +315,28 @@ ORACLES = {
         GROUP BY token
         ORDER BY token_count DESC, token
         LIMIT 20
+    """,
+    "text_tfidf_top_terms": f"""
+        WITH words AS (
+            SELECT doc_id, unnest({_TOKENS}) AS word FROM documents
+        ), tf AS (
+            SELECT doc_id, word, COUNT(*) AS n_tf
+            FROM words WHERE word <> '' GROUP BY 1, 2
+        ), dfreq AS (
+            SELECT word, COUNT(*) AS n_df FROM tf GROUP BY 1
+        ), scored AS (
+            SELECT t.doc_id, t.word,
+                   ROUND(t.n_tf * ln((SELECT COUNT(*) FROM documents) * 1.0
+                                     / d.n_df), 6) AS score
+            FROM tf t JOIN dfreq d USING (word)
+        ), ranked AS (
+            SELECT doc_id, word, score,
+                   ROW_NUMBER() OVER (PARTITION BY doc_id
+                                      ORDER BY score DESC, word) AS term_rank
+            FROM scored
+        )
+        SELECT doc_id, word, ROUND(score, 4) AS tfidf,
+               CAST(term_rank AS INT) AS term_rank
+        FROM ranked WHERE term_rank <= {TFIDF_TOP_K}
     """,
 }

@@ -56,3 +56,30 @@ def test_token_count_agrees_on_empty_docs(spark, tricky_docs, tmp_path):
         map(tuple, con.execute(TX.ORACLES["text_token_count"]).fetchall())
     )
     assert spark_rows == duck_rows
+
+
+def test_tfidf_ranks_doc_specific_terms_first(spark, tmp_path):
+    """A word unique to one document must outscore a word present in every
+    document (whose idf is ln(1)=0); ranks are 1..k with non-increasing
+    scores; empty docs contribute no rows."""
+    rows = [
+        (1, "shared zebra zebra apple", "en", "s", 24),
+        (2, "shared banana", "en", "s", 13),
+        (3, "shared cherry", "en", "s", 13),
+        (4, "", "en", "s", 0),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "lang", "source", "n_chars"])
+    df.write.parquet(str(tmp_path / "documents.parquet"))
+    out = TX.q_tfidf_top_terms(spark, str(tmp_path)).collect()
+    by_doc: dict[int, list] = {}
+    for r in sorted(out, key=lambda r: (r.doc_id, r.term_rank)):
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert 4 not in by_doc
+    assert by_doc[1][0].word == "zebra"  # tf=2, doc-unique
+    for terms in by_doc.values():
+        assert [t.term_rank for t in terms] == list(range(1, len(terms) + 1))
+        scores = [t.tfidf for t in terms]
+        assert scores == sorted(scores, reverse=True)
+        # 'shared' appears in every non-empty doc → idf ln(4/3), still > 0
+        # because the EMPTY doc counts in N; it must rank below doc-unique words
+        assert terms[0].word != "shared"
