@@ -138,6 +138,100 @@ def q_variant_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_agg_mode_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MODE / MEDIAN / exact interpolated percentile per order priority.
+
+    Exact percentiles are a full-sort-per-group cost the approx/sketch
+    variants (relational2) avoid at 100 TB; this is the exact-answer tier
+    for grouped cardinalities that fit (here: 5 priority groups).
+    """
+    orders = table(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderpriority").agg(
+        F.mode("o_orderstatus").alias("status_mode"),
+        F.round(F.median("o_totalprice"), 2).alias("price_median"),
+        F.round(F.percentile("o_totalprice", 0.9), 2).alias("price_p90"),
+    )
+
+
+_UNPIVOT_METRICS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+
+
+def q_unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide → long reshape (``unpivot``/``melt``) then per-metric profile.
+
+    Unpivot is a narrow map-side explode (rows × metrics, no shuffle);
+    the only shuffle is the 4-group aggregate after it.  The oracle uses
+    a deliberately different formulation (UNION ALL of per-column
+    aggregates) so the reshape itself is what's being checked.
+    """
+    lineitem = table(spark, sf_dir, "lineitem")
+    long = lineitem.unpivot(
+        ids=["l_orderkey"],
+        values=_UNPIVOT_METRICS,
+        variableColumnName="metric",
+        valueColumnName="amount",
+    )
+    return long.groupBy("metric").agg(
+        F.count(F.lit(1)).alias("n_values"),
+        F.round(F.sum("amount"), 2).alias("amount_sum"),
+        F.round(F.avg("amount"), 6).alias("amount_avg"),
+    )
+
+
+def q_join_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery: each customer's two most expensive
+    orders.  Catalyst decorrelates this into a ranked window join — the
+    declarative per-group top-k (same physical shape as
+    window_topn_per_group, arrived at from SQL instead of the DataFrame
+    API).  Restricted to a key slice so the checked result stays small.
+    """
+    table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+        FROM customer c
+        JOIN LATERAL (
+            SELECT o_orderkey, o_totalprice
+            FROM orders
+            WHERE o_custkey = c.c_custkey
+            ORDER BY o_totalprice DESC, o_orderkey
+            LIMIT 2
+        ) t
+        WHERE c.c_custkey <= 100
+        """
+    )
+
+
+def q_agg_hll_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable Apache DataSketches HLL: per-priority partial sketches of
+    the customer key, unioned into one global estimate.
+
+    This two-level shape is THE 100 TB distinct-count pattern: each
+    partition/group builds a fixed-size sketch, sketches (not values)
+    move in the shuffle, and union is associative so re-aggregation at
+    any level is free.  Raw estimates are engine-specific, so — like the
+    relational2 sketches — the checked output is tolerance-banded: the
+    exact distinct count plus a flag that the unioned estimate landed
+    within ±5% (default lgConfigK=12 ⇒ ~1.6% typical error).
+    """
+    orders = table(spark, sf_dir, "orders")
+    partial = orders.groupBy("o_orderpriority").agg(
+        F.hll_sketch_agg("o_custkey").alias("sk")
+    )
+    unioned = partial.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est")
+    )
+    exact = orders.agg(F.countDistinct("o_custkey").alias("exact_customers"))
+    return exact.crossJoin(unioned).select(
+        "exact_customers",
+        (
+            F.abs(F.col("est").cast("double") - F.col("exact_customers").cast("double"))
+            <= 0.05 * F.col("exact_customers").cast("double")
+        ).alias("hll_union_within_5pct"),
+    )
+
+
 QUERIES = {
     "conditional_funcs": q_conditional_funcs,
     "bitwise_funcs": q_bitwise_funcs,
@@ -145,6 +239,10 @@ QUERIES = {
     "window_value_picks": q_window_value_picks,
     "map_funcs": q_map_funcs,
     "variant_funcs": q_variant_funcs,
+    "agg_mode_median": q_agg_mode_median,
+    "unpivot_metrics": q_unpivot_metrics,
+    "join_lateral_topn": q_join_lateral_topn,
+    "agg_hll_union": q_agg_hll_union,
 }
 
 ORACLES = {
@@ -202,5 +300,51 @@ ORACLES = {
         FROM events
         WHERE CAST(props->>'$.k' AS BIGINT) > 50
         GROUP BY 1
+    """,
+    "agg_mode_median": """
+        SELECT o_orderpriority,
+               mode(o_orderstatus) AS status_mode,
+               ROUND(median(o_totalprice), 2) AS price_median,
+               ROUND(quantile_cont(o_totalprice, 0.9), 2) AS price_p90
+        FROM orders
+        GROUP BY o_orderpriority
+    """,
+    # Deliberately NOT an UNPIVOT: per-column aggregates unioned, so the
+    # Spark-side reshape is what the comparison exercises.
+    "unpivot_metrics": """
+        SELECT 'l_quantity' AS metric, COUNT(*) AS n_values,
+               ROUND(SUM(l_quantity), 2) AS amount_sum,
+               ROUND(AVG(l_quantity), 6) AS amount_avg FROM lineitem
+        UNION ALL
+        SELECT 'l_extendedprice', COUNT(*),
+               ROUND(SUM(l_extendedprice), 2), ROUND(AVG(l_extendedprice), 6)
+        FROM lineitem
+        UNION ALL
+        SELECT 'l_discount', COUNT(*),
+               ROUND(SUM(l_discount), 2), ROUND(AVG(l_discount), 6)
+        FROM lineitem
+        UNION ALL
+        SELECT 'l_tax', COUNT(*),
+               ROUND(SUM(l_tax), 2), ROUND(AVG(l_tax), 6)
+        FROM lineitem
+    """,
+    "join_lateral_topn": """
+        SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+        FROM customer c
+        JOIN LATERAL (
+            SELECT o_orderkey, o_totalprice
+            FROM orders
+            WHERE o_custkey = c.c_custkey
+            ORDER BY o_totalprice DESC, o_orderkey
+            LIMIT 2
+        ) t ON TRUE
+        WHERE c.c_custkey <= 100
+    """,
+    # The estimate itself is engine-specific (DataSketches HLL); the
+    # oracle checks the exact count and asserts the tolerance flag.
+    "agg_hll_union": """
+        SELECT COUNT(DISTINCT o_custkey) AS exact_customers,
+               TRUE AS hll_union_within_5pct
+        FROM orders
     """,
 }

@@ -183,6 +183,23 @@ def q_source_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _roundtrip_aggregate(df)
 
 
+def q_source_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events → ORC sink → ORC source → aggregate; oracle on the original
+    parquet proves losslessness.  ORC is the third columnar format in the
+    source matrix (parquet/JSON/CSV/ORC + the custom Python connector);
+    unlike the text formats it carries types natively, so the roundtrip
+    projection needs no epoch workaround — but we reuse the same stable
+    projection so all three roundtrip queries share one oracle."""
+    path = _roundtrip_path(sf_dir, "orc")
+    materialize_once(
+        path,
+        lambda tmp: _events_for_roundtrip(spark, sf_dir)
+        .write.mode("overwrite")
+        .orc(tmp),
+    )
+    return _roundtrip_aggregate(spark.read.orc(path))
+
+
 def q_source_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scan + aggregate over the custom Python Data Source connector.
 
@@ -291,6 +308,7 @@ QUERIES = {
     "events_partition_prune": q_events_partition_prune,
     "source_json_roundtrip": q_source_json_roundtrip,
     "source_csv_roundtrip": q_source_csv_roundtrip,
+    "source_orc_roundtrip": q_source_orc_roundtrip,
     "source_python_datasource": q_source_python_datasource,
     "stream_python_datasource": q_stream_python_datasource,
     "sink_python_datasource": q_sink_python_datasource,
@@ -310,6 +328,7 @@ _ROUNDTRIP_ORACLE = """
 ORACLES = {
     "source_json_roundtrip": _ROUNDTRIP_ORACLE,
     "source_csv_roundtrip": _ROUNDTRIP_ORACLE,
+    "source_orc_roundtrip": _ROUNDTRIP_ORACLE,
     "events_partition_prune": f"""
         SELECT event_type,
                COUNT(*) AS n_events,
