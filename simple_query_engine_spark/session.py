@@ -35,6 +35,13 @@ _DEFAULT_CONF: dict[str, str] = {
     # microsecond timestamps.  A session default, not a per-read mutation —
     # every read path (batch + streaming) needs the same behavior.
     "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # Naive (not-adjusted-to-UTC) parquet timestamps read as plain TIMESTAMP
+    # (session-local, pinned to UTC below) rather than TIMESTAMP_NTZ.  The
+    # engine's epoch arithmetic (cast to long, window starts, as-of joins)
+    # and the DuckDB oracles (epoch() treats naive as UTC) both assume
+    # epoch-addressable timestamps; NTZ would make every such cast illegal
+    # under Spark 4 while representing the identical instant.
+    "spark.sql.parquet.inferTimestampNTZ.enabled": "false",
     # Write timestamps as annotated TIMESTAMP_MICROS, not legacy INT96
     # (pyarrow surfaces INT96 as nanoseconds, which would re-trigger the
     # nanos handling on our own outputs).
