@@ -22,76 +22,75 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # everything else (already green in CORRECTNESS_r01/r02) follows in module
 # order.  ROUND3_NOTES.md tracks which round certified which query.
 #
-# Round-4 front window (exactly 50 = the driver's window size), in
+# Round-5 front window (exactly 50 = the driver's window size), in
 # priority order:
-#   1. the 25 names with no driver-green row after r03: 22 never-checked
-#      (remaining tpch_*, agg_string_concat, events_time_rollup, all of
-#      relational4), the 2 sketches whose tolerance-banded oracles have
-#      never been driver-run, and multimodal_resize (r03 err — output
-#      contract fixed this round);
-#   2. 4 re-checks for queries whose semantics changed this round
-#      (de-vacuated near-dup pair set, hash-sampled IVF centroids,
-#      recency-predicate q22);
-#   3. 21 stale-certification backfills: names last certified in r01/r02
-#      whose modules have changed since (all 15 remaining relational2
-#      entries, the 3 untouched multimodal entries, relational3's 2
-#      window queries, and sim_ann_lsh from the edited similarity
-#      module).
-# ROUND4_NOTES.md tracks the ledger.
+#   1. the 16 names with no driver-issued verdict in any CORRECTNESS_r0x
+#      (the 5 dml_* + the 11 names added after the r04 front froze) — all
+#      local-gate green, judge-verified in VERDICT r04, never
+#      driver-certified;
+#   2. the 4 queries added THIS round (planted-near-dup gates at
+#      production thresholds per VERDICT item 6, gap sessionization,
+#      cohort retention);
+#   3. 30 stale-certification backfills: names last certified in r03
+#      whose modules changed during r04 (text.py gained TF-IDF, dedup.py
+#      gained the scratch-dir conf, storage.py gained ORC + the Python
+#      DataSource entries, streaming_ops.py gained stream dedup,
+#      similarity.py was re-dialed, tpch.py gained q22's predicate).
+# ROUND5_NOTES.md tracks the ledger.
 _ROTATION_FRONT = [
-    # --- 1. first-verdict names (25) ---
-    "multimodal_resize",
-    "agg_approx_distinct",
-    "agg_quantile_sketch",
-    "agg_string_concat",
-    "events_time_rollup",
-    "conditional_funcs",
-    "bitwise_funcs",
-    "regexp_count_funcs",
-    "window_value_picks",
-    "map_funcs",
-    "tpch_q2_min_cost_supplier",
-    "tpch_q5_local_volume",
-    "tpch_q6_forecast_revenue",
-    "tpch_q8_market_share",
-    "tpch_q9_nation_profit",
-    "tpch_q10_returned_items",
-    "tpch_q11_important_parts",
-    "tpch_q12_late_lines",
-    "tpch_q14_promo_share",
-    "tpch_q15_top_supplier",
-    "tpch_q16_supplier_counts",
-    "tpch_q17_small_quantity",
-    "tpch_q19_brand_bands",
-    "tpch_q20_volume_suppliers",
-    "tpch_q21_sole_late_supplier",
-    # --- 2. changed-this-round re-checks (4) ---
-    "sim_neardup_pairs_baseline",
-    "sim_neardup_lsh",
-    "sim_ivf_topk",
-    "tpch_q22_idle_balances",
-    # --- 3. stale-certification backfill (21) ---
-    "join_asof",
-    "funnel_conversion",
-    "agg_correlation",
-    "join_range",
-    "pivot_status",
-    "sample_hash",
-    "agg_stats",
-    "array_funcs",
-    "union_by_name",
-    "null_handling",
-    "grouping_sets",
-    "udf_pandas_score",
-    "string_advanced",
-    "date_advanced",
-    "subquery_in",
-    "multimodal_meta",
-    "multimodal_features",
-    "multimodal_frame_sample",
-    "window_range_frame",
-    "window_distribution",
-    "sim_ann_lsh",
+    # --- 1. first-verdict names (16) ---
+    "dml_insert_append",
+    "dml_delete_where",
+    "dml_update_set",
+    "dml_merge_upsert",
+    "dml_time_travel",
+    "stream_dedup_user_counts",
+    "variant_funcs",
+    "source_python_datasource",
+    "stream_python_datasource",
+    "sink_python_datasource",
+    "text_tfidf_top_terms",
+    "agg_mode_median",
+    "unpivot_metrics",
+    "join_lateral_topn",
+    "agg_hll_union",
+    "source_orc_roundtrip",
+    # --- 2. added this round (4) ---
+    "dedup_planted_minhash",
+    "sim_neardup_planted",
+    "events_sessionize_gap",
+    "events_retention_cohort",
+    # --- 3. stale-certification backfill (30): r03 certs, module changed r04 ---
+    "text_token_count",
+    "text_bpe_token_count",
+    "text_quality_score",
+    "text_lang_id",
+    "text_fingerprint",
+    "text_rolling_hash",
+    "text_word_freq",
+    "text_length_histogram",
+    "dedup_exact",
+    "dedup_clusters",
+    "dedup_clusters_lsh",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "events_partition_prune",
+    "source_json_roundtrip",
+    "source_csv_roundtrip",
+    "stream_tumbling_counts",
+    "stream_sliding_counts",
+    "stream_session_counts",
+    "stream_stateful_profiles",
+    "stream_stream_join",
+    "stream_restart_resume",
+    "sim_topk_bruteforce",
+    "sim_label_centroids",
+    "tpch_q3_shipping_priority",
+    "tpch_q7_nation_trade",
+    "tpch_q13_order_distribution",
+    "tpch_q18_large_orders",
+    "tpch_q4_priority_exists",
 ]
 
 
@@ -132,6 +131,7 @@ def _modules():
         relational2,
         relational3,
         relational4,
+        sessions,
         similarity,
         storage,
         streaming_ops,
@@ -146,6 +146,7 @@ def _modules():
         relational2,
         relational3,
         relational4,
+        sessions,
         tpch,
         text,
         dedup,

@@ -64,9 +64,9 @@ _MINHASH_PARAMS = [
 ]
 
 
-def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _shingles_of(documents: DataFrame, sf_dir: str, cache_key: str) -> DataFrame:
     """doc_id → exploded distinct word-3-gram shingles (short docs collapse
-    to one whole-text shingle).
+    to one whole-text shingle) for any ``(doc_id, text)`` source.
 
     The input is repartitioned on doc_id — with an EXPLICIT partition count
     — before the compute-heavy shingle/explode work: a small single-split
@@ -76,8 +76,8 @@ def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     (measured: 3.7 s → 0.9 s for the sf0.1 shingle stage).  At scale the
     same repartition bounds per-task skew from variable-length documents.
     """
-    documents = table(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism, "doc_id"
+    documents = documents.repartition(
+        documents.sparkSession.sparkContext.defaultParallelism, "doc_id"
     )
     words = F.split(_normalized(F.col("text")), " ")
     shingle_array = F.when(
@@ -92,8 +92,12 @@ def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return session_cache(
         documents.select("doc_id", F.explode(shingle_array).alias("shingle")),
         sf_dir,
-        "dedup_shingles",
+        cache_key,
     )
+
+
+def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _shingles_of(table(spark, sf_dir, "documents"), sf_dir, "dedup_shingles")
 
 
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -191,15 +195,10 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _jaccard_pairs(_cap_shingle_df(_shingles(spark, sf_dir)), sf_dir)
 
 
-def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """doc_id → array of NUM_MINHASH minimum permuted shingle hashes.
-
-    One explode + one groupBy: the shuffle carries (doc_id, shingle_hash)
-    longs; signature width is constant per doc regardless of doc length.
-    The base hash is md5-derived (engine-portable) — see module docstring.
-    """
+def _minhash_sig_of(shingles: DataFrame) -> DataFrame:
+    """(doc_id, shingle) → array of NUM_MINHASH minimum permuted hashes."""
     base = md5_prefix_long("shingle", 15) % _MERSENNE_P
-    hashed = _shingles(spark, sf_dir).select("doc_id", base.alias("h"))
+    hashed = shingles.select("doc_id", base.alias("h"))
     mins = [
         F.min((F.lit(a) * F.col("h") + F.lit(b)) % _MERSENNE_P).alias(f"m{i}")
         for i, (a, b) in enumerate(_MINHASH_PARAMS)
@@ -208,6 +207,16 @@ def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sig.select(
         "doc_id", F.array(*[f"m{i}" for i in range(NUM_MINHASH)]).alias("signature")
     )
+
+
+def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """doc_id → array of NUM_MINHASH minimum permuted shingle hashes.
+
+    One explode + one groupBy: the shuffle carries (doc_id, shingle_hash)
+    longs; signature width is constant per doc regardless of doc length.
+    The base hash is md5-derived (engine-portable) — see module docstring.
+    """
+    return _minhash_sig_of(_shingles(spark, sf_dir))
 
 
 def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -224,8 +233,14 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     (doc_id, band_idx, band_hash) — 24 bytes/row — with the 512-byte
     signatures fetched afterwards for the deduped candidate pairs only.
     """
-    rows_per_band = NUM_MINHASH // MINHASH_BANDS
     sig = session_cache(minhash_signatures(spark, sf_dir), sf_dir, "dedup_minhash_sig")
+    return _minhash_lsh_pairs(sig, JACCARD_THRESHOLD)
+
+
+def _minhash_lsh_pairs(sig: DataFrame, threshold: float) -> DataFrame:
+    """Band a (cached) signature table, join candidates on the band hash,
+    verify by estimated Jaccard ≥ ``threshold``."""
+    rows_per_band = NUM_MINHASH // MINHASH_BANDS
     bands = sig.select(
         "doc_id",
         F.explode(
@@ -280,9 +295,51 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         candidates.join(sig_a, "doc_id_a")
         .join(sig_b, "doc_id_b")
         .withColumn("est_jaccard", F.round(est, 4))
-        .filter(F.col("est_jaccard") >= JACCARD_THRESHOLD)
+        .filter(F.col("est_jaccard") >= threshold)
         .select("doc_id_a", "doc_id_b", "est_jaccard")
     )
+
+
+# Planted-near-duplicate gate (VERDICT r04 item 6): the synthetic corpus's
+# own near-dup ceiling is moderate (the 0.5 threshold above sits at the top
+# of its real Jaccard distribution), so the PRODUCTION threshold (0.8) would
+# never fire on it and its oracle check would be vacuous.  This query derives
+# a planted corpus deterministically INSIDE the query — every PLANT_DOC_MOD-th
+# document gains a copy with one appended token, a true near-duplicate
+# (word-3-gram Jaccard (W−2)/(W−1) ≈ 0.95+ for normal-length docs) — and runs
+# the same banded MinHash-LSH pipeline at the production threshold.  The
+# DuckDB oracle performs the identical derivation, so detection at ≥ 0.8 is
+# exercised by the hash-checked gate itself, not only by unit tests.
+PLANT_DOC_MOD = 20
+PLANT_DOC_OFFSET = 1_000_000
+PLANT_SUFFIX = "zzplantedsuffix"
+PLANTED_JACCARD_THRESHOLD = 0.8
+
+
+def _planted_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    planted = docs.filter(F.col("doc_id") % PLANT_DOC_MOD == 0).select(
+        (F.col("doc_id") + PLANT_DOC_OFFSET).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" " + PLANT_SUFFIX)).alias("text"),
+    )
+    return docs.unionByName(planted)
+
+
+def q_dedup_planted_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup pairs at the PRODUCTION threshold (0.8) over the
+    planted corpus — same plan shape as :func:`q_dedup_minhash_lsh` (banded
+    equi-join, cached signature table, no all-pairs anywhere); only the
+    input relation and the verify threshold differ."""
+    sig = session_cache(
+        _minhash_sig_of(
+            _shingles_of(
+                _planted_documents(spark, sf_dir), sf_dir, "dedup_shingles_planted"
+            )
+        ),
+        sf_dir,
+        "dedup_minhash_sig_planted",
+    )
+    return _minhash_lsh_pairs(sig, PLANTED_JACCARD_THRESHOLD)
 
 
 SIMHASH_BITS = 60  # md5-derived base hash is 15 hex digits = 60 bits
@@ -594,6 +651,7 @@ QUERIES = {
     "dedup_clusters_lsh": q_dedup_clusters_lsh,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
+    "dedup_planted_minhash": q_dedup_planted_minhash,
     "dedup_simhash": q_dedup_simhash,
 }
 
@@ -618,10 +676,14 @@ _SH_CTES = f"""docs AS (
         )"""
 
 
-def _minhash_oracle_sql() -> str:
+def _minhash_oracle_sql(
+    docs_sql: str = "documents", threshold: float = JACCARD_THRESHOLD
+) -> str:
     """DuckDB oracle for the full MinHash-LSH pipeline, generated from the
     same permutation constants the Spark side uses (identical modular
-    integer arithmetic → identical signatures, bands, and estimates)."""
+    integer arithmetic → identical signatures, bands, and estimates).
+    ``docs_sql`` is the (doc_id, text) relation to read — the planted-corpus
+    variant passes a derived union here."""
     rows_per_band = NUM_MINHASH // MINHASH_BANDS
     min_exprs = ",\n                   ".join(
         f"MIN(({a} * h + {b}) % {_MERSENNE_P}) AS m{i}"
@@ -641,7 +703,7 @@ def _minhash_oracle_sql() -> str:
     )
     return f"""
         WITH docs AS (
-            SELECT doc_id, string_split({_NORM}, ' ') w FROM documents
+            SELECT doc_id, string_split({_NORM}, ' ') w FROM {docs_sql}
         ), sh AS (
             SELECT doc_id, unnest(list_distinct(
                 CASE WHEN len(w) >= 3
@@ -670,8 +732,18 @@ def _minhash_oracle_sql() -> str:
         FROM candidates
         JOIN sig sa ON ida = sa.doc_id
         JOIN sig sb ON idb = sb.doc_id
-        WHERE ROUND(({eq_sum}) / {NUM_MINHASH}.0, 4) >= {JACCARD_THRESHOLD}
+        WHERE ROUND(({eq_sum}) / {NUM_MINHASH}.0, 4) >= {threshold}
     """
+
+
+# Oracle twin of ``_planted_documents``: same modulus, offset, and suffix.
+_PLANTED_DOCS_SQL = f"""(
+            SELECT doc_id, text FROM documents
+            UNION ALL
+            SELECT doc_id + {PLANT_DOC_OFFSET} AS doc_id,
+                   text || ' {PLANT_SUFFIX}' AS text
+            FROM documents WHERE doc_id % {PLANT_DOC_MOD} = 0
+        )"""
 
 
 def _closure_sql(near_sql: str) -> str:
@@ -778,6 +850,9 @@ _NGRAM_NEAR_SQL = f"""
 
 ORACLES = {
     "dedup_minhash_lsh": _minhash_oracle_sql(),
+    "dedup_planted_minhash": _minhash_oracle_sql(
+        docs_sql=_PLANTED_DOCS_SQL, threshold=PLANTED_JACCARD_THRESHOLD
+    ),
     "dedup_clusters": _closure_sql(_NGRAM_NEAR_SQL),
     "dedup_clusters_lsh": _closure_sql(
         f"SELECT doc_id_a AS ida, doc_id_b AS idb FROM ({_minhash_oracle_sql()}) mh"

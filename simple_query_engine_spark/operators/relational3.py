@@ -31,8 +31,10 @@ def q_window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_custkey",
         "o_orderkey",
         F.round("o_totalprice", 2).alias("price"),
-        # NTZ → TIMESTAMP (session tz is UTC) → epoch seconds → days; the
-        # same floor-division DuckDB's epoch()//86400 performs.
+        # o_orderdate arrives as TIMESTAMP already (session.py disables
+        # parquet NTZ inference), so the cast is a defensive no-op; then
+        # epoch seconds → days, the same floor-division DuckDB's
+        # epoch()//86400 performs.
         (F.col("o_orderdate").cast("timestamp").cast("long") / 86400)
         .cast("long")
         .alias("order_day"),

@@ -233,9 +233,17 @@ def q_sim_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     filters at NEARDUP_COSINE.  Planes are the same integer-grid
     construction as the ANN path, so bucket bits are engine-exact and the
     whole pipeline hash-matches its DuckDB oracle; detection of planted
-    near-identical pairs is pinned in tests.
+    near-identical pairs is pinned in tests and exercised by the
+    oracle gate itself via :func:`q_sim_neardup_planted`.
     """
     embeddings = table(spark, sf_dir, "embeddings")
+    return _neardup_lsh_pairs(embeddings, sf_dir, "sim_lsh_tables", NEARDUP_COSINE)
+
+
+def _neardup_lsh_pairs(
+    embeddings: DataFrame, sf_dir: str, cache_key: str, threshold: float
+) -> DataFrame:
+    """Multi-table LSH near-dup pairs over any (vec_id, embedding) relation."""
     planes = _int_hyperplanes(count=NEARDUP_TABLES * NEARDUP_BITS)
     scaled = embeddings.withColumn("sv", _scaled_embedding())
     bucket_cols = []
@@ -264,7 +272,7 @@ def q_sim_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         _norm(F.col("embedding")).alias("nrm"),
         F.explode(F.array(*bucket_cols)).alias("tb"),
     ).select("vec_id", "embedding", "nrm", "tb.table_idx", "tb.bucket")
-    side = session_cache(side, sf_dir, "sim_lsh_tables")
+    side = session_cache(side, sf_dir, cache_key)
     a = side.select(
         F.col("vec_id").alias("vec_id_a"),
         F.col("embedding").alias("emb_a"),
@@ -285,7 +293,51 @@ def q_sim_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("vec_id_a") < F.col("vec_id_b"))
         .select("vec_id_a", "vec_id_b", F.round(cosine, 4).alias("similarity"))
         .dropDuplicates(["vec_id_a", "vec_id_b"])
-        .filter(F.col("similarity") >= NEARDUP_COSINE)
+        .filter(F.col("similarity") >= threshold)
+    )
+
+
+# Planted-near-duplicate gate (VERDICT r04 item 6): the synthetic embedding
+# corpus is near-orthogonal (max pair cosine ≈ 0.51–0.60 — see the
+# NEARDUP_COSINE note), so a production threshold (≥ 0.9) can never fire on
+# it and its oracle check would be vacuous.  This query derives a planted
+# corpus deterministically INSIDE the query — every PLANT_VEC_MOD-th vector
+# gains a copy with 0.125 added to its first component, a true near-dup
+# (cosine ≈ 0.99 for unit-ish 64-dim vectors) — and runs the same
+# multi-table LSH pipeline at the production threshold; the DuckDB oracle
+# performs the identical derivation.  0.125 is an exact binary fraction and
+# the source floats widen to double losslessly, so the perturbed values are
+# bit-identical across engines.
+PLANT_VEC_MOD = 20
+PLANT_VEC_OFFSET = 1_000_000
+PLANT_VEC_DELTA = 0.125
+PLANTED_COSINE = 0.9
+
+
+def _planted_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    base = table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("embedding"),
+    )
+    planted = base.filter(F.col("vec_id") % PLANT_VEC_MOD == 0).select(
+        (F.col("vec_id") + PLANT_VEC_OFFSET).alias("vec_id"),
+        F.concat(
+            F.array(F.element_at(F.col("embedding"), 1) + F.lit(PLANT_VEC_DELTA)),
+            F.expr("slice(embedding, 2, size(embedding) - 1)"),
+        ).alias("embedding"),
+    )
+    return base.unionByName(planted)
+
+
+def q_sim_neardup_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs at the PRODUCTION threshold (0.9)
+    over the planted corpus — same multi-table LSH plan as
+    :func:`q_sim_neardup_lsh`; only the input relation and threshold differ."""
+    return _neardup_lsh_pairs(
+        _planted_embeddings(spark, sf_dir),
+        sf_dir,
+        "sim_lsh_tables_planted",
+        PLANTED_COSINE,
     )
 
 
@@ -429,10 +481,14 @@ def _lsh_sig_cte() -> str:
         )"""
 
 
-def _neardup_lsh_oracle_sql() -> str:
+def _neardup_lsh_oracle_sql(
+    source: str = "embeddings", threshold: float = NEARDUP_COSINE
+) -> str:
     """DuckDB oracle for the multi-table near-dup LSH: same integer
     planes over the same floor-scaled grid per table, so (table, bucket)
-    keys — and therefore candidates — are bit-identical."""
+    keys — and therefore candidates — are bit-identical.  ``source`` is the
+    (vec_id, embedding) relation to read — the planted-corpus variant
+    passes a derived union here."""
     planes = _int_hyperplanes(count=NEARDUP_TABLES * NEARDUP_BITS)
     table_selects = "\n            UNION ALL ".join(
         "SELECT vec_id, v, nrm, {t} AS table_idx, {bucket} AS bucket FROM e".format(
@@ -450,7 +506,7 @@ def _neardup_lsh_oracle_sql() -> str:
             SELECT vec_id, embedding::DOUBLE[] AS v,
                    sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm,
                    list_transform(embedding::DOUBLE[], x -> floor(x * {EMB_SCALE})) AS sv
-            FROM embeddings
+            FROM {source}
         ), tb AS (
             {table_selects}
         ), cand AS (
@@ -465,8 +521,22 @@ def _neardup_lsh_oracle_sql() -> str:
         JOIN e ea ON ida = ea.vec_id
         JOIN e eb ON idb = eb.vec_id
         WHERE ROUND(list_dot_product(ea.v, eb.v) / (ea.nrm * eb.nrm), 4)
-              >= {NEARDUP_COSINE}
+              >= {threshold}
     """
+
+
+# Oracle twin of ``_planted_embeddings``: same modulus, offset, and exact
+# binary-fraction delta on the first component of the double-widened vector.
+_PLANTED_EMB_SQL = f"""(
+            WITH d AS (SELECT vec_id, embedding::DOUBLE[] AS embedding
+                       FROM embeddings)
+            SELECT vec_id, embedding FROM d
+            UNION ALL
+            SELECT vec_id + {PLANT_VEC_OFFSET} AS vec_id,
+                   list_concat([embedding[1] + {PLANT_VEC_DELTA}],
+                               embedding[2:]) AS embedding
+            FROM d WHERE vec_id % {PLANT_VEC_MOD} = 0
+        )"""
 
 
 def _ann_lsh_oracle_sql() -> str:
@@ -489,6 +559,7 @@ QUERIES = {
     "sim_topk_bruteforce": q_sim_topk_bruteforce,
     "sim_neardup_pairs_baseline": q_sim_neardup_pairs_baseline,
     "sim_neardup_lsh": q_sim_neardup_lsh,
+    "sim_neardup_planted": q_sim_neardup_planted,
     "sim_ann_lsh": q_sim_ann_lsh,
     "sim_ivf_topk": q_sim_ivf_topk,
     "sim_label_centroids": q_sim_label_centroids,
@@ -579,4 +650,7 @@ ORACLES = {
     # (see _int_hyperplanes); no float-ulp bucket flips possible.
     "sim_ann_lsh": _ann_lsh_oracle_sql(),
     "sim_neardup_lsh": _neardup_lsh_oracle_sql(),
+    "sim_neardup_planted": _neardup_lsh_oracle_sql(
+        source=_PLANTED_EMB_SQL, threshold=PLANTED_COSINE
+    ),
 }

@@ -180,3 +180,27 @@ def test_signatures_are_deterministic(spark, sf_dir):
     a = D.minhash_signatures(spark, sf_dir).orderBy("doc_id").limit(3).collect()
     b = D.minhash_signatures(spark, sf_dir).orderBy("doc_id").limit(3).collect()
     assert [r.signature for r in a] == [r.signature for r in b]
+
+
+def test_planted_minhash_detects_planted_pairs(spark, sf_dir):
+    """Every PLANT_DOC_MOD-th doc gains an appended-token copy; the
+    production-threshold (0.8) LSH must pair most of them with their
+    original (short docs whose single whole-text shingle changes entirely
+    are legitimately missed)."""
+    from pyspark.sql import functions as F
+
+    rows = D.q_dedup_planted_minhash(spark, sf_dir).collect()
+    assert rows, "planted corpus produced no near-dup pairs"
+    planted_found = {
+        r.doc_id_a
+        for r in rows
+        if r.doc_id_b == r.doc_id_a + D.PLANT_DOC_OFFSET
+    }
+    eligible = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .filter((F.col("doc_id") % D.PLANT_DOC_MOD) == 0)
+        .count()
+    )
+    assert len(planted_found) >= 0.8 * eligible
+    for r in rows:
+        assert r.est_jaccard >= D.PLANTED_JACCARD_THRESHOLD

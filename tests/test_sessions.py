@@ -1,0 +1,54 @@
+"""Gap-sessionization and cohort-retention invariants on the events table."""
+
+from __future__ import annotations
+
+from collections import defaultdict
+
+from simple_query_engine_spark.operators import sessions as SS
+
+
+def test_sessionize_partitions_all_events(spark, sf_dir):
+    sessions = SS.q_events_sessionize_gap(spark, sf_dir).collect()
+    total_events = spark.read.parquet(f"{sf_dir}/events.parquet").count()
+    assert sum(r.n_events for r in sessions) == total_events
+
+
+def test_sessionize_gap_semantics(spark, sf_dir):
+    """Consecutive sessions of one user are separated by more than the gap;
+    session_seq numbering is dense from 1; durations are non-negative."""
+    sessions = SS.q_events_sessionize_gap(spark, sf_dir).collect()
+    by_user = defaultdict(list)
+    for r in sessions:
+        assert r.duration_sec >= 0
+        assert r.session_end >= r.session_start
+        by_user[r.user_id].append(r)
+    for user_sessions in by_user.values():
+        user_sessions.sort(key=lambda r: r.session_seq)
+        assert [r.session_seq for r in user_sessions] == list(
+            range(1, len(user_sessions) + 1)
+        )
+        for prev, nxt in zip(user_sessions, user_sessions[1:]):
+            gap = (nxt.session_start - prev.session_end).total_seconds()
+            assert gap > SS.SESSION_GAP_SEC
+
+
+def test_retention_cohort_matrix_shape(spark, sf_dir):
+    rows = SS.q_events_retention_cohort(spark, sf_dir).collect()
+    assert rows
+    cohort_size = {}
+    for r in rows:
+        assert r.week_offset >= 0
+        if r.week_offset == 0:
+            cohort_size[r.cohort_week] = r.n_users
+    # Offset 0 exists for every cohort (the first-activity week itself) and
+    # bounds every later offset's user count.
+    for r in rows:
+        assert r.cohort_week in cohort_size
+        assert r.n_users <= cohort_size[r.cohort_week]
+    n_users_total = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .select("user_id")
+        .distinct()
+        .count()
+    )
+    assert sum(cohort_size.values()) == n_users_total

@@ -177,3 +177,23 @@ def test_label_centroids_cover_dims(spark, sf_dir):
     rows = S.q_sim_label_centroids(spark, sf_dir).collect()
     assert all(r.n_dims == 64 for r in rows)
     assert all(r.centroid_norm >= 0 for r in rows)
+
+
+def test_planted_neardup_finds_exactly_the_planted_pairs(spark, sf_dir):
+    """At the production 0.9 threshold the planted corpus's only near-dup
+    pairs are (original, original + PLANT_VEC_OFFSET); the multi-table LSH
+    must surface essentially all of them."""
+    from pyspark.sql import functions as F
+
+    rows = S.q_sim_neardup_planted(spark, sf_dir).collect()
+    assert rows, "planted corpus produced no near-dup pairs"
+    for r in rows:
+        assert r.vec_id_b == r.vec_id_a + S.PLANT_VEC_OFFSET
+        assert r.vec_id_a % S.PLANT_VEC_MOD == 0
+        assert r.similarity >= S.PLANTED_COSINE
+    eligible = (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .filter((F.col("vec_id") % S.PLANT_VEC_MOD) == 0)
+        .count()
+    )
+    assert len(rows) >= 0.9 * eligible
