@@ -141,3 +141,85 @@ def test_manifest_files_all_exist(spark, tmp_path, people):
     for version in t.versions():
         for path in t._files(version):
             assert os.path.exists(path), (version, path)
+
+
+def _race_commit(path, barrier, writer_id, results):
+    """Child-process body: race to commit version 1 of the table at
+    ``path``.  ManagedTable._commit is pure filesystem (no Spark), so the
+    race runs in real separate processes against the real O_EXCL commit."""
+    t = ManagedTable(None, path)
+    barrier.wait()  # maximize contention: all writers commit "at once"
+    try:
+        t._commit(1, [f"file_from_writer_{writer_id}.parquet"])
+        results.put(("won", writer_id))
+    except TableVersionConflict:
+        results.put(("conflict", writer_id))
+
+
+def test_concurrent_commit_exactly_one_winner(spark, tmp_path, people):
+    """N real processes racing the same version commit: exactly one wins,
+    every loser gets TableVersionConflict, and the surviving manifest is
+    the winner's intact file list (no torn/mixed write)."""
+    import json
+    import multiprocessing
+
+    t = ManagedTable.create(spark, str(tmp_path / "t"), people)
+    ctx = multiprocessing.get_context("fork")
+    n_writers = 8
+    barrier = ctx.Barrier(n_writers)
+    results = ctx.Queue()
+    procs = [
+        ctx.Process(target=_race_commit, args=(t.path, barrier, i, results))
+        for i in range(n_writers)
+    ]
+    for p in procs:
+        p.start()
+    for p in procs:
+        p.join(timeout=60)
+        assert p.exitcode == 0
+    outcomes = [results.get(timeout=5) for _ in range(n_writers)]
+    winners = [wid for verdict, wid in outcomes if verdict == "won"]
+    losers = [wid for verdict, wid in outcomes if verdict == "conflict"]
+    assert len(winners) == 1
+    assert len(losers) == n_writers - 1
+    manifest = os.path.join(t.path, "_manifests", "v00001.json")
+    with open(manifest) as fh:
+        committed = json.load(fh)
+    assert committed == {
+        "version": 1,
+        "files": [f"file_from_writer_{winners[0]}.parquet"],
+    }
+
+
+def test_conflict_loser_retries_cleanly(spark, tmp_path, people):
+    """Optimistic-concurrency protocol end-to-end: writer A snapshots the
+    base version, writer B commits first, A's commit raises
+    TableVersionConflict, and A's retry against the NEW snapshot lands both
+    writers' rows with nothing lost or doubled."""
+    path = str(tmp_path / "t")
+    ManagedTable.create(spark, path, people)
+    writer_a = ManagedTable(spark, path)
+    writer_b = ManagedTable(spark, path)
+    row_a = spark.createDataFrame(
+        [(100, "name_100", 1000.0, "even")], ["id", "name", "balance", "parity"]
+    )
+    row_b = spark.createDataFrame(
+        [(101, "name_101", 1010.0, "odd")], ["id", "name", "balance", "parity"]
+    )
+    # Writer A is mid-insert: it has resolved the base snapshot and written
+    # its data files, but not yet committed.
+    base = writer_a.current_version()
+    a_files = writer_a._write_data_files(row_a)
+    # Writer B commits first.
+    assert writer_b.insert(row_b) == base + 1
+    # A's commit against its stale snapshot must lose...
+    with pytest.raises(TableVersionConflict):
+        writer_a._commit(base + 1, writer_a._files(base) + a_files)
+    # ...and the retry replays against the new current snapshot (the data
+    # files are already written — only the manifest commit re-runs).
+    retry_base = writer_a.current_version()
+    assert retry_base == base + 1
+    version = writer_a._commit(retry_base + 1, writer_a._files(retry_base) + a_files)
+    assert version == base + 2
+    ids = sorted(r.id for r in writer_a.read().select("id").collect())
+    assert ids == sorted(list(range(20)) + [100, 101])

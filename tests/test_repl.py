@@ -112,3 +112,10 @@ def test_sql_against_single_csv_view(spark, city_csv):
         ["SELECT upper(city) AS c FROM t WHERE country = 'France'", "quit"],
     )
     assert "PARIS" in output
+
+
+@pytest.mark.parametrize("exit_cmd", ["exit", "quit", "q"])
+def test_every_exit_command_ends_the_session(spark, city_csv, exit_cmd):
+    # Lines after the exit command must never execute (src/main.rs:17,39).
+    output = run_repl(city_csv, [exit_cmd, "PROJECT city"])
+    assert "Berlin" not in output
