@@ -52,3 +52,38 @@ def test_retention_cohort_matrix_shape(spark, sf_dir):
         .count()
     )
     assert sum(cohort_size.values()) == n_users_total
+
+
+def test_sessionize_boundary_semantics(spark, tmp_path):
+    """Crafted corpus pinning the exact break rule: a gap of exactly
+    SESSION_GAP_SEC stays in-session (break requires strictly greater),
+    one second more breaks; equal timestamps order by event_id."""
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    sec = dt.timedelta(seconds=1)
+    rows = [
+        # user 7: gap == GAP (no break), then GAP+1 (break)
+        (1, t0, 7),
+        (2, t0 + SS.SESSION_GAP_SEC * sec, 7),
+        (3, t0 + (2 * SS.SESSION_GAP_SEC + 1) * sec, 7),
+        # user 8: two events at the SAME timestamp plus a far later one
+        (4, t0, 8),
+        (5, t0, 8),
+        (6, t0 + (SS.SESSION_GAP_SEC + 1) * sec, 8),
+    ]
+    df = spark.createDataFrame(rows, ["event_id", "ts", "user_id"])
+    df.write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    out = {
+        (r.user_id, r.session_seq): r
+        for r in SS.q_events_sessionize_gap(spark, str(tmp_path)).collect()
+    }
+    assert set(out) == {(7, 1), (7, 2), (8, 1), (8, 2)}
+    # user 7: first session spans the exactly-GAP gap (2 events, duration GAP)
+    assert out[(7, 1)].n_events == 2
+    assert out[(7, 1)].duration_sec == SS.SESSION_GAP_SEC
+    assert out[(7, 2)].n_events == 1
+    # user 8: simultaneous events share a session; the +GAP+1 event breaks
+    assert out[(8, 1)].n_events == 2
+    assert out[(8, 1)].duration_sec == 0
+    assert out[(8, 2)].n_events == 1
