@@ -28,14 +28,18 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 #      (the 5 dml_* + the 11 names added after the r04 front froze) — all
 #      local-gate green, judge-verified in VERDICT r04, never
 #      driver-certified;
-#   2. the 4 queries added THIS round (planted-near-dup gates at
+#   2. the 9 queries added THIS round (planted-near-dup gates at
 #      production thresholds per VERDICT item 6, gap sessionization,
-#      cohort retention);
-#   3. 30 stale-certification backfills: names last certified in r03
+#      cohort retention, activity streaks, containment near-dup,
+#      unigram surprisal, dup-ngram coverage, exact percentiles);
+#   3. 25 stale-certification backfills: names last certified in r03
 #      whose modules changed during r04 (text.py gained TF-IDF, dedup.py
 #      gained the scratch-dir conf, storage.py gained ORC + the Python
 #      DataSource entries, streaming_ops.py gained stream dedup,
-#      similarity.py was re-dialed, tpch.py gained q22's predicate).
+#      similarity.py was re-dialed).  The 5 tpch r03-certified names
+#      (q3/q7/q13/q18/q4 — tpch.py changed least in r04: one predicate)
+#      queue for the r06 front; they all HOLD r03 verdicts, so every
+#      catalog name remains driver-certified after r05.
 # ROUND5_NOTES.md tracks the ledger.
 _ROTATION_FRONT = [
     # --- 1. first-verdict names (16) ---
@@ -55,12 +59,17 @@ _ROTATION_FRONT = [
     "join_lateral_topn",
     "agg_hll_union",
     "source_orc_roundtrip",
-    # --- 2. added this round (4) ---
+    # --- 2. added this round (9) ---
     "dedup_planted_minhash",
     "sim_neardup_planted",
     "events_sessionize_gap",
     "events_retention_cohort",
-    # --- 3. stale-certification backfill (30): r03 certs, module changed r04 ---
+    "events_user_streaks",
+    "dedup_containment_planted",
+    "text_unigram_surprisal",
+    "text_dup_ngram_coverage",
+    "agg_percentiles_exact",
+    # --- 3. stale-certification backfill (25): r03 certs, module changed r04 ---
     "text_token_count",
     "text_bpe_token_count",
     "text_quality_score",
@@ -86,11 +95,6 @@ _ROTATION_FRONT = [
     "stream_restart_resume",
     "sim_topk_bruteforce",
     "sim_label_centroids",
-    "tpch_q3_shipping_priority",
-    "tpch_q7_nation_trade",
-    "tpch_q13_order_distribution",
-    "tpch_q18_large_orders",
-    "tpch_q4_priority_exists",
 ]
 
 

@@ -135,8 +135,10 @@ def _cap_shingle_df(shingles: DataFrame, max_df: int = MAX_SHINGLE_DF) -> DataFr
     return shingles.join(F.broadcast(hot), "shingle", "left_anti")
 
 
-def _jaccard_pairs(shingles: DataFrame, sf_dir: str) -> DataFrame:
-    """Pair docs by shared shingles and score exact Jaccard ≥ threshold.
+def _pair_stats(
+    shingles: DataFrame, sf_dir: str, cache_key: str = "dedup_jaccard_windowed"
+) -> DataFrame:
+    """Shingle self-join → per-pair (common_shingles, size_a, size_b).
 
     Set sizes ride along on each shingle row via a count window over
     doc_id — the window reuses the partitioning the shingle stage already
@@ -153,11 +155,11 @@ def _jaccard_pairs(shingles: DataFrame, sf_dir: str) -> DataFrame:
             "set_size", F.count(F.lit(1)).over(Window.partitionBy("doc_id"))
         ),
         sf_dir,
-        "dedup_jaccard_windowed",
+        cache_key,
     )
     left = shingles.alias("a")
     right = shingles.alias("b")
-    pairs = (
+    return (
         left.join(
             right,
             (F.col("a.shingle") == F.col("b.shingle"))
@@ -172,6 +174,11 @@ def _jaccard_pairs(shingles: DataFrame, sf_dir: str) -> DataFrame:
             F.min("b.set_size").alias("size_b"),
         )
     )
+
+
+def _jaccard_pairs(shingles: DataFrame, sf_dir: str) -> DataFrame:
+    """Pair docs by shared shingles and score exact Jaccard ≥ threshold."""
+    pairs = _pair_stats(shingles, sf_dir)
     jaccard = F.col("common_shingles") / (
         F.col("size_a") + F.col("size_b") - F.col("common_shingles")
     )
@@ -340,6 +347,61 @@ def q_dedup_planted_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         "dedup_minhash_sig_planted",
     )
     return _minhash_lsh_pairs(sig, PLANTED_JACCARD_THRESHOLD)
+
+
+# Containment (|A∩B| / min(|A|,|B|)) catches the asymmetric near-dup the
+# symmetric Jaccard misses: a short document embedded verbatim inside a much
+# longer one scores low Jaccard (union is large) but containment 1.0.  The
+# standard curation companion to the Jaccard/MinHash family.
+CONTAINMENT_THRESHOLD = 0.9
+
+
+def q_dedup_containment_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Containment near-dup pairs at the production 0.9 threshold over the
+    planted corpus (every planted copy contains ALL of its original's
+    shingles, so these pairs score containment 1.0 — exercised by the
+    oracle gate, not just unit tests).
+
+    Same exact-baseline plan shape as :func:`q_dedup_ngram_jaccard`
+    (df-capped shingle self-join, identical cap in the oracle); the shingle
+    and window caches are shared with the other planted queries.
+    """
+    sh = _cap_shingle_df(
+        _shingles_of(
+            _planted_documents(spark, sf_dir), sf_dir, "dedup_shingles_planted"
+        )
+    )
+    pairs = _pair_stats(sh, sf_dir, "dedup_containment_windowed")
+    containment = F.col("common_shingles") / F.least("size_a", "size_b")
+    return (
+        pairs.withColumn("containment", F.round(containment, 4))
+        .filter(F.col("containment") >= CONTAINMENT_THRESHOLD)
+        .select("doc_id_a", "doc_id_b", "common_shingles", "containment")
+    )
+
+
+def q_dup_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document duplicated-shingle coverage: the fraction of a doc's
+    distinct shingles that appear in at least one OTHER document — the
+    contamination diagnostic run before choosing dedup thresholds.
+
+    Exact arithmetic end-to-end (counts and 0/1 means — no float-order
+    hazard).  Shape at 100 TB: the shingle-DF aggregation collapses
+    map-side; the shingle⋈DF join is unhinted (AQE broadcasts when the
+    distinct-shingle table fits); per-doc means are a partial-agg shuffle.
+    """
+    sh = _shingles(spark, sf_dir)
+    dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    return (
+        sh.join(dfreq, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.round(F.avg((F.col("df") > 1).cast("double")), 4).alias(
+                "dup_coverage"
+            ),
+        )
+    )
 
 
 SIMHASH_BITS = 60  # md5-derived base hash is 15 hex digits = 60 bits
@@ -652,14 +714,18 @@ QUERIES = {
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_planted_minhash": q_dedup_planted_minhash,
+    "dedup_containment_planted": q_dedup_containment_planted,
     "dedup_simhash": q_dedup_simhash,
+    "text_dup_ngram_coverage": q_dup_ngram_coverage,
 }
 
 # Shared oracle fragment: word-3-gram shingles with the same document-
 # frequency cap the Spark side applies (``_cap_shingle_df``).  ``sh`` is
-# the capped set every downstream CTE (sizes/pairs) reads.
-_SH_CTES = f"""docs AS (
-            SELECT doc_id, string_split({_NORM}, ' ') w FROM documents
+# the capped set every downstream CTE (sizes/pairs) reads; ``docs_sql`` is
+# the (doc_id, text) relation (planted variants pass a derived union).
+def _sh_ctes(docs_sql: str = "documents") -> str:
+    return f"""docs AS (
+            SELECT doc_id, string_split({_NORM}, ' ') w FROM {docs_sql}
         ), sh_all AS (
             SELECT doc_id, unnest(list_distinct(
                 CASE WHEN len(w) >= 3
@@ -674,6 +740,9 @@ _SH_CTES = f"""docs AS (
             SELECT doc_id, shingle FROM sh_all
             WHERE shingle NOT IN (SELECT shingle FROM hot)
         )"""
+
+
+_SH_CTES = _sh_ctes()
 
 
 def _minhash_oracle_sql(
@@ -853,6 +922,44 @@ ORACLES = {
     "dedup_planted_minhash": _minhash_oracle_sql(
         docs_sql=_PLANTED_DOCS_SQL, threshold=PLANTED_JACCARD_THRESHOLD
     ),
+    "dedup_containment_planted": f"""
+        WITH {_sh_ctes(_PLANTED_DOCS_SQL)}, sizes AS (
+            SELECT doc_id, COUNT(*) AS set_size FROM sh GROUP BY doc_id
+        ), pairs AS (
+            SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+                   COUNT(*) AS common_shingles
+            FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        )
+        SELECT doc_id_a, doc_id_b, common_shingles,
+               ROUND(common_shingles * 1.0
+                     / LEAST(sa.set_size, sb.set_size), 4) AS containment
+        FROM pairs
+        JOIN sizes sa ON doc_id_a = sa.doc_id
+        JOIN sizes sb ON doc_id_b = sb.doc_id
+        WHERE ROUND(common_shingles * 1.0
+                    / LEAST(sa.set_size, sb.set_size), 4) >= {CONTAINMENT_THRESHOLD}
+    """,
+    "text_dup_ngram_coverage": f"""
+        WITH docs AS (
+            SELECT doc_id, string_split({_NORM}, ' ') w FROM documents
+        ), sh_all AS (
+            SELECT doc_id, unnest(list_distinct(
+                CASE WHEN len(w) >= 3
+                     THEN list_transform(range(1, len(w)-1),
+                                         i -> concat_ws(' ', w[i], w[i+1], w[i+2]))
+                     ELSE [array_to_string(w, ' ')] END)) AS shingle
+            FROM docs
+        ), dfreq AS (
+            SELECT shingle, COUNT(*) AS df FROM sh_all GROUP BY shingle
+        )
+        SELECT doc_id,
+               COUNT(*) AS n_shingles,
+               ROUND(AVG(CASE WHEN df > 1 THEN 1.0 ELSE 0.0 END), 4)
+                   AS dup_coverage
+        FROM sh_all JOIN dfreq USING (shingle)
+        GROUP BY doc_id
+    """,
     "dedup_clusters": _closure_sql(_NGRAM_NEAR_SQL),
     "dedup_clusters_lsh": _closure_sql(
         f"SELECT doc_id_a AS ida, doc_id_b AS idb FROM ({_minhash_oracle_sql()}) mh"

@@ -232,8 +232,36 @@ def q_agg_hll_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_agg_percentiles_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped EXACT continuous percentiles (the deterministic complement
+    of agg_quantile_sketch's Greenwald-Khanna approximation): per return
+    flag, the interpolated p25/p50/p75 of extended price.
+
+    Spark's ``percentile`` and DuckDB's ``quantile_cont`` share the
+    standard definition (index = p·(n−1), linear interpolation between
+    neighbors).  Exact percentiles need the full group sorted — the right
+    tool at dashboard cardinalities; at 100 TB per-key streams the sketch
+    variant is the scale path, which is why both are in the catalog.
+
+    Rounding: 4 decimals, NOT 2 — quartile interpolation of 2-decimal
+    prices produces values with up to 4 decimals (quarters of a cent),
+    which sit exactly ON the 2-dp rounding boundary, so a last-ulp
+    difference in the engines' interpolation arithmetic would flip a
+    2-dp round (observed: 52724.245 → .24 vs .25).  Every such value is
+    ≥ 5e-5 from the nearest 4-dp boundary, so 4-dp rounding is ulp-safe.
+    """
+    lineitem = table(spark, sf_dir, "lineitem")
+    return lineitem.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(F.expr("percentile(l_extendedprice, 0.25D)"), 4).alias("p25"),
+        F.round(F.expr("percentile(l_extendedprice, 0.5D)"), 4).alias("p50"),
+        F.round(F.expr("percentile(l_extendedprice, 0.75D)"), 4).alias("p75"),
+    )
+
+
 QUERIES = {
     "conditional_funcs": q_conditional_funcs,
+    "agg_percentiles_exact": q_agg_percentiles_exact,
     "bitwise_funcs": q_bitwise_funcs,
     "regexp_count_funcs": q_regexp_count_funcs,
     "window_value_picks": q_window_value_picks,
@@ -246,6 +274,14 @@ QUERIES = {
 }
 
 ORACLES = {
+    "agg_percentiles_exact": """
+        SELECT l_returnflag,
+               COUNT(*) AS n_rows,
+               ROUND(quantile_cont(l_extendedprice, 0.25), 4) AS p25,
+               ROUND(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+               ROUND(quantile_cont(l_extendedprice, 0.75), 4) AS p75
+        FROM lineitem GROUP BY l_returnflag
+    """,
     "conditional_funcs": """
         SELECT o_orderkey,
                ROUND(greatest(o_totalprice, 100000.0), 2) AS price_floor_100k,

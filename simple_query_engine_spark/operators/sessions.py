@@ -94,9 +94,35 @@ def q_events_retention_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_user_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest consecutive-active-day streak per user (gaps-and-islands on
+    the calendar): distinct active days, island anchor = day minus its
+    per-user row number (consecutive days share one anchor date), then
+    island sizes → per-user max.
+
+    Shape: distinct (user, day) collapses map-side before its shuffle; the
+    row-number window and both aggregations cluster on user_id, so after
+    the distinct only user_id-hashed exchanges of ≤ |users × days| rows
+    remain.
+    """
+    events = table(spark, sf_dir, "events")
+    days = events.select("user_id", F.to_date("ts").alias("d")).distinct()
+    w = Window.partitionBy("user_id").orderBy("d")
+    islands = (
+        days.withColumn("anchor", F.date_sub(F.col("d"), F.row_number().over(w)))
+        .groupBy("user_id", "anchor")
+        .agg(F.count(F.lit(1)).alias("streak"))
+    )
+    return islands.groupBy("user_id").agg(
+        F.max("streak").alias("longest_streak"),
+        F.sum("streak").alias("n_active_days"),
+    )
+
+
 QUERIES = {
     "events_sessionize_gap": q_events_sessionize_gap,
     "events_retention_cohort": q_events_retention_cohort,
+    "events_user_streaks": q_events_user_streaks,
 }
 
 ORACLES = {
@@ -138,5 +164,22 @@ ORACLES = {
         SELECT cohort_week, week_offset,
                COUNT(DISTINCT user_id) AS n_users
         FROM with_cohort GROUP BY cohort_week, week_offset
+    """,
+    "events_user_streaks": """
+        WITH days AS (
+            SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+        ), islands AS (
+            SELECT user_id,
+                   d - CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY d)
+                            AS INT) AS anchor
+            FROM days
+        ), sized AS (
+            SELECT user_id, anchor, COUNT(*) AS streak
+            FROM islands GROUP BY user_id, anchor
+        )
+        SELECT user_id,
+               MAX(streak) AS longest_streak,
+               SUM(streak) AS n_active_days
+        FROM sized GROUP BY user_id
     """,
 }

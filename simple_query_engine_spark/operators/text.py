@@ -218,6 +218,36 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus unigram-LM cross-entropy per document — the language-model
+    quality filter (CCNet-style) reduced to its deterministic unigram
+    core: avg_surprisal = mean over doc tokens of −ln p(token), with
+    p estimated from the corpus itself.  Low = boilerplate/common-token
+    text, high = rare-token (or noisy) text.
+
+    Shape at 100 TB: the vocabulary aggregation collapses map-side to one
+    row per distinct token; the token⋈vocab join is keyed on the token and
+    left unhinted (AQE broadcasts the vocab when it fits — same policy as
+    TF-IDF above); the per-doc mean is a partial-agg shuffle on doc_id.
+    The corpus token total is the one driver-side scalar.
+    """
+    documents = _documents(spark, sf_dir)
+    words = documents.select(
+        "doc_id", F.explode(F.split(_normalized(F.col("text")), " ")).alias("word")
+    ).filter(F.col("word") != "")
+    total = words.count()
+    vocab = words.groupBy("word").agg(F.count(F.lit(1)).alias("n_w"))
+    surprisal = -F.log(F.col("n_w") / F.lit(float(total)))
+    return (
+        words.join(vocab, "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(F.avg(surprisal), 4).alias("avg_surprisal"),
+        )
+    )
+
+
 QUERIES = {
     "text_token_count": q_token_count,
     "text_bpe_token_count": q_bpe_token_count,
@@ -228,6 +258,7 @@ QUERIES = {
     "text_word_freq": q_word_freq,
     "text_length_histogram": q_length_histogram,
     "text_tfidf_top_terms": q_tfidf_top_terms,
+    "text_unigram_surprisal": q_unigram_surprisal,
 }
 
 # DuckDB equivalents.  Normalization mirrored exactly:
@@ -338,5 +369,20 @@ ORACLES = {
         SELECT doc_id, word, ROUND(score, 4) AS tfidf,
                CAST(term_rank AS INT) AS term_rank
         FROM ranked WHERE term_rank <= {TFIDF_TOP_K}
+    """,
+    "text_unigram_surprisal": f"""
+        WITH words AS (
+            SELECT doc_id, unnest({_TOKENS}) AS word FROM documents
+        ), w AS (
+            SELECT doc_id, word FROM words WHERE word <> ''
+        ), vocab AS (
+            SELECT word, COUNT(*) AS n_w FROM w GROUP BY word
+        )
+        SELECT doc_id,
+               COUNT(*) AS n_tokens,
+               ROUND(AVG(-ln(n_w / CAST((SELECT COUNT(*) FROM w) AS DOUBLE))), 4)
+                   AS avg_surprisal
+        FROM w JOIN vocab USING (word)
+        GROUP BY doc_id
     """,
 }

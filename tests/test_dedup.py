@@ -204,3 +204,30 @@ def test_planted_minhash_detects_planted_pairs(spark, sf_dir):
     assert len(planted_found) >= 0.8 * eligible
     for r in rows:
         assert r.est_jaccard >= D.PLANTED_JACCARD_THRESHOLD
+
+
+def test_containment_planted_pairs_score_one(spark, sf_dir):
+    """A planted copy contains every shingle of its original (appending a
+    token never removes a 3-gram), so planted pairs score containment 1.0
+    at the production threshold."""
+    rows = D.q_dedup_containment_planted(spark, sf_dir).collect()
+    assert rows
+    planted = [
+        r for r in rows if r.doc_id_b == r.doc_id_a + D.PLANT_DOC_OFFSET
+    ]
+    assert planted
+    for r in planted:
+        assert r.containment == 1.0
+    for r in rows:
+        assert r.containment >= D.CONTAINMENT_THRESHOLD
+
+
+def test_dup_ngram_coverage_bounds(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    rows = D.q_dup_ngram_coverage(spark, sf_dir).collect()
+    assert len(rows) == docs
+    assert all(0.0 <= r.dup_coverage <= 1.0 for r in rows)
+    assert all(r.n_shingles >= 1 for r in rows)
+    # The synthetic corpus is built from a small common vocabulary, so
+    # SOME shingle sharing must exist (guards against a vacuous metric).
+    assert any(r.dup_coverage > 0 for r in rows)

@@ -102,3 +102,25 @@ def test_variant_roundtrip_and_malformed_contract(spark):
     assert {(r.b, r.s) for r in lenient} == {(None, None), (7, "x")}
     with pytest.raises(Exception):  # strict parse fails on the malformed row
         df.select(F.parse_json("doc")).collect()
+
+
+def test_percentiles_exact_ordering_and_bounds(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from simple_query_engine_spark.operators.relational4 import (
+        q_agg_percentiles_exact,
+    )
+
+    rows = q_agg_percentiles_exact(spark, sf_dir).collect()
+    assert rows
+    bounds = {
+        r.l_returnflag: r
+        for r in spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        .groupBy("l_returnflag")
+        .agg(F.min("l_extendedprice").alias("lo"), F.max("l_extendedprice").alias("hi"))
+        .collect()
+    }
+    for r in rows:
+        assert r.p25 <= r.p50 <= r.p75
+        assert bounds[r.l_returnflag].lo <= r.p25
+        assert r.p75 <= bounds[r.l_returnflag].hi

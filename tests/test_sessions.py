@@ -87,3 +87,31 @@ def test_sessionize_boundary_semantics(spark, tmp_path):
     assert out[(8, 1)].n_events == 2
     assert out[(8, 1)].duration_sec == 0
     assert out[(8, 2)].n_events == 1
+
+
+def test_user_streaks_invariants(spark, sf_dir):
+    rows = SS.q_events_user_streaks(spark, sf_dir).collect()
+    assert rows
+    by_user = {r.user_id: r for r in rows}
+    days = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .selectExpr("user_id", "to_date(ts) AS d")
+        .distinct()
+        .collect()
+    )
+    from collections import defaultdict
+
+    expected_days = defaultdict(set)
+    for r in days:
+        expected_days[r.user_id].add(r.d)
+    assert set(by_user) == set(expected_days)
+    for user_id, r in by_user.items():
+        assert r.n_active_days == len(expected_days[user_id])
+        assert 1 <= r.longest_streak <= r.n_active_days
+        # Python re-derivation of the longest consecutive run.
+        ds = sorted(expected_days[user_id])
+        best = run = 1
+        for prev, nxt in zip(ds, ds[1:]):
+            run = run + 1 if (nxt - prev).days == 1 else 1
+            best = max(best, run)
+        assert r.longest_streak == best

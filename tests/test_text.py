@@ -83,3 +83,18 @@ def test_tfidf_ranks_doc_specific_terms_first(spark, tmp_path):
         # 'shared' appears in every non-empty doc → idf ln(4/3), still > 0
         # because the EMPTY doc counts in N; it must rank below doc-unique words
         assert terms[0].word != "shared"
+
+
+def test_unigram_surprisal_ranks_rare_tokens_higher(spark, sf_dir):
+    from simple_query_engine_spark.operators import text as T
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    rows = T.q_unigram_surprisal(spark, sf_dir).collect()
+    assert len(rows) == docs
+    assert all(r.avg_surprisal > 0 for r in rows)
+    # Cross-entropy of a corpus-estimated unigram LM is bounded by the
+    # vocabulary's max surprisal: -ln(1/total_tokens).
+    import math
+
+    total = sum(r.n_tokens for r in rows)
+    assert all(r.avg_surprisal <= math.log(total) + 1e-9 for r in rows)
