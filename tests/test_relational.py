@@ -124,3 +124,14 @@ def test_percentiles_exact_ordering_and_bounds(spark, sf_dir):
         assert r.p25 <= r.p50 <= r.p75
         assert bounds[r.l_returnflag].lo <= r.p25
         assert r.p75 <= bounds[r.l_returnflag].hi
+
+
+def test_topn_per_group_uses_rank_limit_pushdown(spark, sf):
+    """window_topn_per_group must keep Spark's WindowGroupLimit pushdown:
+    a Partial group-limit BEFORE the exchange bounds the shuffle to
+    n × |groups| rows.  Losing this (e.g. by restructuring the filter so
+    Catalyst can't see the rank bound) is the 100 TB regression."""
+    plan = plan_of(R.q_window_topn_per_group(spark, sf))
+    assert "WindowGroupLimit" in plan
+    # The map-side (pre-exchange) group limit: rank fn, limit 2, Partial.
+    assert "row_number(), 2, Partial" in plan

@@ -115,3 +115,37 @@ def test_user_streaks_invariants(spark, sf_dir):
             run = run + 1 if (nxt - prev).days == 1 else 1
             best = max(best, run)
         assert r.longest_streak == best
+
+
+def _plan_of(df) -> str:
+    import contextlib
+    import io
+
+    buffer = io.StringIO()
+    with contextlib.redirect_stdout(buffer):
+        df.explain("formatted")
+    return buffer.getvalue()
+
+
+def test_sessionize_plan_has_single_exchange(spark, sf_dir):
+    """The scale property: both windows AND the session-stats groupBy run
+    on one hash exchange over user_id (Catalyst's subset-clustering rule
+    lets hashpartitioning(user_id) satisfy the (user_id, session_seq)
+    aggregation).  A second Exchange node appearing here means the
+    exchange-reuse regressed."""
+    plan = _plan_of(SS.q_events_sessionize_gap(spark, sf_dir))
+    # Detail-section headers ("(3) Exchange") appear once per physical node.
+    exchange_nodes = [
+        line for line in plan.splitlines()
+        if line.lstrip().startswith("(") and "Exchange" in line
+    ]
+    assert len(exchange_nodes) == 1, exchange_nodes
+
+
+def test_streaks_plan_deduplicates_before_user_shuffle(spark, sf_dir):
+    """The distinct (user, day) aggregation must collapse map-side (a
+    partial HashAggregate BEFORE the first Exchange), so raw events never
+    shuffle."""
+    plan = _plan_of(SS.q_events_user_streaks(spark, sf_dir))
+    first_exchange = plan.index("Exchange")
+    assert "HashAggregate" in plan[:first_exchange]
