@@ -88,6 +88,27 @@ def main() -> int:
     print(">>> corpus curation (quality gate → exact dedup → LSH near-dup drop):")
     q_pipeline_corpus_curation(spark, sf_dir).orderBy("lang").show()
 
+    # --- 4b. behavioral analytics + production-threshold near-dup gates ---
+    from simple_query_engine_spark.operators.dedup import (
+        q_dedup_containment_planted,
+    )
+    from simple_query_engine_spark.operators.sessions import (
+        q_events_sessionize_gap,
+        q_events_user_streaks,
+    )
+
+    print(">>> gap sessions (30-min idle breaks), longest first:")
+    q_events_sessionize_gap(spark, sf_dir).orderBy(
+        "n_events", ascending=False
+    ).show(5)
+    print(">>> longest consecutive-day activity streaks:")
+    q_events_user_streaks(spark, sf_dir).orderBy(
+        "longest_streak", ascending=False
+    ).show(5)
+    print(">>> containment near-dups at the production 0.9 threshold")
+    print("    (planted corpus — each pair is an original + its copy):")
+    q_dedup_containment_planted(spark, sf_dir).show(5)
+
     # --- 5. managed-table DML (snapshot versioning + time travel) ---------
     from pyspark.sql import functions as F
 
