@@ -149,3 +149,59 @@ def test_streaks_plan_deduplicates_before_user_shuffle(spark, sf_dir):
     plan = _plan_of(SS.q_events_user_streaks(spark, sf_dir))
     first_exchange = plan.index("Exchange")
     assert "HashAggregate" in plan[:first_exchange]
+
+
+def test_sessionize_differential_random(spark, tmp_path):
+    """Differential check against a pure-Python sessionizer over a random
+    corpus whose gaps are biased to straddle the break boundary (1799 /
+    1800 / 1801 s) with random microsecond fractions."""
+    import datetime as dt
+    import random
+
+    rng = random.Random(20250813)
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    for user in range(30):
+        t = t0 + dt.timedelta(seconds=rng.randrange(0, 86400))
+        for _ in range(rng.randrange(1, 40)):
+            rows.append((eid, t, user))
+            eid += 1
+            t += dt.timedelta(
+                seconds=rng.choice([1, 60, 1799, 1800, 1801, 3600, 90000]),
+                microseconds=rng.randrange(0, 1_000_000),
+            )
+    spark.createDataFrame(rows, ["event_id", "ts", "user_id"]).write.mode(
+        "overwrite"
+    ).parquet(str(tmp_path / "events.parquet"))
+
+    # Pure-Python model: break when the gap strictly exceeds the threshold.
+    expected = {}
+    by_user = {}
+    for event_id, ts, user in sorted(rows, key=lambda r: (r[2], r[1], r[0])):
+        sessions = by_user.setdefault(user, [])
+        if not sessions or (
+            ts - sessions[-1][-1] > dt.timedelta(seconds=SS.SESSION_GAP_SEC)
+        ):
+            sessions.append([ts])
+        else:
+            sessions[-1].append(ts)
+    for user, sessions in by_user.items():
+        for seq, times in enumerate(sessions, start=1):
+            expected[(user, seq)] = (
+                len(times),
+                times[0],
+                times[-1],
+                int((times[-1] - times[0]).total_seconds()),
+            )
+
+    actual = {
+        (r.user_id, r.session_seq): (
+            r.n_events,
+            r.session_start,
+            r.session_end,
+            r.duration_sec,
+        )
+        for r in SS.q_events_sessionize_gap(spark, str(tmp_path)).collect()
+    }
+    assert actual == expected
