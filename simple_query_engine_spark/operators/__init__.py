@@ -28,18 +28,20 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 #      (the 5 dml_* + the 11 names added after the r04 front froze) — all
 #      local-gate green, judge-verified in VERDICT r04, never
 #      driver-certified;
-#   2. the 9 queries added THIS round (planted-near-dup gates at
-#      production thresholds per VERDICT item 6, gap sessionization,
-#      cohort retention, activity streaks, containment near-dup,
-#      unigram surprisal, dup-ngram coverage, exact percentiles);
-#   3. 25 stale-certification backfills: names last certified in r03
+#   2. the 11 queries added THIS round (planted-near-dup gates at
+#      production thresholds per VERDICT item 6, incremental batch-vs-
+#      corpus dedup, gap sessionization, cohort retention, activity
+#      streaks, containment near-dup, unigram surprisal, dup-ngram
+#      coverage, exact percentiles, bucketed no-shuffle join);
+#   3. 23 stale-certification backfills: names last certified in r03
 #      whose modules changed during r04 (text.py gained TF-IDF, dedup.py
 #      gained the scratch-dir conf, storage.py gained ORC + the Python
 #      DataSource entries, streaming_ops.py gained stream dedup,
-#      similarity.py was re-dialed).  The 5 tpch r03-certified names
-#      (q3/q7/q13/q18/q4 — tpch.py changed least in r04: one predicate)
-#      queue for the r06 front; they all HOLD r03 verdicts, so every
-#      catalog name remains driver-certified after r05.
+#      similarity.py was re-dialed).  Queued for the r06 front (all HOLD
+#      r03 verdicts, so every catalog name remains driver-certified
+#      after r05): the 5 tpch names (q3/q7/q13/q18/q4 — tpch.py changed
+#      least in r04: one predicate) and stream_tumbling/sliding_counts
+#      (streaming_ops.py's r04 change was purely additive).
 # ROUND5_NOTES.md tracks the ledger.
 _ROTATION_FRONT = [
     # --- 1. first-verdict names (16) ---
@@ -59,8 +61,10 @@ _ROTATION_FRONT = [
     "join_lateral_topn",
     "agg_hll_union",
     "source_orc_roundtrip",
-    # --- 2. added this round (9) ---
+    # --- 2. added this round (11) ---
     "dedup_planted_minhash",
+    "dedup_incremental_minhash",
+    "join_bucketed_revenue",
     "sim_neardup_planted",
     "events_sessionize_gap",
     "events_retention_cohort",
@@ -69,7 +73,7 @@ _ROTATION_FRONT = [
     "text_unigram_surprisal",
     "text_dup_ngram_coverage",
     "agg_percentiles_exact",
-    # --- 3. stale-certification backfill (25): r03 certs, module changed r04 ---
+    # --- 3. stale-certification backfill (23): r03 certs, module changed r04 ---
     "text_token_count",
     "text_bpe_token_count",
     "text_quality_score",
@@ -87,8 +91,6 @@ _ROTATION_FRONT = [
     "events_partition_prune",
     "source_json_roundtrip",
     "source_csv_roundtrip",
-    "stream_tumbling_counts",
-    "stream_sliding_counts",
     "stream_session_counts",
     "stream_stateful_profiles",
     "stream_stream_join",

@@ -244,11 +244,11 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _minhash_lsh_pairs(sig, JACCARD_THRESHOLD)
 
 
-def _minhash_lsh_pairs(sig: DataFrame, threshold: float) -> DataFrame:
-    """Band a (cached) signature table, join candidates on the band hash,
-    verify by estimated Jaccard ≥ ``threshold``."""
+def _band_rows(sig: DataFrame) -> DataFrame:
+    """Explode a signature table into (doc_id, band_idx, band_hash) rows —
+    the 24-byte join keys of every LSH candidate join."""
     rows_per_band = NUM_MINHASH // MINHASH_BANDS
-    bands = sig.select(
+    return sig.select(
         "doc_id",
         F.explode(
             F.array(
@@ -272,6 +272,12 @@ def _minhash_lsh_pairs(sig: DataFrame, threshold: float) -> DataFrame:
             )
         ).alias("band"),
     ).select("doc_id", "band.band_idx", "band.band_hash")
+
+
+def _minhash_lsh_pairs(sig: DataFrame, threshold: float) -> DataFrame:
+    """Band a (cached) signature table, join candidates on the band hash,
+    verify by estimated Jaccard ≥ ``threshold``."""
+    bands = _band_rows(sig)
     left = bands.alias("a")
     right = bands.alias("b")
     candidates = (
@@ -377,6 +383,64 @@ def q_dedup_containment_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs.withColumn("containment", F.round(containment, 4))
         .filter(F.col("containment") >= CONTAINMENT_THRESHOLD)
         .select("doc_id_a", "doc_id_b", "common_shingles", "containment")
+    )
+
+
+def q_dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL near-dup: an incoming batch checked against the existing
+    corpus WITHOUT a corpus self-join — the production shape for continuous
+    ingestion, where the corpus signature table is persisted once and each
+    new batch only joins its own bands against it.
+
+    The planted copies (doc_id ≥ PLANT_DOC_OFFSET) play the incoming
+    batch; the originals play the persisted corpus (the session cache
+    stands in for the persisted table — same table the other planted
+    queries share).  Candidate volume is |batch_bands| ⋈ |corpus_bands|
+    on the 24-byte band key, so ingest cost scales with the BATCH, not
+    the corpus; est-Jaccard verification at the production 0.8 threshold.
+    """
+    sig = session_cache(
+        _minhash_sig_of(
+            _shingles_of(
+                _planted_documents(spark, sf_dir), sf_dir, "dedup_shingles_planted"
+            )
+        ),
+        sf_dir,
+        "dedup_minhash_sig_planted",
+    )
+    incoming = sig.filter(F.col("doc_id") >= PLANT_DOC_OFFSET)
+    corpus = sig.filter(F.col("doc_id") < PLANT_DOC_OFFSET)
+    candidates = (
+        _band_rows(incoming)
+        .alias("a")
+        .join(
+            _band_rows(corpus).alias("b"),
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_hash") == F.col("b.band_hash")),
+        )
+        .select(
+            F.col("a.doc_id").alias("new_doc_id"),
+            F.col("b.doc_id").alias("corpus_doc_id"),
+        )
+        .dropDuplicates(["new_doc_id", "corpus_doc_id"])
+    )
+    sig_new = sig.select(
+        F.col("doc_id").alias("new_doc_id"), F.col("signature").alias("sig_a")
+    )
+    sig_old = sig.select(
+        F.col("doc_id").alias("corpus_doc_id"), F.col("signature").alias("sig_b")
+    )
+    est = F.size(
+        F.filter(
+            F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda eq: eq
+        )
+    ) / F.lit(NUM_MINHASH)
+    return (
+        candidates.join(sig_new, "new_doc_id")
+        .join(sig_old, "corpus_doc_id")
+        .withColumn("est_jaccard", F.round(est, 4))
+        .filter(F.col("est_jaccard") >= PLANTED_JACCARD_THRESHOLD)
+        .select("new_doc_id", "corpus_doc_id", "est_jaccard")
     )
 
 
@@ -714,6 +778,7 @@ QUERIES = {
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_planted_minhash": q_dedup_planted_minhash,
+    "dedup_incremental_minhash": q_dedup_incremental_minhash,
     "dedup_containment_planted": q_dedup_containment_planted,
     "dedup_simhash": q_dedup_simhash,
     "text_dup_ngram_coverage": q_dup_ngram_coverage,
@@ -746,13 +811,26 @@ _SH_CTES = _sh_ctes()
 
 
 def _minhash_oracle_sql(
-    docs_sql: str = "documents", threshold: float = JACCARD_THRESHOLD
+    docs_sql: str = "documents",
+    threshold: float = JACCARD_THRESHOLD,
+    incremental_offset: int | None = None,
 ) -> str:
     """DuckDB oracle for the full MinHash-LSH pipeline, generated from the
     same permutation constants the Spark side uses (identical modular
     integer arithmetic → identical signatures, bands, and estimates).
     ``docs_sql`` is the (doc_id, text) relation to read — the planted-corpus
-    variant passes a derived union here."""
+    variant passes a derived union here.  With ``incremental_offset``,
+    candidates pair incoming docs (id ≥ offset) against corpus docs
+    (id < offset) instead of the a < b self-join, mirroring the Spark
+    incremental path."""
+    if incremental_offset is None:
+        pair_cond = "a.doc_id < b.doc_id"
+        col_a, col_b = "doc_id_a", "doc_id_b"
+    else:
+        pair_cond = (
+            f"a.doc_id >= {incremental_offset} AND b.doc_id < {incremental_offset}"
+        )
+        col_a, col_b = "new_doc_id", "corpus_doc_id"
     rows_per_band = NUM_MINHASH // MINHASH_BANDS
     min_exprs = ",\n                   ".join(
         f"MIN(({a} * h + {b}) % {_MERSENNE_P}) AS m{i}"
@@ -794,9 +872,9 @@ def _minhash_oracle_sql(
             SELECT DISTINCT a.doc_id AS ida, b.doc_id AS idb
             FROM bands a JOIN bands b
               ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
-             AND a.doc_id < b.doc_id
+             AND {pair_cond}
         )
-        SELECT ida AS doc_id_a, idb AS doc_id_b,
+        SELECT ida AS {col_a}, idb AS {col_b},
                ROUND(({eq_sum}) / {NUM_MINHASH}.0, 4) AS est_jaccard
         FROM candidates
         JOIN sig sa ON ida = sa.doc_id
@@ -921,6 +999,11 @@ ORACLES = {
     "dedup_minhash_lsh": _minhash_oracle_sql(),
     "dedup_planted_minhash": _minhash_oracle_sql(
         docs_sql=_PLANTED_DOCS_SQL, threshold=PLANTED_JACCARD_THRESHOLD
+    ),
+    "dedup_incremental_minhash": _minhash_oracle_sql(
+        docs_sql=_PLANTED_DOCS_SQL,
+        threshold=PLANTED_JACCARD_THRESHOLD,
+        incremental_offset=PLANT_DOC_OFFSET,
     ),
     "dedup_containment_planted": f"""
         WITH {_sh_ctes(_PLANTED_DOCS_SQL)}, sizes AS (

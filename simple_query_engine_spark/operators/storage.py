@@ -304,8 +304,53 @@ def q_sink_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _roundtrip_aggregate(read_manifest_parquet(spark, path))
 
 
+BUCKETED_JOIN_BUCKETS = 8
+
+
+def q_join_bucketed_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue per order priority over two tables BUCKETED on the join key
+    — the layout that elides the fact-fact join shuffle at 100 TB.
+
+    Both sides persist once as bucketed+sorted external tables (location
+    under the system temp dir; a real pipeline maintains these as its
+    canonical fact layout): identically-bucketed scans expose matching
+    ``HashPartitioning(o_orderkey, N)``, so the sort-merge join consumes
+    them with NO exchange — the no-shuffle property is plan-asserted in
+    tests/test_bucketing.py, and this catalog entry proves the layout is
+    lossless (the DuckDB oracle joins the original unbucketed parquet).
+    """
+    from simple_query_engine_spark.sources.sinks import write_bucketed_table
+
+    orders = table(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    lineitem = table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("o_orderkey"), "l_extendedprice", "l_discount"
+    )
+    base = os.path.join(
+        tempfile.gettempdir(), f"sqe_bucketed_{abs(hash(sf_dir)) % 10**8}"
+    )
+    for name, df in (("sqe_orders_bkt", orders), ("sqe_lineitem_bkt", lineitem)):
+        (
+            df.write.mode("overwrite")
+            .bucketBy(BUCKETED_JOIN_BUCKETS, "o_orderkey")
+            .sortBy("o_orderkey")
+            .option("path", os.path.join(base, name))
+            .format("parquet")
+            .saveAsTable(name)
+        )
+    joined = spark.table("sqe_orders_bkt").join(
+        spark.table("sqe_lineitem_bkt"), "o_orderkey"
+    )
+    return joined.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+        ).alias("revenue"),
+    )
+
+
 QUERIES = {
     "events_partition_prune": q_events_partition_prune,
+    "join_bucketed_revenue": q_join_bucketed_revenue,
     "source_json_roundtrip": q_source_json_roundtrip,
     "source_csv_roundtrip": q_source_csv_roundtrip,
     "source_orc_roundtrip": q_source_orc_roundtrip,
@@ -326,6 +371,13 @@ _ROUNDTRIP_ORACLE = """
 """
 
 ORACLES = {
+    "join_bucketed_revenue": """
+        SELECT o_orderpriority,
+               COUNT(*) AS n_items,
+               ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        GROUP BY o_orderpriority
+    """,
     "source_json_roundtrip": _ROUNDTRIP_ORACLE,
     "source_csv_roundtrip": _ROUNDTRIP_ORACLE,
     "source_orc_roundtrip": _ROUNDTRIP_ORACLE,

@@ -145,3 +145,37 @@ def test_salted_join_preserves_outer_semantics(spark):
     result = salted_join(left, right, "k", salt_buckets=3, how="left")
     rows = sorted(map(tuple, result.select("k", "v", "w").collect()))
     assert rows == [(1, "a", "x"), (1, "b", "x"), (2, "c", "y"), (3, "d", None)]
+
+
+def test_catalog_bucketed_revenue_consumes_bucketed_scans(spark, sf_dir):
+    """The catalog entry reads its persisted bucketed tables (bucket
+    metadata visible on the scan) and matches the unbucketed join."""
+    from simple_query_engine_spark.operators.storage import (
+        q_join_bucketed_revenue,
+    )
+
+    previous = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = q_join_bucketed_revenue(spark, sf_dir)
+        plan = plan_of(df)
+        assert "SelectedBucketsCount" in plan
+        join_section = plan.split("HashAggregate")[0]
+        assert "Exchange hashpartitioning(o_orderkey" not in join_section
+        orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+        lineitem = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        expected = (
+            orders.join(lineitem, orders.o_orderkey == lineitem.l_orderkey)
+            .groupBy("o_orderpriority")
+            .agg(
+                F.count(F.lit(1)).alias("n_items"),
+                F.round(
+                    F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+                ).alias("revenue"),
+            )
+        )
+        assert sorted(map(tuple, df.collect())) == sorted(
+            map(tuple, expected.collect())
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", previous)

@@ -231,3 +231,21 @@ def test_dup_ngram_coverage_bounds(spark, sf_dir):
     # The synthetic corpus is built from a small common vocabulary, so
     # SOME shingle sharing must exist (guards against a vacuous metric).
     assert any(r.dup_coverage > 0 for r in rows)
+
+
+def test_incremental_minhash_matches_full_planted_run(spark, sf_dir):
+    """The incremental batch-vs-corpus path must find exactly the full
+    planted run's CROSS-SPLIT pairs (incoming=planted copies vs corpus=
+    originals): same bands, same verify threshold — only the candidate
+    join shape differs."""
+    full = {
+        (r.doc_id_b, r.doc_id_a)  # (planted, original) orientation
+        for r in D.q_dedup_planted_minhash(spark, sf_dir).collect()
+        if r.doc_id_b >= D.PLANT_DOC_OFFSET > r.doc_id_a
+    }
+    incremental = {
+        (r.new_doc_id, r.corpus_doc_id)
+        for r in D.q_dedup_incremental_minhash(spark, sf_dir).collect()
+    }
+    assert incremental == full
+    assert incremental  # non-vacuous: the planted batch must be detected
