@@ -330,7 +330,23 @@ PLANTED_JACCARD_THRESHOLD = 0.8
 
 
 def _planted_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    # Loud-failure guard (ADVICE r05): the planted-id space assumes every
+    # real doc_id < PLANT_DOC_OFFSET.  The check is folded into the output
+    # doc_id expression (a per-row codegen comparison — not an eager
+    # action, and not prunable), so a corpus that outgrows the offset
+    # fails the query instead of silently corrupting the planted gate and
+    # the incremental batch/corpus split keyed on the offset.
+    guard = F.when(F.col("doc_id") < PLANT_DOC_OFFSET, F.col("doc_id")).otherwise(
+        F.raise_error(
+            F.lit(
+                "planted-id collision: real doc_id >= PLANT_DOC_OFFSET "
+                f"({PLANT_DOC_OFFSET}); raise the offset for this corpus"
+            )
+        ).cast("long")
+    )
+    docs = table(spark, sf_dir, "documents").select(
+        guard.alias("doc_id"), "text"
+    )
     planted = docs.filter(F.col("doc_id") % PLANT_DOC_MOD == 0).select(
         (F.col("doc_id") + PLANT_DOC_OFFSET).alias("doc_id"),
         F.concat(F.col("text"), F.lit(" " + PLANT_SUFFIX)).alias("text"),

@@ -129,11 +129,14 @@ ORACLES = {
     "events_sessionize_gap": f"""
         WITH labeled AS (
             SELECT user_id, ts,
-                   SUM(CASE WHEN prev_us IS NULL
+                   -- CAST: DuckDB widens SUM(int) to HUGEINT (int128); Spark's
+                   -- sum is LongType and the driver hash is type-sensitive
+                   -- (repo convention, see relational.py).
+                   CAST(SUM(CASE WHEN prev_us IS NULL
                             OR epoch_us(ts) - prev_us > {SESSION_GAP_SEC * 1_000_000}
                             THEN 1 ELSE 0 END)
                        OVER (PARTITION BY user_id ORDER BY ts, event_id
-                             ROWS UNBOUNDED PRECEDING) AS session_seq
+                             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
             FROM (
                 SELECT user_id, ts, event_id,
                        LAG(epoch_us(ts)) OVER (PARTITION BY user_id
@@ -179,7 +182,9 @@ ORACLES = {
         )
         SELECT user_id,
                MAX(streak) AS longest_streak,
-               SUM(streak) AS n_active_days
+               -- CAST: SUM(BIGINT) widens to HUGEINT in DuckDB; Spark emits
+               -- LongType and the driver hash is type-sensitive.
+               CAST(SUM(streak) AS BIGINT) AS n_active_days
         FROM sized GROUP BY user_id
     """,
 }

@@ -315,8 +315,20 @@ PLANTED_COSINE = 0.9
 
 
 def _planted_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Loud-failure guard (ADVICE r05): folded into the output vec_id so a
+    # corpus whose real ids reach PLANT_VEC_OFFSET errors instead of
+    # silently colliding with planted ids (same pattern as
+    # dedup._planted_documents).
+    guard = F.when(F.col("vec_id") < PLANT_VEC_OFFSET, F.col("vec_id")).otherwise(
+        F.raise_error(
+            F.lit(
+                "planted-id collision: real vec_id >= PLANT_VEC_OFFSET "
+                f"({PLANT_VEC_OFFSET}); raise the offset for this corpus"
+            )
+        ).cast("long")
+    )
     base = table(spark, sf_dir, "embeddings").select(
-        "vec_id",
+        guard.alias("vec_id"),
         F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("embedding"),
     )
     planted = base.filter(F.col("vec_id") % PLANT_VEC_MOD == 0).select(

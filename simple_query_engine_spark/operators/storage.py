@@ -319,27 +319,51 @@ def q_join_bucketed_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_bucketing.py, and this catalog entry proves the layout is
     lossless (the DuckDB oracle joins the original unbucketed parquet).
     """
-    from simple_query_engine_spark.sources.sinks import write_bucketed_table
+    import hashlib
 
     orders = table(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
     lineitem = table(spark, sf_dir, "lineitem").select(
         F.col("l_orderkey").alias("o_orderkey"), "l_extendedprice", "l_discount"
     )
+    # Deterministic per-sf layout path (Python str hash is salted per
+    # process, so the previous abs(hash(sf_dir)) key rewrote the layout —
+    # and leaked a temp dir — on every run): md5 of the resolved sf_dir
+    # names the table; the source file's size+mtime tag (the repo's cache
+    # convention, see events_cache_path) invalidates on regenerated
+    # testdata.  The digest also suffixes the catalog table names so two
+    # sf_dirs in one session cannot clobber each other's registration.
+    digest = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:10]
+    stat = os.stat(os.path.join(sf_dir, "orders.parquet"))
     base = os.path.join(
-        tempfile.gettempdir(), f"sqe_bucketed_{abs(hash(sf_dir)) % 10**8}"
+        tempfile.gettempdir(),
+        f"sqe_bucketed_{digest}_{stat.st_size}_{stat.st_mtime_ns}",
     )
-    for name, df in (("sqe_orders_bkt", orders), ("sqe_lineitem_bkt", lineitem)):
-        (
-            df.write.mode("overwrite")
-            .bucketBy(BUCKETED_JOIN_BUCKETS, "o_orderkey")
-            .sortBy("o_orderkey")
-            .option("path", os.path.join(base, name))
-            .format("parquet")
-            .saveAsTable(name)
-        )
-    joined = spark.table("sqe_orders_bkt").join(
-        spark.table("sqe_lineitem_bkt"), "o_orderkey"
-    )
+    names = (f"sqe_orders_bkt_{digest}", f"sqe_lineitem_bkt_{digest}")
+    for name, df in zip(names, (orders, lineitem)):
+        loc = os.path.join(base, name)
+        if os.path.exists(os.path.join(loc, "_SUCCESS")):
+            # Layout already on disk (possibly written by another process):
+            # (re)register the external bucketed table, metadata-only.
+            cols = ", ".join(
+                f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
+            )
+            spark.sql(f"DROP TABLE IF EXISTS {name}")
+            spark.sql(
+                f"CREATE TABLE {name} ({cols}) USING PARQUET "
+                f"CLUSTERED BY (o_orderkey) SORTED BY (o_orderkey) "
+                f"INTO {BUCKETED_JOIN_BUCKETS} BUCKETS LOCATION '{loc}'"
+            )
+        else:
+            spark.sql(f"DROP TABLE IF EXISTS {name}")
+            (
+                df.write.mode("overwrite")
+                .bucketBy(BUCKETED_JOIN_BUCKETS, "o_orderkey")
+                .sortBy("o_orderkey")
+                .option("path", loc)
+                .format("parquet")
+                .saveAsTable(name)
+            )
+    joined = spark.table(names[0]).join(spark.table(names[1]), "o_orderkey")
     return joined.groupBy("o_orderpriority").agg(
         F.count(F.lit(1)).alias("n_items"),
         F.round(

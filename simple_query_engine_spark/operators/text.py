@@ -218,6 +218,9 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SURPRISAL_LN_SCALE = 1_000_000
+
+
 def q_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus unigram-LM cross-entropy per document — the language-model
     quality filter (CCNet-style) reduced to its deterministic unigram
@@ -225,26 +228,57 @@ def q_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     p estimated from the corpus itself.  Low = boilerplate/common-token
     text, high = rare-token (or noisy) text.
 
-    Shape at 100 TB: the vocabulary aggregation collapses map-side to one
-    row per distinct token; the token⋈vocab join is keyed on the token and
-    left unhinted (AQE broadcasts the vocab when it fits — same policy as
-    TF-IDF above); the per-doc mean is a partial-agg shuffle on doc_id.
-    The corpus token total is the one driver-side scalar.
+    Shape at 100 TB: no eager action — the corpus token total is derived
+    in-plan from the (tiny) vocabulary aggregate and broadcast cross-joined
+    (the round-5 version ran an eager ``words.count()`` whose full
+    tokenization pass was then discarded).  Plan-verified at HEAD: ONE
+    parquet scan; the raw-text exchange is a ``ReusedExchange`` in the
+    vocab branch (the second explode is CPU over reused shuffle blocks,
+    not a second scan), and the vocab partial-agg exchange is reused by
+    the totals branch.  The (doc,word)⋈vocab join stays unhinted — AQE
+    broadcasts the vocab — so token rows never shuffle; a word-partitioned
+    window would avoid the duplicate explode but shuffles every
+    (doc, word) row with stopword-grade key skew, strictly worse at scale.
+
+    Determinism: per-token ln values are quantized to integers
+    (``round(ln(n_w)·1e6)`` as BIGINT) and summed with exact integer
+    arithmetic, so the per-doc sum is independent of partitioning /
+    summation order — avoiding the float-accumulation-order hazard that
+    ``agg_percentiles_exact``'s docstring documents.  With
+    s_w = round(S·ln n_w) and L = round(S·ln total):
+    avg_surprisal ≈ (L·n_tokens − Σ c_w·s_w) / (n_tokens·S),
+    an exact integer ratio divided once — bit-identical across engines.
     """
     documents = _documents(spark, sf_dir)
+    scale = SURPRISAL_LN_SCALE
     words = documents.select(
         "doc_id", F.explode(F.split(_normalized(F.col("text")), " ")).alias("word")
     ).filter(F.col("word") != "")
-    total = words.count()
-    vocab = words.groupBy("word").agg(F.count(F.lit(1)).alias("n_w"))
-    surprisal = -F.log(F.col("n_w") / F.lit(float(total)))
-    return (
-        words.join(vocab, "word")
+    doc_word = words.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("c"))
+    vocab = doc_word.groupBy("word").agg(F.sum("c").alias("n_w"))
+    vocab_q = vocab.select(
+        "word",
+        F.round(F.log(F.col("n_w").cast("double")) * scale).cast("long").alias("s_w"),
+    )
+    totals = vocab.agg(
+        F.round(F.log(F.sum("n_w").cast("double")) * scale).cast("long").alias("l_tot")
+    )
+    per_doc = (
+        doc_word.join(vocab_q, "word")
         .groupBy("doc_id")
         .agg(
-            F.count(F.lit(1)).alias("n_tokens"),
-            F.round(F.avg(surprisal), 4).alias("avg_surprisal"),
+            F.sum("c").alias("n_tokens"),
+            F.sum(F.col("c") * F.col("s_w")).alias("sum_s"),
         )
+    )
+    return per_doc.join(F.broadcast(totals)).select(
+        "doc_id",
+        "n_tokens",
+        F.round(
+            (F.col("l_tot") * F.col("n_tokens") - F.col("sum_s"))
+            / (F.col("n_tokens") * F.lit(float(scale))),
+            4,
+        ).alias("avg_surprisal"),
     )
 
 
@@ -370,19 +404,38 @@ ORACLES = {
                CAST(term_rank AS INT) AS term_rank
         FROM ranked WHERE term_rank <= {TFIDF_TOP_K}
     """,
+    # Quantized-ln integer arithmetic mirrors the Spark side exactly (see
+    # q_unigram_surprisal docstring): the per-doc sum is exact BIGINT math,
+    # so no float-accumulation-order hazard on either engine.
     "text_unigram_surprisal": f"""
         WITH words AS (
             SELECT doc_id, unnest({_TOKENS}) AS word FROM documents
         ), w AS (
             SELECT doc_id, word FROM words WHERE word <> ''
+        ), dw AS (
+            SELECT doc_id, word, COUNT(*) AS c FROM w GROUP BY doc_id, word
         ), vocab AS (
-            SELECT word, COUNT(*) AS n_w FROM w GROUP BY word
+            SELECT word, CAST(SUM(c) AS BIGINT) AS n_w FROM dw GROUP BY word
+        ), vq AS (
+            SELECT word,
+                   CAST(ROUND(ln(CAST(n_w AS DOUBLE)) * {SURPRISAL_LN_SCALE})
+                        AS BIGINT) AS s_w
+            FROM vocab
+        ), tot AS (
+            SELECT CAST(ROUND(ln(CAST(SUM(n_w) AS DOUBLE)) * {SURPRISAL_LN_SCALE})
+                        AS BIGINT) AS l_tot
+            FROM vocab
+        ), agg AS (
+            SELECT doc_id,
+                   CAST(SUM(c) AS BIGINT) AS n_tokens,
+                   CAST(SUM(c * s_w) AS BIGINT) AS sum_s
+            FROM dw JOIN vq USING (word) GROUP BY doc_id
         )
         SELECT doc_id,
-               COUNT(*) AS n_tokens,
-               ROUND(AVG(-ln(n_w / CAST((SELECT COUNT(*) FROM w) AS DOUBLE))), 4)
+               n_tokens,
+               ROUND((l_tot * n_tokens - sum_s)
+                     / (n_tokens * CAST({SURPRISAL_LN_SCALE} AS DOUBLE)), 4)
                    AS avg_surprisal
-        FROM w JOIN vocab USING (word)
-        GROUP BY doc_id
+        FROM agg, tot
     """,
 }

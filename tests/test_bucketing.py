@@ -72,6 +72,39 @@ def test_bucketed_join_matches_unbucketed(spark, sf_dir, bucketed_tables):
     assert sorted(map(tuple, bucketed.collect())) == sorted(map(tuple, plain.collect()))
 
 
+def test_bucketed_layout_reused_across_processes(spark, sf_dir):
+    """The layout path is a deterministic md5+mtime key (Python str hash is
+    per-process salted), so a second process — simulated here by dropping
+    the catalog entries while the files remain — must re-register the
+    external tables metadata-only and NOT rewrite a single parquet file."""
+    import glob
+    import hashlib
+    import os
+    import tempfile
+
+    from simple_query_engine_spark.operators.storage import (
+        q_join_bucketed_revenue,
+    )
+
+    r1 = sorted(map(tuple, q_join_bucketed_revenue(spark, sf_dir).collect()))
+    digest = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:10]
+    stat = os.stat(os.path.join(sf_dir, "orders.parquet"))
+    base = os.path.join(
+        tempfile.gettempdir(),
+        f"sqe_bucketed_{digest}_{stat.st_size}_{stat.st_mtime_ns}",
+    )
+    files = sorted(glob.glob(os.path.join(base, "*", "*.parquet")))
+    assert files, base
+    mtimes = [os.path.getmtime(f) for f in files]
+    spark.sql(f"DROP TABLE IF EXISTS sqe_orders_bkt_{digest}")
+    spark.sql(f"DROP TABLE IF EXISTS sqe_lineitem_bkt_{digest}")
+    r2 = sorted(map(tuple, q_join_bucketed_revenue(spark, sf_dir).collect()))
+    assert r2 == r1
+    files2 = sorted(glob.glob(os.path.join(base, "*", "*.parquet")))
+    assert files2 == files
+    assert [os.path.getmtime(f) for f in files2] == mtimes
+
+
 def test_salted_join_matches_plain_join(spark, sf_dir):
     lineitem = spark.read.parquet(f"{sf_dir}/lineitem.parquet").withColumnRenamed(
         "l_orderkey", "o_orderkey"

@@ -249,3 +249,20 @@ def test_incremental_minhash_matches_full_planted_run(spark, sf_dir):
     }
     assert incremental == full
     assert incremental  # non-vacuous: the planted batch must be detected
+
+
+def test_planted_offset_guard_fails_loudly_on_collision(spark, tmp_path):
+    """ADVICE r05: a real doc_id at/above PLANT_DOC_OFFSET must error the
+    query (the planted-id space and the incremental batch/corpus split key
+    on the offset) instead of silently corrupting the planted gate."""
+    import pytest
+
+    rows = [
+        (1, "hello world one", "en", "s", 15),
+        (D.PLANT_DOC_OFFSET + 5, "colliding doc text", "en", "s", 18),
+    ]
+    spark.createDataFrame(
+        rows, ["doc_id", "text", "lang", "source", "n_chars"]
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+    with pytest.raises(Exception, match="planted-id collision"):
+        D._planted_documents(spark, str(tmp_path)).collect()

@@ -98,3 +98,45 @@ def test_unigram_surprisal_ranks_rare_tokens_higher(spark, sf_dir):
 
     total = sum(r.n_tokens for r in rows)
     assert all(r.avg_surprisal <= math.log(total) + 1e-9 for r in rows)
+
+
+def test_unigram_surprisal_quantization_matches_float_reference(spark, sf_dir):
+    """The quantized-ln integer formulation must stay within quantization
+    error (0.5/SCALE per ln term → ≤ ~1e-6 on the mean) of the naive
+    float avg(−ln p); 1e-3 leaves two orders of headroom."""
+    import math
+    from collections import Counter
+
+    from simple_query_engine_spark.operators import text as T
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    ).collect()
+    tokens_by_doc = {
+        r.doc_id: [w for w in " ".join(r.text.lower().split()).split(" ") if w]
+        for r in docs
+    }
+    vocab = Counter(w for toks in tokens_by_doc.values() for w in toks)
+    total = sum(vocab.values())
+    rows = T.q_unigram_surprisal(spark, sf_dir).collect()
+    for r in rows:
+        toks = tokens_by_doc[r.doc_id]
+        assert r.n_tokens == len(toks)
+        ref = sum(-math.log(vocab[w] / total) for w in toks) / len(toks)
+        assert abs(r.avg_surprisal - ref) < 1e-3, (r.doc_id, r.avg_surprisal, ref)
+
+
+def test_unigram_surprisal_plan_single_scan(spark, sf_dir):
+    """Round-5 perf regression guard: the round-5 version ran an eager
+    words.count() and re-tokenized the corpus.  The rewrite must show, in
+    the FINAL adaptive plan, exactly one parquet scan of documents (the
+    vocab/totals branches consume ReusedExchange nodes) and no eager
+    action before the plan executes."""
+    from simple_query_engine_spark.operators import text as T
+
+    df = T.q_unigram_surprisal(spark, sf_dir)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("Initial Plan")[0]
+    assert final.count("FileScan parquet") == 1, final
+    assert final.count("ReusedExchange") >= 2, final

@@ -3,9 +3,20 @@
 Runs every ``queries()`` entry at a scale factor, runs the matching
 ``oracle_sql()`` in DuckDB over the same parquet tables, and compares
 row count + column names + order-insensitive values (columns sorted by
-name, rows sorted, floats compared to 1e-9).
+name, rows sorted, floats compared to 1e-9) **and result types by kind**.
 
-Usage: python tools/check_correctness.py [sf_dir] [name_filter...]
+The type check exists because the driver's value hash is type-sensitive:
+round 5 shipped two oracles whose ``SUM(int)`` DuckDB widened to HUGEINT
+(int128) against Spark's LongType — values identical, driver hash FAIL,
+local gate (then type-blind) "ok".  A local "ok" must predict the driver's
+hash_match, so a kind mismatch (int128 vs int64, DECIMAL vs DOUBLE, DATE
+vs TIMESTAMP, ...) is now a failure even when every value compares equal.
+
+Usage:
+  python tools/check_correctness.py [sf_dir] [name_filter...]
+  python tools/check_correctness.py --types-only [sf_dir]
+      DuckDB-side-only standing scan (no Spark): flags any oracle emitting
+      a HUGEINT or DECIMAL column — the two widening hazards.
 """
 
 from __future__ import annotations
@@ -45,6 +56,80 @@ def values_equal(a, b) -> bool:
     return a == b or str(a) == str(b)
 
 
+def duck_kind(type_str: str) -> str:
+    """Collapse a DuckDB type name to a comparison kind."""
+    s = str(type_str).upper()
+    if s in ("HUGEINT", "UHUGEINT", "INT128", "UINT128"):
+        return "int128"
+    if s in ("TINYINT", "SMALLINT", "INTEGER", "BIGINT",
+             "UTINYINT", "USMALLINT", "UINTEGER", "UBIGINT"):
+        return "int"
+    if s.startswith("DECIMAL") or s.startswith("NUMERIC"):
+        return "decimal"
+    if s in ("DOUBLE", "FLOAT", "REAL"):
+        return "float"
+    if s == "DATE":
+        return "date"
+    if s.startswith("TIMESTAMP"):
+        return "timestamp"
+    if s in ("VARCHAR", "TEXT", "STRING", "CHAR", "BPCHAR"):
+        return "str"
+    if s == "BOOLEAN":
+        return "bool"
+    if s == "BLOB" or s == "BYTEA":
+        return "binary"
+    if s.endswith("[]") or s.startswith("LIST") or s.startswith("ARRAY"):
+        return "array"
+    if s.startswith("STRUCT"):
+        return "struct"
+    if s.startswith("MAP"):
+        return "map"
+    return f"other:{s}"
+
+
+def spark_kind(simple: str) -> str:
+    """Collapse a Spark ``dataType.simpleString()`` to a comparison kind."""
+    s = simple.lower()
+    if s in ("tinyint", "smallint", "int", "bigint"):
+        return "int"
+    if s.startswith("decimal"):
+        return "decimal"
+    if s in ("double", "float"):
+        return "float"
+    if s == "date":
+        return "date"
+    if s.startswith("timestamp"):
+        return "timestamp"
+    if s == "string":
+        return "str"
+    if s == "boolean":
+        return "bool"
+    if s == "binary":
+        return "binary"
+    if s.startswith("array"):
+        return "array"
+    if s.startswith("struct"):
+        return "struct"
+    if s.startswith("map"):
+        return "map"
+    return f"other:{s}"
+
+
+def compare_types(spark_schema, duck_cols, duck_types) -> str | None:
+    """Fail on result-type KIND divergence (the driver hash is type-sensitive)."""
+    spark_by_col = {f.name: spark_kind(f.dataType.simpleString())
+                    for f in spark_schema.fields}
+    for col, dtype in zip(duck_cols, duck_types):
+        dk = duck_kind(dtype)
+        sk = spark_by_col.get(col)
+        if sk is None:
+            continue  # column-name mismatch is reported by compare()
+        if dk != sk:
+            return (f"type-kind mismatch col {col}: spark={sk} duck={dk} "
+                    f"(duck type {dtype}) — driver hash would fail")
+    return None
+
+
 def compare(spark_rows, duck_rows, spark_cols, duck_cols) -> str | None:
     if sorted(spark_cols) != sorted(duck_cols):
         return f"schema mismatch: spark={sorted(spark_cols)} duck={sorted(duck_cols)}"
@@ -61,9 +146,44 @@ def compare(spark_rows, duck_rows, spark_cols, duck_cols) -> str | None:
     return None
 
 
+def scan_oracle_types(sf_dir: str) -> int:
+    """Standing DuckDB-only scan: flag every oracle column whose type is a
+    widening hazard (HUGEINT/DECIMAL) — catches the round-5 failure class
+    without starting Spark.  LIMIT 0 keeps it metadata-cheap."""
+    import __spark_entry__ as entrymod
+
+    con = duckdb.connect()
+    for name in TABLE_NAMES:
+        path = os.path.join(sf_dir, f"{name}.parquet")
+        if os.path.exists(path):
+            con.sql(f"CREATE VIEW {name} AS SELECT * FROM '{path}'")
+    hazards = []
+    for name, sql in entrymod.oracle_sql().items():
+        try:
+            rel = con.sql(f"SELECT * FROM ({sql}) LIMIT 0")
+        except Exception as error:
+            hazards.append((name, f"ORACLE ERROR: {str(error)[:200]}"))
+            continue
+        for col, dtype in zip(rel.columns, rel.types):
+            kind = duck_kind(dtype)
+            if kind in ("int128", "decimal"):
+                hazards.append((name, f"col {col} is {dtype} ({kind})"))
+    if hazards:
+        for name, what in hazards:
+            print(f"HAZARD  {name}: {what}")
+        print(f"\n{len(hazards)} widening hazard(s) — cast these oracles "
+              "(CAST(... AS BIGINT/DOUBLE)) or the driver hash will fail")
+        return 1
+    print("no HUGEINT/DECIMAL oracle columns — clean")
+    return 0
+
+
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    name_filter = sys.argv[2:]
+    args = [a for a in sys.argv[1:] if a != "--types-only"]
+    if "--types-only" in sys.argv[1:]:
+        return scan_oracle_types(args[0] if args else "/root/testdata/sf0.01")
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    name_filter = args[1:]
 
     import __spark_entry__ as entrymod
     from simple_query_engine_spark.session import get_spark
@@ -97,13 +217,16 @@ def main() -> int:
             continue
         try:
             duck = con.sql(oracles[name])
-            duck_cols = [d[0] for d in duck.description]
+            duck_cols = list(duck.columns)
+            duck_types = list(duck.types)
             duck_rows = duck.fetchall()
         except Exception as error:
             failures.append((name, f"DUCKDB ERROR: {error}"))
             print(f"FAIL  {name}: duckdb error: {str(error)[:300]}")
             continue
-        problem = compare(spark_rows, duck_rows, spark_cols, duck_cols)
+        problem = compare_types(result.schema, duck_cols, duck_types) or compare(
+            spark_rows, duck_rows, spark_cols, duck_cols
+        )
         if problem:
             failures.append((name, problem))
             print(f"FAIL  {name}: {problem}")
