@@ -113,6 +113,33 @@ def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SAMPLE_TOPK = 100
+
+
+def q_sample_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-K deterministic global sample: the K documents with the
+    smallest md5(doc_id) — the fixed-size complement of ``sample_hash``'s
+    fixed-RATE sample (holdout sets that must be exactly N rows,
+    reproducible across engines, retries and partitionings).
+
+    Shape at 100 TB: ``orderBy(hash).limit(K)`` compiles to
+    ``TakeOrderedAndProject`` — each task keeps its own K-row heap and the
+    driver merges |tasks|·K candidate rows; no global sort, no single-
+    reducer shuffle.  This is the distributed equivalent of reservoir
+    sampling, but deterministic (hash order, not RNG state).
+    """
+    from simple_query_engine_spark.functions.hashing import md5_prefix_long
+
+    documents = table(spark, sf_dir, "documents")
+    hash_key = md5_prefix_long(F.col("doc_id").cast("string"), 15)
+    return (
+        documents.select("doc_id", "lang", "source", hash_key.alias("hash_key"))
+        .orderBy("hash_key", "doc_id")
+        .limit(SAMPLE_TOPK)
+        .select("doc_id", "lang", "source")
+    )
+
+
 def q_text_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination: flag corpus documents sharing any word
     5-gram with the held-out eval set (doc_id < EVAL_SET_MAX_DOC_ID).
@@ -150,6 +177,7 @@ def q_text_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "pipeline_corpus_curation": q_pipeline_corpus_curation,
     "sample_stratified": q_sample_stratified,
+    "sample_topk": q_sample_topk,
     "text_decontamination": q_text_decontamination,
 }
 
@@ -157,7 +185,14 @@ from simple_query_engine_spark.functions.hashing import md5_prefix_long_sql
 
 _hash8_sql = md5_prefix_long_sql("CAST(doc_id AS VARCHAR)", 8)
 
+_hash15_sql = md5_prefix_long_sql("CAST(doc_id AS VARCHAR)", 15)
+
 ORACLES = {
+    "sample_topk": f"""
+        SELECT doc_id, lang, source FROM documents
+        ORDER BY {_hash15_sql}, doc_id
+        LIMIT {SAMPLE_TOPK}
+    """,
     "sample_stratified": f"""
         SELECT doc_id, lang, sample_rank FROM (
             SELECT doc_id, lang,

@@ -119,10 +119,124 @@ def q_events_user_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+FUNNEL_STEP_WINDOW_SEC = 60 * 60
+
+
+def q_events_funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed funnel: view → click → purchase, each step within
+    FUNNEL_STEP_WINDOW_SEC of the PREVIOUS step's qualifying event — the
+    conversion-window semantics real event pipelines use (unlike
+    ``funnel_conversion``'s single fixed anchor).  Step semantics: a user's
+    step-2 time is their FIRST click inside (first_view, first_view+W];
+    step 3 is the first purchase inside (step2, step2+W].
+
+    Shape at 100 TB: each step is a user_id-keyed partial aggregation over
+    a pushed-down event_type filter; the step-N⋈step-N+1 joins are
+    user-keyed equi-joins whose left side shrinks monotonically (funnel
+    users ⊆ previous step's users), and the final rollup is a single-row
+    summary.  Timestamp math is integer microseconds (``unix_micros`` /
+    ``epoch_us``) — no float epoch, bit-identical across engines.
+    """
+    events = table(spark, sf_dir, "events")
+    window_us = FUNNEL_STEP_WINDOW_SEC * 1_000_000
+
+    def step_events(etype: str) -> DataFrame:
+        return events.filter(F.col("event_type") == etype).select(
+            "user_id", F.unix_micros(F.col("ts")).alias("us")
+        )
+
+    views = step_events("view").groupBy("user_id").agg(F.min("us").alias("v_us"))
+    clicks = (
+        step_events("click")
+        .join(views, "user_id")
+        .filter((F.col("us") > F.col("v_us")) & (F.col("us") <= F.col("v_us") + window_us))
+        .groupBy("user_id")
+        .agg(F.min("us").alias("c_us"))
+    )
+    purchases = (
+        step_events("purchase")
+        .join(clicks, "user_id")
+        .filter((F.col("us") > F.col("c_us")) & (F.col("us") <= F.col("c_us") + window_us))
+        .groupBy("user_id")
+        .agg(F.min("us").alias("p_us"))
+    )
+    return (
+        views.join(clicks, "user_id", "left")
+        .join(purchases, "user_id", "left")
+        .agg(
+            F.count(F.lit(1)).alias("step1_users"),
+            F.count("c_us").alias("step2_users"),
+            F.count("p_us").alias("step3_users"),
+            F.round(F.count("c_us") / F.count(F.lit(1)), 4).alias("rate_view_click"),
+            F.round(F.count("p_us") / F.count(F.lit(1)), 4).alias("rate_view_purchase"),
+        )
+    )
+
+
+def q_events_quality_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source weekly quality drift of CONSUMED content: view events
+    joined to the documents they reference (``props.k``), token/stopword
+    stats rolled up by source × week, with a week-over-week delta — the
+    monitoring query a production curation pipeline runs daily to catch a
+    source going bad.
+
+    Shape at 100 TB: view events collapse map-side to (doc_id, week)
+    counts BEFORE the doc-keyed join (join input is |docs × weeks| rows,
+    not |events|); per-doc token stats are computed scan-side with no
+    shuffle; the final rollup groups on (source, week) — a tiny grid — and
+    the drift lag windows over that grid.  Determinism: the quality ratios
+    are single divisions of exact integer sums (micro-averaged), never
+    float accumulations, so partitioning order cannot flip the hash.
+    """
+    from simple_query_engine_spark.operators.text import _normalized
+
+    events = table(spark, sf_dir, "events").filter(F.col("event_type") == "view")
+    viewed = (
+        events.select(
+            F.get_json_object("props", "$.k").cast("long").alias("doc_id"),
+            F.to_date(F.date_trunc("week", F.col("ts"))).alias("week"),
+        )
+        .groupBy("doc_id", "week")
+        .agg(F.count(F.lit(1)).alias("n_views"))
+    )
+    tokens = F.split(_normalized(F.col("text")), " ")
+    docstats = table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.size(tokens).alias("n_tokens"),
+        F.size(
+            F.filter(tokens, lambda t: t.isin("the", "a", "of", "and", "to"))
+        ).alias("n_stop"),
+    )
+    weekly = (
+        viewed.join(docstats, "doc_id")
+        .groupBy("source", "week")
+        .agg(
+            F.sum("n_views").alias("n_views"),
+            F.count_distinct("doc_id").alias("n_docs"),
+            F.round(
+                F.sum(F.col("n_views") * F.col("n_tokens")) / F.sum("n_views"), 4
+            ).alias("tokens_per_view"),
+            F.round(
+                F.sum(F.col("n_views") * F.col("n_stop"))
+                / F.sum(F.col("n_views") * F.col("n_tokens")),
+                4,
+            ).alias("stop_ratio"),
+        )
+    )
+    w = Window.partitionBy("source").orderBy("week")
+    return weekly.withColumn(
+        "stop_ratio_drift",
+        F.round(F.col("stop_ratio") - F.lag("stop_ratio").over(w), 4),
+    )
+
+
 QUERIES = {
     "events_sessionize_gap": q_events_sessionize_gap,
     "events_retention_cohort": q_events_retention_cohort,
     "events_user_streaks": q_events_user_streaks,
+    "events_funnel_windowed": q_events_funnel_windowed,
+    "events_quality_drift": q_events_quality_drift,
 }
 
 ORACLES = {
@@ -168,6 +282,37 @@ ORACLES = {
                COUNT(DISTINCT user_id) AS n_users
         FROM with_cohort GROUP BY cohort_week, week_offset
     """,
+    "events_funnel_windowed": f"""
+        WITH views AS (
+            SELECT user_id, MIN(epoch_us(ts)) AS v_us
+            FROM events WHERE event_type = 'view' GROUP BY user_id
+        ), clicks AS (
+            SELECT e.user_id, MIN(epoch_us(e.ts)) AS c_us
+            FROM events e JOIN views v ON e.user_id = v.user_id
+            WHERE e.event_type = 'click'
+              AND epoch_us(e.ts) > v.v_us
+              AND epoch_us(e.ts) <= v.v_us + {FUNNEL_STEP_WINDOW_SEC * 1_000_000}
+            GROUP BY e.user_id
+        ), purchases AS (
+            SELECT e.user_id, MIN(epoch_us(e.ts)) AS p_us
+            FROM events e JOIN clicks c ON e.user_id = c.user_id
+            WHERE e.event_type = 'purchase'
+              AND epoch_us(e.ts) > c.c_us
+              AND epoch_us(e.ts) <= c.c_us + {FUNNEL_STEP_WINDOW_SEC * 1_000_000}
+            GROUP BY e.user_id
+        )
+        SELECT COUNT(*) AS step1_users,
+               COUNT(c.c_us) AS step2_users,
+               COUNT(p.p_us) AS step3_users,
+               ROUND(COUNT(c.c_us) / CAST(COUNT(*) AS DOUBLE), 4)
+                   AS rate_view_click,
+               ROUND(COUNT(p.p_us) / CAST(COUNT(*) AS DOUBLE), 4)
+                   AS rate_view_purchase
+        FROM views v
+        LEFT JOIN clicks c ON v.user_id = c.user_id
+        LEFT JOIN purchases p ON v.user_id = p.user_id
+    """,
+    "events_quality_drift": None,  # filled below (needs text._TOKENS)
     "events_user_streaks": """
         WITH days AS (
             SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
@@ -188,3 +333,43 @@ ORACLES = {
         FROM sized GROUP BY user_id
     """,
 }
+
+
+def _quality_drift_oracle() -> str:
+    # Deferred import: text._TOKENS is the single source of truth for the
+    # oracle-side tokenization (same convention as dedup/pipeline).
+    from simple_query_engine_spark.operators.text import _TOKENS
+
+    return f"""
+        WITH viewed AS (
+            SELECT CAST(props->>'$.k' AS BIGINT) AS doc_id,
+                   CAST(date_trunc('week', ts) AS DATE) AS week,
+                   COUNT(*) AS n_views
+            FROM events WHERE event_type = 'view'
+            GROUP BY 1, 2
+        ), docstats AS (
+            SELECT doc_id, source,
+                   len({_TOKENS}) AS n_tokens,
+                   len(list_filter({_TOKENS},
+                       t -> t IN ('the', 'a', 'of', 'and', 'to'))) AS n_stop
+            FROM documents
+        ), weekly AS (
+            SELECT source, week,
+                   CAST(SUM(n_views) AS BIGINT) AS n_views,
+                   COUNT(DISTINCT doc_id) AS n_docs,
+                   ROUND(SUM(n_views * n_tokens)
+                         / CAST(SUM(n_views) AS DOUBLE), 4) AS tokens_per_view,
+                   ROUND(SUM(n_views * n_stop)
+                         / CAST(SUM(n_views * n_tokens) AS DOUBLE), 4) AS stop_ratio
+            FROM viewed JOIN docstats USING (doc_id)
+            GROUP BY source, week
+        )
+        SELECT source, week, n_views, n_docs, tokens_per_view, stop_ratio,
+               ROUND(stop_ratio - LAG(stop_ratio)
+                     OVER (PARTITION BY source ORDER BY week), 4)
+                   AS stop_ratio_drift
+        FROM weekly
+    """
+
+
+ORACLES["events_quality_drift"] = _quality_drift_oracle()

@@ -205,3 +205,98 @@ def test_sessionize_differential_random(spark, tmp_path):
         for r in SS.q_events_sessionize_gap(spark, str(tmp_path)).collect()
     }
     assert actual == expected
+
+
+def test_funnel_windowed_step_anchoring(spark, tmp_path):
+    """Crafted corpus pinning the conversion-window rule: each step's
+    window anchors to the PREVIOUS step's qualifying event, boundaries are
+    (prev, prev + W] — strictly after, inclusive end."""
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    m = dt.timedelta(minutes=1)
+    W = SS.FUNNEL_STEP_WINDOW_SEC // 60  # window in minutes
+    rows = [
+        # user 1: full conversion well inside both windows
+        (1, t0, 1, "view"),
+        (2, t0 + 30 * m, 1, "click"),
+        (3, t0 + 50 * m, 1, "purchase"),
+        # user 2: click outside the view window -> stops at step 1,
+        # even though a purchase exists
+        (4, t0, 2, "view"),
+        (5, t0 + (W + 1) * m, 2, "click"),
+        (6, t0 + (W + 2) * m, 2, "purchase"),
+        # user 3: purchase > W after the VIEW but <= W after the CLICK ->
+        # converts (window anchors to step 2, not step 1)
+        (7, t0, 3, "view"),
+        (8, t0 + 10 * m, 3, "click"),
+        (9, t0 + (W + 5) * m, 3, "purchase"),
+        # user 4: click exactly AT the window boundary (inclusive) counts;
+        # purchase BEFORE the click does not
+        (10, t0, 4, "view"),
+        (11, t0 + 5 * m, 4, "purchase"),
+        (12, t0 + W * m, 4, "click"),
+        # user 5: view only
+        (13, t0, 5, "view"),
+    ]
+    df = spark.createDataFrame(
+        [(i, ts, u, et, 1.0, '{"k": 1}') for i, ts, u, et in rows],
+        ["event_id", "ts", "user_id", "event_type", "value", "props"],
+    )
+    df.write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    row = SS.q_events_funnel_windowed(spark, str(tmp_path)).collect()[0]
+    assert row.step1_users == 5
+    assert row.step2_users == 3  # users 1, 3, 4
+    assert row.step3_users == 2  # users 1, 3
+    assert row.rate_view_click == 0.6
+    assert row.rate_view_purchase == 0.4
+
+
+def test_quality_drift_micro_average_and_lag(spark, sf_dir):
+    """The weekly ratios must equal the integer-sum micro-average of a
+    pure-Python re-derivation, and the drift column must be the rounded
+    difference from the source's previous week (null on its first week)."""
+    import json
+
+    rows = SS.q_events_quality_drift(spark, sf_dir).collect()
+    assert rows
+    events = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .filter("event_type = 'view'")
+        .selectExpr("props", "cast(date_trunc('week', ts) as date) AS week")
+        .collect()
+    )
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
+    stats = {}
+    for d in docs:
+        toks = [t for t in " ".join(d.text.lower().split()).split(" ")]
+        stats[d.doc_id] = (
+            d.source,
+            len(toks),
+            sum(1 for t in toks if t in ("the", "a", "of", "and", "to")),
+        )
+    agg = defaultdict(lambda: [0, set(), 0, 0])  # views, docs, tok_sum, stop_sum
+    for e in events:
+        doc_id = json.loads(e.props)["k"]
+        if doc_id not in stats:
+            continue
+        source, n_tok, n_stop = stats[doc_id]
+        a = agg[(source, e.week)]
+        a[0] += 1
+        a[1].add(doc_id)
+        a[2] += n_tok
+        a[3] += n_stop
+    by_key = {(r.source, r.week): r for r in rows}
+    assert set(by_key) == set(agg)
+    prev = {}
+    for (source, week), r in sorted(by_key.items()):
+        n_views, doc_set, tok_sum, stop_sum = agg[(source, week)]
+        assert r.n_views == n_views
+        assert r.n_docs == len(doc_set)
+        assert r.tokens_per_view == round(tok_sum / n_views, 4)
+        assert r.stop_ratio == round(stop_sum / tok_sum, 4)
+        if source in prev:
+            assert r.stop_ratio_drift == round(r.stop_ratio - prev[source], 4)
+        else:
+            assert r.stop_ratio_drift is None
+        prev[source] = r.stop_ratio
