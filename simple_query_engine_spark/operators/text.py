@@ -282,6 +282,74 @@ def q_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _word_bigrams(words_col):
+    """Adjacent word pairs of a tokenized doc (empty array below 2 words)."""
+    return F.when(
+        F.size(words_col) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(words_col) - 1),
+            lambda i: F.concat_ws(" ", F.slice(words_col, i, 2)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repetition signals (the Gopher/MassiveText-style
+    repetitious-text filter): distinct-word ratio and the fraction of all
+    word bigrams taken by the single most frequent bigram — high values of
+    the latter mark the looping/boilerplate docs a pretraining pipeline
+    drops.
+
+    Shape at 100 TB: per-doc word stats are scan-side (no shuffle); the
+    bigram counts shuffle on (doc_id, gram) with map-side partial
+    aggregation, then collapse to one row per doc.  Ratios are single
+    divisions of exact integer counts — no float accumulation.
+    """
+    documents = _documents(spark, sf_dir)
+    words = F.split(_normalized(F.col("text")), " ")
+    base = documents.select("doc_id", words.alias("w"))
+    stats = base.select(
+        "doc_id",
+        F.size("w").alias("n_words"),
+        F.size(F.array_distinct("w")).alias("n_distinct"),
+    )
+    per_doc = (
+        base.select("doc_id", F.explode(_word_bigrams(F.col("w"))).alias("gram"))
+        .groupBy("doc_id", "gram")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("top_bigram"), F.sum("c").alias("n_bigrams"))
+    )
+    return stats.join(per_doc, "doc_id", "left").select(
+        "doc_id",
+        "n_words",
+        F.round(F.col("n_distinct") / F.col("n_words"), 4).alias("distinct_ratio"),
+        F.round(F.col("top_bigram") / F.col("n_bigrams"), 4).alias("top_bigram_frac"),
+    )
+
+
+BIGRAM_TOP_K = 20
+
+
+def q_text_bigram_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level top-K adjacent word pairs — the first statistic of any
+    n-gram LM / BPE-merge pipeline (which symbol pairs to merge next).
+
+    Companion to ``text_word_freq`` (unigrams).  Shape: one shuffle keyed
+    on the bigram with map-side partial aggregation, then a
+    TakeOrderedAndProject top-K — no global sort.
+    """
+    documents = _documents(spark, sf_dir)
+    words = F.split(_normalized(F.col("text")), " ")
+    return (
+        documents.select(F.explode(_word_bigrams(words)).alias("gram"))
+        .groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "gram")
+        .limit(BIGRAM_TOP_K)
+    )
+
+
 QUERIES = {
     "text_token_count": q_token_count,
     "text_bpe_token_count": q_bpe_token_count,
@@ -293,6 +361,8 @@ QUERIES = {
     "text_length_histogram": q_length_histogram,
     "text_tfidf_top_terms": q_tfidf_top_terms,
     "text_unigram_surprisal": q_unigram_surprisal,
+    "text_repetition": q_text_repetition,
+    "text_bigram_freq": q_text_bigram_freq,
 }
 
 # DuckDB equivalents.  Normalization mirrored exactly:
@@ -403,6 +473,40 @@ ORACLES = {
         SELECT doc_id, word, ROUND(score, 4) AS tfidf,
                CAST(term_rank AS INT) AS term_rank
         FROM ranked WHERE term_rank <= {TFIDF_TOP_K}
+    """,
+    # DuckDB lists are 1-indexed and range(a, b) is end-exclusive, so
+    # i in 1..len-1 pairs w[i] with w[i+1] — exactly the Spark-side
+    # slice(w, i, 2) bigrams.
+    "text_repetition": f"""
+        WITH base AS (
+            SELECT doc_id, {_TOKENS} AS w FROM documents
+        ), grams AS (
+            SELECT doc_id,
+                   unnest(list_transform(range(1, len(w)),
+                                         i -> w[i] || ' ' || w[i+1])) AS gram
+            FROM base WHERE len(w) >= 2
+        ), gc AS (
+            SELECT doc_id, gram, COUNT(*) AS c FROM grams GROUP BY doc_id, gram
+        ), pd AS (
+            SELECT doc_id, MAX(c) AS top_bigram,
+                   CAST(SUM(c) AS BIGINT) AS n_bigrams
+            FROM gc GROUP BY doc_id
+        )
+        SELECT b.doc_id,
+               CAST(len(b.w) AS INT) AS n_words,
+               ROUND(len(list_distinct(b.w)) / CAST(len(b.w) AS DOUBLE), 4)
+                   AS distinct_ratio,
+               ROUND(pd.top_bigram / CAST(pd.n_bigrams AS DOUBLE), 4)
+                   AS top_bigram_frac
+        FROM base b LEFT JOIN pd ON b.doc_id = pd.doc_id
+    """,
+    "text_bigram_freq": f"""
+        SELECT gram, COUNT(*) AS n FROM (
+            SELECT unnest(list_transform(range(1, len(w)),
+                                         i -> w[i] || ' ' || w[i+1])) AS gram
+            FROM (SELECT {_TOKENS} AS w FROM documents) WHERE len(w) >= 2
+        ) GROUP BY gram
+        ORDER BY n DESC, gram LIMIT {BIGRAM_TOP_K}
     """,
     # Quantized-ln integer arithmetic mirrors the Spark side exactly (see
     # q_unigram_surprisal docstring): the per-doc sum is exact BIGINT math,

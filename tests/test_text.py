@@ -140,3 +140,51 @@ def test_unigram_surprisal_plan_single_scan(spark, sf_dir):
     final = plan.split("Initial Plan")[0]
     assert final.count("FileScan parquet") == 1, final
     assert final.count("ReusedExchange") >= 2, final
+
+
+def test_repetition_edge_docs_agree_with_oracle(spark, tmp_path):
+    """Empty / single-word / fully-repetitive docs: Spark and DuckDB must
+    agree (the usual string_split('') hazard), and the metrics must take
+    their boundary values (no bigrams -> null frac; 'a a a' -> frac 1.0)."""
+    import duckdb
+
+    rows = [
+        (1, "a a a", "en", "s", 5),
+        (2, "", "en", "s", 0),
+        (3, "solo", "en", "s", 4),
+        (4, "x y x y", "en", "s", 7),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "lang", "source", "n_chars"])
+    df.write.parquet(str(tmp_path / "documents.parquet"))
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE documents AS SELECT * FROM (VALUES "
+        "(1, 'a a a', 'en', 's', 5), (2, '', 'en', 's', 0), "
+        "(3, 'solo', 'en', 's', 4), (4, 'x y x y', 'en', 's', 7)"
+        ") t(doc_id, text, lang, source, n_chars)"
+    )
+    spark_rows = sorted(
+        map(tuple, TX.q_text_repetition(spark, str(tmp_path)).collect())
+    )
+    duck_rows = sorted(
+        map(tuple, con.execute(TX.ORACLES["text_repetition"]).fetchall())
+    )
+    assert spark_rows == duck_rows
+    by_id = {r[0]: r for r in spark_rows}
+    assert by_id[1] == (1, 3, round(1 / 3, 4), 1.0)  # 'a a' twice of 2 bigrams
+    assert by_id[2][1] == 1 and by_id[2][3] is None  # '' -> one empty token
+    assert by_id[3] == (3, 1, 1.0, None)
+    assert by_id[4] == (4, 4, 0.5, 0.6667)  # 'x y' twice of 3 bigrams
+
+
+def test_bigram_freq_counts(spark, tmp_path):
+    rows = [
+        (1, "to be or not to be", "en", "s", 18),
+        (2, "to be", "en", "s", 5),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "lang", "source", "n_chars"])
+    df.write.parquet(str(tmp_path / "documents.parquet"))
+    out = {r.gram: r.n for r in TX.q_text_bigram_freq(spark, str(tmp_path)).collect()}
+    assert out["to be"] == 3
+    assert out["be or"] == 1
+    assert out["not to"] == 1
