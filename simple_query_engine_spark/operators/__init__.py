@@ -22,58 +22,53 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # everything else (already green in CORRECTNESS_r01/r02) follows in module
 # order.  ROUND3_NOTES.md tracks which round certified which query.
 #
-# Round-5 front window (exactly 50 = the driver's window size), in
-# priority order:
-#   1. the 16 names with no driver-issued verdict in any CORRECTNESS_r0x
-#      (the 5 dml_* + the 11 names added after the r04 front froze) — all
-#      local-gate green, judge-verified in VERDICT r04, never
-#      driver-certified;
-#   2. the 11 queries added THIS round (planted-near-dup gates at
-#      production thresholds per VERDICT item 6, incremental batch-vs-
-#      corpus dedup, gap sessionization, cohort retention, activity
-#      streaks, containment near-dup, unigram surprisal, dup-ngram
-#      coverage, exact percentiles, bucketed no-shuffle join);
-#   3. 23 stale-certification backfills: names last certified in r03
-#      whose modules changed during r04 (text.py gained TF-IDF, dedup.py
-#      gained the scratch-dir conf, storage.py gained ORC + the Python
-#      DataSource entries, streaming_ops.py gained stream dedup,
-#      similarity.py was re-dialed).  Queued for the r06 front (all HOLD
-#      r03 verdicts, so every catalog name remains driver-certified
-#      after r05): the 5 tpch names (q3/q7/q13/q18/q4 — tpch.py changed
-#      least in r04: one predicate) and stream_tumbling/sliding_counts
-#      (streaming_ops.py's r04 change was purely additive).
-# ROUND5_NOTES.md tracks the ledger.
+# Round-6 front window (exactly 50 = the driver's window size), in
+# priority order (VERDICT r05 "Next round" items 1, 3, 8):
+#   1. the two r05 hash-fails, re-certified after the HUGEINT→BIGINT
+#      oracle casts (VERDICT item 1);
+#   2. the 7 stalest certs (VERDICT item 3): tpch q3/q7/q13/q18/q4 and
+#      stream_tumbling/sliding_counts — r03 verdicts, modules changed in
+#      r04, displaced from the r05 front by first-verdict names;
+#   3. the 5 queries added THIS round (windowed funnel, per-source
+#      quality drift, exactly-K deterministic sample, repetition filter,
+#      corpus bigram frequencies);
+#   4. re-certs for every name whose module changed this round
+#      (sessions/text/dedup/similarity/storage/pipeline) — the
+#      function-level-changed names first (surprisal rewrite, bucketed
+#      layout path, planted-offset guards), then the rest of each touched
+#      module.  Displaced to the r07 queue (r05 certs, far from this
+#      round's edits within their module): the three *_python_datasource
+#      names; after them the not-stale-by-policy age queue
+#      (relational/parity r01-02, relational3/4 + udx + dml + multimodal
+#      + the remaining streaming names).
+# ROUND6_NOTES.md tracks the ledger.
 _ROTATION_FRONT = [
-    # --- 1. first-verdict names (16) ---
-    "dml_insert_append",
-    "dml_delete_where",
-    "dml_update_set",
-    "dml_merge_upsert",
-    "dml_time_travel",
-    "stream_dedup_user_counts",
-    "variant_funcs",
-    "source_python_datasource",
-    "stream_python_datasource",
-    "sink_python_datasource",
-    "text_tfidf_top_terms",
-    "agg_mode_median",
-    "unpivot_metrics",
-    "join_lateral_topn",
-    "agg_hll_union",
-    "source_orc_roundtrip",
-    # --- 2. added this round (11) ---
-    "dedup_planted_minhash",
-    "dedup_incremental_minhash",
-    "join_bucketed_revenue",
-    "sim_neardup_planted",
+    # --- 1. r05 hash-fail fixes (2) ---
     "events_sessionize_gap",
-    "events_retention_cohort",
     "events_user_streaks",
-    "dedup_containment_planted",
+    # --- 2. stalest certs (7) ---
+    "tpch_q3_shipping_priority",
+    "tpch_q7_nation_trade",
+    "tpch_q13_order_distribution",
+    "tpch_q18_large_orders",
+    "tpch_q4_priority_exists",
+    "stream_tumbling_counts",
+    "stream_sliding_counts",
+    # --- 3. added this round (5) ---
+    "events_funnel_windowed",
+    "events_quality_drift",
+    "sample_topk",
+    "text_repetition",
+    "text_bigram_freq",
+    # --- 4a. function-level changes this round (7) ---
     "text_unigram_surprisal",
-    "text_dup_ngram_coverage",
-    "agg_percentiles_exact",
-    # --- 3. stale-certification backfill (23): r03 certs, module changed r04 ---
+    "join_bucketed_revenue",
+    "dedup_planted_minhash",
+    "dedup_containment_planted",
+    "dedup_incremental_minhash",
+    "sim_neardup_planted",
+    "events_retention_cohort",
+    # --- 4b. rest of the touched modules (29) ---
     "text_token_count",
     "text_bpe_token_count",
     "text_quality_score",
@@ -82,21 +77,27 @@ _ROTATION_FRONT = [
     "text_rolling_hash",
     "text_word_freq",
     "text_length_histogram",
+    "text_tfidf_top_terms",
+    "text_dup_ngram_coverage",
     "dedup_exact",
     "dedup_clusters",
     "dedup_clusters_lsh",
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
     "dedup_simhash",
+    "sim_topk_bruteforce",
+    "sim_label_centroids",
+    "sim_neardup_pairs_baseline",
+    "sim_neardup_lsh",
+    "sim_ann_lsh",
+    "sim_ivf_topk",
     "events_partition_prune",
     "source_json_roundtrip",
     "source_csv_roundtrip",
-    "stream_session_counts",
-    "stream_stateful_profiles",
-    "stream_stream_join",
-    "stream_restart_resume",
-    "sim_topk_bruteforce",
-    "sim_label_centroids",
+    "source_orc_roundtrip",
+    "pipeline_corpus_curation",
+    "sample_stratified",
+    "text_decontamination",
 ]
 
 
