@@ -29,16 +29,16 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 #   2. the 7 stalest certs (VERDICT item 3): tpch q3/q7/q13/q18/q4 and
 #      stream_tumbling/sliding_counts — r03 verdicts, modules changed in
 #      r04, displaced from the r05 front by first-verdict names;
-#   3. the 5 queries added THIS round (windowed funnel, per-source
-#      quality drift, exactly-K deterministic sample, repetition filter,
-#      corpus bigram frequencies);
+#   3. the 6 queries added THIS round (windowed funnel, per-source
+#      quality drift, exactly-K deterministic sample, sequence packing,
+#      repetition filter, corpus bigram frequencies);
 #   4. re-certs for every name whose module changed this round
 #      (sessions/text/dedup/similarity/storage/pipeline) — the
 #      function-level-changed names first (surprisal rewrite, bucketed
 #      layout path, planted-offset guards), then the rest of each touched
 #      module.  Displaced to the r07 queue (r05 certs, far from this
 #      round's edits within their module): the three *_python_datasource
-#      names; after them the not-stale-by-policy age queue
+#      names and source_orc_roundtrip; after them the age queue
 #      (relational/parity r01-02, relational3/4 + udx + dml + multimodal
 #      + the remaining streaming names).
 # ROUND6_NOTES.md tracks the ledger.
@@ -54,10 +54,11 @@ _ROTATION_FRONT = [
     "tpch_q4_priority_exists",
     "stream_tumbling_counts",
     "stream_sliding_counts",
-    # --- 3. added this round (5) ---
+    # --- 3. added this round (6) ---
     "events_funnel_windowed",
     "events_quality_drift",
     "sample_topk",
+    "pipeline_pack_sequences",
     "text_repetition",
     "text_bigram_freq",
     # --- 4a. function-level changes this round (7) ---
@@ -94,7 +95,6 @@ _ROTATION_FRONT = [
     "events_partition_prune",
     "source_json_roundtrip",
     "source_csv_roundtrip",
-    "source_orc_roundtrip",
     "pipeline_corpus_curation",
     "sample_stratified",
     "text_decontamination",

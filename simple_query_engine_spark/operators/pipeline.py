@@ -140,6 +140,58 @@ def q_sample_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PACK_TOKEN_BUDGET = 512
+PACK_SHARDS = 8
+
+
+def q_pipeline_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing: assign documents to fixed token-budget packs (the
+    pretraining step that concatenates documents into training sequences),
+    greedy-filled in deterministic md5 order.  A doc joins the pack where
+    its segment BEGINS (start-offset rule: pack = floor(tokens_before /
+    budget)), so pack membership is a pure function of the running sum.
+
+    Shape at 100 TB: a global running sum would serialize on one reducer,
+    so docs first hash into PACK_SHARDS independent shards (pack ids are
+    shard-prefixed); each shard's cumulative-sum window runs in its own
+    partition, and the per-pack rollup reuses the shard clustering.  On a
+    cluster, shards = O(total cores) and the plan is embarrassingly
+    parallel; determinism (md5 order, not arrival order) means retries and
+    repartitionings rebuild identical packs.  Output is per-pack integer
+    stats only — nothing float anywhere.
+    """
+    from pyspark.sql.window import Window
+
+    from simple_query_engine_spark.functions.hashing import md5_prefix_long
+
+    documents = table(spark, sf_dir, "documents")
+    docs = documents.select(
+        "doc_id",
+        F.size(F.split(_normalized(F.col("text")), " ")).alias("n_tokens"),
+        md5_prefix_long(F.col("doc_id").cast("string"), 8).alias("hash_key"),
+    ).withColumn("shard", F.pmod(F.col("hash_key"), F.lit(PACK_SHARDS)))
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("hash_key", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    packed = docs.select(
+        "shard",
+        "n_tokens",
+        (
+            F.col("shard") * 1_000_000
+            + F.floor(
+                (F.sum("n_tokens").over(w) - F.col("n_tokens"))
+                / F.lit(PACK_TOKEN_BUDGET)
+            )
+        ).alias("pack_id"),
+    )
+    return packed.groupBy("pack_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("pack_tokens"),
+    )
+
+
 def q_text_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination: flag corpus documents sharing any word
     5-gram with the held-out eval set (doc_id < EVAL_SET_MAX_DOC_ID).
@@ -178,6 +230,7 @@ QUERIES = {
     "pipeline_corpus_curation": q_pipeline_corpus_curation,
     "sample_stratified": q_sample_stratified,
     "sample_topk": q_sample_topk,
+    "pipeline_pack_sequences": q_pipeline_pack_sequences,
     "text_decontamination": q_text_decontamination,
 }
 
@@ -192,6 +245,31 @@ ORACLES = {
         SELECT doc_id, lang, source FROM documents
         ORDER BY {_hash15_sql}, doc_id
         LIMIT {SAMPLE_TOPK}
+    """,
+    # PACK_TOKEN_BUDGET is a power of two, so the float division inside
+    # FLOOR is exact in both engines (no boundary hazard); the windowed
+    # SUM is cast to BIGINT before the arithmetic (DuckDB HUGEINT
+    # widening, the round-5 lesson).
+    "pipeline_pack_sequences": f"""
+        WITH docs AS (
+            SELECT doc_id,
+                   len(string_split({_NORM}, ' ')) AS n_tokens,
+                   {_hash8_sql} AS hash_key
+            FROM documents
+        ), sharded AS (
+            SELECT *, hash_key % {PACK_SHARDS} AS shard FROM docs
+        ), packed AS (
+            SELECT shard, n_tokens,
+                   shard * 1000000 + CAST(FLOOR(
+                       (CAST(SUM(n_tokens) OVER (
+                            PARTITION BY shard ORDER BY hash_key, doc_id
+                            ROWS UNBOUNDED PRECEDING) AS BIGINT) - n_tokens)
+                       / {PACK_TOKEN_BUDGET}) AS BIGINT) AS pack_id
+            FROM sharded
+        )
+        SELECT pack_id, COUNT(*) AS n_docs,
+               CAST(SUM(n_tokens) AS BIGINT) AS pack_tokens
+        FROM packed GROUP BY pack_id
     """,
     "sample_stratified": f"""
         SELECT doc_id, lang, sample_rank FROM (

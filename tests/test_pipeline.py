@@ -85,3 +85,41 @@ def test_curation_losers_match_lsh_pairs(spark, sf_dir):
     expected_docs = (quality_ids & keep_ids) - lsh_losers
     total = survivors.agg(F.sum("n_docs").alias("n")).collect()[0].n
     assert total == len(expected_docs)
+
+
+def test_pack_sequences_matches_python_model(spark, sf_dir):
+    """Packing is a pure function of (md5 order, token counts): a pure-
+    Python greedy re-derivation must rebuild identical packs — pinning
+    shard assignment, the start-offset rule, and the cumulative sums."""
+    import hashlib
+    from collections import defaultdict
+
+    from simple_query_engine_spark.operators import pipeline as P
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    ).collect()
+    rows = []
+    for d in docs:
+        norm = " ".join(d.text.lower().split())
+        n = len(norm.split(" "))
+        h = int(hashlib.md5(str(d.doc_id).encode()).hexdigest()[:8], 16)
+        rows.append((h % P.PACK_SHARDS, h, d.doc_id, n))
+    expected = defaultdict(lambda: [0, 0])
+    for shard in range(P.PACK_SHARDS):
+        cum = 0
+        for _, h, doc_id, n in sorted(
+            (r for r in rows if r[0] == shard), key=lambda r: (r[1], r[2])
+        ):
+            pid = shard * 1_000_000 + cum // P.PACK_TOKEN_BUDGET
+            cum += n
+            expected[pid][0] += 1
+            expected[pid][1] += n
+    out = {
+        r.pack_id: (r.n_docs, r.pack_tokens)
+        for r in P.q_pipeline_pack_sequences(spark, sf_dir).collect()
+    }
+    assert out == {k: tuple(v) for k, v in expected.items()}
+    # Non-vacuous: multiple packs per shard, and every pack respects the
+    # start-offset rule (cumulative fill, so packs are contiguous).
+    assert len(out) > P.PACK_SHARDS
