@@ -142,6 +142,11 @@ def q_sample_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 PACK_TOKEN_BUDGET = 512
 PACK_SHARDS = 8
+# Pack-id composition: shard * 2^40 + pack index.  2^40 packs/shard at a
+# 512-token budget is ~562 T tokens per shard before ids could collide —
+# past any real corpus — and shard*2^40 + idx stays far inside int64
+# (the previous 1e6 stride collided once a shard crossed 512 M tokens).
+PACK_SHARD_STRIDE = 1 << 40
 
 
 def q_pipeline_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -179,7 +184,7 @@ def q_pipeline_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         "shard",
         "n_tokens",
         (
-            F.col("shard") * 1_000_000
+            F.col("shard") * PACK_SHARD_STRIDE
             + F.floor(
                 (F.sum("n_tokens").over(w) - F.col("n_tokens"))
                 / F.lit(PACK_TOKEN_BUDGET)
@@ -260,7 +265,7 @@ ORACLES = {
             SELECT *, hash_key % {PACK_SHARDS} AS shard FROM docs
         ), packed AS (
             SELECT shard, n_tokens,
-                   shard * 1000000 + CAST(FLOOR(
+                   shard * {PACK_SHARD_STRIDE} + CAST(FLOOR(
                        (CAST(SUM(n_tokens) OVER (
                             PARTITION BY shard ORDER BY hash_key, doc_id
                             ROWS UNBOUNDED PRECEDING) AS BIGINT) - n_tokens)

@@ -333,36 +333,53 @@ def q_join_bucketed_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     # testdata.  The digest also suffixes the catalog table names so two
     # sf_dirs in one session cannot clobber each other's registration.
     digest = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:10]
-    stat = os.stat(os.path.join(sf_dir, "orders.parquet"))
+    # BOTH source files are part of the tag: a regenerated lineitem.parquet
+    # with an untouched orders.parquet must invalidate the layout too.
+    stat_o = os.stat(os.path.join(sf_dir, "orders.parquet"))
+    stat_l = os.stat(os.path.join(sf_dir, "lineitem.parquet"))
     base = os.path.join(
         tempfile.gettempdir(),
-        f"sqe_bucketed_{digest}_{stat.st_size}_{stat.st_mtime_ns}",
+        f"sqe_bucketed_{digest}_{stat_o.st_size}_{stat_o.st_mtime_ns}"
+        f"_{stat_l.st_size}_{stat_l.st_mtime_ns}",
     )
     names = (f"sqe_orders_bkt_{digest}", f"sqe_lineitem_bkt_{digest}")
     for name, df in zip(names, (orders, lineitem)):
         loc = os.path.join(base, name)
-        if os.path.exists(os.path.join(loc, "_SUCCESS")):
-            # Layout already on disk (possibly written by another process):
-            # (re)register the external bucketed table, metadata-only.
-            cols = ", ".join(
-                f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
-            )
-            spark.sql(f"DROP TABLE IF EXISTS {name}")
-            spark.sql(
-                f"CREATE TABLE {name} ({cols}) USING PARQUET "
-                f"CLUSTERED BY (o_orderkey) SORTED BY (o_orderkey) "
-                f"INTO {BUCKETED_JOIN_BUCKETS} BUCKETS LOCATION '{loc}'"
-            )
-        else:
-            spark.sql(f"DROP TABLE IF EXISTS {name}")
+
+        def _write_bucketed(tmp: str, df: DataFrame = df, name: str = name) -> None:
+            # saveAsTable is the only writer that records the bucket spec,
+            # but it writes straight to its path — so it targets a scratch
+            # table over materialize_once's process-private tmp dir, which
+            # is then atomically renamed into place (two concurrent
+            # processes can no longer interleave writes at the shared
+            # path).  The scratch table has an explicit path, hence is
+            # EXTERNAL: dropping it removes only the metadata entry and
+            # leaves the files for the rename.
+            scratch = f"{name}_w{os.getpid()}"
+            spark.sql(f"DROP TABLE IF EXISTS {scratch}")
             (
                 df.write.mode("overwrite")
                 .bucketBy(BUCKETED_JOIN_BUCKETS, "o_orderkey")
                 .sortBy("o_orderkey")
-                .option("path", loc)
+                .option("path", tmp)
                 .format("parquet")
-                .saveAsTable(name)
+                .saveAsTable(scratch)
             )
+            spark.sql(f"DROP TABLE IF EXISTS {scratch}")
+
+        materialize_once(loc, _write_bucketed)
+        # Register the external bucketed table over the committed location —
+        # metadata-only; the one registration path whether this process
+        # wrote the layout or found it.
+        cols = ", ".join(
+            f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
+        )
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        spark.sql(
+            f"CREATE TABLE {name} ({cols}) USING PARQUET "
+            f"CLUSTERED BY (o_orderkey) SORTED BY (o_orderkey) "
+            f"INTO {BUCKETED_JOIN_BUCKETS} BUCKETS LOCATION '{loc}'"
+        )
     joined = spark.table(names[0]).join(spark.table(names[1]), "o_orderkey")
     return joined.groupBy("o_orderpriority").agg(
         F.count(F.lit(1)).alias("n_items"),

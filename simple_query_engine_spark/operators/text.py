@@ -248,6 +248,14 @@ def q_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     s_w = round(S·ln n_w) and L = round(S·ln total):
     avg_surprisal ≈ (L·n_tokens − Σ c_w·s_w) / (n_tokens·S),
     an exact integer ratio divided once — bit-identical across engines.
+
+    Acknowledged residual risk: the quantization itself assumes JVM
+    ``Math.log`` and DuckDB's libm ``ln`` agree at the quantization
+    boundary — a 1-ulp divergence when ln(n_w)·1e6 lands exactly on a .5
+    boundary would flip s_w by 1 and could flip the final 4-decimal
+    rounding.  Never observed across the three SFs; if it ever bites,
+    the fix is a shared fixed-point ln over the exact integer counts (or
+    a tolerance band on this one column), not engine-native ln.
     """
     documents = _documents(spark, sf_dir)
     scale = SURPRISAL_LN_SCALE

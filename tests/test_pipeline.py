@@ -111,7 +111,7 @@ def test_pack_sequences_matches_python_model(spark, sf_dir):
         for _, h, doc_id, n in sorted(
             (r for r in rows if r[0] == shard), key=lambda r: (r[1], r[2])
         ):
-            pid = shard * 1_000_000 + cum // P.PACK_TOKEN_BUDGET
+            pid = shard * P.PACK_SHARD_STRIDE + cum // P.PACK_TOKEN_BUDGET
             cum += n
             expected[pid][0] += 1
             expected[pid][1] += n
