@@ -22,82 +22,80 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # everything else (already green in CORRECTNESS_r01/r02) follows in module
 # order.  ROUND3_NOTES.md tracks which round certified which query.
 #
-# Round-6 front window (exactly 50 = the driver's window size), in
-# priority order (VERDICT r05 "Next round" items 1, 3, 8):
-#   1. the two r05 hash-fails, re-certified after the HUGEINT→BIGINT
-#      oracle casts (VERDICT item 1);
-#   2. the 7 stalest certs (VERDICT item 3): tpch q3/q7/q13/q18/q4 and
-#      stream_tumbling/sliding_counts — r03 verdicts, modules changed in
-#      r04, displaced from the r05 front by first-verdict names;
-#   3. the 6 queries added THIS round (windowed funnel, per-source
-#      quality drift, exactly-K deterministic sample, sequence packing,
-#      repetition filter, corpus bigram frequencies);
-#   4. re-certs for every name whose module changed this round
-#      (sessions/text/dedup/similarity/storage/pipeline) — the
-#      function-level-changed names first (surprisal rewrite, bucketed
-#      layout path, planted-offset guards), then the rest of each touched
-#      module.  Displaced to the r07 queue (r05 certs, far from this
-#      round's edits within their module): the three *_python_datasource
-#      names and source_orc_roundtrip; after them the age queue
-#      (relational/parity r01-02, relational3/4 + udx + dml + multimodal
-#      + the remaining streaming names).
-# ROUND6_NOTES.md tracks the ledger.
+# Round-7 front window (exactly 50 = the driver's window size), in
+# priority order (VERDICT r06 "Next round" items 2 and 5):
+#   1. the 4 names displaced from the r06 front (r05 certs): the three
+#      *_python_datasource names + source_orc_roundtrip;
+#   2. the 3 queries added THIS round (REPL SQL passthrough + catalog-mode
+#      mini-language dispatch — VERDICT item 5 — and the Bloom-filter
+#      decontamination variant — VERDICT item 6);
+#   3. function-level changes this round: the bucketed layout now writes
+#      via materialize_once (race fix + two-source cache tag), the pack-id
+#      stride moved to 2^40, and text_decontamination's shingle derivation
+#      was factored into the shared helper the Bloom variant reuses;
+#   4. the age queue, oldest first: parity ×4 + relational ×27 (r01/r02
+#      certs, five rounds stale — VERDICT item 2), then the oldest 9 of
+#      relational2 (r01).  Still queued for r08+: relational2 ×8,
+#      relational3 ×4, relational4 ×11, udx ×5, multimodal ×4, dml ×5,
+#      remaining streaming, and the r06-certified bulk.
+# ROUND7_NOTES.md tracks the ledger.
 _ROTATION_FRONT = [
-    # --- 1. r05 hash-fail fixes (2) ---
-    "events_sessionize_gap",
-    "events_user_streaks",
-    # --- 2. stalest certs (7) ---
-    "tpch_q3_shipping_priority",
-    "tpch_q7_nation_trade",
-    "tpch_q13_order_distribution",
-    "tpch_q18_large_orders",
-    "tpch_q4_priority_exists",
-    "stream_tumbling_counts",
-    "stream_sliding_counts",
-    # --- 3. added this round (6) ---
-    "events_funnel_windowed",
-    "events_quality_drift",
-    "sample_topk",
-    "pipeline_pack_sequences",
-    "text_repetition",
-    "text_bigram_freq",
-    # --- 4a. function-level changes this round (7) ---
-    "text_unigram_surprisal",
+    # --- 1. displaced from the r06 front (4) ---
+    "source_python_datasource",
+    "stream_python_datasource",
+    "sink_python_datasource",
+    "source_orc_roundtrip",
+    # --- 2. added this round (3) ---
+    "repl_sql_passthrough",
+    "repl_minilang_catalog",
+    "text_decontamination_bloom",
+    # --- 3. function-level changes this round (3) ---
     "join_bucketed_revenue",
-    "dedup_planted_minhash",
-    "dedup_containment_planted",
-    "dedup_incremental_minhash",
-    "sim_neardup_planted",
-    "events_retention_cohort",
-    # --- 4b. rest of the touched modules (29) ---
-    "text_token_count",
-    "text_bpe_token_count",
-    "text_quality_score",
-    "text_lang_id",
-    "text_fingerprint",
-    "text_rolling_hash",
-    "text_word_freq",
-    "text_length_histogram",
-    "text_tfidf_top_terms",
-    "text_dup_ngram_coverage",
-    "dedup_exact",
-    "dedup_clusters",
-    "dedup_clusters_lsh",
-    "dedup_ngram_jaccard",
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "sim_topk_bruteforce",
-    "sim_label_centroids",
-    "sim_neardup_pairs_baseline",
-    "sim_neardup_lsh",
-    "sim_ann_lsh",
-    "sim_ivf_topk",
-    "events_partition_prune",
-    "source_json_roundtrip",
-    "source_csv_roundtrip",
-    "pipeline_corpus_curation",
-    "sample_stratified",
+    "pipeline_pack_sequences",
     "text_decontamination",
+    # --- 4a. stalest certs: parity (4, r01) ---
+    "parity_project",
+    "parity_filter_eq",
+    "parity_filter_gt",
+    "parity_project_filter_combo",
+    # --- 4b. stalest certs: relational (27, r01/r02) ---
+    "agg_pricing_summary",
+    "agg_count_distinct",
+    "agg_having",
+    "agg_rollup",
+    "agg_cube",
+    "join_broadcast_dim",
+    "join_large_revenue",
+    "join_semi",
+    "join_anti",
+    "join_left_outer_agg",
+    "join_multiway",
+    "window_topn_per_group",
+    "window_running_sum",
+    "window_lag_lead",
+    "window_rank_dense",
+    "sort_topk",
+    "sort_multi_key",
+    "set_union",
+    "set_intersect",
+    "set_except",
+    "string_funcs",
+    "date_funcs",
+    "case_in_between",
+    "math_funcs",
+    "json_funcs",
+    "subquery_above_avg",
+    "distinct_rows",
+    # --- 4c. next-oldest: relational2 (9, r01) ---
+    "join_asof",
+    "funnel_conversion",
+    "agg_correlation",
+    "join_range",
+    "pivot_status",
+    "sample_hash",
+    "agg_stats",
+    "array_funcs",
+    "union_by_name",
 ]
 
 
@@ -138,6 +136,7 @@ def _modules():
         relational2,
         relational3,
         relational4,
+        replq,
         sessions,
         similarity,
         storage,
@@ -164,4 +163,5 @@ def _modules():
         pipeline,
         udx,
         dml,
+        replq,
     )

@@ -197,16 +197,10 @@ def q_pipeline_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_text_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Benchmark decontamination: flag corpus documents sharing any word
-    5-gram with the held-out eval set (doc_id < EVAL_SET_MAX_DOC_ID).
-
-    The canonical pretraining hygiene step.  Plan shape: eval-set shingles
-    are tiny and BROADCAST — the corpus side streams once, no shuffle; at
-    100 TB this is a broadcast semi-join of the whole corpus against a
-    benchmark fingerprint set.
-    """
-    documents = table(spark, sf_dir, "documents")
+def _contam_shingles(documents: DataFrame) -> DataFrame:
+    """(doc_id, gram): each document's distinct word CONTAM_NGRAM-grams
+    (whole normalized text when shorter) — shared by the exact and Bloom
+    decontamination paths so they flag over identical shingle sets."""
     words = F.split(_normalized(F.col("text")), " ")
     grams = F.when(
         F.size(words) >= CONTAM_NGRAM,
@@ -217,7 +211,20 @@ def q_text_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ),
     ).otherwise(F.array(F.concat_ws(" ", words)))
-    shingled = documents.select("doc_id", F.explode(grams).alias("gram"))
+    return documents.select("doc_id", F.explode(grams).alias("gram"))
+
+
+def q_text_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag corpus documents sharing any word
+    5-gram with the held-out eval set (doc_id < EVAL_SET_MAX_DOC_ID).
+
+    The canonical pretraining hygiene step.  Plan shape: eval-set shingles
+    are tiny and BROADCAST — the corpus side streams once, no shuffle; at
+    100 TB this is a broadcast semi-join of the whole corpus against a
+    benchmark fingerprint set.
+    """
+    documents = table(spark, sf_dir, "documents")
+    shingled = _contam_shingles(documents)
     eval_grams = (
         shingled.filter(F.col("doc_id") < EVAL_SET_MAX_DOC_ID)
         .select("gram")
@@ -231,12 +238,82 @@ def q_text_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# m: bit-array size — fixed, independent of eval-set size.  Sized for a
+# ~1e-4 per-gram false-positive rate at this eval set (~2k grams): the
+# broadcast cost is bounded by min(m bits, k·n set positions) either way,
+# so a generous m buys accuracy for free at small n while the packed
+# bitmask stays a fixed 16 KiB/2^17 bits at production n.
+BLOOM_BITS = 1 << 17
+BLOOM_HASHES = 3  # k: independent md5-derived hash functions
+
+
+def q_text_decontamination_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter decontamination — the production-scale variant of
+    ``text_decontamination``.
+
+    The exact path broadcasts the eval set's raw 5-gram STRINGS; fine
+    while the benchmark suite is small, but the broadcast grows with the
+    eval corpus.  The Bloom variant broadcasts a FIXED-size structure
+    instead: the set of set bit positions of an m=BLOOM_BITS /
+    k=BLOOM_HASHES Bloom filter over the eval grams (≤ m rows whatever
+    the eval size).  A corpus gram is flagged when all k of its hash
+    positions are set — no false negatives by construction, and a false-
+    positive rate of (1 − e^(−kn/m))^k (pinned against the exact operator
+    in ``tests/test_pipeline.py``).
+
+    Engine-portable exactness: positions derive from the md5-prefix hash
+    family (``functions/hashing.py``), so DuckDB builds the identical
+    filter and flags the identical false positives — the oracle compares
+    exactly even though the operator is approximate vs ground truth.
+
+    Shape at 100 TB: the corpus side streams once through posexplode(k
+    positions) → broadcast semi-join on position → per-(doc, gram) k-hit
+    count; the only shuffle carries surviving candidates.  (A real
+    cluster would pack the positions into a bitmask inside the broadcast;
+    the position-table form keeps the plan shape identical and the result
+    engine-checkable.)
+    """
+    from simple_query_engine_spark.functions.hashing import md5_prefix_long
+
+    documents = table(spark, sf_dir, "documents")
+    shingled = _contam_shingles(documents)
+
+    def positions(gram):
+        return F.array(
+            *[
+                F.pmod(
+                    md5_prefix_long(F.concat(F.lit(f"{j}|"), gram), 15),
+                    F.lit(BLOOM_BITS),
+                )
+                for j in range(BLOOM_HASHES)
+            ]
+        )
+
+    eval_positions = (
+        shingled.filter(F.col("doc_id") < EVAL_SET_MAX_DOC_ID)
+        .select(F.explode(positions(F.col("gram"))).alias("pos"))
+        .distinct()
+    )
+    corpus = shingled.filter(F.col("doc_id") >= EVAL_SET_MAX_DOC_ID)
+    hit = (
+        corpus.select(
+            "doc_id", "gram", F.posexplode(positions(F.col("gram"))).alias("j", "pos")
+        )
+        .join(F.broadcast(eval_positions), "pos", "left_semi")
+        .groupBy("doc_id", "gram")
+        .agg(F.count(F.lit(1)).alias("k_hits"))
+        .filter(F.col("k_hits") == BLOOM_HASHES)
+    )
+    return hit.groupBy("doc_id").agg(F.count(F.lit(1)).alias("flagged_ngrams"))
+
+
 QUERIES = {
     "pipeline_corpus_curation": q_pipeline_corpus_curation,
     "sample_stratified": q_sample_stratified,
     "sample_topk": q_sample_topk,
     "pipeline_pack_sequences": q_pipeline_pack_sequences,
     "text_decontamination": q_text_decontamination,
+    "text_decontamination_bloom": q_text_decontamination_bloom,
 }
 
 from simple_query_engine_spark.functions.hashing import md5_prefix_long_sql
@@ -244,6 +321,25 @@ from simple_query_engine_spark.functions.hashing import md5_prefix_long_sql
 _hash8_sql = md5_prefix_long_sql("CAST(doc_id AS VARCHAR)", 8)
 
 _hash15_sql = md5_prefix_long_sql("CAST(doc_id AS VARCHAR)", 15)
+
+# The shared shingle derivation (SQL twin of _contam_shingles).
+_GRAMS_SQL = f"""
+            SELECT doc_id, unnest(list_distinct(
+                CASE WHEN len(w) >= {CONTAM_NGRAM}
+                     THEN list_transform(range(1, len(w) - {CONTAM_NGRAM - 2}),
+                                         i -> concat_ws(' ', w[i], w[i+1], w[i+2], w[i+3], w[i+4]))
+                     ELSE [array_to_string(w, ' ')] END)) AS gram
+            FROM (SELECT doc_id, string_split({_NORM}, ' ') w FROM documents)
+"""
+
+
+def _bloom_pos_sql(j: int) -> str:
+    """DuckDB twin of one Bloom hash position for column ``gram``."""
+    hashed = md5_prefix_long_sql(f"'{j}|' || gram", 15)
+    return f"({hashed} % {BLOOM_BITS})"
+
+
+assert BLOOM_HASHES == 3  # the bloom oracle spells out three position predicates
 
 ORACLES = {
     "sample_topk": f"""
@@ -287,14 +383,7 @@ ORACLES = {
         ) WHERE sample_rank <= {SAMPLES_PER_LANG}
     """,
     "text_decontamination": f"""
-        WITH grams AS (
-            SELECT doc_id, unnest(list_distinct(
-                CASE WHEN len(w) >= {CONTAM_NGRAM}
-                     THEN list_transform(range(1, len(w) - {CONTAM_NGRAM - 2}),
-                                         i -> concat_ws(' ', w[i], w[i+1], w[i+2], w[i+3], w[i+4]))
-                     ELSE [array_to_string(w, ' ')] END)) AS gram
-            FROM (SELECT doc_id, string_split({_NORM}, ' ') w FROM documents)
-        ), eval_grams AS (
+        WITH grams AS ({_GRAMS_SQL}), eval_grams AS (
             SELECT DISTINCT gram FROM grams WHERE doc_id < {EVAL_SET_MAX_DOC_ID}
         )
         SELECT g.doc_id, COUNT(*) AS shared_ngrams
@@ -302,6 +391,25 @@ ORACLES = {
         WHERE g.doc_id >= {EVAL_SET_MAX_DOC_ID}
           AND g.gram IN (SELECT gram FROM eval_grams)
         GROUP BY g.doc_id
+    """,
+    # Identical filter, identical false positives: positions come from the
+    # shared md5 hash family, so the approximate operator is still exactly
+    # comparable across engines.
+    "text_decontamination_bloom": f"""
+        WITH grams AS ({_GRAMS_SQL}), eval_pos AS (
+            SELECT DISTINCT unnest([
+                {_bloom_pos_sql(0)}, {_bloom_pos_sql(1)}, {_bloom_pos_sql(2)}
+            ]) AS pos
+            FROM grams WHERE doc_id < {EVAL_SET_MAX_DOC_ID}
+        ), flagged AS (
+            SELECT doc_id, gram FROM grams
+            WHERE doc_id >= {EVAL_SET_MAX_DOC_ID}
+              AND {_bloom_pos_sql(0)} IN (SELECT pos FROM eval_pos)
+              AND {_bloom_pos_sql(1)} IN (SELECT pos FROM eval_pos)
+              AND {_bloom_pos_sql(2)} IN (SELECT pos FROM eval_pos)
+        )
+        SELECT doc_id, COUNT(*) AS flagged_ngrams
+        FROM flagged GROUP BY doc_id
     """,
     "pipeline_corpus_curation": f"""
         WITH quality AS (

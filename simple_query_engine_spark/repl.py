@@ -45,6 +45,25 @@ _SQL_KEYWORDS = ("select", "with", "show", "describe")
 DEFAULT_ROW_LIMIT = 1000
 
 
+def dispatch(spark, line: str, df: DataFrame | None = None) -> DataFrame:
+    """Parse one REPL input line into its result DataFrame.
+
+    The single query-dispatch path: SQL-keyword lines go through
+    ``spark.sql`` against the registered views (the SURVEY §3.1 "accept
+    SQL directly" shape); anything else is a reference mini-language query
+    against the default table.  Shared by the interactive loop and the
+    certified catalog entry (``repl_sql_passthrough``), so the driver's
+    oracle gate exercises exactly the code path a REPL user hits.
+    """
+    if line.lower().startswith(_SQL_KEYWORDS):
+        return spark.sql(line)
+    if df is None:
+        raise QueryExecutionError(
+            "no default table loaded for mini-language queries"
+        )
+    return execute(parse(line), df)
+
+
 def format_result(df: DataFrame, limit: int | None = DEFAULT_ROW_LIMIT) -> str:
     """Render a result DataFrame in the reference's text format.
 
@@ -140,10 +159,7 @@ def run(
             if line.lower().startswith("explain "):
                 explain = True
                 line = line[len("explain "):].strip()
-            if line.lower().startswith(_SQL_KEYWORDS):
-                result = spark.sql(line)
-            else:
-                result = execute(parse(line), df)
+            result = dispatch(spark, line, df)
             if explain:
                 import contextlib
                 import io

@@ -123,3 +123,62 @@ def test_pack_sequences_matches_python_model(spark, sf_dir):
     # Non-vacuous: multiple packs per shard, and every pack respects the
     # start-offset rule (cumulative fill, so packs are contiguous).
     assert len(out) > P.PACK_SHARDS
+
+
+def test_bloom_decontamination_no_false_negatives_and_fp_bound(spark, sf_dir):
+    """The Bloom variant must flag a SUPERSET of the exact operator's
+    documents (no false negatives, by construction), and its gram-level
+    false-positive rate must stay within the (1 - e^(-kn/m))^k design
+    bound (3x slack for variance at small counts)."""
+    import math
+
+    from simple_query_engine_spark.operators import pipeline as P
+    from simple_query_engine_spark.operators.pipeline import (
+        _contam_shingles,
+        q_text_decontamination,
+        q_text_decontamination_bloom,
+    )
+    from simple_query_engine_spark.sources.catalog import table
+
+    exact = {
+        r.doc_id: r.shared_ngrams
+        for r in q_text_decontamination(spark, sf_dir).collect()
+    }
+    bloom = {
+        r.doc_id: r.flagged_ngrams
+        for r in q_text_decontamination_bloom(spark, sf_dir).collect()
+    }
+    assert set(exact) <= set(bloom)
+    # Per doc, every exactly-shared gram is also bloom-flagged.
+    assert all(bloom[doc] >= exact[doc] for doc in exact)
+
+    shingled = _contam_shingles(table(spark, sf_dir, "documents"))
+    n_eval = (
+        shingled.filter(shingled.doc_id < P.EVAL_SET_MAX_DOC_ID)
+        .select("gram").distinct().count()
+    )
+    n_corpus_grams = shingled.filter(
+        shingled.doc_id >= P.EVAL_SET_MAX_DOC_ID
+    ).count()
+    p_design = (
+        1 - math.exp(-P.BLOOM_HASHES * n_eval / P.BLOOM_BITS)
+    ) ** P.BLOOM_HASHES
+    false_grams = sum(bloom.values()) - sum(exact.values())
+    assert false_grams <= 3 * p_design * n_corpus_grams + 5, (
+        f"FP grams {false_grams} vs design bound "
+        f"{p_design:.2e} * {n_corpus_grams}"
+    )
+
+
+def test_bloom_decontamination_broadcasts_fixed_positions(spark, sf_dir):
+    """Plan shape: the eval position set is the BROADCAST side (the
+    corpus side must stream, never shuffle into the membership join)."""
+    from simple_query_engine_spark.operators.pipeline import (
+        q_text_decontamination_bloom,
+    )
+
+    plan = (
+        q_text_decontamination_bloom(spark, sf_dir)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan

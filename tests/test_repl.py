@@ -119,3 +119,24 @@ def test_every_exit_command_ends_the_session(spark, city_csv, exit_cmd):
     # Lines after the exit command must never execute (src/main.rs:17,39).
     output = run_repl(city_csv, [exit_cmd, "PROJECT city"])
     assert "Berlin" not in output
+
+
+def test_dispatch_routes_sql_and_minilang(spark, sf_dir):
+    """dispatch() is the single path the loop and the certified catalog
+    entries share: SQL-keyword lines hit spark.sql over the views,
+    anything else parses as mini-language against the default table —
+    and a mini-language line with no default table errors loudly."""
+    import pytest
+
+    from simple_query_engine_spark.executor import QueryExecutionError
+    from simple_query_engine_spark.repl import dispatch
+    from simple_query_engine_spark.sources.catalog import load_tables
+
+    tables = load_tables(spark, sf_dir)
+    sql = dispatch(spark, "SELECT COUNT(*) AS n FROM nation")
+    assert sql.collect()[0].n == tables["nation"].count()
+    mini = dispatch(spark, "PROJECT n_name", tables["nation"])
+    assert mini.columns == ["n_name"]
+    assert mini.count() == tables["nation"].count()
+    with pytest.raises(QueryExecutionError):
+        dispatch(spark, "PROJECT n_name")
