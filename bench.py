@@ -3,7 +3,12 @@
 
 Prints ONE JSON line:
     {"metric": "...", "value": <total sec>, "unit": "sec",
-     "queries": {name: sec, ...}, "sf": <sf>}
+     "queries": {name: sec, ...}, "sf": <sf>,
+     "suite2_version": ..., "suite2_value": ..., "suite2_queries": {...}}
+
+"value"/"queries" are the FROZEN r01 headline suite (cross-round
+continuity); "suite2_*" is the versioned heavy-operator suite added in
+r07 (same three-pass warm protocol, same calibration applies).
 
 Each query executes fully via the `noop` sink (forces the whole plan —
 df.count() would let Catalyst prune projections and under-report).  A
@@ -47,6 +52,24 @@ HEADLINE = [
     "sim_topk_bruteforce",
     "tpch_q3_shipping_priority",
     "pipeline_corpus_curation",
+]
+
+# Second, VERSIONED suite (VERDICT r06 item 3): the heavy operators added
+# after the headline suite froze at r01 get round-over-round perf tracking
+# too.  The headline list above stays frozen for cross-round continuity;
+# this list may grow — bump SUITE2_VERSION whenever it changes so a
+# round-over-round comparison knows when the totals became incomparable.
+SUITE2_VERSION = "r07"
+SUITE2 = [
+    "dedup_incremental_minhash",
+    "dedup_containment_planted",
+    "pipeline_pack_sequences",
+    "events_quality_drift",
+    "events_funnel_windowed",
+    "text_unigram_surprisal",
+    "text_repetition",
+    "text_decontamination_bloom",
+    "sample_topk",
 ]
 
 
@@ -101,14 +124,14 @@ def main() -> int:
     # JSON also carries a calibration probe — the warm time of a fixed
     # JVM-side sum over 500M longs — letting round-over-round comparisons
     # normalize out host speed.
-    cold: dict[str, float] = {}
-    timings: dict[str, float] = {}
-    for name in HEADLINE:
-        cold[name] = round(run(name), 3)
-    for name in HEADLINE:
-        timings[name] = round(min(cold[name], run(name)), 3)
-    for name in HEADLINE:
-        timings[name] = round(min(timings[name], run(name)), 3)
+    def three_pass(names: list[str]) -> tuple[dict[str, float], dict[str, float]]:
+        cold = {name: round(run(name), 3) for name in names}
+        warm = {name: round(min(cold[name], run(name)), 3) for name in names}
+        warm = {name: round(min(warm[name], run(name)), 3) for name in names}
+        return cold, warm
+
+    cold, timings = three_pass(HEADLINE)
+    cold2, timings2 = three_pass(SUITE2)
 
     def _calibrate() -> float:
         probe = lambda: spark.range(500_000_000, numPartitions=32).selectExpr(
@@ -127,6 +150,10 @@ def main() -> int:
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "cold_value": round(sum(cold.values()), 3),
+        "suite2_version": SUITE2_VERSION,
+        "suite2_value": round(sum(timings2.values()), 3),
+        "suite2_queries": timings2,
+        "suite2_cold_value": round(sum(cold2.values()), 3),
         "calibration_jvm_sum_sec": _calibrate(),
     }
     if amplify > 1:

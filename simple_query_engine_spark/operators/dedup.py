@@ -79,7 +79,11 @@ def _shingles_of(documents: DataFrame, sf_dir: str, cache_key: str) -> DataFrame
     documents = documents.repartition(
         documents.sparkSession.sparkContext.defaultParallelism, "doc_id"
     )
-    words = F.split(_normalized(F.col("text")), " ")
+    # The word array materializes in its own projection first: an inline
+    # split referenced inside the transform lambda defeats CSE and
+    # re-tokenizes the document once per shingle (see _contam_shingles in
+    # pipeline.py — measured 8x on the equivalent 5-gram derivation).
+    words = F.col("w")
     shingle_array = F.when(
         F.size(words) >= 3,
         F.array_distinct(
@@ -89,8 +93,11 @@ def _shingles_of(documents: DataFrame, sf_dir: str, cache_key: str) -> DataFrame
             )
         ),
     ).otherwise(F.array(F.concat_ws(" ", words)))
+    tokenized = documents.select(
+        "doc_id", F.split(_normalized(F.col("text")), " ").alias("w")
+    )
     return session_cache(
-        documents.select("doc_id", F.explode(shingle_array).alias("shingle")),
+        tokenized.select("doc_id", F.explode(shingle_array).alias("shingle")),
         sf_dir,
         cache_key,
     )

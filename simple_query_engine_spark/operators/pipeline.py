@@ -200,8 +200,16 @@ def q_pipeline_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _contam_shingles(documents: DataFrame) -> DataFrame:
     """(doc_id, gram): each document's distinct word CONTAM_NGRAM-grams
     (whole normalized text when shorter) — shared by the exact and Bloom
-    decontamination paths so they flag over identical shingle sets."""
-    words = F.split(_normalized(F.col("text")), " ")
+    decontamination paths so they flag over identical shingle sets.
+
+    The word array materializes in its OWN projection before the gram
+    transform: referenced many times (size + every lambda element), the
+    inline split/normalize expression defeats Catalyst's common-
+    subexpression elimination inside ``transform`` and re-tokenizes the
+    document once per gram — measured 8x slower at sf0.1.  The separate
+    alias is referenced non-trivially, so CollapseProject keeps it as a
+    once-per-row evaluation."""
+    words = F.col("w")
     grams = F.when(
         F.size(words) >= CONTAM_NGRAM,
         F.array_distinct(
@@ -211,7 +219,9 @@ def _contam_shingles(documents: DataFrame) -> DataFrame:
             )
         ),
     ).otherwise(F.array(F.concat_ws(" ", words)))
-    return documents.select("doc_id", F.explode(grams).alias("gram"))
+    return documents.select(
+        "doc_id", F.split(_normalized(F.col("text")), " ").alias("w")
+    ).select("doc_id", F.explode(grams).alias("gram"))
 
 
 def q_text_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -244,7 +254,7 @@ def q_text_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
 # so a generous m buys accuracy for free at small n while the packed
 # bitmask stays a fixed 16 KiB/2^17 bits at production n.
 BLOOM_BITS = 1 << 17
-BLOOM_HASHES = 3  # k: independent md5-derived hash functions
+BLOOM_HASHES = 3  # k hash functions: disjoint 5-hex-digit slices of one md5
 
 
 def q_text_decontamination_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -266,45 +276,52 @@ def q_text_decontamination_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     filter and flags the identical false positives — the oracle compares
     exactly even though the operator is approximate vs ground truth.
 
-    Shape at 100 TB: the corpus side streams once through posexplode(k
-    positions) → broadcast semi-join on position → per-(doc, gram) k-hit
-    count; the only shuffle carries surviving candidates.  (A real
-    cluster would pack the positions into a bitmask inside the broadcast;
-    the position-table form keeps the plan shape identical and the result
-    engine-checkable.)
+    Shape at 100 TB: each corpus gram reduces to its k scalar positions
+    (the gram string is dropped immediately — only small longs flow on),
+    then k successive BROADCAST semi-joins implement the all-k-bits-set
+    conjunction: the first join prunes all but ~(set bits)/m of the
+    grams, so joins 2..k probe a tiny remnant; no row inflation, no
+    per-gram aggregation, and the only shuffle is the final per-doc
+    count over survivors.  (A real cluster would pack the positions into
+    a bitmask inside the broadcast; the position-table form keeps the
+    plan shape identical and the result engine-checkable.)
     """
-    from simple_query_engine_spark.functions.hashing import md5_prefix_long
-
     documents = table(spark, sf_dir, "documents")
     shingled = _contam_shingles(documents)
 
     def positions(gram):
-        return F.array(
-            *[
-                F.pmod(
-                    md5_prefix_long(F.concat(F.lit(f"{j}|"), gram), 15),
-                    F.lit(BLOOM_BITS),
-                )
-                for j in range(BLOOM_HASHES)
-            ]
-        )
+        # One md5 per gram, k disjoint 5-hex-digit slices of the digest as
+        # the k hash functions (2^20 ≥ m and 2^20 mod m == 0, so each
+        # slice mods into the bit space exactly uniformly) — a third of
+        # the hash work of k independent md5 calls, same engine-portable
+        # md5 family as functions/hashing.py.
+        digest = F.md5(gram)
+        return [
+            F.pmod(
+                F.conv(F.substring(digest, 1 + 5 * j, 5), 16, 10).cast("long"),
+                F.lit(BLOOM_BITS),
+            )
+            for j in range(BLOOM_HASHES)
+        ]
 
     eval_positions = (
         shingled.filter(F.col("doc_id") < EVAL_SET_MAX_DOC_ID)
-        .select(F.explode(positions(F.col("gram"))).alias("pos"))
+        .select(F.explode(F.array(*positions(F.col("gram")))).alias("pos"))
         .distinct()
     )
-    corpus = shingled.filter(F.col("doc_id") >= EVAL_SET_MAX_DOC_ID)
-    hit = (
-        corpus.select(
-            "doc_id", "gram", F.posexplode(positions(F.col("gram"))).alias("j", "pos")
-        )
-        .join(F.broadcast(eval_positions), "pos", "left_semi")
-        .groupBy("doc_id", "gram")
-        .agg(F.count(F.lit(1)).alias("k_hits"))
-        .filter(F.col("k_hits") == BLOOM_HASHES)
+    flagged = shingled.filter(F.col("doc_id") >= EVAL_SET_MAX_DOC_ID).select(
+        "doc_id",
+        *[p.alias(f"p{j}") for j, p in enumerate(positions(F.col("gram")))],
     )
-    return hit.groupBy("doc_id").agg(F.count(F.lit(1)).alias("flagged_ngrams"))
+    for j in range(BLOOM_HASHES):
+        flagged = flagged.join(
+            F.broadcast(eval_positions),
+            flagged[f"p{j}"] == eval_positions["pos"],
+            "left_semi",
+        )
+    return flagged.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("flagged_ngrams")
+    )
 
 
 QUERIES = {
@@ -334,9 +351,12 @@ _GRAMS_SQL = f"""
 
 
 def _bloom_pos_sql(j: int) -> str:
-    """DuckDB twin of one Bloom hash position for column ``gram``."""
-    hashed = md5_prefix_long_sql(f"'{j}|' || gram", 15)
-    return f"({hashed} % {BLOOM_BITS})"
+    """DuckDB twin of one Bloom hash position for column ``gram`` (the
+    j-th 5-hex-digit slice of one md5, exactly as the Spark side)."""
+    return (
+        f"(CAST('0x' || substr(md5(gram), {1 + 5 * j}, 5) AS BIGINT)"
+        f" % {BLOOM_BITS})"
+    )
 
 
 assert BLOOM_HASHES == 3  # the bloom oracle spells out three position predicates

@@ -348,9 +348,12 @@ def q_text_bigram_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     TakeOrderedAndProject top-K — no global sort.
     """
     documents = _documents(spark, sf_dir)
-    words = F.split(_normalized(F.col("text")), " ")
+    # Materialize the word array before the bigram transform: an inline
+    # split referenced inside the transform lambda re-tokenizes the doc
+    # once per bigram (see _contam_shingles in pipeline.py — measured 8x).
+    base = documents.select(F.split(_normalized(F.col("text")), " ").alias("w"))
     return (
-        documents.select(F.explode(_word_bigrams(words)).alias("gram"))
+        base.select(F.explode(_word_bigrams(F.col("w"))).alias("gram"))
         .groupBy("gram")
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy(F.col("n").desc(), "gram")
