@@ -26,16 +26,17 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # priority order (VERDICT r06 "Next round" items 2 and 5):
 #   1. the 4 names displaced from the r06 front (r05 certs): the three
 #      *_python_datasource names + source_orc_roundtrip;
-#   2. the 3 queries added THIS round (REPL SQL passthrough + catalog-mode
-#      mini-language dispatch — VERDICT item 5 — and the Bloom-filter
-#      decontamination variant — VERDICT item 6);
+#   2. the 5 queries added THIS round (REPL SQL passthrough + catalog-mode
+#      mini-language dispatch — VERDICT item 5; the Bloom-filter
+#      decontamination variant — VERDICT item 6; domain-mixture
+#      reweighting; per-source attrition report);
 #   3. function-level changes this round: the bucketed layout now writes
 #      via materialize_once (race fix + two-source cache tag), the pack-id
 #      stride moved to 2^40, and text_decontamination's shingle derivation
 #      was factored into the shared helper the Bloom variant reuses;
 #   4. the age queue, oldest first: parity ×4 + relational ×27 (r01/r02
-#      certs, five rounds stale — VERDICT item 2), then the oldest 9 of
-#      relational2 (r01).  Still queued for r08+: relational2 ×8,
+#      certs, five rounds stale — VERDICT item 2), then the oldest 7 of
+#      relational2 (r01).  Still queued for r08+: relational2 ×10,
 #      relational3 ×4, relational4 ×11, udx ×5, multimodal ×4, dml ×5,
 #      remaining streaming, and the r06-certified bulk.
 # ROUND7_NOTES.md tracks the ledger.
@@ -45,10 +46,12 @@ _ROTATION_FRONT = [
     "stream_python_datasource",
     "sink_python_datasource",
     "source_orc_roundtrip",
-    # --- 2. added this round (3) ---
+    # --- 2. added this round (5) ---
     "repl_sql_passthrough",
     "repl_minilang_catalog",
     "text_decontamination_bloom",
+    "pipeline_domain_mix",
+    "pipeline_attrition_report",
     # --- 3. function-level changes this round (3) ---
     "join_bucketed_revenue",
     "pipeline_pack_sequences",
@@ -86,7 +89,7 @@ _ROTATION_FRONT = [
     "json_funcs",
     "subquery_above_avg",
     "distinct_rows",
-    # --- 4c. next-oldest: relational2 (9, r01) ---
+    # --- 4c. next-oldest: relational2 (7, r01) ---
     "join_asof",
     "funnel_conversion",
     "agg_correlation",
@@ -94,8 +97,6 @@ _ROTATION_FRONT = [
     "pivot_status",
     "sample_hash",
     "agg_stats",
-    "array_funcs",
-    "union_by_name",
 ]
 
 

@@ -324,6 +324,99 @@ def q_text_decontamination_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pipeline_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-mixture reweighting: per-source sampling weights that rebalance
+    the corpus to a UNIFORM token budget per source — the domain-mixing
+    step of a pretraining pipeline (down-weight boilerplate-heavy domains,
+    up-weight scarce ones).  ``mix_weight`` is the factor to apply to a
+    source's sampling rate so each source contributes total/|S| tokens.
+
+    Determinism: every share and weight is a SINGLE division of exact
+    integer sums, rounded once — weight = T / (|S|·T_s) — so no float
+    accumulation order exists anywhere.  Shape at 100 TB: one map-side-
+    combined per-source aggregate (|S| rows), then a broadcast 1-row
+    totals join; nothing but the per-source rollup ever shuffles.
+    """
+    documents = table(spark, sf_dir, "documents")
+    per_source = (
+        documents.select(
+            "source",
+            F.size(F.split(_normalized(F.col("text")), " ")).alias("n_tokens"),
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+        )
+    )
+    totals = per_source.agg(
+        F.sum("total_tokens").alias("corpus_tokens"),
+        F.count(F.lit(1)).alias("n_sources"),
+    )
+    return per_source.join(F.broadcast(totals)).select(
+        "source",
+        "n_docs",
+        "total_tokens",
+        F.round(F.col("total_tokens") / F.col("corpus_tokens"), 4).alias(
+            "token_share"
+        ),
+        F.round(
+            F.col("corpus_tokens")
+            / (F.col("n_sources") * F.col("total_tokens")),
+            4,
+        ).alias("mix_weight"),
+    )
+
+
+def q_pipeline_attrition_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source attrition accounting for the curation pipeline — the
+    observability twin of ``pipeline_corpus_curation``: how many docs each
+    source loses at each stage (first-failing-stage attribution, matching
+    the pipeline's stage order: quality gate → exact dedup → near-dup
+    drop), and how many survive.
+
+    Production pipelines ship exactly this report next to every curation
+    run; a source whose near-dup loss spikes is the first sign of a
+    scraper feeding duplicated content.  All counts are exact integers.
+    Shape at 100 TB: the stage flags come from the same doc-id-keyed
+    joins the pipeline itself runs (keeper semi-structure as a left join
+    to preserve non-keepers for counting); output is |sources| rows.
+    """
+    documents = table(spark, sf_dir, "documents")
+    docs = documents.select(
+        "doc_id",
+        "source",
+        F.size(F.split(_normalized(F.col("text")), " ")).alias("n_tokens"),
+    )
+    keepers = q_dedup_exact(spark, sf_dir).select(
+        F.col("keep_doc_id").alias("doc_id"), F.lit(1).alias("is_keeper")
+    )
+    losers = (
+        q_dedup_minhash_lsh(spark, sf_dir)
+        .select(F.col("doc_id_b").alias("doc_id"))
+        .distinct()
+        .withColumn("is_loser", F.lit(1))
+    )
+    stage = (
+        F.when(F.col("n_tokens") < MIN_TOKENS, "quality")
+        .when(F.col("is_keeper").isNull(), "exact_dup")
+        .when(F.col("is_loser").isNotNull(), "near_dup")
+        .otherwise("kept")
+    )
+    flags = (
+        docs.join(keepers, "doc_id", "left")
+        .join(losers, "doc_id", "left")
+        .select("source", stage.alias("stage"))
+    )
+    return flags.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum((F.col("stage") == "quality").cast("int")).alias("n_quality_drop"),
+        F.sum((F.col("stage") == "exact_dup").cast("int")).alias("n_exact_dup"),
+        F.sum((F.col("stage") == "near_dup").cast("int")).alias("n_near_dup"),
+        F.sum((F.col("stage") == "kept").cast("int")).alias("n_kept"),
+    )
+
+
 QUERIES = {
     "pipeline_corpus_curation": q_pipeline_corpus_curation,
     "sample_stratified": q_sample_stratified,
@@ -331,6 +424,8 @@ QUERIES = {
     "pipeline_pack_sequences": q_pipeline_pack_sequences,
     "text_decontamination": q_text_decontamination,
     "text_decontamination_bloom": q_text_decontamination_bloom,
+    "pipeline_domain_mix": q_pipeline_domain_mix,
+    "pipeline_attrition_report": q_pipeline_attrition_report,
 }
 
 from simple_query_engine_spark.functions.hashing import md5_prefix_long_sql
@@ -430,6 +525,57 @@ ORACLES = {
         )
         SELECT doc_id, COUNT(*) AS flagged_ngrams
         FROM flagged GROUP BY doc_id
+    """,
+    "pipeline_domain_mix": f"""
+        WITH per_source AS (
+            SELECT source,
+                   COUNT(*) AS n_docs,
+                   CAST(SUM(len(string_split({_NORM}, ' '))) AS BIGINT)
+                       AS total_tokens
+            FROM documents GROUP BY source
+        ), totals AS (
+            SELECT CAST(SUM(total_tokens) AS BIGINT) AS corpus_tokens,
+                   COUNT(*) AS n_sources
+            FROM per_source
+        )
+        SELECT source, n_docs, total_tokens,
+               ROUND(total_tokens / CAST(corpus_tokens AS DOUBLE), 4)
+                   AS token_share,
+               ROUND(corpus_tokens / CAST(n_sources * total_tokens AS DOUBLE), 4)
+                   AS mix_weight
+        FROM per_source, totals
+    """,
+    "pipeline_attrition_report": f"""
+        WITH docs AS (
+            SELECT doc_id, source,
+                   len(string_split({_NORM}, ' ')) AS n_tokens
+            FROM documents
+        ), keepers AS (
+            SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)
+        ), losers AS (
+            SELECT DISTINCT doc_id_b AS doc_id
+            FROM ({_minhash_oracle_sql()}) mh
+        ), flags AS (
+            SELECT source,
+                   CASE WHEN n_tokens < {MIN_TOKENS} THEN 'quality'
+                        WHEN doc_id NOT IN (SELECT doc_id FROM keepers)
+                             THEN 'exact_dup'
+                        WHEN doc_id IN (SELECT doc_id FROM losers)
+                             THEN 'near_dup'
+                        ELSE 'kept' END AS stage
+            FROM docs
+        )
+        SELECT source,
+               COUNT(*) AS n_docs,
+               CAST(SUM(CASE WHEN stage = 'quality' THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_quality_drop,
+               CAST(SUM(CASE WHEN stage = 'exact_dup' THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_exact_dup,
+               CAST(SUM(CASE WHEN stage = 'near_dup' THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_near_dup,
+               CAST(SUM(CASE WHEN stage = 'kept' THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_kept
+        FROM flags GROUP BY source
     """,
     "pipeline_corpus_curation": f"""
         WITH quality AS (

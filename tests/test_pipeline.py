@@ -182,3 +182,45 @@ def test_bloom_decontamination_broadcasts_fixed_positions(spark, sf_dir):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+
+
+def test_attrition_report_reconciles_with_curation(spark, sf_dir):
+    """The attrition report's per-stage accounting must reconcile exactly:
+    stages partition every doc, and the 'kept' total equals the curation
+    pipeline's survivor count (same stage definitions, same order)."""
+    from pyspark.sql import functions as F
+
+    from simple_query_engine_spark.operators.pipeline import (
+        q_pipeline_attrition_report,
+    )
+    from simple_query_engine_spark.sources.catalog import table
+
+    report = q_pipeline_attrition_report(spark, sf_dir).collect()
+    n_total = table(spark, sf_dir, "documents").count()
+    assert sum(r.n_docs for r in report) == n_total
+    for r in report:
+        assert r.n_quality_drop + r.n_exact_dup + r.n_near_dup + r.n_kept == r.n_docs
+    survivors = (
+        q_pipeline_corpus_curation(spark, sf_dir)
+        .agg(F.sum("n_docs").alias("n")).collect()[0].n
+    )
+    assert sum(r.n_kept for r in report) == survivors
+
+
+def test_domain_mix_weights_rebalance_to_uniform(spark, sf_dir):
+    """mix_weight must be the exact uniform-rebalance factor: applying it
+    to each source's token mass yields total/|S| tokens per source (up to
+    the single 4-decimal rounding)."""
+    from simple_query_engine_spark.operators.pipeline import (
+        q_pipeline_domain_mix,
+    )
+
+    rows = q_pipeline_domain_mix(spark, sf_dir).collect()
+    total = sum(r.total_tokens for r in rows)
+    n_sources = len(rows)
+    for r in rows:
+        expected = round(total / (n_sources * r.total_tokens), 4)
+        assert abs(r.mix_weight - expected) < 1e-9
+        assert abs(r.token_share - round(r.total_tokens / total, 4)) < 1e-9
+    # Shares partition the corpus.
+    assert abs(sum(r.token_share for r in rows) - 1.0) < 1e-2
