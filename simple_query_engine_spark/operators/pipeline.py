@@ -333,10 +333,20 @@ def q_pipeline_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Determinism: every share and weight is a SINGLE division of exact
     integer sums, rounded once — weight = T / (|S|·T_s) — so no float
-    accumulation order exists anywhere.  Shape at 100 TB: one map-side-
-    combined per-source aggregate (|S| rows), then a broadcast 1-row
-    totals join; nothing but the per-source rollup ever shuffles.
+    accumulation order exists anywhere.  Shape at 100 TB: ONE map-side-
+    combined per-source aggregate scans the corpus (plan-asserted single
+    scan in tests); the corpus totals come from an unpartitioned window
+    over that aggregate's |S| rows — a global window is normally the
+    single-reducer anti-pattern, but its input here is one row per
+    SOURCE (10²–10⁴ domains), not per document, so the serialized step
+    is trivially bounded.  (A separate ``per_source.agg(...)`` totals
+    branch reads nicer but Catalyst does not reuse the aggregate's
+    exchange across the self-join — it re-scans and re-tokenizes the
+    whole corpus for the one totals row: measured two parquet scans, a
+    genuine 2× corpus cost at scale.)
     """
+    from pyspark.sql.window import Window
+
     documents = table(spark, sf_dir, "documents")
     per_source = (
         documents.select(
@@ -349,21 +359,16 @@ def q_pipeline_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_tokens").alias("total_tokens"),
         )
     )
-    totals = per_source.agg(
-        F.sum("total_tokens").alias("corpus_tokens"),
-        F.count(F.lit(1)).alias("n_sources"),
-    )
-    return per_source.join(F.broadcast(totals)).select(
+    w = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    corpus_tokens = F.sum("total_tokens").over(w)
+    n_sources = F.count(F.lit(1)).over(w)
+    return per_source.select(
         "source",
         "n_docs",
         "total_tokens",
-        F.round(F.col("total_tokens") / F.col("corpus_tokens"), 4).alias(
-            "token_share"
-        ),
+        F.round(F.col("total_tokens") / corpus_tokens, 4).alias("token_share"),
         F.round(
-            F.col("corpus_tokens")
-            / (F.col("n_sources") * F.col("total_tokens")),
-            4,
+            corpus_tokens / (n_sources * F.col("total_tokens")), 4
         ).alias("mix_weight"),
     )
 

@@ -224,3 +224,18 @@ def test_domain_mix_weights_rebalance_to_uniform(spark, sf_dir):
         assert abs(r.token_share - round(r.total_tokens / total, 4)) < 1e-9
     # Shares partition the corpus.
     assert abs(sum(r.token_share for r in rows) - 1.0) < 1e-2
+
+
+def test_domain_mix_single_corpus_scan(spark, sf_dir):
+    """The corpus totals must derive from the per-source aggregate's
+    |S| rows, never from a second scan+tokenization of the corpus (the
+    self-join totals formulation costs a genuine 2x at scale)."""
+    from simple_query_engine_spark.operators.pipeline import (
+        q_pipeline_domain_mix,
+    )
+
+    plan = (
+        q_pipeline_domain_mix(spark, sf_dir)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("Scan parquet") == 1, plan
