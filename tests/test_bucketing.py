@@ -88,10 +88,12 @@ def test_bucketed_layout_reused_across_processes(spark, sf_dir):
 
     r1 = sorted(map(tuple, q_join_bucketed_revenue(spark, sf_dir).collect()))
     digest = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:10]
-    stat = os.stat(os.path.join(sf_dir, "orders.parquet"))
+    stat_o = os.stat(os.path.join(sf_dir, "orders.parquet"))
+    stat_l = os.stat(os.path.join(sf_dir, "lineitem.parquet"))
     base = os.path.join(
         tempfile.gettempdir(),
-        f"sqe_bucketed_{digest}_{stat.st_size}_{stat.st_mtime_ns}",
+        f"sqe_bucketed_{digest}_{stat_o.st_size}_{stat_o.st_mtime_ns}"
+        f"_{stat_l.st_size}_{stat_l.st_mtime_ns}",
     )
     files = sorted(glob.glob(os.path.join(base, "*", "*.parquet")))
     assert files, base
