@@ -26,17 +26,21 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # priority order (VERDICT r06 "Next round" items 2 and 5):
 #   1. the 4 names displaced from the r06 front (r05 certs): the three
 #      *_python_datasource names + source_orc_roundtrip;
-#   2. the 5 queries added THIS round (REPL SQL passthrough + catalog-mode
+#   2. the 10 queries added THIS round (REPL SQL passthrough + catalog-mode
 #      mini-language dispatch — VERDICT item 5; the Bloom-filter
 #      decontamination variant — VERDICT item 6; domain-mixture
-#      reweighting; per-source attrition report);
+#      reweighting; per-source attrition report; and the five curation.py
+#      second-wave operators: Count-Min sketch, shard assignment, token
+#      quota, PII redaction, MAD anomaly detection);
 #   3. function-level changes this round: the bucketed layout now writes
 #      via materialize_once (race fix + two-source cache tag), the pack-id
 #      stride moved to 2^40, and text_decontamination's shingle derivation
 #      was factored into the shared helper the Bloom variant reuses;
 #   4. the age queue, oldest first: parity ×4 + relational ×27 (r01/r02
-#      certs, five rounds stale — VERDICT item 2), then the oldest 7 of
-#      relational2 (r01).  Still queued for r08+: relational2 ×10,
+#      certs, five rounds stale — VERDICT item 2), then the oldest 2 of
+#      relational2 (r01).  Still queued for r08+: relational2 ×15
+#      (agg_correlation, join_range, pivot_status, sample_hash, agg_stats
+#      displaced by the curation.py additions, plus the original ×10),
 #      relational3 ×4, relational4 ×11, udx ×5, multimodal ×4, dml ×5,
 #      remaining streaming, and the r06-certified bulk.
 # ROUND7_NOTES.md tracks the ledger.
@@ -46,12 +50,17 @@ _ROTATION_FRONT = [
     "stream_python_datasource",
     "sink_python_datasource",
     "source_orc_roundtrip",
-    # --- 2. added this round (5) ---
+    # --- 2. added this round (10) ---
     "repl_sql_passthrough",
     "repl_minilang_catalog",
     "text_decontamination_bloom",
     "pipeline_domain_mix",
     "pipeline_attrition_report",
+    "sketch_countmin_words",
+    "pipeline_shuffle_shards",
+    "pipeline_token_quota",
+    "pipeline_pii_redaction",
+    "events_anomaly_mad",
     # --- 3. function-level changes this round (3) ---
     "join_bucketed_revenue",
     "pipeline_pack_sequences",
@@ -89,14 +98,11 @@ _ROTATION_FRONT = [
     "json_funcs",
     "subquery_above_avg",
     "distinct_rows",
-    # --- 4c. next-oldest: relational2 (7, r01) ---
+    # --- 4c. next-oldest: relational2 (2, r01; the other 5 r01-stale
+    # relational2 names moved to the r08 age queue when the five
+    # curation.py entries joined section 2) ---
     "join_asof",
     "funnel_conversion",
-    "agg_correlation",
-    "join_range",
-    "pivot_status",
-    "sample_hash",
-    "agg_stats",
 ]
 
 
@@ -128,6 +134,7 @@ def all_oracles() -> dict[str, str]:
 
 def _modules():
     from simple_query_engine_spark.operators import (
+        curation,
         dedup,
         dml,
         multimodal,
@@ -162,6 +169,7 @@ def _modules():
         streaming_ops,
         multimodal,
         pipeline,
+        curation,
         udx,
         dml,
         replq,

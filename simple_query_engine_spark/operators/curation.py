@@ -1,0 +1,486 @@
+"""Second-wave curation / observability operators (round 7).
+
+Five operators a production training-data pipeline runs next to the
+curation core in ``pipeline.py``:
+
+- ``sketch_countmin_words``      — Count-Min sketch frequency estimation
+  (the fixed-memory streaming counterpart of ``text_word_freq``).
+- ``pipeline_shuffle_shards``    — deterministic training-shard
+  assignment + balance report (the "global shuffle" step before packing).
+- ``pipeline_token_quota``       — per-source token-budget enforcement
+  (the *application* of the ``pipeline_domain_mix`` weights).
+- ``pipeline_pii_redaction``     — PII detection / redaction accounting
+  over planted emails+phones (the corpus is synthetic word-soup, so the
+  PII is planted deterministically from doc_id, same convention as
+  ``dedup_planted_minhash``).
+- ``events_anomaly_mad``         — median/MAD robust anomaly detection on
+  daily event volumes (pipeline-health observability).
+
+Everything is built-in-function JVM-side code (no Python in any plan) and
+every numeric path is either exact integers or a single float division /
+comparison of exactly-representable values, so all five are hash-exact
+against the DuckDB oracles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from simple_query_engine_spark.functions.hashing import (
+    md5_prefix_long,
+    md5_prefix_long_sql,
+)
+from simple_query_engine_spark.operators.text import _NORM, _documents, _normalized
+from simple_query_engine_spark.sources.catalog import table
+
+# --------------------------------------------------------------------------
+# Count-Min sketch
+# --------------------------------------------------------------------------
+
+CMS_DEPTH = 4  # independent hash rows
+CMS_WIDTH = 256  # buckets per row; 2^20 % 256 == 0 so the md5 slice mods uniformly
+CMS_TOP_K = 20
+
+
+def _cms_pos(word, d: int):
+    """Bucket of ``word`` in sketch row ``d``: 5 hex digits of
+    md5('<d>:<word>') mod CMS_WIDTH — the engine-portable md5 hash family
+    (``functions/hashing.py``), one digest per (row, word)."""
+    digest = F.md5(F.concat(F.lit(f"{d}:"), word))
+    return F.pmod(
+        F.conv(F.substring(digest, 1, 5), 16, 10).cast("long"), F.lit(CMS_WIDTH)
+    )
+
+
+def q_sketch_countmin_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch word-frequency estimation, validated against the
+    exact counts: top-K words with exact count, CMS estimate, and the
+    overcount (est − exact ≥ 0 always; never an undercount).
+
+    Why this operator at 100 TB: exact per-token counting shuffles one
+    row per DISTINCT token (vocabulary can be billions of strings); the
+    sketch aggregates into a FIXED d×w = 4×256 table whatever the corpus
+    or vocabulary size — the streaming-memory answer to "how often does
+    this token appear".  Shape: the cell aggregate is map-side combined
+    (each task emits ≤ d·w cells), the estimate probe joins the top-K
+    words against the BROADCAST ≤ d·w-row sketch, and the top-K itself is
+    TakeOrderedAndProject (per-task heaps, no global sort).  Exact counts
+    ride along here only to expose the estimation error; a pure
+    production run materializes the d×w table alone.
+    """
+    documents = _documents(spark, sf_dir)
+    words = documents.select(
+        F.explode(F.split(_normalized(F.col("text")), " ")).alias("word")
+    )
+    counts = words.groupBy("word").agg(F.count(F.lit(1)).alias("exact_n"))
+
+    cells = (
+        counts.select(
+            "exact_n",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(d).alias("d"),
+                            _cms_pos(F.col("word"), d).alias("pos"),
+                        )
+                        for d in range(CMS_DEPTH)
+                    ]
+                )
+            ).alias("cell"),
+        )
+        .select("exact_n", "cell.d", "cell.pos")
+        .groupBy("d", "pos")
+        .agg(F.sum("exact_n").alias("cell_n"))
+    )
+
+    top = counts.orderBy(F.col("exact_n").desc(), "word").limit(CMS_TOP_K)
+    probes = top.select(
+        "word",
+        "exact_n",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(d).alias("d"), _cms_pos(F.col("word"), d).alias("pos")
+                    )
+                    for d in range(CMS_DEPTH)
+                ]
+            )
+        ).alias("cell"),
+    ).select("word", "exact_n", "cell.d", "cell.pos")
+    return (
+        probes.join(F.broadcast(cells), ["d", "pos"])
+        .groupBy("word", "exact_n")
+        .agg(F.min("cell_n").alias("est_n"))
+        .select(
+            "word",
+            "exact_n",
+            "est_n",
+            (F.col("est_n") - F.col("exact_n")).alias("overcount"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Deterministic shard assignment
+# --------------------------------------------------------------------------
+
+SHUFFLE_SHARDS = 16
+
+
+def q_pipeline_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global-shuffle shard assignment + balance report: each
+    document lands in shard md5(doc_id) mod SHUFFLE_SHARDS, ordered within
+    the shard by the same hash — the "shuffle the corpus, then write N
+    training shards" step, made a pure function of doc_id so retries,
+    engines, and cluster geometries produce byte-identical shards (the
+    property a resumable 100 TB shuffle needs; RNG-state shuffles don't
+    have it).
+
+    The report is the balance check run before committing the layout:
+    docs / token mass / hash range per shard.  Shape: one map-side-
+    combined aggregate, |shards| output rows, no window, no join.
+    """
+    documents = _documents(spark, sf_dir)
+    docs = documents.select(
+        F.size(F.split(_normalized(F.col("text")), " ")).alias("n_tokens"),
+        md5_prefix_long(F.col("doc_id").cast("string"), 8).alias("hash_key"),
+    ).withColumn("shard", F.pmod(F.col("hash_key"), F.lit(SHUFFLE_SHARDS)))
+    return docs.groupBy("shard").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("shard_tokens"),
+        F.min("hash_key").alias("min_hash"),
+        F.max("hash_key").alias("max_hash"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Per-source token-budget quota
+# --------------------------------------------------------------------------
+
+QUOTA_TOKENS = 5_000  # per-source token budget
+QUOTA_SALTS = 8  # phase-1 fan-out inside each source's prefix sum
+
+
+def q_pipeline_token_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source token-budget enforcement: keep each source's documents in
+    deterministic hash order until the source's cumulative token budget is
+    reached (start-offset rule, as ``pipeline_pack_sequences``: a doc is
+    kept iff its tokens_before < QUOTA_TOKENS, so the budget may overshoot
+    by at most one document).  This is the *enforcement* half of
+    ``pipeline_domain_mix``: that operator computes the per-source weights,
+    this one actually caps a source's contribution.
+
+    Scale shape — hierarchical prefix sum: a single window partitioned by
+    source funnels each source's whole slice through one reducer task (a
+    boilerplate-heavy domain can be 10+ TB on its own).  Instead the
+    global per-source order is defined as (salt, hash, doc_id) with
+    salt = doc_id mod QUOTA_SALTS, and the prefix sum decomposes exactly:
+    phase 1 computes within-(source, salt) running sums in parallel;
+    phase 2 computes each salt's starting offset from the |sources|×|salts|
+    per-salt totals (a window over that TINY aggregate, broadcast back).
+    tokens_before = salt_offset + within_salt_running − n_tokens, identical
+    to the one-window result — which is exactly what the one-window SQL
+    oracle (and ``tests/test_curation.py``'s one-window Spark twin)
+    verifies.  Per-source parallelism is |salts|, a dial.
+    """
+    documents = table(spark, sf_dir, "documents")
+    docs = documents.select(
+        "doc_id",
+        "source",
+        F.size(F.split(_normalized(F.col("text")), " ")).alias("n_tokens"),
+        md5_prefix_long(F.col("doc_id").cast("string"), 8).alias("hash_key"),
+        F.pmod(F.col("doc_id"), F.lit(QUOTA_SALTS)).alias("salt"),
+    )
+    within = (
+        Window.partitionBy("source", "salt")
+        .orderBy("hash_key", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    phase1 = docs.withColumn("running", F.sum("n_tokens").over(within))
+    salt_totals = docs.groupBy("source", "salt").agg(
+        F.sum("n_tokens").alias("salt_tokens")
+    )
+    offsets = salt_totals.select(
+        "source",
+        "salt",
+        (
+            F.sum("salt_tokens")
+            .over(
+                Window.partitionBy("source")
+                .orderBy("salt")
+                .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            )
+            - F.col("salt_tokens")
+        ).alias("salt_offset"),
+    )
+    kept = (
+        phase1.join(F.broadcast(offsets), ["source", "salt"])
+        .withColumn(
+            "tokens_before", F.col("salt_offset") + F.col("running") - F.col("n_tokens")
+        )
+        .filter(F.col("tokens_before") < QUOTA_TOKENS)
+    )
+    return kept.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.sum("n_tokens").alias("tokens_kept"),
+    )
+
+
+# --------------------------------------------------------------------------
+# PII detection / redaction accounting
+# --------------------------------------------------------------------------
+
+# Patterns stay in the regex subset Java and RE2 interpret identically:
+# character classes, +, {n} — no backslash escapes ('.' is matched via a
+# character class), no lookaround, no word boundaries.
+EMAIL_RE = "[a-z0-9]+@[a-z0-9]+[.][a-z]+"
+PHONE_RE = "555-[0-9]{4}"
+PII_EMAIL_MOD = 7  # doc_id % 7 == 0 → an email is planted
+PII_PHONE_MOD = 11  # doc_id % 11 == 0 → a phone number is planted
+
+
+def _pii_text():
+    """The corpus text with deterministically planted PII (the testdata is
+    synthetic word-soup with no real PII): docs with doc_id divisible by
+    PII_EMAIL_MOD gain an email, by PII_PHONE_MOD a phone number — the
+    planted-pattern convention of ``dedup_planted_minhash``, so both
+    engines scan byte-identical inputs and recall is checkable."""
+    email = F.when(
+        F.col("doc_id") % PII_EMAIL_MOD == 0,
+        F.concat(
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@mail.example.com now"),
+        ),
+    ).otherwise(F.lit(""))
+    phone = F.when(
+        F.col("doc_id") % PII_PHONE_MOD == 0,
+        F.concat(
+            F.lit(" call 555-"),
+            F.lpad((F.col("doc_id") % 10_000).cast("string"), 4, "0"),
+            F.lit(" today"),
+        ),
+    ).otherwise(F.lit(""))
+    return F.concat(F.col("text"), email, phone)
+
+
+def q_pipeline_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub accounting: per document, how many emails / phone numbers
+    were found, and a fingerprint of the REDACTED text proving both engines
+    produced the identical scrubbed output (the fingerprint is what a
+    production pipeline writes to its audit log next to the redacted copy).
+
+    Shape at 100 TB: a pure per-row map — regexp count + replace inside
+    whole-stage codegen, no shuffle at all; scales with scan splits.
+    """
+    documents = _documents(spark, sf_dir)
+    pii = _pii_text()
+    redacted = F.regexp_replace(
+        F.regexp_replace(pii, EMAIL_RE, "[EMAIL]"), PHONE_RE, "[PHONE]"
+    )
+    return documents.select(
+        "doc_id",
+        F.size(F.expr(f"regexp_extract_all({_PII_TEXT_SQL_SPARK}, '{EMAIL_RE}', 0)")).alias(
+            "n_emails"
+        ),
+        F.size(F.expr(f"regexp_extract_all({_PII_TEXT_SQL_SPARK}, '{PHONE_RE}', 0)")).alias(
+            "n_phones"
+        ),
+        F.substring(F.md5(redacted), 1, 16).alias("redacted_fp"),
+    )
+
+
+# The planted-PII text as a SQL expression usable in BOTH engines'
+# dialects (concat/CASE/lpad/% behave identically); the Spark DataFrame
+# side uses the Column twin ``_pii_text`` for regexp_replace and this
+# string form where regexp_extract_all needs F.expr.
+_PII_TEXT_SQL = (
+    "concat(text, "
+    f"CASE WHEN doc_id % {PII_EMAIL_MOD} = 0 THEN "
+    "concat(' contact user', CAST(doc_id AS VARCHAR), '@mail.example.com now') "
+    "ELSE '' END, "
+    f"CASE WHEN doc_id % {PII_PHONE_MOD} = 0 THEN "
+    f"concat(' call 555-', lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0'), ' today') "
+    "ELSE '' END)"
+)
+_PII_TEXT_SQL_SPARK = _PII_TEXT_SQL.replace("VARCHAR", "STRING")
+
+
+# --------------------------------------------------------------------------
+# Robust anomaly detection (median / MAD)
+# --------------------------------------------------------------------------
+
+MAD_K = 3.0  # flag days deviating more than 3 MADs from the median
+
+
+def q_events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median/MAD anomaly detection on daily event volumes, per event type:
+    a day is anomalous when |count − median| > 3·MAD (the robust z-score a
+    pipeline-health monitor uses — mean/stddev would let the anomaly
+    inflate its own threshold).
+
+    Exactness: daily counts are integers; the exact median of integers is
+    k or k+0.5 (both binary-exact doubles), deviations are differences of
+    exact values, and the MAD is a median of those — so the 3·MAD
+    comparison is deterministic across engines, no tolerance needed.
+
+    Shape at 100 TB: the corpus-scale work is ONE map-side-combined
+    count to |types|×|days| rows; the medians, deviations and flags all
+    run on that tiny aggregate (broadcast joins), which is why exact
+    medians are affordable here — the percentile runs over bounded
+    cardinality, not the event stream.
+    """
+    events = table(spark, sf_dir, "events")
+    daily = events.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    med = daily.groupBy("event_type").agg(
+        F.percentile("n_events", F.lit(0.5)).alias("med")
+    )
+    dev = daily.join(F.broadcast(med), "event_type").withColumn(
+        "dev", F.abs(F.col("n_events") - F.col("med"))
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.percentile("dev", F.lit(0.5)).alias("mad")
+    )
+    flagged = dev.join(F.broadcast(mad), "event_type")
+    return flagged.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.round(F.max("med"), 1).alias("med_daily"),
+        F.round(F.max("mad"), 1).alias("mad_daily"),
+        F.sum((F.col("dev") > MAD_K * F.col("mad")).cast("int")).alias("n_anomalies"),
+    )
+
+
+QUERIES = {
+    "sketch_countmin_words": q_sketch_countmin_words,
+    "pipeline_shuffle_shards": q_pipeline_shuffle_shards,
+    "pipeline_token_quota": q_pipeline_token_quota,
+    "pipeline_pii_redaction": q_pipeline_pii_redaction,
+    "events_anomaly_mad": q_events_anomaly_mad,
+}
+
+_hash8_sql = md5_prefix_long_sql("CAST(doc_id AS VARCHAR)", 8)
+
+# DuckDB twin of _cms_pos for row d over column ``word``.
+def _cms_pos_sql(d: int) -> str:
+    return (
+        f"(CAST('0x' || substr(md5('{d}:' || word), 1, 5) AS BIGINT)"
+        f" % {CMS_WIDTH})"
+    )
+
+
+assert CMS_DEPTH == 4  # the CMS oracle spells out four position expressions
+
+ORACLES = {
+    "sketch_countmin_words": f"""
+        WITH words AS (
+            SELECT unnest(string_split({_NORM}, ' ')) AS word FROM documents
+        ), counts AS (
+            SELECT word, COUNT(*) AS exact_n FROM words GROUP BY word
+        ), cells AS (
+            SELECT d, CASE d
+                        WHEN 0 THEN {_cms_pos_sql(0)}
+                        WHEN 1 THEN {_cms_pos_sql(1)}
+                        WHEN 2 THEN {_cms_pos_sql(2)}
+                        ELSE {_cms_pos_sql(3)} END AS pos,
+                   CAST(SUM(exact_n) AS BIGINT) AS cell_n
+            FROM counts, (SELECT unnest([0, 1, 2, 3]) AS d)
+            GROUP BY 1, 2
+        ), top AS (
+            SELECT word, exact_n FROM counts
+            ORDER BY exact_n DESC, word LIMIT {CMS_TOP_K}
+        ), probes AS (
+            SELECT word, exact_n, d, CASE d
+                        WHEN 0 THEN {_cms_pos_sql(0)}
+                        WHEN 1 THEN {_cms_pos_sql(1)}
+                        WHEN 2 THEN {_cms_pos_sql(2)}
+                        ELSE {_cms_pos_sql(3)} END AS pos
+            FROM top, (SELECT unnest([0, 1, 2, 3]) AS d)
+        )
+        SELECT p.word, CAST(p.exact_n AS BIGINT) AS exact_n,
+               MIN(c.cell_n) AS est_n,
+               MIN(c.cell_n) - CAST(p.exact_n AS BIGINT) AS overcount
+        FROM probes p JOIN cells c USING (d, pos)
+        GROUP BY p.word, p.exact_n
+    """,
+    "pipeline_shuffle_shards": f"""
+        WITH docs AS (
+            SELECT len(string_split({_NORM}, ' ')) AS n_tokens,
+                   {_hash8_sql} AS hash_key
+            FROM documents
+        )
+        SELECT hash_key % {SHUFFLE_SHARDS} AS shard,
+               COUNT(*) AS n_docs,
+               CAST(SUM(n_tokens) AS BIGINT) AS shard_tokens,
+               MIN(hash_key) AS min_hash,
+               MAX(hash_key) AS max_hash
+        FROM docs GROUP BY 1
+    """,
+    # One-window form: the Spark side's salted two-phase prefix sum must
+    # equal this exactly (same global (salt, hash, doc_id) order).
+    "pipeline_token_quota": f"""
+        WITH docs AS (
+            SELECT doc_id, source,
+                   len(string_split({_NORM}, ' ')) AS n_tokens,
+                   {_hash8_sql} AS hash_key,
+                   doc_id % {QUOTA_SALTS} AS salt
+            FROM documents
+        ), ordered AS (
+            SELECT source, n_tokens,
+                   CAST(SUM(n_tokens) OVER (
+                       PARTITION BY source ORDER BY salt, hash_key, doc_id
+                       ROWS UNBOUNDED PRECEDING) AS BIGINT) - n_tokens
+                       AS tokens_before
+            FROM docs
+        )
+        SELECT source, COUNT(*) AS n_kept,
+               CAST(SUM(n_tokens) AS BIGINT) AS tokens_kept
+        FROM ordered WHERE tokens_before < {QUOTA_TOKENS}
+        GROUP BY source
+    """,
+    "pipeline_pii_redaction": f"""
+        WITH pii AS (
+            SELECT doc_id, {_PII_TEXT_SQL} AS pii_text FROM documents
+        )
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(pii_text, '{EMAIL_RE}')) AS INT)
+                   AS n_emails,
+               CAST(len(regexp_extract_all(pii_text, '{PHONE_RE}')) AS INT)
+                   AS n_phones,
+               substr(md5(regexp_replace(
+                   regexp_replace(pii_text, '{EMAIL_RE}', '[EMAIL]', 'g'),
+                   '{PHONE_RE}', '[PHONE]', 'g')), 1, 16) AS redacted_fp
+        FROM pii
+    """,
+    "events_anomaly_mad": f"""
+        WITH daily AS (
+            SELECT event_type, CAST(ts AS DATE) AS day,
+                   COUNT(*) AS n_events
+            FROM events GROUP BY 1, 2
+        ), med AS (
+            SELECT event_type, quantile_cont(n_events, 0.5) AS med
+            FROM daily GROUP BY event_type
+        ), dev AS (
+            SELECT d.event_type, ABS(d.n_events - m.med) AS dev
+            FROM daily d JOIN med m USING (event_type)
+        ), mad AS (
+            SELECT event_type, quantile_cont(dev, 0.5) AS mad
+            FROM dev GROUP BY event_type
+        )
+        SELECT d.event_type,
+               COUNT(*) AS n_days,
+               ROUND(MAX(m.med), 1) AS med_daily,
+               ROUND(MAX(a.mad), 1) AS mad_daily,
+               CAST(SUM(CASE WHEN d.dev > {MAD_K} * a.mad THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_anomalies
+        FROM dev d
+        JOIN med m USING (event_type)
+        JOIN mad a USING (event_type)
+        GROUP BY d.event_type
+    """,
+}

@@ -1,0 +1,135 @@
+"""Invariants for the curation.py second-wave operators.
+
+The cross-engine value check lives in the oracle gate; these tests pin
+the properties the gate can't see: sketch one-sidedness, the hierarchical
+prefix-sum equivalence, planted-PII recall, and the MAD math against an
+independent numpy recomputation.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from simple_query_engine_spark.operators.curation import (
+    PII_EMAIL_MOD,
+    PII_PHONE_MOD,
+    QUOTA_SALTS,
+    QUOTA_TOKENS,
+    SHUFFLE_SHARDS,
+    _normalized,
+    _pii_text,
+    q_events_anomaly_mad,
+    q_pipeline_pii_redaction,
+    q_pipeline_shuffle_shards,
+    q_pipeline_token_quota,
+    q_sketch_countmin_words,
+)
+from simple_query_engine_spark.operators.text import q_word_freq
+
+
+def test_countmin_never_undercounts_and_matches_exact_topk(spark, sf_dir):
+    rows = q_sketch_countmin_words(spark, sf_dir).collect()
+    assert len(rows) == 20
+    for r in rows:
+        assert r.est_n >= r.exact_n, r
+        assert r.overcount == r.est_n - r.exact_n
+    # The top-K words and exact counts agree with the independent
+    # text_word_freq operator (same normalization, same tie-break).
+    freq = {r[0]: r[1] for r in q_word_freq(spark, sf_dir).collect()}
+    assert {r.word: r.exact_n for r in rows} == freq
+
+
+def test_token_quota_matches_single_window(spark, sf_dir):
+    """The salted two-phase prefix sum must equal the naive one-window
+    plan exactly (same global (salt, hash, doc_id) order)."""
+    from simple_query_engine_spark.functions.hashing import md5_prefix_long
+    from simple_query_engine_spark.sources.catalog import table
+
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.size(F.split(_normalized(F.col("text")), " ")).alias("n_tokens"),
+        md5_prefix_long(F.col("doc_id").cast("string"), 8).alias("hash_key"),
+        F.pmod(F.col("doc_id"), F.lit(QUOTA_SALTS)).alias("salt"),
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("salt", "hash_key", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    naive = (
+        docs.withColumn(
+            "tokens_before", F.sum("n_tokens").over(w) - F.col("n_tokens")
+        )
+        .filter(F.col("tokens_before") < QUOTA_TOKENS)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.sum("n_tokens").alias("tokens_kept"),
+        )
+    )
+    got = sorted(map(tuple, q_pipeline_token_quota(spark, sf_dir).collect()))
+    assert got == sorted(map(tuple, naive.collect()))
+    # Budget semantics: each source stops within one document of the quota.
+    for _, n_kept, tokens_kept in got:
+        assert n_kept >= 1
+
+
+def test_shuffle_shards_partition_the_corpus(spark, sf_dir):
+    from simple_query_engine_spark.sources.catalog import table
+
+    rows = q_pipeline_shuffle_shards(spark, sf_dir).collect()
+    assert all(0 <= r.shard < SHUFFLE_SHARDS for r in rows)
+    total = table(spark, sf_dir, "documents").count()
+    assert sum(r.n_docs for r in rows) == total
+    assert all(r.min_hash <= r.max_hash for r in rows)
+
+
+def test_pii_redaction_recall_and_scrub(spark, sf_dir):
+    rows = q_pipeline_pii_redaction(spark, sf_dir).collect()
+    for r in rows:
+        assert r.n_emails == (1 if r.doc_id % PII_EMAIL_MOD == 0 else 0), r
+        assert r.n_phones == (1 if r.doc_id % PII_PHONE_MOD == 0 else 0), r
+    # The redacted text itself (not just the fingerprint) contains no PII.
+    from simple_query_engine_spark.operators.curation import EMAIL_RE, PHONE_RE
+    from simple_query_engine_spark.sources.catalog import table
+
+    redacted = table(spark, sf_dir, "documents").select(
+        F.regexp_replace(
+            F.regexp_replace(_pii_text(), EMAIL_RE, "[EMAIL]"),
+            PHONE_RE,
+            "[PHONE]",
+        ).alias("clean")
+    )
+    leftovers = redacted.filter(
+        F.col("clean").rlike(EMAIL_RE) | F.col("clean").rlike(PHONE_RE)
+    ).count()
+    assert leftovers == 0
+
+
+def test_anomaly_mad_against_numpy(spark, sf_dir):
+    from simple_query_engine_spark.sources.catalog import table
+
+    daily = (
+        table(spark, sf_dir, "events")
+        .groupBy("event_type", F.to_date("ts").alias("day"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    by_type: dict[str, list[int]] = {}
+    for r in daily:
+        by_type.setdefault(r.event_type, []).append(r.n)
+    got = {r.event_type: r for r in q_events_anomaly_mad(spark, sf_dir).collect()}
+    assert set(got) == set(by_type)
+    for t, counts in by_type.items():
+        arr = np.array(sorted(counts), dtype=float)
+        med = float(np.median(arr))
+        dev = np.abs(arr - med)
+        mad = float(np.median(np.sort(dev)))
+        r = got[t]
+        assert r.n_days == len(counts)
+        assert r.med_daily == round(med, 1)
+        assert r.mad_daily == round(mad, 1)
+        assert r.n_anomalies == int((dev > 3.0 * mad).sum())
