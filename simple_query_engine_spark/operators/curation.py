@@ -329,25 +329,30 @@ def q_events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     comparison is deterministic across engines, no tolerance needed.
 
     Shape at 100 TB: the corpus-scale work is ONE map-side-combined
-    count to |types|×|days| rows; the medians, deviations and flags all
-    run on that tiny aggregate (broadcast joins), which is why exact
-    medians are affordable here — the percentile runs over bounded
-    cardinality, not the event stream.
+    count to |types|×|days| rows — and it must run ONCE: the natural
+    "aggregate med, join back, aggregate mad, join back" phrasing makes
+    Catalyst re-expand the daily rollup under every branch (measured: 8
+    parquet scans of the event stream, zero exchange reuse — the
+    ``pipeline_domain_mix`` lesson again).  Instead the medians are
+    WINDOW aggregates over the daily rollup (partitioned by type,
+    whole-partition frame): one scan, one corpus-scale shuffle, and the
+    windows serialize only per-type day counts (bounded by the calendar,
+    not the stream).  Exact medians are affordable for the same reason —
+    the percentile runs over bounded cardinality.
     """
     events = table(spark, sf_dir, "events")
     daily = events.groupBy(
         "event_type", F.to_date("ts").alias("day")
     ).agg(F.count(F.lit(1)).alias("n_events"))
-    med = daily.groupBy("event_type").agg(
-        F.percentile("n_events", F.lit(0.5)).alias("med")
+    by_type = Window.partitionBy("event_type").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
     )
-    dev = daily.join(F.broadcast(med), "event_type").withColumn(
-        "dev", F.abs(F.col("n_events") - F.col("med"))
+    dev = daily.withColumn(
+        "med", F.percentile("n_events", F.lit(0.5)).over(by_type)
+    ).withColumn("dev", F.abs(F.col("n_events") - F.col("med")))
+    flagged = dev.withColumn(
+        "mad", F.percentile("dev", F.lit(0.5)).over(by_type)
     )
-    mad = dev.groupBy("event_type").agg(
-        F.percentile("dev", F.lit(0.5)).alias("mad")
-    )
-    flagged = dev.join(F.broadcast(mad), "event_type")
     return flagged.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n_days"),
         F.round(F.max("med"), 1).alias("med_daily"),
