@@ -37,12 +37,12 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 #      stride moved to 2^40, and text_decontamination's shingle derivation
 #      was factored into the shared helper the Bloom variant reuses;
 #   4. the age queue, oldest first: parity ×4 + relational ×27 (r01/r02
-#      certs, five rounds stale — VERDICT item 2), then the oldest 2 of
-#      relational2 (r01).  Still queued for r08+: relational2 ×15
-#      (agg_correlation, join_range, pivot_status, sample_hash, agg_stats
-#      displaced by the curation.py additions, plus the original ×10),
-#      relational3 ×4, relational4 ×11, udx ×5, multimodal ×4, dml ×5,
-#      remaining streaming, and the r06-certified bulk.
+#      certs, five rounds stale — VERDICT item 2).  Still queued for
+#      r08+: relational2 ×17 (join_asof, funnel_conversion,
+#      agg_correlation, join_range, pivot_status, sample_hash, agg_stats
+#      displaced by the seven new-query additions, plus the original
+#      ×10), relational3 ×4, relational4 ×11, udx ×5, multimodal ×4,
+#      dml ×5, remaining streaming, and the r06-certified bulk.
 # ROUND7_NOTES.md tracks the ledger.
 _ROTATION_FRONT = [
     # --- 1. displaced from the r06 front (4) ---
@@ -50,7 +50,7 @@ _ROTATION_FRONT = [
     "stream_python_datasource",
     "sink_python_datasource",
     "source_orc_roundtrip",
-    # --- 2. added this round (10) ---
+    # --- 2. added this round (12) ---
     "repl_sql_passthrough",
     "repl_minilang_catalog",
     "text_decontamination_bloom",
@@ -61,6 +61,8 @@ _ROTATION_FRONT = [
     "pipeline_token_quota",
     "pipeline_pii_redaction",
     "events_anomaly_mad",
+    "dedup_lsh_quality",
+    "stats_column_profile",
     # --- 3. function-level changes this round (3) ---
     "join_bucketed_revenue",
     "pipeline_pack_sequences",
@@ -98,11 +100,10 @@ _ROTATION_FRONT = [
     "json_funcs",
     "subquery_above_avg",
     "distinct_rows",
-    # --- 4c. next-oldest: relational2 (2, r01; the other 5 r01-stale
-    # relational2 names moved to the r08 age queue when the five
-    # curation.py entries joined section 2) ---
-    "join_asof",
-    "funnel_conversion",
+    # (the 7 r01-stale relational2 names that briefly held section 4c —
+    # join_asof, funnel_conversion, agg_correlation, join_range,
+    # pivot_status, sample_hash, agg_stats — moved to the FRONT of the
+    # r08 age queue when the seven new-query entries joined section 2)
 ]
 
 

@@ -794,6 +794,52 @@ def q_dedup_clusters_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _cluster_components(pairs)
 
 
+def q_dedup_lsh_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-accuracy audit: how well the banded MinHash estimate tracks the
+    exact n-gram Jaccard at the same threshold — pair-set sizes, overlap,
+    and the max/mean |estimate − exact| over the matched pairs, in one row.
+
+    Production near-dup pipelines ship this audit next to every threshold
+    change: it is the measured answer to "what did switching to LSH cost
+    in accuracy".  The exact side is the guarded ground-truth baseline
+    (``_cap_shingle_df``), so this operator is an offline QUALITY AUDIT
+    run on a sample/SF of the corpus, not a production-scale path — at
+    100 TB the exact side is the part that must stay sampled, and both
+    pair sets are near-dup-pair-count-sized (quadratic in nothing).
+
+    Determinism: per-pair error is quantized to 1e-4 units first (one
+    float op on two already-4-decimal values, never near a rounding
+    boundary), summed exactly as integers, and divided once — the
+    quantized-ln trick of ``text_unigram_surprisal`` applied to error
+    accounting.
+    """
+    est = q_dedup_minhash_lsh(spark, sf_dir)
+    exact = q_dedup_ngram_jaccard(spark, sf_dir).select(
+        "doc_id_a", "doc_id_b", "jaccard"
+    )
+    both = est.join(exact, ["doc_id_a", "doc_id_b"], "full_outer")
+    matched = F.col("est_jaccard").isNotNull() & F.col("jaccard").isNotNull()
+    err_e4 = F.round(
+        F.abs(F.col("est_jaccard") - F.col("jaccard")) * 10_000, 0
+    ).cast("long")
+    agg = both.agg(
+        F.sum(F.col("est_jaccard").isNotNull().cast("int")).alias("n_lsh_pairs"),
+        F.sum(F.col("jaccard").isNotNull().cast("int")).alias("n_exact_pairs"),
+        F.sum(matched.cast("int")).alias("n_matched"),
+        F.max(F.when(matched, err_e4)).alias("max_abs_err_e4"),
+        F.sum(F.when(matched, err_e4)).alias("sum_abs_err_e4"),
+    )
+    return agg.select(
+        "n_lsh_pairs",
+        "n_exact_pairs",
+        "n_matched",
+        "max_abs_err_e4",
+        F.round(
+            F.col("sum_abs_err_e4") / F.col("n_matched") / 10_000.0, 6
+        ).alias("mean_abs_err"),
+    )
+
+
 QUERIES = {
     "dedup_exact": q_dedup_exact,
     "dedup_clusters": q_dedup_clusters,
@@ -804,6 +850,7 @@ QUERIES = {
     "dedup_incremental_minhash": q_dedup_incremental_minhash,
     "dedup_containment_planted": q_dedup_containment_planted,
     "dedup_simhash": q_dedup_simhash,
+    "dedup_lsh_quality": q_dedup_lsh_quality,
     "text_dup_ngram_coverage": q_dup_ngram_coverage,
 }
 
@@ -1077,7 +1124,12 @@ ORACLES = {
                COUNT(*) AS dup_count
         FROM documents GROUP BY md5(text)
     """,
-    "dedup_ngram_jaccard": f"""
+    "dedup_ngram_jaccard": None,  # assigned below from _NGRAM_JACCARD_SQL
+}
+
+# Full exact-Jaccard pair query (with scores) — the ngram_jaccard oracle,
+# also the exact side of the dedup_lsh_quality audit.
+_NGRAM_JACCARD_SQL = f"""
         WITH {_SH_CTES}, sizes AS (
             SELECT doc_id, COUNT(*) AS set_size FROM sh GROUP BY doc_id
         ), pairs AS (
@@ -1094,5 +1146,32 @@ ORACLES = {
         JOIN sizes sb ON doc_id_b = sb.doc_id
         WHERE ROUND(common_shingles * 1.0
                     / (sa.set_size + sb.set_size - common_shingles), 4) >= {JACCARD_THRESHOLD}
-    """,
-}
+"""
+ORACLES["dedup_ngram_jaccard"] = _NGRAM_JACCARD_SQL
+
+_LSH_QUALITY_ERR = "CAST(ROUND(ABS(est_jaccard - jaccard) * 10000, 0) AS BIGINT)"
+ORACLES["dedup_lsh_quality"] = f"""
+        WITH est AS ({_minhash_oracle_sql()}),
+        exact AS ({_NGRAM_JACCARD_SQL}),
+        joined AS (
+            SELECT est_jaccard, jaccard,
+                   (est_jaccard IS NOT NULL AND jaccard IS NOT NULL) AS matched
+            FROM est FULL OUTER JOIN exact USING (doc_id_a, doc_id_b)
+        ), agg AS (
+            SELECT CAST(SUM(CASE WHEN est_jaccard IS NOT NULL THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_lsh_pairs,
+                   CAST(SUM(CASE WHEN jaccard IS NOT NULL THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_exact_pairs,
+                   CAST(SUM(CASE WHEN matched THEN 1 ELSE 0 END) AS BIGINT)
+                        AS n_matched,
+                   MAX(CASE WHEN matched THEN {_LSH_QUALITY_ERR} END)
+                        AS max_abs_err_e4,
+                   SUM(CASE WHEN matched THEN {_LSH_QUALITY_ERR} END)
+                        AS sum_abs_err_e4
+            FROM joined
+        )
+        SELECT n_lsh_pairs, n_exact_pairs, n_matched, max_abs_err_e4,
+               ROUND(CAST(sum_abs_err_e4 AS DOUBLE) / n_matched / 10000.0, 6)
+                   AS mean_abs_err
+        FROM agg
+"""

@@ -259,6 +259,63 @@ def q_agg_percentiles_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Columns profiled by stats_column_profile: one of each storage kind whose
+# to-string rendering is byte-identical across engines (bigint, int,
+# double-with-small-magnitude, varchar, timestamp).
+_PROFILE_COLS = [
+    "l_orderkey",
+    "l_linenumber",
+    "l_quantity",
+    "l_discount",
+    "l_returnflag",
+    "l_shipdate",
+]
+
+
+def q_stats_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE-TABLE-style column profiling: per column, row count, null
+    count, EXACT distinct count, and min/max (rendered as strings so one
+    result schema covers every column type) — the statistics a cost-based
+    optimizer or a data-quality monitor collects per table.
+
+    Shape at 100 TB: ONE scan — the multi-column COUNT(DISTINCT) compiles
+    to a single Expand-based aggregate (rows multiply by |columns| inside
+    the stage, map-side partial aggregation collapses them before the
+    shuffle), and min/max/count are plain partial aggregates riding the
+    same pass; the stack() unpivot reshapes the single wide row at the
+    end.  Exact NDV is the audit path — the cheap production path is
+    approx_count_distinct (``agg_approx_distinct``); both belong in the
+    catalog for the same reason exact and sketch percentiles both do.
+    """
+    lineitem = table(spark, sf_dir, "lineitem")
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c in _PROFILE_COLS:
+        aggs += [
+            F.count(c).alias(f"{c}__nn"),
+            F.countDistinct(c).alias(f"{c}__nd"),
+            F.min(c).cast("string").alias(f"{c}__min"),
+            F.max(c).cast("string").alias(f"{c}__max"),
+        ]
+    wide = lineitem.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', {c}__nn, {c}__nd, {c}__min, {c}__max" for c in _PROFILE_COLS
+    )
+    return wide.select(
+        "n_rows",
+        F.expr(
+            f"stack({len(_PROFILE_COLS)}, {stack_args}) "
+            "AS (column_name, n_notnull, n_distinct, min_val, max_val)"
+        ),
+    ).select(
+        "column_name",
+        "n_rows",
+        (F.col("n_rows") - F.col("n_notnull")).alias("n_nulls"),
+        "n_distinct",
+        "min_val",
+        "max_val",
+    )
+
+
 QUERIES = {
     "conditional_funcs": q_conditional_funcs,
     "agg_percentiles_exact": q_agg_percentiles_exact,
@@ -271,9 +328,34 @@ QUERIES = {
     "unpivot_metrics": q_unpivot_metrics,
     "join_lateral_topn": q_join_lateral_topn,
     "agg_hll_union": q_agg_hll_union,
+    "stats_column_profile": q_stats_column_profile,
 }
 
+
+def _profile_oracle_sql() -> str:
+    """DuckDB twin of q_stats_column_profile: one wide aggregate CTE, one
+    UNION ALL branch per profiled column."""
+    wide = ["COUNT(*) AS n_rows"]
+    for c in _PROFILE_COLS:
+        wide += [
+            f"COUNT({c}) AS {c}__nn",
+            f"COUNT(DISTINCT {c}) AS {c}__nd",
+            f"CAST(MIN({c}) AS VARCHAR) AS {c}__min",
+            f"CAST(MAX({c}) AS VARCHAR) AS {c}__max",
+        ]
+    branches = "\n        UNION ALL ".join(
+        f"SELECT '{c}' AS column_name, n_rows, n_rows - {c}__nn AS n_nulls, "
+        f"{c}__nd AS n_distinct, {c}__min AS min_val, {c}__max AS max_val FROM a"
+        for c in _PROFILE_COLS
+    )
+    return f"""
+        WITH a AS (SELECT {", ".join(wide)} FROM lineitem)
+        {branches}
+    """
+
+
 ORACLES = {
+    "stats_column_profile": _profile_oracle_sql(),
     "agg_percentiles_exact": """
         SELECT l_returnflag,
                COUNT(*) AS n_rows,

@@ -1,0 +1,60 @@
+"""Invariants for dedup_lsh_quality and stats_column_profile (the
+cross-engine values are pinned by the oracle gate; these pin internal
+consistency against independently computed ground truth)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from simple_query_engine_spark.operators.dedup import (
+    q_dedup_lsh_quality,
+    q_dedup_minhash_lsh,
+    q_dedup_ngram_jaccard,
+)
+from simple_query_engine_spark.operators.relational4 import (
+    _PROFILE_COLS,
+    q_stats_column_profile,
+)
+from simple_query_engine_spark.sources.catalog import table
+
+
+def test_lsh_quality_reconciles_with_pair_sets(spark, sf_dir):
+    row = q_dedup_lsh_quality(spark, sf_dir).collect()
+    assert len(row) == 1
+    r = row[0]
+    est = {
+        (p.doc_id_a, p.doc_id_b): p.est_jaccard
+        for p in q_dedup_minhash_lsh(spark, sf_dir).collect()
+    }
+    exact = {
+        (p.doc_id_a, p.doc_id_b): p.jaccard
+        for p in q_dedup_ngram_jaccard(spark, sf_dir).collect()
+    }
+    matched = set(est) & set(exact)
+    assert r.n_lsh_pairs == len(est)
+    assert r.n_exact_pairs == len(exact)
+    assert r.n_matched == len(matched)
+    errs = [round(abs(est[k] - exact[k]) * 10_000) for k in matched]
+    assert r.max_abs_err_e4 == max(errs)
+    assert r.mean_abs_err == round(sum(errs) / len(errs) / 10_000.0, 6)
+    # The estimate should track exact Jaccard reasonably at 64 hashes.
+    assert r.mean_abs_err < 0.2
+
+
+def test_column_profile_matches_direct_queries(spark, sf_dir):
+    rows = {r.column_name: r for r in q_stats_column_profile(spark, sf_dir).collect()}
+    assert set(rows) == set(_PROFILE_COLS)
+    lineitem = table(spark, sf_dir, "lineitem")
+    n = lineitem.count()
+    for c in ("l_orderkey", "l_returnflag"):
+        direct = lineitem.agg(
+            F.countDistinct(c).alias("nd"),
+            F.min(c).cast("string").alias("lo"),
+            F.max(c).cast("string").alias("hi"),
+        ).collect()[0]
+        r = rows[c]
+        assert r.n_rows == n
+        assert r.n_nulls == 0
+        assert r.n_distinct == direct.nd
+        assert r.min_val == direct.lo and r.max_val == direct.hi
+    assert rows["l_returnflag"].n_distinct == 3
