@@ -286,8 +286,24 @@ def q_stats_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     end.  Exact NDV is the audit path — the cheap production path is
     approx_count_distinct (``agg_approx_distinct``); both belong in the
     catalog for the same reason exact and sketch percentiles both do.
+
+    Latency note: ~3 s of the local wall time is DRIVER-side planning
+    (the multi-distinct rewrite + codegen of the 25-aggregate plan) —
+    measured constant and data-size-independent (re-collecting the same
+    DataFrame runs in 0.1 s at sf0.1); at 100 TB it is noise against
+    the scan.
     """
-    lineitem = table(spark, sf_dir, "lineitem")
+    # Explicit repartition before the Expand-based aggregate: the local
+    # single-split file would otherwise pin the ×|columns| row expansion
+    # and the distinct hashing to ONE task (measured 8.3 s → ~1 s at
+    # sf0.1 on 32 cores); at scale inputs arrive pre-split and the
+    # repartition only bounds per-task skew (same rationale as
+    # text._documents / dedup._shingles_of).
+    lineitem = (
+        table(spark, sf_dir, "lineitem")
+        .select(*_PROFILE_COLS)
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
     aggs = [F.count(F.lit(1)).alias("n_rows")]
     for c in _PROFILE_COLS:
         aggs += [
