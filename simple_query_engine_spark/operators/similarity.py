@@ -567,8 +567,37 @@ def _ann_lsh_oracle_sql() -> str:
     """
 
 
+def q_sim_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN recall@k audit: per query vector, how many of the exact cosine
+    top-k the IVF path recovered — the metric every ANN deployment tracks
+    when tuning nprobe/cells (the similarity-family twin of
+    ``dedup_lsh_quality``).
+
+    The exact side is the guarded brute-force baseline, so at production
+    scale this audit runs over a SAMPLED query set (|Q| queries × one
+    corpus pass), not per live query; both result sets here are |Q|·k
+    rows, so the reconciliation join is trivially broadcast-sized
+    whatever the corpus.
+    """
+    exact = q_sim_topk_bruteforce(spark, sf_dir).select("query_id", "neighbor_id")
+    approx = q_sim_ivf_topk(spark, sf_dir).select(
+        "query_id", "neighbor_id", F.lit(1).alias("hit")
+    )
+    flagged = exact.join(approx, ["query_id", "neighbor_id"], "left")
+    return flagged.groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("n_exact"),
+        F.sum(F.coalesce(F.col("hit"), F.lit(0))).alias("n_hits"),
+    ).select(
+        "query_id",
+        "n_exact",
+        "n_hits",
+        F.round(F.col("n_hits") / F.col("n_exact"), 4).alias("recall_at_k"),
+    )
+
+
 QUERIES = {
     "sim_topk_bruteforce": q_sim_topk_bruteforce,
+    "sim_recall_audit": q_sim_recall_audit,
     "sim_neardup_pairs_baseline": q_sim_neardup_pairs_baseline,
     "sim_neardup_lsh": q_sim_neardup_lsh,
     "sim_neardup_planted": q_sim_neardup_planted,
@@ -577,8 +606,9 @@ QUERIES = {
     "sim_label_centroids": q_sim_label_centroids,
 }
 
-ORACLES = {
-    "sim_topk_bruteforce": f"""
+# Full brute-force top-k SQL — the sim_topk_bruteforce oracle, also the
+# exact side of sim_recall_audit.
+_BRUTE_TOPK_SQL = f"""
         WITH e AS (
             SELECT vec_id, embedding::DOUBLE[] AS v,
                    sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
@@ -593,7 +623,10 @@ ORACLES = {
                                          ORDER BY similarity DESC, neighbor_id) AS sim_rank
             FROM scored
         ) WHERE sim_rank <= {TOP_K}
-    """,
+"""
+
+ORACLES = {
+    "sim_topk_bruteforce": _BRUTE_TOPK_SQL,
     "sim_neardup_pairs_baseline": f"""
         WITH e AS (
             SELECT vec_id, embedding::DOUBLE[] AS v,
@@ -620,10 +653,21 @@ ORACLES = {
                COUNT(*) AS n_dims
         FROM per_dim GROUP BY label
     """,
-    # sim_ivf_topk is approximate vs brute force but fully DETERMINISTIC
-    # arithmetic (hash-sampled centroids, exact cosine, fixed nprobe) — so
-    # the whole IVF pipeline is SQL-expressible and oracle-checked.
-    "sim_ivf_topk": f"""
+    # LSH entries fully oracle-checked — integer-grid planes over the
+    # floor-scaled embedding make bucket sign bits exact in both engines
+    # (see _int_hyperplanes); no float-ulp bucket flips possible.
+    "sim_ann_lsh": _ann_lsh_oracle_sql(),
+    "sim_neardup_lsh": _neardup_lsh_oracle_sql(),
+    "sim_neardup_planted": _neardup_lsh_oracle_sql(
+        source=_PLANTED_EMB_SQL, threshold=PLANTED_COSINE
+    ),
+}
+
+# sim_ivf_topk is approximate vs brute force but fully DETERMINISTIC
+# arithmetic (hash-sampled centroids, exact cosine, fixed nprobe) — so the
+# whole IVF pipeline is SQL-expressible and oracle-checked; the same SQL is
+# the approximate side of sim_recall_audit.
+_IVF_TOPK_SQL = f"""
         WITH e AS (
             SELECT vec_id, embedding::DOUBLE[] AS v,
                    sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
@@ -656,13 +700,20 @@ ORACLES = {
                                          ORDER BY similarity DESC, neighbor_id) AS sim_rank
             FROM scored
         ) WHERE sim_rank <= {TOP_K}
-    """,
-    # LSH entries fully oracle-checked — integer-grid planes over the
-    # floor-scaled embedding make bucket sign bits exact in both engines
-    # (see _int_hyperplanes); no float-ulp bucket flips possible.
-    "sim_ann_lsh": _ann_lsh_oracle_sql(),
-    "sim_neardup_lsh": _neardup_lsh_oracle_sql(),
-    "sim_neardup_planted": _neardup_lsh_oracle_sql(
-        source=_PLANTED_EMB_SQL, threshold=PLANTED_COSINE
-    ),
-}
+"""
+ORACLES["sim_ivf_topk"] = _IVF_TOPK_SQL
+
+ORACLES["sim_recall_audit"] = f"""
+        WITH exact AS ({_BRUTE_TOPK_SQL}),
+        approx AS ({_IVF_TOPK_SQL})
+        SELECT e.query_id,
+               COUNT(*) AS n_exact,
+               CAST(SUM(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_hits,
+               ROUND(CAST(SUM(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+                          AS DOUBLE) / COUNT(*), 4) AS recall_at_k
+        FROM exact e
+        LEFT JOIN approx a
+          ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+        GROUP BY e.query_id
+"""

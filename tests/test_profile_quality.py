@@ -41,6 +41,31 @@ def test_lsh_quality_reconciles_with_pair_sets(spark, sf_dir):
     assert r.mean_abs_err < 0.2
 
 
+def test_recall_audit_reconciles_with_topk_sets(spark, sf_dir):
+    from simple_query_engine_spark.operators.similarity import (
+        TOP_K,
+        q_sim_ivf_topk,
+        q_sim_recall_audit,
+        q_sim_topk_bruteforce,
+    )
+
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in q_sim_topk_bruteforce(spark, sf_dir).collect()
+    }
+    approx = {
+        (r.query_id, r.neighbor_id) for r in q_sim_ivf_topk(spark, sf_dir).collect()
+    }
+    rows = q_sim_recall_audit(spark, sf_dir).collect()
+    for r in rows:
+        q_exact = {p for p in exact if p[0] == r.query_id}
+        hits = q_exact & approx
+        assert r.n_exact == TOP_K == len(q_exact)
+        assert r.n_hits == len(hits)
+        assert r.recall_at_k == round(len(hits) / TOP_K, 4)
+        assert 0.0 <= r.recall_at_k <= 1.0
+
+
 def test_column_profile_matches_direct_queries(spark, sf_dir):
     rows = {r.column_name: r for r in q_stats_column_profile(spark, sf_dir).collect()}
     assert set(rows) == set(_PROFILE_COLS)
