@@ -36,7 +36,7 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 #      via materialize_once (race fix + two-source cache tag), the pack-id
 #      stride moved to 2^40, and text_decontamination's shingle derivation
 #      was factored into the shared helper the Bloom variant reuses;
-#   4. the age queue, oldest first: parity ×4 + relational ×26 (r01/r02
+#   4. the age queue, oldest first: parity ×4 + relational ×24 (r01/r02
 #      certs, five rounds stale — VERDICT item 2).  Still queued for
 #      r08+: relational2 ×17 (join_asof, funnel_conversion,
 #      agg_correlation, join_range, pivot_status, sample_hash, agg_stats
@@ -50,7 +50,7 @@ _ROTATION_FRONT = [
     "stream_python_datasource",
     "sink_python_datasource",
     "source_orc_roundtrip",
-    # --- 2. added this round (13) ---
+    # --- 2. added this round (15) ---
     "repl_sql_passthrough",
     "repl_minilang_catalog",
     "text_decontamination_bloom",
@@ -64,6 +64,8 @@ _ROTATION_FRONT = [
     "dedup_lsh_quality",
     "stats_column_profile",
     "sim_recall_audit",
+    "text_bigram_surprisal",
+    "pipeline_split_assign",
     # --- 3. function-level changes this round (3) ---
     "join_bucketed_revenue",
     "pipeline_pack_sequences",
@@ -73,7 +75,7 @@ _ROTATION_FRONT = [
     "parity_filter_eq",
     "parity_filter_gt",
     "parity_project_filter_combo",
-    # --- 4b. stalest certs: relational (26, r01/r02) ---
+    # --- 4b. stalest certs: relational (24, r01/r02) ---
     "agg_pricing_summary",
     "agg_count_distinct",
     "agg_having",
@@ -98,10 +100,8 @@ _ROTATION_FRONT = [
     "date_funcs",
     "case_in_between",
     "math_funcs",
-    "json_funcs",
-    "subquery_above_avg",
-    # (distinct_rows moved to the r08 age queue when sim_recall_audit
-    # joined section 2 — 4b now counts 26)
+    # (json_funcs, subquery_above_avg, distinct_rows moved to the r08 age
+    # queue as sections 2 grew to 15 — 4b now counts 24)
     # (the 7 r01-stale relational2 names that briefly held section 4c —
     # join_asof, funnel_conversion, agg_correlation, join_range,
     # pivot_status, sample_hash, agg_stats — moved to the FRONT of the

@@ -231,6 +231,57 @@ def q_pipeline_token_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Deterministic train/val/test split
+# --------------------------------------------------------------------------
+
+SPLIT_TRAIN_PCT = 90
+SPLIT_VAL_PCT = 5  # test gets the remainder
+
+
+def q_pipeline_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test split assignment + the per-split report
+    a dataset release ships: each document lands in the split its
+    md5(doc_id) mod 100 bucket selects (train < 90 ≤ val < 95 ≤ test), so
+    membership is a pure function of doc_id — stable under retries,
+    re-shuffles, corpus growth (old docs never switch splits when new docs
+    arrive), and engines.  The leakage-free property: a doc can never be
+    in two splits by construction, vs. rand()-based splits which reassign
+    on every recomputation.
+
+    Shape at 100 TB: one map-side-combined aggregate to 3 rows; the token
+    shares come from a window over those 3 rows (the
+    ``pipeline_domain_mix`` single-scan pattern).
+    """
+    documents = _documents(spark, sf_dir)
+    bucket = F.pmod(md5_prefix_long(F.col("doc_id").cast("string"), 8), F.lit(100))
+    split = (
+        F.when(bucket < SPLIT_TRAIN_PCT, "train")
+        .when(bucket < SPLIT_TRAIN_PCT + SPLIT_VAL_PCT, "val")
+        .otherwise("test")
+    )
+    per_split = (
+        documents.select(
+            split.alias("split"),
+            F.size(F.split(_normalized(F.col("text")), " ")).alias("n_tokens"),
+        )
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("split_tokens"),
+        )
+    )
+    w = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return per_split.select(
+        "split",
+        "n_docs",
+        "split_tokens",
+        F.round(
+            F.col("split_tokens") / F.sum("split_tokens").over(w), 4
+        ).alias("token_share"),
+    )
+
+
+# --------------------------------------------------------------------------
 # PII detection / redaction accounting
 # --------------------------------------------------------------------------
 
@@ -366,6 +417,7 @@ QUERIES = {
     "pipeline_shuffle_shards": q_pipeline_shuffle_shards,
     "pipeline_token_quota": q_pipeline_token_quota,
     "pipeline_pii_redaction": q_pipeline_pii_redaction,
+    "pipeline_split_assign": q_pipeline_split_assign,
     "events_anomaly_mad": q_events_anomaly_mad,
 }
 
@@ -447,6 +499,26 @@ ORACLES = {
                CAST(SUM(n_tokens) AS BIGINT) AS tokens_kept
         FROM ordered WHERE tokens_before < {QUOTA_TOKENS}
         GROUP BY source
+    """,
+    "pipeline_split_assign": f"""
+        WITH per_split AS (
+            SELECT CASE WHEN {_hash8_sql} % 100 < {SPLIT_TRAIN_PCT} THEN 'train'
+                        WHEN {_hash8_sql} % 100 < {SPLIT_TRAIN_PCT + SPLIT_VAL_PCT}
+                             THEN 'val'
+                        ELSE 'test' END AS split,
+                   len(string_split({_NORM}, ' ')) AS n_tokens
+            FROM documents
+        ), agg AS (
+            SELECT split, COUNT(*) AS n_docs,
+                   CAST(SUM(n_tokens) AS BIGINT) AS split_tokens
+            FROM per_split GROUP BY split
+        ), tot AS (
+            SELECT CAST(SUM(split_tokens) AS BIGINT) AS corpus_tokens FROM agg
+        )
+        SELECT split, n_docs, split_tokens,
+               ROUND(split_tokens / CAST(corpus_tokens AS DOUBLE), 4)
+                   AS token_share
+        FROM agg, tot
     """,
     "pipeline_pii_redaction": f"""
         WITH pii AS (

@@ -361,6 +361,62 @@ def q_text_bigram_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus bigram-LM cross-entropy per document: mean over doc bigrams
+    of −ln p(w2|w1), with p(w2|w1) = n(w1 w2)/n(w1 ·) estimated from the
+    corpus — the conditional-LM step up from ``text_unigram_surprisal``
+    (and the last rung of deterministic LM-quality scoring before an
+    actual neural LM, which is not expressible as exact SQL).
+
+    Same determinism construction as the unigram operator: −ln p
+    decomposes to ln n(w1·) − ln n(w1w2); both lns are quantized to
+    integers (×SURPRISAL_LN_SCALE) at the (tiny) bigram-vocabulary level,
+    per-doc sums run in exact BIGINT arithmetic, one final division.
+    Same shape too: doc×bigram counts aggregate up to a bigram vocabulary
+    (map-side combined), the prefix marginals aggregate the vocabulary
+    again (vocab-sized, not corpus-sized), and the doc⋈vocab join stays
+    unhinted so AQE broadcasts the vocabulary side.  Docs with < 2 words
+    have no bigrams and drop out (both engines).
+    """
+    documents = _documents(spark, sf_dir)
+    scale = SURPRISAL_LN_SCALE
+    base = documents.select(
+        "doc_id", F.split(_normalized(F.col("text")), " ").alias("w")
+    )
+    grams = base.select("doc_id", F.explode(_word_bigrams(F.col("w"))).alias("gram"))
+    doc_gram = grams.groupBy("doc_id", "gram").agg(F.count(F.lit(1)).alias("c"))
+    gram_counts = doc_gram.groupBy("gram").agg(F.sum("c").alias("n_bg"))
+    prefix = (
+        gram_counts.select(F.substring_index("gram", " ", 1).alias("w1"), "n_bg")
+        .groupBy("w1")
+        .agg(F.sum("n_bg").alias("n_w1"))
+    )
+    gram_q = (
+        gram_counts.withColumn("w1", F.substring_index("gram", " ", 1))
+        .join(prefix, "w1")
+        .select(
+            "gram",
+            F.round(F.log(F.col("n_bg").cast("double")) * scale)
+            .cast("long")
+            .alias("s_bg"),
+            F.round(F.log(F.col("n_w1").cast("double")) * scale)
+            .cast("long")
+            .alias("s_w1"),
+        )
+    )
+    per_doc = doc_gram.join(gram_q, "gram").groupBy("doc_id").agg(
+        F.sum("c").alias("n_bigrams"),
+        F.sum(F.col("c") * (F.col("s_w1") - F.col("s_bg"))).alias("sum_s"),
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_bigrams",
+        F.round(
+            F.col("sum_s") / (F.col("n_bigrams") * F.lit(float(scale))), 4
+        ).alias("avg_bigram_surprisal"),
+    )
+
+
 QUERIES = {
     "text_token_count": q_token_count,
     "text_bpe_token_count": q_bpe_token_count,
@@ -372,6 +428,7 @@ QUERIES = {
     "text_length_histogram": q_length_histogram,
     "text_tfidf_top_terms": q_tfidf_top_terms,
     "text_unigram_surprisal": q_unigram_surprisal,
+    "text_bigram_surprisal": q_bigram_surprisal,
     "text_repetition": q_text_repetition,
     "text_bigram_freq": q_text_bigram_freq,
 }
@@ -552,5 +609,43 @@ ORACLES = {
                      / (n_tokens * CAST({SURPRISAL_LN_SCALE} AS DOUBLE)), 4)
                    AS avg_surprisal
         FROM agg, tot
+    """,
+    # Same quantized-ln construction as the unigram oracle; prefix
+    # marginals via split_part (the exact twin of substring_index for
+    # single-space bigram keys).
+    "text_bigram_surprisal": f"""
+        WITH docs AS (
+            SELECT doc_id, {_TOKENS} AS w FROM documents
+        ), g AS (
+            SELECT doc_id,
+                   unnest(list_transform(range(1, len(w)),
+                                         i -> w[i] || ' ' || w[i+1])) AS gram
+            FROM docs WHERE len(w) >= 2
+        ), dg AS (
+            SELECT doc_id, gram, COUNT(*) AS c FROM g GROUP BY doc_id, gram
+        ), bg AS (
+            SELECT gram, CAST(SUM(c) AS BIGINT) AS n_bg FROM dg GROUP BY gram
+        ), pre AS (
+            SELECT split_part(gram, ' ', 1) AS w1,
+                   CAST(SUM(n_bg) AS BIGINT) AS n_w1
+            FROM bg GROUP BY 1
+        ), gq AS (
+            SELECT gram,
+                   CAST(ROUND(ln(CAST(n_bg AS DOUBLE)) * {SURPRISAL_LN_SCALE})
+                        AS BIGINT) AS s_bg,
+                   CAST(ROUND(ln(CAST(n_w1 AS DOUBLE)) * {SURPRISAL_LN_SCALE})
+                        AS BIGINT) AS s_w1
+            FROM bg JOIN pre ON split_part(bg.gram, ' ', 1) = pre.w1
+        ), agg AS (
+            SELECT doc_id,
+                   CAST(SUM(c) AS BIGINT) AS n_bigrams,
+                   CAST(SUM(c * (s_w1 - s_bg)) AS BIGINT) AS sum_s
+            FROM dg JOIN gq USING (gram) GROUP BY doc_id
+        )
+        SELECT doc_id,
+               n_bigrams,
+               ROUND(sum_s / (n_bigrams * CAST({SURPRISAL_LN_SCALE} AS DOUBLE)), 4)
+                   AS avg_bigram_surprisal
+        FROM agg
     """,
 }

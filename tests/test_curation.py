@@ -109,6 +109,80 @@ def test_pii_redaction_recall_and_scrub(spark, sf_dir):
     assert leftovers == 0
 
 
+def test_split_assign_against_python_model(spark, sf_dir):
+    import hashlib
+
+    from simple_query_engine_spark.operators.curation import (
+        SPLIT_TRAIN_PCT,
+        SPLIT_VAL_PCT,
+        q_pipeline_split_assign,
+    )
+
+    from simple_query_engine_spark.sources.catalog import table
+
+    docs = (
+        table(spark, sf_dir, "documents")
+        .select("doc_id", F.size(F.split(_normalized(F.col("text")), " ")).alias("n"))
+        .collect()
+    )
+    expect: dict[str, list[int]] = {"train": [], "val": [], "test": []}
+    for r in docs:
+        bucket = int(hashlib.md5(str(r.doc_id).encode()).hexdigest()[:8], 16) % 100
+        split = (
+            "train"
+            if bucket < SPLIT_TRAIN_PCT
+            else "val"
+            if bucket < SPLIT_TRAIN_PCT + SPLIT_VAL_PCT
+            else "test"
+        )
+        expect[split].append(r.n)
+    got = {r.split: r for r in q_pipeline_split_assign(spark, sf_dir).collect()}
+    total = sum(sum(v) for v in expect.values())
+    for split, toks in expect.items():
+        assert got[split].n_docs == len(toks)
+        assert got[split].split_tokens == sum(toks)
+        assert got[split].token_share == round(sum(toks) / total, 4)
+    assert abs(sum(r.token_share for r in got.values()) - 1.0) < 5e-4
+
+
+def test_bigram_surprisal_against_python_model(spark, sf_dir):
+    import math
+    import re
+    from collections import Counter
+
+    from simple_query_engine_spark.operators.text import (
+        SURPRISAL_LN_SCALE,
+        q_bigram_surprisal,
+    )
+    from simple_query_engine_spark.sources.catalog import table
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text").collect()
+
+    def toks(text):
+        return re.sub(r"\s+", " ", text.lower()).strip().split(" ")
+
+    def q(x):  # round-half-away-from-zero, as both engines' ROUND
+        return math.floor(x * SURPRISAL_LN_SCALE + 0.5)
+
+    bg, pre, doc_grams = Counter(), Counter(), {}
+    for r in docs:
+        words = toks(r.text)
+        grams = [f"{a} {b}" for a, b in zip(words, words[1:])]
+        if grams:
+            doc_grams[r.doc_id] = grams
+            for g in grams:
+                bg[g] += 1
+                pre[g.split(" ")[0]] += 1
+    got = {r.doc_id: r for r in q_bigram_surprisal(spark, sf_dir).collect()}
+    assert set(got) == set(doc_grams)
+    for doc_id, grams in doc_grams.items():
+        sum_s = sum(q(math.log(pre[g.split(" ")[0]])) - q(math.log(bg[g])) for g in grams)
+        expect = round(sum_s / (len(grams) * float(SURPRISAL_LN_SCALE)), 4)
+        r = got[doc_id]
+        assert r.n_bigrams == len(grams)
+        assert r.avg_bigram_surprisal == expect, (doc_id, r.avg_bigram_surprisal, expect)
+
+
 def test_anomaly_mad_against_numpy(spark, sf_dir):
     from simple_query_engine_spark.sources.catalog import table
 
