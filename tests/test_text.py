@@ -142,6 +142,21 @@ def test_unigram_surprisal_plan_single_scan(spark, sf_dir):
     assert final.count("ReusedExchange") >= 2, final
 
 
+def test_bigram_surprisal_plan_single_scan(spark, sf_dir):
+    """Same guard for the bigram-LM variant: the doc×bigram aggregate is
+    referenced by three branches (per-doc sums, bigram vocabulary, prefix
+    marginals); the FINAL adaptive plan must consume ReusedExchange nodes
+    and scan the documents parquet exactly once."""
+    from simple_query_engine_spark.operators import text as T
+
+    df = T.q_bigram_surprisal(spark, sf_dir)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("Initial Plan")[0]
+    assert final.count("FileScan parquet") == 1, final
+    assert final.count("ReusedExchange") >= 2, final
+
+
 def test_repetition_edge_docs_agree_with_oracle(spark, tmp_path):
     """Empty / single-word / fully-repetitive docs: Spark and DuckDB must
     agree (the usual string_split('') hazard), and the metrics must take
