@@ -77,6 +77,52 @@ def test_token_quota_matches_single_window(spark, sf_dir):
         assert n_kept >= 1
 
 
+def test_token_quota_differential_random(spark, tmp_path):
+    """Differential check against a pure-Python quota model over a random
+    corpus with skewed per-source doc counts and token lengths biased to
+    straddle the budget boundary (so the one-past-quota overshoot rule is
+    exercised on every source)."""
+    import hashlib
+    import random
+
+    from simple_query_engine_spark.operators.curation import (
+        q_pipeline_token_quota,
+    )
+
+    rng = random.Random(20260814)
+    rows = []
+    doc_id = 0
+    for s in range(12):
+        for _ in range(rng.randrange(1, 120)):
+            n_tokens = rng.choice([1, 3, 50, 499, 500, 501, 1200, 5000])
+            rows.append((doc_id, f"src{s}", " ".join(["tok"] * n_tokens)))
+            doc_id += 3  # gaps: ids need not be dense
+    spark.createDataFrame(rows, ["doc_id", "source", "text"]).write.mode(
+        "overwrite"
+    ).parquet(str(tmp_path / "documents.parquet"))
+
+    def h8(i):
+        return int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16)
+
+    expected = {}
+    by_source: dict[str, list[tuple]] = {}
+    for i, src, text in rows:
+        by_source.setdefault(src, []).append((i % QUOTA_SALTS, h8(i), i, len(text.split(" "))))
+    for src, docs in by_source.items():
+        running, kept, toks = 0, 0, 0
+        for _, _, _, n in sorted(docs):
+            if running < QUOTA_TOKENS:
+                kept += 1
+                toks += n
+            running += n
+        expected[src] = (kept, toks)
+    actual = {
+        r.source: (r.n_kept, r.tokens_kept)
+        for r in q_pipeline_token_quota(spark, str(tmp_path)).collect()
+    }
+    assert actual == expected
+
+
 def test_shuffle_shards_partition_the_corpus(spark, sf_dir):
     from simple_query_engine_spark.sources.catalog import table
 
