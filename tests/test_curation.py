@@ -133,6 +133,25 @@ def test_shuffle_shards_partition_the_corpus(spark, sf_dir):
     assert all(r.min_hash <= r.max_hash for r in rows)
 
 
+def test_pii_text_column_and_sql_twins_agree(spark, sf_dir):
+    """The Column-form planted-PII text (used for regexp_replace) and the
+    SQL-expr form (used where regexp_extract_all needs F.expr) must render
+    byte-identically — a drift here silently breaks the count/redact
+    consistency the operator's schema implies."""
+    from simple_query_engine_spark.operators.curation import _PII_TEXT_SQL_SPARK
+    from simple_query_engine_spark.sources.catalog import table
+
+    docs = table(spark, sf_dir, "documents")
+    mismatched = (
+        docs.select(
+            _pii_text().alias("col_form"), F.expr(_PII_TEXT_SQL_SPARK).alias("sql_form")
+        )
+        .filter(F.col("col_form") != F.col("sql_form"))
+        .count()
+    )
+    assert mismatched == 0
+
+
 def test_pii_redaction_recall_and_scrub(spark, sf_dir):
     rows = q_pipeline_pii_redaction(spark, sf_dir).collect()
     for r in rows:
