@@ -47,10 +47,10 @@ CMS_TOP_K = 20
 def _cms_pos(word, d: int):
     """Bucket of ``word`` in sketch row ``d``: 5 hex digits of
     md5('<d>:<word>') mod CMS_WIDTH — the engine-portable md5 hash family
-    (``functions/hashing.py``), one digest per (row, word)."""
-    digest = F.md5(F.concat(F.lit(f"{d}:"), word))
+    (``functions/hashing.py``; 2^20 % CMS_WIDTH == 0 so the slice mods
+    uniformly), one digest per (row, word)."""
     return F.pmod(
-        F.conv(F.substring(digest, 1, 5), 16, 10).cast("long"), F.lit(CMS_WIDTH)
+        md5_prefix_long(F.concat(F.lit(f"{d}:"), word), 5), F.lit(CMS_WIDTH)
     )
 
 
@@ -286,9 +286,12 @@ def q_pipeline_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 # Patterns stay in the regex subset Java and RE2 interpret identically:
-# character classes, +, {n} — no backslash escapes ('.' is matched via a
-# character class), no lookaround, no word boundaries.
-EMAIL_RE = "[a-z0-9]+@[a-z0-9]+[.][a-z]+"
+# character classes, +, *, {n} — no backslash escapes, no lookaround, no
+# word boundaries.  The email pattern must consume DOTTED local parts and
+# MULTI-LABEL domains in one match: a single-dot pattern like
+# '[a-z0-9]+@[a-z0-9]+[.][a-z]+' redacts 'john.doe@mail.example.com' to
+# 'john.[EMAIL].com' — PII fragments survive in the "scrubbed" output.
+EMAIL_RE = "[a-z0-9][a-z0-9.]*@[a-z0-9.]+[a-z]"
 PHONE_RE = "555-[0-9]{4}"
 PII_EMAIL_MOD = 7  # doc_id % 7 == 0 → an email is planted
 PII_PHONE_MOD = 11  # doc_id % 11 == 0 → a phone number is planted
@@ -335,20 +338,14 @@ def q_pipeline_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return documents.select(
         "doc_id",
-        F.size(F.expr(f"regexp_extract_all({_PII_TEXT_SQL_SPARK}, '{EMAIL_RE}', 0)")).alias(
-            "n_emails"
-        ),
-        F.size(F.expr(f"regexp_extract_all({_PII_TEXT_SQL_SPARK}, '{PHONE_RE}', 0)")).alias(
-            "n_phones"
-        ),
+        F.size(F.regexp_extract_all(pii, F.lit(EMAIL_RE), F.lit(0))).alias("n_emails"),
+        F.size(F.regexp_extract_all(pii, F.lit(PHONE_RE), F.lit(0))).alias("n_phones"),
         F.substring(F.md5(redacted), 1, 16).alias("redacted_fp"),
     )
 
 
-# The planted-PII text as a SQL expression usable in BOTH engines'
-# dialects (concat/CASE/lpad/% behave identically); the Spark DataFrame
-# side uses the Column twin ``_pii_text`` for regexp_replace and this
-# string form where regexp_extract_all needs F.expr.
+# The planted-PII text as a DuckDB SQL expression — the oracle-side twin
+# of the ``_pii_text`` Column (concat/CASE/lpad/% behave identically).
 _PII_TEXT_SQL = (
     "concat(text, "
     f"CASE WHEN doc_id % {PII_EMAIL_MOD} = 0 THEN "
@@ -358,7 +355,6 @@ _PII_TEXT_SQL = (
     f"concat(' call 555-', lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0'), ' today') "
     "ELSE '' END)"
 )
-_PII_TEXT_SQL_SPARK = _PII_TEXT_SQL.replace("VARCHAR", "STRING")
 
 
 # --------------------------------------------------------------------------
@@ -425,10 +421,8 @@ _hash8_sql = md5_prefix_long_sql("CAST(doc_id AS VARCHAR)", 8)
 
 # DuckDB twin of _cms_pos for row d over column ``word``.
 def _cms_pos_sql(d: int) -> str:
-    return (
-        f"(CAST('0x' || substr(md5('{d}:' || word), 1, 5) AS BIGINT)"
-        f" % {CMS_WIDTH})"
-    )
+    row_key = f"'{d}:' || word"
+    return f"({md5_prefix_long_sql(row_key, 5)} % {CMS_WIDTH})"
 
 
 assert CMS_DEPTH == 4  # the CMS oracle spells out four position expressions

@@ -293,17 +293,20 @@ def q_stats_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     DataFrame runs in 0.1 s at sf0.1); at 100 TB it is noise against
     the scan.
     """
-    # Explicit repartition before the Expand-based aggregate: the local
+    # CONDITIONAL repartition before the Expand-based aggregate: the local
     # single-split file would otherwise pin the ×|columns| row expansion
-    # and the distinct hashing to ONE task (measured 8.3 s → ~1 s at
-    # sf0.1 on 32 cores); at scale inputs arrive pre-split and the
-    # repartition only bounds per-task skew (same rationale as
-    # text._documents / dedup._shingles_of).
-    lineitem = (
-        table(spark, sf_dir, "lineitem")
-        .select(*_PROFILE_COLS)
-        .repartition(spark.sparkContext.defaultParallelism)
-    )
+    # and the distinct hashing to ONE task (measured 8.3 s → ~3 s at
+    # sf0.1 on 32 cores).  Unlike text._documents (whose downstream work
+    # keeps per-row outputs), this plan's very next operator is a partial
+    # aggregate that collapses rows map-side, so an UNCONDITIONAL
+    # repartition would add a full-width corpus exchange LARGER than the
+    # aggregate's own shuffle at scale — the repartition fires only when
+    # the scan actually under-splits (a local-file artifact; a 100 TB
+    # input arrives with thousands of splits and skips it).
+    lineitem = table(spark, sf_dir, "lineitem").select(*_PROFILE_COLS)
+    parallelism = spark.sparkContext.defaultParallelism
+    if lineitem.rdd.getNumPartitions() < parallelism // 2:
+        lineitem = lineitem.repartition(parallelism)
     aggs = [F.count(F.lit(1)).alias("n_rows")]
     for c in _PROFILE_COLS:
         aggs += [
