@@ -41,6 +41,38 @@ def test_countmin_never_undercounts_and_matches_exact_topk(spark, sf_dir):
     assert {r.word: r.exact_n for r in rows} == freq
 
 
+def test_countmin_against_python_model(spark, sf_dir):
+    """Exact pure-Python re-derivation of the sketch: same normalization,
+    same per-row md5 bucket hash, same cell sums — est_n must equal the
+    model's min-over-depths cell value exactly, not just bound it."""
+    import hashlib
+    import re
+    from collections import Counter
+
+    from simple_query_engine_spark.operators.curation import (
+        CMS_DEPTH,
+        CMS_WIDTH,
+        q_sketch_countmin_words,
+    )
+    from simple_query_engine_spark.sources.catalog import table
+
+    texts = [r.text for r in table(spark, sf_dir, "documents").select("text").collect()]
+    counts = Counter()
+    for t in texts:
+        counts.update(re.sub(r"\s+", " ", t.lower()).strip().split(" "))
+
+    def pos(word, d):
+        return int(hashlib.md5(f"{d}:{word}".encode()).hexdigest()[:5], 16) % CMS_WIDTH
+
+    cells = Counter()
+    for word, n in counts.items():
+        for d in range(CMS_DEPTH):
+            cells[(d, pos(word, d))] += n
+    for r in q_sketch_countmin_words(spark, sf_dir).collect():
+        assert r.exact_n == counts[r.word]
+        assert r.est_n == min(cells[(d, pos(r.word, d))] for d in range(CMS_DEPTH)), r
+
+
 def test_token_quota_matches_single_window(spark, sf_dir):
     """The salted two-phase prefix sum must equal the naive one-window
     plan exactly (same global (salt, hash, doc_id) order)."""
