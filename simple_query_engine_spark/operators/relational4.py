@@ -335,8 +335,41 @@ def q_stats_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equality join (Spark ``<=>`` / standard ``IS NOT DISTINCT
+    FROM``): NULL keys MATCH each other instead of silently dropping — the
+    semantic a plain inner join gets wrong when a dimension key is
+    legitimately absent.
+
+    The nullable key is derived deterministically (BUILDING customers get
+    NULL), the per-key stats side is aggregated from the same table, and
+    the null-safe join must route every customer — including the NULL-key
+    group — to its stats row; ``n_customers == stats_n`` on every output
+    row (pinned in tests) is exactly the property a plain ``=`` join
+    breaks.  Shape: the stats side is |segments| rows → broadcast; the
+    probe side streams.  (Spark hash-partitions NULL like any other key
+    under ``<=>``, so the join stays a hash join, not a cartesian
+    fallback.)
+    """
+    customer = table(spark, sf_dir, "customer")
+    seg = F.nullif(F.col("c_mktsegment"), F.lit("BUILDING"))
+    cust = customer.select(seg.alias("seg"), "c_acctbal")
+    stats = (
+        cust.groupBy(F.col("seg").alias("stats_seg"))
+        .agg(F.count(F.lit(1)).alias("stats_n"))
+    )
+    joined = cust.join(
+        F.broadcast(stats), cust["seg"].eqNullSafe(stats["stats_seg"])
+    )
+    return joined.groupBy("seg").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.max("stats_n").alias("stats_n"),
+    )
+
+
 QUERIES = {
     "conditional_funcs": q_conditional_funcs,
+    "join_null_safe": q_join_null_safe,
     "agg_percentiles_exact": q_agg_percentiles_exact,
     "bitwise_funcs": q_bitwise_funcs,
     "regexp_count_funcs": q_regexp_count_funcs,
@@ -375,6 +408,20 @@ def _profile_oracle_sql() -> str:
 
 ORACLES = {
     "stats_column_profile": _profile_oracle_sql(),
+    "join_null_safe": """
+        WITH cust AS (
+            SELECT nullif(c_mktsegment, 'BUILDING') AS seg, c_acctbal
+            FROM customer
+        ), stats AS (
+            SELECT seg AS stats_seg, COUNT(*) AS stats_n
+            FROM cust GROUP BY 1
+        )
+        SELECT c.seg,
+               COUNT(*) AS n_customers,
+               MAX(s.stats_n) AS stats_n
+        FROM cust c JOIN stats s ON c.seg IS NOT DISTINCT FROM s.stats_seg
+        GROUP BY c.seg
+    """,
     "agg_percentiles_exact": """
         SELECT l_returnflag,
                COUNT(*) AS n_rows,

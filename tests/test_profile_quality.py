@@ -66,6 +66,28 @@ def test_recall_audit_reconciles_with_topk_sets(spark, sf_dir):
         assert 0.0 <= r.recall_at_k <= 1.0
 
 
+def test_null_safe_join_routes_null_group(spark, sf_dir):
+    """The NULL-key group must reach its stats row (n_customers ==
+    stats_n everywhere, NULL row present); a plain '=' join drops it —
+    asserted directly as the contrast."""
+    from pyspark.sql import functions as F2
+
+    from simple_query_engine_spark.operators.relational4 import q_join_null_safe
+
+    rows = q_join_null_safe(spark, sf_dir).collect()
+    segs = {r.seg for r in rows}
+    assert None in segs  # BUILDING → NULL group exists and joined
+    for r in rows:
+        assert r.n_customers == r.stats_n, r
+    customer = table(spark, sf_dir, "customer")
+    seg = F2.nullif(F2.col("c_mktsegment"), F2.lit("BUILDING"))
+    cust = customer.select(seg.alias("seg"))
+    stats = cust.groupBy(F2.col("seg").alias("s2")).count()
+    plain = cust.join(stats, cust["seg"] == stats["s2"])
+    assert plain.filter(F2.col("seg").isNull()).count() == 0  # '=' drops NULLs
+    assert plain.count() == sum(r.n_customers for r in rows if r.seg is not None)
+
+
 def test_column_profile_matches_direct_queries(spark, sf_dir):
     rows = {r.column_name: r for r in q_stats_column_profile(spark, sf_dir).collect()}
     assert set(rows) == set(_PROFILE_COLS)
