@@ -408,6 +408,75 @@ def q_events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stats_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset-card corpus report: per (source, lang) doc counts, token
+    mass, EXACT p50/p90 token-length quantiles, and the exact-duplicate
+    rate — the datasheet table a training-data release ships next to the
+    corpus (the corpus-level companion of ``stats_column_profile``'s
+    per-column view).
+
+    The interesting part is EXACT percentiles that survive 100 TB:
+    ``percentile_disc`` collects every group's values into one aggregation
+    buffer — corpus-sized per (source, lang) group, an OOM at scale.
+    Token length, though, has a BOUNDED value domain (docs are at most a
+    few thousand tokens), so the report aggregates to a
+    (source, lang, n_tokens) HISTOGRAM first — map-side combine collapses
+    each task to ≤ groups × distinct-lengths rows — and derives the
+    discrete quantiles from cumulative counts over that bounded table in
+    pure integer math (first length whose cumulative count reaches ⌈p·n⌉,
+    e.g. ``cum·10 >= tot·9`` for p90 — no float anywhere).  Equivalence with
+    Spark's own ``percentile_disc`` is pinned in tests/test_curation.py.
+
+    The dup flag costs the report's one corpus-scale shuffle beyond the
+    scan: a count window over md5(text) — 16-byte digests plus the tiny
+    report columns, never document bodies (``dedup_exact``'s shuffle
+    discipline).  Exactness: counts and cumulative sums are integers; the
+    single dup-rate division is one float op on two exact longs.
+    """
+    per_doc = table(spark, sf_dir, "documents").select(
+        "source",
+        "lang",
+        F.size(F.split(_normalized(F.col("text")), " ")).alias("n_tokens"),
+        F.md5(F.col("text")).alias("text_hash"),
+    )
+    flagged = per_doc.withColumn(
+        "is_dup",
+        (F.count(F.lit(1)).over(Window.partitionBy("text_hash")) > 1).cast("int"),
+    )
+    hist = flagged.groupBy("source", "lang", "n_tokens").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum("is_dup").alias("dup_cnt"),
+    )
+    grp = Window.partitionBy("source", "lang")
+    marked = hist.select(
+        "source",
+        "lang",
+        "n_tokens",
+        "cnt",
+        "dup_cnt",
+        F.sum("cnt")
+        .over(
+            grp.orderBy("n_tokens").rowsBetween(
+                Window.unboundedPreceding, Window.currentRow
+            )
+        )
+        .alias("cum"),
+        F.sum("cnt").over(grp).alias("tot"),
+    )
+    return marked.groupBy("source", "lang").agg(
+        F.sum("cnt").alias("n_docs"),
+        F.sum(F.col("n_tokens") * F.col("cnt")).alias("total_tokens"),
+        F.min(F.when(F.col("cum") * 2 >= F.col("tot"), F.col("n_tokens"))).alias(
+            "p50_tokens"
+        ),
+        F.min(
+            F.when(F.col("cum") * 10 >= F.col("tot") * 9, F.col("n_tokens"))
+        ).alias("p90_tokens"),
+        F.sum("dup_cnt").alias("n_exact_dup_docs"),
+        F.round(F.sum("dup_cnt") / F.sum("cnt"), 6).alias("dup_rate"),
+    )
+
+
 QUERIES = {
     "sketch_countmin_words": q_sketch_countmin_words,
     "pipeline_shuffle_shards": q_pipeline_shuffle_shards,
@@ -415,6 +484,7 @@ QUERIES = {
     "pipeline_pii_redaction": q_pipeline_pii_redaction,
     "pipeline_split_assign": q_pipeline_split_assign,
     "events_anomaly_mad": q_events_anomaly_mad,
+    "stats_corpus_report": q_stats_corpus_report,
 }
 
 _hash8_sql = md5_prefix_long_sql("CAST(doc_id AS VARCHAR)", 8)
@@ -553,5 +623,42 @@ ORACLES = {
         JOIN med m USING (event_type)
         JOIN mad a USING (event_type)
         GROUP BY d.event_type
+    """,
+    # Same histogram-derived discrete quantiles as the Spark side (integer
+    # cumulative-count math, NOT quantile_disc — the two engines' built-in
+    # discrete-quantile index conventions differ; the shared derivation is
+    # pinned against Spark's percentile_disc in tests/test_curation.py).
+    "stats_corpus_report": f"""
+        WITH per_doc AS (
+            SELECT source, lang,
+                   len(string_split({_NORM}, ' ')) AS n_tokens,
+                   md5(text) AS text_hash
+            FROM documents
+        ), flagged AS (
+            SELECT source, lang, n_tokens,
+                   CASE WHEN COUNT(*) OVER (PARTITION BY text_hash) > 1
+                        THEN 1 ELSE 0 END AS is_dup
+            FROM per_doc
+        ), hist AS (
+            SELECT source, lang, n_tokens,
+                   COUNT(*) AS cnt,
+                   CAST(SUM(is_dup) AS BIGINT) AS dup_cnt
+            FROM flagged GROUP BY source, lang, n_tokens
+        ), marked AS (
+            SELECT source, lang, n_tokens, cnt, dup_cnt,
+                   SUM(cnt) OVER (PARTITION BY source, lang ORDER BY n_tokens
+                                  ROWS UNBOUNDED PRECEDING) AS cum,
+                   SUM(cnt) OVER (PARTITION BY source, lang) AS tot
+            FROM hist
+        )
+        SELECT source, lang,
+               CAST(SUM(cnt) AS BIGINT) AS n_docs,
+               CAST(SUM(n_tokens * cnt) AS BIGINT) AS total_tokens,
+               MIN(CASE WHEN cum * 2 >= tot THEN n_tokens END) AS p50_tokens,
+               MIN(CASE WHEN cum * 10 >= tot * 9 THEN n_tokens END)
+                   AS p90_tokens,
+               CAST(SUM(dup_cnt) AS BIGINT) AS n_exact_dup_docs,
+               ROUND(SUM(dup_cnt) / CAST(SUM(cnt) AS DOUBLE), 6) AS dup_rate
+        FROM marked GROUP BY source, lang
     """,
 }

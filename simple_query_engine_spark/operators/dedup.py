@@ -963,12 +963,14 @@ _PLANTED_DOCS_SQL = f"""(
         )"""
 
 
-def _closure_sql(near_sql: str) -> str:
+def _closure_sql(near_sql: str, keep_col: str = "keep_doc_id") -> str:
     """DuckDB oracle for connected components over any (ida, idb) pair
     source: recursive transitive closure; a node's cluster id is the
     minimum node it can reach.  (The Spark side iterates label
     propagation — a different algorithm for the same relation, which is
-    exactly what an oracle should be.)"""
+    exactly what an oracle should be.)  ``keep_col`` names the survivor
+    column — ``keep_vec_id`` for the embedding-graph reuse in
+    ``similarity.q_sim_semantic_clusters``."""
     return f"""
         WITH RECURSIVE near AS (
             {near_sql}
@@ -986,7 +988,7 @@ def _closure_sql(near_sql: str) -> str:
         )
         SELECT cluster_id,
                COUNT(*) AS cluster_size,
-               MIN(doc_id) AS keep_doc_id
+               MIN(doc_id) AS {keep_col}
         FROM labels GROUP BY cluster_id
     """
 

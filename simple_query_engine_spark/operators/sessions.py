@@ -292,9 +292,69 @@ def q_events_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session Markov chain: event-type transition counts and conditional
+    probabilities within gap sessions — the transition matrix behind
+    next-action prediction and flow dashboards (the pairwise complement
+    of ``events_top_paths``' full-path histogram).
+
+    Plan shape at 100 TB: the SAME single user_id exchange as
+    ``events_sessionize_gap`` — the labeling window and the two ``lead``
+    columns share one partitioning and one sort (three window functions,
+    zero extra exchanges) — then a (from_type, to_type) count whose
+    map-side combine collapses each task's output to ≤ |event types|²
+    rows before the shuffle; the probability denominator is a window over
+    ``from_type`` on that bounded table, never a second corpus pass.
+    A transition is counted only when the next event belongs to the SAME
+    session (``to_seq == session_seq``), so session boundaries never
+    fabricate cross-session edges.
+
+    Determinism: (ts, event_id) totally orders each user's events, so
+    every ``lead`` is unique; counts are exact integers and the single
+    probability division is one float op on two exact longs.
+    """
+    events = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    micros = F.unix_micros(F.col("ts"))
+    prev_micros = F.lag(micros).over(w)
+    is_break = F.when(
+        prev_micros.isNull()
+        | (micros - prev_micros > SESSION_GAP_SEC * 1_000_000),
+        1,
+    ).otherwise(0)
+    labeled = events.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.sum(is_break).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ).alias("session_seq"),
+    )
+    steps = labeled.select(
+        F.col("event_type").alias("from_type"),
+        F.lead("event_type").over(w).alias("to_type"),
+        "session_seq",
+        F.lead("session_seq").over(w).alias("to_seq"),
+    )
+    counts = (
+        steps.filter(F.col("to_seq") == F.col("session_seq"))
+        .groupBy("from_type", "to_type")
+        .agg(F.count(F.lit(1)).alias("n_transitions"))
+    )
+    total = F.sum("n_transitions").over(Window.partitionBy("from_type"))
+    return counts.select(
+        "from_type",
+        "to_type",
+        "n_transitions",
+        F.round(F.col("n_transitions") / total, 6).alias("p_transition"),
+    )
+
+
 QUERIES = {
     "events_sessionize_gap": q_events_sessionize_gap,
     "events_top_paths": q_events_top_paths,
+    "events_markov_transitions": q_events_markov_transitions,
     "events_retention_cohort": q_events_retention_cohort,
     "events_user_streaks": q_events_user_streaks,
     "events_funnel_windowed": q_events_funnel_windowed,
@@ -353,6 +413,40 @@ ORACLES = {
         SELECT path, COUNT(*) AS n_sessions
         FROM per_session GROUP BY path
         ORDER BY n_sessions DESC, path LIMIT {PATH_TOP_K}
+    """,
+    # Same labeling CTE again; the two LEADs reuse the identical window.
+    "events_markov_transitions": f"""
+        WITH labeled AS (
+            SELECT user_id, ts, event_id, event_type,
+                   CAST(SUM(CASE WHEN prev_us IS NULL
+                            OR epoch_us(ts) - prev_us > {SESSION_GAP_SEC * 1_000_000}
+                            THEN 1 ELSE 0 END)
+                       OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+            FROM (
+                SELECT user_id, ts, event_id, event_type,
+                       LAG(epoch_us(ts)) OVER (PARTITION BY user_id
+                                               ORDER BY ts, event_id) AS prev_us
+                FROM events
+            )
+        ), steps AS (
+            SELECT event_type AS from_type,
+                   LEAD(event_type) OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id) AS to_type,
+                   session_seq,
+                   LEAD(session_seq) OVER (PARTITION BY user_id
+                                           ORDER BY ts, event_id) AS to_seq
+            FROM labeled
+        ), counts AS (
+            SELECT from_type, to_type, COUNT(*) AS n_transitions
+            FROM steps WHERE to_seq = session_seq
+            GROUP BY from_type, to_type
+        )
+        SELECT from_type, to_type, n_transitions,
+               ROUND(n_transitions /
+                     CAST(SUM(n_transitions) OVER (PARTITION BY from_type)
+                          AS DOUBLE), 6) AS p_transition
+        FROM counts
     """,
     "events_retention_cohort": """
         WITH weekly AS (

@@ -595,6 +595,34 @@ def q_sim_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sim_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic dedup CLUSTERS: connected components over the
+    embedding-cosine near-dup pair graph — the embedding-space twin of
+    ``dedup_clusters_lsh``, and the grouping step a semantic-dedup
+    pipeline (SemDeDup-style) runs before keeping one document per
+    cluster of meaning-equivalent rewrites.
+
+    Pair-dropping alone mishandles chains a ⇔ b ⇔ c (same argument as
+    ``dedup_clusters``); the correct unit is one survivor per component.
+    Input pairs are the PLANTED corpus at the production threshold (0.9)
+    — the synthetic corpus is near-orthogonal, so only the planted
+    variant exercises real cluster structure — and components run through
+    the same pointer-doubling ``_cluster_components`` (O(log diameter)
+    shuffle rounds, parquet lineage truncation; see dedup.py).  Every
+    stage is bucketed-candidate → pair-graph → label-propagation: nothing
+    is quadratic in the corpus.  Oracle: recursive-CTE closure over the
+    identical planted LSH pair SQL.
+    """
+    from simple_query_engine_spark.operators.dedup import _cluster_components
+
+    pairs = q_sim_neardup_planted(spark, sf_dir).select(
+        F.col("vec_id_a").alias("doc_id_a"), F.col("vec_id_b").alias("doc_id_b")
+    )
+    return _cluster_components(pairs).select(
+        "cluster_id", "cluster_size", F.col("keep_doc_id").alias("keep_vec_id")
+    )
+
+
 QUERIES = {
     "sim_topk_bruteforce": q_sim_topk_bruteforce,
     "sim_recall_audit": q_sim_recall_audit,
@@ -604,6 +632,7 @@ QUERIES = {
     "sim_ann_lsh": q_sim_ann_lsh,
     "sim_ivf_topk": q_sim_ivf_topk,
     "sim_label_centroids": q_sim_label_centroids,
+    "sim_semantic_clusters": q_sim_semantic_clusters,
 }
 
 # Full brute-force top-k SQL — the sim_topk_bruteforce oracle, also the
@@ -662,6 +691,23 @@ ORACLES = {
         source=_PLANTED_EMB_SQL, threshold=PLANTED_COSINE
     ),
 }
+
+
+def _semantic_clusters_oracle_sql() -> str:
+    # Deferred import keeps module init acyclic with dedup (which this
+    # module otherwise never imports at top level).
+    from simple_query_engine_spark.operators.dedup import _closure_sql
+
+    planted_pairs = _neardup_lsh_oracle_sql(
+        source=_PLANTED_EMB_SQL, threshold=PLANTED_COSINE
+    )
+    return _closure_sql(
+        f"SELECT vec_id_a AS ida, vec_id_b AS idb FROM ({planted_pairs})",
+        keep_col="keep_vec_id",
+    )
+
+
+ORACLES["sim_semantic_clusters"] = _semantic_clusters_oracle_sql()
 
 # sim_ivf_topk is approximate vs brute force but fully DETERMINISTIC
 # arithmetic (hash-sampled centroids, exact cosine, fixed nprobe) — so the

@@ -323,3 +323,52 @@ def test_anomaly_mad_against_numpy(spark, sf_dir):
         assert r.med_daily == round(med, 1)
         assert r.mad_daily == round(mad, 1)
         assert r.n_anomalies == int((dev > 3.0 * mad).sum())
+
+
+def test_corpus_report_quantiles_match_percentile_disc(spark, sf_dir):
+    """The histogram-derived p50/p90 must equal Spark's own
+    ``percentile_disc`` per (source, lang) group — pins the cumulative-
+    count derivation to the standard discrete-quantile semantics the
+    operator avoids collecting per-group values for."""
+    from simple_query_engine_spark.operators.curation import (
+        _normalized,
+        q_stats_corpus_report,
+    )
+    from simple_query_engine_spark.sources.catalog import table
+
+    rows = {(r.source, r.lang): r for r in q_stats_corpus_report(spark, sf_dir).collect()}
+    ref = (
+        table(spark, sf_dir, "documents")
+        .select(
+            "source",
+            "lang",
+            F.size(F.split(_normalized(F.col("text")), " ")).alias("n_tokens"),
+        )
+        .groupBy("source", "lang")
+        .agg(
+            F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY n_tokens)").alias("p50"),
+            F.expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY n_tokens)").alias("p90"),
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+        )
+        .collect()
+    )
+    assert {(r.source, r.lang) for r in ref} == set(rows)
+    for r in ref:
+        got = rows[(r.source, r.lang)]
+        assert (got.p50_tokens, got.p90_tokens) == (r.p50, r.p90), (r.source, r.lang)
+        assert (got.n_docs, got.total_tokens) == (r.n_docs, r.total_tokens)
+
+
+def test_corpus_report_dup_accounting_matches_dedup_exact(spark, sf_dir):
+    """n_exact_dup_docs totals every member of a duplicated-text group —
+    reconciled against the independently-certified dedup_exact operator."""
+    from simple_query_engine_spark.operators.curation import q_stats_corpus_report
+    from simple_query_engine_spark.operators.dedup import q_dedup_exact
+
+    report = q_stats_corpus_report(spark, sf_dir).collect()
+    groups = q_dedup_exact(spark, sf_dir).collect()
+    expected_dups = sum(g.dup_count for g in groups if g.dup_count > 1)
+    assert sum(r.n_exact_dup_docs for r in report) == expected_dups
+    for r in report:
+        assert r.dup_rate == round(r.n_exact_dup_docs / r.n_docs, 6)

@@ -340,3 +340,56 @@ def test_quality_drift_micro_average_and_lag(spark, sf_dir):
         else:
             assert r.stop_ratio_drift is None
         prev[source] = r.stop_ratio
+
+
+def test_markov_transitions_reconcile_with_sessionize(spark, sf_dir):
+    """A session of length L contributes exactly L-1 transitions, so the
+    transition total must equal n_events - n_sessions from the
+    independently-certified sessionize operator; per-from_type
+    probabilities must use the from_type total as denominator."""
+    from simple_query_engine_spark.operators.sessions import (
+        q_events_markov_transitions,
+        q_events_sessionize_gap,
+    )
+
+    rows = q_events_markov_transitions(spark, sf_dir).collect()
+    sessions = q_events_sessionize_gap(spark, sf_dir).collect()
+    n_events = sum(s.n_events for s in sessions)
+    assert sum(r.n_transitions for r in rows) == n_events - len(sessions)
+
+    from collections import defaultdict
+
+    totals = defaultdict(int)
+    for r in rows:
+        totals[r.from_type] += r.n_transitions
+    for r in rows:
+        assert r.p_transition == round(r.n_transitions / totals[r.from_type], 6)
+
+
+def test_markov_transitions_against_python_model(spark, sf_dir):
+    """Full pure-Python re-derivation: sessionize by the 30-min gap, count
+    within-session consecutive (from, to) event-type pairs."""
+    from collections import defaultdict
+
+    from simple_query_engine_spark.operators.sessions import (
+        SESSION_GAP_SEC,
+        q_events_markov_transitions,
+    )
+
+    events = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .selectExpr("user_id", "unix_micros(ts) AS us", "event_id", "event_type")
+        .collect()
+    )
+    by_user = defaultdict(list)
+    for e in events:
+        by_user[e.user_id].append(e)
+    counts = defaultdict(int)
+    gap_us = SESSION_GAP_SEC * 1_000_000
+    for evs in by_user.values():
+        evs.sort(key=lambda e: (e.us, e.event_id))
+        for prev, cur in zip(evs, evs[1:]):
+            if cur.us - prev.us <= gap_us:  # same session
+                counts[(prev.event_type, cur.event_type)] += 1
+    rows = q_events_markov_transitions(spark, sf_dir).collect()
+    assert {(r.from_type, r.to_type): r.n_transitions for r in rows} == dict(counts)

@@ -197,3 +197,49 @@ def test_planted_neardup_finds_exactly_the_planted_pairs(spark, sf_dir):
         .count()
     )
     assert len(rows) >= 0.9 * eligible
+
+
+def test_semantic_clusters_match_union_find_over_planted_pairs(spark, sf_dir):
+    """Cluster summary must equal a pure-Python union-find over the
+    (independently oracle-certified) planted near-dup pair list, and every
+    planted copy must share a cluster with its source vector."""
+    from simple_query_engine_spark.operators.similarity import (
+        PLANT_VEC_MOD,
+        PLANT_VEC_OFFSET,
+        q_sim_neardup_planted,
+        q_sim_semantic_clusters,
+    )
+
+    pairs = [
+        (r.vec_id_a, r.vec_id_b)
+        for r in q_sim_neardup_planted(spark, sf_dir).collect()
+    ]
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        parent[find(a)] = find(b)
+    from collections import defaultdict
+
+    comps = defaultdict(set)
+    for node in list(parent):
+        comps[find(node)].add(node)
+    expected = sorted(
+        (min(c), len(c), min(c)) for c in comps.values()
+    )
+    rows = q_sim_semantic_clusters(spark, sf_dir).collect()
+    got = sorted((r.cluster_id, r.cluster_size, r.keep_vec_id) for r in rows)
+    assert got == expected
+
+    # Every planted (source, copy) pair is in SOME cluster together.
+    n_vecs = spark.read.parquet(f"{sf_dir}/embeddings.parquet").count()
+    planted_sources = [v for v in range(0, n_vecs, PLANT_VEC_MOD)]
+    assert planted_sources, "fixture must plant at least one pair"
+    for v in planted_sources:
+        assert find(v) == find(v + PLANT_VEC_OFFSET)
