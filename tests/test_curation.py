@@ -372,3 +372,27 @@ def test_corpus_report_dup_accounting_matches_dedup_exact(spark, sf_dir):
     assert sum(r.n_exact_dup_docs for r in report) == expected_dups
     for r in report:
         assert r.dup_rate == round(r.n_exact_dup_docs / r.n_docs, 6)
+
+
+def test_corpus_report_plan_bounded_exchanges(spark, sf_dir):
+    """Scale shape: beyond the scan, only the md5-digest dup window may
+    shuffle corpus-sized data (one text_hash exchange); every later
+    exchange operates on the bounded (source, lang, n_tokens) histogram.
+    No per-group value collection (percentile_disc / collect_list) may
+    appear anywhere in the plan."""
+    import contextlib
+    import io
+
+    from simple_query_engine_spark.operators.curation import q_stats_corpus_report
+
+    buffer = io.StringIO()
+    with contextlib.redirect_stdout(buffer):
+        q_stats_corpus_report(spark, sf_dir).explain("formatted")
+    plan = buffer.getvalue()
+    exchange_nodes = [
+        line for line in plan.splitlines()
+        if line.lstrip().startswith("(") and "Exchange" in line
+    ]
+    assert len(exchange_nodes) <= 4, exchange_nodes
+    assert plan.count("hashpartitioning(text_hash") == 1
+    assert "percentile" not in plan and "collect_list" not in plan

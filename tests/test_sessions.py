@@ -393,3 +393,21 @@ def test_markov_transitions_against_python_model(spark, sf_dir):
                 counts[(prev.event_type, cur.event_type)] += 1
     rows = q_events_markov_transitions(spark, sf_dir).collect()
     assert {(r.from_type, r.to_type): r.n_transitions for r in rows} == dict(counts)
+
+
+def test_markov_plan_single_corpus_exchange(spark, sf_dir):
+    """The scale property: the labeling window, both leads, and the
+    (from, to) count all run off ONE corpus-scale hash exchange over
+    user_id; the only other exchanges operate on the bounded ≤ |types|²
+    transition table (the count's shuffle and the probability window)."""
+    plan = _plan_of(SS.q_events_markov_transitions(spark, sf_dir))
+    exchange_nodes = [
+        line for line in plan.splitlines()
+        if line.lstrip().startswith("(") and "Exchange" in line
+    ]
+    # user_id exchange + post-aggregate (from,to) exchange + from_type
+    # window exchange — anything more means the window sharing regressed.
+    assert len(exchange_nodes) <= 3, exchange_nodes
+    assert plan.count("hashpartitioning(user_id") == 1, (
+        "labeling window and leads must share one user_id exchange"
+    )
