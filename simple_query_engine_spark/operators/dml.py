@@ -138,12 +138,86 @@ def q_dml_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return snapshot(0).unionAll(snapshot(1))
 
 
+COMPACT_BATCHES = 4
+COMPACT_FILES_PER_BATCH = 4
+
+
+def q_dml_compact_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPTIMIZE / small-file compaction: trickle-insert orders in
+    COMPACT_BATCHES batches of COMPACT_FILES_PER_BATCH files each (the
+    small-file backlog a streaming ingest leaves behind), then
+    ``compact()`` the snapshot into one file.  The oracle is the plain
+    relational aggregate over ALL orders — compaction must be invisible
+    to every reader; the file-count drop and old-version isolation are
+    pinned in tests/test_managed.py.  Scale shape: compaction reads only
+    the small-file backlog (big files carry by manifest reference) and
+    merges via ``coalesce`` — no shuffle anywhere."""
+    orders = table(spark, sf_dir, "orders")
+    part = F.pmod(F.col("o_orderkey"), F.lit(COMPACT_BATCHES))
+    t = ManagedTable.create(
+        spark,
+        _scratch("compact_"),
+        orders.filter(part == 0).repartition(COMPACT_FILES_PER_BATCH),
+    )
+    for b in range(1, COMPACT_BATCHES):
+        t.insert(orders.filter(part == b).repartition(COMPACT_FILES_PER_BATCH))
+    t.compact(target_files=1)
+    return (
+        t.read()
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+    )
+
+
+EVOLVE_CUTOFF = "1997-01-01"
+
+
+def q_dml_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ADD COLUMN via evolving append: create the table from pre-cutoff
+    orders, append the post-cutoff batch with a NEW ``is_urgent`` column
+    (``evolve_schema=True``), and read the final snapshot — old files
+    never get rewritten; the manifest-recorded schema makes their missing
+    column read as NULL (three-valued accounting below proves which rows
+    came through which era).  Time travel keeps the PRE-evolution schema
+    at v0 (pinned in tests/test_managed.py)."""
+    orders = table(spark, sf_dir, "orders")
+    cutoff = F.lit(EVOLVE_CUTOFF).cast("timestamp")
+    base_cols = ["o_orderkey", "o_orderstatus", "o_totalprice"]
+    t = ManagedTable.create(
+        spark,
+        _scratch("evolve_"),
+        orders.filter(F.col("o_orderdate") < cutoff).select(*base_cols),
+    )
+    t.insert(
+        orders.filter(F.col("o_orderdate") >= cutoff).select(
+            *base_cols,
+            (F.col("o_orderpriority") == "1-URGENT").alias("is_urgent"),
+        ),
+        evolve_schema=True,
+    )
+    return (
+        t.read()
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.when(F.col("is_urgent"), 1).otherwise(0)).alias("n_urgent"),
+            F.sum(F.col("is_urgent").isNull().cast("int")).alias("n_pre_evolution"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+    )
+
+
 QUERIES = {
     "dml_insert_append": q_dml_insert_append,
     "dml_delete_where": q_dml_delete_where,
     "dml_update_set": q_dml_update_set,
     "dml_merge_upsert": q_dml_merge_upsert,
     "dml_time_travel": q_dml_time_travel,
+    "dml_compact_files": q_dml_compact_files,
+    "dml_schema_evolution": q_dml_schema_evolution,
 }
 
 ORACLES = {
@@ -193,6 +267,28 @@ ORACLES = {
                ROUND(SUM(bal), 2) AS total_balance
         FROM merged
         GROUP BY c_mktsegment
+    """,
+    # Compaction is invisible to readers: the oracle is the plain
+    # relational aggregate over all orders.
+    "dml_compact_files": """
+        SELECT o_orderpriority,
+               COUNT(*) AS n_orders,
+               ROUND(SUM(o_totalprice), 2) AS total_price
+        FROM orders
+        GROUP BY o_orderpriority
+    """,
+    # Rows inserted before the evolution carry NULL for the added column.
+    "dml_schema_evolution": f"""
+        SELECT o_orderstatus,
+               COUNT(*) AS n_orders,
+               CAST(SUM(CASE WHEN o_orderdate >= TIMESTAMP '{EVOLVE_CUTOFF}'
+                              AND o_orderpriority = '1-URGENT'
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_urgent,
+               CAST(SUM(CASE WHEN o_orderdate < TIMESTAMP '{EVOLVE_CUTOFF}'
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_pre_evolution,
+               ROUND(SUM(o_totalprice), 2) AS total_price
+        FROM orders
+        GROUP BY o_orderstatus
     """,
     "dml_time_travel": """
         SELECT 0 AS version,

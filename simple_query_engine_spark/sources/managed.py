@@ -63,7 +63,7 @@ class ManagedTable:
         if table.versions():
             raise ValueError(f"managed table already exists at {path}")
         files = table._write_data_files(df)
-        table._commit(0, files)
+        table._commit(0, files, schema=df.schema)
         return table
 
     def versions(self) -> list[int]:
@@ -84,21 +84,108 @@ class ManagedTable:
     # -- read ----------------------------------------------------------------
 
     def read(self, version: int | None = None) -> DataFrame:
-        """The table as of ``version`` (default: latest snapshot)."""
-        files = self._files(self.current_version() if version is None else version)
+        """The table as of ``version`` (default: latest snapshot).
+
+        When the manifest records a schema (every table committed since
+        schema tracking landed), the scan is planned FROM that schema —
+        files written before an evolution lack the added columns and the
+        Parquet reader fills them with NULL; no per-file footer merging
+        ever happens at planning time (``mergeSchema`` over 800 k files
+        reads 800 k footers on the driver — the manifest read is one JSON).
+        Time travel composes: an old version's manifest carries the schema
+        the table had THEN."""
+        v = self.current_version() if version is None else version
+        files = self._files(v)
+        schema = self._schema(v)
         if not files:
-            # An empty snapshot still needs a schema: replay version 0.
-            empty = self.spark.read.parquet(*self._files(0)).limit(0)
-            return empty
-        return self.spark.read.parquet(*files)
+            if schema is not None:
+                return self.spark.createDataFrame([], schema)
+            # Pre-schema-tracking empty snapshot: replay version 0.
+            return self.spark.read.parquet(*self._files(0)).limit(0)
+        return self._read_files(files, schema)
+
+    def _read_files(self, files: list[str], schema) -> DataFrame:
+        reader = self.spark.read
+        if schema is not None:
+            reader = reader.schema(schema)
+        return reader.parquet(*files)
 
     # -- mutations (each commits one new version) ----------------------------
 
-    def insert(self, df: DataFrame) -> int:
-        """Append rows — new files only, no existing file touched."""
+    def insert(self, df: DataFrame, evolve_schema: bool = False) -> int:
+        """Append rows — new files only, no existing file touched.
+
+        The batch must carry every current column at its exact type
+        (silently writing a divergent schema would poison later reads).
+        Extra columns raise unless ``evolve_schema=True``, in which case
+        they are APPENDED to the table schema as nullable columns — the
+        new manifest records the widened schema, old data files stay
+        untouched and read as NULL for the added columns, and prior
+        versions keep (and time-travel-read with) the old schema."""
         base = self.current_version()
-        new_files = self._write_data_files(df)
-        return self._commit(base + 1, self._files(base) + new_files)
+        base_schema = self._schema(base) or self.read(base).schema
+        base_fields = {f.name: f for f in base_schema.fields}
+        batch_fields = {f.name: f for f in df.schema.fields}
+        missing = [n for n in base_fields if n not in batch_fields]
+        if missing:
+            raise ValueError(f"insert batch missing table columns {missing}")
+        for name, field in batch_fields.items():
+            if name in base_fields and field.dataType != base_fields[name].dataType:
+                raise ValueError(
+                    f"insert batch column {name!r} is {field.dataType}, "
+                    f"table has {base_fields[name].dataType}"
+                )
+        extra = [f for f in df.schema.fields if f.name not in base_fields]
+        if extra and not evolve_schema:
+            raise ValueError(
+                f"insert batch adds columns {[f.name for f in extra]}; "
+                "pass evolve_schema=True to widen the table schema"
+            )
+        from pyspark.sql.types import StructField, StructType
+
+        new_schema = StructType(
+            list(base_schema.fields)
+            + [StructField(f.name, f.dataType, nullable=True) for f in extra]
+        )
+        ordered = df.select(*[f.name for f in new_schema.fields])
+        new_files = self._write_data_files(ordered)
+        return self._commit(
+            base + 1, self._files(base) + new_files, schema=new_schema
+        )
+
+    def compact(
+        self, target_files: int | None = None, min_file_bytes: int | None = None
+    ) -> int:
+        """OPTIMIZE: bin-pack small data files into fewer, larger ones.
+
+        Only files smaller than ``min_file_bytes`` (default: every file)
+        are rewritten — the incremental small-file compaction a lake
+        engine runs continuously after streaming/trickle inserts;
+        already-large files carry into the new manifest by reference, so
+        rewrite cost tracks the small-file backlog, not the table size.
+        The merged rows are ``coalesce()``d — a merge-only plan, NO
+        shuffle — into ``target_files`` files (default: one per 128 MB of
+        small-file bytes).  Rows are bit-identical before and after
+        (oracle-pinned via ``dml_compact_files``); prior snapshots keep
+        their original files, so time travel is unaffected.  File sizes
+        come from the filesystem here; on an object store they would be
+        recorded in the manifest at write time (one more field, same
+        protocol).  Returns the committed version, or the current one
+        unchanged when ≤ 1 file qualifies (no empty commits)."""
+        base = self.current_version()
+        files = self._files(base)
+        sizes = {f: os.path.getsize(f) for f in files}
+        small = [
+            f for f in files if min_file_bytes is None or sizes[f] < min_file_bytes
+        ]
+        if len(small) <= 1:
+            return base
+        small_bytes = sum(sizes[f] for f in small)
+        n = target_files or max(1, -(-small_bytes // (128 << 20)))
+        merged = self._read_files(small, self._schema(base)).coalesce(n)
+        new_files = self._write_data_files(merged)
+        untouched = [f for f in files if f not in set(small)]
+        return self._commit(base + 1, untouched + new_files)
 
     def delete_where(self, condition: Column) -> int:
         """Delete matching rows by rewriting only the files that hold them."""
@@ -237,22 +324,45 @@ class ManagedTable:
             if name.endswith(".parquet")
         )
 
-    def _commit(self, version: int, files: list[str]) -> int:
+    def _commit(self, version: int, files: list[str], schema=None) -> int:
+        """Atomically publish ``version``.  The manifest records the
+        snapshot's schema: passed explicitly by schema-changing commits
+        (create, evolving insert), carried forward from the base manifest
+        by every other mutation — so each version is self-describing and
+        time travel reads with the schema of its era."""
         os.makedirs(self._manifest_dir, exist_ok=True)
+        if schema is None and version > 0:
+            schema = self._schema(version - 1)
+        payload = {"version": version, "files": files}
+        if schema is not None:
+            payload["schema"] = schema.json()
         manifest = os.path.join(self._manifest_dir, f"v{version:05d}.json")
         try:
             # O_EXCL create = the commit point.  Exactly one writer can
             # create a given version file; losers see the conflict and
             # retry against the new snapshot.
             with open(manifest, "x") as fh:
-                json.dump({"version": version, "files": files}, fh)
+                json.dump(payload, fh)
         except FileExistsError:
             raise TableVersionConflict(
                 f"version {version} of {self.path} was committed concurrently"
             ) from None
         return version
 
-    def _files(self, version: int) -> list[str]:
+    def _manifest(self, version: int) -> dict:
         manifest = os.path.join(self._manifest_dir, f"v{version:05d}.json")
         with open(manifest) as fh:
-            return json.load(fh)["files"]
+            return json.load(fh)
+
+    def _files(self, version: int) -> list[str]:
+        return self._manifest(version)["files"]
+
+    def _schema(self, version: int):
+        """The schema the manifest records for ``version`` (None for
+        manifests written before schema tracking)."""
+        raw = self._manifest(version).get("schema")
+        if raw is None:
+            return None
+        from pyspark.sql.types import StructType
+
+        return StructType.fromJson(json.loads(raw))

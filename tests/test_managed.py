@@ -185,10 +185,10 @@ def test_concurrent_commit_exactly_one_winner(spark, tmp_path, people):
     manifest = os.path.join(t.path, "_manifests", "v00001.json")
     with open(manifest) as fh:
         committed = json.load(fh)
-    assert committed == {
-        "version": 1,
-        "files": [f"file_from_writer_{winners[0]}.parquet"],
-    }
+    assert committed["version"] == 1
+    assert committed["files"] == [f"file_from_writer_{winners[0]}.parquet"]
+    # The commit path carries the base schema forward into every manifest.
+    assert json.loads(committed["schema"])["type"] == "struct"
 
 
 def test_conflict_loser_retries_cleanly(spark, tmp_path, people):
@@ -223,3 +223,82 @@ def test_conflict_loser_retries_cleanly(spark, tmp_path, people):
     assert version == base + 2
     ids = sorted(r.id for r in writer_a.read().select("id").collect())
     assert ids == sorted(list(range(20)) + [100, 101])
+
+
+def test_compact_merges_small_files_and_preserves_history(spark, tmp_path, people):
+    t = ManagedTable.create(spark, str(tmp_path / "t"), people.repartition(4))
+    t.insert(people.withColumn("id", F.col("id") + 100).repartition(4))
+    before_files = t._files(1)
+    assert len(before_files) >= 8
+    version = t.compact(target_files=1)
+    assert version == 2
+    after_files = t._files(2)
+    assert len(after_files) == 1
+    # Data identical, history intact: v1 still reads its original files.
+    assert t.read(version=2).count() == 40
+    assert sorted(r.id for r in t.read(2).collect()) == sorted(
+        r.id for r in t.read(1).collect()
+    )
+    assert t._files(1) == before_files
+    assert all(os.path.exists(f) for f in before_files)
+
+
+def test_compact_skips_large_files(spark, tmp_path, people):
+    t = ManagedTable.create(spark, str(tmp_path / "t"), people.repartition(4))
+    files_v0 = t._files(0)
+    sizes = {f: os.path.getsize(f) for f in files_v0}
+    threshold = sorted(sizes.values())[2]  # two files qualify as "small"
+    version = t.compact(min_file_bytes=threshold)
+    assert version == 1
+    carried = [f for f in t._files(1) if f in set(files_v0)]
+    assert carried == [f for f in files_v0 if sizes[f] >= threshold]
+    assert t.read().count() == 20
+
+
+def test_compact_noop_when_nothing_qualifies(spark, tmp_path, people):
+    t = ManagedTable.create(spark, str(tmp_path / "t"), people.coalesce(1))
+    assert t.compact() == 0  # single file: no empty commit
+    assert t.versions() == [0]
+
+
+def test_schema_evolution_append_and_time_travel(spark, tmp_path, people):
+    t = ManagedTable.create(spark, str(tmp_path / "t"), people)
+    batch = spark.createDataFrame(
+        [(200, "name_200", 2000.0, "even", "fr")],
+        ["id", "name", "balance", "parity", "lang"],
+    )
+    with pytest.raises(ValueError, match="adds columns"):
+        t.insert(batch)
+    version = t.insert(batch, evolve_schema=True)
+    assert version == 1
+    final = t.read()
+    assert final.schema.fieldNames() == ["id", "name", "balance", "parity", "lang"]
+    by_id = {r.id: r.lang for r in final.collect()}
+    assert by_id[200] == "fr"
+    assert all(by_id[i] is None for i in range(20))  # old files read as NULL
+    # Time travel reads v0 with the schema of its era.
+    assert t.read(version=0).schema.fieldNames() == ["id", "name", "balance", "parity"]
+
+
+def test_insert_rejects_type_and_missing_column_divergence(spark, tmp_path, people):
+    t = ManagedTable.create(spark, str(tmp_path / "t"), people)
+    wrong_type = spark.createDataFrame(
+        [(300, "n", 5, "odd")], ["id", "name", "balance", "parity"]
+    )  # balance long, table has double
+    with pytest.raises(ValueError, match="balance"):
+        t.insert(wrong_type)
+    missing = people.select("id", "name", "balance")
+    with pytest.raises(ValueError, match="missing table columns"):
+        t.insert(missing)
+
+
+def test_mutations_carry_schema_after_evolution(spark, tmp_path, people):
+    t = ManagedTable.create(spark, str(tmp_path / "t"), people)
+    batch = spark.createDataFrame(
+        [(200, "name_200", 2000.0, "even", "fr")],
+        ["id", "name", "balance", "parity", "lang"],
+    )
+    t.insert(batch, evolve_schema=True)
+    t.delete_where(F.col("id") < 5)  # schema-preserving mutation
+    assert t.read().schema.fieldNames() == ["id", "name", "balance", "parity", "lang"]
+    assert t.read().count() == 16
