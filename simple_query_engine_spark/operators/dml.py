@@ -210,6 +210,60 @@ def q_dml_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dml_vacuum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VACUUM: delete finished orders, then garbage-collect the files only
+    the expired v0 references (``retain_versions=1``).  The current
+    snapshot must read identically after the GC — that is what the oracle
+    certifies; the file-level claims (doomed files gone, retained files
+    intact, expired time travel fails loudly) are pinned in
+    tests/test_managed.py.  Vacuum itself is pure manifest arithmetic —
+    path strings, never rows."""
+    orders = table(spark, sf_dir, "orders")
+    t = ManagedTable.create(spark, _scratch("vacuum_"), orders)
+    t.delete_where(F.col("o_orderstatus") == "F")
+    removed = t.vacuum(retain_versions=1)
+    if not removed:
+        raise RuntimeError(
+            "vacuum removed no files — the delete must rewrite at least one"
+        )
+    return (
+        t.read()
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+    )
+
+
+CDC_BUMP = 100.0
+
+
+def q_dml_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change feed across a DELETE + UPDATE chain: ``changes(0, 2)``
+    yields one 'delete' row per removed order, and a delete+insert pair
+    per updated order (CDC without row ids).  The oracle derives the same
+    multiset relationally; unchanged rows that merely sat in rewritten
+    files MUST cancel out of the feed — that cancellation (and the
+    manifest pruning that reads only rewritten files, see
+    ``ManagedTable.changes``) is the operator's scale story."""
+    orders = table(spark, sf_dir, "orders")
+    t = ManagedTable.create(spark, _scratch("cdc_"), orders)
+    t.delete_where(F.col("o_orderstatus") == "F")
+    t.update(
+        F.col("o_orderpriority") == "1-URGENT",
+        {"o_totalprice": F.col("o_totalprice") + CDC_BUMP},
+    )
+    return (
+        t.changes(0, 2)
+        .groupBy("_change_op", "o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+    )
+
+
 QUERIES = {
     "dml_insert_append": q_dml_insert_append,
     "dml_delete_where": q_dml_delete_where,
@@ -218,6 +272,8 @@ QUERIES = {
     "dml_time_travel": q_dml_time_travel,
     "dml_compact_files": q_dml_compact_files,
     "dml_schema_evolution": q_dml_schema_evolution,
+    "dml_vacuum": q_dml_vacuum,
+    "dml_change_feed": q_dml_change_feed,
 }
 
 ORACLES = {
@@ -289,6 +345,34 @@ ORACLES = {
                ROUND(SUM(o_totalprice), 2) AS total_price
         FROM orders
         GROUP BY o_orderstatus
+    """,
+    # Vacuum is invisible to the current snapshot: final state = survivors.
+    "dml_vacuum": """
+        SELECT o_orderstatus,
+               COUNT(*) AS n_orders,
+               ROUND(SUM(o_totalprice), 2) AS total_price
+        FROM orders
+        WHERE o_orderstatus <> 'F'
+        GROUP BY o_orderstatus
+    """,
+    # The feed multiset: every F order deletes once (urgent-and-F rows
+    # were already gone before the update);each urgent non-F order is a
+    # delete (original price) + insert (bumped price) pair.
+    "dml_change_feed": f"""
+        WITH changes AS (
+            SELECT 'delete' AS _change_op, o_orderstatus, o_totalprice
+            FROM orders
+            WHERE o_orderstatus = 'F' OR o_orderpriority = '1-URGENT'
+            UNION ALL
+            SELECT 'insert' AS _change_op, o_orderstatus,
+                   o_totalprice + {CDC_BUMP} AS o_totalprice
+            FROM orders
+            WHERE o_orderpriority = '1-URGENT' AND o_orderstatus <> 'F'
+        )
+        SELECT _change_op, o_orderstatus,
+               COUNT(*) AS n_rows,
+               ROUND(SUM(o_totalprice), 2) AS total_price
+        FROM changes GROUP BY _change_op, o_orderstatus
     """,
     "dml_time_travel": """
         SELECT 0 AS version,

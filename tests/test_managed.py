@@ -302,3 +302,66 @@ def test_mutations_carry_schema_after_evolution(spark, tmp_path, people):
     t.delete_where(F.col("id") < 5)  # schema-preserving mutation
     assert t.read().schema.fieldNames() == ["id", "name", "balance", "parity", "lang"]
     assert t.read().count() == 16
+
+
+def test_vacuum_removes_only_unreferenced_files(spark, tmp_path, people):
+    t = ManagedTable.create(spark, str(tmp_path / "t"), people.repartition(4))
+    v0_files = set(t._files(0))
+    t.delete_where(F.col("id") < 5)
+    v1_files = set(t._files(1))
+    removed = t.vacuum(retain_versions=1)
+    # Exactly the v0-only files died; every v1 file survives on disk.
+    assert set(removed) == v0_files - v1_files and removed
+    assert all(os.path.exists(f) for f in v1_files)
+    assert all(not os.path.exists(f) for f in removed)
+    assert t.read().count() == 15
+    # Expired time travel fails loudly at the manifest, not mid-scan.
+    assert t.versions() == [1]
+    with pytest.raises(FileNotFoundError):
+        t.read(version=0)
+    with pytest.raises(ValueError, match="retain_versions"):
+        t.vacuum(retain_versions=0)
+
+
+def test_vacuum_within_retention_is_noop(spark, tmp_path, people):
+    t = ManagedTable.create(spark, str(tmp_path / "t"), people)
+    t.delete_where(F.col("id") < 5)
+    assert t.vacuum(retain_versions=2) == []
+    assert t.read(version=0).count() == 20  # still readable
+
+
+def test_change_feed_matches_relational_diff(spark, tmp_path, people):
+    t = ManagedTable.create(spark, str(tmp_path / "t"), people.repartition(4))
+    t.delete_where(F.col("id") < 3)
+    t.update(F.col("parity") == "odd", {"balance": F.col("balance") + 1.0})
+    feed = t.changes(0, 2).collect()
+    got = sorted((r._change_op, r.id, r.balance) for r in feed)
+    expected = sorted(
+        [("delete", i, i * 10.0) for i in range(3)]
+        + [("delete", i, i * 10.0) for i in range(3, 20) if i % 2 == 1]
+        + [("insert", i, i * 10.0 + 1.0) for i in range(3, 20) if i % 2 == 1]
+    )
+    assert got == expected
+
+
+def test_change_feed_ignores_compaction(spark, tmp_path, people):
+    """Rows that merely moved between files cancel out — compaction
+    produces an EMPTY feed."""
+    t = ManagedTable.create(spark, str(tmp_path / "t"), people.repartition(4))
+    t.insert(people.withColumn("id", F.col("id") + 100).repartition(4))
+    t.compact(target_files=1)
+    assert t.changes(1, 2).count() == 0
+
+
+def test_change_feed_across_schema_evolution(spark, tmp_path, people):
+    """A pure ADD COLUMN append surfaces ONLY the inserted rows (diffed in
+    the from-version's schema, so untouched rows produce no phantoms)."""
+    t = ManagedTable.create(spark, str(tmp_path / "t"), people)
+    batch = spark.createDataFrame(
+        [(200, "name_200", 2000.0, "even", "fr")],
+        ["id", "name", "balance", "parity", "lang"],
+    )
+    t.insert(batch, evolve_schema=True)
+    feed = t.changes(0, 1).collect()
+    assert [(r._change_op, r.id) for r in feed] == [("insert", 200)]
+    assert "lang" not in t.changes(0, 1).columns  # old-schema contract
