@@ -32,6 +32,29 @@ from simple_query_engine_spark.sources.catalog import table
 SESSION_GAP_SEC = 30 * 60
 
 
+def _labeled_events(events: DataFrame, *cols: str) -> DataFrame:
+    """Gap-session labeling shared by sessionize / top-paths / markov:
+    the requested columns plus a ``session_seq`` from the standard
+    gaps-and-islands pipeline (lag-compare on exact integer microseconds,
+    running sum of breaks, (ts, event_id) tie-break).  ONE definition so
+    the gap predicate can never diverge between operators that must
+    reconcile (``test_markov_transitions_reconcile_with_sessionize``)."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    micros = F.unix_micros(F.col("ts"))
+    prev_micros = F.lag(micros).over(w)
+    is_break = F.when(
+        prev_micros.isNull()
+        | (micros - prev_micros > SESSION_GAP_SEC * 1_000_000),
+        1,
+    ).otherwise(0)
+    return events.select(
+        *cols,
+        F.sum(is_break).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ).alias("session_seq"),
+    )
+
+
 def q_events_sessionize_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user gap sessions: a new session starts when the gap since the
     user's previous event exceeds SESSION_GAP_SEC.
@@ -42,21 +65,7 @@ def q_events_sessionize_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``event_id`` tie-breaks equal timestamps so labeling is deterministic.
     """
     events = table(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    micros = F.unix_micros(F.col("ts"))
-    prev_micros = F.lag(micros).over(w)
-    is_break = F.when(
-        prev_micros.isNull()
-        | (micros - prev_micros > SESSION_GAP_SEC * 1_000_000),
-        1,
-    ).otherwise(0)
-    labeled = events.select(
-        "user_id",
-        "ts",
-        F.sum(is_break).over(
-            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        ).alias("session_seq"),
-    )
+    labeled = _labeled_events(events, "user_id", "ts")
     return labeled.groupBy("user_id", "session_seq").agg(
         F.count(F.lit(1)).alias("n_events"),
         F.min("ts").alias("session_start"),
@@ -252,23 +261,7 @@ def q_events_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     Determinism: (ts, event_id) orders every list; ties cannot occur.
     """
     events = table(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    micros = F.unix_micros(F.col("ts"))
-    prev_micros = F.lag(micros).over(w)
-    is_break = F.when(
-        prev_micros.isNull()
-        | (micros - prev_micros > SESSION_GAP_SEC * 1_000_000),
-        1,
-    ).otherwise(0)
-    labeled = events.select(
-        "user_id",
-        "ts",
-        "event_id",
-        "event_type",
-        F.sum(is_break).over(
-            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        ).alias("session_seq"),
-    )
+    labeled = _labeled_events(events, "user_id", "ts", "event_id", "event_type")
     ordered_types = F.transform(
         F.array_sort(
             F.collect_list(
@@ -314,23 +307,8 @@ def q_events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     probability division is one float op on two exact longs.
     """
     events = table(spark, sf_dir, "events")
+    labeled = _labeled_events(events, "user_id", "ts", "event_id", "event_type")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    micros = F.unix_micros(F.col("ts"))
-    prev_micros = F.lag(micros).over(w)
-    is_break = F.when(
-        prev_micros.isNull()
-        | (micros - prev_micros > SESSION_GAP_SEC * 1_000_000),
-        1,
-    ).otherwise(0)
-    labeled = events.select(
-        "user_id",
-        "ts",
-        "event_id",
-        "event_type",
-        F.sum(is_break).over(
-            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        ).alias("session_seq"),
-    )
     steps = labeled.select(
         F.col("event_type").alias("from_type"),
         F.lead("event_type").over(w).alias("to_type"),

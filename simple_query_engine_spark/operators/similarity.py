@@ -694,8 +694,11 @@ ORACLES = {
 
 
 def _semantic_clusters_oracle_sql() -> str:
-    # Deferred import keeps module init acyclic with dedup (which this
-    # module otherwise never imports at top level).
+    # NOTE: this runs at module import time (the ORACLES assignment below
+    # calls it), so the function-local import does NOT defer anything —
+    # it is safe only because dedup.py never imports similarity.  If dedup
+    # ever needs something from this module, move the shared closure SQL
+    # into a third module both can import.
     from simple_query_engine_spark.operators.dedup import _closure_sql
 
     planted_pairs = _neardup_lsh_oracle_sql(

@@ -184,7 +184,8 @@ class ManagedTable:
         n = target_files or max(1, -(-small_bytes // (128 << 20)))
         merged = self._read_files(small, self._schema(base)).coalesce(n)
         new_files = self._write_data_files(merged)
-        untouched = [f for f in files if f not in set(small)]
+        small_set = set(small)
+        untouched = [f for f in files if f not in small_set]
         return self._commit(base + 1, untouched + new_files)
 
     def delete_where(self, condition: Column) -> int:
@@ -260,6 +261,11 @@ class ManagedTable:
                 f"versions {from_version}..{to_version} not all readable "
                 f"(available: {self.versions()})"
             )
+        if from_version > to_version:
+            raise ValueError(
+                f"from_version {from_version} > to_version {to_version} — a "
+                "reversed range would silently swap insert/delete labels"
+            )
         old_files = set(self._files(from_version))
         new_files = set(self._files(to_version))
         # Columns evolve append-only; diff in the OLD schema so a pure
@@ -326,7 +332,7 @@ class ManagedTable:
             # column would misread legitimately-NULL values as "no match".
             marked = source.withColumn("__matched", F.lit(True))
             joined = (
-                self.spark.read.parquet(*affected)
+                self._read_files(affected, self._schema(base))
                 .alias("t")
                 .join(
                     marked.alias("s"),
@@ -354,7 +360,8 @@ class ManagedTable:
             inserts = source.join(existing_keys, on, "left_anti")
             new_files.extend(self._write_data_files(inserts.select(*target_cols)))
 
-        untouched = [f for f in self._files(base) if f not in set(affected)]
+        affected_set = set(affected)
+        untouched = [f for f in self._files(base) if f not in affected_set]
         return self._commit(base + 1, untouched + new_files)
 
     # -- internals -----------------------------------------------------------
@@ -364,16 +371,20 @@ class ManagedTable:
         affected = self._affected_files(self._with_file_path(base).filter(condition))
         new_files: list[str] = []
         if affected:
-            rewritten = transform(self.spark.read.parquet(*affected))
+            # Schema-aware read: after a schema evolution the affected set
+            # can mix file eras; inferring from one sampled footer would
+            # silently drop evolved columns from the rewritten rows.
+            rewritten = transform(self._read_files(affected, self._schema(base)))
             new_files = self._write_data_files(rewritten)
-        untouched = [f for f in self._files(base) if f not in set(affected)]
+        affected_set = set(affected)
+        untouched = [f for f in self._files(base) if f not in affected_set]
         return self._commit(base + 1, untouched + new_files)
 
     def _with_file_path(self, version: int) -> DataFrame:
         files = self._files(version)
         if not files:
             return self.read(version).withColumn("file_path", F.lit(None).cast("string"))
-        return self.spark.read.parquet(*files).withColumn(
+        return self._read_files(files, self._schema(version)).withColumn(
             "file_path", F.col("_metadata.file_path")
         )
 

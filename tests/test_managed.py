@@ -244,15 +244,21 @@ def test_compact_merges_small_files_and_preserves_history(spark, tmp_path, peopl
 
 
 def test_compact_skips_large_files(spark, tmp_path, people):
-    t = ManagedTable.create(spark, str(tmp_path / "t"), people.repartition(4))
-    files_v0 = t._files(0)
-    sizes = {f: os.path.getsize(f) for f in files_v0}
-    threshold = sorted(sizes.values())[2]  # two files qualify as "small"
-    version = t.compact(min_file_bytes=threshold)
-    assert version == 1
-    carried = [f for f in t._files(1) if f in set(files_v0)]
-    assert carried == [f for f in files_v0 if sizes[f] >= threshold]
-    assert t.read().count() == 20
+    # One deliberately-large file (20 rows) + two trickle files (1 row
+    # each): the size gap is structural, so the threshold between them
+    # cannot tie (a same-row-count repartition CAN produce equal sizes).
+    t = ManagedTable.create(spark, str(tmp_path / "t"), people.coalesce(1))
+    one = spark.createDataFrame([(100, "a", 1.0, "even")], people.schema)
+    two = spark.createDataFrame([(101, "b", 2.0, "odd")], people.schema)
+    t.insert(one.coalesce(1))
+    t.insert(two.coalesce(1))
+    files_v2 = t._files(2)
+    sizes = {f: os.path.getsize(f) for f in files_v2}
+    big = max(files_v2, key=sizes.get)
+    version = t.compact(min_file_bytes=sizes[big])
+    assert version == 3
+    assert [f for f in t._files(3) if f in set(files_v2)] == [big]
+    assert t.read().count() == 22
 
 
 def test_compact_noop_when_nothing_qualifies(spark, tmp_path, people):
@@ -365,3 +371,33 @@ def test_change_feed_across_schema_evolution(spark, tmp_path, people):
     feed = t.changes(0, 1).collect()
     assert [(r._change_op, r.id) for r in feed] == [("insert", 200)]
     assert "lang" not in t.changes(0, 1).columns  # old-schema contract
+
+
+def test_mixed_era_rewrite_preserves_evolved_columns(spark, tmp_path, people):
+    """Regression (review finding): a DELETE whose predicate touches both
+    a pre-evolution file and a post-evolution file must read the affected
+    set with the MANIFEST schema — an inferred schema sampled from the
+    pre-evolution footer would silently drop the evolved column from the
+    rewritten survivors."""
+    t = ManagedTable.create(spark, str(tmp_path / "t"), people.coalesce(1))
+    batch = spark.createDataFrame(
+        [(200, "name_200", 2000.0, "even", "fr"), (201, "name_201", 2010.0, "odd", "de")],
+        ["id", "name", "balance", "parity", "lang"],
+    )
+    t.insert(batch, evolve_schema=True)
+    # Predicate matches rows in the old file (id 0) AND the new file (200).
+    t.delete_where(F.col("id").isin(0, 200))
+    got = {r.id: r.lang for r in t.read().collect()}
+    assert 0 not in got and 200 not in got
+    assert got[201] == "de", "evolved column lost in the mixed-era rewrite"
+    # UPDATE targeting the evolved column across eras must also resolve it.
+    t.update(F.col("id") == 5, {"lang": F.lit("en")})
+    got = {r.id: r.lang for r in t.read().collect()}
+    assert got[5] == "en" and got[201] == "de"
+
+
+def test_change_feed_rejects_reversed_range(spark, tmp_path, people):
+    t = ManagedTable.create(spark, str(tmp_path / "t"), people)
+    t.delete_where(F.col("id") < 3)
+    with pytest.raises(ValueError, match="reversed"):
+        t.changes(1, 0)
