@@ -329,10 +329,49 @@ def q_events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+def q_events_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution: each purchase credits the nearest
+    PRECEDING non-purchase event in the SAME gap session ('direct' when a
+    session opens with a purchase) — the credit-assignment query behind
+    every conversion dashboard, and a consumer of the shared
+    ``_labeled_events`` pipeline.
+
+    Shape at 100 TB: the attribution window partitions by
+    (user_id, session_seq) — hashpartitioning(user_id) already clusters
+    every session, so Catalyst reuses the labeling exchange (one corpus
+    shuffle total, plan-asserted in tests); the rollup groups the
+    purchase subset by touch type (bounded |types| rows after map-side
+    combine).  Determinism: (ts, event_id) totally orders each session;
+    ``last(..., ignorenulls)`` over a deterministic order is exact.
+    """
+    events = table(spark, sf_dir, "events")
+    labeled = _labeled_events(events, "user_id", "ts", "event_id", "event_type")
+    w = (
+        Window.partitionBy("user_id", "session_seq")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    touch = F.last(
+        F.when(F.col("event_type") != "purchase", F.col("event_type")),
+        ignorenulls=True,
+    ).over(w)
+    attributed = labeled.select(
+        "user_id",
+        "event_type",
+        F.coalesce(touch, F.lit("direct")).alias("touch_type"),
+    ).filter(F.col("event_type") == "purchase")
+    return attributed.groupBy("touch_type").agg(
+        F.count(F.lit(1)).alias("n_purchases"),
+        F.count_distinct("user_id").alias("n_users"),
+    )
+
+
 QUERIES = {
     "events_sessionize_gap": q_events_sessionize_gap,
     "events_top_paths": q_events_top_paths,
     "events_markov_transitions": q_events_markov_transitions,
+    "events_attribution_last_touch": q_events_attribution_last_touch,
     "events_retention_cohort": q_events_retention_cohort,
     "events_user_streaks": q_events_user_streaks,
     "events_funnel_windowed": q_events_funnel_windowed,
@@ -425,6 +464,38 @@ ORACLES = {
                      CAST(SUM(n_transitions) OVER (PARTITION BY from_type)
                           AS DOUBLE), 6) AS p_transition
         FROM counts
+    """,
+    "events_attribution_last_touch": f"""
+        WITH labeled AS (
+            SELECT user_id, ts, event_id, event_type,
+                   CAST(SUM(CASE WHEN prev_us IS NULL
+                            OR epoch_us(ts) - prev_us > {SESSION_GAP_SEC * 1_000_000}
+                            THEN 1 ELSE 0 END)
+                       OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+            FROM (
+                SELECT user_id, ts, event_id, event_type,
+                       LAG(epoch_us(ts)) OVER (PARTITION BY user_id
+                                               ORDER BY ts, event_id) AS prev_us
+                FROM events
+            )
+        ), attributed AS (
+            SELECT user_id, event_type,
+                   COALESCE(
+                       LAST_VALUE(CASE WHEN event_type <> 'purchase'
+                                       THEN event_type END IGNORE NULLS)
+                           OVER (PARTITION BY user_id, session_seq
+                                 ORDER BY ts, event_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                          AND 1 PRECEDING),
+                       'direct') AS touch_type
+            FROM labeled
+        )
+        SELECT touch_type,
+               COUNT(*) AS n_purchases,
+               CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+        FROM attributed WHERE event_type = 'purchase'
+        GROUP BY touch_type
     """,
     "events_retention_cohort": """
         WITH weekly AS (

@@ -411,3 +411,53 @@ def test_markov_plan_single_corpus_exchange(spark, sf_dir):
     assert plan.count("hashpartitioning(user_id") == 1, (
         "labeling window and leads must share one user_id exchange"
     )
+
+
+def test_attribution_against_python_model(spark, sf_dir):
+    """Pure-Python re-derivation: sessionize, then walk each session
+    crediting every purchase to the last preceding non-purchase event."""
+    from collections import defaultdict
+
+    from simple_query_engine_spark.operators.sessions import (
+        SESSION_GAP_SEC,
+        q_events_attribution_last_touch,
+    )
+
+    events = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .selectExpr("user_id", "unix_micros(ts) AS us", "event_id", "event_type")
+        .collect()
+    )
+    by_user = defaultdict(list)
+    for e in events:
+        by_user[e.user_id].append(e)
+    counts = defaultdict(int)
+    users = defaultdict(set)
+    gap_us = SESSION_GAP_SEC * 1_000_000
+    for uid, evs in by_user.items():
+        evs.sort(key=lambda e: (e.us, e.event_id))
+        prev_us, touch = None, "direct"
+        for e in evs:
+            if prev_us is None or e.us - prev_us > gap_us:
+                touch = "direct"  # session boundary resets the credit
+            if e.event_type == "purchase":
+                counts[touch] += 1
+                users[touch].add(uid)
+            else:
+                touch = e.event_type
+            prev_us = e.us
+    rows = q_events_attribution_last_touch(spark, sf_dir).collect()
+    assert {r.touch_type: (r.n_purchases, r.n_users) for r in rows} == {
+        t: (counts[t], len(users[t])) for t in counts
+    }
+
+
+def test_attribution_plan_single_corpus_exchange(spark, sf_dir):
+    """The (user_id, session_seq) attribution window must reuse the
+    labeling window's user_id exchange — one corpus shuffle total."""
+    from simple_query_engine_spark.operators.sessions import (
+        q_events_attribution_last_touch,
+    )
+
+    plan = _plan_of(q_events_attribution_last_touch(spark, sf_dir))
+    assert plan.count("hashpartitioning(user_id") == 1
