@@ -124,6 +124,44 @@ def q_stream_restart_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(out)
 
 
+
+def q_stream_upsert_managed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming MERGE into a managed table (the Delta streaming-merge
+    sink): 4 staged source files drain as 4 micro-batches, each upserting
+    its per-user rollup with a txn-stamped commit.  The oracle is the
+    batch groupBy over ALL events — green only if the four merges compose
+    to exactly the batch answer (no double-counts from the create/merge
+    races, no lost batches).  Replay idempotence (the txn skip) and
+    vacuum-survival of the txn map are pinned in
+    tests/test_streaming_sinks.py."""
+    import shutil
+    import tempfile
+
+    from simple_query_engine_spark.operators.storage import (
+        events_cache_path,
+        materialize_once,
+    )
+    from simple_query_engine_spark.streaming.sinks import (
+        run_streaming_upsert_managed,
+    )
+
+    staged = events_cache_path(sf_dir, "streamsrc_ts")
+    materialize_once(
+        staged,
+        lambda tmp: table(spark, sf_dir, "events")
+        .select("user_id", "ts", "event_id")
+        .repartition(4)
+        .write.parquet(tmp),
+    )
+    run_root = tempfile.mkdtemp(prefix="sqe_stream_upsert_")
+    return run_streaming_upsert_managed(
+        spark,
+        staged,
+        os.path.join(run_root, "table"),
+        os.path.join(run_root, "ckpt"),
+    )
+
+
 QUERIES = {
     "stream_tumbling_counts": q_stream_tumbling,
     "stream_sliding_counts": q_stream_sliding,
@@ -132,6 +170,7 @@ QUERIES = {
     "stream_stream_join": q_stream_stream_join,
     "stream_restart_resume": q_stream_restart_resume,
     "stream_dedup_user_counts": q_stream_dedup_user_counts,
+    "stream_upsert_managed": q_stream_upsert_managed,
     "window_tumbling_counts": q_batch_tumbling,
     "window_sliding_counts": q_window_sliding,
     "window_session_counts": q_window_session,
@@ -182,6 +221,15 @@ _SESSION_SQL = """
 """
 
 ORACLES = {
+    # Four txn-stamped micro-batch merges must compose to the plain batch
+    # rollup — additive counts, max-merged timestamps, no floats.
+    "stream_upsert_managed": """
+        SELECT user_id,
+               COUNT(*) AS n_events,
+               MAX(ts) AS last_ts
+        FROM events
+        GROUP BY user_id
+    """,
     "stream_tumbling_counts": _TUMBLING_SQL,
     "stream_sliding_counts": _SLIDING_SQL,
     "stream_session_counts": _SESSION_SQL,

@@ -296,6 +296,7 @@ class ManagedTable:
         on: str,
         update_assignments: dict[str, Column] | None = None,
         insert_not_matched: bool = True,
+        txn: tuple[str, int] | None = None,
     ) -> int:
         """Upsert ``source`` by equality on key column ``on``.
 
@@ -362,7 +363,7 @@ class ManagedTable:
 
         affected_set = set(affected)
         untouched = [f for f in self._files(base) if f not in affected_set]
-        return self._commit(base + 1, untouched + new_files)
+        return self._commit(base + 1, untouched + new_files, txn=txn)
 
     # -- internals -----------------------------------------------------------
 
@@ -415,16 +416,31 @@ class ManagedTable:
             if name.endswith(".parquet")
         )
 
-    def _commit(self, version: int, files: list[str], schema=None) -> int:
+    def _commit(
+        self, version: int, files: list[str], schema=None, txn=None
+    ) -> int:
         """Atomically publish ``version``.  The manifest records the
         snapshot's schema: passed explicitly by schema-changing commits
         (create, evolving insert), carried forward from the base manifest
         by every other mutation — so each version is self-describing and
-        time travel reads with the schema of its era."""
+        time travel reads with the schema of its era.
+
+        ``txn=(app, batch)`` stamps an idempotence token (the Delta
+        ``txn`` appId/version pattern): the manifest's ``txns`` map is the
+        PREVIOUS version's map plus this entry, so the CURRENT manifest
+        always carries every app's latest batch — ``last_txn`` needs one
+        manifest read, and vacuuming expired manifests cannot lose the
+        exactly-once history."""
         os.makedirs(self._manifest_dir, exist_ok=True)
         if schema is None and version > 0:
             schema = self._schema(version - 1)
+        txns = dict(self._manifest(version - 1).get("txns", {})) if version > 0 else {}
+        if txn is not None:
+            app, batch = txn
+            txns[app] = batch
         payload = {"version": version, "files": files}
+        if txns:
+            payload["txns"] = txns
         if schema is not None:
             payload["schema"] = schema.json()
         manifest = os.path.join(self._manifest_dir, f"v{version:05d}.json")
@@ -447,6 +463,12 @@ class ManagedTable:
 
     def _files(self, version: int) -> list[str]:
         return self._manifest(version)["files"]
+
+    def last_txn(self, app: str):
+        """The latest batch id committed under ``app``, or None — the
+        streaming-sink side of exactly-once: a foreachBatch handler skips
+        any batch id ≤ this (its effects are already in the snapshot)."""
+        return self._manifest(self.current_version()).get("txns", {}).get(app)
 
     def _schema(self, version: int):
         """The schema the manifest records for ``version`` (None for

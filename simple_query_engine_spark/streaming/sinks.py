@@ -116,3 +116,78 @@ def run_resumable_file_sink(
         return query
     query.awaitTermination()
     return None
+
+
+UPSERT_APP = "events_user_upsert"
+
+
+def upsert_users_batch(
+    spark: SparkSession, table_path: str, batch_df: DataFrame, batch_id: int
+) -> None:
+    """foreachBatch body for the managed-table streaming upsert.
+
+    Exactly-once WITHOUT relying on the sink being append-only: the
+    batch's per-user aggregate MERGEs into the table (additive
+    n_events + max last_ts — both exact types), and the commit is
+    stamped with ``txn=(app, batch_id)``.  On any replay —
+    foreachBatch retries after a task failure, or a query restart whose
+    checkpoint predates the commit — ``last_txn`` shows the batch
+    already applied and the handler returns without touching the table.
+    Module-level (not a closure) so tests can replay it directly."""
+    from pyspark.sql import functions as F
+
+    from simple_query_engine_spark.sources.managed import ManagedTable
+
+    agg = batch_df.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.max("ts").alias("last_ts"),
+    )
+    t = ManagedTable(spark, table_path)
+    if not t.versions():
+        # Empty shell first, then the normal txn-stamped merge path: a
+        # crash between the two replays into an exists+no-txn state that
+        # simply merges again (nothing was applied).
+        ManagedTable.create(spark, table_path, agg.limit(0))
+    last = t.last_txn(UPSERT_APP)
+    if last is not None and batch_id <= last:
+        return  # replayed batch: already in the snapshot
+    t.merge(
+        agg,
+        on="user_id",
+        update_assignments={
+            "n_events": F.col("t.n_events") + F.col("s.n_events"),
+            "last_ts": F.greatest(F.col("t.last_ts"), F.col("s.last_ts")),
+        },
+        txn=(UPSERT_APP, batch_id),
+    )
+
+
+def run_streaming_upsert_managed(
+    spark: SparkSession,
+    events_dir: str,
+    table_path: str,
+    checkpoint_dir: str,
+    max_files_per_trigger: int | None = 1,
+) -> DataFrame:
+    """readStream → foreachBatch MERGE into a ManagedTable — the streaming
+    half of the lakehouse layer (Delta's streaming-merge sink pattern).
+
+    Each micro-batch upserts its per-user rollup; exactly-once comes from
+    TWO cooperating logs — the checkpoint replays unacknowledged batches,
+    and the manifest ``txns`` map makes every replay a no-op — so neither
+    a mid-batch crash nor a post-commit/pre-ack crash double-counts.
+    Returns the final table contents."""
+    from simple_query_engine_spark.sources.managed import ManagedTable
+    from simple_query_engine_spark.streaming.windows import read_event_stream
+
+    stream = read_event_stream(spark, events_dir, max_files_per_trigger)
+    query = (
+        stream.writeStream.foreachBatch(
+            lambda df, bid: upsert_users_batch(spark, table_path, df, bid)
+        )
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return ManagedTable(spark, table_path).read()

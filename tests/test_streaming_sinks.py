@@ -63,3 +63,63 @@ def test_file_sink_exactly_once_across_midflight_kill(spark, sf_dir, tmp_path):
     n = events.count()
     assert final.count() == n
     assert final.select("event_id").distinct().count() == n
+
+
+def test_managed_upsert_replay_is_noop(spark, sf_dir, tmp_path):
+    """Exactly-once contract: replaying an already-committed batch id
+    through the foreachBatch handler must not touch the table, and the
+    txn map must survive a vacuum of the expired manifests."""
+    from simple_query_engine_spark.sources.catalog import table as cat_table
+    from simple_query_engine_spark.sources.managed import ManagedTable
+    from simple_query_engine_spark.streaming.sinks import (
+        UPSERT_APP,
+        upsert_users_batch,
+    )
+
+    events = cat_table(spark, sf_dir, "events").select("user_id", "ts", "event_id")
+    path = str(tmp_path / "t")
+    upsert_users_batch(spark, path, events, 0)
+    t = ManagedTable(spark, path)
+    version_after = t.current_version()
+    before = sorted(map(tuple, t.read().collect()))
+    assert t.last_txn(UPSERT_APP) == 0
+
+    # Replays of batch 0 (and of any lower id) are no-ops.
+    upsert_users_batch(spark, path, events, 0)
+    assert t.current_version() == version_after
+    assert sorted(map(tuple, t.read().collect())) == before
+
+    # A NEW batch applies additively...
+    upsert_users_batch(spark, path, events, 1)
+    doubled = {r.user_id: r.n_events for r in t.read().collect()}
+    assert doubled == {u: 2 * n for (u, n, _) in before}
+    # ...and the txn history survives vacuuming the expired manifests.
+    t.vacuum(retain_versions=1)
+    assert t.last_txn(UPSERT_APP) == 1
+    upsert_users_batch(spark, path, events, 1)  # still a no-op post-vacuum
+    assert {r.user_id: r.n_events for r in t.read().collect()} == doubled
+
+
+def test_managed_upsert_stream_matches_batch(spark, sf_dir, tmp_path):
+    """The 4-micro-batch streaming merge composes to the batch rollup."""
+    from pyspark.sql import functions as F
+
+    from simple_query_engine_spark.operators.streaming_ops import (
+        q_stream_upsert_managed,
+    )
+    from simple_query_engine_spark.sources.catalog import table as cat_table
+
+    got = sorted(map(tuple, q_stream_upsert_managed(spark, sf_dir).collect()))
+    expected = sorted(
+        map(
+            tuple,
+            cat_table(spark, sf_dir, "events")
+            .groupBy("user_id")
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.max("ts").alias("last_ts"),
+            )
+            .collect(),
+        )
+    )
+    assert got == expected
