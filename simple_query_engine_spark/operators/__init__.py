@@ -26,7 +26,7 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # priority order (VERDICT r06 "Next round" items 2 and 5):
 #   1. the 4 names displaced from the r06 front (r05 certs): the three
 #      *_python_datasource names + source_orc_roundtrip;
-#   2. the 26 queries added THIS round (REPL SQL passthrough + catalog-mode
+#   2. the 27 queries added THIS round (REPL SQL passthrough + catalog-mode
 #      mini-language dispatch — VERDICT item 5; the Bloom-filter
 #      decontamination variant — VERDICT item 6; domain-mixture
 #      reweighting; per-source attrition report; the curation.py
@@ -40,12 +40,12 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 #      compaction (OPTIMIZE), schema-evolution append, retention
 #      vacuum, and the manifest-pruned change feed; last-touch
 #      session attribution; the txn-stamped streaming managed-table
-#      upsert);
+#      upsert; change-feed incremental view maintenance);
 #   3. function-level changes this round: the bucketed layout now writes
 #      via materialize_once (race fix + two-source cache tag), the pack-id
 #      stride moved to 2^40, and text_decontamination's shingle derivation
 #      was factored into the shared helper the Bloom variant reuses;
-#   4. the age queue, oldest first: parity ×4 + relational ×13 (r01/r02
+#   4. the age queue, oldest first: parity ×4 + relational ×12 (r01/r02
 #      certs, five rounds stale — VERDICT item 2).  Still queued for
 #      r08+: relational2 ×17 (join_asof, funnel_conversion,
 #      agg_correlation, join_range, pivot_status, sample_hash, agg_stats
@@ -59,7 +59,7 @@ _ROTATION_FRONT = [
     "stream_python_datasource",
     "sink_python_datasource",
     "source_orc_roundtrip",
-    # --- 2. added this round (26) ---
+    # --- 2. added this round (27) ---
     "repl_sql_passthrough",
     "repl_minilang_catalog",
     "text_decontamination_bloom",
@@ -86,6 +86,7 @@ _ROTATION_FRONT = [
     "dml_change_feed",
     "events_attribution_last_touch",
     "stream_upsert_managed",
+    "dml_incremental_view",
     # --- 3. function-level changes this round (3) ---
     "join_bucketed_revenue",
     "pipeline_pack_sequences",
@@ -95,7 +96,7 @@ _ROTATION_FRONT = [
     "parity_filter_eq",
     "parity_filter_gt",
     "parity_project_filter_combo",
-    # --- 4b. stalest certs: relational (13, r01/r02) ---
+    # --- 4b. stalest certs: relational (12, r01/r02) ---
     "agg_pricing_summary",
     "agg_count_distinct",
     "agg_having",
@@ -108,13 +109,12 @@ _ROTATION_FRONT = [
     "join_left_outer_agg",
     "join_multiway",
     "window_topn_per_group",
-    "window_running_sum",
     # (case_in_between, math_funcs, json_funcs, subquery_above_avg,
     # distinct_rows moved to the r08 age queue as section 2 grew to 17,
     # then set_except, string_funcs, date_funcs, set_intersect, set_union,
-    # sort_topk, sort_multi_key, window_rank_dense, window_lag_lead
-    # followed as the continued-session additions grew section 2 to 26 —
-    # 4b now counts 13)
+    # sort_topk, sort_multi_key, window_rank_dense, window_lag_lead,
+    # window_running_sum followed as the continued-session additions grew
+    # section 2 to 27 — 4b now counts 12)
     # (the 7 r01-stale relational2 names that briefly held section 4c —
     # join_asof, funnel_conversion, agg_correlation, join_range,
     # pivot_status, sample_hash, agg_stats — moved to the FRONT of the

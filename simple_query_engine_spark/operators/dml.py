@@ -264,6 +264,62 @@ def q_dml_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+def q_dml_incremental_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance from the change feed: a per-status
+    rollup maintained by APPLYING the v0→v2 deltas to the v0 aggregate —
+    never recomputing over the mutated snapshot — must land exactly on
+    the relational answer (the oracle aggregates the final state
+    directly).  This is the consumer contract `changes()` exists for: at
+    100 TB the delta aggregate reads only rewritten files (manifest
+    pruning), so view maintenance costs O(changed data), not O(table).
+
+    Exactness: money moves as integer CENTS (`round(price·100) → long`;
+    2-decimal doubles land on exact integers, never a rounding
+    boundary), counts are signed longs — addition is order-free, so the
+    maintained view is hash-identical to the recompute (also pinned in
+    tests/test_managed.py)."""
+    orders = table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100, 0).cast("long")
+    t = ManagedTable.create(spark, _scratch("ivm_"), orders)
+    base_agg = (
+        t.read(version=0)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(cents).alias("total_cents"),
+        )
+    )
+    t.delete_where(F.col("o_orderstatus") == "F")
+    t.update(
+        F.col("o_orderpriority") == "1-URGENT",
+        {"o_totalprice": F.col("o_totalprice") + CDC_BUMP},
+    )
+    sign = F.when(F.col("_change_op") == "insert", F.lit(1)).otherwise(F.lit(-1))
+    delta = (
+        t.changes(0, 2)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.sum(sign).alias("d_orders"),
+            F.sum(sign * cents).alias("d_cents"),
+        )
+    )
+    maintained = (
+        base_agg.join(delta, "o_orderstatus", "full_outer")
+        .select(
+            "o_orderstatus",
+            (F.coalesce("n_orders", F.lit(0)) + F.coalesce("d_orders", F.lit(0))).alias(
+                "n_orders"
+            ),
+            (
+                F.coalesce("total_cents", F.lit(0)) + F.coalesce("d_cents", F.lit(0))
+            ).alias("total_cents"),
+        )
+        .filter(F.col("n_orders") > 0)
+    )
+    return maintained
+
+
 QUERIES = {
     "dml_insert_append": q_dml_insert_append,
     "dml_delete_where": q_dml_delete_where,
@@ -274,6 +330,7 @@ QUERIES = {
     "dml_schema_evolution": q_dml_schema_evolution,
     "dml_vacuum": q_dml_vacuum,
     "dml_change_feed": q_dml_change_feed,
+    "dml_incremental_view": q_dml_incremental_view,
 }
 
 ORACLES = {
@@ -373,6 +430,20 @@ ORACLES = {
                COUNT(*) AS n_rows,
                ROUND(SUM(o_totalprice), 2) AS total_price
         FROM changes GROUP BY _change_op, o_orderstatus
+    """,
+    # The maintained view must equal the direct aggregate of the FINAL
+    # state (F rows gone, urgent survivors bumped), in exact cents.
+    "dml_incremental_view": f"""
+        SELECT o_orderstatus,
+               COUNT(*) AS n_orders,
+               CAST(SUM(CAST(ROUND(
+                   (CASE WHEN o_orderpriority = '1-URGENT'
+                         THEN o_totalprice + {CDC_BUMP}
+                         ELSE o_totalprice END) * 100, 0) AS BIGINT))
+                   AS BIGINT) AS total_cents
+        FROM orders
+        WHERE o_orderstatus <> 'F'
+        GROUP BY o_orderstatus
     """,
     "dml_time_travel": """
         SELECT 0 AS version,

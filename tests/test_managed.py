@@ -401,3 +401,43 @@ def test_change_feed_rejects_reversed_range(spark, tmp_path, people):
     t.delete_where(F.col("id") < 3)
     with pytest.raises(ValueError, match="reversed"):
         t.changes(1, 0)
+
+
+def test_incremental_view_equals_recompute(spark, tmp_path, people):
+    """Delta-maintained aggregate == full recompute over the final
+    snapshot — the IVM consumer contract of changes(), on a table whose
+    mutation chain includes an insert, a delete, and an update."""
+    from pyspark.sql import functions as F
+
+    t = ManagedTable.create(spark, str(tmp_path / "t"), people.repartition(3))
+    t.insert(spark.createDataFrame([(100, "n", 70.0, "even")], people.schema))
+    t.delete_where(F.col("id") < 4)
+    t.update(F.col("parity") == "odd", {"balance": F.col("balance") + 0.5})
+
+    cents = F.round(F.col("balance") * 100, 0).cast("long")
+
+    def agg(df):
+        return df.groupBy("parity").agg(
+            F.count(F.lit(1)).alias("n"), F.sum(cents).alias("c")
+        )
+
+    sign = F.when(F.col("_change_op") == "insert", F.lit(1)).otherwise(F.lit(-1))
+    delta = (
+        t.changes(0, 3)
+        .groupBy("parity")
+        .agg(F.sum(sign).alias("dn"), F.sum(sign * cents).alias("dc"))
+    )
+    maintained = {
+        r.parity: (r.n, r.c)
+        for r in agg(t.read(version=0))
+        .join(delta, "parity", "full_outer")
+        .select(
+            "parity",
+            (F.coalesce("n", F.lit(0)) + F.coalesce("dn", F.lit(0))).alias("n"),
+            (F.coalesce("c", F.lit(0)) + F.coalesce("dc", F.lit(0))).alias("c"),
+        )
+        .filter(F.col("n") > 0)
+        .collect()
+    }
+    recomputed = {r.parity: (r.n, r.c) for r in agg(t.read()).collect()}
+    assert maintained == recomputed
