@@ -134,7 +134,6 @@ def q_stream_upsert_managed(spark: SparkSession, sf_dir: str) -> DataFrame:
     races, no lost batches).  Replay idempotence (the txn skip) and
     vacuum-survival of the txn map are pinned in
     tests/test_streaming_sinks.py."""
-    import shutil
     import tempfile
 
     from simple_query_engine_spark.operators.storage import (

@@ -138,28 +138,35 @@ def upsert_users_batch(
 
     from simple_query_engine_spark.sources.managed import ManagedTable
 
+    # Cache the rollup: merge() evaluates its source several times (the
+    # duplicate-key guard, the affected-file probe, the rewrite join, and
+    # the not-matched insert) — uncached, each would re-aggregate the
+    # micro-batch from the source files.
     agg = batch_df.groupBy("user_id").agg(
         F.count(F.lit(1)).alias("n_events"),
         F.max("ts").alias("last_ts"),
-    )
-    t = ManagedTable(spark, table_path)
-    if not t.versions():
-        # Empty shell first, then the normal txn-stamped merge path: a
-        # crash between the two replays into an exists+no-txn state that
-        # simply merges again (nothing was applied).
-        ManagedTable.create(spark, table_path, agg.limit(0))
-    last = t.last_txn(UPSERT_APP)
-    if last is not None and batch_id <= last:
-        return  # replayed batch: already in the snapshot
-    t.merge(
-        agg,
-        on="user_id",
-        update_assignments={
-            "n_events": F.col("t.n_events") + F.col("s.n_events"),
-            "last_ts": F.greatest(F.col("t.last_ts"), F.col("s.last_ts")),
-        },
-        txn=(UPSERT_APP, batch_id),
-    )
+    ).cache()
+    try:
+        t = ManagedTable(spark, table_path)
+        if not t.versions():
+            # Empty shell first, then the normal txn-stamped merge path: a
+            # crash between the two replays into an exists+no-txn state that
+            # simply merges again (nothing was applied).
+            ManagedTable.create(spark, table_path, agg.limit(0))
+        last = t.last_txn(UPSERT_APP)
+        if last is not None and batch_id <= last:
+            return  # replayed batch: already in the snapshot
+        t.merge(
+            agg,
+            on="user_id",
+            update_assignments={
+                "n_events": F.col("t.n_events") + F.col("s.n_events"),
+                "last_ts": F.greatest(F.col("t.last_ts"), F.col("s.last_ts")),
+            },
+            txn=(UPSERT_APP, batch_id),
+        )
+    finally:
+        agg.unpersist()
 
 
 def run_streaming_upsert_managed(

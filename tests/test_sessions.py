@@ -443,8 +443,8 @@ def test_attribution_against_python_model(spark, sf_dir):
             if e.event_type == "purchase":
                 counts[touch] += 1
                 users[touch].add(uid)
-            else:
-                touch = e.event_type
+            elif e.event_type is not None:  # NULL types are transparent,
+                touch = e.event_type        # matching last(..., ignorenulls)
             prev_us = e.us
     rows = q_events_attribution_last_touch(spark, sf_dir).collect()
     assert {r.touch_type: (r.n_purchases, r.n_users) for r in rows} == {
