@@ -26,7 +26,7 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # priority order (VERDICT r06 "Next round" items 2 and 5):
 #   1. the 4 names displaced from the r06 front (r05 certs): the three
 #      *_python_datasource names + source_orc_roundtrip;
-#   2. the 27 queries added THIS round (REPL SQL passthrough + catalog-mode
+#   2. the 28 queries added THIS round (REPL SQL passthrough + catalog-mode
 #      mini-language dispatch — VERDICT item 5; the Bloom-filter
 #      decontamination variant — VERDICT item 6; domain-mixture
 #      reweighting; per-source attrition report; the curation.py
@@ -40,12 +40,13 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 #      compaction (OPTIMIZE), schema-evolution append, retention
 #      vacuum, and the manifest-pruned change feed; last-touch
 #      session attribution; the txn-stamped streaming managed-table
-#      upsert; change-feed incremental view maintenance);
+#      upsert; change-feed incremental view maintenance; integer-exact
+#      PageRank over the near-dup graph);
 #   3. function-level changes this round: the bucketed layout now writes
 #      via materialize_once (race fix + two-source cache tag), the pack-id
 #      stride moved to 2^40, and text_decontamination's shingle derivation
 #      was factored into the shared helper the Bloom variant reuses;
-#   4. the age queue, oldest first: parity ×4 + relational ×12 (r01/r02
+#   4. the age queue, oldest first: parity ×4 + relational ×11 (r01/r02
 #      certs, five rounds stale — VERDICT item 2).  Still queued for
 #      r08+: relational2 ×17 (join_asof, funnel_conversion,
 #      agg_correlation, join_range, pivot_status, sample_hash, agg_stats
@@ -59,7 +60,7 @@ _ROTATION_FRONT = [
     "stream_python_datasource",
     "sink_python_datasource",
     "source_orc_roundtrip",
-    # --- 2. added this round (27) ---
+    # --- 2. added this round (28) ---
     "repl_sql_passthrough",
     "repl_minilang_catalog",
     "text_decontamination_bloom",
@@ -87,6 +88,7 @@ _ROTATION_FRONT = [
     "events_attribution_last_touch",
     "stream_upsert_managed",
     "dml_incremental_view",
+    "graph_pagerank_neardup",
     # --- 3. function-level changes this round (3) ---
     "join_bucketed_revenue",
     "pipeline_pack_sequences",
@@ -96,7 +98,7 @@ _ROTATION_FRONT = [
     "parity_filter_eq",
     "parity_filter_gt",
     "parity_project_filter_combo",
-    # --- 4b. stalest certs: relational (12, r01/r02) ---
+    # --- 4b. stalest certs: relational (11, r01/r02) ---
     "agg_pricing_summary",
     "agg_count_distinct",
     "agg_having",
@@ -108,13 +110,12 @@ _ROTATION_FRONT = [
     "join_anti",
     "join_left_outer_agg",
     "join_multiway",
-    "window_topn_per_group",
     # (case_in_between, math_funcs, json_funcs, subquery_above_avg,
     # distinct_rows moved to the r08 age queue as section 2 grew to 17,
     # then set_except, string_funcs, date_funcs, set_intersect, set_union,
     # sort_topk, sort_multi_key, window_rank_dense, window_lag_lead,
-    # window_running_sum followed as the continued-session additions grew
-    # section 2 to 27 — 4b now counts 12)
+    # window_running_sum, window_topn_per_group followed as the
+    # continued-session additions grew section 2 to 28 — 4b now counts 11)
     # (the 7 r01-stale relational2 names that briefly held section 4c —
     # join_asof, funnel_conversion, agg_correlation, join_range,
     # pivot_status, sample_hash, agg_stats — moved to the FRONT of the

@@ -840,6 +840,120 @@ def q_dedup_lsh_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+PAGERANK_ITERATIONS = 5
+PAGERANK_UNIT = 1_000_000  # rank carried in integer micro-units
+PAGERANK_DAMP_NUM, PAGERANK_DAMP_DEN = 85, 100  # damping 0.85, exact
+
+
+def q_graph_pagerank_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank centrality over the MinHash-LSH near-dup graph — the
+    keeper-selection refinement beyond ``dedup_clusters``: within a
+    near-dup cluster, the highest-centrality document is the canonical
+    copy (most near-duplicates orbit it), where min-doc_id keeps an
+    arbitrary one.
+
+    Iterative-algorithm determinism, the hard part: float PageRank sums
+    contributions in partition order and can never hash-match another
+    engine.  Here rank lives in integer MICRO-UNITS — each node starts at
+    10⁶, per-iteration contribution is ``rank div degree`` (floor), and
+    damping is ``(sum · 85) div 100`` — every operation is exact int64
+    arithmetic, order-free under addition, so a FIXED iteration count
+    (5) is bit-identical across engines and the DuckDB oracle simply
+    unrolls the five steps as chained CTEs.  (Floored division leaks
+    remainder mass — deterministically, identically, on both engines;
+    ranking order is what the operator is for, not probability mass.)
+
+    Scale shape: per iteration ONE join of the static cached
+    (edge, degree) table with the |nodes|-sized rank table and one
+    map-side-combined sum per destination — PageRank's canonical
+    shuffle-per-iteration cost; 5 fixed iterations ⇒ linear plan depth,
+    no lineage blow-up (the self-join analyzer explosion that forces
+    ``_propagate_labels``' parquet truncation does not occur here
+    because rank never joins itself)."""
+    pairs = q_dedup_minhash_lsh(spark, sf_dir).select("doc_id_a", "doc_id_b")
+    edges = pairs.union(
+        pairs.select(
+            F.col("doc_id_b").alias("doc_id_a"), F.col("doc_id_a").alias("doc_id_b")
+        )
+    ).select(F.col("doc_id_a").alias("src"), F.col("doc_id_b").alias("dst"))
+    # BOTH static tables cache: deg is referenced in every iteration's
+    # rank rebuild (and the final join) — uncached, each reference
+    # re-executes the whole LSH candidate join upstream of it.
+    deg = session_cache(
+        edges.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg")),
+        sf_dir,
+        "pagerank_deg",
+    )
+    edges_deg = session_cache(edges.join(deg, "src"), sf_dir, "pagerank_edges")
+    base = PAGERANK_UNIT * (PAGERANK_DAMP_DEN - PAGERANK_DAMP_NUM) // PAGERANK_DAMP_DEN
+    rank = deg.select(F.col("src").alias("node"), F.lit(PAGERANK_UNIT).alias("rank"))
+    for _ in range(PAGERANK_ITERATIONS):
+        contrib = (
+            edges_deg.join(rank, edges_deg.src == rank.node)
+            .select("dst", F.expr("rank div out_deg").alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("contrib"))
+        )
+        rank = (
+            deg.join(contrib, deg.src == contrib.dst, "left")
+            .select(
+                F.col("src").alias("node"),
+                (
+                    F.lit(base)
+                    + F.expr(
+                        f"coalesce(contrib, 0L) * {PAGERANK_DAMP_NUM} "
+                        f"div {PAGERANK_DAMP_DEN}"
+                    )
+                ).alias("rank"),
+            )
+        )
+    return rank.join(deg, rank.node == deg.src).select(
+        F.col("node").alias("doc_id"),
+        F.col("out_deg").alias("degree"),
+        F.col("rank").alias("rank_e6"),
+    )
+
+
+def _pagerank_oracle_sql() -> str:
+    """Unrolled fixed-iteration twin: it1..itN chained CTEs, the same
+    integer micro-unit arithmetic (BIGINT // floors exactly like Spark's
+    ``div``; SUM widens to HUGEINT so every sum is cast back)."""
+    base = PAGERANK_UNIT * (PAGERANK_DAMP_DEN - PAGERANK_DAMP_NUM) // PAGERANK_DAMP_DEN
+    steps = []
+    prev = "r0"
+    for i in range(1, PAGERANK_ITERATIONS + 1):
+        steps.append(f"""it{i} AS (
+            SELECT d.src AS node,
+                   {base} + (CAST(COALESCE(s.contrib, 0) AS BIGINT)
+                             * {PAGERANK_DAMP_NUM}) // {PAGERANK_DAMP_DEN} AS rank
+            FROM deg d LEFT JOIN (
+                SELECT e.dst, CAST(SUM(r.rank // e.out_deg) AS BIGINT) AS contrib
+                FROM edges_deg e JOIN {prev} r ON e.src = r.node
+                GROUP BY e.dst
+            ) s ON d.src = s.dst
+        )""")
+        prev = f"it{i}"
+    chain = ",\n        ".join(steps)
+    return f"""
+        WITH near AS MATERIALIZED ({_minhash_oracle_sql()}),
+        edges AS (
+            SELECT doc_id_a AS src, doc_id_b AS dst FROM near
+            UNION ALL
+            SELECT doc_id_b AS src, doc_id_a AS dst FROM near
+        ), deg AS MATERIALIZED (
+            SELECT src, COUNT(*) AS out_deg FROM edges GROUP BY src
+        ), edges_deg AS MATERIALIZED (
+            SELECT e.src, e.dst, d.out_deg FROM edges e JOIN deg d USING (src)
+        ), r0 AS (
+            SELECT src AS node, CAST({PAGERANK_UNIT} AS BIGINT) AS rank FROM deg
+        ),
+        {chain}
+        SELECT r.node AS doc_id, d.out_deg AS degree, r.rank AS rank_e6
+        FROM {prev} r JOIN deg d ON r.node = d.src
+    """
+
+
 QUERIES = {
     "dedup_exact": q_dedup_exact,
     "dedup_clusters": q_dedup_clusters,
@@ -851,6 +965,7 @@ QUERIES = {
     "dedup_containment_planted": q_dedup_containment_planted,
     "dedup_simhash": q_dedup_simhash,
     "dedup_lsh_quality": q_dedup_lsh_quality,
+    "graph_pagerank_neardup": q_graph_pagerank_neardup,
     "text_dup_ngram_coverage": q_dup_ngram_coverage,
 }
 
@@ -1150,6 +1265,7 @@ _NGRAM_JACCARD_SQL = f"""
                     / (sa.set_size + sb.set_size - common_shingles), 4) >= {JACCARD_THRESHOLD}
 """
 ORACLES["dedup_ngram_jaccard"] = _NGRAM_JACCARD_SQL
+ORACLES["graph_pagerank_neardup"] = _pagerank_oracle_sql()
 
 _LSH_QUALITY_ERR = "CAST(ROUND(ABS(est_jaccard - jaccard) * 10000, 0) AS BIGINT)"
 ORACLES["dedup_lsh_quality"] = f"""

@@ -266,3 +266,46 @@ def test_planted_offset_guard_fails_loudly_on_collision(spark, tmp_path):
     ).write.parquet(str(tmp_path / "documents.parquet"))
     with pytest.raises(Exception, match="planted-id collision"):
         D._planted_documents(spark, str(tmp_path)).collect()
+
+
+def test_pagerank_against_python_model(spark, sf_dir):
+    """Exact integer re-derivation: same micro-units, same floored
+    divisions, same fixed iteration count — equality is bitwise, not
+    approximate (the operator's whole determinism claim)."""
+    from collections import defaultdict
+
+    from simple_query_engine_spark.operators.dedup import (
+        PAGERANK_DAMP_DEN,
+        PAGERANK_DAMP_NUM,
+        PAGERANK_ITERATIONS,
+        PAGERANK_UNIT,
+        q_dedup_minhash_lsh,
+        q_graph_pagerank_neardup,
+    )
+
+    pairs = [
+        (r.doc_id_a, r.doc_id_b)
+        for r in q_dedup_minhash_lsh(spark, sf_dir).collect()
+    ]
+    assert pairs, "fixture must produce a non-empty near-dup graph"
+    edges = defaultdict(list)
+    for a, b in pairs:
+        edges[a].append(b)
+        edges[b].append(a)
+    deg = {n: len(dsts) for n, dsts in edges.items()}
+    base = PAGERANK_UNIT * (PAGERANK_DAMP_DEN - PAGERANK_DAMP_NUM) // PAGERANK_DAMP_DEN
+    rank = {n: PAGERANK_UNIT for n in deg}
+    for _ in range(PAGERANK_ITERATIONS):
+        contrib = defaultdict(int)
+        for src, dsts in edges.items():
+            c = rank[src] // deg[src]
+            for d in dsts:
+                contrib[d] += c
+        rank = {
+            n: base + (contrib[n] * PAGERANK_DAMP_NUM) // PAGERANK_DAMP_DEN
+            for n in deg
+        }
+    rows = q_graph_pagerank_neardup(spark, sf_dir).collect()
+    assert {r.doc_id: (r.degree, r.rank_e6) for r in rows} == {
+        n: (deg[n], rank[n]) for n in deg
+    }
