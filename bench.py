@@ -59,7 +59,7 @@ HEADLINE = [
 # too.  The headline list above stays frozen for cross-round continuity;
 # this list may grow — bump SUITE2_VERSION whenever it changes so a
 # round-over-round comparison knows when the totals became incomparable.
-SUITE2_VERSION = "r07c"  # r07b +2: corpus report, semantic clusters
+SUITE2_VERSION = "r07d"  # r07c +1: integer-exact PageRank
 SUITE2 = [
     "dedup_incremental_minhash",
     "dedup_containment_planted",
@@ -75,6 +75,7 @@ SUITE2 = [
     "pipeline_token_quota",
     "stats_corpus_report",
     "sim_semantic_clusters",
+    "graph_pagerank_neardup",
 ]
 
 
