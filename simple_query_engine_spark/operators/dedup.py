@@ -844,6 +844,9 @@ def q_dedup_lsh_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 PAGERANK_ITERATIONS = 5
 PAGERANK_UNIT = 1_000_000  # rank carried in integer micro-units
 PAGERANK_DAMP_NUM, PAGERANK_DAMP_DEN = 85, 100  # damping 0.85, exact
+# (1 - d) · UNIT — ONE definition shared by the operator and its oracle so
+# a damping change can never desynchronize them.
+PAGERANK_BASE = PAGERANK_UNIT * (PAGERANK_DAMP_DEN - PAGERANK_DAMP_NUM) // PAGERANK_DAMP_DEN
 
 
 def q_graph_pagerank_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -886,7 +889,7 @@ def q_graph_pagerank_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "pagerank_deg",
     )
     edges_deg = session_cache(edges.join(deg, "src"), sf_dir, "pagerank_edges")
-    base = PAGERANK_UNIT * (PAGERANK_DAMP_DEN - PAGERANK_DAMP_NUM) // PAGERANK_DAMP_DEN
+    base = PAGERANK_BASE
     rank = deg.select(F.col("src").alias("node"), F.lit(PAGERANK_UNIT).alias("rank"))
     for _ in range(PAGERANK_ITERATIONS):
         contrib = (
@@ -919,7 +922,7 @@ def _pagerank_oracle_sql() -> str:
     """Unrolled fixed-iteration twin: it1..itN chained CTEs, the same
     integer micro-unit arithmetic (BIGINT // floors exactly like Spark's
     ``div``; SUM widens to HUGEINT so every sum is cast back)."""
-    base = PAGERANK_UNIT * (PAGERANK_DAMP_DEN - PAGERANK_DAMP_NUM) // PAGERANK_DAMP_DEN
+    base = PAGERANK_BASE
     steps = []
     prev = "r0"
     for i in range(1, PAGERANK_ITERATIONS + 1):

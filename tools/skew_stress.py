@@ -12,7 +12,7 @@ executor memory), not something local benches can surface.
 
 **Window skew** (running sum over the hot key): windows CANNOT be split
 — one partition is one task by semantics, so the hot key serializes
-~half the table through one core.  Measured: ~11× wall-time penalty,
+~half the table through one core.  Measured: ~10× wall-time penalty,
 fully recovered by the salted two-phase reduction (the
 sample_stratified / pipeline_token_quota pattern).  This is the
 experiment that actually demonstrates the dial.
@@ -98,7 +98,11 @@ def main() -> int:
                     orders,
                     "o_orderkey",
                     salt_buckets=SALT_BUCKETS,
-                    salt_cols=["o_orderkey", "l_linenumber"],
+                    # Salt on the ORIGINAL per-row-varying key: the hot
+                    # rows share o_orderkey by construction, so salting on
+                    # it would collapse the hot key into ≤ |linenumber|
+                    # buckets instead of SALT_BUCKETS.
+                    salt_cols=["l_orderkey", "l_linenumber"],
                 )
                 if salted
                 else lineitem.join(orders, "o_orderkey")
@@ -135,12 +139,22 @@ def main() -> int:
     }
     for k, v in window_results.items():
         print(f"window/{k}: {v}s")
-    # The two formulations must agree on the reduction they share.
-    a = {r.o_orderkey: float(r.total_qty) for r in two_phase.collect()}
-    b = {
-        r.o_orderkey: round(float(r.total_qty), 2) for r in one_phase.collect()
-    }
-    assert a == b, "one-phase and two-phase totals diverge"
+    # The two formulations must agree on the reduction they share —
+    # checked Spark-side (a full-outer join counting divergent keys), so
+    # no re-execution ships millions of rows to the driver.
+    one_r = one_phase.select(
+        "o_orderkey", F.round("total_qty", 2).alias("one_total")
+    )
+    divergent = (
+        one_r.join(two_phase, "o_orderkey", "full_outer")
+        .filter(
+            F.col("one_total").isNull()
+            | F.col("total_qty").isNull()
+            | (F.col("one_total") != F.col("total_qty"))
+        )
+        .count()
+    )
+    assert divergent == 0, f"{divergent} keys diverge between the formulations"
 
     payload = {
         "sf_dir": sf_dir,
@@ -149,7 +163,7 @@ def main() -> int:
         "hot_fraction": HOT_FRACTION,
         "salt_buckets": SALT_BUCKETS,
         "two_phase_salts": TWO_PHASE_SALTS,
-        "cpus": os.environ.get("SPARK_GRAFT_CPUS", "32"),
+        "cpus": spark.sparkContext.defaultParallelism,
         "join_skew_sec": join_results,
         "window_skew_sec": window_results,
     }
