@@ -22,104 +22,79 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # everything else (already green in CORRECTNESS_r01/r02) follows in module
 # order.  ROUND3_NOTES.md tracks which round certified which query.
 #
-# Round-7 front window (exactly 50 = the driver's window size), in
-# priority order (VERDICT r06 "Next round" items 2 and 5):
-#   1. the 4 names displaced from the r06 front (r05 certs): the three
-#      *_python_datasource names + source_orc_roundtrip;
-#   2. the 28 queries added THIS round (REPL SQL passthrough + catalog-mode
-#      mini-language dispatch — VERDICT item 5; the Bloom-filter
-#      decontamination variant — VERDICT item 6; domain-mixture
-#      reweighting; per-source attrition report; the curation.py
-#      second wave: Count-Min sketch, shard assignment, token quota,
-#      PII redaction, MAD anomaly detection; the audit pair
-#      dedup_lsh_quality + sim_recall_audit; stats_column_profile;
-#      text_bigram_surprisal; pipeline_split_assign; events_top_paths;
-#      join_null_safe; the continued-session trio: session Markov
-#      transition matrix, embedding semantic-dedup clusters, and the
-#      dataset-card corpus report; the lakehouse pair: small-file
-#      compaction (OPTIMIZE), schema-evolution append, retention
-#      vacuum, and the manifest-pruned change feed; last-touch
-#      session attribution; the txn-stamped streaming managed-table
-#      upsert; change-feed incremental view maintenance; integer-exact
-#      PageRank over the near-dup graph);
-#   3. function-level changes this round: the bucketed layout now writes
-#      via materialize_once (race fix + two-source cache tag), the pack-id
-#      stride moved to 2^40, and text_decontamination's shingle derivation
-#      was factored into the shared helper the Bloom variant reuses;
-#   4. the age queue, oldest first: parity ×4 + relational ×11 (r01/r02
-#      certs, five rounds stale — VERDICT item 2).  Still queued for
-#      r08+: relational2 ×17 (join_asof, funnel_conversion,
-#      agg_correlation, join_range, pivot_status, sample_hash, agg_stats
-#      displaced by the seven new-query additions, plus the original
-#      ×10), relational3 ×4, relational4 ×11, udx ×5, multimodal ×4,
-#      dml ×5, remaining streaming, and the r06-certified bulk.
-# ROUND7_NOTES.md tracks the ledger.
+# Round-8 front window (exactly 50 = the driver's window size), in
+# priority order (the r08 queue laid out in ROUND7_NOTES.md):
+#   1. the queries added THIS round (quality.py analytics suite, plus any
+#      later additions — each new entry displaces one tail name);
+#   2. function-level re-certs: events_sessionize_gap (its gap-labeling
+#      block was refactored into the shared _labeled_events helper in r07;
+#      the helper itself is r07-certified via markov + top_paths, this
+#      re-certifies the original consumer);
+#   3. the 16 r01/r02-stale names displaced from the r07 front by that
+#      round's new-query growth;
+#   4. the age queue oldest-first: relational2 ×10 (r01), relational3 ×4
+#      (r02), then relational4 (r04/r05, minus the two r07-certified
+#      names) and udx (r03) as slots remain.  Still queued for r09+:
+#      the rest of relational4/udx, multimodal ×4, dml ×5, remaining
+#      streaming, then the r06/r07-certified bulk.
+# ROUND8_NOTES.md tracks the ledger.
 _ROTATION_FRONT = [
-    # --- 1. displaced from the r06 front (4) ---
-    "source_python_datasource",
-    "stream_python_datasource",
-    "sink_python_datasource",
-    "source_orc_roundtrip",
-    # --- 2. added this round (28) ---
-    "repl_sql_passthrough",
-    "repl_minilang_catalog",
-    "text_decontamination_bloom",
-    "pipeline_domain_mix",
-    "pipeline_attrition_report",
-    "sketch_countmin_words",
-    "pipeline_shuffle_shards",
-    "pipeline_token_quota",
-    "pipeline_pii_redaction",
-    "events_anomaly_mad",
-    "dedup_lsh_quality",
-    "stats_column_profile",
-    "sim_recall_audit",
-    "text_bigram_surprisal",
-    "pipeline_split_assign",
-    "events_top_paths",
-    "join_null_safe",
-    "events_markov_transitions",
-    "sim_semantic_clusters",
-    "stats_corpus_report",
-    "dml_compact_files",
-    "dml_schema_evolution",
-    "dml_vacuum",
-    "dml_change_feed",
-    "events_attribution_last_touch",
-    "stream_upsert_managed",
-    "dml_incremental_view",
-    "graph_pagerank_neardup",
-    # --- 3. function-level changes this round (3) ---
-    "join_bucketed_revenue",
-    "pipeline_pack_sequences",
-    "text_decontamination",
-    # --- 4a. stalest certs: parity (4, r01) ---
-    "parity_project",
-    "parity_filter_eq",
-    "parity_filter_gt",
-    "parity_project_filter_combo",
-    # --- 4b. stalest certs: relational (11, r01/r02) ---
-    "agg_pricing_summary",
-    "agg_count_distinct",
-    "agg_having",
-    "agg_rollup",
-    "agg_cube",
-    "join_broadcast_dim",
-    "join_large_revenue",
-    "join_semi",
-    "join_anti",
-    "join_left_outer_agg",
-    "join_multiway",
-    # (case_in_between, math_funcs, json_funcs, subquery_above_avg,
-    # distinct_rows moved to the r08 age queue as section 2 grew to 17,
-    # then set_except, string_funcs, date_funcs, set_intersect, set_union,
-    # sort_topk, sort_multi_key, window_rank_dense, window_lag_lead,
-    # window_running_sum, window_topn_per_group followed as the
-    # continued-session additions grew section 2 to 28 — 4b now counts 11)
-    # (the 7 r01-stale relational2 names that briefly held section 4c —
-    # join_asof, funnel_conversion, agg_correlation, join_range,
-    # pivot_status, sample_hash, agg_stats — moved to the FRONT of the
-    # r08 age queue when the seven new-query entries joined section 2)
+    # --- 1. added this round ---
+    "stats_expectations",
+    "stats_drift_psi",
+    "events_rfm_segments",
+    "events_trailing_features",
+    "text_zipf_slope",
+    "text_ngram_novelty",
+    # --- 2. function-changed re-certs (1) ---
+    "events_sessionize_gap",
+    # --- 3. displaced from the r07 front (16, r01/r02 certs) ---
+    "case_in_between",
+    "math_funcs",
+    "json_funcs",
+    "subquery_above_avg",
+    "distinct_rows",
+    "set_except",
+    "string_funcs",
+    "date_funcs",
+    "set_intersect",
+    "set_union",
+    "sort_topk",
+    "sort_multi_key",
+    "window_rank_dense",
+    "window_lag_lead",
+    "window_running_sum",
+    "window_topn_per_group",
+    # --- 4a. age queue: relational2 (10, r01) ---
+    "array_funcs",
+    "union_by_name",
+    "null_handling",
+    "grouping_sets",
+    "udf_pandas_score",
+    "string_advanced",
+    "date_advanced",
+    "subquery_in",
+    "agg_approx_distinct",
+    "agg_quantile_sketch",
+    # --- 4b. age queue: relational3 (4, r02) ---
+    "window_range_frame",
+    "window_distribution",
+    "agg_string_concat",
+    "events_time_rollup",
+    # --- 4c. age queue: relational4 (r04/r05) + udx (r03) fill the rest ---
+    "conditional_funcs",
+    "agg_percentiles_exact",
+    "bitwise_funcs",
+    "regexp_count_funcs",
+    "window_value_picks",
+    "map_funcs",
+    "variant_funcs",
+    "agg_mode_median",
+    "unpivot_metrics",
+    "join_lateral_topn",
+    "agg_hll_union",
+    "udf_grouped_map_zscore",
+    "zscore_window",
 ]
 
 
@@ -156,6 +131,7 @@ def _modules():
         dml,
         multimodal,
         parity,
+        quality,
         relational,
         pipeline,
         relational2,
@@ -187,6 +163,7 @@ def _modules():
         multimodal,
         pipeline,
         curation,
+        quality,
         udx,
         dml,
         replq,

@@ -1,0 +1,624 @@
+"""Round-8 corpus/pipeline analytics operators.
+
+Six operators a production data platform runs next to the curation core:
+
+- ``stats_expectations``      — declarative data-quality expectation suite
+  (Deequ/Great-Expectations-style checks: completeness, uniqueness, value
+  ranges, accepted sets, referential integrity) as one report table.
+- ``stats_drift_psi``         — Population Stability Index between a
+  reference and a current event window (the drift monitor a feature
+  platform alarms on), in quantized-ln integer math.
+- ``events_rfm_segments``     — RFM (recency / frequency / monetary)
+  quartile segmentation of users, the classic behavioral cohort table.
+- ``events_trailing_features`` — trailing 1h/24h window feature backfill
+  per user (burst/peak activity features for a feature store).
+- ``text_zipf_slope``         — Zipf's-law slope fit of the corpus word
+  frequency distribution (a corpus-health statistic: natural text ≈ −1).
+- ``text_ngram_novelty``      — per-document novelty: the fraction of a
+  doc's 3-gram shingles whose FIRST corpus occurrence is this doc (the
+  marginal-new-content curve a data-mixture curator reads).
+
+Everything is built-in-function JVM-side code (no Python in any plan).
+Numeric determinism follows the repo's established disciplines: counts
+and cumulative sums are exact integers; money is integer cents
+(``round(value·100) → long``, the dml_incremental_view convention);
+logarithms are quantized to integer micro-units
+(``round(ln(x)·1e6) → long``, the text_unigram_surprisal convention) and
+combined with exact integer arithmetic; each final statistic is a single
+float division of exactly-representable values — so every operator is
+hash-exact against its DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from simple_query_engine_spark.functions.hashing import (
+    md5_prefix_long,
+    md5_prefix_long_sql,
+)
+from simple_query_engine_spark.operators.text import _NORM, _documents, _normalized
+from simple_query_engine_spark.sources.catalog import table
+
+LN_SCALE = 1_000_000  # quantized-ln micro-units (text.SURPRISAL_LN_SCALE twin)
+
+
+def _qln(col: Column) -> Column:
+    """``round(ln(x)·1e6)`` as a long — the engine-portable quantized ln
+    (same construction as text_unigram_surprisal; the residual last-ulp
+    risk is documented there)."""
+    return F.round(F.log(col.cast("double")) * LN_SCALE).cast("long")
+
+
+def _qln_sql(expr: str) -> str:
+    return f"CAST(ROUND(ln(CAST({expr} AS DOUBLE)) * {LN_SCALE}) AS BIGINT)"
+
+
+# --------------------------------------------------------------------------
+# Data-quality expectation suite
+# --------------------------------------------------------------------------
+
+
+def _check_rows(df: DataFrame, table_name: str, checks: dict[str, Column]) -> DataFrame:
+    """One scan → one (table_name, check_name, n_rows, n_violations, passed)
+    row per check: all of a table's checks ride a single conditional
+    aggregate (stack() unpivots the one-row result), so the suite costs one
+    pass per table however many expectations it declares."""
+    agg = df.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        *[v.cast("long").alias(k) for k, v in checks.items()],
+    )
+    stack = ", ".join(f"'{k}', {k}" for k in checks)
+    return agg.select(
+        F.lit(table_name).alias("table_name"),
+        F.expr(f"stack({len(checks)}, {stack}) AS (check_name, n_violations)"),
+        "n_rows",
+    ).select(
+        "table_name",
+        "check_name",
+        "n_rows",
+        "n_violations",
+        (F.col("n_violations") == 0).cast("int").alias("passed"),
+    )
+
+
+def q_stats_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality expectation suite over the warehouse tables
+    — the contract check a pipeline runs before publishing a snapshot
+    (Deequ / Great Expectations shape): each row is one expectation with
+    its violation count and pass flag.
+
+    Checks: completeness (NULL counts), uniqueness (rows − distinct keys),
+    value ranges, accepted value sets, a cross-column consistency rule
+    (documents.n_chars must equal length(text)), and referential integrity
+    (lineitem orders that don't exist).
+
+    Shape at 100 TB: every single-table check is a conditional aggregate —
+    ALL of a table's checks share ONE scan (map-side combined to a 1-row
+    result; the uniqueness check rides the same pass as a distinct
+    aggregate).  The referential check is the only join: a key-only
+    left join counting misses, shuffling 8-byte keys — at warehouse scale
+    this is the standard orphan scan, broadcastable when the parent's key
+    set is small.  All violation counts are exact integers.
+    """
+    orders = table(spark, sf_dir, "orders")
+    documents = table(spark, sf_dir, "documents")
+    lineitem = table(spark, sf_dir, "lineitem")
+
+    orders_checks = _check_rows(
+        orders,
+        "orders",
+        {
+            "custkey_not_null": F.sum(F.col("o_custkey").isNull().cast("int")),
+            "orderkey_unique": F.count(F.lit(1)) - F.countDistinct("o_orderkey"),
+            "totalprice_positive": F.sum(
+                (~(F.col("o_totalprice") > 0)).cast("int")
+            ),
+            "orderstatus_accepted": F.sum(
+                (
+                    F.col("o_orderstatus").isNull()
+                    | ~F.col("o_orderstatus").isin("F", "O", "P")
+                ).cast("int")
+            ),
+        },
+    )
+    doc_checks = _check_rows(
+        documents,
+        "documents",
+        {
+            "text_not_null": F.sum(F.col("text").isNull().cast("int")),
+            "n_chars_consistent": F.sum(
+                (
+                    F.col("n_chars").isNull()
+                    | (F.col("n_chars") != F.length("text"))
+                ).cast("int")
+            ),
+        },
+    )
+    parents = orders.select(F.col("o_orderkey").alias("k"), F.lit(1).alias("hit"))
+    ref = (
+        lineitem.select("l_orderkey")
+        .join(parents, F.col("l_orderkey") == F.col("k"), "left")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.col("hit").isNull().cast("int")).cast("long").alias(
+                "n_violations"
+            ),
+        )
+        .select(
+            F.lit("lineitem").alias("table_name"),
+            F.lit("orderkey_in_orders").alias("check_name"),
+            "n_rows",
+            "n_violations",
+            (F.col("n_violations") == 0).cast("int").alias("passed"),
+        )
+    )
+    return orders_checks.unionByName(doc_checks).unionByName(ref)
+
+
+# --------------------------------------------------------------------------
+# Population Stability Index drift
+# --------------------------------------------------------------------------
+
+PSI_SPLIT = "2024-01-16"  # reference window < split ≤ current window
+
+
+def q_stats_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index of the event-type distribution between a
+    reference window (ts < PSI_SPLIT) and the current window — the standard
+    input-drift alarm a model-serving platform runs on its feature streams
+    (PSI < 0.1 stable, 0.1–0.25 moderate shift, > 0.25 action).
+
+    Determinism: with add-one smoothing, every share is a ratio of exact
+    integers, so the PSI term (p_c − p_r)·ln(p_c/p_r) decomposes into
+    exact-integer pieces: p_c − p_r = (c·R − r·C)/(C·R) exactly, and
+    ln(p_c/p_r) = ln c + ln R − ln r − ln C with each ln quantized to
+    integer micro-units (the text_unigram_surprisal convention).  The
+    per-category contribution numerator (c·R − r·C)·s is exact int64
+    (≤ ~1e17 at sf0.1); the only float op is the final division, identical
+    text on both engines.
+
+    Shape at 100 TB: ONE conditional-aggregate scan of the stream to
+    |event types| rows; the shares, quantized lns, and the PSI total are
+    windows over that BOUNDED table (calendar-bounded, not stream-bounded).
+    """
+    events = table(spark, sf_dir, "events")
+    per = events.groupBy("event_type").agg(
+        F.sum((F.col("ts") < PSI_SPLIT).cast("int")).alias("n_ref"),
+        F.sum((F.col("ts") >= PSI_SPLIT).cast("int")).alias("n_cur"),
+    )
+    sm = per.select(
+        "event_type",
+        "n_ref",
+        "n_cur",
+        (F.col("n_ref") + 1).cast("long").alias("r"),
+        (F.col("n_cur") + 1).cast("long").alias("c"),
+    )
+    w = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    tot = sm.withColumn("big_r", F.sum("r").over(w)).withColumn(
+        "big_c", F.sum("c").over(w)
+    )
+    s = _qln(F.col("c")) + _qln(F.col("big_r")) - _qln(F.col("r")) - _qln(
+        F.col("big_c")
+    )
+    num = ((F.col("c") * F.col("big_r")) - (F.col("r") * F.col("big_c"))) * s
+    scored = tot.withColumn("num", num)
+    denom = F.col("big_c") * F.col("big_r") * F.lit(float(LN_SCALE))
+    return scored.select(
+        "event_type",
+        "n_ref",
+        "n_cur",
+        F.round(F.col("num") / denom, 6).alias("psi_contrib"),
+        F.round(F.sum("num").over(w) / denom, 6).alias("psi_total"),
+    )
+
+
+# --------------------------------------------------------------------------
+# RFM segmentation
+# --------------------------------------------------------------------------
+
+RFM_TILES = 4
+
+
+def q_events_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM quartile segmentation: each user scored 1–4 on Recency (days
+    since last event, most recent = tile 1), Frequency (event count), and
+    Monetary (total value), then rolled up per (r, f, m) segment — the
+    behavioral cohort table a growth/curation team reads.
+
+    Determinism: monetary is integer cents (round(value·100) → long, the
+    dml_incremental_view money convention) so per-user sums are order-free;
+    recency is whole days between dates; NTILE runs over a TOTAL order
+    (metric, then user_id) so tile boundaries cannot depend on partition
+    order, and both engines share the ANSI NTILE remainder-to-front rule.
+
+    Shape at 100 TB: the stream collapses to one row per user in a
+    map-side-combined aggregate (the corpus-scale shuffle); the three
+    NTILEs are unpartitioned windows over the |users| table — bounded but
+    single-reducer, the documented dial being the salted two-phase rank
+    (pipeline_token_quota's construction) once |users| outgrows one task.
+    The corpus-max timestamp comes from a window over the SAME per-user
+    table (max of per-user maxes), not a second scan.
+    """
+    events = table(spark, sf_dir, "events")
+    per_user = events.groupBy("user_id").agg(
+        F.max("ts").alias("last_ts"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents"),
+    )
+    w_all = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    scored = per_user.withColumn(
+        "recency_days",
+        F.datediff(F.to_date(F.max("last_ts").over(w_all)), F.to_date("last_ts")),
+    )
+    r_w = Window.orderBy(F.col("recency_days").asc(), F.col("user_id"))
+    f_w = Window.orderBy(F.col("n_events").desc(), F.col("user_id"))
+    m_w = Window.orderBy(F.col("cents").desc(), F.col("user_id"))
+    tiled = scored.select(
+        "recency_days",
+        "cents",
+        F.ntile(RFM_TILES).over(r_w).alias("r_score"),
+        F.ntile(RFM_TILES).over(f_w).alias("f_score"),
+        F.ntile(RFM_TILES).over(m_w).alias("m_score"),
+    )
+    return tiled.groupBy("r_score", "f_score", "m_score").agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum("cents").alias("total_cents"),
+        F.round(F.sum("recency_days") / F.count(F.lit(1)), 2).alias(
+            "avg_recency_days"
+        ),
+    )
+
+
+# --------------------------------------------------------------------------
+# Trailing-window feature backfill
+# --------------------------------------------------------------------------
+
+TRAIL_1H_US = 3_600_000_000  # 1 hour in microseconds
+TRAIL_24H_US = 86_400_000_000
+
+
+def q_events_trailing_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-window feature backfill: at every event, the user's event
+    count over the trailing 1 hour and 24 hours and trailing-24h spend —
+    the point-in-time-correct features a feature store materializes for
+    training (computing them AT each historical event is what prevents
+    label leakage).  Reported per user as peak values plus totals.
+
+    Determinism: time is integer microseconds, the frames are integer
+    RANGE windows (identical peer semantics on duplicate timestamps in
+    both engines), counts are integers and spend is integer cents.
+
+    Shape at 100 TB: ONE exchange on user_id; all three RANGE frames share
+    the same (user_id, t_us) sort order, so Spark evaluates them in one
+    window stage over one sort; the per-user rollup then collapses
+    map-side.  No self-join — the naive "events × events within Δt" range
+    join is quadratic in hot users; the RANGE frame is the linear
+    formulation.
+    """
+    events = table(spark, sf_dir, "events")
+    ev = events.select(
+        "user_id",
+        F.unix_micros(F.col("ts")).alias("t_us"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    base = Window.partitionBy("user_id").orderBy("t_us")
+    w1 = base.rangeBetween(-(TRAIL_1H_US - 1), 0)
+    w24 = base.rangeBetween(-(TRAIL_24H_US - 1), 0)
+    feat = ev.select(
+        "user_id",
+        "cents",
+        F.count(F.lit(1)).over(w1).alias("c1h"),
+        F.count(F.lit(1)).over(w24).alias("c24h"),
+        F.sum("cents").over(w24).alias("v24h"),
+    )
+    return feat.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.max("c1h").alias("peak_1h_events"),
+        F.max("c24h").alias("peak_24h_events"),
+        F.max("v24h").alias("peak_24h_cents"),
+        F.sum("cents").alias("total_cents"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Zipf slope
+# --------------------------------------------------------------------------
+
+ZIPF_TOP = 100  # fit over the top-N words by frequency
+
+
+def q_text_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law slope: the OLS slope of ln(frequency) against ln(rank)
+    over the top-ZIPF_TOP corpus words — natural language sits near −1;
+    synthetic/boilerplate corpora drift toward 0 (flat) or below −1.5
+    (repetitive), making this a one-number corpus-health statistic.
+
+    Determinism: ranks and counts are exact integers; both lns are
+    quantized to integer micro-units; every OLS sum (Σx, Σy, Σxy, Σx²) is
+    exact int64 (bounded by the FIXED 100-point fit, not the corpus); the
+    slope is one float division of two exact int64s.
+
+    Shape at 100 TB: word counts are the map-side-combined aggregate;
+    the top-N cut is TakeOrderedAndProject (per-task heaps, no global
+    sort); the fit itself runs over 100 rows.
+    """
+    documents = _documents(spark, sf_dir)
+    words = documents.select(
+        F.explode(F.split(_normalized(F.col("text")), " ")).alias("word")
+    ).filter(F.col("word") != "")
+    counts = words.groupBy("word").agg(F.count(F.lit(1)).alias("n"))
+    top = counts.orderBy(F.col("n").desc(), "word").limit(ZIPF_TOP)
+    ranked = top.withColumn(
+        "rank", F.row_number().over(Window.orderBy(F.col("n").desc(), "word"))
+    )
+    pts = ranked.select(
+        _qln(F.col("rank")).alias("x"), _qln(F.col("n")).alias("y")
+    )
+    fit = pts.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    return fit.select(
+        F.col("k").alias("n_words"),
+        F.round(
+            (F.col("k") * F.col("sxy") - F.col("sx") * F.col("sy"))
+            / (F.col("k") * F.col("sxx") - F.col("sx") * F.col("sx")).cast(
+                "double"
+            ),
+            6,
+        ).alias("zipf_slope"),
+    )
+
+
+# --------------------------------------------------------------------------
+# N-gram novelty curve
+# --------------------------------------------------------------------------
+
+
+def q_text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document n-gram novelty: the fraction of a doc's distinct
+    3-gram shingles whose FIRST corpus occurrence (minimum doc_id over all
+    docs containing the shingle) is this document — the marginal-new-
+    content measure a curator reads to find where a source stops adding
+    information (late docs full of already-seen n-grams are boilerplate
+    or near-dups).
+
+    Reuses the dedup family's shingle derivation (word 3-grams, distinct
+    per doc, whole-text fallback below 3 words — and its session cache, so
+    a run alongside the MinHash queries shares the tokenize+shingle work).
+
+    Shape at 100 TB: shingles shuffle as 8-byte md5-prefix digests, never
+    strings (dedup_exact's digest discipline); first-occurrence is a
+    map-side-combined MIN per digest; the join back is digest-keyed.
+    Exactness: counts are integers, the rate is one float division.
+    """
+    from simple_query_engine_spark.operators.dedup import _shingles
+
+    g = _shingles(spark, sf_dir).select(
+        "doc_id", md5_prefix_long(F.col("shingle"), 15).alias("gh")
+    )
+    first = g.groupBy("gh").agg(F.min("doc_id").alias("first_doc"))
+    return (
+        g.join(first, "gh")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum((F.col("doc_id") == F.col("first_doc")).cast("int")).alias(
+                "n_novel"
+            ),
+        )
+        .select(
+            "doc_id",
+            "n_grams",
+            "n_novel",
+            F.round(F.col("n_novel") / F.col("n_grams"), 4).alias("novelty_rate"),
+        )
+    )
+
+
+QUERIES = {
+    "stats_expectations": q_stats_expectations,
+    "stats_drift_psi": q_stats_drift_psi,
+    "events_rfm_segments": q_events_rfm_segments,
+    "events_trailing_features": q_events_trailing_features,
+    "text_zipf_slope": q_text_zipf_slope,
+    "text_ngram_novelty": q_text_ngram_novelty,
+}
+
+
+ORACLES = {
+    "stats_expectations": """
+        WITH o AS (
+            SELECT COUNT(*) AS n_rows,
+                   CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)
+                        AS BIGINT) AS custkey_not_null,
+                   COUNT(*) - COUNT(DISTINCT o_orderkey) AS orderkey_unique,
+                   CAST(SUM(CASE WHEN NOT (o_totalprice > 0) THEN 1 ELSE 0 END)
+                        AS BIGINT) AS totalprice_positive,
+                   CAST(SUM(CASE WHEN o_orderstatus IS NULL
+                                   OR o_orderstatus NOT IN ('F', 'O', 'P')
+                                 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS orderstatus_accepted
+            FROM orders
+        ), d AS (
+            SELECT COUNT(*) AS n_rows,
+                   CAST(SUM(CASE WHEN text IS NULL THEN 1 ELSE 0 END)
+                        AS BIGINT) AS text_not_null,
+                   CAST(SUM(CASE WHEN n_chars IS NULL
+                                   OR n_chars <> length(text)
+                                 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_chars_consistent
+            FROM documents
+        ), r AS (
+            SELECT COUNT(*) AS n_rows,
+                   CAST(SUM(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_violations
+            FROM lineitem l
+            LEFT JOIN (SELECT DISTINCT o_orderkey FROM orders) o
+              ON l.l_orderkey = o.o_orderkey
+        ), checks AS (
+            SELECT 'orders' AS table_name, 'custkey_not_null' AS check_name,
+                   n_rows, custkey_not_null AS n_violations FROM o
+            UNION ALL
+            SELECT 'orders', 'orderkey_unique', n_rows, orderkey_unique FROM o
+            UNION ALL
+            SELECT 'orders', 'totalprice_positive', n_rows,
+                   totalprice_positive FROM o
+            UNION ALL
+            SELECT 'orders', 'orderstatus_accepted', n_rows,
+                   orderstatus_accepted FROM o
+            UNION ALL
+            SELECT 'documents', 'text_not_null', n_rows, text_not_null FROM d
+            UNION ALL
+            SELECT 'documents', 'n_chars_consistent', n_rows,
+                   n_chars_consistent FROM d
+            UNION ALL
+            SELECT 'lineitem', 'orderkey_in_orders', n_rows, n_violations FROM r
+        )
+        SELECT table_name, check_name, n_rows, n_violations,
+               CAST(CASE WHEN n_violations = 0 THEN 1 ELSE 0 END AS INT)
+                   AS passed
+        FROM checks
+    """,
+    "stats_drift_psi": f"""
+        WITH per AS (
+            SELECT event_type,
+                   CAST(SUM(CASE WHEN ts < TIMESTAMP '{PSI_SPLIT}'
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS n_ref,
+                   CAST(SUM(CASE WHEN ts >= TIMESTAMP '{PSI_SPLIT}'
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS n_cur
+            FROM events GROUP BY event_type
+        ), sm AS (
+            SELECT event_type, n_ref, n_cur,
+                   n_ref + 1 AS r, n_cur + 1 AS c FROM per
+        ), tot AS (
+            SELECT *,
+                   CAST(SUM(r) OVER () AS BIGINT) AS big_r,
+                   CAST(SUM(c) OVER () AS BIGINT) AS big_c
+            FROM sm
+        ), scored AS (
+            SELECT *,
+                   (c * big_r - r * big_c)
+                   * ({_qln_sql('c')} + {_qln_sql('big_r')}
+                      - {_qln_sql('r')} - {_qln_sql('big_c')}) AS num
+            FROM tot
+        )
+        SELECT event_type, n_ref, n_cur,
+               ROUND(num / (big_c * big_r * CAST({LN_SCALE} AS DOUBLE)), 6)
+                   AS psi_contrib,
+               ROUND(CAST(SUM(num) OVER () AS BIGINT)
+                     / (big_c * big_r * CAST({LN_SCALE} AS DOUBLE)), 6)
+                   AS psi_total
+        FROM scored
+    """,
+    "events_rfm_segments": f"""
+        WITH per_user AS (
+            SELECT user_id, MAX(ts) AS last_ts, COUNT(*) AS n_events,
+                   CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+                       AS cents
+            FROM events GROUP BY user_id
+        ), scored AS (
+            SELECT *,
+                   date_diff('day', CAST(last_ts AS DATE),
+                             CAST(MAX(last_ts) OVER () AS DATE))
+                       AS recency_days
+            FROM per_user
+        ), tiled AS (
+            SELECT recency_days, cents,
+                   NTILE({RFM_TILES}) OVER (ORDER BY recency_days ASC, user_id)
+                       AS r_score,
+                   NTILE({RFM_TILES}) OVER (ORDER BY n_events DESC, user_id)
+                       AS f_score,
+                   NTILE({RFM_TILES}) OVER (ORDER BY cents DESC, user_id)
+                       AS m_score
+            FROM scored
+        )
+        SELECT r_score, f_score, m_score,
+               COUNT(*) AS n_users,
+               CAST(SUM(cents) AS BIGINT) AS total_cents,
+               ROUND(SUM(recency_days) / CAST(COUNT(*) AS DOUBLE), 2)
+                   AS avg_recency_days
+        FROM tiled GROUP BY r_score, f_score, m_score
+    """,
+    "events_trailing_features": f"""
+        WITH ev AS (
+            SELECT user_id, epoch_us(ts) AS t_us,
+                   CAST(ROUND(value * 100) AS BIGINT) AS cents
+            FROM events
+        ), feat AS (
+            SELECT user_id, cents,
+                   COUNT(*) OVER (PARTITION BY user_id ORDER BY t_us
+                                  RANGE BETWEEN {TRAIL_1H_US - 1} PRECEDING
+                                  AND CURRENT ROW) AS c1h,
+                   COUNT(*) OVER (PARTITION BY user_id ORDER BY t_us
+                                  RANGE BETWEEN {TRAIL_24H_US - 1} PRECEDING
+                                  AND CURRENT ROW) AS c24h,
+                   CAST(SUM(cents) OVER (PARTITION BY user_id ORDER BY t_us
+                                  RANGE BETWEEN {TRAIL_24H_US - 1} PRECEDING
+                                  AND CURRENT ROW) AS BIGINT) AS v24h
+            FROM ev
+        )
+        SELECT user_id, COUNT(*) AS n_events,
+               MAX(c1h) AS peak_1h_events,
+               MAX(c24h) AS peak_24h_events,
+               MAX(v24h) AS peak_24h_cents,
+               CAST(SUM(cents) AS BIGINT) AS total_cents
+        FROM feat GROUP BY user_id
+    """,
+    "text_zipf_slope": f"""
+        WITH words AS (
+            SELECT unnest(string_split({_NORM}, ' ')) AS word FROM documents
+        ), counts AS (
+            SELECT word, COUNT(*) AS n FROM words
+            WHERE word <> '' GROUP BY word
+        ), top AS (
+            SELECT word, n FROM counts ORDER BY n DESC, word LIMIT {ZIPF_TOP}
+        ), ranked AS (
+            SELECT n, ROW_NUMBER() OVER (ORDER BY n DESC, word) AS rank
+            FROM top
+        ), pts AS (
+            SELECT {_qln_sql('rank')} AS x, {_qln_sql('n')} AS y FROM ranked
+        ), fit AS (
+            SELECT COUNT(*) AS k,
+                   CAST(SUM(x) AS BIGINT) AS sx,
+                   CAST(SUM(y) AS BIGINT) AS sy,
+                   CAST(SUM(x * y) AS BIGINT) AS sxy,
+                   CAST(SUM(x * x) AS BIGINT) AS sxx
+            FROM pts
+        )
+        SELECT k AS n_words,
+               ROUND((k * sxy - sx * sy)
+                     / CAST(k * sxx - sx * sx AS DOUBLE), 6) AS zipf_slope
+        FROM fit
+    """,
+    "text_ngram_novelty": f"""
+        WITH docs AS (
+            SELECT doc_id, string_split({_NORM}, ' ') w FROM documents
+        ), sh AS (
+            SELECT doc_id, unnest(list_distinct(
+                CASE WHEN len(w) >= 3
+                     THEN list_transform(range(1, len(w)-1),
+                                         i -> concat_ws(' ', w[i], w[i+1], w[i+2]))
+                     ELSE [array_to_string(w, ' ')] END)) AS shingle
+            FROM docs
+        ), g AS (
+            SELECT doc_id, {md5_prefix_long_sql("shingle", 15)} AS gh FROM sh
+        ), first AS (
+            SELECT gh, MIN(doc_id) AS first_doc FROM g GROUP BY gh
+        )
+        SELECT g.doc_id,
+               COUNT(*) AS n_grams,
+               CAST(SUM(CASE WHEN g.doc_id = f.first_doc THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_novel,
+               ROUND(SUM(CASE WHEN g.doc_id = f.first_doc THEN 1 ELSE 0 END)
+                     / CAST(COUNT(*) AS DOUBLE), 4) AS novelty_rate
+        FROM g JOIN first f USING (gh)
+        GROUP BY g.doc_id
+    """,
+}

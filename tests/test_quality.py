@@ -1,0 +1,207 @@
+"""Invariants for the quality.py round-8 analytics operators.
+
+The cross-engine value check lives in the oracle gate; these tests pin
+the properties the gate can't see: expectation-failure detection, the PSI
+math against a pure-Python recomputation (including the quantization),
+NTILE balance, trailing-window semantics against pandas, the Zipf OLS
+re-derivation, and novelty accounting identities.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from simple_query_engine_spark.operators.quality import (
+    LN_SCALE,
+    PSI_SPLIT,
+    RFM_TILES,
+    ZIPF_TOP,
+    _check_rows,
+    q_events_rfm_segments,
+    q_events_trailing_features,
+    q_stats_drift_psi,
+    q_stats_expectations,
+    q_text_ngram_novelty,
+    q_text_zipf_slope,
+)
+
+
+def test_expectations_all_pass_on_clean_testdata(spark, sf_dir):
+    rows = q_stats_expectations(spark, sf_dir).collect()
+    assert len(rows) == 7
+    by_name = {(r.table_name, r.check_name): r for r in rows}
+    assert ("lineitem", "orderkey_in_orders") in by_name
+    for r in rows:
+        assert r.n_violations == 0, r
+        assert r.passed == 1, r
+        assert r.n_rows > 0, r
+
+
+def test_expectations_detect_planted_violations(spark):
+    """A dirty relation must surface exact violation counts per check."""
+    df = spark.createDataFrame(
+        [(1, "F"), (1, "O"), (2, None), (None, "X")],
+        "key long, status string",
+    )
+    rows = _check_rows(
+        df,
+        "dirty",
+        {
+            "key_not_null": F.sum(F.col("key").isNull().cast("int")),
+            "key_unique": F.count(F.lit(1)) - F.countDistinct("key"),
+            "status_accepted": F.sum(
+                (F.col("status").isNull() | ~F.col("status").isin("F", "O"))
+                .cast("int")
+            ),
+        },
+    ).collect()
+    got = {r.check_name: (r.n_violations, r.passed) for r in rows}
+    # countDistinct ignores the NULL key: 4 rows, 2 distinct non-null keys.
+    assert got == {
+        "key_not_null": (1, 0),
+        "key_unique": (2, 0),
+        "status_accepted": (2, 0),
+    }
+    assert all(r.n_rows == 4 for r in rows)
+
+
+def test_psi_matches_python_model(spark, sf_dir, tables):
+    """Exact re-derivation of the PSI including the quantized-ln integer
+    math — psi_contrib and psi_total must equal the model bit-for-bit
+    after the same final rounding."""
+    events = tables["events"].select("event_type", "ts").collect()
+    ref, cur = {}, {}
+    split = PSI_SPLIT
+    for r in events:
+        book = ref if str(r.ts) < split else cur
+        book[r.event_type] = book.get(r.event_type, 0) + 1
+    types = sorted(set(ref) | set(cur))
+    r_s = {t: ref.get(t, 0) + 1 for t in types}
+    c_s = {t: cur.get(t, 0) + 1 for t in types}
+    big_r, big_c = sum(r_s.values()), sum(c_s.values())
+
+    def qln(x: int) -> int:
+        return round(math.log(x) * LN_SCALE)
+
+    nums = {
+        t: (c_s[t] * big_r - r_s[t] * big_c)
+        * (qln(c_s[t]) + qln(big_r) - qln(r_s[t]) - qln(big_c))
+        for t in types
+    }
+    denom = big_c * big_r * float(LN_SCALE)
+    total = round(sum(nums.values()) / denom, 6)
+    got = {r.event_type: r for r in q_stats_drift_psi(spark, sf_dir).collect()}
+    assert sorted(got) == types
+    for t in types:
+        assert got[t].n_ref == ref.get(t, 0)
+        assert got[t].n_cur == cur.get(t, 0)
+        assert got[t].psi_contrib == round(nums[t] / denom, 6), t
+        assert got[t].psi_total == total
+        # Each PSI term is non-negative up to ln-quantization noise.
+        assert got[t].psi_contrib >= -1e-6
+
+
+def test_rfm_tiles_partition_users(spark, sf_dir, tables):
+    seg = q_events_rfm_segments(spark, sf_dir).collect()
+    n_users = tables["events"].select("user_id").distinct().count()
+    assert sum(r.n_users for r in seg) == n_users
+    for r in seg:
+        for s in (r.r_score, r.f_score, r.m_score):
+            assert 1 <= s <= RFM_TILES
+    # NTILE balance: per axis, tile sizes differ by at most one.
+    for axis in ("r_score", "f_score", "m_score"):
+        sizes = {}
+        for r in seg:
+            sizes[r[axis]] = sizes.get(r[axis], 0) + r.n_users
+        assert max(sizes.values()) - min(sizes.values()) <= 1, (axis, sizes)
+
+
+def test_trailing_features_match_pandas(spark, sf_dir, tables):
+    """Independent pandas re-derivation of the trailing frames for every
+    user: peaks and totals must match exactly."""
+    ev = (
+        tables["events"]
+        .select(
+            "user_id",
+            F.unix_micros("ts").alias("t"),
+            F.round(F.col("value") * 100).cast("long").alias("cents"),
+        )
+        .toPandas()
+    )
+    got = {r.user_id: r for r in q_events_trailing_features(spark, sf_dir).collect()}
+    assert set(got) == set(ev.user_id.unique())
+    for uid, g in ev.groupby("user_id"):
+        g = g.sort_values("t").reset_index(drop=True)
+        c1 = c24 = v24 = 0
+        for i in range(len(g)):
+            t = g.t[i]
+            in1 = (g.t >= t - 3_600_000_000 + 1) & (g.t <= t)
+            in24 = (g.t >= t - 86_400_000_000 + 1) & (g.t <= t)
+            c1 = max(c1, int(in1.sum()))
+            c24 = max(c24, int(in24.sum()))
+            v24 = max(v24, int(g.cents[in24].sum()))
+        r = got[uid]
+        assert (r.peak_1h_events, r.peak_24h_events, r.peak_24h_cents) == (
+            c1,
+            c24,
+            v24,
+        ), uid
+        assert r.n_events == len(g)
+        assert r.total_cents == int(g.cents.sum())
+        assert r.peak_1h_events <= r.peak_24h_events <= r.n_events
+
+
+def test_zipf_slope_matches_python_ols(spark, sf_dir, tables):
+    import re
+    from collections import Counter
+
+    texts = [r.text for r in tables["documents"].select("text").collect()]
+    counts = Counter()
+    for t in texts:
+        # text._normalized: lowercase + whitespace collapse + trim.
+        norm = re.sub(r"\s+", " ", t.lower()).strip()
+        for w in norm.split(" "):
+            if w:
+                counts[w] += 1
+    top = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:ZIPF_TOP]
+    pts = [
+        (round(math.log(i + 1) * LN_SCALE), round(math.log(n) * LN_SCALE))
+        for i, (_, n) in enumerate(top)
+    ]
+    k = len(pts)
+    sx = sum(x for x, _ in pts)
+    sy = sum(y for _, y in pts)
+    sxy = sum(x * y for x, y in pts)
+    sxx = sum(x * x for x, _ in pts)
+    slope = round((k * sxy - sx * sy) / float(k * sxx - sx * sx), 6)
+    row = q_text_zipf_slope(spark, sf_dir).collect()[0]
+    # The synthetic corpus vocabulary is smaller than ZIPF_TOP, so the
+    # fit covers the whole (bounded) vocabulary.
+    assert row.n_words == k <= ZIPF_TOP
+    assert row.zipf_slope == slope
+    assert row.zipf_slope < 0  # frequency decreases with rank
+
+
+def test_ngram_novelty_accounting(spark, sf_dir):
+    rows = q_text_ngram_novelty(spark, sf_dir).collect()
+    by_doc = {r.doc_id: r for r in rows}
+    # The earliest doc can only contain first-seen grams.
+    first = min(by_doc)
+    assert by_doc[first].novelty_rate == 1.0
+    assert by_doc[first].n_novel == by_doc[first].n_grams
+    for r in rows:
+        assert 0 <= r.n_novel <= r.n_grams, r
+    # Every distinct gram digest is novel in exactly one doc: the novel
+    # total equals the corpus-wide distinct digest count.
+    from simple_query_engine_spark.functions.hashing import md5_prefix_long
+    from simple_query_engine_spark.operators.dedup import _shingles
+
+    n_distinct = (
+        _shingles(spark, sf_dir)
+        .select(md5_prefix_long(F.col("shingle"), 15).alias("gh"))
+        .distinct()
+        .count()
+    )
+    assert sum(r.n_novel for r in rows) == n_distinct
