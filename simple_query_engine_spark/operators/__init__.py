@@ -46,6 +46,8 @@ _ROTATION_FRONT = [
     "events_trailing_features",
     "text_zipf_slope",
     "text_ngram_novelty",
+    "graph_triangles_neardup",
+    "sim_sq_rerank",
     # --- 2. function-changed re-certs (1) ---
     "events_sessionize_gap",
     # --- 3. displaced from the r07 front (16, r01/r02 certs) ---
@@ -93,8 +95,6 @@ _ROTATION_FRONT = [
     "unpivot_metrics",
     "join_lateral_topn",
     "agg_hll_union",
-    "udf_grouped_map_zscore",
-    "zscore_window",
 ]
 
 

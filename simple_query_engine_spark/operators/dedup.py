@@ -957,6 +957,150 @@ def _pagerank_oracle_sql() -> str:
     """
 
 
+def q_graph_triangles_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle counts + local clustering coefficient over the MinHash-LSH
+    near-dup graph — the graph-density companion of
+    ``graph_pagerank_neardup``: a high clustering coefficient marks tight
+    template families (every near-dup of mine is also a near-dup of each
+    other — boilerplate), low marks chain-shaped drift (a ⇔ b ⇔ c
+    rewrites), which changes what a curator keeps.
+
+    Algorithm: degree-ordered edge orientation (each undirected edge
+    points from the (degree, id)-smaller endpoint), so every triangle is
+    counted exactly once at its orientation-minimal apex and — the scale
+    point — wedge fan-out is bounded by OUT-degree under the degree
+    order, the standard O(m^1.5) triangle-count discipline that keeps a
+    power-law hub from exploding the join (its edges all point INTO it).
+    Exactness: counts are integers; the clustering coefficient is one
+    float division of exact ints per node.
+
+    Shape: the wedge join and the closing-edge join are equi-joins on the
+    small oriented-edge table (cached — it feeds three plan branches);
+    per-node rollup is map-side combined.
+    """
+    pairs = q_dedup_minhash_lsh(spark, sf_dir).select("doc_id_a", "doc_id_b")
+    edges = pairs.union(
+        pairs.select(
+            F.col("doc_id_b").alias("doc_id_a"), F.col("doc_id_a").alias("doc_id_b")
+        )
+    ).select(F.col("doc_id_a").alias("src"), F.col("doc_id_b").alias("dst"))
+    deg = session_cache(
+        edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg")),
+        sf_dir,
+        "tri_deg",
+    )
+    und = (
+        pairs.join(
+            deg.select(F.col("src").alias("doc_id_a"), F.col("deg").alias("deg_a")),
+            "doc_id_a",
+        ).join(
+            deg.select(F.col("src").alias("doc_id_b"), F.col("deg").alias("deg_b")),
+            "doc_id_b",
+        )
+    )
+    a_first = (F.col("deg_a") < F.col("deg_b")) | (
+        (F.col("deg_a") == F.col("deg_b")) & (F.col("doc_id_a") < F.col("doc_id_b"))
+    )
+    oriented = session_cache(
+        und.select(
+            F.when(a_first, F.col("doc_id_a")).otherwise(F.col("doc_id_b")).alias("u"),
+            F.when(a_first, F.col("doc_id_b")).otherwise(F.col("doc_id_a")).alias("v"),
+            F.when(a_first, F.col("deg_b")).otherwise(F.col("deg_a")).alias("deg_v"),
+        ),
+        sf_dir,
+        "tri_oriented",
+    )
+    e1 = oriented.select("u", F.col("v").alias("v1"), F.col("deg_v").alias("dv1"))
+    e2 = oriented.select("u", F.col("v").alias("v2"), F.col("deg_v").alias("dv2"))
+    wedges = e1.join(e2, "u").filter(
+        (F.col("dv1") < F.col("dv2"))
+        | ((F.col("dv1") == F.col("dv2")) & (F.col("v1") < F.col("v2")))
+    )
+    closing = oriented.select(F.col("u").alias("v1"), F.col("v").alias("v2"))
+    tri = wedges.join(closing, ["v1", "v2"]).select(
+        F.col("u").alias("n1"), F.col("v1").alias("n2"), F.col("v2").alias("n3")
+    )
+    tri_nodes = (
+        tri.select(
+            F.explode(F.array(F.col("n1"), F.col("n2"), F.col("n3"))).alias("doc_id")
+        )
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    out = (
+        deg.select(F.col("src").alias("doc_id"), F.col("deg").alias("degree"))
+        .join(tri_nodes, "doc_id", "left")
+        .select(
+            "doc_id",
+            "degree",
+            F.coalesce(F.col("n_triangles"), F.lit(0)).cast("long").alias(
+                "n_triangles"
+            ),
+        )
+    )
+    return out.select(
+        "doc_id",
+        "degree",
+        "n_triangles",
+        F.when(
+            F.col("degree") >= 2,
+            F.round(
+                (2 * F.col("n_triangles"))
+                / (F.col("degree") * (F.col("degree") - 1)).cast("double"),
+                4,
+            ),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("clustering_coeff"),
+    )
+
+
+def _triangles_oracle_sql() -> str:
+    """Same degree-ordered orientation over the shared MinHash pair SQL."""
+    return f"""
+        WITH near AS MATERIALIZED ({_minhash_oracle_sql()}),
+        edges AS (
+            SELECT doc_id_a AS src, doc_id_b AS dst FROM near
+            UNION ALL
+            SELECT doc_id_b AS src, doc_id_a AS dst FROM near
+        ), deg AS MATERIALIZED (
+            SELECT src, COUNT(*) AS deg FROM edges GROUP BY src
+        ), und AS (
+            SELECT n.doc_id_a, n.doc_id_b, da.deg AS deg_a, db.deg AS deg_b,
+                   (da.deg < db.deg
+                    OR (da.deg = db.deg AND n.doc_id_a < n.doc_id_b)) AS a_first
+            FROM near n
+            JOIN deg da ON da.src = n.doc_id_a
+            JOIN deg db ON db.src = n.doc_id_b
+        ), oriented AS MATERIALIZED (
+            SELECT CASE WHEN a_first THEN doc_id_a ELSE doc_id_b END AS u,
+                   CASE WHEN a_first THEN doc_id_b ELSE doc_id_a END AS v,
+                   CASE WHEN a_first THEN deg_b ELSE deg_a END AS deg_v
+            FROM und
+        ), tri AS (
+            SELECT e1.u AS n1, e1.v AS n2, e2.v AS n3
+            FROM oriented e1
+            JOIN oriented e2 ON e1.u = e2.u
+                 AND (e1.deg_v < e2.deg_v
+                      OR (e1.deg_v = e2.deg_v AND e1.v < e2.v))
+            JOIN oriented e3 ON e3.u = e1.v AND e3.v = e2.v
+        ), tn AS (
+            SELECT node AS doc_id, COUNT(*) AS n_triangles FROM (
+                SELECT n1 AS node FROM tri
+                UNION ALL SELECT n2 FROM tri
+                UNION ALL SELECT n3 FROM tri
+            ) GROUP BY node
+        )
+        SELECT d.src AS doc_id, d.deg AS degree,
+               COALESCE(t.n_triangles, 0) AS n_triangles,
+               CASE WHEN d.deg >= 2
+                    THEN ROUND((2 * COALESCE(t.n_triangles, 0))
+                               / CAST(d.deg * (d.deg - 1) AS DOUBLE), 4)
+                    ELSE 0.0 END AS clustering_coeff
+        FROM deg d LEFT JOIN tn t ON t.doc_id = d.src
+    """
+
+
 QUERIES = {
     "dedup_exact": q_dedup_exact,
     "dedup_clusters": q_dedup_clusters,
@@ -969,6 +1113,7 @@ QUERIES = {
     "dedup_simhash": q_dedup_simhash,
     "dedup_lsh_quality": q_dedup_lsh_quality,
     "graph_pagerank_neardup": q_graph_pagerank_neardup,
+    "graph_triangles_neardup": q_graph_triangles_neardup,
     "text_dup_ngram_coverage": q_dup_ngram_coverage,
 }
 
@@ -1269,6 +1414,7 @@ _NGRAM_JACCARD_SQL = f"""
 """
 ORACLES["dedup_ngram_jaccard"] = _NGRAM_JACCARD_SQL
 ORACLES["graph_pagerank_neardup"] = _pagerank_oracle_sql()
+ORACLES["graph_triangles_neardup"] = _triangles_oracle_sql()
 
 _LSH_QUALITY_ERR = "CAST(ROUND(ABS(est_jaccard - jaccard) * 10000, 0) AS BIGINT)"
 ORACLES["dedup_lsh_quality"] = f"""

@@ -623,6 +623,118 @@ def q_sim_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SQ_SCALE = 127  # int8 grid: floor(x·127) ∈ [−127, 126] for |x| < 1
+SQ_CAND = 32  # coarse candidates per query before the exact rerank
+
+
+def q_sim_sq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage retrieval with scalar quantization: an int8-grid coarse
+    pass shortlists SQ_CAND candidates per query by integer dot product,
+    then exact float cosine reranks the shortlist to TOP_K — the standard
+    compressed-first-pass ANN deployment (the full-precision corpus is
+    touched only for |queries|·SQ_CAND rows).
+
+    Why this shape at 100 TB: the quantized copy is 4× smaller than
+    float32 (int8 per element), so the corpus-wide scan streams a quarter
+    of the bytes, and the rerank reads full vectors for a candidate set
+    whose size is independent of the corpus.  Exactness: floor(x·127) is
+    integral in a double on both engines (no round-half hazard), integer
+    dot products over 64 dims stay < 2²⁰ (exact), so the coarse ranking —
+    and therefore the shortlist cut at (score, neighbor_id) — is
+    engine-identical, and the rerank is the established round-4 cosine.
+    """
+    base = table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "embedding",
+        F.transform(
+            F.col("embedding"),
+            lambda x: F.floor(x.cast("double") * SQ_SCALE).cast("double"),
+        ).alias("q8"),
+    )
+    queries = base.filter(F.col("vec_id") < NUM_QUERY_VECTORS).select(
+        F.col("vec_id").alias("query_id"), F.col("q8").alias("q_q8")
+    )
+    coarse = (
+        F.broadcast(queries)
+        .crossJoin(base.select(F.col("vec_id").alias("neighbor_id"), "q8"))
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            _dot(F.col("q_q8"), F.col("q8")).alias("iscore"),
+        )
+    )
+    w_coarse = Window.partitionBy("query_id").orderBy(
+        F.col("iscore").desc(), F.col("neighbor_id")
+    )
+    shortlist = (
+        coarse.withColumn("cand_rank", F.row_number().over(w_coarse))
+        .filter(F.col("cand_rank") <= SQ_CAND)
+        .select("query_id", "neighbor_id")
+    )
+    q_full = base.filter(F.col("vec_id") < NUM_QUERY_VECTORS).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        _norm(F.col("embedding")).alias("q_norm"),
+    )
+    c_full = base.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("c_emb"),
+        _norm(F.col("embedding")).alias("c_norm"),
+    )
+    cosine = _dot(F.col("q_emb"), F.col("c_emb")) / (
+        F.col("q_norm") * F.col("c_norm")
+    )
+    scored = (
+        shortlist.join(c_full, "neighbor_id")
+        .join(F.broadcast(q_full), "query_id")
+        .select("query_id", "neighbor_id", F.round(cosine, 4).alias("similarity"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("similarity").desc(), F.col("neighbor_id")
+    )
+    return scored.withColumn("sim_rank", F.row_number().over(w)).filter(
+        F.col("sim_rank") <= TOP_K
+    )
+
+
+_SQ_RERANK_SQL = f"""
+        WITH e AS (
+            SELECT vec_id, embedding::DOUBLE[] AS v,
+                   list_transform(embedding::DOUBLE[],
+                                  x -> floor(x * {SQ_SCALE})) AS q8,
+                   sqrt(list_dot_product(embedding::DOUBLE[],
+                                         embedding::DOUBLE[])) AS nrm
+            FROM embeddings
+        ), coarse AS (
+            SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                   list_dot_product(q.q8, c.q8) AS iscore
+            FROM e q JOIN e c
+              ON q.vec_id < {NUM_QUERY_VECTORS} AND q.vec_id <> c.vec_id
+        ), shortlist AS (
+            SELECT query_id, neighbor_id FROM (
+                SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                             ORDER BY iscore DESC, neighbor_id)
+                       AS cand_rank
+                FROM coarse
+            ) WHERE cand_rank <= {SQ_CAND}
+        ), scored AS (
+            SELECT s.query_id, s.neighbor_id,
+                   ROUND(list_dot_product(q.v, c.v) / (q.nrm * c.nrm), 4)
+                       AS similarity
+            FROM shortlist s
+            JOIN e q ON q.vec_id = s.query_id
+            JOIN e c ON c.vec_id = s.neighbor_id
+        )
+        SELECT query_id, neighbor_id, similarity, sim_rank FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                         ORDER BY similarity DESC, neighbor_id)
+                   AS sim_rank
+            FROM scored
+        ) WHERE sim_rank <= {TOP_K}
+"""
+
+
 QUERIES = {
     "sim_topk_bruteforce": q_sim_topk_bruteforce,
     "sim_recall_audit": q_sim_recall_audit,
@@ -633,6 +745,7 @@ QUERIES = {
     "sim_ivf_topk": q_sim_ivf_topk,
     "sim_label_centroids": q_sim_label_centroids,
     "sim_semantic_clusters": q_sim_semantic_clusters,
+    "sim_sq_rerank": q_sim_sq_rerank,
 }
 
 # Full brute-force top-k SQL — the sim_topk_bruteforce oracle, also the
@@ -685,6 +798,7 @@ ORACLES = {
     # LSH entries fully oracle-checked — integer-grid planes over the
     # floor-scaled embedding make bucket sign bits exact in both engines
     # (see _int_hyperplanes); no float-ulp bucket flips possible.
+    "sim_sq_rerank": _SQ_RERANK_SQL,
     "sim_ann_lsh": _ann_lsh_oracle_sql(),
     "sim_neardup_lsh": _neardup_lsh_oracle_sql(),
     "sim_neardup_planted": _neardup_lsh_oracle_sql(

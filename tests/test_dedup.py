@@ -309,3 +309,40 @@ def test_pagerank_against_python_model(spark, sf_dir):
     assert {r.doc_id: (r.degree, r.rank_e6) for r in rows} == {
         n: (deg[n], rank[n]) for n in deg
     }
+
+
+def test_triangles_match_python_model(spark, sf_dir):
+    """Independent pure-Python triangle count over the same pair list:
+    per-node triangle counts, degrees, and coefficients must match."""
+    from itertools import combinations
+
+    from simple_query_engine_spark.operators.dedup import (
+        q_dedup_minhash_lsh,
+        q_graph_triangles_neardup,
+    )
+
+    pairs = {
+        (r.doc_id_a, r.doc_id_b)
+        for r in q_dedup_minhash_lsh(spark, sf_dir)
+        .select("doc_id_a", "doc_id_b")
+        .collect()
+    }
+    adj: dict[int, set[int]] = {}
+    for a, b in pairs:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    tri = {n: 0 for n in adj}
+    for n, nbrs in adj.items():
+        for u, v in combinations(sorted(nbrs), 2):
+            if v in adj.get(u, ()):  # noqa: SIM118 - set membership
+                tri[n] += 1
+    got = {r.doc_id: r for r in q_graph_triangles_neardup(spark, sf_dir).collect()}
+    assert set(got) == set(adj)
+    for n in adj:
+        deg = len(adj[n])
+        assert got[n].degree == deg, n
+        assert got[n].n_triangles == tri[n], n
+        expect_cc = round(2 * tri[n] / (deg * (deg - 1)), 4) if deg >= 2 else 0.0
+        assert got[n].clustering_coeff == expect_cc, n
+    # Global identity: each triangle contributes 3 node-credits.
+    assert sum(r.n_triangles for r in got.values()) % 3 == 0

@@ -243,3 +243,31 @@ def test_semantic_clusters_match_union_find_over_planted_pairs(spark, sf_dir):
     assert planted_sources, "fixture must plant at least one pair"
     for v in planted_sources:
         assert find(v) == find(v + PLANT_VEC_OFFSET)
+
+
+def test_sq_rerank_recall_vs_bruteforce(spark, sf_dir):
+    """The int8 coarse pass + exact rerank must recover nearly all of the
+    exact cosine top-k: quantization to the 127-grid barely perturbs the
+    ranking, and the rerank re-scores with exact cosine, so misses can
+    only come from true neighbors falling outside the 32-candidate
+    shortlist."""
+    from simple_query_engine_spark.operators.similarity import (
+        TOP_K,
+        q_sim_sq_rerank,
+        q_sim_topk_bruteforce,
+    )
+
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in q_sim_topk_bruteforce(spark, sf_dir).collect()
+    }
+    approx_rows = q_sim_sq_rerank(spark, sf_dir).collect()
+    approx = {(r.query_id, r.neighbor_id) for r in approx_rows}
+    # Exactly TOP_K results per query, ranked 1..TOP_K.
+    per_q: dict[int, list[int]] = {}
+    for r in approx_rows:
+        per_q.setdefault(r.query_id, []).append(r.sim_rank)
+    for q, ranks in per_q.items():
+        assert sorted(ranks) == list(range(1, TOP_K + 1)), q
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.9, recall
