@@ -48,6 +48,7 @@ _ROTATION_FRONT = [
     "text_ngram_novelty",
     "graph_triangles_neardup",
     "sim_sq_rerank",
+    "storage_zorder_prune",
     # --- 2. function-changed re-certs (1) ---
     "events_sessionize_gap",
     # --- 3. displaced from the r07 front (16, r01/r02 certs) ---
@@ -94,7 +95,6 @@ _ROTATION_FRONT = [
     "agg_mode_median",
     "unpivot_metrics",
     "join_lateral_topn",
-    "agg_hll_union",
 ]
 
 

@@ -389,8 +389,141 @@ def q_join_bucketed_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+ZORDER_BITS = 8  # 8 bits per dimension → 16-bit z-value, 256×256 grid
+ZORDER_CELL_SHIFT = 10  # report per top-6-bit cell: an 8×8 macro-grid
+ZORDER_EPOCH = "1995-01-01"  # day-number origin for the date dimension
+
+
+def _zorder_terms():
+    """(shift_in, shift_out) pairs for interleaving two ZORDER_BITS-wide
+    bucket values — ONE definition drives both engines' expressions so the
+    bit layout can never drift."""
+    return [(i, 2 * i) for i in range(ZORDER_BITS)]
+
+
+def _z_interleave_col(hi, lo):
+    """Spark column: bits of ``hi`` at odd positions, ``lo`` at even."""
+    z = F.lit(0)
+    for i, out in _zorder_terms():
+        z = z + F.shiftleft(F.shiftright(hi, i).bitwiseAND(F.lit(1)), out + 1)
+        z = z + F.shiftleft(F.shiftright(lo, i).bitwiseAND(F.lit(1)), out)
+    return z
+
+
+def _z_interleave_sql(hi: str, lo: str) -> str:
+    parts = []
+    for i, out in _zorder_terms():
+        parts.append(f"((({hi} >> {i}) & 1) << {out + 1})")
+        parts.append(f"((({lo} >> {i}) & 1) << {out})")
+    return " + ".join(parts)
+
+
+def zordered_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orders as (ck, day, z): both dimensions scaled to the 2⁸ grid with
+    exact integer arithmetic, interleaved into the 16-bit z-value.  The
+    catalog query reports over this; tests write it as an actual z-sorted
+    parquet layout and measure file skipping."""
+    orders = table(spark, sf_dir, "orders")
+    dims = orders.select(
+        F.col("o_custkey").alias("ck"),
+        F.datediff(F.to_date("o_orderdate"), F.lit(ZORDER_EPOCH).cast("date")).alias(
+            "day"
+        ),
+    )
+    bounds = dims.agg(
+        F.min("ck").alias("min_ck"),
+        F.max("ck").alias("max_ck"),
+        F.min("day").alias("min_day"),
+        F.max("day").alias("max_day"),
+    )
+    scaled = dims.crossJoin(F.broadcast(bounds)).select(
+        "ck",
+        "day",
+        F.expr(
+            f"((ck - min_ck) * {1 << ZORDER_BITS}) div (max_ck - min_ck + 1)"
+        ).alias("b_ck"),
+        F.expr(
+            f"((day - min_day) * {1 << ZORDER_BITS}) div (max_day - min_day + 1)"
+        ).alias("b_day"),
+    )
+    return scaled.select(
+        "ck",
+        "day",
+        _z_interleave_col(F.col("b_ck"), F.col("b_day")).alias("z"),
+    )
+
+
+def q_storage_zorder_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton-curve) clustering of orders on (o_custkey,
+    o_orderdate) + the per-cell min/max report that proves the locality —
+    the multi-dimensional complement of the date-partitioned and bucketed
+    layouts: partitioning prunes ONE dimension, z-order keeps BOTH
+    dimensions' value ranges tight within every file, so an engine with
+    file/row-group min-max stats (parquet footers, Delta/Iceberg data
+    skipping) prunes 2-D box predicates (customer range × date range).
+    The measured row-group-skipping evidence for a box query lives in
+    tests/test_storage.py over a z-sorted parquet layout.
+
+    Math: each dimension is scaled to a 2⁸ grid with exact integer
+    arithmetic — ((v − min)·256) div (max − min + 1) — and the two bucket
+    values interleave bitwise into a 16-bit z-value (one shared
+    bit-layout definition drives both engines).  The report groups by the
+    top-6-bit z-cell (an 8×8 macro-grid): every cell's custkey/day spans
+    are tight boxes, which IS the skippability property.
+
+    Shape at 100 TB: the min/max normalization is one tiny aggregate
+    broadcast back (at production scale these bounds come from table
+    stats); the z-value is a pure per-row map; the report is one
+    map-side-combined aggregate to ≤ 64 rows.  The layout write path is
+    ``repartitionByRange(z) + sortWithinPartitions(z)`` — a single range
+    shuffle, exactly what OPTIMIZE ZORDER does.
+    """
+    zed = zordered_orders(spark, sf_dir)
+    return (
+        zed.groupBy(F.shiftright(F.col("z"), ZORDER_CELL_SHIFT).alias("zcell"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.min("ck").alias("min_ck"),
+            F.max("ck").alias("max_ck"),
+            F.min("day").alias("min_day"),
+            F.max("day").alias("max_day"),
+        )
+    )
+
+
+def _zorder_oracle_sql() -> str:
+    grid = 1 << ZORDER_BITS
+    return f"""
+        WITH dims AS (
+            SELECT o_custkey AS ck,
+                   date_diff('day', DATE '{ZORDER_EPOCH}',
+                             CAST(o_orderdate AS DATE)) AS day
+            FROM orders
+        ), bounds AS (
+            SELECT MIN(ck) AS min_ck, MAX(ck) AS max_ck,
+                   MIN(day) AS min_day, MAX(day) AS max_day
+            FROM dims
+        ), scaled AS (
+            SELECT ck, day,
+                   ((ck - min_ck) * {grid}) // (max_ck - min_ck + 1) AS b_ck,
+                   ((day - min_day) * {grid}) // (max_day - min_day + 1) AS b_day
+            FROM dims, bounds
+        ), zed AS (
+            SELECT ck, day,
+                   {_z_interleave_sql('b_ck', 'b_day')} AS z
+            FROM scaled
+        )
+        SELECT z >> {ZORDER_CELL_SHIFT} AS zcell,
+               COUNT(*) AS n_orders,
+               MIN(ck) AS min_ck, MAX(ck) AS max_ck,
+               CAST(MIN(day) AS INT) AS min_day, CAST(MAX(day) AS INT) AS max_day
+        FROM zed GROUP BY 1
+    """
+
+
 QUERIES = {
     "events_partition_prune": q_events_partition_prune,
+    "storage_zorder_prune": q_storage_zorder_prune,
     "join_bucketed_revenue": q_join_bucketed_revenue,
     "source_json_roundtrip": q_source_json_roundtrip,
     "source_csv_roundtrip": q_source_csv_roundtrip,
@@ -412,6 +545,7 @@ _ROUNDTRIP_ORACLE = """
 """
 
 ORACLES = {
+    "storage_zorder_prune": _zorder_oracle_sql(),
     "join_bucketed_revenue": """
         SELECT o_orderpriority,
                COUNT(*) AS n_items,

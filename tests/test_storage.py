@@ -62,3 +62,51 @@ def test_partitioned_copy_is_lossless(spark, sf_dir):
     assert copy.selectExpr("sum(event_id)").collect()[0][0] == (
         original.selectExpr("sum(event_id)").collect()[0][0]
     )
+
+
+def test_zorder_layout_skips_more_files_than_linear(spark, sf_dir, tmp_path):
+    """Measured data-skipping evidence: write the SAME rows as (a) a
+    z-sorted 16-file layout and (b) a custkey-sorted (one-dimensional)
+    16-file layout, then evaluate a 2-D box predicate (middle-quarter
+    customer range × middle-quarter date range) against per-file min/max
+    stats — exactly what parquet-footer / Delta / Iceberg data skipping
+    does.  The z-order layout must qualify strictly fewer files: a 1-D
+    sort keeps the second dimension's full span inside every file."""
+    import glob
+
+    import duckdb
+
+    from simple_query_engine_spark.operators.storage import zordered_orders
+
+    zed = zordered_orders(spark, sf_dir)
+    zpath, lpath = str(tmp_path / "zorder"), str(tmp_path / "linear")
+    zed.repartitionByRange(16, "z").sortWithinPartitions("z").write.parquet(zpath)
+    zed.repartitionByRange(16, "ck").sortWithinPartitions("ck").write.parquet(lpath)
+
+    lo_ck, hi_ck, lo_day, hi_day = duckdb.sql(
+        f"SELECT MIN(ck), MAX(ck), MIN(day), MAX(day) FROM '{zpath}/*.parquet'"
+    ).fetchone()
+    # The middle quarter of each dimension.
+    box_ck = (lo_ck + (hi_ck - lo_ck) // 4, lo_ck + (hi_ck - lo_ck) // 2)
+    box_day = (lo_day + (hi_day - lo_day) // 4, lo_day + (hi_day - lo_day) // 2)
+
+    def qualifying_files(path: str) -> tuple[int, int]:
+        files = sorted(glob.glob(f"{path}/*.parquet"))
+        hits = 0
+        for f in files:
+            mn_ck, mx_ck, mn_day, mx_day = duckdb.sql(
+                f"SELECT MIN(ck), MAX(ck), MIN(day), MAX(day) FROM '{f}'"
+            ).fetchone()
+            if mx_ck >= box_ck[0] and mn_ck <= box_ck[1] \
+                    and mx_day >= box_day[0] and mn_day <= box_day[1]:
+                hits += 1
+        return hits, len(files)
+
+    z_hits, z_total = qualifying_files(zpath)
+    l_hits, l_total = qualifying_files(lpath)
+    assert z_total == l_total == 16
+    # 1-D sort: every custkey-qualifying file spans all dates, so ~1/4 of
+    # files qualify.  Z-order: the box is 1/16 of the plane, so only the
+    # files whose z-range crosses it qualify.
+    assert z_hits < l_hits, (z_hits, l_hits)
+    assert z_hits <= 6, z_hits
