@@ -59,8 +59,11 @@ HEADLINE = [
 # too.  The headline list above stays frozen for cross-round continuity;
 # this list may grow — bump SUITE2_VERSION whenever it changes so a
 # round-over-round comparison knows when the totals became incomparable.
-SUITE2_VERSION = "r07d"  # r07c +1: integer-exact PageRank
+SUITE2_VERSION = "r08a"  # r07d +3: triangles, n-gram novelty, SQ rerank
 SUITE2 = [
+    "graph_triangles_neardup",
+    "text_ngram_novelty",
+    "sim_sq_rerank",
     "dedup_incremental_minhash",
     "dedup_containment_planted",
     "pipeline_pack_sequences",

@@ -49,6 +49,8 @@ _ROTATION_FRONT = [
     "graph_triangles_neardup",
     "sim_sq_rerank",
     "storage_zorder_prune",
+    "pipeline_url_dedup",
+    "events_rolling_wau",
     # --- 2. function-changed re-certs (1) ---
     "events_sessionize_gap",
     # --- 3. displaced from the r07 front (16, r01/r02 certs) ---
@@ -94,7 +96,6 @@ _ROTATION_FRONT = [
     "variant_funcs",
     "agg_mode_median",
     "unpivot_metrics",
-    "join_lateral_topn",
 ]
 
 

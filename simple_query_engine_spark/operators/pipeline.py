@@ -422,8 +422,90 @@ def q_pipeline_attrition_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+URL_VARIANTS = 4  # doc_id div 4 = page: four URL spellings per page
+
+
+def _planted_url():
+    """A deterministic source URL per document (the corpus carries no URL
+    column, so one is planted as a pure function of (doc_id, source) — the
+    planted-pattern convention of ``dedup_planted_minhash``): every
+    ``doc_id div 4`` page appears under four spellings — clean https, an
+    upper-cased http://www. form with a trailing slash, a utm-tracking
+    query, and a fragment — exactly the variants a crawl frontier emits
+    for one page."""
+    page = F.expr(f"doc_id div {URL_VARIANTS}").cast("string")
+    host = F.concat(F.lit("example-"), F.col("source"), F.lit(".com/article/"))
+    clean = F.concat(F.lit("https://"), host, page)
+    return (
+        F.when(
+            F.col("doc_id") % URL_VARIANTS == 1,
+            F.upper(F.concat(F.lit("http://www."), host, page, F.lit("/"))),
+        )
+        .when(
+            F.col("doc_id") % URL_VARIANTS == 2,
+            F.concat(
+                clean,
+                F.lit("?utm_source=feed"),
+                (F.col("doc_id") % 5).cast("string"),
+            ),
+        )
+        .when(
+            F.col("doc_id") % URL_VARIANTS == 3,
+            F.concat(clean, F.lit("#section"), (F.col("doc_id") % 3).cast("string")),
+        )
+        .otherwise(clean)
+    )
+
+
+def _canonical_url(url):
+    """Crawl-style URL canonicalization: lowercase, strip scheme, strip a
+    leading www., strip the fragment, strip a tracking-only query string,
+    strip a trailing slash.  Every pattern is ANCHORED (^/$), so the
+    replace-first semantics DuckDB defaults to and Spark's replace-all
+    coincide — no regex-flag divergence is possible; all patterns stay in
+    the Java/RE2-identical subset."""
+    c = F.lower(url)
+    c = F.regexp_replace(c, "^https?://", "")
+    c = F.regexp_replace(c, "^www[.]", "")
+    c = F.regexp_replace(c, "#[a-z0-9]*$", "")
+    c = F.regexp_replace(c, "[?]utm_[a-z]+=[a-z0-9]*$", "")
+    return F.regexp_replace(c, "/$", "")
+
+
+def q_pipeline_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-canonicalization dedup accounting — the FIRST dedup stage of a
+    web-crawl corpus (CommonCrawl-style pipelines dedup by canonical URL
+    before any content hashing: it's free — no text is read — and removes
+    the bulk of refetch duplicates).  Per source: docs, distinct canonical
+    pages, the dup count, and the lexicographically-first canonical URL
+    (proving the canonical STRINGS, not just their counts, agree across
+    engines).
+
+    Shape at 100 TB: canonicalization is a pure per-row regex map inside
+    whole-stage codegen; the rollup shuffles (source, canonical) — URL
+    strings are short, and a production variant would shuffle
+    md5(canonical) digests exactly like ``dedup_exact``.
+    """
+    documents = table(spark, sf_dir, "documents")
+    with_url = documents.select(
+        "source", _canonical_url(_planted_url()).alias("canonical")
+    )
+    return with_url.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("canonical").alias("n_pages"),
+        (F.count(F.lit(1)) - F.countDistinct("canonical")).alias("n_dup_docs"),
+        F.round(
+            (F.count(F.lit(1)) - F.countDistinct("canonical"))
+            / F.count(F.lit(1)),
+            4,
+        ).alias("dup_rate"),
+        F.min("canonical").alias("first_canonical"),
+    )
+
+
 QUERIES = {
     "pipeline_corpus_curation": q_pipeline_corpus_curation,
+    "pipeline_url_dedup": q_pipeline_url_dedup,
     "sample_stratified": q_sample_stratified,
     "sample_topk": q_sample_topk,
     "pipeline_pack_sequences": q_pipeline_pack_sequences,
@@ -461,7 +543,42 @@ def _bloom_pos_sql(j: int) -> str:
 
 assert BLOOM_HASHES == 3  # the bloom oracle spells out three position predicates
 
+_PAGE_SQL = f"CAST(doc_id // {URL_VARIANTS} AS VARCHAR)"
+_URL_SQL = f"""CASE
+    WHEN doc_id % {URL_VARIANTS} = 1 THEN
+        upper(concat('http://www.example-', source, '.com/article/',
+                     {_PAGE_SQL}, '/'))
+    WHEN doc_id % {URL_VARIANTS} = 2 THEN
+        concat('https://example-', source, '.com/article/', {_PAGE_SQL},
+               '?utm_source=feed', CAST(doc_id % 5 AS VARCHAR))
+    WHEN doc_id % {URL_VARIANTS} = 3 THEN
+        concat('https://example-', source, '.com/article/', {_PAGE_SQL},
+               '#section', CAST(doc_id % 3 AS VARCHAR))
+    ELSE concat('https://example-', source, '.com/article/', {_PAGE_SQL})
+    END"""
+
 ORACLES = {
+    "pipeline_url_dedup": f"""
+        WITH canon AS (
+            SELECT source,
+                   regexp_replace(regexp_replace(regexp_replace(
+                       regexp_replace(regexp_replace(
+                           lower({_URL_SQL}),
+                           '^https?://', ''),
+                       '^www[.]', ''),
+                   '#[a-z0-9]*$', ''),
+                   '[?]utm_[a-z]+=[a-z0-9]*$', ''),
+                   '/$', '') AS canonical
+            FROM documents
+        )
+        SELECT source, COUNT(*) AS n_docs,
+               COUNT(DISTINCT canonical) AS n_pages,
+               COUNT(*) - COUNT(DISTINCT canonical) AS n_dup_docs,
+               ROUND((COUNT(*) - COUNT(DISTINCT canonical))
+                     / CAST(COUNT(*) AS DOUBLE), 4) AS dup_rate,
+               MIN(canonical) AS first_canonical
+        FROM canon GROUP BY source
+    """,
     "sample_topk": f"""
         SELECT doc_id, lang, source FROM documents
         ORDER BY {_hash15_sql}, doc_id

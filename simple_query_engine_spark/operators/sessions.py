@@ -367,8 +367,56 @@ def q_events_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFra
     )
 
 
+WAU_WINDOW_DAYS = 7
+
+
+def q_events_rolling_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day active users per day (WAU) + same-day actives (DAU)
+    + the DAU/WAU stickiness ratio — the engagement dashboard's headline
+    series.  Rolling DISTINCT counts can't ride a window frame (no
+    count-distinct-over-window in either engine); the standard exact
+    reformulation: compact the stream to distinct (user, day) activity
+    first, then each activity day CONTRIBUTES to the 7 window-ends it
+    falls inside (an explode by 0..6 day offsets), and the per-window
+    distinct count runs as an ordinary grouped count-distinct.
+
+    Shape at 100 TB: the (user, day) compaction is the only stream-scale
+    shuffle (map-side combined); the ×7 explode multiplies the COMPACT
+    activity table, not the event stream; window-ends past the corpus's
+    last day are clipped by a broadcast 1-row max.  All counts are exact
+    integers; the stickiness ratio is one float division, round 4.
+    """
+    events = table(spark, sf_dir, "events")
+    active = events.select("user_id", F.to_date("ts").alias("day")).distinct()
+    bounds = active.agg(F.max("day").alias("max_day"))
+    exploded = active.select(
+        "user_id",
+        "day",
+        F.explode(F.sequence(F.lit(0), F.lit(WAU_WINDOW_DAYS - 1))).alias("k"),
+    ).select("user_id", F.expr("date_add(day, k)").alias("window_end"))
+    wau = (
+        exploded.crossJoin(F.broadcast(bounds))
+        .filter(F.col("window_end") <= F.col("max_day"))
+        .groupBy("window_end")
+        .agg(F.count_distinct("user_id").alias("wau"))
+    )
+    dau = active.groupBy("day").agg(F.count_distinct("user_id").alias("dau"))
+    return (
+        wau.join(dau, wau.window_end == dau.day, "left")
+        .select(
+            "window_end",
+            "wau",
+            F.coalesce(F.col("dau"), F.lit(0)).cast("long").alias("dau"),
+            F.round(F.coalesce(F.col("dau"), F.lit(0)) / F.col("wau"), 4).alias(
+                "stickiness"
+            ),
+        )
+    )
+
+
 QUERIES = {
     "events_sessionize_gap": q_events_sessionize_gap,
+    "events_rolling_wau": q_events_rolling_wau,
     "events_top_paths": q_events_top_paths,
     "events_markov_transitions": q_events_markov_transitions,
     "events_attribution_last_touch": q_events_attribution_last_touch,
@@ -379,6 +427,31 @@ QUERIES = {
 }
 
 ORACLES = {
+    "events_rolling_wau": f"""
+        WITH active AS (
+            SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+        ), bounds AS (
+            SELECT MAX(day) AS max_day FROM active
+        ), exploded AS (
+            -- DATE + INTEGER is the only arithmetic overload both engines
+            -- share; range() yields BIGINT, so cast.
+            SELECT user_id, day + CAST(k AS INT) AS window_end
+            FROM active,
+                 (SELECT unnest(range({WAU_WINDOW_DAYS})) AS k)
+        ), wau AS (
+            SELECT window_end, COUNT(DISTINCT user_id) AS wau
+            FROM exploded, bounds
+            WHERE window_end <= max_day
+            GROUP BY window_end
+        ), dau AS (
+            SELECT day, COUNT(DISTINCT user_id) AS dau FROM active GROUP BY day
+        )
+        SELECT w.window_end, w.wau,
+               COALESCE(d.dau, 0) AS dau,
+               ROUND(COALESCE(d.dau, 0) / CAST(w.wau AS DOUBLE), 4)
+                   AS stickiness
+        FROM wau w LEFT JOIN dau d ON d.day = w.window_end
+    """,
     "events_sessionize_gap": f"""
         WITH labeled AS (
             SELECT user_id, ts,

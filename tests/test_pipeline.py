@@ -239,3 +239,52 @@ def test_domain_mix_single_corpus_scan(spark, sf_dir):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert plan.count("Scan parquet") == 1, plan
+
+
+def test_url_dedup_matches_python_model(spark, sf_dir, tables):
+    """Pure-Python re-derivation of the planted URLs and the canonical
+    form: per-source page counts must match exactly, and the canonical
+    strings must carry no scheme/www/tracking/fragment residue."""
+    import re
+
+    from simple_query_engine_spark.operators.pipeline import (
+        URL_VARIANTS,
+        q_pipeline_url_dedup,
+    )
+
+    docs = tables["documents"].select("doc_id", "source").collect()
+
+    def planted(doc_id: int, source: str) -> str:
+        page = doc_id // URL_VARIANTS
+        base = f"https://example-{source}.com/article/{page}"
+        v = doc_id % URL_VARIANTS
+        if v == 1:
+            return f"http://www.example-{source}.com/article/{page}/".upper()
+        if v == 2:
+            return f"{base}?utm_source=feed{doc_id % 5}"
+        if v == 3:
+            return f"{base}#section{doc_id % 3}"
+        return base
+
+    def canonical(url: str) -> str:
+        c = url.lower()
+        c = re.sub(r"^https?://", "", c)
+        c = re.sub(r"^www[.]", "", c)
+        c = re.sub(r"#[a-z0-9]*$", "", c)
+        c = re.sub(r"[?]utm_[a-z]+=[a-z0-9]*$", "", c)
+        return re.sub(r"/$", "", c)
+
+    model: dict[str, set[str]] = {}
+    n_docs: dict[str, int] = {}
+    for r in docs:
+        c = canonical(planted(r.doc_id, r.source))
+        assert re.fullmatch(r"example-[a-z0-9_]+[.]com/article/[0-9]+", c), c
+        model.setdefault(r.source, set()).add(c)
+        n_docs[r.source] = n_docs.get(r.source, 0) + 1
+    got = {r.source: r for r in q_pipeline_url_dedup(spark, sf_dir).collect()}
+    assert set(got) == set(model)
+    for src in model:
+        assert got[src].n_docs == n_docs[src]
+        assert got[src].n_pages == len(model[src]), src
+        assert got[src].n_dup_docs == n_docs[src] - len(model[src])
+        assert got[src].first_canonical == min(model[src])

@@ -461,3 +461,40 @@ def test_attribution_plan_single_corpus_exchange(spark, sf_dir):
 
     plan = _plan_of(q_events_attribution_last_touch(spark, sf_dir))
     assert plan.count("hashpartitioning(user_id") == 1
+
+
+def test_rolling_wau_matches_python_model(spark, sf_dir, tables):
+    """Exact re-derivation of the 7-day rolling distinct-user counts."""
+    from simple_query_engine_spark.operators.sessions import (
+        WAU_WINDOW_DAYS,
+        q_events_rolling_wau,
+    )
+    from pyspark.sql import functions as F
+    import datetime
+
+    active = {
+        (r.user_id, r.day)
+        for r in tables["events"]
+        .select("user_id", F.to_date("ts").alias("day"))
+        .distinct()
+        .collect()
+    }
+    days = sorted({d for _, d in active})
+    max_day = days[-1]
+    got = {r.window_end: r for r in q_events_rolling_wau(spark, sf_dir).collect()}
+    expect_ends = set()
+    for d in days:
+        for k in range(WAU_WINDOW_DAYS):
+            e = d + datetime.timedelta(days=k)
+            if e <= max_day:
+                expect_ends.add(e)
+    assert set(got) == expect_ends
+    for end in expect_ends:
+        lo = end - datetime.timedelta(days=WAU_WINDOW_DAYS - 1)
+        wau_users = {u for u, d in active if lo <= d <= end}
+        dau_users = {u for u, d in active if d == end}
+        r = got[end]
+        assert r.wau == len(wau_users), end
+        assert r.dau == len(dau_users), end
+        assert r.stickiness == round(len(dau_users) / len(wau_users), 4)
+        assert r.dau <= r.wau
