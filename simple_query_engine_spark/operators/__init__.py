@@ -51,6 +51,7 @@ _ROTATION_FRONT = [
     "storage_zorder_prune",
     "pipeline_url_dedup",
     "events_rolling_wau",
+    "stream_watermark_late_drop",
     # --- 2. function-changed re-certs (1) ---
     "events_sessionize_gap",
     # --- 3. displaced from the r07 front (16, r01/r02 certs) ---
@@ -95,7 +96,6 @@ _ROTATION_FRONT = [
     "map_funcs",
     "variant_funcs",
     "agg_mode_median",
-    "unpivot_metrics",
 ]
 
 

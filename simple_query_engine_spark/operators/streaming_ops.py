@@ -18,6 +18,9 @@ from pyspark.sql import DataFrame, SparkSession
 from simple_query_engine_spark.sources.catalog import table
 from simple_query_engine_spark.streaming.stateful import run_stateful_user_profiles
 from simple_query_engine_spark.streaming.windows import (
+    LATE_STRAGGLER_END,
+    LATE_STRAGGLER_MOD,
+    run_late_drop_daily_counts,
     run_stream_stream_join,
     run_streaming_dedup_counts,
     run_streaming_session_counts,
@@ -161,8 +164,21 @@ def q_stream_upsert_managed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_watermark_late_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark late-data DROP accounting: a 4-batch ordered replay where
+    the held-back straggler slice arrives weeks past its event time and
+    must be dropped by the 1-hour watermark — the oracle aggregates the
+    corpus WITHOUT the stragglers, so the row is green only if the
+    streaming engine dropped exactly the planted late set and nothing
+    else.  See
+    :func:`simple_query_engine_spark.streaming.windows.run_late_drop_daily_counts`
+    for why the margin makes this robust to watermark-advance lag."""
+    return run_late_drop_daily_counts(spark, sf_dir)
+
+
 QUERIES = {
     "stream_tumbling_counts": q_stream_tumbling,
+    "stream_watermark_late_drop": q_stream_watermark_late_drop,
     "stream_sliding_counts": q_stream_sliding,
     "stream_session_counts": q_stream_session,
     "stream_stateful_profiles": q_stream_stateful_profiles,
@@ -230,6 +246,19 @@ ORACLES = {
         GROUP BY user_id
     """,
     "stream_tumbling_counts": _TUMBLING_SQL,
+    # The batch answer MINUS the planted straggler slice — the watermark
+    # must have dropped exactly those rows.
+    "stream_watermark_late_drop": f"""
+        SELECT CAST(epoch(date_trunc('day', ts)) AS BIGINT) AS window_start,
+               event_type,
+               COUNT(*) AS event_count,
+               CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+                   AS value_cents
+        FROM events
+        WHERE NOT (ts < TIMESTAMP '{LATE_STRAGGLER_END}'
+                   AND event_id % {LATE_STRAGGLER_MOD} = 0)
+        GROUP BY 1, 2
+    """,
     "stream_sliding_counts": _SLIDING_SQL,
     "stream_session_counts": _SESSION_SQL,
     "stream_stateful_profiles": """

@@ -204,6 +204,131 @@ def _run_windowed_stream(
     return spark.table(sink_name)
 
 
+# Late-data drop accounting: day-1..5 events with event_id % MOD == 0 are
+# withheld from their in-order batch and replayed in the LAST batch, weeks
+# after their event time.  The margin is the design point: Spark's
+# watermark advance lags batch boundaries (empirically up to one extra
+# batch, see tests/test_streaming.py::test_watermark_drops_late_data), so
+# a certified oracle must only plant stragglers whose windows are closed
+# under EVERY lag convention — these are ~2-3 weeks late against a 1-hour
+# watermark, orders of magnitude past any boundary ambiguity.
+LATE_STRAGGLER_MOD = 97
+LATE_STRAGGLER_END = "2024-01-06"  # stragglers have ts strictly before this
+LATE_BATCH_SPLITS = ("2024-01-08", "2024-01-15", "2024-01-22")  # weekly batches
+
+
+def daily_window_counts(events: DataFrame) -> DataFrame:
+    """1-day tumbling windows per event_type: count + integer-cents sum
+    (the money convention — exact under any accumulation order)."""
+    return (
+        events.groupBy(F.window("ts", "1 day"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("event_count"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("value_cents"),
+        )
+        .select(
+            F.col("window.start").cast("long").alias("window_start"),
+            "event_type",
+            "event_count",
+            "value_cents",
+        )
+    )
+
+
+# Sentinel event times: three trailing single-row batches far past the
+# corpus.  APPEND mode only emits a window once the watermark passes its
+# end, and the watermark advance can lag a batch (see above) — the
+# sentinels guarantee that by the LAST batch the effective watermark is
+# ≥ March 1 under any ≤ 1-batch lag convention, so every real (January)
+# window has been emitted, while the sentinels' own windows never close
+# and therefore never appear in the output.
+LATE_SENTINEL_TS = ("2024-03-01", "2024-04-01", "2024-05-01")
+
+
+def run_late_drop_daily_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked daily counts (APPEND mode) over an ordered replay where
+    the straggler slice arrives weeks late and is DROPPED by the watermark.
+
+    The events table is staged once per scale dir as ordered files (fixed
+    increasing mtimes; the file source replays oldest-first with
+    ``maxFilesPerTrigger=1``): three in-order weekly batches, the final
+    week PLUS the held-back stragglers, then three sentinel batches that
+    push the watermark past every real window.  Complete mode would never
+    evict state (late rows always merge — measured), so the drop is only
+    observable in append mode; the final emitted set equals the batch
+    aggregate over everything EXCEPT the stragglers — exactly what the
+    DuckDB oracle computes over the original table (which contains
+    neither stragglers-as-late-copies nor sentinels).
+    """
+    import shutil
+    import uuid
+
+    from simple_query_engine_spark.operators.storage import (
+        events_cache_path,
+        materialize_once,
+    )
+    from simple_query_engine_spark.sources.catalog import table
+
+    staged = events_cache_path(sf_dir, "latedrop_v2")
+
+    def _stage(tmp: str) -> None:
+        os.makedirs(tmp, exist_ok=True)
+        ev = table(spark, sf_dir, "events").select(
+            "event_id", "ts", "event_type", "value"
+        )
+        straggler = (F.col("ts") < LATE_STRAGGLER_END) & (
+            F.col("event_id") % LATE_STRAGGLER_MOD == 0
+        )
+        s0, s1, s2 = LATE_BATCH_SPLITS
+        batches = [
+            ev.filter((F.col("ts") < s0) & ~straggler),
+            ev.filter((F.col("ts") >= s0) & (F.col("ts") < s1)),
+            ev.filter((F.col("ts") >= s1) & (F.col("ts") < s2)),
+            ev.filter((F.col("ts") >= s2) | straggler),
+        ] + [
+            spark.createDataFrame(
+                [(-1, sent_ts, "sentinel", 0.0)],
+                "event_id long, ts string, event_type string, value double",
+            ).select(
+                "event_id",
+                F.col("ts").cast("timestamp").alias("ts"),
+                "event_type",
+                "value",
+            )
+            for sent_ts in LATE_SENTINEL_TS
+        ]
+        for k, batch in enumerate(batches):
+            part_dir = os.path.join(tmp, f"_b{k}")
+            batch.coalesce(1).write.parquet(part_dir)
+            part = next(
+                f for f in os.listdir(part_dir) if f.endswith(".parquet")
+            )
+            dest = os.path.join(tmp, f"b{k}.parquet")
+            shutil.move(os.path.join(part_dir, part), dest)
+            shutil.rmtree(part_dir)
+            os.utime(dest, (1_000_000 * (k + 1), 1_000_000 * (k + 1)))
+        # _SUCCESS marks the staging complete for materialize_once.
+        open(os.path.join(tmp, "_SUCCESS"), "w").close()
+
+    materialize_once(staged, _stage)
+    stream = read_event_stream(spark, staged, max_files_per_trigger=1)
+    windowed = daily_window_counts(stream.withWatermark("ts", WATERMARK))
+    sink_name = f"latedrop_{uuid.uuid4().hex[:8]}"
+    checkpoint = os.path.join(tempfile.gettempdir(), f"ckpt_{sink_name}")
+    query = (
+        windowed.writeStream.format("memory")
+        .queryName(sink_name)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    # Each sentinel's own window is emitted once the NEXT sentinel pushes
+    # the watermark past it — drop the harness rows, keep the real ones.
+    return spark.table(sink_name).filter(F.col("event_type") != "sentinel")
+
+
 def run_streaming_dedup_counts(
     spark: SparkSession,
     events_path: str,

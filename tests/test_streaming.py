@@ -259,3 +259,32 @@ def test_watermark_drops_late_data(spark, tmp_path):
     # Only the two on-time events; the late value=99 event was dropped.
     assert count == 2
     assert value_sum == 2.0
+
+
+def test_late_drop_accounting_drops_exactly_the_stragglers(spark, sf_dir):
+    """The certified late-drop replay must drop EXACTLY the planted
+    straggler slice: streaming totals = batch totals − |stragglers|,
+    and the straggler set is non-empty (otherwise the exhibit is
+    vacuous)."""
+    from pyspark.sql import functions as F
+
+    from simple_query_engine_spark.operators.streaming_ops import (
+        q_stream_watermark_late_drop,
+    )
+    from simple_query_engine_spark.sources.catalog import table
+    from simple_query_engine_spark.streaming.windows import (
+        LATE_STRAGGLER_END,
+        LATE_STRAGGLER_MOD,
+    )
+
+    events = table(spark, sf_dir, "events")
+    straggler = (F.col("ts") < LATE_STRAGGLER_END) & (
+        F.col("event_id") % LATE_STRAGGLER_MOD == 0
+    )
+    n_stragglers = events.filter(straggler).count()
+    assert n_stragglers > 0
+    n_total = events.count()
+    emitted = q_stream_watermark_late_drop(spark, sf_dir).agg(
+        F.sum("event_count").alias("n")
+    ).collect()[0].n
+    assert emitted == n_total - n_stragglers
