@@ -23,23 +23,27 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # order.  ROUND3_NOTES.md tracks which round certified which query.
 #
 # Round-8 front window (exactly 50 = the driver's window size), in
-# priority order (the r08 queue laid out in ROUND7_NOTES.md):
-#   1. the queries added THIS round (quality.py analytics suite, plus any
-#      later additions — each new entry displaces one tail name);
-#   2. function-level re-certs: events_sessionize_gap (its gap-labeling
-#      block was refactored into the shared _labeled_events helper in r07;
-#      the helper itself is r07-certified via markov + top_paths, this
-#      re-certifies the original consumer);
-#   3. the 16 r01/r02-stale names displaced from the r07 front by that
-#      round's new-query growth;
-#   4. the age queue oldest-first: relational2 ×10 (r01), relational3 ×4
-#      (r02), then relational4 (r04/r05, minus the two r07-certified
-#      names) and udx (r03) as slots remain.  Still queued for r09+:
-#      the rest of relational4/udx, multimodal ×4, dml ×5, remaining
-#      streaming, then the r06/r07-certified bulk.
+# priority order.  The driver produced NO CORRECTNESS_r07 artifact (the
+# round-7 judge phase did not run), so the 28 queries added in round 7
+# hold NO driver verdict at all — never-certified names outrank
+# stale-but-green ones, which reshapes the r08 front:
+#   1. the 13 queries added THIS round;
+#   2. the 28 round-7 additions whose expected r07 certification never
+#      materialized (same order they held in the r07 front);
+#   3. function-changed re-certs: events_sessionize_gap (the r07
+#      _labeled_events refactor, r06 cert) + the 5 oldest dml certs (r05)
+#      after the manifest gained the op field this round — the other 6
+#      dml names changed identically but are covered by section 2, and
+#      every dml entry is re-gated locally at all three SFs
+#      (RUNLOG_r08.txt);
+#   4. the stale r01/r02 age queue fills the remaining slots.  Queued for
+#      r09+: the rest of the r01/r02-stale names (case_in_between etc.),
+#      relational2 ×10, relational3 ×4, relational4/udx, the 4
+#      python-datasource/ORC names (r05 certs, displaced unfinished from
+#      the r07 front), then the r06-certified bulk.
 # ROUND8_NOTES.md tracks the ledger.
 _ROTATION_FRONT = [
-    # --- 1. added this round ---
+    # --- 1. added this round (13) ---
     "stats_expectations",
     "stats_drift_psi",
     "events_rfm_segments",
@@ -52,50 +56,47 @@ _ROTATION_FRONT = [
     "pipeline_url_dedup",
     "events_rolling_wau",
     "stream_watermark_late_drop",
-    # --- 2. function-changed re-certs (1) ---
+    "dml_table_history",
+    # --- 2. round-7 additions with no driver verdict (28) ---
+    "repl_sql_passthrough",
+    "repl_minilang_catalog",
+    "text_decontamination_bloom",
+    "pipeline_domain_mix",
+    "pipeline_attrition_report",
+    "sketch_countmin_words",
+    "pipeline_shuffle_shards",
+    "pipeline_token_quota",
+    "pipeline_pii_redaction",
+    "events_anomaly_mad",
+    "dedup_lsh_quality",
+    "stats_column_profile",
+    "sim_recall_audit",
+    "text_bigram_surprisal",
+    "pipeline_split_assign",
+    "events_top_paths",
+    "join_null_safe",
+    "events_markov_transitions",
+    "sim_semantic_clusters",
+    "stats_corpus_report",
+    "dml_compact_files",
+    "dml_schema_evolution",
+    "dml_vacuum",
+    "dml_change_feed",
+    "events_attribution_last_touch",
+    "stream_upsert_managed",
+    "dml_incremental_view",
+    "graph_pagerank_neardup",
+    # --- 3. function-changed re-certs (6) ---
     "events_sessionize_gap",
-    # --- 3. displaced from the r07 front (16, r01/r02 certs) ---
+    "dml_insert_append",
+    "dml_delete_where",
+    "dml_update_set",
+    "dml_merge_upsert",
+    "dml_time_travel",
+    # --- 4. stale r01/r02 age queue fills the remaining slots (3) ---
     "case_in_between",
     "math_funcs",
     "json_funcs",
-    "subquery_above_avg",
-    "distinct_rows",
-    "set_except",
-    "string_funcs",
-    "date_funcs",
-    "set_intersect",
-    "set_union",
-    "sort_topk",
-    "sort_multi_key",
-    "window_rank_dense",
-    "window_lag_lead",
-    "window_running_sum",
-    "window_topn_per_group",
-    # --- 4a. age queue: relational2 (10, r01) ---
-    "array_funcs",
-    "union_by_name",
-    "null_handling",
-    "grouping_sets",
-    "udf_pandas_score",
-    "string_advanced",
-    "date_advanced",
-    "subquery_in",
-    "agg_approx_distinct",
-    "agg_quantile_sketch",
-    # --- 4b. age queue: relational3 (4, r02) ---
-    "window_range_frame",
-    "window_distribution",
-    "agg_string_concat",
-    "events_time_rollup",
-    # --- 4c. age queue: relational4 (r04/r05) + udx (r03) fill the rest ---
-    "conditional_funcs",
-    "agg_percentiles_exact",
-    "bitwise_funcs",
-    "regexp_count_funcs",
-    "window_value_picks",
-    "map_funcs",
-    "variant_funcs",
-    "agg_mode_median",
 ]
 
 

@@ -320,8 +320,42 @@ def q_dml_incremental_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     return maintained
 
 
+HISTORY_DELETE_ABOVE = 400.0  # the delete step removes events with value > this
+
+
+def q_dml_table_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DESCRIBE HISTORY — the table-audit surface every lakehouse ships:
+    a fixed operation chain (create + three inserts + a delete + a
+    compaction) over event slices, then one row per snapshot with its
+    recorded operation and the snapshot's row count.  The oracle replays
+    the same chain RELATIONALLY over the original events table, so green
+    proves both the op ledger and every snapshot's content.
+
+    Scale note: ``history()`` reads only manifests (no data files); the
+    per-version counts here are the exhibit's choice — each is a
+    count-only scan of one snapshot, and the snapshots are bounded by the
+    fixed chain length.  Inserts coalesce to one file each so the chain,
+    not the writer's partitioning, determines the layout.
+    """
+    events = table(spark, sf_dir, "events").select("event_id", "value")
+    slices = [events.filter(F.col("event_id") % 4 == k).coalesce(1) for k in range(4)]
+    t = ManagedTable.create(spark, _scratch("history_"), slices[0])
+    for s in slices[1:]:
+        t.insert(s)
+    t.delete_where(F.col("value") > HISTORY_DELETE_ABOVE)
+    t.compact(target_files=1)
+    rows = [
+        (h["version"], h["op"], t.read(h["version"]).count())
+        for h in t.history()
+    ]
+    return spark.createDataFrame(
+        rows, "version int, op string, n_rows long"
+    )
+
+
 QUERIES = {
     "dml_insert_append": q_dml_insert_append,
+    "dml_table_history": q_dml_table_history,
     "dml_delete_where": q_dml_delete_where,
     "dml_update_set": q_dml_update_set,
     "dml_merge_upsert": q_dml_merge_upsert,
@@ -334,6 +368,28 @@ QUERIES = {
 }
 
 ORACLES = {
+    # Relational replay of the history chain: cumulative slice counts for
+    # the create+inserts, then the post-delete count (compaction is
+    # reader-invisible, so v5 repeats v4's count).
+    "dml_table_history": f"""
+        WITH c AS (
+            SELECT
+                COUNT(*) FILTER (event_id % 4 = 0) AS n0,
+                COUNT(*) FILTER (event_id % 4 <= 1) AS n01,
+                COUNT(*) FILTER (event_id % 4 <= 2) AS n012,
+                COUNT(*) AS n_all,
+                COUNT(*) FILTER (NOT value > {HISTORY_DELETE_ABOVE}) AS n_kept
+            FROM events
+        )
+        SELECT * FROM (
+            SELECT CAST(0 AS INT) AS version, 'create' AS op, n0 AS n_rows FROM c
+            UNION ALL SELECT 1, 'insert', n01 FROM c
+            UNION ALL SELECT 2, 'insert', n012 FROM c
+            UNION ALL SELECT 3, 'insert', n_all FROM c
+            UNION ALL SELECT 4, 'delete', n_kept FROM c
+            UNION ALL SELECT 5, 'compact', n_kept FROM c
+        )
+    """,
     # The INSERT splits on a date and re-unions — final state is the whole
     # table, so the oracle aggregates orders directly.
     "dml_insert_append": """

@@ -63,7 +63,7 @@ class ManagedTable:
         if table.versions():
             raise ValueError(f"managed table already exists at {path}")
         files = table._write_data_files(df)
-        table._commit(0, files, schema=df.schema)
+        table._commit(0, files, schema=df.schema, op="create")
         return table
 
     def versions(self) -> list[int]:
@@ -150,7 +150,7 @@ class ManagedTable:
         ordered = df.select(*[f.name for f in new_schema.fields])
         new_files = self._write_data_files(ordered)
         return self._commit(
-            base + 1, self._files(base) + new_files, schema=new_schema
+            base + 1, self._files(base) + new_files, schema=new_schema, op="insert"
         )
 
     def compact(
@@ -186,11 +186,11 @@ class ManagedTable:
         new_files = self._write_data_files(merged)
         small_set = set(small)
         untouched = [f for f in files if f not in small_set]
-        return self._commit(base + 1, untouched + new_files)
+        return self._commit(base + 1, untouched + new_files, op="compact")
 
     def delete_where(self, condition: Column) -> int:
         """Delete matching rows by rewriting only the files that hold them."""
-        return self._rewrite(condition, lambda df: df.filter(~condition))
+        return self._rewrite(condition, lambda df: df.filter(~condition), "delete")
 
     def update(self, condition: Column, assignments: dict[str, Column]) -> int:
         """Set ``assignments`` on matching rows; untouched files carry over."""
@@ -203,7 +203,7 @@ class ManagedTable:
                 }
             )
 
-        return self._rewrite(condition, apply)
+        return self._rewrite(condition, apply, "update")
 
     def vacuum(self, retain_versions: int = 2) -> list[str]:
         """Garbage-collect data files referenced ONLY by expired versions.
@@ -363,11 +363,11 @@ class ManagedTable:
 
         affected_set = set(affected)
         untouched = [f for f in self._files(base) if f not in affected_set]
-        return self._commit(base + 1, untouched + new_files, txn=txn)
+        return self._commit(base + 1, untouched + new_files, txn=txn, op="merge")
 
     # -- internals -----------------------------------------------------------
 
-    def _rewrite(self, condition: Column, transform) -> int:
+    def _rewrite(self, condition: Column, transform, op: str) -> int:
         base = self.current_version()
         affected = self._affected_files(self._with_file_path(base).filter(condition))
         new_files: list[str] = []
@@ -379,7 +379,7 @@ class ManagedTable:
             new_files = self._write_data_files(rewritten)
         affected_set = set(affected)
         untouched = [f for f in self._files(base) if f not in affected_set]
-        return self._commit(base + 1, untouched + new_files)
+        return self._commit(base + 1, untouched + new_files, op=op)
 
     def _with_file_path(self, version: int) -> DataFrame:
         files = self._files(version)
@@ -417,7 +417,7 @@ class ManagedTable:
         )
 
     def _commit(
-        self, version: int, files: list[str], schema=None, txn=None
+        self, version: int, files: list[str], schema=None, txn=None, op: str = "write"
     ) -> int:
         """Atomically publish ``version``.  The manifest records the
         snapshot's schema: passed explicitly by schema-changing commits
@@ -438,7 +438,7 @@ class ManagedTable:
         if txn is not None:
             app, batch = txn
             txns[app] = batch
-        payload = {"version": version, "files": files}
+        payload = {"version": version, "files": files, "op": op}
         if txns:
             payload["txns"] = txns
         if schema is not None:
@@ -455,6 +455,24 @@ class ManagedTable:
                 f"version {version} of {self.path} was committed concurrently"
             ) from None
         return version
+
+    def history(self) -> list[dict]:
+        """DESCRIBE HISTORY: one entry per retained snapshot —
+        ``{"version", "op", "n_files"}`` straight from the manifests (no
+        data files are read; counts and other metrics are the caller's
+        choice to compute).  Manifests written before the ``op`` field
+        report ``"write"``."""
+        out = []
+        for v in self.versions():
+            m = self._manifest(v)
+            out.append(
+                {
+                    "version": v,
+                    "op": m.get("op", "write"),
+                    "n_files": len(m["files"]),
+                }
+            )
+        return out
 
     def _manifest(self, version: int) -> dict:
         manifest = os.path.join(self._manifest_dir, f"v{version:05d}.json")

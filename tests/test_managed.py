@@ -441,3 +441,27 @@ def test_incremental_view_equals_recompute(spark, tmp_path, people):
     }
     recomputed = {r.parity: (r.n, r.c) for r in agg(t.read()).collect()}
     assert maintained == recomputed
+
+
+def test_history_records_ops_and_files(spark, tmp_path):
+    from simple_query_engine_spark.sources.managed import ManagedTable
+
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string")
+    t = ManagedTable.create(spark, str(tmp_path / "t"), df.coalesce(1))
+    t.insert(spark.createDataFrame([(3, "c")], "id long, v string").coalesce(1))
+    t.update(F.col("id") == 1, {"v": F.lit("z")})
+    t.delete_where(F.col("id") == 2)
+    t.compact(target_files=1)
+    hist = t.history()
+    assert [h["op"] for h in hist] == [
+        "create",
+        "insert",
+        "update",
+        "delete",
+        "compact",
+    ]
+    assert [h["version"] for h in hist] == [0, 1, 2, 3, 4]
+    for h in hist:
+        assert h["n_files"] >= 1
+    # history() reads manifests only; the compacted snapshot is 1 file.
+    assert hist[-1]["n_files"] == 1
