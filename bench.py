@@ -152,6 +152,22 @@ def main() -> int:
         return round(time.time() - start, 3)
 
     total = round(sum(timings.values()), 3)
+    calibration = _calibrate()
+    # Host-phase stamp (VERDICT r08 item 8): the shared host has measured
+    # fast (calibration 0.08-0.15 s) and slow (0.85 s) phases — identical
+    # code swings ~3× in wall-clock with it.  Stamp the phase into the
+    # JSON so a slow-phase number can never be read as a code regression;
+    # round-over-round comparisons should only pair same-phase files (see
+    # BASELINE.md "host-speed variance").
+    FAST_CALIBRATION_MAX = 0.25
+    host_phase = "fast" if calibration <= FAST_CALIBRATION_MAX else "slow"
+    if host_phase == "slow":
+        print(
+            f"WARNING: calibration probe {calibration}s > "
+            f"{FAST_CALIBRATION_MAX}s - host is in a slow phase; timings are "
+            "not comparable to fast-phase rounds. Re-run for an anchor.",
+            file=sys.stderr,
+        )
     payload = {
         "metric": "headline_suite_wall_time",
         "value": total,
@@ -163,7 +179,8 @@ def main() -> int:
         "suite2_value": round(sum(timings2.values()), 3),
         "suite2_queries": timings2,
         "suite2_cold_value": round(sum(cold2.values()), 3),
-        "calibration_jvm_sum_sec": _calibrate(),
+        "calibration_jvm_sum_sec": calibration,
+        "host_phase": host_phase,
     }
     if amplify > 1:
         payload["amplify"] = amplify

@@ -22,81 +22,79 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # everything else (already green in CORRECTNESS_r01/r02) follows in module
 # order.  ROUND3_NOTES.md tracks which round certified which query.
 #
-# Round-8 front window (exactly 50 = the driver's window size), in
-# priority order.  The driver produced NO CORRECTNESS_r07 artifact (the
-# round-7 judge phase did not run), so the 28 queries added in round 7
-# hold NO driver verdict at all — never-certified names outrank
-# stale-but-green ones, which reshapes the r08 front:
-#   1. the 13 queries added THIS round;
-#   2. the 28 round-7 additions whose expected r07 certification never
-#      materialized (same order they held in the r07 front);
-#   3. function-changed re-certs: events_sessionize_gap (the r07
-#      _labeled_events refactor, r06 cert) + the 5 oldest dml certs (r05)
-#      after the manifest gained the op field this round — the other 6
-#      dml names changed identically but are covered by section 2, and
-#      every dml entry is re-gated locally at all three SFs
-#      (RUNLOG_r08.txt);
-#   4. the stale r01/r02 age queue fills the remaining slots.  Queued for
-#      r09+: the rest of the r01/r02-stale names (case_in_between etc.),
-#      relational2 ×10, relational3 ×4, relational4/udx, the 4
-#      python-datasource/ORC names (r05 certs, displaced unfinished from
-#      the r07 front), then the r06-certified bulk.
-# ROUND8_NOTES.md tracks the ledger.
+# Round-9 front window (exactly 50 = the driver's window size), in
+# priority order.  CORRECTNESS_r08 came back 50/50, so after r08 every
+# one of the 196 r08-era names holds a cumulative driver green; the r09
+# front is therefore (VERDICT r08 item 2):
+#   1. the 3 queries added THIS round (never driver-certified);
+#   2. function-changed re-certs ×3: dml_table_history (compact-commit
+#      assertion added at the source), stream_watermark_late_drop (the
+#      staging/sink harness was deduplicated into _run_windowed_stream
+#      per ADVICE r08), sim_sq_rerank (base projection now
+#      session_cached per ADVICE r08);
+#   3. the 36 names whose newest driver cert is r02 (28) or r03 (8) —
+#      the stale tail the r08 verdict queued; after r09 no name's
+#      driver cert predates r04;
+#   4. the oldest r04-era certs fill the remaining 8 slots.  Queued for
+#      r10+: the other 38 r04-era names (multimodal ×4, tpch ×16,
+#      remaining relational4/events names), then the r05/r06 bulk.
+# ROUND9_NOTES.md tracks the ledger.
 _ROTATION_FRONT = [
-    # --- 1. added this round (13) ---
-    "stats_expectations",
-    "stats_drift_psi",
-    "events_rfm_segments",
-    "events_trailing_features",
-    "text_zipf_slope",
-    "text_ngram_novelty",
-    "graph_triangles_neardup",
-    "sim_sq_rerank",
-    "storage_zorder_prune",
-    "pipeline_url_dedup",
-    "events_rolling_wau",
-    "stream_watermark_late_drop",
+    # --- 1. added this round (3) ---
+    "dml_zorder_skipping",
+    "stream_ttl_sessions",
+    "sim_pq_rerank",
+    # --- 2. function-changed re-certs (3) ---
     "dml_table_history",
-    # --- 2. round-7 additions with no driver verdict (28) ---
-    "repl_sql_passthrough",
-    "repl_minilang_catalog",
-    "text_decontamination_bloom",
-    "pipeline_domain_mix",
-    "pipeline_attrition_report",
-    "sketch_countmin_words",
-    "pipeline_shuffle_shards",
-    "pipeline_token_quota",
-    "pipeline_pii_redaction",
-    "events_anomaly_mad",
-    "dedup_lsh_quality",
-    "stats_column_profile",
-    "sim_recall_audit",
-    "text_bigram_surprisal",
-    "pipeline_split_assign",
-    "events_top_paths",
-    "join_null_safe",
-    "events_markov_transitions",
-    "sim_semantic_clusters",
-    "stats_corpus_report",
-    "dml_compact_files",
-    "dml_schema_evolution",
-    "dml_vacuum",
-    "dml_change_feed",
-    "events_attribution_last_touch",
-    "stream_upsert_managed",
-    "dml_incremental_view",
-    "graph_pagerank_neardup",
-    # --- 3. function-changed re-certs (6) ---
-    "events_sessionize_gap",
-    "dml_insert_append",
-    "dml_delete_where",
-    "dml_update_set",
-    "dml_merge_upsert",
-    "dml_time_travel",
-    # --- 4. stale r01/r02 age queue fills the remaining slots (3) ---
-    "case_in_between",
-    "math_funcs",
-    "json_funcs",
+    "stream_watermark_late_drop",
+    "sim_sq_rerank",
+    # --- 3. stale r02 certs (28) ---
+    "parity_project",
+    "parity_filter_eq",
+    "parity_filter_gt",
+    "parity_project_filter_combo",
+    "agg_pricing_summary",
+    "agg_count_distinct",
+    "agg_having",
+    "agg_rollup",
+    "agg_cube",
+    "join_broadcast_dim",
+    "join_large_revenue",
+    "join_semi",
+    "join_anti",
+    "join_left_outer_agg",
+    "join_multiway",
+    "window_topn_per_group",
+    "window_running_sum",
+    "window_lag_lead",
+    "window_rank_dense",
+    "sort_topk",
+    "sort_multi_key",
+    "set_union",
+    "set_intersect",
+    "set_except",
+    "string_funcs",
+    "date_funcs",
+    "subquery_above_avg",
+    "distinct_rows",
+    # --- 3b. stale r03 certs (8) ---
+    "window_tumbling_counts",
+    "window_sliding_counts",
+    "window_session_counts",
+    "udf_grouped_map_zscore",
+    "zscore_window",
+    "udaf_weighted_avg",
+    "udtf_bigrams",
+    "join_salted_skew",
+    # --- 4. oldest r04-era certs fill the remaining slots (8) ---
+    "join_asof",
+    "funnel_conversion",
+    "agg_correlation",
+    "join_range",
+    "pivot_status",
+    "sample_hash",
+    "agg_stats",
+    "array_funcs",
 ]
 
 

@@ -402,12 +402,14 @@ def _zorder_terms():
 
 
 def _z_interleave_col(hi, lo):
-    """Spark column: bits of ``hi`` at odd positions, ``lo`` at even."""
-    z = F.lit(0)
-    for i, out in _zorder_terms():
-        z = z + F.shiftleft(F.shiftright(hi, i).bitwiseAND(F.lit(1)), out + 1)
-        z = z + F.shiftleft(F.shiftright(lo, i).bitwiseAND(F.lit(1)), out)
-    return z
+    """Spark column: bits of ``hi`` at odd positions, ``lo`` at even —
+    the shared round-robin interleave (functions/zorder.py) with the
+    dimension order [lo, hi]; one bit-layout definition drives this
+    exhibit, the managed-table OPTIMIZE path, and (textually mirrored in
+    ``_z_interleave_sql``) the DuckDB oracle."""
+    from simple_query_engine_spark.functions.zorder import z_interleave
+
+    return z_interleave([lo, hi], ZORDER_BITS)
 
 
 def _z_interleave_sql(hi: str, lo: str) -> str:

@@ -164,6 +164,57 @@ def q_stream_upsert_managed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_ttl_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TTL'd-state custom sessionizer (VERDICT r08 item 6): per-user gap
+    sessions via ``applyInPandasWithState`` + EventTimeTimeout — state is
+    EVICTED when the watermark passes a user's gap, so state volume
+    tracks active users (the production discipline Spark 4's
+    ``transformWithState`` ValueState-TTL ships; that API's Python
+    runner needs google.protobuf, absent here — documented in
+    streaming/stateful.py).  The replay is 4 in-order time-split batches
+    plus 3 watermark-marching sentinels; the emitted set must equal the
+    batch gap-sessionization the oracle computes.  Checkpoint-restart
+    state survival is pinned in tests/test_stateful_streaming.py."""
+    from simple_query_engine_spark.operators.storage import (
+        events_cache_path,
+        materialize_once,
+    )
+    from simple_query_engine_spark.streaming.stateful import (
+        run_ttl_session_counts,
+    )
+    from simple_query_engine_spark.streaming.windows import (
+        LATE_BATCH_SPLITS,
+        sentinel_batches,
+        write_ordered_batches,
+    )
+    from pyspark.sql import functions as F
+
+    staged = events_cache_path(sf_dir, "ttlsess_v1")
+
+    def _stage(tmp: str) -> None:
+        ev = table(spark, sf_dir, "events").select(
+            "event_id", "ts", "event_type", "value", "user_id"
+        )
+        s0, s1, s2 = LATE_BATCH_SPLITS
+        write_ordered_batches(
+            tmp,
+            [
+                ev.filter(F.col("ts") < s0),
+                ev.filter((F.col("ts") >= s0) & (F.col("ts") < s1)),
+                ev.filter((F.col("ts") >= s1) & (F.col("ts") < s2)),
+                ev.filter(F.col("ts") >= s2),
+            ]
+            + [
+                b.withColumn("user_id", F.lit(-1).cast("long"))
+                for b in sentinel_batches(spark)
+            ],
+        )
+
+    materialize_once(staged, _stage)
+    sessions = run_ttl_session_counts(spark, staged, max_files_per_trigger=1)
+    return sessions.filter(F.col("user_id") != -1)
+
+
 def q_stream_watermark_late_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Watermark late-data DROP accounting: a 4-batch ordered replay where
     the held-back straggler slice arrives weeks past its event time and
@@ -178,6 +229,7 @@ def q_stream_watermark_late_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES = {
     "stream_tumbling_counts": q_stream_tumbling,
+    "stream_ttl_sessions": q_stream_ttl_sessions,
     "stream_watermark_late_drop": q_stream_watermark_late_drop,
     "stream_sliding_counts": q_stream_sliding,
     "stream_session_counts": q_stream_session,
@@ -236,6 +288,32 @@ _SESSION_SQL = """
 """
 
 ORACLES = {
+    # Batch gap-sessionization (gap EXCLUSIVE: an event exactly gap
+    # seconds later continues the session — matching the stateful op's
+    # `t - last > gap` close rule; the built-in session_window exhibit
+    # above uses the end-exclusive >= convention, deliberately distinct).
+    # Epochs floor to whole seconds on both engines.
+    "stream_ttl_sessions": """
+        WITH e AS (
+            SELECT user_id, epoch_us(ts) // 1000000 AS sec FROM events
+        ), lagged AS (
+            SELECT user_id, sec,
+                   LAG(sec) OVER (PARTITION BY user_id ORDER BY sec) AS prev_sec
+            FROM e
+        ), labeled AS (
+            SELECT user_id, sec,
+                   SUM(CASE WHEN prev_sec IS NULL OR sec - prev_sec > 600
+                            THEN 1 ELSE 0 END)
+                       OVER (PARTITION BY user_id ORDER BY sec
+                             ROWS UNBOUNDED PRECEDING) AS session_seq
+            FROM lagged
+        )
+        SELECT user_id,
+               CAST(MIN(sec) AS BIGINT) AS session_start,
+               CAST(MAX(sec) AS BIGINT) AS session_end,
+               COUNT(*) AS n_events
+        FROM labeled GROUP BY user_id, session_seq
+    """,
     # Four txn-stamped micro-batch merges must compose to the plain batch
     # rollup — additive counts, max-merged timestamps, no floats.
     "stream_upsert_managed": """

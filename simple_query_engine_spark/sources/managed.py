@@ -153,25 +153,50 @@ class ManagedTable:
             base + 1, self._files(base) + new_files, schema=new_schema, op="insert"
         )
 
+    ZORDER_BITS = 8  # per-dimension grid for z-order compaction
+
     def compact(
-        self, target_files: int | None = None, min_file_bytes: int | None = None
+        self,
+        target_files: int | None = None,
+        min_file_bytes: int | None = None,
+        zorder_by: list[str] | None = None,
     ) -> int:
-        """OPTIMIZE: bin-pack small data files into fewer, larger ones.
+        """OPTIMIZE: bin-pack small data files into fewer, larger ones —
+        optionally Z-ORDER clustered (the Delta/Iceberg ``OPTIMIZE ZORDER
+        BY`` pairing with the data-skipping read path below).
 
         Only files smaller than ``min_file_bytes`` (default: every file)
         are rewritten — the incremental small-file compaction a lake
         engine runs continuously after streaming/trickle inserts;
         already-large files carry into the new manifest by reference, so
         rewrite cost tracks the small-file backlog, not the table size.
-        The merged rows are ``coalesce()``d — a merge-only plan, NO
-        shuffle — into ``target_files`` files (default: one per 128 MB of
-        small-file bytes).  Rows are bit-identical before and after
-        (oracle-pinned via ``dml_compact_files``); prior snapshots keep
-        their original files, so time travel is unaffected.  File sizes
-        come from the filesystem here; on an object store they would be
-        recorded in the manifest at write time (one more field, same
-        protocol).  Returns the committed version, or the current one
-        unchanged when ≤ 1 file qualifies (no empty commits)."""
+        Without ``zorder_by`` the merged rows are ``coalesce()``d — a
+        merge-only plan, NO shuffle — into ``target_files`` files
+        (default: one per 128 MB of small-file bytes).  Rows are
+        bit-identical before and after (oracle-pinned via
+        ``dml_compact_files``); prior snapshots keep their original
+        files, so time travel is unaffected.
+
+        With ``zorder_by=[col, ...]`` the rewritten rows are clustered
+        along the Morton curve over those (numeric) columns — ONE range
+        shuffle (``repartitionByRange`` on the interleaved z-value +
+        ``sortWithinPartitions``, exactly what OPTIMIZE ZORDER plans) —
+        and the new manifest records per-file min/max stats for the
+        z-order columns, collected with one metadata-sized aggregate over
+        the just-written files (a production writer lifts the same stats
+        from the Parquet footers it just wrote).  ``scan_box`` then
+        prunes files whose stat boxes miss a query's box predicate: the
+        z-curve keeps every dimension's range tight within each file, so
+        a 2-D box touches few files — multi-dimensional data skipping,
+        the complement of 1-D partition pruning.  The normalization
+        bounds come from a 1-row min/max aggregate of the rewritten rows
+        (at production scale: table stats) — bounds only shape cell
+        assignment, never correctness.
+
+        File sizes come from the filesystem here; on an object store they
+        would be recorded in the manifest at write time (one more field,
+        same protocol).  Returns the committed version, or the current
+        one unchanged when ≤ 1 file qualifies (no empty commits)."""
         base = self.current_version()
         files = self._files(base)
         sizes = {f: os.path.getsize(f) for f in files}
@@ -182,11 +207,116 @@ class ManagedTable:
             return base
         small_bytes = sum(sizes[f] for f in small)
         n = target_files or max(1, -(-small_bytes // (128 << 20)))
-        merged = self._read_files(small, self._schema(base)).coalesce(n)
-        new_files = self._write_data_files(merged)
+        schema = self._schema(base)
+        merged = self._read_files(small, schema)
+        new_stats: dict[str, dict] | None = None
+        if zorder_by:
+            clustered = self._zorder(merged, zorder_by, n)
+            new_files = self._write_data_files(clustered)
+            new_stats = self._collect_file_stats(new_files, schema, zorder_by)
+        else:
+            new_files = self._write_data_files(merged.coalesce(n))
         small_set = set(small)
         untouched = [f for f in files if f not in small_set]
-        return self._commit(base + 1, untouched + new_files, op="compact")
+        return self._commit(
+            base + 1, untouched + new_files, op="compact", new_stats=new_stats
+        )
+
+    def _zorder(self, df: DataFrame, columns: list[str], n_files: int) -> DataFrame:
+        from simple_query_engine_spark.functions.zorder import z_bucket, z_interleave
+
+        bounds = df.agg(
+            *[F.min(c).alias(f"lo_{i}") for i, c in enumerate(columns)],
+            *[F.max(c).alias(f"hi_{i}") for i, c in enumerate(columns)],
+        ).collect()[0]
+        buckets = []
+        for i, c in enumerate(columns):
+            lo, hi = bounds[f"lo_{i}"], bounds[f"hi_{i}"]
+            if lo is None or hi is None:
+                raise ValueError(f"zorder_by column {c!r} is entirely NULL")
+            buckets.append(z_bucket(F.col(c), lo, hi, self.ZORDER_BITS))
+        return (
+            df.withColumn("__z", z_interleave(buckets, self.ZORDER_BITS))
+            .repartitionByRange(n_files, "__z")
+            .sortWithinPartitions("__z")
+            .drop("__z")
+        )
+
+    def _collect_file_stats(
+        self, files: list[str], schema, columns: list[str]
+    ) -> dict[str, dict]:
+        """Per-file min/max for ``columns`` over just-written ``files`` —
+        one aggregate whose result is file-count-sized (never row-sized).
+        Values must be JSON-native (int/float/str/bool); the exhibit and
+        tests use numerics, matching what footer stats prune best."""
+        rows = (
+            self._read_files(files, schema)
+            .groupBy(F.col("_metadata.file_path").alias("__fp"))
+            .agg(
+                *[F.min(c).alias(f"mn_{i}") for i, c in enumerate(columns)],
+                *[F.max(c).alias(f"mx_{i}") for i, c in enumerate(columns)],
+            )
+            .collect()
+        )
+        out: dict[str, dict] = {}
+        for row in rows:
+            path = self._local_path(row["__fp"])
+            out[path] = {
+                c: [row[f"mn_{i}"], row[f"mx_{i}"]] for i, c in enumerate(columns)
+            }
+        return out
+
+    # -- data-skipping reads --------------------------------------------------
+
+    def matching_files(
+        self, ranges: dict[str, tuple], version: int | None = None
+    ) -> tuple[list[str], int]:
+        """(files whose stat boxes overlap the conjunctive box ``ranges``,
+        total file count).  ``ranges`` maps column → (lo, hi); either
+        bound may be None (open).  Files without recorded stats for a
+        column are kept — pruning is an optimization, never a filter."""
+        v = self.current_version() if version is None else version
+        manifest = self._manifest(v)
+        stats = manifest.get("stats", {})
+        kept = []
+        for f in manifest["files"]:
+            fstats = stats.get(f, {})
+            keep = True
+            for col, (lo, hi) in ranges.items():
+                if col not in fstats:
+                    continue
+                mn, mx = fstats[col]
+                if mn is None or mx is None:
+                    continue  # all-NULL file for this column: cannot prune
+                if (hi is not None and mn > hi) or (lo is not None and mx < lo):
+                    keep = False
+                    break
+            if keep:
+                kept.append(f)
+        return kept, len(manifest["files"])
+
+    def scan_box(
+        self, ranges: dict[str, tuple], version: int | None = None
+    ) -> tuple[DataFrame, int, int]:
+        """Box-predicate read with file-level data skipping: returns
+        (DataFrame of exactly the rows inside the box, files read, total
+        files).  The residual filter always applies — stats only decide
+        which files are OPENED, so results are exact whether or not any
+        file was skippable."""
+        v = self.current_version() if version is None else version
+        kept, total = self.matching_files(ranges, v)
+        schema = self._schema(v)
+        condition = F.lit(True)
+        for col, (lo, hi) in ranges.items():
+            if lo is not None:
+                condition = condition & (F.col(col) >= F.lit(lo))
+            if hi is not None:
+                condition = condition & (F.col(col) <= F.lit(hi))
+        if not kept:
+            if schema is not None:
+                return self.spark.createDataFrame([], schema), 0, total
+            return self.read(v).limit(0), 0, total
+        return self._read_files(kept, schema).filter(condition), len(kept), total
 
     def delete_where(self, condition: Column) -> int:
         """Delete matching rows by rewriting only the files that hold them."""
@@ -389,19 +519,21 @@ class ManagedTable:
             "file_path", F.col("_metadata.file_path")
         )
 
-    def _affected_files(self, matching_rows: DataFrame) -> list[str]:
-        """The distinct data files holding ``matching_rows`` — only file
-        PATHS cross to the driver (bounded by file count, never row count),
-        normalized back to manifest form (``_metadata.file_path`` yields
-        ``file:`` URIs on a local filesystem)."""
+    @staticmethod
+    def _local_path(p: str) -> str:
+        """Normalize a ``_metadata.file_path`` value back to manifest form
+        (the column yields ``file:`` URIs on a local filesystem)."""
         from urllib.parse import unquote, urlparse
 
-        def local(p: str) -> str:
-            parsed = urlparse(p)
-            return unquote(parsed.path) if parsed.scheme == "file" else p
+        parsed = urlparse(p)
+        return unquote(parsed.path) if parsed.scheme == "file" else p
 
+    def _affected_files(self, matching_rows: DataFrame) -> list[str]:
+        """The distinct data files holding ``matching_rows`` — only file
+        PATHS cross to the driver (bounded by file count, never row
+        count)."""
         return sorted(
-            local(row.file_path)
+            self._local_path(row.file_path)
             for row in matching_rows.select("file_path").distinct().collect()
             if row.file_path is not None
         )
@@ -417,7 +549,13 @@ class ManagedTable:
         )
 
     def _commit(
-        self, version: int, files: list[str], schema=None, txn=None, op: str = "write"
+        self,
+        version: int,
+        files: list[str],
+        schema=None,
+        txn=None,
+        op: str = "write",
+        new_stats: dict[str, dict] | None = None,
     ) -> int:
         """Atomically publish ``version``.  The manifest records the
         snapshot's schema: passed explicitly by schema-changing commits
@@ -430,7 +568,13 @@ class ManagedTable:
         PREVIOUS version's map plus this entry, so the CURRENT manifest
         always carries every app's latest batch — ``last_txn`` needs one
         manifest read, and vacuuming expired manifests cannot lose the
-        exactly-once history."""
+        exactly-once history.
+
+        Per-file stats ride the same protocol: stats for files CARRIED
+        from the previous manifest carry with them (immutable files keep
+        immutable stats); ``new_stats`` adds entries for files written by
+        this commit (today: z-order compaction).  Files without stats are
+        simply never pruned."""
         os.makedirs(self._manifest_dir, exist_ok=True)
         if schema is None and version > 0:
             schema = self._schema(version - 1)
@@ -438,7 +582,16 @@ class ManagedTable:
         if txn is not None:
             app, batch = txn
             txns[app] = batch
+        file_set = set(files)
+        prev_stats = (
+            self._manifest(version - 1).get("stats", {}) if version > 0 else {}
+        )
+        stats = {f: s for f, s in prev_stats.items() if f in file_set}
+        if new_stats:
+            stats.update({f: s for f, s in new_stats.items() if f in file_set})
         payload = {"version": version, "files": files, "op": op}
+        if stats:
+            payload["stats"] = stats
         if txns:
             payload["txns"] = txns
         if schema is not None:

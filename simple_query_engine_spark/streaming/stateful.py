@@ -77,6 +77,149 @@ def _update_user_profile(
     )
 
 
+TTL_SESSION_GAP_SEC = 600  # inactivity gap that closes a session = state TTL
+
+SESSION_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("open_start", T.LongType()),  # epoch sec of first event
+        T.StructField("open_last", T.LongType()),  # epoch sec of latest event
+        T.StructField("open_n", T.LongType()),
+    ]
+)
+
+SESSION_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("session_start", T.LongType()),
+        T.StructField("session_end", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+    ]
+)
+
+
+def _update_ttl_sessions(
+    key: tuple, batches: Iterable[pd.DataFrame], state: GroupState
+) -> Iterable[pd.DataFrame]:
+    """Gap-sessionize one user's events with TTL'd state: a session closes
+    (and is emitted) when a later event arrives past the gap, or when the
+    EVENT-TIME TIMEOUT fires — the watermark passing ``last + gap`` proves
+    no in-order event can extend the session, so the state is emitted and
+    REMOVED.  Idle keys therefore hold no state (the TTL eviction
+    ``transformWithState`` ships as ValueState TTL; expressed here on
+    ``applyInPandasWithState``'s timeout API because the successor API's
+    Python runner needs google.protobuf, absent in this environment —
+    see module docstring)."""
+    (user_id,) = key
+    closed: list[tuple] = []
+    if state.hasTimedOut:
+        start, last, n = state.get
+        closed.append((user_id, start, last, n))
+        state.remove()
+    else:
+        if state.exists:
+            start, last, n = state.get
+        else:
+            start = last = n = None
+        epochs: list[int] = []
+        for pdf in batches:
+            epochs.extend(int(e) for e in pdf["epoch"])
+        epochs.sort()
+        for t in epochs:
+            if start is None:
+                start, last, n = t, t, 1
+            elif t - last > TTL_SESSION_GAP_SEC:
+                closed.append((user_id, start, last, n))
+                start, last, n = t, t, 1
+            else:
+                last, n = max(last, t), n + 1
+        state.update((start, last, n))
+        # Timeout = the moment the watermark proves the open session dead.
+        # Clamped above the current watermark (the API rejects timeouts
+        # at/behind it; the clamp only delays eviction, never correctness).
+        timeout_ms = max(
+            (last + TTL_SESSION_GAP_SEC) * 1000 + 1,
+            state.getCurrentWatermarkMs() + 1,
+        )
+        state.setTimeoutTimestamp(timeout_ms)
+    yield pd.DataFrame(
+        closed, columns=["user_id", "session_start", "session_end", "n_events"]
+    )
+
+
+def run_ttl_session_counts(
+    spark: SparkSession,
+    events_path: str,
+    max_files_per_trigger: int | None = None,
+    checkpoint_dir: str | None = None,
+    output_dir: str | None = None,
+) -> DataFrame:
+    """readStream → watermark → ``applyInPandasWithState`` with
+    EventTimeTimeout → memory sink: per-user gap sessions whose state is
+    TTL-evicted by the watermark.
+
+    Over an ordered time-split replay (each file covers a later time
+    range) the emitted sessions equal the batch gap-sessionization of the
+    whole input — which is what the DuckDB oracle computes; the streaming
+    value-add is that state for idle users is EVICTED the moment the
+    watermark passes their gap, so state volume tracks ACTIVE users, not
+    users-ever-seen (the unbounded-state failure at 100 TB/day).
+
+    ``checkpoint_dir`` persists the state store across runs — the restart
+    test resumes a second query from the first's checkpoint and proves an
+    open session's state survives (tests/test_stateful_streaming.py).
+    """
+    from simple_query_engine_spark.streaming.windows import (
+        WATERMARK,
+        read_event_stream,
+    )
+
+    # Stateful streaming gets no AQE coalescing: shuffle.partitions fixes
+    # the state-store task count for the query's LIFETIME (it is baked
+    # into the checkpoint) — size it to the workload up front, like
+    # run_stream_stream_join does.
+    previous_partitions = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        stream = read_event_stream(spark, events_path, max_files_per_trigger)
+        events = (
+            stream.withWatermark("ts", WATERMARK)
+            .select("user_id", "ts", F.col("ts").cast("long").alias("epoch"))
+        )
+        # APPEND semantics: a session row is emitted exactly once, when it
+        # closes — so the op composes with append-only sinks, and a
+        # parquet sink + checkpoint supports RESTART RECOVERY (memory
+        # sinks do not), which the restart test exercises.
+        sessions = events.groupBy("user_id").applyInPandasWithState(
+            _update_ttl_sessions,
+            outputStructType=SESSION_OUTPUT_SCHEMA,
+            stateStructType=SESSION_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+        sink_name = f"ttlsess_{uuid.uuid4().hex[:8]}"
+        checkpoint = checkpoint_dir or os.path.join(
+            tempfile.gettempdir(), f"ckpt_{sink_name}"
+        )
+        if output_dir is not None:
+            writer = sessions.writeStream.format("parquet").option(
+                "path", output_dir
+            )
+        else:
+            writer = sessions.writeStream.format("memory").queryName(sink_name)
+        query = (
+            writer.outputMode("append")
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", previous_partitions)
+    if output_dir is not None:
+        return spark.read.schema(SESSION_OUTPUT_SCHEMA).parquet(output_dir)
+    return spark.table(sink_name)
+
+
 def run_stateful_user_profiles(
     spark: SparkSession,
     events_path: str,

@@ -182,12 +182,14 @@ def _run_windowed_stream(
     window_fn,
     sink_prefix: str,
     max_files_per_trigger: int | None = None,
+    output_mode: str = "complete",
 ) -> DataFrame:
     """Shared Structured Streaming harness: ``readStream`` (schema from a
     batch peek) → watermark → ``window_fn`` agg → ``availableNow`` into a
     memory sink; returns the sink table.  With ``max_files_per_trigger``
     the static input replays as multiple micro-batches, driving the
-    watermark (used by the late-data test)."""
+    watermark (used by the late-data test and the append-mode late-drop
+    accounting, which passes ``output_mode="append"``)."""
     stream = read_event_stream(spark, events_path, max_files_per_trigger)
     windowed = window_fn(stream.withWatermark("ts", WATERMARK))
     sink_name = f"{sink_prefix}_{uuid.uuid4().hex[:8]}"
@@ -195,7 +197,7 @@ def _run_windowed_stream(
     query = (
         windowed.writeStream.format("memory")
         .queryName(sink_name)
-        .outputMode("complete")
+        .outputMode(output_mode)
         .option("checkpointLocation", checkpoint)
         .trigger(availableNow=True)
         .start()
@@ -245,6 +247,43 @@ def daily_window_counts(events: DataFrame) -> DataFrame:
 LATE_SENTINEL_TS = ("2024-03-01", "2024-04-01", "2024-05-01")
 
 
+def sentinel_batches(spark: SparkSession) -> list[DataFrame]:
+    """The three trailing single-row sentinel batches (event_id −1, type
+    'sentinel') that march the watermark past every real window/timeout —
+    shared by the late-drop exhibit and the TTL-session op."""
+    return [
+        spark.createDataFrame(
+            [(-1, sent_ts, "sentinel", 0.0)],
+            "event_id long, ts string, event_type string, value double",
+        ).select(
+            "event_id",
+            F.col("ts").cast("timestamp").alias("ts"),
+            "event_type",
+            "value",
+        )
+        for sent_ts in LATE_SENTINEL_TS
+    ]
+
+
+def write_ordered_batches(tmp: str, batches: list[DataFrame]) -> None:
+    """Write each batch as ONE parquet file with strictly increasing
+    mtimes (the file stream source replays oldest-first under
+    ``maxFilesPerTrigger=1``), then drop the ``_SUCCESS`` marker
+    ``materialize_once`` requires."""
+    import shutil
+
+    os.makedirs(tmp, exist_ok=True)
+    for k, batch in enumerate(batches):
+        part_dir = os.path.join(tmp, f"_b{k}")
+        batch.coalesce(1).write.parquet(part_dir)
+        part = next(f for f in os.listdir(part_dir) if f.endswith(".parquet"))
+        dest = os.path.join(tmp, f"b{k}.parquet")
+        shutil.move(os.path.join(part_dir, part), dest)
+        shutil.rmtree(part_dir)
+        os.utime(dest, (1_000_000 * (k + 1), 1_000_000 * (k + 1)))
+    open(os.path.join(tmp, "_SUCCESS"), "w").close()
+
+
 def run_late_drop_daily_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Watermarked daily counts (APPEND mode) over an ordered replay where
     the straggler slice arrives weeks late and is DROPPED by the watermark.
@@ -260,9 +299,6 @@ def run_late_drop_daily_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     DuckDB oracle computes over the original table (which contains
     neither stragglers-as-late-copies nor sentinels).
     """
-    import shutil
-    import uuid
-
     from simple_query_engine_spark.operators.storage import (
         events_cache_path,
         materialize_once,
@@ -272,7 +308,6 @@ def run_late_drop_daily_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     staged = events_cache_path(sf_dir, "latedrop_v2")
 
     def _stage(tmp: str) -> None:
-        os.makedirs(tmp, exist_ok=True)
         ev = table(spark, sf_dir, "events").select(
             "event_id", "ts", "event_type", "value"
         )
@@ -280,53 +315,29 @@ def run_late_drop_daily_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("event_id") % LATE_STRAGGLER_MOD == 0
         )
         s0, s1, s2 = LATE_BATCH_SPLITS
-        batches = [
-            ev.filter((F.col("ts") < s0) & ~straggler),
-            ev.filter((F.col("ts") >= s0) & (F.col("ts") < s1)),
-            ev.filter((F.col("ts") >= s1) & (F.col("ts") < s2)),
-            ev.filter((F.col("ts") >= s2) | straggler),
-        ] + [
-            spark.createDataFrame(
-                [(-1, sent_ts, "sentinel", 0.0)],
-                "event_id long, ts string, event_type string, value double",
-            ).select(
-                "event_id",
-                F.col("ts").cast("timestamp").alias("ts"),
-                "event_type",
-                "value",
-            )
-            for sent_ts in LATE_SENTINEL_TS
-        ]
-        for k, batch in enumerate(batches):
-            part_dir = os.path.join(tmp, f"_b{k}")
-            batch.coalesce(1).write.parquet(part_dir)
-            part = next(
-                f for f in os.listdir(part_dir) if f.endswith(".parquet")
-            )
-            dest = os.path.join(tmp, f"b{k}.parquet")
-            shutil.move(os.path.join(part_dir, part), dest)
-            shutil.rmtree(part_dir)
-            os.utime(dest, (1_000_000 * (k + 1), 1_000_000 * (k + 1)))
-        # _SUCCESS marks the staging complete for materialize_once.
-        open(os.path.join(tmp, "_SUCCESS"), "w").close()
+        write_ordered_batches(
+            tmp,
+            [
+                ev.filter((F.col("ts") < s0) & ~straggler),
+                ev.filter((F.col("ts") >= s0) & (F.col("ts") < s1)),
+                ev.filter((F.col("ts") >= s1) & (F.col("ts") < s2)),
+                ev.filter((F.col("ts") >= s2) | straggler),
+            ]
+            + sentinel_batches(spark),
+        )
 
     materialize_once(staged, _stage)
-    stream = read_event_stream(spark, staged, max_files_per_trigger=1)
-    windowed = daily_window_counts(stream.withWatermark("ts", WATERMARK))
-    sink_name = f"latedrop_{uuid.uuid4().hex[:8]}"
-    checkpoint = os.path.join(tempfile.gettempdir(), f"ckpt_{sink_name}")
-    query = (
-        windowed.writeStream.format("memory")
-        .queryName(sink_name)
-        .outputMode("append")
-        .option("checkpointLocation", checkpoint)
-        .trigger(availableNow=True)
-        .start()
+    emitted = _run_windowed_stream(
+        spark,
+        staged,
+        daily_window_counts,
+        "latedrop",
+        max_files_per_trigger=1,
+        output_mode="append",
     )
-    query.awaitTermination()
     # Each sentinel's own window is emitted once the NEXT sentinel pushes
     # the watermark past it — drop the harness rows, keep the real ones.
-    return spark.table(sink_name).filter(F.col("event_type") != "sentinel")
+    return emitted.filter(F.col("event_type") != "sentinel")
 
 
 def run_streaming_dedup_counts(

@@ -465,3 +465,73 @@ def test_history_records_ops_and_files(spark, tmp_path):
         assert h["n_files"] >= 1
     # history() reads manifests only; the compacted snapshot is 1 file.
     assert hist[-1]["n_files"] == 1
+
+
+def test_zorder_compact_records_stats_and_skips_files(spark, tmp_path):
+    """OPTIMIZE ZORDER + manifest min/max stats + box-pruned read: the
+    measured files-skipped > 0 evidence (VERDICT r08 item 4)."""
+    import itertools
+
+    # 32x32 grid, hash-scattered across 8 files: every pre-compact file
+    # spans essentially the whole (x, y) space.
+    grid = spark.createDataFrame(
+        [(x, y, x * 32 + y) for x, y in itertools.product(range(32), range(32))],
+        "x long, y long, payload long",
+    )
+    t = ManagedTable.create(spark, str(tmp_path / "t"), grid.repartition(8))
+    v = t.compact(zorder_by=["x", "y"], target_files=16)
+    assert v == 1
+
+    # Stats recorded for every new file, for exactly the z-order columns.
+    stats = t._manifest(v)["stats"]
+    assert set(stats) == set(t._files(v))
+    for fstats in stats.values():
+        assert set(fstats) == {"x", "y"}
+        assert fstats["x"][0] <= fstats["x"][1]
+
+    # 2-D box = one quadrant; pruning must skip files AND stay exact.
+    boxed, n_read, n_total = t.scan_box({"x": (0, 7), "y": (0, 7)})
+    assert n_total == len(t._files(v))
+    assert 0 < n_read < n_total, f"no skipping: read {n_read}/{n_total}"
+    got = sorted(r.payload for r in boxed.collect())
+    want = sorted(
+        x * 32 + y for x, y in itertools.product(range(8), range(8))
+    )
+    assert got == want
+
+    # The z-layout keeps BOTH dimensions tight: a quadrant box should
+    # open at most half the files (measured locality, not just > 0).
+    assert n_read <= n_total // 2
+
+    # Open-ended ranges and unstatted columns never prune.
+    _, all_read, _ = t.scan_box({"payload": (0, 0)})
+    assert all_read == n_total
+
+
+def test_zorder_stats_carry_through_later_commits(spark, tmp_path):
+    """Stats ride the manifest like files do: carried for untouched
+    files, absent for rewritten ones (pruning stays an optimization)."""
+    df = spark.createDataFrame(
+        [(i, i % 10, float(i)) for i in range(1000)], "id long, bucket long, v double"
+    )
+    t = ManagedTable.create(spark, str(tmp_path / "t"), df.repartition(4))
+    t.compact(zorder_by=["id", "bucket"], target_files=8)
+    stats_before = t._manifest(t.current_version())["stats"]
+
+    # Delete touches only files whose stats boxes contain id < 50.
+    t.delete_where(F.col("id") < 50)
+    manifest = t._manifest(t.current_version())
+    carried = set(manifest.get("stats", {}))
+    untouched = set(manifest["files"]) & set(stats_before)
+    assert carried == untouched  # rewritten files: no stats, never pruned
+    for f in carried:
+        assert manifest["stats"][f] == stats_before[f]
+
+    # A box read after the partial rewrite is still exact.
+    boxed, n_read, n_total = t.scan_box({"id": (900, 999)})
+    assert boxed.count() == 100
+    assert n_read <= n_total
+
+    # Time travel still prunes with the OLD version's stats.
+    _, old_read, old_total = t.scan_box({"id": (0, 49)}, version=1)
+    assert old_read < old_total

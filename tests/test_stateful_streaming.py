@@ -68,3 +68,58 @@ def test_state_carries_across_batches(spark, tmp_path):
     assert final[8].event_count == 1
     # update mode emitted user 7 twice (once per touching batch)
     assert sum(1 for r in rows if r.user_id == 7) == 2
+
+
+def test_ttl_sessions_state_survives_checkpoint_restart(spark, tmp_path):
+    """An OPEN session's state must survive a query restart: run 1 drains
+    two events (session open, nothing emitted), run 2 resumes from the
+    SAME checkpoint, extends the session with a third event, and the
+    watermark-timeout then emits ONE session covering all three events —
+    impossible unless the state store was restored on resume."""
+    import datetime as dt
+
+    from simple_query_engine_spark.streaming.stateful import (
+        run_ttl_session_counts,
+    )
+
+    input_dir = str(tmp_path / "ev")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(input_dir)
+
+    def add_batch(name, order, rows):
+        spark.createDataFrame(rows, "ts timestamp, user_id long").coalesce(
+            1
+        ).write.parquet(f"{input_dir}/{name}")
+        for part in glob.glob(f"{input_dir}/{name}/*.parquet"):
+            os.utime(part, (1_000_000 * order,) * 2)
+
+    out = str(tmp_path / "out")
+    t0 = dt.datetime(2024, 1, 1, 9, 0, 0)
+    add_batch("b1", 1, [(t0, 7), (t0 + dt.timedelta(minutes=5), 7)])
+    first = run_ttl_session_counts(
+        spark,
+        f"{input_dir}/*",
+        max_files_per_trigger=1,
+        checkpoint_dir=ckpt,
+        output_dir=out,
+    )
+    assert first.filter(F.col("user_id") == 7).count() == 0  # still open
+
+    # Third event within the gap of the open session, then two sentinel
+    # batches to march the watermark past the session's timeout.
+    add_batch("b2", 2, [(t0 + dt.timedelta(minutes=8), 7)])
+    add_batch("b3", 3, [(t0 + dt.timedelta(hours=3), -1)])
+    add_batch("b4", 4, [(t0 + dt.timedelta(hours=6), -1)])
+    second = run_ttl_session_counts(
+        spark,
+        f"{input_dir}/*",
+        max_files_per_trigger=1,
+        checkpoint_dir=ckpt,
+        output_dir=out,
+    )
+    rows = second.filter(F.col("user_id") == 7).collect()
+    assert len(rows) == 1
+    (r,) = rows
+    assert r.n_events == 3  # 2 pre-restart events + 1 post-restart
+    assert r.session_start == int(t0.timestamp())
+    assert r.session_end == int((t0 + dt.timedelta(minutes=8)).timestamp())
