@@ -59,8 +59,11 @@ HEADLINE = [
 # too.  The headline list above stays frozen for cross-round continuity;
 # this list may grow — bump SUITE2_VERSION whenever it changes so a
 # round-over-round comparison knows when the totals became incomparable.
-SUITE2_VERSION = "r08a"  # r07d +3: triangles, n-gram novelty, SQ rerank
+SUITE2_VERSION = "r09a"  # r08a +3: PQ rerank, keep-latest, zorder skipping
 SUITE2 = [
+    "sim_pq_rerank",
+    "dedup_keep_latest",
+    "dml_zorder_skipping",
     "graph_triangles_neardup",
     "text_ngram_novelty",
     "sim_sq_rerank",

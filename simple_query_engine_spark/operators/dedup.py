@@ -124,6 +124,39 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_keep_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Changelog compaction — keep the LATEST row per key: the CDC
+    pattern every lakehouse ingest runs (a stream of upserts keyed by
+    (user, event_type), compacted to current state before a merge).
+    ``row_number`` over (ts DESC, event_id DESC) picks exactly one row
+    per key — the event_id tiebreak makes the choice deterministic even
+    for equal timestamps, so the surviving (key → value) mapping is
+    engine-identical.
+
+    Scale shape: ONE hash shuffle on the key (the window's
+    partitionBy); within each partition the sort is local and the
+    filter is rank=1 — no global sort, no second pass.  At 100 TB of
+    changelog this is the standard pre-merge compaction; Spark plans it
+    as a single WindowExec over the keyed exchange.
+    """
+    from pyspark.sql.window import Window
+
+    events = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        events.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            "event_type",
+            F.col("ts").cast("long").alias("latest_epoch"),
+            F.round(F.col("value") * 100).cast("long").alias("latest_cents"),
+        )
+    )
+
+
 def _cap_shingle_df(shingles: DataFrame, max_df: int = MAX_SHINGLE_DF) -> DataFrame:
     """Drop shingles whose document frequency exceeds ``max_df``.
 
@@ -1103,6 +1136,7 @@ def _triangles_oracle_sql() -> str:
 
 QUERIES = {
     "dedup_exact": q_dedup_exact,
+    "dedup_keep_latest": q_dedup_keep_latest,
     "dedup_clusters": q_dedup_clusters,
     "dedup_clusters_lsh": q_dedup_clusters_lsh,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
@@ -1383,6 +1417,17 @@ ORACLES = {
         f"SELECT doc_id_a AS ida, doc_id_b AS idb FROM ({_minhash_oracle_sql()}) mh"
     ),
     "dedup_simhash": _simhash_oracle_sql(),
+    # Same deterministic latest-per-key pick: (ts, event_id) DESC.
+    "dedup_keep_latest": """
+        SELECT user_id, event_type,
+               CAST(epoch_us(ts) // 1000000 AS BIGINT) AS latest_epoch,
+               CAST(ROUND(value * 100) AS BIGINT) AS latest_cents
+        FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                         ORDER BY ts DESC, event_id DESC) AS rn
+            FROM events
+        ) WHERE rn = 1
+    """,
     "dedup_exact": """
         SELECT md5(text) AS text_hash,
                MIN(doc_id) AS keep_doc_id,

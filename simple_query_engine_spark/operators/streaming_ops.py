@@ -215,6 +215,41 @@ def q_stream_ttl_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sessions.filter(F.col("user_id") != -1)
 
 
+def q_stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static join — the canonical streaming-enrichment pattern:
+    the event stream joins a STATIC dimension table (customers) that is
+    re-planned per micro-batch and broadcast (no state store on either
+    side, unlike a stream-stream join — the static side is a snapshot,
+    so there is nothing to buffer), then feeds a running aggregate by
+    market segment.  At 100 TB/day the dimension stays executor-resident
+    while only the stream shuffles — enrichment costs one broadcast
+    hash-join per batch.  On a finite replay the result equals the batch
+    join+aggregate, which is what the oracle computes."""
+    from pyspark.sql import functions as F
+
+    from simple_query_engine_spark.streaming.windows import _run_windowed_stream
+
+    dim = F.broadcast(
+        table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    )
+
+    def enrich(stream: DataFrame) -> DataFrame:
+        return (
+            stream.join(dim, stream["user_id"] == dim["c_custkey"])
+            .groupBy("c_mktsegment")
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.sum(F.round(F.col("value") * 100).cast("long")).alias(
+                    "value_cents"
+                ),
+            )
+        )
+
+    return _run_windowed_stream(
+        spark, os.path.join(sf_dir, "events.parquet"), enrich, "enrich"
+    )
+
+
 def q_stream_watermark_late_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Watermark late-data DROP accounting: a 4-batch ordered replay where
     the held-back straggler slice arrives weeks past its event time and
@@ -230,6 +265,7 @@ def q_stream_watermark_late_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "stream_tumbling_counts": q_stream_tumbling,
     "stream_ttl_sessions": q_stream_ttl_sessions,
+    "stream_static_enrich": q_stream_static_enrich,
     "stream_watermark_late_drop": q_stream_watermark_late_drop,
     "stream_sliding_counts": q_stream_sliding,
     "stream_session_counts": q_stream_session,
@@ -313,6 +349,16 @@ ORACLES = {
                CAST(MAX(sec) AS BIGINT) AS session_end,
                COUNT(*) AS n_events
         FROM labeled GROUP BY user_id, session_seq
+    """,
+    # Stream-static enrichment on a finite replay == the batch join+agg;
+    # integer cents keep the sum accumulation-order-proof.
+    "stream_static_enrich": """
+        SELECT c_mktsegment,
+               COUNT(*) AS n_events,
+               CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+                   AS value_cents
+        FROM events JOIN customer ON user_id = c_custkey
+        GROUP BY c_mktsegment
     """,
     # Four txn-stamped micro-batch merges must compose to the plain batch
     # rollup — additive counts, max-merged timestamps, no floats.
