@@ -119,6 +119,45 @@ def q_events_partition_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_join_dpp_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DYNAMIC partition pruning — the runtime complement of
+    ``events_partition_prune``: the fact's partition filter is not a
+    literal the planner can see, it is the result of filtering a
+    DIMENSION on a non-partition attribute (``week_label``), so static
+    pruning is impossible.  Catalyst plans a DPP subquery instead: the
+    broadcast dim's build side is reused to compute the surviving
+    ``event_date`` values at RUNTIME, and the fact scan prunes its
+    partition directories before opening a file —
+    ``dynamicpruningexpression`` inside the scan's PartitionFilters,
+    asserted in tests/test_storage.py.
+
+    At 100 TB this is the star-join workhorse: "revenue for week 2" style
+    queries where the date range lives in a calendar/dim table prune the
+    fact to the matching partitions with zero user hints.  The calendar
+    dim here is derived deterministically (day i → 2024-01-01 + i,
+    week_label = 'w' || (i // 7 + 1)) so the DuckDB oracle rebuilds the
+    identical dim relationally.
+    """
+    events = partitioned_events(spark, sf_dir)
+    dim = spark.range(31).select(
+        F.date_add(F.lit("2024-01-01").cast("date"), F.col("id").cast("int")).alias(
+            "cal_date"
+        ),
+        F.concat(
+            F.lit("w"), (F.floor(F.col("id") / 7) + 1).cast("int")
+        ).alias("week_label"),
+    )
+    joined = events.join(
+        F.broadcast(dim.filter(F.col("week_label") == "w2")),
+        events["event_date"] == F.col("cal_date"),
+    )
+    return joined.groupBy("event_date").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.round(F.sum("value"), 4).alias("total_value"),
+    )
+
+
 def _roundtrip_path(sf_dir: str, fmt: str) -> str:
     return events_cache_path(sf_dir, fmt)
 
@@ -525,6 +564,7 @@ def _zorder_oracle_sql() -> str:
 
 QUERIES = {
     "events_partition_prune": q_events_partition_prune,
+    "join_dpp_partitioned": q_join_dpp_partitioned,
     "storage_zorder_prune": q_storage_zorder_prune,
     "join_bucketed_revenue": q_join_bucketed_revenue,
     "source_json_roundtrip": q_source_json_roundtrip,
@@ -558,6 +598,22 @@ ORACLES = {
     "source_json_roundtrip": _ROUNDTRIP_ORACLE,
     "source_csv_roundtrip": _ROUNDTRIP_ORACLE,
     "source_orc_roundtrip": _ROUNDTRIP_ORACLE,
+    # The dim is rebuilt relationally (day i → 2024-01-01 + i); the join
+    # + week filter must select exactly week-2 dates.
+    "join_dpp_partitioned": """
+        WITH dim AS (
+            SELECT (DATE '2024-01-01' + CAST(i AS INT)) AS cal_date,
+                   'w' || CAST(i // 7 + 1 AS VARCHAR) AS week_label
+            FROM range(31) t(i)
+        )
+        SELECT CAST(ts AS DATE) AS event_date,
+               COUNT(*) AS n_events,
+               COUNT(DISTINCT user_id) AS n_users,
+               ROUND(SUM(value), 4) AS total_value
+        FROM events JOIN dim ON CAST(ts AS DATE) = cal_date
+        WHERE week_label = 'w2'
+        GROUP BY 1
+    """,
     "events_partition_prune": f"""
         SELECT event_type,
                COUNT(*) AS n_events,

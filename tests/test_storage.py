@@ -53,6 +53,24 @@ def test_pruned_scan_reads_fewer_files(spark, sf_dir):
     assert scanned_file_count(pruned) == 1
 
 
+def test_dpp_scan_has_dynamic_pruning_expression(spark, sf_dir):
+    """join_dpp_partitioned must prune the fact's partitions at RUNTIME:
+    the partition filter is a dynamicpruningexpression fed by the
+    broadcast dim subquery, not a static literal — and the dim's
+    week_label predicate can never reach the fact scan statically."""
+    from simple_query_engine_spark.operators.storage import (
+        q_join_dpp_partitioned,
+    )
+
+    plan = plan_of(q_join_dpp_partitioned(spark, sf_dir))
+    lines = [l for l in plan.splitlines() if "PartitionFilters" in l]
+    assert lines, plan
+    assert any("dynamicpruning" in l.lower() for l in lines), lines
+    # The runtime-pruned scan must still be the partitioned layout (the
+    # pruning key is the partition column).
+    assert any("event_date" in l for l in lines), lines
+
+
 def test_partitioned_copy_is_lossless(spark, sf_dir):
     from simple_query_engine_spark.sources.catalog import table
 
