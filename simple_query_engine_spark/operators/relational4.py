@@ -367,8 +367,60 @@ def q_join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+FUZZY_MAX_EDITS = 2  # classic typo distance for the modifier match
+
+
+def q_join_fuzzy_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Record linkage (entity resolution) with BLOCKING — the fuzzy-join
+    discipline a training-data pipeline needs for source/author/entity
+    canonicalization: never compare all pairs.  Candidate pairs are
+    generated ONLY inside a blocking key (the part name's head noun), so
+    pair volume is Σ_b |block_b|² over DISTINCT names — and the distinct
+    name vocabulary is bounded by the name generator (adjective × noun),
+    independent of row count, so the match stays tiny at every SF while
+    the support counts scale with the data.  Within a block, modifiers
+    match when ``levenshtein ≤ {FUZZY_MAX_EDITS}`` ("cold"/"old",
+    "new"/"red") — the edit-distance definition is the classic
+    Levenshtein in both engines, so distances are engine-identical.
+
+    Shape at 100 TB: dedup-to-distinct first (one map-side-combined
+    aggregate — linkage runs on the entity vocabulary, not the corpus),
+    equi-join on the block key (hash join, no cross product anywhere),
+    per-pair edit distance only inside blocks.  A skewed block (every
+    name sharing one noun) is the known failure mode; the fix is a
+    second-level blocking key (first char, length band) — not needed at
+    this vocabulary.
+    """
+    parts = table(spark, sf_dir, "part")
+    names = parts.groupBy("p_name").agg(F.count(F.lit(1)).alias("n_parts"))
+    split = F.split(F.col("p_name"), " ")
+    tokens = names.select(
+        "p_name",
+        "n_parts",
+        F.element_at(split, 1).alias("modifier"),
+        F.element_at(split, -1).alias("block"),
+    )
+    a, b = tokens.alias("a"), tokens.alias("b")
+    dist = F.levenshtein(F.col("a.modifier"), F.col("b.modifier"))
+    return (
+        a.join(
+            b,
+            (F.col("a.block") == F.col("b.block"))
+            & (F.col("a.p_name") < F.col("b.p_name")),
+        )
+        .filter(dist <= FUZZY_MAX_EDITS)
+        .select(
+            F.col("a.p_name").alias("name_a"),
+            F.col("b.p_name").alias("name_b"),
+            dist.alias("edit_distance"),
+            (F.col("a.n_parts") + F.col("b.n_parts")).alias("support"),
+        )
+    )
+
+
 QUERIES = {
     "conditional_funcs": q_conditional_funcs,
+    "join_fuzzy_blocked": q_join_fuzzy_blocked,
     "join_null_safe": q_join_null_safe,
     "agg_percentiles_exact": q_agg_percentiles_exact,
     "bitwise_funcs": q_bitwise_funcs,
@@ -408,6 +460,24 @@ def _profile_oracle_sql() -> str:
 
 ORACLES = {
     "stats_column_profile": _profile_oracle_sql(),
+    # Same blocked linkage: distinct names, head-noun block, Levenshtein
+    # on the modifier — classic edit distance in both engines.
+    "join_fuzzy_blocked": f"""
+        WITH names AS (
+            SELECT p_name, COUNT(*) AS n_parts FROM part GROUP BY p_name
+        ), t AS (
+            SELECT p_name, n_parts,
+                   split_part(p_name, ' ', 1) AS modifier,
+                   split_part(p_name, ' ', -1) AS block
+            FROM names
+        )
+        SELECT a.p_name AS name_a, b.p_name AS name_b,
+               CAST(levenshtein(a.modifier, b.modifier) AS INT)
+                   AS edit_distance,
+               CAST(a.n_parts + b.n_parts AS BIGINT) AS support
+        FROM t a JOIN t b ON a.block = b.block AND a.p_name < b.p_name
+        WHERE levenshtein(a.modifier, b.modifier) <= {FUZZY_MAX_EDITS}
+    """,
     "join_null_safe": """
         WITH cust AS (
             SELECT nullif(c_mktsegment, 'BUILDING') AS seg, c_acctbal
