@@ -215,6 +215,53 @@ def q_stream_ttl_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sessions.filter(F.col("user_id") != -1)
 
 
+def q_stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-state streaming dedup (``dropDuplicatesWithinWatermark``,
+    Spark 3.5+): every 5th event is planted as an identical twin in its
+    own batch — arriving well inside the watermark window, so the dedup
+    MUST suppress each twin exactly once — and the deduped stream feeds
+    a per-type rollup.  The oracle aggregates the ORIGINAL table (each
+    event once): green proves exactly the planted duplicates were
+    dropped.  The eviction semantics (a duplicate re-arriving after its
+    window is NOT suppressed — bounded state, bounded suppression) are
+    pinned in tests/test_streaming.py."""
+    from simple_query_engine_spark.operators.storage import (
+        events_cache_path,
+        materialize_once,
+    )
+    from simple_query_engine_spark.streaming.windows import (
+        DUP_PLANT_MOD,
+        LATE_BATCH_SPLITS,
+        run_streaming_dedup_within_watermark,
+        write_ordered_batches,
+    )
+    from pyspark.sql import functions as F
+
+    staged = events_cache_path(sf_dir, "dupwm_v1")
+
+    def _stage(tmp: str) -> None:
+        ev = table(spark, sf_dir, "events").select(
+            "event_id", "ts", "event_type", "value"
+        )
+        twins = ev.filter(F.col("event_id") % DUP_PLANT_MOD == 0)
+        s0, s1, s2 = LATE_BATCH_SPLITS
+        windows = [
+            F.col("ts") < s0,
+            (F.col("ts") >= s0) & (F.col("ts") < s1),
+            (F.col("ts") >= s1) & (F.col("ts") < s2),
+            F.col("ts") >= s2,
+        ]
+        write_ordered_batches(
+            tmp,
+            [ev.filter(w).unionAll(twins.filter(w)) for w in windows],
+        )
+
+    materialize_once(staged, _stage)
+    return run_streaming_dedup_within_watermark(
+        spark, staged, max_files_per_trigger=1
+    )
+
+
 def q_stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-static join — the canonical streaming-enrichment pattern:
     the event stream joins a STATIC dimension table (customers) that is
@@ -266,6 +313,7 @@ QUERIES = {
     "stream_tumbling_counts": q_stream_tumbling,
     "stream_ttl_sessions": q_stream_ttl_sessions,
     "stream_static_enrich": q_stream_static_enrich,
+    "stream_dedup_within_watermark": q_stream_dedup_within_watermark,
     "stream_watermark_late_drop": q_stream_watermark_late_drop,
     "stream_sliding_counts": q_stream_sliding,
     "stream_session_counts": q_stream_session,
@@ -349,6 +397,16 @@ ORACLES = {
                CAST(MAX(sec) AS BIGINT) AS session_end,
                COUNT(*) AS n_events
         FROM labeled GROUP BY user_id, session_seq
+    """,
+    # Each original event exactly once — the planted twins must all be
+    # suppressed by the bounded-state dedup.
+    "stream_dedup_within_watermark": """
+        SELECT event_type,
+               COUNT(*) AS n_events,
+               CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+                   AS value_cents
+        FROM events
+        GROUP BY event_type
     """,
     # Stream-static enrichment on a finite replay == the batch join+agg;
     # integer cents keep the sum accumulation-order-proof.

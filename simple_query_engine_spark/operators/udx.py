@@ -151,6 +151,67 @@ def _make_bigram_udtf():
     return BigramUDTF
 
 
+def _make_split_fields_udtf():
+    """POLYMORPHIC UDTF: the output schema is not declared statically —
+    ``analyze()`` derives it at plan time from the (constant) column-name
+    argument, the Spark 4 table-function contract that lets one UDTF
+    serve any field layout (the API `CREATE FUNCTION ... RETURNS TABLE`
+    users rely on)."""
+    from pyspark.sql.functions import udtf
+    from pyspark.sql.types import StringType, StructType
+    from pyspark.sql.udtf import AnalyzeArgument, AnalyzeResult
+
+    @udtf
+    class SplitFieldsUDTF:
+        @staticmethod
+        def analyze(text: AnalyzeArgument, names: AnalyzeArgument) -> AnalyzeResult:
+            if not names.isConstantExpression or not isinstance(names.value, str):
+                raise ValueError(
+                    "split_fields_udtf: the field-name list must be a "
+                    "constant string — it becomes the output schema"
+                )
+            schema = StructType()
+            for col in names.value.split(","):
+                schema = schema.add(col.strip(), StringType())
+            return AnalyzeResult(schema=schema)
+
+        def eval(self, text: str, names: str):
+            n = len(names.split(","))
+            parts = (text or "").split(" ")
+            yield tuple(parts[i] if i < len(parts) else None for i in range(n))
+
+    return SplitFieldsUDTF
+
+
+def q_udtf_split_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Polymorphic Python UDTF (analyze-time schema): splits part names
+    into caller-NAMED fields — ``split_fields_udtf(p_name,
+    'modifier, noun')`` yields columns ``modifier``/``noun`` because
+    ``analyze()`` built that schema from the literal argument at plan
+    time.  The aggregate over the emitted columns is oracle-checked
+    against DuckDB's ``split_part``; the schema-from-argument behavior
+    itself is pinned in tests/test_udx.py (same UDTF, different field
+    list → different schema).
+
+    Row-at-a-time Python like every UDTF — fine for the bounded
+    vocabulary here; the set-based ``split()`` projection remains the
+    production path (same stance as ``udtf_bigrams``)."""
+    split_fields = _make_split_fields_udtf()
+    spark.udtf.register("split_fields_udtf", split_fields)
+    table(spark, sf_dir, "part").createOrReplaceTempView("part")
+    return spark.sql(
+        """
+        SELECT s.noun,
+               COUNT(*) AS n_parts,
+               COUNT(DISTINCT s.modifier) AS n_modifiers,
+               MIN(s.modifier) AS first_modifier
+        FROM part p,
+             LATERAL split_fields_udtf(p.p_name, 'modifier, noun') s
+        GROUP BY s.noun
+        """
+    )
+
+
 def q_udtf_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Python UDTF via LATERAL join: 1 document row → N bigram rows.
 
@@ -203,6 +264,7 @@ QUERIES = {
     "zscore_window": q_zscore_window,
     "udaf_weighted_avg": q_udaf_weighted_avg,
     "udtf_bigrams": q_udtf_bigrams,
+    "udtf_split_fields": q_udtf_split_fields,
     "join_salted_skew": q_join_salted_skew,
 }
 
@@ -227,6 +289,15 @@ ORACLES = {
                ROUND(SUM(l_extendedprice * l_quantity) / SUM(l_quantity), 4)
                    AS weighted_avg_price
         FROM lineitem GROUP BY l_returnflag
+    """,
+    # The UDTF's split-into-named-fields collapses to split_part.
+    "udtf_split_fields": """
+        SELECT split_part(p_name, ' ', -1) AS noun,
+               COUNT(*) AS n_parts,
+               COUNT(DISTINCT split_part(p_name, ' ', 1)) AS n_modifiers,
+               MIN(split_part(p_name, ' ', 1)) AS first_modifier
+        FROM part
+        GROUP BY 1
     """,
     "udtf_bigrams": f"""
         WITH w AS (

@@ -381,6 +381,57 @@ def run_streaming_dedup_counts(
     return spark.table(sink_name)
 
 
+DUP_PLANT_MOD = 5  # events with event_id % MOD == 0 get an identical twin
+
+
+def run_streaming_dedup_within_watermark(
+    spark: SparkSession,
+    events_path: str,
+    max_files_per_trigger: int | None = None,
+    aggregate: bool = True,
+) -> DataFrame:
+    """``dropDuplicatesWithinWatermark`` — the BOUNDED-state dedup API
+    (Spark 3.5+): a key's dedup state lives only until the watermark
+    passes its first-seen event time + delay, then is evicted.  Unlike
+    plain ``dropDuplicates`` (state per key FOREVER unless the dedup key
+    includes the event-time column), this is the production shape for
+    at-least-once sources (Kafka redeliveries arrive within seconds —
+    holding state for the delivery horizon, not the stream's lifetime).
+
+    With ``aggregate`` the deduped stream feeds a per-type count+cents
+    rollup (two chained stateful ops) in complete mode; otherwise the
+    deduped rows land append-mode (used by the eviction-semantics test:
+    after a key's window passes, a re-arrival with a fresh in-watermark
+    event time is emitted again — bounded state means bounded
+    suppression — while a LATE re-arrival is dropped before dedup).
+    """
+    stream = read_event_stream(spark, events_path, max_files_per_trigger)
+    deduped = stream.withWatermark("ts", WATERMARK).dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+    if aggregate:
+        out = deduped.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("value_cents"),
+        )
+        mode = "complete"
+    else:
+        out = deduped.select("event_id", "event_type", F.col("ts").cast("long").alias("epoch"))
+        mode = "append"
+    sink_name = f"dupwm_{uuid.uuid4().hex[:8]}"
+    checkpoint = os.path.join(tempfile.gettempdir(), f"ckpt_{sink_name}")
+    query = (
+        out.writeStream.format("memory")
+        .queryName(sink_name)
+        .outputMode(mode)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return spark.table(sink_name)
+
+
 def run_streaming_tumbling_counts(
     spark: SparkSession,
     events_path: str,

@@ -288,3 +288,63 @@ def test_late_drop_accounting_drops_exactly_the_stragglers(spark, sf_dir):
         F.sum("event_count").alias("n")
     ).collect()[0].n
     assert emitted == n_total - n_stragglers
+
+
+def test_dedup_within_watermark_state_is_evicted(spark, tmp_path):
+    """dropDuplicatesWithinWatermark holds a key's state only until the
+    watermark passes its window: a twin arriving IN-window is suppressed;
+    after eviction the key dedups afresh — the same event_id with a new
+    in-watermark event time is emitted again (bounded state ⇒ bounded
+    suppression), while a late re-arrival (event time behind the
+    watermark) is dropped outright before dedup.  Both semantics pinned
+    here; they are why the catalog entry plants its twins in-batch."""
+    import datetime as dt
+    import glob
+
+    from simple_query_engine_spark.streaming.windows import (
+        run_streaming_dedup_within_watermark,
+    )
+
+    input_dir = str(tmp_path / "ev")
+    os.makedirs(input_dir)
+
+    def add_batch(name, order, rows):
+        spark.createDataFrame(
+            rows, "event_id long, ts timestamp, event_type string, value double"
+        ).coalesce(1).write.parquet(f"{input_dir}/{name}")
+        for part in glob.glob(f"{input_dir}/{name}/*.parquet"):
+            os.utime(part, (1_000_000 * order,) * 2)
+
+    t0 = dt.datetime(2024, 1, 1, 9, 0, 0)
+    # b1: event 1 and its in-window twin (same batch) — suppressed once.
+    add_batch("b1", 1, [(1, t0, "click", 1.0), (1, t0, "click", 1.0)])
+    # b2+b3: two watermark movers 3 h later — TWO batches because the
+    # effective watermark lags the data by up to one batch (see
+    # test_watermark_drops_late_data); after b3 the watermark is
+    # provably t0+2h, past key 1's t0+1h dedup window.
+    add_batch("b2", 2, [(99, t0 + dt.timedelta(hours=3), "mover", 0.0)])
+    add_batch("b3", 3, [(98, t0 + dt.timedelta(hours=3, minutes=1), "mover", 0.0)])
+    # b4: key 1 re-arrives after eviction — one LATE copy (ts = t0,
+    # behind the watermark: dropped before dedup) and one fresh copy
+    # (ts inside the watermark: state was evicted, so emitted again).
+    add_batch(
+        "b4",
+        4,
+        [
+            (1, t0, "click", 1.0),
+            (1, t0 + dt.timedelta(hours=2, minutes=30), "click", 1.0),
+        ],
+    )
+
+    out = run_streaming_dedup_within_watermark(
+        spark, f"{input_dir}/*", max_files_per_trigger=1, aggregate=False
+    )
+    ones = sorted(
+        r.epoch for r in out.filter(F.col("event_id") == 1).collect()
+    )
+    # Emitted in b1 (first copy; in-window twin suppressed) and once
+    # more in b4 (fresh-ts copy after eviction; late copy dropped).
+    assert ones == [
+        int(t0.timestamp()),
+        int((t0 + dt.timedelta(hours=2, minutes=30)).timestamp()),
+    ], ones

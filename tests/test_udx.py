@@ -48,3 +48,35 @@ def test_udtf_emits_bounded_bigrams(spark, sf_dir):
         by_doc.setdefault(r.doc_id, []).append(r.pos)
     for doc_id, positions in by_doc.items():
         assert sorted(positions) == list(range(len(positions)))
+
+
+def test_split_fields_udtf_schema_follows_argument(spark):
+    """Polymorphism pinned: the SAME UDTF yields different output schemas
+    for different constant field lists (analyze-time schema), and a
+    non-constant field list is rejected at planning."""
+    import pytest
+    from py4j.protocol import Py4JJavaError
+
+    from simple_query_engine_spark.operators.udx import _make_split_fields_udtf
+
+    spark.udtf.register("split_fields_t", _make_split_fields_udtf())
+    spark.createDataFrame(
+        [("alpha beta gamma",)], "s string"
+    ).createOrReplaceTempView("t_sf")
+
+    two = spark.sql(
+        "SELECT f.* FROM t_sf, LATERAL split_fields_t(s, 'a, b') f"
+    )
+    assert two.columns == ["a", "b"]
+    assert two.collect()[0] == ("alpha", "beta")
+
+    three = spark.sql(
+        "SELECT f.* FROM t_sf, LATERAL split_fields_t(s, 'x,y,z') f"
+    )
+    assert three.columns == ["x", "y", "z"]
+    assert three.collect()[0] == ("alpha", "beta", "gamma")
+
+    with pytest.raises(Exception, match="constant string"):
+        spark.sql(
+            "SELECT f.* FROM t_sf, LATERAL split_fields_t(s, s) f"
+        ).collect()
