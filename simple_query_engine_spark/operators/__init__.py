@@ -26,7 +26,7 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # priority order.  CORRECTNESS_r08 came back 50/50, so after r08 every
 # one of the 196 r08-era names holds a cumulative driver green; the r09
 # front is therefore (VERDICT r08 item 2):
-#   1. the 9 queries added THIS round (never driver-certified);
+#   1. the 11 queries added THIS round (never driver-certified);
 #   2. function-changed re-certs ×3: dml_table_history (compact-commit
 #      assertion added at the source), stream_watermark_late_drop (the
 #      staging/sink harness was deduplicated into _run_windowed_stream
@@ -35,12 +35,12 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 #   3. the 36 names whose newest driver cert is r02 (28) or r03 (8) —
 #      the stale tail the r08 verdict queued; after r09 no name's
 #      driver cert predates r04;
-#   4. the oldest r04-era certs fill the remaining 2 slots.  Queued for
-#      r10+: the other 44 r04-era names (multimodal ×4, tpch ×16,
+#   4. (window exactly full at 11 + 3 + 36).  Queued for r10+: all 46
+#      r04-era names (multimodal ×4, tpch ×16,
 #      remaining relational4/events names), then the r05/r06 bulk.
 # ROUND9_NOTES.md tracks the ledger.
 _ROTATION_FRONT = [
-    # --- 1. added this round (9) ---
+    # --- 1. added this round (11) ---
     "dml_zorder_skipping",
     "stream_ttl_sessions",
     "sim_pq_rerank",
@@ -50,6 +50,8 @@ _ROTATION_FRONT = [
     "join_fuzzy_blocked",
     "stream_dedup_within_watermark",
     "udtf_split_fields",
+    "sketch_kmv_overlap",
+    "pipeline_quality_prune_curve",
     # --- 2. function-changed re-certs (3) ---
     "dml_table_history",
     "stream_watermark_late_drop",
@@ -92,9 +94,7 @@ _ROTATION_FRONT = [
     "udaf_weighted_avg",
     "udtf_bigrams",
     "join_salted_skew",
-    # --- 4. oldest r04-era certs fill the remaining slots (2) ---
-    "join_asof",
-    "funnel_conversion",
+    # (no r04 fills left — the 11 new + 3 re-certs + 36 stale = 50)
 ]
 
 

@@ -477,8 +477,84 @@ def q_stats_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+KMV_K = 64  # k-minimum-values sketch size
+KMV_HEX = 15  # md5 hex-prefix width (60 bits, collision-free here)
+KMV_EPOCH = "2024-01-01"
+KMV_TYPE_A, KMV_TYPE_B = "click", "purchase"
+
+
+def q_sketch_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV (theta-style) set-intersection sketch — audience overlap
+    between two event types over (user, activity-day) elements: each
+    side keeps only its K smallest element hashes; the intersection is
+    estimated from the K smallest of the sketch UNION as
+    |U ∩ A ∩ B| / |U| — the Theta-sketch intersection rule every
+    cross-dataset audience/dedup-overlap system ships (two datasets
+    never co-resident: each side computes a K-value sketch
+    independently, only the sketches meet).
+
+    Everything is deterministic: the md5 hash family fixes which K
+    elements survive, so the ESTIMATE itself — not just the exact audit
+    columns computed alongside it — is bit-identical cross-engine, and
+    estimate error vs the exact Jaccard is visible in the output (the
+    same estimate-vs-exact accounting discipline as
+    ``dedup_lsh_quality``).  Integer micro-units via ``div``; the k-min
+    sets plan as TakeOrderedAndProject (distributed top-k, no global
+    sort); the exact side is the small-scale audit — at production
+    scale only the sketch path runs.
+    """
+    events = table(spark, sf_dir, "events")
+    day = F.datediff(F.to_date("ts"), F.lit(KMV_EPOCH).cast("date"))
+    elems = (
+        events.filter(F.col("event_type").isin(KMV_TYPE_A, KMV_TYPE_B))
+        .select(
+            "event_type",
+            md5_prefix_long(
+                F.concat_ws(":", F.col("user_id"), day), KMV_HEX
+            ).alias("h"),
+        )
+        .distinct()
+    )
+    full_a = elems.filter(F.col("event_type") == KMV_TYPE_A).select("h")
+    full_b = elems.filter(F.col("event_type") == KMV_TYPE_B).select("h")
+    sketch_a = full_a.orderBy("h").limit(KMV_K)
+    sketch_b = full_b.orderBy("h").limit(KMV_K)
+    union_kmin = sketch_a.unionAll(sketch_b).distinct().orderBy("h").limit(KMV_K)
+    sketch_overlap = (
+        union_kmin.join(sketch_a, "h", "left_semi")
+        .join(sketch_b, "h", "left_semi")
+        .agg(F.count(F.lit(1)).alias("sketch_overlap"))
+    )
+    k_used = union_kmin.agg(F.count(F.lit(1)).alias("k_used"))
+    n_a = full_a.agg(F.count(F.lit(1)).alias("n_a"))
+    n_b = full_b.agg(F.count(F.lit(1)).alias("n_b"))
+    exact_inter = full_a.join(full_b, "h", "left_semi").agg(
+        F.count(F.lit(1)).alias("exact_inter")
+    )
+    return (
+        n_a.crossJoin(n_b)
+        .crossJoin(exact_inter)
+        .crossJoin(k_used)
+        .crossJoin(sketch_overlap)
+        .select(
+            "n_a",
+            "n_b",
+            "exact_inter",
+            "k_used",
+            "sketch_overlap",
+            F.expr("sketch_overlap * 1000000 div k_used").alias(
+                "jaccard_est_micro"
+            ),
+            F.expr(
+                "exact_inter * 1000000 div (n_a + n_b - exact_inter)"
+            ).alias("jaccard_exact_micro"),
+        )
+    )
+
+
 QUERIES = {
     "sketch_countmin_words": q_sketch_countmin_words,
+    "sketch_kmv_overlap": q_sketch_kmv_overlap,
     "pipeline_shuffle_shards": q_pipeline_shuffle_shards,
     "pipeline_token_quota": q_pipeline_token_quota,
     "pipeline_pii_redaction": q_pipeline_pii_redaction,
@@ -498,6 +574,39 @@ def _cms_pos_sql(d: int) -> str:
 assert CMS_DEPTH == 4  # the CMS oracle spells out four position expressions
 
 ORACLES = {
+    "sketch_kmv_overlap": f"""
+        WITH e AS (
+            SELECT DISTINCT event_type,
+                   {md5_prefix_long_sql(
+                       "user_id || ':' || date_diff('day', DATE '" + KMV_EPOCH
+                       + "', CAST(ts AS DATE))", KMV_HEX)} AS h
+            FROM events
+            WHERE event_type IN ('{KMV_TYPE_A}', '{KMV_TYPE_B}')
+        ),
+        fa AS (SELECT h FROM e WHERE event_type = '{KMV_TYPE_A}'),
+        fb AS (SELECT h FROM e WHERE event_type = '{KMV_TYPE_B}'),
+        sa AS (SELECT h FROM fa ORDER BY h LIMIT {KMV_K}),
+        sb AS (SELECT h FROM fb ORDER BY h LIMIT {KMV_K}),
+        u AS (SELECT h FROM (SELECT DISTINCT h FROM (SELECT h FROM sa
+                                                     UNION ALL
+                                                     SELECT h FROM sb))
+              ORDER BY h LIMIT {KMV_K}),
+        c AS (
+            SELECT (SELECT COUNT(*) FROM fa) AS n_a,
+                   (SELECT COUNT(*) FROM fb) AS n_b,
+                   (SELECT COUNT(*) FROM fa WHERE h IN (SELECT h FROM fb))
+                       AS exact_inter,
+                   (SELECT COUNT(*) FROM u) AS k_used,
+                   (SELECT COUNT(*) FROM u
+                    WHERE h IN (SELECT h FROM sa)
+                      AND h IN (SELECT h FROM sb)) AS sketch_overlap
+        )
+        SELECT n_a, n_b, exact_inter, k_used, sketch_overlap,
+               sketch_overlap * 1000000 // k_used AS jaccard_est_micro,
+               exact_inter * 1000000 // (n_a + n_b - exact_inter)
+                   AS jaccard_exact_micro
+        FROM c
+    """,
     "sketch_countmin_words": f"""
         WITH words AS (
             SELECT unnest(string_split({_NORM}, ' ')) AS word FROM documents

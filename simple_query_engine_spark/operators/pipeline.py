@@ -43,6 +43,62 @@ from simple_query_engine_spark.sources.catalog import table
 MIN_TOKENS = 20
 
 
+PRUNE_STEP_PPM = 5_000  # threshold grid: stopword-ratio ppm, 10 buckets
+PRUNE_BUCKETS = 10
+
+
+def q_pipeline_quality_prune_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-threshold prune curve — the diagnostic a curation team
+    reads before picking a filter bar: for each stopword-ratio threshold
+    on a fixed ppm grid, how many documents and tokens SURVIVE pruning
+    everything below it.  (Stopword density is the classic
+    natural-language-ness signal; thresholds sweep 0–45 000 ppm in
+    5 000-ppm steps.)
+
+    Scale shape: the per-document score is a pure scan-side map
+    (integer ppm via ``div`` — no float ordering anywhere); documents
+    aggregate into ≤ {PRUNE_BUCKETS} threshold buckets FIRST (map-side
+    combine), and the survivors-at-threshold cumulation is a window
+    over that bucket table — rows, not documents.  No global sort, no
+    per-threshold rescan of the corpus; this is a fixed-grid threshold
+    sweep (how pruning is actually applied), not an equal-count decile
+    ranking (which would need a distributed quantile pass first).
+    """
+    documents = table(spark, sf_dir, "documents")
+    tokens = F.split(_normalized(F.col("text")), " ")
+    stop = F.size(F.filter(tokens, lambda t: t.isin("the", "a", "of", "and", "to")))
+    scored = documents.select(
+        F.size(tokens).alias("n_tokens"), stop.alias("n_stop")
+    ).select(
+        "n_tokens",
+        F.least(
+            F.expr(f"n_stop * 1000000 div n_tokens div {PRUNE_STEP_PPM}"),
+            F.lit(PRUNE_BUCKETS - 1),
+        ).alias("bucket"),
+    )
+    per_bucket = scored.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("n_tokens"),
+    )
+    from pyspark.sql.window import Window
+
+    w_at_or_above = Window.orderBy(F.col("bucket").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return per_bucket.select(
+        (F.col("bucket") * PRUNE_STEP_PPM).cast("long").alias("threshold_ppm"),
+        "n_docs",
+        "n_tokens",
+        F.sum("n_docs").over(w_at_or_above).alias("docs_retained"),
+        F.sum("n_tokens").over(w_at_or_above).alias("tokens_retained"),
+        F.expr(
+            f"sum(n_tokens) over (order by bucket desc rows between unbounded "
+            f"preceding and current row) * 1000000 div "
+            f"sum(n_tokens) over ()"
+        ).alias("retained_ppm"),
+    )
+
+
 def q_pipeline_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     documents = table(spark, sf_dir, "documents")
     tokens = F.split(_normalized(F.col("text")), " ")
@@ -506,6 +562,7 @@ def q_pipeline_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "pipeline_corpus_curation": q_pipeline_corpus_curation,
     "pipeline_url_dedup": q_pipeline_url_dedup,
+    "pipeline_quality_prune_curve": q_pipeline_quality_prune_curve,
     "sample_stratified": q_sample_stratified,
     "sample_topk": q_sample_topk,
     "pipeline_pack_sequences": q_pipeline_pack_sequences,
@@ -558,6 +615,32 @@ _URL_SQL = f"""CASE
     END"""
 
 ORACLES = {
+    # Fixed-grid threshold sweep: per-bucket aggregate, then cumulate
+    # buckets at-or-above each threshold (DESC running sums).
+    "pipeline_quality_prune_curve": f"""
+        WITH scored AS (
+            SELECT len(toks) AS n_tokens,
+                   LEAST(len(list_filter(toks, t -> t IN
+                             ('the', 'a', 'of', 'and', 'to')))
+                         * 1000000 // len(toks) // {PRUNE_STEP_PPM},
+                         {PRUNE_BUCKETS - 1}) AS bucket
+            FROM (SELECT string_split({_NORM}, ' ') AS toks FROM documents)
+        ), per_bucket AS (
+            SELECT bucket, COUNT(*) AS n_docs,
+                   CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
+            FROM scored GROUP BY bucket
+        )
+        SELECT CAST(bucket * {PRUNE_STEP_PPM} AS BIGINT) AS threshold_ppm,
+               n_docs,
+               n_tokens,
+               CAST(SUM(n_docs) OVER w AS BIGINT) AS docs_retained,
+               CAST(SUM(n_tokens) OVER w AS BIGINT) AS tokens_retained,
+               CAST(SUM(n_tokens) OVER w * 1000000
+                    // SUM(n_tokens) OVER () AS BIGINT) AS retained_ppm
+        FROM per_bucket
+        WINDOW w AS (ORDER BY bucket DESC
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """,
     "pipeline_url_dedup": f"""
         WITH canon AS (
             SELECT source,
