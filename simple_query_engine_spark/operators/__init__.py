@@ -95,6 +95,10 @@ _ROTATION_FRONT = [
     "udtf_bigrams",
     "join_salted_skew",
     # (no r04 fills left — the 11 new + 3 re-certs + 36 stale = 50)
+    # --- position 51+: leads the r10 queue (locally 3-SF green; the
+    #     judge's r09 priority is retiring the 36-stale tail, so this
+    #     12th new entry waits one round rather than displacing one) ---
+    "multimodal_frame_dedup",
 ]
 
 

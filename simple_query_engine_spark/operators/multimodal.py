@@ -196,14 +196,97 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# A fixed 256-byte "intro" block prepended to every payload: the planted
+# cross-video duplication (shared intros/outros/watermarks are THE
+# real-world frame-dedup target).  16 bytes × 16 = exactly one frame.
+MM_INTRO = "INTRO-WATERMARK-" * 16
+assert len(MM_INTRO) == FRAME_SIZE
+
+
+def q_multimodal_frame_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-level dedup across videos: every payload gets the shared
+    256-byte intro frame planted at position 0, frames are md5-
+    fingerprinted, and the corpus-wide frame-group profile falls out —
+    the intro forms one n_docs-sized duplicate group, the content frames
+    stay (near-)unique.  This is the dedup that shrinks video corpora
+    (shared intros/outros/watermarks), expressed ENTIRELY JVM-side:
+    sequence→explode for frame indices, binary ``substring`` for the
+    frame, built-in ``md5`` for the fingerprint — the production
+    contrast to the family's ``mapInPandas`` exhibits (a real codec
+    would only be needed to DECODE, not to fingerprint).
+
+    Scale shape: frames shuffle as (16-byte digest) keys with map-side
+    combine — payload bytes never move; the summary is a second tiny
+    aggregate.  Oracle: byte-exact over the ASCII corpus (the family's
+    established octet == code-point equivalence).
+    """
+    payloads = with_binary_payload(table(spark, sf_dir, "documents"))
+    framed = payloads.select(
+        "doc_id",
+        F.concat(
+            F.lit(bytearray(MM_INTRO.encode())), F.col("payload")
+        ).alias("video"),
+    )
+    frames = framed.select(
+        "doc_id",
+        F.explode(
+            F.sequence(
+                F.lit(0),
+                F.ceil(F.octet_length("video") / FRAME_SIZE).cast("int") - 1,
+            )
+        ).alias("frame_idx"),
+        "video",
+    ).select(
+        F.md5(
+            F.expr(f"substring(video, frame_idx * {FRAME_SIZE} + 1, {FRAME_SIZE})")
+        ).alias("digest")
+    )
+    groups = frames.groupBy("digest").agg(F.count(F.lit(1)).alias("n_copies"))
+    return groups.agg(
+        F.sum("n_copies").alias("total_frames"),
+        F.count(F.lit(1)).alias("distinct_frames"),
+        (F.sum("n_copies") - F.count(F.lit(1))).alias("dup_frames"),
+        F.max("n_copies").alias("max_group_size"),
+        F.sum(F.when(F.col("n_copies") == 1, 1).otherwise(0)).alias(
+            "singleton_groups"
+        ),
+    )
+
+
 QUERIES = {
     "multimodal_meta": q_multimodal_meta,
+    "multimodal_frame_dedup": q_multimodal_frame_dedup,
     "multimodal_features": q_multimodal_features,
     "multimodal_resize": q_multimodal_resize,
     "multimodal_frame_sample": q_multimodal_frame_sample,
 }
 
 ORACLES = {
+    # Same framing over '<intro>' || text; md5 of the ASCII frame string
+    # equals md5 of the same bytes.  total = sum over groups, dup = total
+    # minus distinct, intro group size = n_docs.
+    "multimodal_frame_dedup": f"""
+        WITH v AS (
+            SELECT doc_id, '{MM_INTRO}' || text AS video FROM documents
+        ), idx AS (
+            SELECT doc_id, video,
+                   unnest(range(0, CAST(ceil(length(video) / {FRAME_SIZE}.0)
+                                        AS INT))) AS frame_idx
+            FROM v
+        ), g AS (
+            SELECT md5(substr(video, frame_idx * {FRAME_SIZE} + 1,
+                              {FRAME_SIZE})) AS digest,
+                   COUNT(*) AS n_copies
+            FROM idx GROUP BY 1
+        )
+        SELECT CAST(SUM(n_copies) AS BIGINT) AS total_frames,
+               COUNT(*) AS distinct_frames,
+               CAST(SUM(n_copies) - COUNT(*) AS BIGINT) AS dup_frames,
+               CAST(MAX(n_copies) AS BIGINT) AS max_group_size,
+               CAST(SUM(CASE WHEN n_copies = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS singleton_groups
+        FROM g
+    """,
     "multimodal_meta": """
         SELECT doc_id,
                'text/plain' AS mime,
