@@ -535,3 +535,22 @@ def test_zorder_stats_carry_through_later_commits(spark, tmp_path):
     # Time travel still prunes with the OLD version's stats.
     _, old_read, old_total = t.scan_box({"id": (0, 49)}, version=1)
     assert old_read < old_total
+
+
+def test_zorder_rejects_all_null_column_and_open_ranges_read_everything(
+    spark, tmp_path
+):
+    df = spark.createDataFrame(
+        [(i, None) for i in range(10)], "id long, dead long"
+    )
+    t = ManagedTable.create(spark, str(tmp_path / "t"), df.repartition(2))
+    with pytest.raises(ValueError, match="entirely NULL"):
+        t.compact(zorder_by=["id", "dead"])
+
+    # Valid single-column clustering still works; an open-open range
+    # prunes nothing and returns every row.
+    v = t.compact(zorder_by=["id"], target_files=4)
+    assert v == 1
+    boxed, n_read, n_total = t.scan_box({"id": (None, None)})
+    assert n_read == n_total
+    assert boxed.count() == 10
