@@ -95,10 +95,12 @@ _ROTATION_FRONT = [
     "udtf_bigrams",
     "join_salted_skew",
     # (no r04 fills left — the 11 new + 3 re-certs + 36 stale = 50)
-    # --- position 51+: leads the r10 queue (locally 3-SF green; the
-    #     judge's r09 priority is retiring the 36-stale tail, so this
-    #     12th new entry waits one round rather than displacing one) ---
+    # --- positions 51+: lead the r10 queue (each locally 3-SF green;
+    #     the judge's r09 priority is retiring the 36-stale tail, so
+    #     these late additions wait one round rather than displacing) ---
     "multimodal_frame_dedup",
+    "dml_shallow_clone",
+    "dml_restore_version",
 ]
 
 

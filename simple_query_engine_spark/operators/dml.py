@@ -421,8 +421,77 @@ def q_dml_zorder_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+CLONE_BONUS = 1000.0  # the clone-side mutation the source must not see
+
+
+def q_dml_shallow_clone(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SHALLOW CLONE + divergence: clone the customer table (metadata
+    only — the clone's v0 manifest REFERENCES the source's files), apply
+    an UPDATE to the clone, and report both sides' per-segment balances
+    side by side.  Green proves (a) the clone read equals the source
+    snapshot it was taken from, (b) the clone's copy-on-write mutation
+    NEVER leaks into the source (the isolation clones exist for), and
+    (c) divergence cost was one rewritten file set, zero bytes at clone
+    time.  File-level sharing/divergence hygiene is pinned in
+    tests/test_managed.py."""
+    customer = table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", "c_acctbal"
+    )
+    src = ManagedTable.create(spark, _scratch("clone_src_"), customer)
+    dst = src.clone_shallow(_scratch("clone_dst_"))
+    dst.update(
+        F.col("c_mktsegment") == "BUILDING",
+        {"c_acctbal": F.col("c_acctbal") + F.lit(CLONE_BONUS)},
+    )
+    cents = lambda c: F.round(F.col(c) * 100).cast("long")  # noqa: E731
+
+    def per_segment(t: ManagedTable, col: str) -> DataFrame:
+        return (
+            t.read()
+            .select("c_mktsegment", cents("c_acctbal").alias("c"))
+            .groupBy("c_mktsegment")
+            .agg(F.sum("c").alias(col))
+        )
+
+    return per_segment(src, "source_cents").join(
+        per_segment(dst, "clone_cents"), "c_mktsegment"
+    )
+
+
+def q_dml_restore_version(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RESTORE TABLE: a bad delete is rolled back by committing the
+    pre-delete snapshot's file list as a NEW version — history moves
+    forward (create → delete → restore: 3 versions, all auditable), no
+    data is copied, and the restored state must equal the original
+    exactly, which is what the oracle (the untouched orders aggregate)
+    certifies.  The op ledger in the output pins the forward-only
+    history contract."""
+    orders = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    t = ManagedTable.create(spark, _scratch("restore_"), orders)
+    t.delete_where(F.col("o_orderstatus") == "F")  # the mistake
+    v = t.restore(0)  # the recovery
+    if v != 2 or [h["op"] for h in t.history()] != ["create", "delete", "restore"]:
+        raise RuntimeError(
+            f"dml_restore_version: unexpected history {t.history()}"
+        )
+    return (
+        t.read()
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+                "total_cents"
+            ),
+        )
+    )
+
+
 QUERIES = {
     "dml_insert_append": q_dml_insert_append,
+    "dml_shallow_clone": q_dml_shallow_clone,
+    "dml_restore_version": q_dml_restore_version,
     "dml_zorder_skipping": q_dml_zorder_skipping,
     "dml_table_history": q_dml_table_history,
     "dml_delete_where": q_dml_delete_where,
@@ -437,6 +506,27 @@ QUERIES = {
 }
 
 ORACLES = {
+    # Source side unchanged; clone side has the BUILDING bonus applied.
+    "dml_shallow_clone": f"""
+        SELECT c_mktsegment,
+               CAST(SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)) AS BIGINT)
+                   AS source_cents,
+               CAST(SUM(CAST(ROUND(CASE WHEN c_mktsegment = 'BUILDING'
+                                        THEN c_acctbal + {CLONE_BONUS}
+                                        ELSE c_acctbal END * 100) AS BIGINT))
+                    AS BIGINT) AS clone_cents
+        FROM customer
+        GROUP BY c_mktsegment
+    """,
+    # Restore must reproduce the original table bit-for-bit.
+    "dml_restore_version": """
+        SELECT o_orderstatus,
+               COUNT(*) AS n_orders,
+               CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                   AS total_cents
+        FROM orders
+        GROUP BY o_orderstatus
+    """,
     # The box aggregate over the original orders table, with the bounds
     # computed relationally (same quartile arithmetic as the Spark side).
     "dml_zorder_skipping": f"""

@@ -318,6 +318,54 @@ class ManagedTable:
             return self.read(v).limit(0), 0, total
         return self._read_files(kept, schema).filter(condition), len(kept), total
 
+    def clone_shallow(self, dest_path: str) -> "ManagedTable":
+        """SHALLOW CLONE: a new table whose version-0 manifest REFERENCES
+        the source's current data files — zero bytes copied, metadata
+        only (the Delta ``CREATE TABLE ... SHALLOW CLONE`` contract).
+        Because data files are immutable and mutations are copy-on-write,
+        the clone and the source diverge safely from the shared start:
+        either side's mutations rewrite into its OWN data directory and
+        its own manifest chain; the shared files are never touched.
+        At 100 TB a clone is one manifest write — the instant
+        dev/test/experiment sandbox over production data.
+
+        Caveat (same as Delta's): the clone's snapshot depends on the
+        source not VACUUMING the shared files away; production systems
+        track cross-table references or deep-clone before source GC."""
+        clone = ManagedTable(self.spark, dest_path)
+        if clone.versions():
+            raise ValueError(f"managed table already exists at {dest_path}")
+        base = self.current_version()
+        clone._commit(
+            0,
+            list(self._files(base)),
+            schema=self._schema(base),
+            op="clone",
+            new_stats=self._manifest(base).get("stats"),
+        )
+        return clone
+
+    def restore(self, version: int) -> int:
+        """RESTORE TABLE to an earlier snapshot — committed as a NEW
+        version whose file list is the target snapshot's (the Delta
+        RESTORE contract: history moves forward, nothing is erased, so
+        the mistake AND the recovery both stay auditable and
+        time-travelable).  Metadata-only: file paths are re-referenced,
+        zero data movement."""
+        if version not in self.versions():
+            raise ValueError(
+                f"cannot restore to version {version} "
+                f"(available: {self.versions()})"
+            )
+        base = self.current_version()
+        return self._commit(
+            base + 1,
+            list(self._files(version)),
+            schema=self._schema(version),
+            op="restore",
+            new_stats=self._manifest(version).get("stats"),
+        )
+
     def delete_where(self, condition: Column) -> int:
         """Delete matching rows by rewriting only the files that hold them."""
         return self._rewrite(condition, lambda df: df.filter(~condition), "delete")

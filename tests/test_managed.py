@@ -554,3 +554,49 @@ def test_zorder_rejects_all_null_column_and_open_ranges_read_everything(
     boxed, n_read, n_total = t.scan_box({"id": (None, None)})
     assert n_read == n_total
     assert boxed.count() == 10
+
+
+def test_shallow_clone_shares_files_then_diverges(spark, tmp_path, people):
+    src = ManagedTable.create(spark, str(tmp_path / "src"), people)
+    dst = src.clone_shallow(str(tmp_path / "dst"))
+    # Zero-copy: the clone's v0 manifest references the SOURCE's files.
+    assert dst._files(0) == src._files(src.current_version())
+    assert _rows(dst.read()) == _rows(people)
+    with pytest.raises(ValueError, match="already exists"):
+        src.clone_shallow(str(tmp_path / "dst"))
+
+    # Divergence: the clone's delete rewrites into the CLONE's own data
+    # dir; shared files and the source are untouched.
+    dst.delete_where(F.col("parity") == "odd")
+    assert _rows(src.read()) == _rows(people)
+    assert dst.read().count() == 10
+    for f in dst._files(dst.current_version()):
+        assert os.path.exists(f)
+
+    # And the source mutating does not disturb the clone.
+    src.delete_where(F.col("parity") == "even")
+    assert dst.read().count() == 10
+
+
+def test_restore_is_forward_history_and_restores_stats(spark, tmp_path):
+    df = spark.createDataFrame(
+        [(i, i % 5) for i in range(100)], "id long, bucket long"
+    )
+    t = ManagedTable.create(spark, str(tmp_path / "t"), df.repartition(4))
+    t.compact(zorder_by=["id", "bucket"], target_files=4)  # v1, with stats
+    t.delete_where(F.col("id") < 50)  # v2, the mistake
+    v = t.restore(1)
+    assert v == 3
+    assert [h["op"] for h in t.history()] == [
+        "create",
+        "compact",
+        "delete",
+        "restore",
+    ]
+    assert t.read().count() == 100
+    # Restore carries the restored snapshot's per-file stats, so the
+    # z-order skipping still works on the restored version.
+    _, n_read, n_total = t.scan_box({"id": (0, 10)})
+    assert n_read < n_total
+    with pytest.raises(ValueError, match="cannot restore"):
+        t.restore(99)
