@@ -101,6 +101,7 @@ _ROTATION_FRONT = [
     "multimodal_frame_dedup",
     "dml_shallow_clone",
     "dml_restore_version",
+    "events_resample_locf",
 ]
 
 

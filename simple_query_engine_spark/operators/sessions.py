@@ -414,8 +414,76 @@ def q_events_rolling_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_resample_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series RESAMPLE with gap-fill — the feature-engineering
+    primitive that turns an irregular event stream into a dense hourly
+    series: each user gets every hour between their first and last
+    event, and empty hours carry the LAST OBSERVED value forward (LOCF —
+    deliberately not linear interpolation, whose division is both a
+    cross-engine float hazard and a look-ahead leak for training
+    features; LOCF is the point-in-time-correct fill).
+
+    Mechanics: collapse to one observation per (user, hour) — the
+    latest event wins, (ts, event_id)-deterministic — then explode each
+    user's [first_hour, last_hour] range and fill with
+    ``last_value(..., ignorenulls)`` over the per-user hour order.  The
+    output aggregates the filled series per user (hours, observed vs
+    filled counts, integer-cents sum over ALL grid hours — exact under
+    any order), so the result stays user-count-sized while certifying
+    every filled cell.
+
+    Scale shape: one hash shuffle on user_id which BOTH windows and the
+    final aggregate reuse (exchange reuse as in sessionize); the grid
+    explode multiplies the per-user span table, not the event stream.
+    A user's span is bounded by the retention window at production
+    scale (the classic guard is capping the explode range).
+    """
+    events = table(spark, sf_dir, "events")
+    w_latest = Window.partitionBy("user_id", "hour").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    obs = (
+        events.select(
+            "user_id",
+            F.floor(F.unix_micros("ts") / 3_600_000_000).cast("long").alias("hour"),
+            F.round(F.col("value") * 100).cast("long").alias("cents"),
+            "ts",
+            "event_id",
+        )
+        .withColumn("rn", F.row_number().over(w_latest))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "hour", "cents")
+    )
+    spans = obs.groupBy("user_id").agg(
+        F.min("hour").alias("h0"), F.max("hour").alias("h1")
+    )
+    grid = spans.select(
+        "user_id", F.explode(F.sequence("h0", "h1")).alias("hour")
+    )
+    w_fill = (
+        Window.partitionBy("user_id")
+        .orderBy("hour")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = grid.join(obs, ["user_id", "hour"], "left").select(
+        "user_id",
+        "hour",
+        F.col("cents").isNotNull().alias("observed"),
+        F.last("cents", ignorenulls=True).over(w_fill).alias("filled_cents"),
+    )
+    return filled.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_hours"),
+        F.sum(F.col("observed").cast("long")).alias("n_observed"),
+        (F.count(F.lit(1)) - F.sum(F.col("observed").cast("long"))).alias(
+            "n_filled"
+        ),
+        F.sum("filled_cents").alias("series_cents"),
+    )
+
+
 QUERIES = {
     "events_sessionize_gap": q_events_sessionize_gap,
+    "events_resample_locf": q_events_resample_locf,
     "events_rolling_wau": q_events_rolling_wau,
     "events_top_paths": q_events_top_paths,
     "events_markov_transitions": q_events_markov_transitions,
@@ -427,6 +495,42 @@ QUERIES = {
 }
 
 ORACLES = {
+    # Same LOCF resample: latest-observation-per-hour, per-user hourly
+    # grid via generate_series, IGNORE NULLS last_value fill.
+    "events_resample_locf": """
+        WITH obs AS (
+            SELECT user_id, hour, cents FROM (
+                SELECT user_id,
+                       epoch_us(ts) // 3600000000 AS hour,
+                       CAST(ROUND(value * 100) AS BIGINT) AS cents,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY user_id, epoch_us(ts) // 3600000000
+                           ORDER BY ts DESC, event_id DESC) AS rn
+                FROM events
+            ) WHERE rn = 1
+        ), grid AS (
+            SELECT user_id, unnest(generate_series(MIN(hour), MAX(hour)))
+                       AS hour
+            FROM obs GROUP BY user_id
+        ), filled AS (
+            SELECT g.user_id,
+                   o.cents IS NOT NULL AS observed,
+                   last_value(o.cents IGNORE NULLS) OVER (
+                       PARTITION BY g.user_id ORDER BY g.hour
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS filled_cents
+            FROM grid g LEFT JOIN obs o
+              ON o.user_id = g.user_id AND o.hour = g.hour
+        )
+        SELECT user_id,
+               COUNT(*) AS n_hours,
+               CAST(SUM(CASE WHEN observed THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_observed,
+               CAST(COUNT(*) - SUM(CASE WHEN observed THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_filled,
+               CAST(SUM(filled_cents) AS BIGINT) AS series_cents
+        FROM filled GROUP BY user_id
+    """,
     "events_rolling_wau": f"""
         WITH active AS (
             SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
