@@ -22,92 +22,81 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # everything else (already green in CORRECTNESS_r01/r02) follows in module
 # order.  ROUND3_NOTES.md tracks which round certified which query.
 #
-# Round-9 front window (exactly 50 = the driver's window size), in
-# priority order.  CORRECTNESS_r08 came back 50/50, so after r08 every
-# one of the 196 r08-era names holds a cumulative driver green; the r09
-# front is therefore (VERDICT r08 item 2):
-#   1. the 11 queries added THIS round (never driver-certified);
-#   2. function-changed re-certs ×3: dml_table_history (compact-commit
-#      assertion added at the source), stream_watermark_late_drop (the
-#      staging/sink harness was deduplicated into _run_windowed_stream
-#      per ADVICE r08), sim_sq_rerank (base projection now
-#      session_cached per ADVICE r08);
-#   3. the 36 names whose newest driver cert is r02 (28) or r03 (8) —
-#      the stale tail the r08 verdict queued; after r09 no name's
-#      driver cert predates r04;
-#   4. (window exactly full at 11 + 3 + 36).  Queued for r10+: all 46
-#      r04-era names (multimodal ×4, tpch ×16,
-#      remaining relational4/events names), then the r05/r06 bulk.
-# ROUND9_NOTES.md tracks the ledger.
+# Round-10 front window (exactly 50 = the driver's window size), per
+# VERDICT r09 item 1: the 4 entries that have never held a driver verdict
+# (added late in r09, 3-SF green locally in RUNLOG_r09.txt), then ALL 46
+# names whose newest driver cert is r04-era.  4 + 46 = exactly 50; after
+# this round every catalog name's driver cert is r05+ and the stale tail
+# is fully retired.  ROUND10_NOTES.md tracks the ledger.
 _ROTATION_FRONT = [
-    # --- 1. added this round (11) ---
-    "dml_zorder_skipping",
-    "stream_ttl_sessions",
-    "sim_pq_rerank",
-    "stream_static_enrich",
-    "dedup_keep_latest",
-    "join_dpp_partitioned",
-    "join_fuzzy_blocked",
-    "stream_dedup_within_watermark",
-    "udtf_split_fields",
-    "sketch_kmv_overlap",
-    "pipeline_quality_prune_curve",
-    # --- 2. function-changed re-certs (3) ---
-    "dml_table_history",
-    "stream_watermark_late_drop",
-    "sim_sq_rerank",
-    # --- 3. stale r02 certs (28) ---
-    "parity_project",
-    "parity_filter_eq",
-    "parity_filter_gt",
-    "parity_project_filter_combo",
-    "agg_pricing_summary",
-    "agg_count_distinct",
-    "agg_having",
-    "agg_rollup",
-    "agg_cube",
-    "join_broadcast_dim",
-    "join_large_revenue",
-    "join_semi",
-    "join_anti",
-    "join_left_outer_agg",
-    "join_multiway",
-    "window_topn_per_group",
-    "window_running_sum",
-    "window_lag_lead",
-    "window_rank_dense",
-    "sort_topk",
-    "sort_multi_key",
-    "set_union",
-    "set_intersect",
-    "set_except",
-    "string_funcs",
-    "date_funcs",
-    "subquery_above_avg",
-    "distinct_rows",
-    # --- 3b. stale r03 certs (8) ---
-    "window_tumbling_counts",
-    "window_sliding_counts",
-    "window_session_counts",
-    "udf_grouped_map_zscore",
-    "zscore_window",
-    "udaf_weighted_avg",
-    "udtf_bigrams",
-    "join_salted_skew",
-    # (no r04 fills left — the 11 new + 3 re-certs + 36 stale = 50)
-    # --- positions 51+: lead the r10 queue (each locally 3-SF green;
-    #     the judge's r09 priority is retiring the 36-stale tail, so
-    #     these late additions wait one round rather than displacing) ---
+    # --- 1. never driver-certified (4) ---
     "multimodal_frame_dedup",
     "dml_shallow_clone",
     "dml_restore_version",
     "events_resample_locf",
+    # --- 2. the 46 r04-era names (newest driver green = r04) ---
+    # tpch (16)
+    "tpch_q2_min_cost_supplier",
+    "tpch_q5_local_volume",
+    "tpch_q6_forecast_revenue",
+    "tpch_q8_market_share",
+    "tpch_q9_nation_profit",
+    "tpch_q10_returned_items",
+    "tpch_q11_important_parts",
+    "tpch_q12_late_lines",
+    "tpch_q14_promo_share",
+    "tpch_q15_top_supplier",
+    "tpch_q16_supplier_counts",
+    "tpch_q17_small_quantity",
+    "tpch_q19_brand_bands",
+    "tpch_q20_volume_suppliers",
+    "tpch_q21_sole_late_supplier",
+    "tpch_q22_idle_balances",
+    # multimodal (4)
+    "multimodal_meta",
+    "multimodal_features",
+    "multimodal_resize",
+    "multimodal_frame_sample",
+    # relational4 / aggregates / windows / events bulk (26)
+    "agg_approx_distinct",
+    "agg_correlation",
+    "agg_quantile_sketch",
+    "agg_stats",
+    "agg_string_concat",
+    "array_funcs",
+    "bitwise_funcs",
+    "conditional_funcs",
+    "date_advanced",
+    "events_time_rollup",
+    "funnel_conversion",
+    "grouping_sets",
+    "join_asof",
+    "join_range",
+    "map_funcs",
+    "null_handling",
+    "pivot_status",
+    "regexp_count_funcs",
+    "sample_hash",
+    "string_advanced",
+    "subquery_in",
+    "udf_pandas_score",
+    "union_by_name",
+    "window_distribution",
+    "window_range_frame",
+    "window_value_picks",
 ]
+
+# Entries added or function-changed THIS round that could not displace the
+# front (the stale-tail retirement takes the full window).  They sit
+# immediately after the front in registration order and lead the NEXT
+# round's front.  tools/front_audit.py treats queue membership as "pending"
+# for the no-name-falls-through invariant.
+_ROTATION_QUEUE: list[str] = []
 
 
 def _rotated(merged: dict) -> dict:
     ordered = {}
-    for name in _ROTATION_FRONT:
+    for name in _ROTATION_FRONT + _ROTATION_QUEUE:
         if name in merged:  # oracle dicts may lack rows-only entries
             ordered[name] = merged.pop(name)
     ordered.update(merged)
@@ -118,7 +107,7 @@ def all_queries() -> dict[str, QueryFn]:
     merged: dict[str, QueryFn] = {}
     for module in _modules():
         merged.update(module.QUERIES)
-    missing = [n for n in _ROTATION_FRONT if n not in merged]
+    missing = [n for n in _ROTATION_FRONT + _ROTATION_QUEUE if n not in merged]
     if missing:  # typo guard: every front entry must exist in the catalog
         raise KeyError(f"_ROTATION_FRONT names not in catalog: {missing}")
     return _rotated(merged)

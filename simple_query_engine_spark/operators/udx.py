@@ -176,9 +176,14 @@ def _make_split_fields_udtf():
             return AnalyzeResult(schema=schema)
 
         def eval(self, text: str, names: str):
+            # Leading fields map to leading tokens; the FINAL field maps to
+            # the LAST token (mirroring the oracle's split_part(..., -1)),
+            # so a 3+-token name yields the same (first, last) pair in both
+            # engines instead of silently diverging (ADVICE r09 low).
             n = len(names.split(","))
             parts = (text or "").split(" ")
-            yield tuple(parts[i] if i < len(parts) else None for i in range(n))
+            head = tuple(parts[i] if i < len(parts) else None for i in range(n - 1))
+            yield head + (parts[-1] if parts else None,)
 
     return SplitFieldsUDTF
 

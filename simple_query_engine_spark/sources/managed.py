@@ -396,7 +396,14 @@ class ManagedTable:
         as the manifests themselves) and deletes batch to the object
         store.  Returns the deleted file paths (the audit log a production
         vacuum writes).  ``retain_versions < 1`` is rejected — a table
-        must keep its current snapshot."""
+        must keep its current snapshot.
+
+        OWNERSHIP: only files under THIS table's own data directory are
+        ever removed (the Delta contract — VACUUM is scoped to the table's
+        directory).  A shallow clone's manifests reference files that live
+        under the SOURCE table's path; those are borrowed, not owned, so
+        the clone's vacuum must never delete them even when the clone's
+        own expired manifests are the only remaining references here."""
         if retain_versions < 1:
             raise ValueError(f"retain_versions must be >= 1, got {retain_versions}")
         versions = self.versions()
@@ -406,8 +413,11 @@ class ManagedTable:
         retained_files = {
             f for v in versions[-retain_versions:] for f in self._files(v)
         }
+        own_data_dir = os.path.join(os.path.abspath(self.path), "data") + os.sep
         doomed = sorted(
-            {f for v in expired for f in self._files(v)} - retained_files
+            f
+            for f in {f for v in expired for f in self._files(v)} - retained_files
+            if os.path.abspath(f).startswith(own_data_dir)
         )
         # Files first, manifests last: a crash mid-vacuum leaves an expired
         # manifest pointing at missing files — rerunning vacuum finishes

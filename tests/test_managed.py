@@ -578,6 +578,29 @@ def test_shallow_clone_shares_files_then_diverges(spark, tmp_path, people):
     assert dst.read().count() == 10
 
 
+def test_clone_vacuum_never_deletes_source_files(spark, tmp_path, people):
+    """A clone's vacuum is scoped to the clone's OWN data directory: the
+    borrowed source files its expired manifests reference must survive,
+    even when no retained clone manifest references them any more
+    (ADVICE r09 high: create -> clone_shallow -> 2 clone deletes ->
+    clone.vacuum(retain_versions=2) used to delete the source's live
+    files and break src.read())."""
+    src = ManagedTable.create(spark, str(tmp_path / "src"), people)
+    src_files = set(src._files(src.current_version()))
+    dst = src.clone_shallow(str(tmp_path / "dst"))
+    dst.delete_where(F.col("parity") == "odd")   # v1: rewrites into dst/data
+    dst.delete_where(F.col("id") < 3)            # v2
+    dst.delete_where(F.col("id") > 15)           # v3
+    removed = dst.vacuum(retain_versions=2)
+    # Only clone-owned files may be removed; every borrowed file survives.
+    dst_data = str(tmp_path / "dst" / "data") + os.sep
+    assert all(f.startswith(dst_data) for f in removed)
+    assert all(os.path.exists(f) for f in src_files)
+    assert _rows(src.read()) == _rows(people)
+    # The clone's retained snapshots stay readable too.
+    assert dst.read().count() == dst.read(dst.current_version()).count()
+
+
 def test_restore_is_forward_history_and_restores_stats(spark, tmp_path):
     df = spark.createDataFrame(
         [(i, i % 5) for i in range(100)], "id long, bucket long"

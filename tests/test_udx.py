@@ -68,7 +68,10 @@ def test_split_fields_udtf_schema_follows_argument(spark):
         "SELECT f.* FROM t_sf, LATERAL split_fields_t(s, 'a, b') f"
     )
     assert two.columns == ["a", "b"]
-    assert two.collect()[0] == ("alpha", "beta")
+    # The FINAL field takes the LAST token (split_part -1 semantics): a
+    # 3-token input to a 2-field list yields (first, last), mirroring the
+    # udtf_split_fields oracle so longer names cannot silently diverge.
+    assert two.collect()[0] == ("alpha", "gamma")
 
     three = spark.sql(
         "SELECT f.* FROM t_sf, LATERAL split_fields_t(s, 'x,y,z') f"

@@ -7,8 +7,10 @@ Checks the invariants the hand-maintained ``_ROTATION_FRONT`` must hold:
 2. every front name exists in the catalog (the registration typo guard,
    re-checked here without building a SparkSession);
 3. every catalog name holds a green verdict in SOME CORRECTNESS_r*.json,
-   OR sits in the current front (pending this round's verdict) — i.e. no
-   name can fall through the rotation entirely;
+   OR sits in the current front (pending this round's verdict), OR sits
+   in ``_ROTATION_QUEUE`` (added this round, explicitly queued to lead
+   the NEXT round's front) — i.e. no name can fall through the rotation
+   entirely;
 4. prints the cert-age table (name → newest round with a green verdict)
    so the next round's age queue can be read off directly.
 
@@ -47,18 +49,27 @@ def main() -> int:
                     newest_green[name] = max(newest_green.get(name, 0), rnd)
 
     failures = []
-    from simple_query_engine_spark.operators import _ROTATION_FRONT
+    from simple_query_engine_spark.operators import _ROTATION_FRONT, _ROTATION_QUEUE
 
     if len(_ROTATION_FRONT) != WINDOW:
         failures.append(
             f"_ROTATION_FRONT has {len(_ROTATION_FRONT)} names, window is {WINDOW}"
         )
-    never = [n for n in names if n not in newest_green and n not in front]
+    overlap = set(_ROTATION_FRONT) & set(_ROTATION_QUEUE)
+    if overlap:
+        failures.append(f"names in BOTH front and queue: {sorted(overlap)}")
+    never = [
+        n
+        for n in names
+        if n not in newest_green and n not in front and n not in _ROTATION_QUEUE
+    ]
     if never:
         failures.append(
             f"{len(never)} names hold NO green verdict and are NOT in the "
-            f"current front: {never}"
+            f"current front or queue: {never}"
         )
+    if _ROTATION_QUEUE:
+        print(f"  queued for next round's front: {len(_ROTATION_QUEUE)} names")
 
     by_age: dict[int, list[str]] = {}
     for n in names:
