@@ -91,7 +91,11 @@ _ROTATION_FRONT = [
 # immediately after the front in registration order and lead the NEXT
 # round's front.  tools/front_audit.py treats queue membership as "pending"
 # for the no-name-falls-through invariant.
-_ROTATION_QUEUE: list[str] = []
+_ROTATION_QUEUE: list[str] = [
+    # function-changed this round (results hash-identical; re-cert r11):
+    "udtf_split_fields",       # final field now takes the LAST token
+    "events_rfm_segments",     # two-phase range rank replaced global NTILEs
+]
 
 
 def _rotated(merged: dict) -> dict:

@@ -39,6 +39,7 @@ from simple_query_engine_spark.functions.hashing import (
     md5_prefix_long,
     md5_prefix_long_sql,
 )
+from simple_query_engine_spark.functions.caching import session_cache
 from simple_query_engine_spark.operators.text import _NORM, _documents, _normalized
 from simple_query_engine_spark.sources.catalog import table
 
@@ -220,6 +221,83 @@ def q_stats_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 RFM_TILES = 4
+RFM_RANGE_BUCKETS = 32  # per-metric rank parallelism; a dial, not a limit
+
+
+def _distributed_ntile(
+    df: DataFrame,
+    n_tiles: int,
+    order_cols: list[Column],
+    out_name: str,
+    sf_dir: str,
+    cache_key: str,
+) -> DataFrame:
+    """Exact NTILE over a TOTAL order with NO single-reducer window — the
+    range-partitioned two-phase global rank (the salted construction the
+    ``pipeline_token_quota`` prefix sum uses, adapted to ranks: the
+    "salt" must be an order-preserving range bucket, since rank — unlike
+    a keyed prefix sum — has no order-free decomposition).
+
+    Phase 1: ``repartitionByRange`` on the (total-order) sort key makes
+    partition ranges globally ordered; ``row_number`` within each bucket
+    runs in parallel across buckets.  The ranked table is session-cached
+    so phase 2 and the final join read the SAME materialized bucket
+    assignment (range boundaries come from sampling; pinning them makes
+    the derived counts provably consistent — the ``session_cache``
+    discipline ``graph_pagerank_neardup`` established).
+
+    Phase 2: per-bucket row counts (a ≤``RFM_RANGE_BUCKETS``-row
+    aggregate) yield each bucket's global starting offset via a broadcast
+    triangular self-join — deliberately NOT a window, so this helper
+    contributes zero unpartitioned WindowExec nodes.  A row's 0-indexed
+    global rank is then ``offset + local_rank − 1``, and the ANSI NTILE
+    rule (remainder tiles to the front: with N rows and T tiles, the
+    first N mod T tiles hold ⌊N/T⌋+1 rows) converts rank → tile in pure
+    integer arithmetic, bit-identical to both engines' NTILE.
+
+    At 100 TB nothing funnels through one task: the ranks cost one range
+    exchange + one keyed window per bucket; the offsets are metadata-sized.
+    """
+    bucketed = df.repartitionByRange(RFM_RANGE_BUCKETS, *order_cols).withColumn(
+        "_b", F.spark_partition_id()
+    )
+    ranked = session_cache(
+        bucketed.withColumn(
+            "_lr", F.row_number().over(Window.partitionBy("_b").orderBy(*order_cols))
+        ),
+        sf_dir,
+        cache_key,
+    )
+    counts = ranked.groupBy("_b").agg(F.max("_lr").cast("long").alias("_cnt"))
+    offsets = (
+        counts.alias("a")
+        .join(
+            F.broadcast(counts.alias("b")),
+            F.col("b._b") < F.col("a._b"),
+            "left",
+        )
+        .groupBy(F.col("a._b").alias("_b"), F.col("a._cnt").alias("_bcnt"))
+        .agg(F.coalesce(F.sum("b._cnt"), F.lit(0)).cast("long").alias("_off"))
+        .select("_b", "_off")
+    )
+    total = counts.agg(F.sum("_cnt").cast("long").alias("_n"))
+    tiled = (
+        ranked.join(F.broadcast(offsets), "_b")
+        .crossJoin(F.broadcast(total))
+        .withColumn("_i", (F.col("_off") + F.col("_lr") - 1).cast("long"))
+        .withColumn("_q", F.expr(f"_n div {n_tiles}"))
+        .withColumn("_rem", (F.col("_n") % n_tiles).cast("long"))
+        .withColumn(
+            out_name,
+            F.when(
+                F.col("_i") < F.col("_rem") * (F.col("_q") + 1),
+                F.expr("_i div (_q + 1)") + 1,
+            )
+            .otherwise(F.col("_rem") + F.expr("(_i - _rem * (_q + 1)) div _q") + 1)
+            .cast("int"),
+        )
+    )
+    return tiled.drop("_b", "_lr", "_off", "_n", "_i", "_q", "_rem")
 
 
 def q_events_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -230,17 +308,19 @@ def q_events_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Determinism: monetary is integer cents (round(value·100) → long, the
     dml_incremental_view money convention) so per-user sums are order-free;
-    recency is whole days between dates; NTILE runs over a TOTAL order
-    (metric, then user_id) so tile boundaries cannot depend on partition
-    order, and both engines share the ANSI NTILE remainder-to-front rule.
+    recency is whole days between dates; each tile is computed over a
+    TOTAL order (metric, then user_id) so boundaries cannot depend on
+    partition order, and the two-phase construction reproduces the ANSI
+    NTILE remainder-to-front rule exactly (the oracle stays plain NTILE).
 
     Shape at 100 TB: the stream collapses to one row per user in a
-    map-side-combined aggregate (the corpus-scale shuffle); the three
-    NTILEs are unpartitioned windows over the |users| table — bounded but
-    single-reducer, the documented dial being the salted two-phase rank
-    (pipeline_token_quota's construction) once |users| outgrows one task.
-    The corpus-max timestamp comes from a window over the SAME per-user
-    table (max of per-user maxes), not a second scan.
+    map-side-combined aggregate (the corpus-scale shuffle); each score
+    then comes from :func:`_distributed_ntile` — a range-partitioned
+    two-phase exact rank with per-metric parallelism
+    ``RFM_RANGE_BUCKETS``, NO unpartitioned window anywhere in the plan
+    (tests/test_quality.py pins this on the executed plan).  The corpus-
+    max timestamp is a 1-row broadcast aggregate, and the three scored
+    tables re-join on the unique user_id key.
     """
     events = table(spark, sf_dir, "events")
     per_user = events.groupBy("user_id").agg(
@@ -248,20 +328,43 @@ def q_events_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents"),
     )
-    w_all = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    scored = per_user.withColumn(
-        "recency_days",
-        F.datediff(F.to_date(F.max("last_ts").over(w_all)), F.to_date("last_ts")),
+    corpus_max = per_user.agg(F.max("last_ts").alias("_corpus_max"))
+    scored = (
+        per_user.crossJoin(F.broadcast(corpus_max))
+        .withColumn(
+            "recency_days",
+            F.datediff(F.to_date("_corpus_max"), F.to_date("last_ts")),
+        )
+        .drop("_corpus_max", "last_ts")
     )
-    r_w = Window.orderBy(F.col("recency_days").asc(), F.col("user_id"))
-    f_w = Window.orderBy(F.col("n_events").desc(), F.col("user_id"))
-    m_w = Window.orderBy(F.col("cents").desc(), F.col("user_id"))
-    tiled = scored.select(
-        "recency_days",
-        "cents",
-        F.ntile(RFM_TILES).over(r_w).alias("r_score"),
-        F.ntile(RFM_TILES).over(f_w).alias("f_score"),
-        F.ntile(RFM_TILES).over(m_w).alias("m_score"),
+    r = _distributed_ntile(
+        scored.select("user_id", "recency_days"),
+        RFM_TILES,
+        [F.col("recency_days").asc(), F.col("user_id").asc()],
+        "r_score",
+        sf_dir,
+        "rfm_rank_r",
+    )
+    f = _distributed_ntile(
+        scored.select("user_id", "n_events"),
+        RFM_TILES,
+        [F.col("n_events").desc(), F.col("user_id").asc()],
+        "f_score",
+        sf_dir,
+        "rfm_rank_f",
+    )
+    m = _distributed_ntile(
+        scored.select("user_id", "cents"),
+        RFM_TILES,
+        [F.col("cents").desc(), F.col("user_id").asc()],
+        "m_score",
+        sf_dir,
+        "rfm_rank_m",
+    )
+    tiled = (
+        r.select("user_id", "recency_days", "r_score")
+        .join(f.select("user_id", "f_score"), "user_id")
+        .join(m.select("user_id", "cents", "m_score"), "user_id")
     )
     return tiled.groupBy("r_score", "f_score", "m_score").agg(
         F.count(F.lit(1)).alias("n_users"),

@@ -118,6 +118,56 @@ def test_rfm_tiles_partition_users(spark, sf_dir, tables):
         assert max(sizes.values()) - min(sizes.values()) <= 1, (axis, sizes)
 
 
+def test_rfm_has_no_unpartitioned_window(spark, sf_dir):
+    """The r09 verdict's one scale-killer: the old implementation ran three
+    global-order NTILE windows (single reducer over |users|).  The
+    two-phase range rank must leave ZERO unpartitioned Window nodes in the
+    executed plan — every Window partitions by the range-bucket salt."""
+    plan = (
+        q_events_rfm_segments(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    windows = [ln for ln in plan.splitlines() if "Window " in ln]
+    assert windows, "expected the per-bucket row_number windows in the plan"
+    for ln in windows:
+        # A partitioned Window prints its partition spec; the only
+        # partitioning key this query uses is the range-bucket salt _b.
+        assert "_b#" in ln, f"unpartitioned Window in plan: {ln.strip()}"
+
+
+def test_distributed_ntile_matches_builtin_ntile(spark):
+    """The two-phase rank→tile arithmetic must be bit-identical to
+    Spark's own NTILE over the same total order, including the
+    remainder-to-front rule (checked at N % T != 0) and desc orders."""
+    from pyspark.sql.window import Window
+
+    from simple_query_engine_spark.operators.quality import _distributed_ntile
+
+    df = spark.range(103).select(
+        F.col("id").alias("user_id"),
+        (F.pmod(F.col("id") * 37 + 11, F.lit(59))).alias("metric"),
+    )
+    for order, key in (
+        ([F.col("metric").asc(), F.col("user_id").asc()], "t_asc"),
+        ([F.col("metric").desc(), F.col("user_id").asc()], "t_desc"),
+    ):
+        got = {
+            r.user_id: r.tile
+            for r in _distributed_ntile(
+                df, 4, order, "tile", "/tmp/_ntile_test", key
+            ).collect()
+        }
+        want = {
+            r.user_id: r.tile
+            for r in df.select(
+                "user_id", F.ntile(4).over(Window.orderBy(*order)).alias("tile")
+            ).collect()
+        }
+        assert got == want
+
+
 def test_trailing_features_match_pandas(spark, sf_dir, tables):
     """Independent pandas re-derivation of the trailing frames for every
     user: peaks and totals must match exactly."""
