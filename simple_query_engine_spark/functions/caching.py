@@ -33,8 +33,13 @@ def session_cache(df: DataFrame, sf_dir: str, key: str) -> DataFrame:
             handle.unpersist()
             del _TRACKED[other_key]
     prior = _TRACKED.get(key)
-    if prior is not None and df.sameSemantics(prior[1]):
-        return prior[1]
+    if prior is not None:
+        if df.sameSemantics(prior[1]):
+            return prior[1]
+        # Same key, new plan (e.g. a scratch-table path baked into the
+        # lineage changed): release the stale blocks instead of leaking
+        # them for the rest of the session.
+        prior[1].unpersist()
     handle = df.cache()
     _TRACKED[key] = (sf_dir, handle)
     return handle

@@ -92,6 +92,8 @@ _ROTATION_FRONT = [
 # round's front.  tools/front_audit.py treats queue membership as "pending"
 # for the no-name-falls-through invariant.
 _ROTATION_QUEUE: list[str] = [
+    # added this round (never driver-certified; cert r11):
+    "pipeline_incremental_curation",
     # function-changed this round (results hash-identical; re-cert r11):
     "udtf_split_fields",       # final field now takes the LAST token
     "events_rfm_segments",     # two-phase range rank replaced global NTILEs

@@ -33,6 +33,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from simple_query_engine_spark.operators.dedup import (
+    PLANTED_JACCARD_THRESHOLD,
     _minhash_oracle_sql,
     q_dedup_exact,
     q_dedup_minhash_lsh,
@@ -559,8 +560,208 @@ def q_pipeline_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# CDC-driven incremental curation (managed table + change feed + delta-only
+# quality + incremental MinHash — the continuous-ingestion composition)
+# --------------------------------------------------------------------------
+
+INC_EDIT_MOD = 10          # doc_id % 10 == 3 → the doc's text is revised
+INC_EDIT_RES = 3
+INC_NEW_MOD = 20           # doc_id % 20 == 7 → spawns a brand-new ingest doc
+INC_NEW_RES = 7
+INC_NEW_OFFSET = 1_000_000  # new doc ids live above every corpus id
+INC_EDIT_SUFFIX = "revised curated edition"
+INC_NEW_PREFIX = "fresh ingest copy of"
+INC_NEW_SOURCE = "ingest"
+
+
+def q_pipeline_incremental_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC-driven incremental curation — the production shape for a
+    continuously-ingested training corpus, composing the managed-table
+    MERGE, the change feed, delta-only quality maintenance
+    (``dml_incremental_view`` discipline) and batch-vs-corpus incremental
+    MinHash (``dedup_incremental_minhash`` discipline) into ONE certified
+    path:
+
+    1. the documents corpus is materialized as a managed table (v0) and
+       two artifacts bootstrap ONCE: the curated per-(source, lang)
+       rollup (docs with ≥ MIN_TOKENS tokens) and the persisted MinHash
+       signature table;
+    2. a changed-docs batch MERGEs in (v1): every doc_id ≡ 3 (mod 10)
+       gets its text revised, and every doc_id ≡ 7 (mod 20) spawns a NEW
+       '{INC_NEW_SOURCE}'-source document above INC_NEW_OFFSET;
+    3. the v0→v1 CHANGE FEED — which reads only rewritten/appended files
+       (manifest pruning) — drives everything downstream:
+       the rollup is maintained by signed deltas (never recomputed over
+       the mutated snapshot), and the signature table is maintained by
+       anti-joining deleted ids and appending signatures computed over
+       INSERTED ROWS ONLY;
+    4. the new-doc batch's bands join the maintained corpus bands
+       (candidate volume ∝ batch, independent of corpus size), flagging
+       which freshly-curated docs near-duplicate the live corpus at the
+       {PLANTED_JACCARD_THRESHOLD} est-Jaccard bar.
+
+    The returned table is the MAINTAINED rollup plus the per-group
+    near-dup flag count; the oracle recomputes the same statistics from
+    scratch over the merged final state — so the driver's hash-match IS
+    the incremental-equals-full proof.  O(changed data) is pinned in
+    tests/test_pipeline.py (the delta branches scan only changed files).
+
+    Scale: the only full-corpus passes are the two v0 bootstraps (one
+    aggregate scan + one signature build — both one-offs in production);
+    every per-batch cost is O(batch): signature upserts, band join
+    probes, signed rollup deltas, and a |sources×langs|-row maintenance
+    join.
+    """
+    from simple_query_engine_spark.operators.dedup import (
+        NUM_MINHASH,
+        PLANTED_JACCARD_THRESHOLD,
+        _band_rows,
+        _minhash_sig_of,
+        _shingles_of,
+    )
+    from simple_query_engine_spark.operators.dml import _scratch
+    from simple_query_engine_spark.functions.caching import session_cache
+    from simple_query_engine_spark.sources.managed import ManagedTable
+
+    documents = table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "source"
+    )
+    t = ManagedTable.create(spark, _scratch("inccur_"), documents)
+
+    n_tokens = F.size(F.split(_normalized(F.col("text")), " ")).alias("n_tokens")
+
+    # -- bootstrap at v0 (the one-off full passes) --------------------------
+    v0 = t.read(0)
+    base_rollup = (
+        v0.select("source", "lang", n_tokens)
+        .filter(F.col("n_tokens") >= MIN_TOKENS)
+        .groupBy("source", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+        )
+    )
+    sig_v0 = _minhash_sig_of(
+        _shingles_of(v0.select("doc_id", "text"), sf_dir, "inccur_shingles_v0")
+    )
+
+    # -- the changed-docs batch MERGEs in (v1) ------------------------------
+    edits = documents.filter(
+        F.pmod(F.col("doc_id"), F.lit(INC_EDIT_MOD)) == INC_EDIT_RES
+    ).withColumn("text", F.concat(F.col("text"), F.lit(f" {INC_EDIT_SUFFIX}")))
+    news = documents.filter(
+        F.pmod(F.col("doc_id"), F.lit(INC_NEW_MOD)) == INC_NEW_RES
+    ).select(
+        (F.col("doc_id") + INC_NEW_OFFSET).alias("doc_id"),
+        F.concat(F.lit(f"{INC_NEW_PREFIX} "), F.col("text")).alias("text"),
+        "lang",
+        F.lit(INC_NEW_SOURCE).alias("source"),
+    )
+    t.merge(
+        edits.unionByName(news),
+        on="doc_id",
+        update_assignments={"text": F.col("s.text")},
+    )
+
+    # -- everything below reads the CHANGE FEED, not the corpus -------------
+    feed = t.changes(0, 1)
+    inserted = feed.filter(F.col("_change_op") == "insert")
+    deleted_ids = (
+        feed.filter(F.col("_change_op") == "delete").select("doc_id").distinct()
+    )
+
+    # Signature-table maintenance: drop deleted ids, append signatures
+    # computed over inserted rows only.
+    sig_delta = _minhash_sig_of(
+        _shingles_of(
+            inserted.select("doc_id", "text"), sf_dir, "inccur_shingles_delta"
+        )
+    )
+    sig_v1 = session_cache(
+        sig_v0.join(deleted_ids, "doc_id", "left_anti").unionByName(sig_delta),
+        sf_dir,
+        "inccur_sig_v1",
+    )
+
+    # Incremental near-dup: new-doc bands probe the maintained corpus bands.
+    batch_sig = sig_v1.filter(F.col("doc_id") >= INC_NEW_OFFSET)
+    corpus_sig = sig_v1.filter(F.col("doc_id") < INC_NEW_OFFSET)
+    candidates = (
+        _band_rows(batch_sig)
+        .alias("a")
+        .join(
+            _band_rows(corpus_sig).alias("b"),
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_hash") == F.col("b.band_hash")),
+        )
+        .select(
+            F.col("a.doc_id").alias("new_doc_id"),
+            F.col("b.doc_id").alias("corpus_doc_id"),
+        )
+        .dropDuplicates(["new_doc_id", "corpus_doc_id"])
+    )
+    est = F.size(
+        F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda eq: eq)
+    ) / F.lit(NUM_MINHASH)
+    flagged = (
+        candidates.join(
+            batch_sig.select(
+                F.col("doc_id").alias("new_doc_id"), F.col("signature").alias("sig_a")
+            ),
+            "new_doc_id",
+        )
+        .join(
+            corpus_sig.select(
+                F.col("doc_id").alias("corpus_doc_id"),
+                F.col("signature").alias("sig_b"),
+            ),
+            "corpus_doc_id",
+        )
+        .filter(F.round(est, 4) >= PLANTED_JACCARD_THRESHOLD)
+        .select("new_doc_id")
+        .distinct()
+    )
+
+    # Rollup maintenance: signed deltas from the feed (insert +, delete −).
+    sign = F.when(F.col("_change_op") == "insert", F.lit(1)).otherwise(F.lit(-1))
+    feed_scored = feed.select("source", "lang", n_tokens, sign.alias("sign"))
+    delta = (
+        feed_scored.filter(F.col("n_tokens") >= MIN_TOKENS)
+        .groupBy("source", "lang")
+        .agg(
+            F.sum("sign").alias("d_docs"),
+            F.sum(F.col("sign") * F.col("n_tokens")).alias("d_tokens"),
+        )
+    )
+    flag_counts = (
+        inserted.select("doc_id", "source", "lang", n_tokens)
+        .filter(F.col("n_tokens") >= MIN_TOKENS)
+        .join(flagged, F.col("doc_id") == F.col("new_doc_id"), "left_semi")
+        .groupBy("source", "lang")
+        .agg(F.count(F.lit(1)).alias("n_flag"))
+    )
+    return (
+        base_rollup.join(delta, ["source", "lang"], "full_outer")
+        .join(flag_counts, ["source", "lang"], "left")
+        .select(
+            "source",
+            "lang",
+            (
+                F.coalesce("n_docs", F.lit(0)) + F.coalesce("d_docs", F.lit(0))
+            ).alias("n_docs"),
+            (
+                F.coalesce("total_tokens", F.lit(0)) + F.coalesce("d_tokens", F.lit(0))
+            ).alias("total_tokens"),
+            F.coalesce("n_flag", F.lit(0)).alias("n_new_neardup"),
+        )
+        .filter(F.col("n_docs") > 0)
+    )
+
+
 QUERIES = {
     "pipeline_corpus_curation": q_pipeline_corpus_curation,
+    "pipeline_incremental_curation": q_pipeline_incremental_curation,
     "pipeline_url_dedup": q_pipeline_url_dedup,
     "pipeline_quality_prune_curve": q_pipeline_quality_prune_curve,
     "sample_stratified": q_sample_stratified,
@@ -614,7 +815,49 @@ _URL_SQL = f"""CASE
     ELSE concat('https://example-', source, '.com/article/', {_PAGE_SQL})
     END"""
 
+# Oracle twin of the merged (v1) state q_pipeline_incremental_curation
+# builds: in-place edits for doc_id ≡ INC_EDIT_RES (mod INC_EDIT_MOD),
+# plus new ingest-source docs above INC_NEW_OFFSET.
+_INC_MERGED_SQL = f"""(
+            SELECT doc_id,
+                   CASE WHEN doc_id % {INC_EDIT_MOD} = {INC_EDIT_RES}
+                        THEN text || ' {INC_EDIT_SUFFIX}'
+                        ELSE text END AS text,
+                   lang, source
+            FROM documents
+            UNION ALL
+            SELECT doc_id + {INC_NEW_OFFSET} AS doc_id,
+                   '{INC_NEW_PREFIX} ' || text AS text,
+                   lang, '{INC_NEW_SOURCE}' AS source
+            FROM documents WHERE doc_id % {INC_NEW_MOD} = {INC_NEW_RES}
+        )"""
+
+
 ORACLES = {
+    # The incremental path must land exactly on the from-scratch recompute
+    # over the merged final state — this oracle IS that recompute (merged
+    # relation + full incremental-MinHash rederivation + direct rollup).
+    "pipeline_incremental_curation": f"""
+        WITH mh AS MATERIALIZED ({_minhash_oracle_sql(
+            docs_sql=_INC_MERGED_SQL,
+            threshold=PLANTED_JACCARD_THRESHOLD,
+            incremental_offset=INC_NEW_OFFSET,
+        )}),
+        flagged AS (SELECT DISTINCT new_doc_id FROM mh),
+        scored AS (
+            SELECT source, lang, doc_id,
+                   CAST(len(string_split({_NORM}, ' ')) AS INT) AS n_tokens
+            FROM {_INC_MERGED_SQL}
+        )
+        SELECT source, lang,
+               COUNT(*) AS n_docs,
+               CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+               CAST(SUM(CASE WHEN doc_id IN (SELECT new_doc_id FROM flagged)
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_new_neardup
+        FROM scored
+        WHERE n_tokens >= {MIN_TOKENS}
+        GROUP BY source, lang
+    """,
     # Fixed-grid threshold sweep: per-bucket aggregate, then cumulate
     # buckets at-or-above each threshold (DESC running sums).
     "pipeline_quality_prune_curve": f"""

@@ -288,3 +288,107 @@ def test_url_dedup_matches_python_model(spark, sf_dir, tables):
         assert got[src].n_pages == len(model[src]), src
         assert got[src].n_dup_docs == n_docs[src] - len(model[src])
         assert got[src].first_canonical == min(model[src])
+
+
+def test_incremental_curation_matches_full_recompute_and_is_delta_sized(
+    spark, sf_dir
+):
+    """The maintained rollup must equal a from-scratch recompute over the
+    merged state (the dml_incremental_view discipline), and the change
+    feed that drives the delta branches must hold exactly the changed
+    rows — edits as delete+insert pairs plus one insert per new doc —
+    i.e. O(changed data), not O(corpus)."""
+    from pyspark.sql import functions as F
+
+    from simple_query_engine_spark.operators.pipeline import (
+        INC_EDIT_MOD,
+        INC_EDIT_RES,
+        INC_EDIT_SUFFIX,
+        INC_NEW_MOD,
+        INC_NEW_OFFSET,
+        INC_NEW_RES,
+        INC_NEW_SOURCE,
+        INC_NEW_PREFIX,
+        MIN_TOKENS,
+        q_pipeline_incremental_curation,
+    )
+    from simple_query_engine_spark.operators.text import _normalized
+    from simple_query_engine_spark.sources.catalog import table
+
+    maintained = q_pipeline_incremental_curation(spark, sf_dir)
+
+    docs = table(spark, sf_dir, "documents")
+    n_base = docs.count()
+    n_edit = docs.filter(F.pmod("doc_id", F.lit(INC_EDIT_MOD)) == INC_EDIT_RES).count()
+    n_new = docs.filter(F.pmod("doc_id", F.lit(INC_NEW_MOD)) == INC_NEW_RES).count()
+
+    # Full recompute over the merged state, built independently in Spark.
+    merged = docs.select(
+        "doc_id",
+        F.when(
+            F.pmod("doc_id", F.lit(INC_EDIT_MOD)) == INC_EDIT_RES,
+            F.concat("text", F.lit(f" {INC_EDIT_SUFFIX}")),
+        ).otherwise(F.col("text")).alias("text"),
+        "lang",
+        "source",
+    ).unionByName(
+        docs.filter(F.pmod("doc_id", F.lit(INC_NEW_MOD)) == INC_NEW_RES).select(
+            (F.col("doc_id") + INC_NEW_OFFSET).alias("doc_id"),
+            F.concat(F.lit(f"{INC_NEW_PREFIX} "), "text").alias("text"),
+            "lang",
+            F.lit(INC_NEW_SOURCE).alias("source"),
+        )
+    )
+    full = (
+        merged.select(
+            "source",
+            "lang",
+            F.size(F.split(_normalized(F.col("text")), " ")).alias("n_tokens"),
+        )
+        .filter(F.col("n_tokens") >= MIN_TOKENS)
+        .groupBy("source", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+        )
+    )
+    got = {
+        (r.source, r.lang): (r.n_docs, r.total_tokens)
+        for r in maintained.collect()
+    }
+    want = {
+        (r.source, r.lang): (r.n_docs, r.total_tokens) for r in full.collect()
+    }
+    assert got == want
+
+    # Delta-sized feed: re-derive the same table/feed and count its rows.
+    # (Edits appear as delete+insert pairs; only NEW docs add single rows.)
+    from simple_query_engine_spark.operators.dml import _scratch
+    from simple_query_engine_spark.sources.managed import ManagedTable
+
+    t = ManagedTable.create(
+        spark, _scratch("inccur_test_"), docs.select("doc_id", "text", "lang", "source")
+    )
+    edits = (
+        docs.select("doc_id", "text", "lang", "source")
+        .filter(F.pmod("doc_id", F.lit(INC_EDIT_MOD)) == INC_EDIT_RES)
+        .withColumn("text", F.concat("text", F.lit(f" {INC_EDIT_SUFFIX}")))
+    )
+    news = docs.filter(F.pmod("doc_id", F.lit(INC_NEW_MOD)) == INC_NEW_RES).select(
+        (F.col("doc_id") + INC_NEW_OFFSET).alias("doc_id"),
+        F.concat(F.lit(f"{INC_NEW_PREFIX} "), "text").alias("text"),
+        "lang",
+        F.lit(INC_NEW_SOURCE).alias("source"),
+    )
+    t.merge(
+        edits.unionByName(news).select("doc_id", "text", "lang", "source"),
+        on="doc_id",
+        update_assignments={"text": F.col("s.text")},
+    )
+    feed = t.changes(0, 1)
+    assert feed.count() == 2 * n_edit + n_new
+    assert feed.count() < n_base  # strictly smaller than a corpus rescan
+    # And the flagged near-dups are a subset of the new ingest docs.
+    flagged_rows = maintained.filter(F.col("n_new_neardup") > 0).collect()
+    assert all(r.source == INC_NEW_SOURCE for r in flagged_rows)
+    assert sum(r.n_new_neardup for r in flagged_rows) <= n_new
