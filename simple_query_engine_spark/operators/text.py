@@ -417,9 +417,186 @@ def q_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# BPE merge training (fixed-iteration, deterministic)
+# --------------------------------------------------------------------------
+
+BPE_MERGES = 5
+
+
+def _bpe_pair_counts(seqdf: DataFrame) -> DataFrame:
+    """(seq, freq) → per adjacent symbol pair, the frequency-weighted count.
+
+    ``seq`` is the bracketed symbol string ``(s1)(s2)...(sn)`` — symbols
+    are [a-z]+ so the parens can never occur inside one, making both the
+    ``)(`` split here and the merge-by-string-replace exact."""
+    syms = F.split(F.expr("substring(seq, 2, length(seq) - 2)"), r"\)\(")
+    pair_structs = F.when(
+        F.size(syms) >= 2,
+        F.transform(
+            F.sequence(F.lit(0), F.size(syms) - 2),
+            lambda i: F.struct(
+                F.element_at(syms, i + 1).alias("left_sym"),
+                F.element_at(syms, i + 2).alias("right_sym"),
+            ),
+        ),
+    ).otherwise(
+        F.array().cast("array<struct<left_sym:string,right_sym:string>>")
+    )
+    return (
+        seqdf.select("freq", F.explode(pair_structs).alias("p"))
+        .groupBy("p.left_sym", "p.right_sym")
+        .agg(F.sum("freq").alias("pair_count"))
+    )
+
+
+def q_text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE merge-rule TRAINING: {BPE_MERGES} fixed iterations of the
+    byte-pair-encoding vocabulary construction — each round merges the
+    most frequent adjacent symbol pair across the corpus (frequency-
+    weighted by word count; ties broken lexically on (left, right)) and
+    rewrites every word's symbol sequence before the next count.  Output:
+    one row per learned merge rule with its count at merge time — the
+    tokenizer-training statistic a pretraining pipeline derives from the
+    corpus.
+
+    Determinism (both engines, bit-exact): words are the ``[a-z]+`` runs
+    of the BPE pre-tokenizer (``text_bpe_token_count``'s convention —
+    ASCII only, so character splitting is portable); counts are integer
+    sums; the argmax is a TOTAL order (count desc, left, right).  The
+    merge application uses the bracketed-string trick: a word's symbols
+    render as ``(s1)(s2)...`` and merging pair (a,b) is
+    ``replace(seq, '(a)(b)', '(ab)')`` — both engines' ``replace`` scans
+    left-to-right non-overlapping, which IS the BPE greedy rule (the
+    original paper's ``re.sub`` loop), and the per-symbol brackets make
+    boundary-crossing false matches impossible.
+
+    Shape at 100 TB: the corpus collapses ONCE to the distinct-word
+    vocabulary (map-side combined; vocab is millions of rows regardless
+    of corpus size).  Every iteration then runs on the vocab table: one
+    explode+aggregate for pair counts (partial-agg shuffle), a top-1
+    TakeOrderedAndProject (no global sort materialization), and a
+    broadcast crossJoin of the 1-row winner for the rewrite.  Each
+    level is session-cached so the K-step chain is computed once, linear
+    in K — the ``graph_pagerank_neardup`` fixed-iteration discipline
+    (dedup.py:921).  Oracle: K unrolled CTE steps, the
+    ``_pagerank_oracle_sql`` pattern.
+    """
+    from simple_query_engine_spark.functions.caching import session_cache
+
+    docs = _documents(spark, sf_dir)
+    vocab = (
+        docs.select(
+            F.explode(
+                F.expr("regexp_extract_all(lower(text), '[a-z]+', 0)")
+            ).alias("word")
+        )
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    seq = session_cache(
+        vocab.select(
+            F.regexp_replace("word", "(.)", r"($1)").alias("seq"), "freq"
+        ),
+        sf_dir,
+        "bpe_train_seq_0",
+    )
+    winners = []
+    for k in range(1, BPE_MERGES + 1):
+        win = session_cache(
+            _bpe_pair_counts(seq)
+            .orderBy(F.col("pair_count").desc(), "left_sym", "right_sym")
+            .limit(1),
+            sf_dir,
+            f"bpe_train_win_{k}",
+        )
+        winners.append(
+            win.select(
+                F.lit(k).alias("step"),
+                "left_sym",
+                "right_sym",
+                F.concat("left_sym", "right_sym").alias("merged"),
+                "pair_count",
+            )
+        )
+        if k < BPE_MERGES:
+            seq = session_cache(
+                seq.crossJoin(F.broadcast(win.select("left_sym", "right_sym")))
+                .select(
+                    F.expr(
+                        "replace(seq, '(' || left_sym || ')(' || right_sym || ')',"
+                        " '(' || left_sym || right_sym || ')')"
+                    ).alias("seq"),
+                    "freq",
+                ),
+                sf_dir,
+                f"bpe_train_seq_{k}",
+            )
+    out = winners[0]
+    for w in winners[1:]:
+        out = out.unionByName(w)
+    return out
+
+
+def _bpe_train_oracle_sql(k: int = BPE_MERGES) -> str:
+    """Unrolled-CTE DuckDB twin of :func:`q_text_bpe_train` — one
+    (pairs, argmax, rewrite) CTE triple per merge step, exactly the
+    ``_pagerank_oracle_sql`` fixed-iteration construction."""
+    parts = [
+        r"""w0 AS (
+            SELECT regexp_replace(word, '(.)', '(\1)', 'g') AS seq,
+                   CAST(COUNT(*) AS BIGINT) AS freq
+            FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z]+', 0))
+                         AS word
+                  FROM documents)
+            GROUP BY word
+        )"""
+    ]
+    selects = []
+    prev = "w0"
+    for i in range(1, k + 1):
+        parts.append(
+            f"""p{i} AS (
+            SELECT pr[1] AS left_sym, pr[2] AS right_sym,
+                   CAST(SUM(freq) AS BIGINT) AS pair_count
+            FROM (
+                SELECT unnest(list_transform(range(1, len(s)),
+                              j -> [s[j], s[j+1]])) AS pr,
+                       freq
+                FROM (SELECT string_split(seq[2:-2], ')(') AS s, freq
+                      FROM {prev})
+            )
+            GROUP BY left_sym, right_sym
+        )"""
+        )
+        parts.append(
+            f"""m{i} AS (
+            SELECT left_sym, right_sym, pair_count FROM p{i}
+            ORDER BY pair_count DESC, left_sym, right_sym LIMIT 1
+        )"""
+        )
+        if i < k:
+            parts.append(
+                f"""w{i} AS (
+            SELECT replace(seq,
+                           '(' || m.left_sym || ')(' || m.right_sym || ')',
+                           '(' || m.left_sym || m.right_sym || ')') AS seq,
+                   freq
+            FROM {prev}, m{i} m
+        )"""
+            )
+            prev = f"w{i}"
+        selects.append(
+            f"SELECT CAST({i} AS INT) AS step, left_sym, right_sym, "
+            f"left_sym || right_sym AS merged, pair_count FROM m{i}"
+        )
+    return "WITH " + ",\n        ".join(parts) + "\n" + "\nUNION ALL ".join(selects)
+
+
 QUERIES = {
     "text_token_count": q_token_count,
     "text_bpe_token_count": q_bpe_token_count,
+    "text_bpe_train": q_text_bpe_train,
     "text_quality_score": q_quality_score,
     "text_lang_id": q_lang_id,
     "text_fingerprint": q_fingerprint,
@@ -442,6 +619,7 @@ _NORM = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
 _TOKENS = f"string_split({_NORM}, ' ')"
 
 ORACLES = {
+    "text_bpe_train": _bpe_train_oracle_sql(),
     "text_bpe_token_count": f"""
         SELECT doc_id,
                CAST(len(regexp_extract_all(lower(text), '{_BPE_PATTERN}', 0)) AS INT) AS n_bpe_tokens,

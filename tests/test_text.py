@@ -203,3 +203,60 @@ def test_bigram_freq_counts(spark, tmp_path):
     assert out["to be"] == 3
     assert out["be or"] == 1
     assert out["not to"] == 1
+
+
+def test_bpe_train_matches_reference_python_bpe(spark, sf_dir):
+    """Independent model: the classic Sennrich-style BPE training loop
+    (word -> symbol tuple, frequency-weighted pair counting, greedy
+    left-to-right merge, lexical tie-break) must produce the same K merge
+    rules and counts as the DataFrame implementation."""
+    import re
+    from collections import Counter
+
+    from simple_query_engine_spark.operators.text import (
+        BPE_MERGES,
+        q_text_bpe_train,
+    )
+    from simple_query_engine_spark.sources.catalog import table
+
+    texts = [
+        r.text for r in table(spark, sf_dir, "documents").select("text").collect()
+    ]
+    vocab = Counter()
+    for t in texts:
+        for w in re.findall(r"[a-z]+", t.lower()):
+            vocab[tuple(w)] += 1
+
+    def pair_counts(v):
+        c = Counter()
+        for syms, freq in v.items():
+            for a, b in zip(syms, syms[1:]):
+                c[(a, b)] += freq
+        return c
+
+    def apply_merge(syms, a, b):
+        out, i = [], 0
+        while i < len(syms):
+            if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                out.append(a + b)
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        return tuple(out)
+
+    expected = []
+    for step in range(1, BPE_MERGES + 1):
+        counts = pair_counts(vocab)
+        (a, b), n = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        expected.append((step, a, b, a + b, n))
+        new_vocab = Counter()
+        for syms, freq in vocab.items():
+            new_vocab[apply_merge(syms, a, b)] += freq
+        vocab = new_vocab
+
+    got = [
+        (r.step, r.left_sym, r.right_sym, r.merged, r.pair_count)
+        for r in q_text_bpe_train(spark, sf_dir).orderBy("step").collect()
+    ]
+    assert got == expected
