@@ -916,8 +916,217 @@ _PQ_RERANK_SQL = f"""
 """
 
 
+# --------------------------------------------------------------------------
+# Integer-exact k-means (Lloyd) training
+# --------------------------------------------------------------------------
+
+KMEANS_K = 8
+KMEANS_ITERS = 3
+# Work in SHIFTED integer space: floor(x·EMB_SCALE) + OFFSET ≥ 0 for every
+# component (|x| < 0.5 → |scaled| ≤ 5 000 < 8 192), so the centroid-update
+# integer division sits on non-negative operands where floor == truncate in
+# both engines (the repo's integer-division convention).  Distances are
+# shift-invariant, so the clustering is unaffected.
+KMEANS_OFFSET = 8_192
+EMB_DIM = 64
+
+
+def _kmeans_sqdist(a: Column, b: Column) -> Column:
+    """Exact integer squared L2 distance between two long arrays."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+
+
+def _kmeans_assign(vectors: DataFrame, cent: DataFrame) -> DataFrame:
+    """Each vector's nearest centroid (ties → lowest cell_id) — a broadcast
+    crossJoin against the K-row centroid table, collapsed by an
+    aggregating arg-min (map-side partial agg; the ``sim_ivf_topk``
+    construction), never a corpus-wide window."""
+    scored = vectors.crossJoin(F.broadcast(cent)).select(
+        "vec_id",
+        "sv",
+        "cell_id",
+        _kmeans_sqdist(F.col("sv"), F.col("cv")).alias("d"),
+    )
+    return (
+        scored.groupBy("vec_id")
+        .agg(
+            F.min(F.struct(F.col("d"), F.col("cell_id"))).alias("best"),
+            F.first("sv").alias("sv"),
+        )
+        .select(
+            "vec_id", "sv", F.col("best.cell_id").alias("cell_id"), F.col("best.d").alias("d")
+        )
+    )
+
+
+def _kmeans_trained(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """(shifted-integer vectors, trained K-row centroid table) after
+    KMEANS_ITERS Lloyd iterations — shared by the catalog entry and the
+    IVF-with-trained-centroids recall audit in tests."""
+    embeddings = table(spark, sf_dir, "embeddings")
+    vectors = embeddings.select(
+        "vec_id",
+        F.transform(
+            F.col("embedding"),
+            lambda x: (F.floor(x.cast("double") * EMB_SCALE) + KMEANS_OFFSET).cast(
+                "long"
+            ),
+        ).alias("sv"),
+    )
+    seeds = (
+        vectors.withColumn(
+            "h", md5_prefix_long(F.col("vec_id").cast("string"), IVF_HASH_WIDTH)
+        )
+        .orderBy("h", "vec_id")
+        .limit(KMEANS_K)
+        .select(F.col("vec_id").alias("cell_id"), F.col("sv").alias("cv"))
+    )
+    cent = session_cache(seeds, sf_dir, "kmeans_cent_0")
+    for it in range(1, KMEANS_ITERS + 1):
+        assigned = _kmeans_assign(vectors, cent)
+        dims = assigned.select("cell_id", F.posexplode("sv").alias("j", "x"))
+        means = dims.groupBy("cell_id", "j").agg(
+            F.expr("sum(x) div count(1)").alias("m")
+        )
+        updated = means.groupBy("cell_id").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("j", "m"))), lambda s: s.m
+            ).alias("new_cv")
+        )
+        cent = session_cache(
+            cent.join(updated, "cell_id", "left").select(
+                "cell_id", F.coalesce("new_cv", "cv").alias("cv")
+            ),
+            sf_dir,
+            f"kmeans_cent_{it}",
+        )
+    return vectors, cent
+
+
+def q_sim_kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRAINED coarse quantizer for the IVF family: {KMEANS_ITERS} full
+    Lloyd iterations of k-means (k = {KMEANS_K}) in EXACT integer
+    arithmetic — the piece ``sim_ivf_topk`` deliberately left out (float
+    k-means depends on accumulation order and can't be oracle-checked).
+    Embeddings move to the shifted integer grid (floor(x·EMB_SCALE) +
+    KMEANS_OFFSET); distances are integer squared L2; the centroid update
+    is per-dimension integer division (floor-quantized means on
+    non-negative operands — engine-identical); ties break to the lowest
+    cell id; empty cells keep their previous centroid.  Seeds are the
+    KMEANS_K lowest-md5-hash vectors (the ``sim_ivf_topk`` hash-spread
+    sample).  Output: one row per cell — final membership count, integer
+    inertia, and the md5 checksum of the trained centroid vector (pinning
+    the exact centroid, not just its statistics).
+
+    Shape at 100 TB: per iteration, assignment is a broadcast K-row map
+    over the corpus collapsed by map-side arg-min aggregation (ONE keyed
+    shuffle of (vec_id) groups); the update is a posexplode into
+    (cell, dim) keys — K·{EMB_DIM} groups, partial-aggregated map-side —
+    and the K-row centroid table is session-cached per iteration, so plan
+    depth is linear in iterations (the ``graph_pagerank_neardup``
+    fixed-iteration discipline).  Oracle: unrolled assignment/update CTE
+    pairs (``_pagerank_oracle_sql`` pattern).  Recall of IVF search with
+    these trained centroids vs brute force is pinned in
+    tests/test_similarity.py.
+    """
+    vectors, cent = _kmeans_trained(spark, sf_dir)
+    final = _kmeans_assign(vectors, cent)
+    report = final.groupBy("cell_id").agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.sum("d").alias("inertia"),
+    )
+    checks = cent.select(
+        "cell_id",
+        F.md5(
+            F.concat_ws("|", F.transform("cv", lambda x: x.cast("string")))
+        ).alias("centroid_md5"),
+    )
+    return report.join(checks, "cell_id")
+
+
+def _kmeans_oracle_sql(k: int = KMEANS_K, iters: int = KMEANS_ITERS) -> str:
+    """Unrolled-CTE DuckDB twin of :func:`q_sim_kmeans_train` — one
+    (assignment, update) CTE pair per Lloyd iteration."""
+    sq = (
+        f"CAST(list_sum(list_transform(range(1, {EMB_DIM + 1}), "
+        "j -> (v.sv[j] - c.cv[j]) * (v.sv[j] - c.cv[j]))) AS BIGINT)"
+    )
+
+    def assign(name: str, cent: str) -> str:
+        return f"""{name} AS (
+            SELECT vec_id, sv, cell_id, d FROM (
+                SELECT vec_id, sv, cell_id, d,
+                       ROW_NUMBER() OVER (PARTITION BY vec_id
+                                          ORDER BY d, cell_id) AS rn
+                FROM (
+                    SELECT v.vec_id, v.sv, c.cell_id, {sq} AS d
+                    FROM v, {cent} c
+                )
+            ) WHERE rn = 1
+        )"""
+
+    parts = [
+        f"""v AS (
+            SELECT vec_id,
+                   list_transform(embedding,
+                       x -> CAST(floor(CAST(x AS DOUBLE) * {EMB_SCALE})
+                                 + {KMEANS_OFFSET} AS BIGINT)) AS sv
+            FROM embeddings
+        )""",
+        f"""c0 AS (
+            SELECT vec_id AS cell_id, sv AS cv FROM v
+            ORDER BY {md5_prefix_long_sql("CAST(vec_id AS VARCHAR)", IVF_HASH_WIDTH)},
+                     vec_id
+            LIMIT {k}
+        )""",
+    ]
+    prev = "c0"
+    for i in range(1, iters + 1):
+        parts.append(assign(f"a{i}", prev))
+        parts.append(
+            f"""m{i} AS (
+            SELECT cell_id, j,
+                   CAST(SUM(sv[j]) AS BIGINT) // CAST(COUNT(*) AS BIGINT) AS m
+            FROM a{i}, (SELECT unnest(range(1, {EMB_DIM + 1})) AS j) dims
+            GROUP BY cell_id, j
+        )"""
+        )
+        parts.append(
+            f"""c{i} AS (
+            SELECT c.cell_id, COALESCE(n.cv, c.cv) AS cv
+            FROM {prev} c LEFT JOIN (
+                SELECT cell_id, list(m ORDER BY j) AS cv
+                FROM m{i} GROUP BY cell_id
+            ) n USING (cell_id)
+        )"""
+        )
+        prev = f"c{i}"
+    parts.append(assign("af", prev))
+    return (
+        "WITH "
+        + ",\n        ".join(parts)
+        + f""",
+        rep AS (
+            SELECT cell_id, CAST(COUNT(*) AS BIGINT) AS n_members,
+                   CAST(SUM(d) AS BIGINT) AS inertia
+            FROM af GROUP BY cell_id
+        )
+        SELECT r.cell_id, r.n_members, r.inertia,
+               md5(array_to_string(list_transform(c.cv,
+                   x -> CAST(x AS VARCHAR)), '|')) AS centroid_md5
+        FROM rep r JOIN {prev} c USING (cell_id)"""
+    )
+
+
 QUERIES = {
     "sim_topk_bruteforce": q_sim_topk_bruteforce,
+    "sim_kmeans_train": q_sim_kmeans_train,
     "sim_recall_audit": q_sim_recall_audit,
     "sim_neardup_pairs_baseline": q_sim_neardup_pairs_baseline,
     "sim_neardup_lsh": q_sim_neardup_lsh,
@@ -951,6 +1160,7 @@ _BRUTE_TOPK_SQL = f"""
 
 ORACLES = {
     "sim_topk_bruteforce": _BRUTE_TOPK_SQL,
+    "sim_kmeans_train": _kmeans_oracle_sql(),
     "sim_neardup_pairs_baseline": f"""
         WITH e AS (
             SELECT vec_id, embedding::DOUBLE[] AS v,

@@ -271,3 +271,104 @@ def test_sq_rerank_recall_vs_bruteforce(spark, sf_dir):
         assert sorted(ranks) == list(range(1, TOP_K + 1)), q
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.9, recall
+
+
+def test_kmeans_train_matches_numpy_lloyd(spark, sf_dir):
+    """Independent model: integer Lloyd on the shifted grid in numpy must
+    reproduce every cell's membership count, inertia, and exact centroid
+    checksum."""
+    import hashlib
+
+    import numpy as np
+
+    rows = spark.read.parquet(f"{sf_dir}/embeddings.parquet").collect()
+    sv = {
+        r.vec_id: (
+            np.floor(np.array(r.embedding, dtype=np.float64) * S.EMB_SCALE)
+            + S.KMEANS_OFFSET
+        ).astype(np.int64)
+        for r in rows
+    }
+    from simple_query_engine_spark.functions.hashing import md5_prefix_long
+
+    # seed selection: lowest md5-prefix of vec_id (replicated in python)
+    def h(vid):
+        return int(
+            hashlib.md5(str(vid).encode()).hexdigest()[: S.IVF_HASH_WIDTH], 16
+        )
+
+    seed_ids = sorted(sv, key=lambda v: (h(v), v))[: S.KMEANS_K]
+    cent = {vid: sv[vid].copy() for vid in seed_ids}
+
+    def assign():
+        out = {}
+        for vid, x in sv.items():
+            best = min(
+                ((int(((x - c) ** 2).sum()), cid) for cid, c in cent.items())
+            )
+            out[vid] = best  # (d, cell_id)
+        return out
+
+    for _ in range(S.KMEANS_ITERS):
+        a = assign()
+        sums, counts = {}, {}
+        for vid, (_, cid) in a.items():
+            sums[cid] = sums.get(cid, 0) + sv[vid]
+            counts[cid] = counts.get(cid, 0) + 1
+        for cid in cent:
+            if cid in counts:
+                cent[cid] = sums[cid] // counts[cid]  # non-negative: floor==trunc
+    final = assign()
+    want = {}
+    for cid in cent:
+        members = [(d, v) for v, (d, c) in final.items() if c == cid]
+        digest = hashlib.md5(
+            "|".join(str(int(x)) for x in cent[cid]).encode()
+        ).hexdigest()
+        want[cid] = (len(members), sum(d for d, _ in members), digest)
+
+    got = {
+        r.cell_id: (r.n_members, r.inertia, r.centroid_md5)
+        for r in S.q_sim_kmeans_train(spark, sf_dir).collect()
+    }
+    assert got == want
+
+
+def test_ivf_with_trained_centroids_recall(spark, sf_dir, exact_topk):
+    """The point of training: IVF search using the k-means centroids must
+    beat the random-subset recall floor (nprobe/K) decisively — the
+    sim_recall_audit discipline applied to the trained quantizer."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    nprobe = 2
+    vectors, cent = S._kmeans_trained(spark, sf_dir)
+    assigned = {r.vec_id: r.cell_id for r in S._kmeans_assign(vectors, cent).collect()}
+    cent_rows = {r.cell_id: np.array(r.cv, dtype=np.int64) for r in cent.collect()}
+    sv = {
+        r.vec_id: np.array(r.sv, dtype=np.int64) for r in vectors.collect()
+    }
+    emb = {
+        r.vec_id: np.array(r.embedding, dtype=np.float64)
+        for r in spark.read.parquet(f"{sf_dir}/embeddings.parquet").collect()
+    }
+
+    recalls = []
+    for qid, rows in exact_topk.items():
+        truth = {r.neighbor_id for r in rows}
+        dists = sorted(
+            (int(((sv[qid] - c) ** 2).sum()), cid) for cid, c in cent_rows.items()
+        )
+        probe = {cid for _, cid in dists[:nprobe]}
+        cands = [v for v, c in assigned.items() if c in probe and v != qid]
+        q = emb[qid]
+        scored = sorted(
+            (
+                (-float(q @ emb[v] / (np.linalg.norm(q) * np.linalg.norm(emb[v]))), v)
+                for v in cands
+            )
+        )[: len(truth)]
+        got = {v for _, v in scored}
+        recalls.append(len(truth & got) / len(truth))
+    floor = nprobe / S.KMEANS_K
+    assert sum(recalls) / len(recalls) >= floor + 0.05, (recalls, floor)
