@@ -1050,9 +1050,12 @@ def q_sim_kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     return report.join(checks, "cell_id")
 
 
-def _kmeans_oracle_sql(k: int = KMEANS_K, iters: int = KMEANS_ITERS) -> str:
-    """Unrolled-CTE DuckDB twin of :func:`q_sim_kmeans_train` — one
-    (assignment, update) CTE pair per Lloyd iteration."""
+def _kmeans_oracle_parts(
+    k: int = KMEANS_K, iters: int = KMEANS_ITERS
+) -> tuple[list[str], str]:
+    """The shared unrolled-CTE core of the k-means oracles: returns the CTE
+    list (ending with the final assignment ``af`` against the trained
+    centroids) and the name of the final centroid CTE."""
     sq = (
         f"CAST(list_sum(list_transform(range(1, {EMB_DIM + 1}), "
         "j -> (v.sv[j] - c.cv[j]) * (v.sv[j] - c.cv[j]))) AS BIGINT)"
@@ -1108,6 +1111,13 @@ def _kmeans_oracle_sql(k: int = KMEANS_K, iters: int = KMEANS_ITERS) -> str:
         )
         prev = f"c{i}"
     parts.append(assign("af", prev))
+    return parts, prev
+
+
+def _kmeans_oracle_sql(k: int = KMEANS_K, iters: int = KMEANS_ITERS) -> str:
+    """Unrolled-CTE DuckDB twin of :func:`q_sim_kmeans_train` — one
+    (assignment, update) CTE pair per Lloyd iteration."""
+    parts, final_cent = _kmeans_oracle_parts(k, iters)
     return (
         "WITH "
         + ",\n        ".join(parts)
@@ -1120,13 +1130,127 @@ def _kmeans_oracle_sql(k: int = KMEANS_K, iters: int = KMEANS_ITERS) -> str:
         SELECT r.cell_id, r.n_members, r.inertia,
                md5(array_to_string(list_transform(c.cv,
                    x -> CAST(x AS VARCHAR)), '|')) AS centroid_md5
-        FROM rep r JOIN {prev} c USING (cell_id)"""
+        FROM rep r JOIN {final_cent} c USING (cell_id)"""
+    )
+
+
+KMEANS_NPROBE = 2  # of KMEANS_K cells — the trained-IVF recall/throughput dial
+
+
+def q_sim_ivf_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN top-k through the TRAINED coarse quantizer — the composition
+    that completes the IVF story: ``sim_ivf_topk`` probes hash-sampled
+    cells, this entry probes the :func:`q_sim_kmeans_train` k-means
+    cells (integer-exact training → the whole trained pipeline stays
+    oracle-checked, which float k-means could never be).
+
+    Same physical discipline as ``sim_ivf_topk``: assignment is the
+    broadcast arg-min aggregate over the corpus; the nprobe ranking
+    window touches only the filter-pruned query rows; the search joins
+    probes to cell members on cell_id and ranks exact cosine (double
+    math, identical order of operations to the brute-force baseline).
+    At 100 TB the search scans nprobe/K of the corpus — with centroids
+    that now ADAPT to the data instead of being a hash sample (recall
+    improvement pinned in tests/test_similarity.py).
+    """
+    vectors, cent = _kmeans_trained(spark, sf_dir)
+    members = _kmeans_assign(vectors, cent).select(
+        F.col("vec_id").alias("neighbor_id"), "cell_id"
+    )
+    probe_scored = (
+        vectors.filter(F.col("vec_id") < NUM_QUERY_VECTORS)
+        .crossJoin(F.broadcast(cent))
+        .select(
+            F.col("vec_id").alias("query_id"),
+            "cell_id",
+            _kmeans_sqdist(F.col("sv"), F.col("cv")).alias("d"),
+        )
+    )
+    w_probe = Window.partitionBy("query_id").orderBy("d", "cell_id")
+    probes = (
+        probe_scored.withColumn("cell_rank", F.row_number().over(w_probe))
+        .filter(F.col("cell_rank") <= KMEANS_NPROBE)
+        .select("query_id", "cell_id")
+    )
+    queries = _with_norm(
+        table(spark, sf_dir, "embeddings").filter(
+            F.col("vec_id") < NUM_QUERY_VECTORS
+        ),
+        "query_id",
+        "q_emb",
+        "q_norm",
+    )
+    cands = _with_norm(
+        table(spark, sf_dir, "embeddings"), "neighbor_id", "c_emb", "c_norm"
+    )
+    cosine = _dot(F.col("q_emb"), F.col("c_emb")) / (
+        F.col("q_norm") * F.col("c_norm")
+    )
+    scored = (
+        F.broadcast(probes)
+        .join(members, "cell_id")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .join(F.broadcast(queries), "query_id")
+        .join(cands, "neighbor_id")
+        .select("query_id", "neighbor_id", F.round(cosine, 4).alias("similarity"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("similarity").desc(), F.col("neighbor_id")
+    )
+    return scored.withColumn("sim_rank", F.row_number().over(w)).filter(
+        F.col("sim_rank") <= TOP_K
+    )
+
+
+def _ivf_trained_oracle_sql() -> str:
+    """Kmeans training CTEs + probe ranking + exact-cosine cell search —
+    the DuckDB twin of :func:`q_sim_ivf_trained_topk`."""
+    parts, final_cent = _kmeans_oracle_parts()
+    sq = (
+        f"CAST(list_sum(list_transform(range(1, {EMB_DIM + 1}), "
+        "j -> (v.sv[j] - c.cv[j]) * (v.sv[j] - c.cv[j]))) AS BIGINT)"
+    )
+    return (
+        "WITH "
+        + ",\n        ".join(parts)
+        + f""",
+        probes AS (
+            SELECT query_id, cell_id FROM (
+                SELECT v.vec_id AS query_id, c.cell_id,
+                       ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                                          ORDER BY {sq}, c.cell_id) AS rn
+                FROM v, {final_cent} c
+                WHERE v.vec_id < {NUM_QUERY_VECTORS}
+            ) WHERE rn <= {KMEANS_NPROBE}
+        ),
+        e AS (
+            SELECT vec_id, embedding::DOUBLE[] AS ev,
+                   sqrt(list_dot_product(embedding::DOUBLE[],
+                                         embedding::DOUBLE[])) AS nrm
+            FROM embeddings
+        ),
+        searched AS (
+            SELECT p.query_id, a.vec_id AS neighbor_id,
+                   ROUND(list_dot_product(qe.ev, ce.ev)
+                         / (qe.nrm * ce.nrm), 4) AS similarity
+            FROM probes p
+            JOIN af a ON a.cell_id = p.cell_id AND a.vec_id <> p.query_id
+            JOIN e qe ON qe.vec_id = p.query_id
+            JOIN e ce ON ce.vec_id = a.vec_id
+        )
+        SELECT query_id, neighbor_id, similarity, sim_rank FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                         ORDER BY similarity DESC,
+                                                  neighbor_id) AS sim_rank
+            FROM searched
+        ) WHERE sim_rank <= {TOP_K}"""
     )
 
 
 QUERIES = {
     "sim_topk_bruteforce": q_sim_topk_bruteforce,
     "sim_kmeans_train": q_sim_kmeans_train,
+    "sim_ivf_trained_topk": q_sim_ivf_trained_topk,
     "sim_recall_audit": q_sim_recall_audit,
     "sim_neardup_pairs_baseline": q_sim_neardup_pairs_baseline,
     "sim_neardup_lsh": q_sim_neardup_lsh,
@@ -1161,6 +1285,7 @@ _BRUTE_TOPK_SQL = f"""
 ORACLES = {
     "sim_topk_bruteforce": _BRUTE_TOPK_SQL,
     "sim_kmeans_train": _kmeans_oracle_sql(),
+    "sim_ivf_trained_topk": _ivf_trained_oracle_sql(),
     "sim_neardup_pairs_baseline": f"""
         WITH e AS (
             SELECT vec_id, embedding::DOUBLE[] AS v,

@@ -482,6 +482,21 @@ def q_text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     (dedup.py:921).  Oracle: K unrolled CTE steps, the
     ``_pagerank_oracle_sql`` pattern.
     """
+    winners, _ = _bpe_trained(spark, sf_dir)
+    out = winners[0]
+    for w in winners[1:]:
+        out = out.unionByName(w)
+    return out
+
+
+def _bpe_trained(
+    spark: SparkSession, sf_dir: str
+) -> tuple[list[DataFrame], DataFrame]:
+    """(per-step winner frames, final vocab sequences after all
+    BPE_MERGES rewrites) — shared by the training entry (which reads the
+    winners) and the encode entry (which reads the final sequences; each
+    level is lazy + session-cached, so an entry only pays for the levels
+    it actually evaluates)."""
     from simple_query_engine_spark.functions.caching import session_cache
 
     docs = _documents(spark, sf_dir)
@@ -519,23 +534,45 @@ def q_text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "pair_count",
             )
         )
-        if k < BPE_MERGES:
-            seq = session_cache(
-                seq.crossJoin(F.broadcast(win.select("left_sym", "right_sym")))
-                .select(
-                    F.expr(
-                        "replace(seq, '(' || left_sym || ')(' || right_sym || ')',"
-                        " '(' || left_sym || right_sym || ')')"
-                    ).alias("seq"),
-                    "freq",
-                ),
-                sf_dir,
-                f"bpe_train_seq_{k}",
-            )
-    out = winners[0]
-    for w in winners[1:]:
-        out = out.unionByName(w)
-    return out
+        seq = session_cache(
+            seq.crossJoin(F.broadcast(win.select("left_sym", "right_sym")))
+            .select(
+                F.expr(
+                    "replace(seq, '(' || left_sym || ')(' || right_sym || ')',"
+                    " '(' || left_sym || right_sym || ')')"
+                ).alias("seq"),
+                "freq",
+            ),
+            sf_dir,
+            f"bpe_train_seq_{k}",
+        )
+    return winners, seq
+
+
+BPE_TOP_SYMBOLS = 10
+
+
+def q_text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The trained tokenizer IN ACTION: after applying all {BPE_MERGES}
+    learned merges to the vocabulary, the {BPE_TOP_SYMBOLS} most frequent
+    SYMBOLS of the encoded corpus (frequency-weighted by word count, ties
+    broken lexically) — the sanity table a tokenizer team reads after
+    training (are the merges absorbing the common digraphs?).
+
+    Shape: reuses the session-cached merge chain of ``text_bpe_train``
+    (the final rewrite level), one explode + partial-agg shuffle over the
+    vocab table, then a {BPE_TOP_SYMBOLS}-row TakeOrderedAndProject — no
+    global sort, no extra corpus pass.  Oracle: the same K unrolled merge
+    CTEs, then the symbol rollup over the final rewrite."""
+    _, seq = _bpe_trained(spark, sf_dir)
+    syms = F.split(F.expr("substring(seq, 2, length(seq) - 2)"), r"\)\(")
+    return (
+        seq.select("freq", F.explode(syms).alias("symbol"))
+        .groupBy("symbol")
+        .agg(F.sum("freq").alias("total_count"))
+        .orderBy(F.col("total_count").desc(), "symbol")
+        .limit(BPE_TOP_SYMBOLS)
+    )
 
 
 def _bpe_train_oracle_sql(k: int = BPE_MERGES) -> str:
