@@ -96,6 +96,7 @@ _ROTATION_QUEUE: list[str] = [
     "pipeline_incremental_curation",
     "text_bpe_train",
     "sim_kmeans_train",
+    "sim_ivf_trained_topk",
     # function-changed this round (results hash-identical; re-cert r11):
     "udtf_split_fields",       # final field now takes the LAST token
     "events_rfm_segments",     # two-phase range rank replaced global NTILEs
