@@ -22,85 +22,82 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # everything else (already green in CORRECTNESS_r01/r02) follows in module
 # order.  ROUND3_NOTES.md tracks which round certified which query.
 #
-# Round-10 front window (exactly 50 = the driver's window size), per
-# VERDICT r09 item 1: the 4 entries that have never held a driver verdict
-# (added late in r09, 3-SF green locally in RUNLOG_r09.txt), then ALL 46
-# names whose newest driver cert is r04-era.  4 + 46 = exactly 50; after
-# this round every catalog name's driver cert is r05+ and the stale tail
-# is fully retired.  ROUND10_NOTES.md tracks the ledger.
+# Round-11 front window (exactly 50 = the driver's window size), per
+# VERDICT r10 items 1 and 7: the 4 never-certified round-10 additions
+# (including sim_ivf_trained_topk, restored to the rotation after the
+# front_audit FAIL), the 3 entries new in round 11, the 2 r10
+# function-changed re-certs, then the age queue — all 15 r05-era names
+# and the 26 oldest r06-era names.  9 + 15 + 26 = exactly 50; after this
+# round the oldest cert anywhere in the catalog is r06.
+# ROUND11_NOTES.md tracks the ledger.
 _ROTATION_FRONT = [
-    # --- 1. never driver-certified (4) ---
-    "multimodal_frame_dedup",
-    "dml_shallow_clone",
-    "dml_restore_version",
-    "events_resample_locf",
-    # --- 2. the 46 r04-era names (newest driver green = r04) ---
-    # tpch (16)
-    "tpch_q2_min_cost_supplier",
-    "tpch_q5_local_volume",
-    "tpch_q6_forecast_revenue",
-    "tpch_q8_market_share",
-    "tpch_q9_nation_profit",
-    "tpch_q10_returned_items",
-    "tpch_q11_important_parts",
-    "tpch_q12_late_lines",
-    "tpch_q14_promo_share",
-    "tpch_q15_top_supplier",
-    "tpch_q16_supplier_counts",
-    "tpch_q17_small_quantity",
-    "tpch_q19_brand_bands",
-    "tpch_q20_volume_suppliers",
-    "tpch_q21_sole_late_supplier",
-    "tpch_q22_idle_balances",
-    # multimodal (4)
-    "multimodal_meta",
-    "multimodal_features",
-    "multimodal_resize",
-    "multimodal_frame_sample",
-    # relational4 / aggregates / windows / events bulk (26)
-    "agg_approx_distinct",
-    "agg_correlation",
-    "agg_quantile_sketch",
-    "agg_stats",
-    "agg_string_concat",
-    "array_funcs",
-    "bitwise_funcs",
-    "conditional_funcs",
-    "date_advanced",
-    "events_time_rollup",
-    "funnel_conversion",
-    "grouping_sets",
-    "join_asof",
-    "join_range",
-    "map_funcs",
-    "null_handling",
-    "pivot_status",
-    "regexp_count_funcs",
-    "sample_hash",
-    "string_advanced",
-    "subquery_in",
-    "udf_pandas_score",
-    "union_by_name",
-    "window_distribution",
-    "window_range_frame",
-    "window_value_picks",
-]
-
-# Entries added or function-changed THIS round that could not displace the
-# front (the stale-tail retirement takes the full window).  They sit
-# immediately after the front in registration order and lead the NEXT
-# round's front.  tools/front_audit.py treats queue membership as "pending"
-# for the no-name-falls-through invariant.
-_ROTATION_QUEUE: list[str] = [
-    # added this round (never driver-certified; cert r11):
+    # --- 1. never driver-certified: the 4 round-10 additions (queued by
+    #     r10's _ROTATION_QUEUE; sim_ivf_trained_topk restored per VERDICT
+    #     r10 item 1) ---
     "pipeline_incremental_curation",
     "text_bpe_train",
     "sim_kmeans_train",
     "sim_ivf_trained_topk",
-    # function-changed this round (results hash-identical; re-cert r11):
-    "udtf_split_fields",       # final field now takes the LAST token
-    "events_rfm_segments",     # two-phase range rank replaced global NTILEs
+    # --- 2. new in round 11 (BPE encode round-trip, trained-IVF recall
+    #     audit) ---
+    "text_bpe_encode",
+    "text_bpe_encode_docs",
+    "sim_recall_audit_trained",
+    # --- 3. function-changed in r10, results hash-identical; re-cert ---
+    "udtf_split_fields",
+    "events_rfm_segments",
+    # --- 4. age queue: the 15 names whose newest driver cert is r05 ---
+    "agg_percentiles_exact",
+    "variant_funcs",
+    "agg_mode_median",
+    "unpivot_metrics",
+    "join_lateral_topn",
+    "agg_hll_union",
+    "source_orc_roundtrip",
+    "source_python_datasource",
+    "stream_python_datasource",
+    "sink_python_datasource",
+    "stream_session_counts",
+    "stream_stateful_profiles",
+    "stream_stream_join",
+    "stream_restart_resume",
+    "stream_dedup_user_counts",
+    # --- 5. age queue: the 26 oldest r06-era names (23 r06 names remain
+    #     for the r12 front) ---
+    "events_retention_cohort",
+    "events_user_streaks",
+    "events_funnel_windowed",
+    "events_quality_drift",
+    "tpch_q3_shipping_priority",
+    "tpch_q7_nation_trade",
+    "tpch_q13_order_distribution",
+    "tpch_q18_large_orders",
+    "tpch_q4_priority_exists",
+    "text_token_count",
+    "text_bpe_token_count",
+    "text_quality_score",
+    "text_lang_id",
+    "text_fingerprint",
+    "text_rolling_hash",
+    "text_word_freq",
+    "text_length_histogram",
+    "text_tfidf_top_terms",
+    "text_unigram_surprisal",
+    "text_repetition",
+    "text_bigram_freq",
+    "dedup_exact",
+    "dedup_clusters",
+    "dedup_clusters_lsh",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
 ]
+
+# Entries added or function-changed THIS round that could not displace the
+# front (the front is full).  They sit immediately after the front in
+# registration order and lead the NEXT round's front.  tools/front_audit.py
+# treats queue membership as "pending" for the no-name-falls-through
+# invariant.  Empty this round: all round-11 additions fit in the front.
+_ROTATION_QUEUE: list[str] = []
 
 
 def _rotated(merged: dict) -> dict:

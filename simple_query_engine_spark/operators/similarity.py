@@ -579,11 +579,20 @@ def q_sim_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows, so the reconciliation join is trivially broadcast-sized
     whatever the corpus.
     """
+    approx = q_sim_ivf_topk(spark, sf_dir)
+    return _recall_vs_exact(spark, sf_dir, approx)
+
+
+def _recall_vs_exact(
+    spark: SparkSession, sf_dir: str, approx: DataFrame
+) -> DataFrame:
+    """Per-query recall@k of ``approx`` against the exact brute-force
+    top-k — the shared reconciliation of both recall-audit entries.  Both
+    inputs are |Q|·k rows, so the join is broadcast-sized whatever the
+    corpus."""
     exact = q_sim_topk_bruteforce(spark, sf_dir).select("query_id", "neighbor_id")
-    approx = q_sim_ivf_topk(spark, sf_dir).select(
-        "query_id", "neighbor_id", F.lit(1).alias("hit")
-    )
-    flagged = exact.join(approx, ["query_id", "neighbor_id"], "left")
+    hits = approx.select("query_id", "neighbor_id", F.lit(1).alias("hit"))
+    flagged = exact.join(hits, ["query_id", "neighbor_id"], "left")
     return flagged.groupBy("query_id").agg(
         F.count(F.lit(1)).alias("n_exact"),
         F.sum(F.coalesce(F.col("hit"), F.lit(0))).alias("n_hits"),
@@ -593,6 +602,25 @@ def q_sim_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_hits",
         F.round(F.col("n_hits") / F.col("n_exact"), 4).alias("recall_at_k"),
     )
+
+
+def q_sim_recall_audit_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k of the TRAINED-centroid IVF path
+    (:func:`q_sim_ivf_trained_topk`) against the exact brute-force top-k —
+    the driver-certified form of the recall claim that
+    ``tests/test_similarity.py`` pins locally: searching nprobe/K of the
+    corpus through the trained cells must decisively beat the nprobe/K
+    random-subset recall floor.  (On the near-orthogonal synthetic corpus
+    the trained and hash-sampled audits land close together; the floor,
+    not the hash-sampled audit, is the certified bound.)
+
+    Same scale shape as ``sim_recall_audit``: the exact side is the
+    guarded sampled-query baseline; the reconciliation join is |Q|·k vs
+    |Q|·k.  Oracle: the brute-force CTE against the full unrolled k-means
+    training + probe + search SQL.
+    """
+    approx = q_sim_ivf_trained_topk(spark, sf_dir)
+    return _recall_vs_exact(spark, sf_dir, approx)
 
 
 def q_sim_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1252,6 +1280,7 @@ QUERIES = {
     "sim_kmeans_train": q_sim_kmeans_train,
     "sim_ivf_trained_topk": q_sim_ivf_trained_topk,
     "sim_recall_audit": q_sim_recall_audit,
+    "sim_recall_audit_trained": q_sim_recall_audit_trained,
     "sim_neardup_pairs_baseline": q_sim_neardup_pairs_baseline,
     "sim_neardup_lsh": q_sim_neardup_lsh,
     "sim_neardup_planted": q_sim_neardup_planted,
@@ -1387,6 +1416,21 @@ ORACLES["sim_ivf_topk"] = _IVF_TOPK_SQL
 ORACLES["sim_recall_audit"] = f"""
         WITH exact AS ({_BRUTE_TOPK_SQL}),
         approx AS ({_IVF_TOPK_SQL})
+        SELECT e.query_id,
+               COUNT(*) AS n_exact,
+               CAST(SUM(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_hits,
+               ROUND(CAST(SUM(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+                          AS DOUBLE) / COUNT(*), 4) AS recall_at_k
+        FROM exact e
+        LEFT JOIN approx a
+          ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+        GROUP BY e.query_id
+"""
+
+ORACLES["sim_recall_audit_trained"] = f"""
+        WITH exact AS ({_BRUTE_TOPK_SQL}),
+        approx AS ({_ivf_trained_oracle_sql()})
         SELECT e.query_id,
                COUNT(*) AS n_exact,
                CAST(SUM(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)

@@ -575,10 +575,51 @@ def q_text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _bpe_train_oracle_sql(k: int = BPE_MERGES) -> str:
-    """Unrolled-CTE DuckDB twin of :func:`q_text_bpe_train` — one
-    (pairs, argmax, rewrite) CTE triple per merge step, exactly the
-    ``_pagerank_oracle_sql`` fixed-iteration construction."""
+def q_text_bpe_encode_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The trained tokenizer applied back to the CORPUS: tokens-per-
+    document under the {BPE_MERGES} learned merges — the statistic
+    ``text_bpe_token_count`` computes with a FIXED pre-tokenizer, now
+    with the TRAINED vocabulary, proving the merge rules round-trip from
+    training to encoding (a tokenizer team's per-doc compression check
+    before committing a vocab).
+
+    Each word's token count is the symbol count of its fully-rewritten
+    sequence, so encoding a document is a join of its words against the
+    rewritten vocab table — never a re-run of the merge loop per doc.
+    Shape at 100 TB: the vocab side is millions of rows regardless of
+    corpus size (broadcast here; a shuffle join on ``word`` if the vocab
+    outgrows the broadcast threshold), and the doc side is one explode +
+    partial-agg shuffle keyed on doc_id.  Oracle: the same K unrolled
+    merge CTEs, vocab recovered by bracket-strip, then the join-rollup.
+    """
+    _, seq = _bpe_trained(spark, sf_dir)
+    vocab_tok = seq.select(
+        F.regexp_replace("seq", r"[()]", "").alias("word"),
+        F.size(
+            F.split(F.expr("substring(seq, 2, length(seq) - 2)"), r"\)\(")
+        ).alias("n_symbols"),
+    )
+    words = _documents(spark, sf_dir).select(
+        "doc_id",
+        F.explode(
+            F.expr("regexp_extract_all(lower(text), '[a-z]+', 0)")
+        ).alias("word"),
+    )
+    return (
+        words.join(F.broadcast(vocab_tok), "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("n_symbols").alias("n_bpe_tokens_trained"),
+        )
+    )
+
+
+def _bpe_chain_parts(k: int = BPE_MERGES, full: bool = False) -> tuple[list[str], str]:
+    """Shared unrolled-CTE merge chain of the BPE oracles: (CTE parts,
+    name of the last rewrite CTE).  ``full=True`` includes the K-th
+    rewrite — the encode oracles read the fully-rewritten vocab, while
+    the train oracle stops at the K-th winner."""
     parts = [
         r"""w0 AS (
             SELECT regexp_replace(word, '(.)', '(\1)', 'g') AS seq,
@@ -589,7 +630,6 @@ def _bpe_train_oracle_sql(k: int = BPE_MERGES) -> str:
             GROUP BY word
         )"""
     ]
-    selects = []
     prev = "w0"
     for i in range(1, k + 1):
         parts.append(
@@ -612,7 +652,7 @@ def _bpe_train_oracle_sql(k: int = BPE_MERGES) -> str:
             ORDER BY pair_count DESC, left_sym, right_sym LIMIT 1
         )"""
         )
-        if i < k:
+        if i < k or full:
             parts.append(
                 f"""w{i} AS (
             SELECT replace(seq,
@@ -623,17 +663,74 @@ def _bpe_train_oracle_sql(k: int = BPE_MERGES) -> str:
         )"""
             )
             prev = f"w{i}"
-        selects.append(
-            f"SELECT CAST({i} AS INT) AS step, left_sym, right_sym, "
-            f"left_sym || right_sym AS merged, pair_count FROM m{i}"
-        )
+    return parts, prev
+
+
+def _bpe_train_oracle_sql(k: int = BPE_MERGES) -> str:
+    """Unrolled-CTE DuckDB twin of :func:`q_text_bpe_train` — one
+    (pairs, argmax, rewrite) CTE triple per merge step, exactly the
+    ``_pagerank_oracle_sql`` fixed-iteration construction."""
+    parts, _ = _bpe_chain_parts(k, full=False)
+    selects = [
+        f"SELECT CAST({i} AS INT) AS step, left_sym, right_sym, "
+        f"left_sym || right_sym AS merged, pair_count FROM m{i}"
+        for i in range(1, k + 1)
+    ]
     return "WITH " + ",\n        ".join(parts) + "\n" + "\nUNION ALL ".join(selects)
+
+
+def _bpe_encode_oracle_sql(k: int = BPE_MERGES) -> str:
+    """Full merge chain + symbol rollup over the final rewrite — the
+    DuckDB twin of :func:`q_text_bpe_encode`."""
+    parts, final = _bpe_chain_parts(k, full=True)
+    return (
+        "WITH "
+        + ",\n        ".join(parts)
+        + f"""
+        SELECT symbol, CAST(SUM(freq) AS BIGINT) AS total_count FROM (
+            SELECT unnest(string_split(seq[2:-2], ')(')) AS symbol, freq
+            FROM {final}
+        )
+        GROUP BY symbol
+        ORDER BY total_count DESC, symbol
+        LIMIT {BPE_TOP_SYMBOLS}"""
+    )
+
+
+def _bpe_encode_docs_oracle_sql(k: int = BPE_MERGES) -> str:
+    """Full merge chain + per-document token counts under the trained
+    merges — the DuckDB twin of :func:`q_text_bpe_encode_docs`.  The word
+    is recovered from its bracketed sequence by stripping the parens
+    (words are ``[a-z]+`` runs, so the strip is injective)."""
+    parts, final = _bpe_chain_parts(k, full=True)
+    return (
+        "WITH "
+        + ",\n        ".join(parts)
+        + f""",
+        vocab AS (
+            SELECT replace(replace(seq, '(', ''), ')', '') AS word,
+                   CAST(len(string_split(seq[2:-2], ')(')) AS INT) AS n_symbols
+            FROM {final}
+        ),
+        words AS (
+            SELECT doc_id,
+                   unnest(regexp_extract_all(lower(text), '[a-z]+', 0)) AS word
+            FROM documents
+        )
+        SELECT doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_words,
+               CAST(SUM(n_symbols) AS BIGINT) AS n_bpe_tokens_trained
+        FROM words JOIN vocab USING (word)
+        GROUP BY doc_id"""
+    )
 
 
 QUERIES = {
     "text_token_count": q_token_count,
     "text_bpe_token_count": q_bpe_token_count,
     "text_bpe_train": q_text_bpe_train,
+    "text_bpe_encode": q_text_bpe_encode,
+    "text_bpe_encode_docs": q_text_bpe_encode_docs,
     "text_quality_score": q_quality_score,
     "text_lang_id": q_lang_id,
     "text_fingerprint": q_fingerprint,
@@ -657,6 +754,8 @@ _TOKENS = f"string_split({_NORM}, ' ')"
 
 ORACLES = {
     "text_bpe_train": _bpe_train_oracle_sql(),
+    "text_bpe_encode": _bpe_encode_oracle_sql(),
+    "text_bpe_encode_docs": _bpe_encode_docs_oracle_sql(),
     "text_bpe_token_count": f"""
         SELECT doc_id,
                CAST(len(regexp_extract_all(lower(text), '{_BPE_PATTERN}', 0)) AS INT) AS n_bpe_tokens,

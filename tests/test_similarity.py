@@ -372,3 +372,24 @@ def test_ivf_with_trained_centroids_recall(spark, sf_dir, exact_topk):
         recalls.append(len(truth & got) / len(truth))
     floor = nprobe / S.KMEANS_K
     assert sum(recalls) / len(recalls) >= floor + 0.05, (recalls, floor)
+
+def test_recall_audit_trained_reconciles_catalog_entries(spark, sf_dir, exact_topk):
+    """The trained-IVF recall audit must equal the set reconciliation of
+    its two catalog inputs (brute-force exact vs trained-IVF top-k), and
+    the mean trained recall must decisively beat the nprobe/K random-
+    subset floor — the claim the entry exists to certify (same floor as
+    test_ivf_with_trained_centroids_recall)."""
+    approx = {}
+    for r in S.q_sim_ivf_trained_topk(spark, sf_dir).collect():
+        approx.setdefault(r.query_id, set()).add(r.neighbor_id)
+    audit = {r.query_id: r for r in S.q_sim_recall_audit_trained(spark, sf_dir).collect()}
+    assert set(audit) == set(exact_topk)
+    for qid, rows in exact_topk.items():
+        truth = {r.neighbor_id for r in rows}
+        hits = len(truth & approx.get(qid, set()))
+        a = audit[qid]
+        assert a.n_exact == len(truth) == S.TOP_K
+        assert a.n_hits == hits
+        assert a.recall_at_k == round(hits / len(truth), 4)
+    trained_mean = sum(a.recall_at_k for a in audit.values()) / len(audit)
+    assert trained_mean >= S.KMEANS_NPROBE / S.KMEANS_K + 0.05

@@ -260,3 +260,105 @@ def test_bpe_train_matches_reference_python_bpe(spark, sf_dir):
         for r in q_text_bpe_train(spark, sf_dir).orderBy("step").collect()
     ]
     assert got == expected
+
+def _reference_bpe_final_vocab(texts, merges):
+    """Word -> final symbol tuple after the classic Sennrich training loop
+    (the test_bpe_train model, kept per-word so the encode entries can be
+    checked against it)."""
+    import re
+    from collections import Counter
+
+    word_freq = Counter()
+    for t in texts:
+        for w in re.findall(r"[a-z]+", t.lower()):
+            word_freq[w] += 1
+    syms_of = {w: tuple(w) for w in word_freq}
+
+    def apply_merge(syms, a, b):
+        out, i = [], 0
+        while i < len(syms):
+            if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                out.append(a + b)
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        return tuple(out)
+
+    for _ in range(merges):
+        counts = Counter()
+        for w, syms in syms_of.items():
+            for a, b in zip(syms, syms[1:]):
+                counts[(a, b)] += word_freq[w]
+        (a, b), _n = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        syms_of = {w: apply_merge(s, a, b) for w, s in syms_of.items()}
+    return word_freq, syms_of
+
+
+def test_bpe_encode_top_symbols_matches_reference(spark, sf_dir):
+    """The encoded-corpus symbol rollup must equal the reference model's
+    frequency-weighted symbol counts over the final vocab."""
+    from collections import Counter
+
+    from simple_query_engine_spark.operators.text import (
+        BPE_MERGES,
+        BPE_TOP_SYMBOLS,
+        q_text_bpe_encode,
+    )
+    from simple_query_engine_spark.sources.catalog import table
+
+    texts = [
+        r.text for r in table(spark, sf_dir, "documents").select("text").collect()
+    ]
+    word_freq, syms_of = _reference_bpe_final_vocab(texts, BPE_MERGES)
+    totals = Counter()
+    for w, syms in syms_of.items():
+        for s in syms:
+            totals[s] += word_freq[w]
+    expected = sorted(totals.items(), key=lambda kv: (-kv[1], kv[0]))[
+        :BPE_TOP_SYMBOLS
+    ]
+    got = [
+        (r.symbol, r.total_count)
+        for r in q_text_bpe_encode(spark, sf_dir)
+        .orderBy("total_count", "symbol", ascending=[False, True])
+        .collect()
+    ]
+    assert got == expected
+
+
+def test_bpe_encode_docs_matches_reference_encoding(spark, sf_dir):
+    """Per-document token counts under the trained merges must equal
+    encoding each document's words with the reference model's final vocab."""
+    import re
+
+    from simple_query_engine_spark.operators.text import (
+        BPE_MERGES,
+        q_text_bpe_encode_docs,
+    )
+    from simple_query_engine_spark.sources.catalog import table
+
+    docs = {
+        r.doc_id: r.text
+        for r in table(spark, sf_dir, "documents").select("doc_id", "text").collect()
+    }
+    _, syms_of = _reference_bpe_final_vocab(docs.values(), BPE_MERGES)
+    expected = {}
+    for doc_id, text in docs.items():
+        words = re.findall(r"[a-z]+", text.lower())
+        if words:
+            expected[doc_id] = (
+                len(words),
+                sum(len(syms_of[w]) for w in words),
+            )
+    got = {
+        r.doc_id: (r.n_words, r.n_bpe_tokens_trained)
+        for r in q_text_bpe_encode_docs(spark, sf_dir).collect()
+    }
+    assert got == expected
+    # trained merges only ever SHRINK a word's token count vs character split
+    for doc_id, (n_words, n_tokens) in got.items():
+        n_chars = sum(
+            len(w) for w in re.findall(r"[a-z]+", docs[doc_id].lower())
+        )
+        assert n_words <= n_tokens <= n_chars
