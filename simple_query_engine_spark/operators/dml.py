@@ -397,6 +397,9 @@ def q_dml_zorder_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     t = ManagedTable.create(spark, _scratch("zorder_"), orders.repartition(8))
     t.compact(zorder_by=["o_custkey", "day"], target_files=16)
+    # Deliberately driver-side: a 1-row bounds aggregate whose values
+    # parameterize the scan box below (plan construction needs them as
+    # Python ints); not a hot-path collect.
     b = orders.agg(
         F.min("o_custkey").alias("min_ck"),
         F.max("o_custkey").alias("max_ck"),

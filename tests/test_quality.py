@@ -137,10 +137,15 @@ def test_rfm_has_no_unpartitioned_window(spark, sf_dir):
         assert "_b#" in ln, f"unpartitioned Window in plan: {ln.strip()}"
 
 
-def test_distributed_ntile_matches_builtin_ntile(spark):
+def test_distributed_ntile_matches_builtin_ntile(spark, sf_dir):
     """The two-phase rank→tile arithmetic must be bit-identical to
     Spark's own NTILE over the same total order, including the
-    remainder-to-front rule (checked at N % T != 0) and desc orders."""
+    remainder-to-front rule (checked at N % T != 0) and desc orders.
+
+    Uses the REAL sf_dir as the cache tag (with test-unique keys):
+    session_cache evicts every cache tagged with a different dir, so a
+    fake dir here would flush the shared shingle/signature caches other
+    tests in the session reuse (ordering-dependent slowdown)."""
     from pyspark.sql.window import Window
 
     from simple_query_engine_spark.operators.quality import _distributed_ntile
@@ -150,13 +155,13 @@ def test_distributed_ntile_matches_builtin_ntile(spark):
         (F.pmod(F.col("id") * 37 + 11, F.lit(59))).alias("metric"),
     )
     for order, key in (
-        ([F.col("metric").asc(), F.col("user_id").asc()], "t_asc"),
-        ([F.col("metric").desc(), F.col("user_id").asc()], "t_desc"),
+        ([F.col("metric").asc(), F.col("user_id").asc()], "_ntile_test_asc"),
+        ([F.col("metric").desc(), F.col("user_id").asc()], "_ntile_test_desc"),
     ):
         got = {
             r.user_id: r.tile
             for r in _distributed_ntile(
-                df, 4, order, "tile", "/tmp/_ntile_test", key
+                df, 4, order, "tile", sf_dir, key
             ).collect()
         }
         want = {
