@@ -59,8 +59,14 @@ HEADLINE = [
 # too.  The headline list above stays frozen for cross-round continuity;
 # this list may grow — bump SUITE2_VERSION whenever it changes so a
 # round-over-round comparison knows when the totals became incomparable.
-SUITE2_VERSION = "r09a"  # r08a +3: PQ rerank, keep-latest, zorder skipping
+# r11a = r09a +4: the round-10/11 heavies (k-means train, trained-IVF
+# top-k, BPE merge-rule training, CDC incremental curation)
+SUITE2_VERSION = "r11a"
 SUITE2 = [
+    "sim_kmeans_train",
+    "sim_ivf_trained_topk",
+    "text_bpe_train",
+    "pipeline_incremental_curation",
     "sim_pq_rerank",
     "dedup_keep_latest",
     "dml_zorder_skipping",
