@@ -43,6 +43,7 @@ _ROTATION_FRONT = [
     "text_bpe_encode",
     "text_bpe_encode_docs",
     "sim_recall_audit_trained",
+    "sim_filtered_topk",
     # --- 3. function-changed in r10, results hash-identical; re-cert ---
     "udtf_split_fields",
     "events_rfm_segments",
@@ -62,7 +63,7 @@ _ROTATION_FRONT = [
     "stream_stream_join",
     "stream_restart_resume",
     "stream_dedup_user_counts",
-    # --- 5. age queue: the 26 oldest r06-era names (23 r06 names remain
+    # --- 5. age queue: the 25 oldest r06-era names (24 r06 names remain
     #     for the r12 front) ---
     "events_retention_cohort",
     "events_user_streaks",
@@ -89,7 +90,6 @@ _ROTATION_FRONT = [
     "dedup_clusters",
     "dedup_clusters_lsh",
     "dedup_ngram_jaccard",
-    "dedup_minhash_lsh",
 ]
 
 # Entries added or function-changed THIS round that could not displace the

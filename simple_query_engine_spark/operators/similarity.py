@@ -1181,6 +1181,15 @@ def q_sim_ivf_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     that now ADAPT to the data instead of being a hash sample (recall
     improvement pinned in tests/test_similarity.py).
     """
+    return _ivf_trained_search(spark, sf_dir, cand_filter=None)
+
+
+def _ivf_trained_search(
+    spark: SparkSession, sf_dir: str, cand_filter: Column | None
+) -> DataFrame:
+    """Trained-IVF top-k search, optionally restricted to candidates
+    passing ``cand_filter`` — shared by the unfiltered entry and the
+    metadata-filtered variant."""
     vectors, cent = _kmeans_trained(spark, sf_dir)
     members = _kmeans_assign(vectors, cent).select(
         F.col("vec_id").alias("neighbor_id"), "cell_id"
@@ -1208,9 +1217,10 @@ def q_sim_ivf_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "q_emb",
         "q_norm",
     )
-    cands = _with_norm(
-        table(spark, sf_dir, "embeddings"), "neighbor_id", "c_emb", "c_norm"
-    )
+    cands_src = table(spark, sf_dir, "embeddings")
+    if cand_filter is not None:
+        cands_src = cands_src.filter(cand_filter)
+    cands = _with_norm(cands_src, "neighbor_id", "c_emb", "c_norm")
     cosine = _dot(F.col("q_emb"), F.col("c_emb")) / (
         F.col("q_norm") * F.col("c_norm")
     )
@@ -1230,9 +1240,41 @@ def q_sim_ivf_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _ivf_trained_oracle_sql() -> str:
+# The metadata predicate of the filtered-search entry: candidates must
+# carry an even label (half the corpus) — stand-in for the tenant /
+# language / license filters every production vector store supports.
+FILTER_LABELS = (0, 2, 4, 6, 8)
+
+
+def q_sim_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FILTERED vector search: trained-IVF top-k where candidates must
+    also satisfy a metadata predicate (``label IN {FILTER_LABELS}``) —
+    the filtered-ANN operation every production vector store exposes
+    (tenant, language, license, freshness filters).
+
+    Semantics are PRE-filtering: the predicate prunes the posting lists
+    before ranking, so each query still gets up to k neighbors from the
+    allowed subset (post-filtering the unfiltered top-k would under-fill
+    k whenever the filter is selective).  The index is built once over
+    the FULL corpus; the filter composes at query time — no per-filter
+    index rebuild.  Physically the predicate sits on the candidate-side
+    parquet scan (pushed to the reader) and the inner join against the
+    probed cell members applies it before any cosine is computed; at
+    100 TB the scan touches nprobe/K of the corpus times the filter's
+    selectivity.  Queries come from the whole corpus (no filter on the
+    query side).  Oracle: the trained-IVF SQL with the same WHERE on the
+    candidate CTE.
+    """
+    return _ivf_trained_search(
+        spark, sf_dir, cand_filter=F.col("label").isin(*FILTER_LABELS)
+    )
+
+
+def _ivf_trained_oracle_sql(cand_where: str = "") -> str:
     """Kmeans training CTEs + probe ranking + exact-cosine cell search —
-    the DuckDB twin of :func:`q_sim_ivf_trained_topk`."""
+    the DuckDB twin of :func:`q_sim_ivf_trained_topk`; ``cand_where``
+    (a ``WHERE m.<pred>`` clause on the metadata row) yields the
+    :func:`q_sim_filtered_topk` twin."""
     parts, final_cent = _kmeans_oracle_parts()
     sq = (
         f"CAST(list_sum(list_transform(range(1, {EMB_DIM + 1}), "
@@ -1257,6 +1299,11 @@ def _ivf_trained_oracle_sql() -> str:
                                          embedding::DOUBLE[])) AS nrm
             FROM embeddings
         ),
+        ec AS (
+            SELECT e.vec_id, e.ev, e.nrm
+            FROM e JOIN embeddings m ON m.vec_id = e.vec_id
+            {cand_where}
+        ),
         searched AS (
             SELECT p.query_id, a.vec_id AS neighbor_id,
                    ROUND(list_dot_product(qe.ev, ce.ev)
@@ -1264,7 +1311,7 @@ def _ivf_trained_oracle_sql() -> str:
             FROM probes p
             JOIN af a ON a.cell_id = p.cell_id AND a.vec_id <> p.query_id
             JOIN e qe ON qe.vec_id = p.query_id
-            JOIN e ce ON ce.vec_id = a.vec_id
+            JOIN ec ce ON ce.vec_id = a.vec_id
         )
         SELECT query_id, neighbor_id, similarity, sim_rank FROM (
             SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
@@ -1279,6 +1326,7 @@ QUERIES = {
     "sim_topk_bruteforce": q_sim_topk_bruteforce,
     "sim_kmeans_train": q_sim_kmeans_train,
     "sim_ivf_trained_topk": q_sim_ivf_trained_topk,
+    "sim_filtered_topk": q_sim_filtered_topk,
     "sim_recall_audit": q_sim_recall_audit,
     "sim_recall_audit_trained": q_sim_recall_audit_trained,
     "sim_neardup_pairs_baseline": q_sim_neardup_pairs_baseline,
@@ -1315,6 +1363,9 @@ ORACLES = {
     "sim_topk_bruteforce": _BRUTE_TOPK_SQL,
     "sim_kmeans_train": _kmeans_oracle_sql(),
     "sim_ivf_trained_topk": _ivf_trained_oracle_sql(),
+    "sim_filtered_topk": _ivf_trained_oracle_sql(
+        cand_where=f"WHERE m.label IN {FILTER_LABELS}"
+    ),
     "sim_neardup_pairs_baseline": f"""
         WITH e AS (
             SELECT vec_id, embedding::DOUBLE[] AS v,

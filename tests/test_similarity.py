@@ -393,3 +393,50 @@ def test_recall_audit_trained_reconciles_catalog_entries(spark, sf_dir, exact_to
         assert a.recall_at_k == round(hits / len(truth), 4)
     trained_mean = sum(a.recall_at_k for a in audit.values()) / len(audit)
     assert trained_mean >= S.KMEANS_NPROBE / S.KMEANS_K + 0.05
+
+def test_filtered_topk_prefilter_semantics(spark, sf_dir):
+    """The filtered search must equal the Python model of PRE-filtering:
+    allowed-label members of the probed cells, ranked by rounded cosine —
+    and never contain a disallowed neighbor (post-filtering the
+    unfiltered top-k would)."""
+    import numpy as np
+
+    rows = spark.read.parquet(f"{sf_dir}/embeddings.parquet").collect()
+    labels = {r.vec_id: r.label for r in rows}
+    emb = {r.vec_id: np.array(r.embedding, dtype=np.float64) for r in rows}
+
+    vectors, cent = S._kmeans_trained(spark, sf_dir)
+    assigned = {r.vec_id: r.cell_id for r in S._kmeans_assign(vectors, cent).collect()}
+    cent_rows = {r.cell_id: np.array(r.cv, dtype=np.int64) for r in cent.collect()}
+    sv = {r.vec_id: np.array(r.sv, dtype=np.int64) for r in vectors.collect()}
+
+    expected = {}
+    for qid in range(S.NUM_QUERY_VECTORS):
+        dists = sorted(
+            (int(((sv[qid] - c) ** 2).sum()), cid) for cid, c in cent_rows.items()
+        )
+        probe = {cid for _, cid in dists[: S.KMEANS_NPROBE]}
+        q = emb[qid]
+        scored = sorted(
+            (
+                -round(
+                    float(
+                        q @ emb[v] / (np.linalg.norm(q) * np.linalg.norm(emb[v]))
+                    ),
+                    4,
+                ),
+                v,
+            )
+            for v, c in assigned.items()
+            if c in probe and v != qid and labels[v] in S.FILTER_LABELS
+        )
+        expected[qid] = [v for _, v in scored[: S.TOP_K]]
+
+    got: dict[int, list] = {}
+    for r in sorted(
+        S.q_sim_filtered_topk(spark, sf_dir).collect(),
+        key=lambda r: (r.query_id, r.sim_rank),
+    ):
+        assert labels[r.neighbor_id] in S.FILTER_LABELS
+        got.setdefault(r.query_id, []).append(r.neighbor_id)
+    assert got == {q: v for q, v in expected.items() if v}
