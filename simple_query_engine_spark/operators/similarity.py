@@ -992,11 +992,19 @@ def _kmeans_assign(vectors: DataFrame, cent: DataFrame) -> DataFrame:
 
 
 def _kmeans_trained(
-    spark: SparkSession, sf_dir: str
+    spark: SparkSession,
+    sf_dir: str,
+    base_filter: Column | None = None,
+    key_prefix: str = "kmeans",
 ) -> tuple[DataFrame, DataFrame]:
-    """(shifted-integer vectors, trained K-row centroid table) after
-    KMEANS_ITERS Lloyd iterations — shared by the catalog entry and the
-    IVF-with-trained-centroids recall audit in tests."""
+    """(shifted-integer vectors — ALL of them, trained K-row centroid
+    table) after KMEANS_ITERS Lloyd iterations — shared by the catalog
+    entries and the IVF-with-trained-centroids recall audit in tests.
+    ``base_filter`` restricts the TRAINING set (seeds and iterations);
+    the returned ``vectors`` frame is always the full corpus, so callers
+    can assign rows the quantizer never saw (the index-append path).
+    ``key_prefix`` keys the per-iteration session caches — a filtered
+    training run must not collide with the default one."""
     embeddings = table(spark, sf_dir, "embeddings")
     vectors = embeddings.select(
         "vec_id",
@@ -1007,17 +1015,18 @@ def _kmeans_trained(
             ),
         ).alias("sv"),
     )
+    base = vectors.filter(base_filter) if base_filter is not None else vectors
     seeds = (
-        vectors.withColumn(
+        base.withColumn(
             "h", md5_prefix_long(F.col("vec_id").cast("string"), IVF_HASH_WIDTH)
         )
         .orderBy("h", "vec_id")
         .limit(KMEANS_K)
         .select(F.col("vec_id").alias("cell_id"), F.col("sv").alias("cv"))
     )
-    cent = session_cache(seeds, sf_dir, "kmeans_cent_0")
+    cent = session_cache(seeds, sf_dir, f"{key_prefix}_cent_0")
     for it in range(1, KMEANS_ITERS + 1):
-        assigned = _kmeans_assign(vectors, cent)
+        assigned = _kmeans_assign(base, cent)
         dims = assigned.select("cell_id", F.posexplode("sv").alias("j", "x"))
         means = dims.groupBy("cell_id", "j").agg(
             F.expr("sum(x) div count(1)").alias("m")
@@ -1032,7 +1041,7 @@ def _kmeans_trained(
                 "cell_id", F.coalesce("new_cv", "cv").alias("cv")
             ),
             sf_dir,
-            f"kmeans_cent_{it}",
+            f"{key_prefix}_cent_{it}",
         )
     return vectors, cent
 
@@ -1079,17 +1088,23 @@ def q_sim_kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _kmeans_oracle_parts(
-    k: int = KMEANS_K, iters: int = KMEANS_ITERS
-) -> tuple[list[str], str]:
-    """The shared unrolled-CTE core of the k-means oracles: returns the CTE
-    list (ending with the final assignment ``af`` against the trained
-    centroids) and the name of the final centroid CTE."""
+    k: int = KMEANS_K,
+    iters: int = KMEANS_ITERS,
+    base_where: str = "",
+    batch_where: str = "",
+) -> tuple[list[str], str, str]:
+    """The shared unrolled-CTE core of the k-means oracles: returns the
+    CTE list, the name of the final centroid CTE, and the name of the
+    posting-list (membership) CTE.  ``base_where`` restricts the TRAINING
+    set (seeds + iterations + the final ``af`` assignment);
+    ``batch_where`` adds an ``abatch`` assignment of the held-out rows to
+    the final centroids and a union CTE ``am`` — the index-append twin."""
     sq = (
         f"CAST(list_sum(list_transform(range(1, {EMB_DIM + 1}), "
         "j -> (v.sv[j] - c.cv[j]) * (v.sv[j] - c.cv[j]))) AS BIGINT)"
     )
 
-    def assign(name: str, cent: str) -> str:
+    def assign(name: str, cent: str, src: str = "v") -> str:
         return f"""{name} AS (
             SELECT vec_id, sv, cell_id, d FROM (
                 SELECT vec_id, sv, cell_id, d,
@@ -1097,7 +1112,7 @@ def _kmeans_oracle_parts(
                                           ORDER BY d, cell_id) AS rn
                 FROM (
                     SELECT v.vec_id, v.sv, c.cell_id, {sq} AS d
-                    FROM v, {cent} c
+                    FROM {src} v, {cent} c
                 )
             ) WHERE rn = 1
         )"""
@@ -1110,16 +1125,22 @@ def _kmeans_oracle_parts(
                                  + {KMEANS_OFFSET} AS BIGINT)) AS sv
             FROM embeddings
         )""",
+    ]
+    train_src = "v"
+    if base_where:
+        parts.append(f"vb AS (SELECT * FROM v WHERE {base_where})")
+        train_src = "vb"
+    parts.append(
         f"""c0 AS (
-            SELECT vec_id AS cell_id, sv AS cv FROM v
+            SELECT vec_id AS cell_id, sv AS cv FROM {train_src}
             ORDER BY {md5_prefix_long_sql("CAST(vec_id AS VARCHAR)", IVF_HASH_WIDTH)},
                      vec_id
             LIMIT {k}
-        )""",
-    ]
+        )"""
+    )
     prev = "c0"
     for i in range(1, iters + 1):
-        parts.append(assign(f"a{i}", prev))
+        parts.append(assign(f"a{i}", prev, train_src))
         parts.append(
             f"""m{i} AS (
             SELECT cell_id, j,
@@ -1138,14 +1159,26 @@ def _kmeans_oracle_parts(
         )"""
         )
         prev = f"c{i}"
-    parts.append(assign("af", prev))
-    return parts, prev
+    parts.append(assign("af", prev, train_src))
+    members = "af"
+    if batch_where:
+        parts.append(
+            assign("abatch", prev, f"(SELECT * FROM v WHERE {batch_where})")
+        )
+        parts.append(
+            """am AS (
+            SELECT vec_id, cell_id FROM af
+            UNION ALL SELECT vec_id, cell_id FROM abatch
+        )"""
+        )
+        members = "am"
+    return parts, prev, members
 
 
 def _kmeans_oracle_sql(k: int = KMEANS_K, iters: int = KMEANS_ITERS) -> str:
     """Unrolled-CTE DuckDB twin of :func:`q_sim_kmeans_train` — one
     (assignment, update) CTE pair per Lloyd iteration."""
-    parts, final_cent = _kmeans_oracle_parts(k, iters)
+    parts, final_cent, _ = _kmeans_oracle_parts(k, iters)
     return (
         "WITH "
         + ",\n        ".join(parts)
@@ -1194,6 +1227,20 @@ def _ivf_trained_search(
     members = _kmeans_assign(vectors, cent).select(
         F.col("vec_id").alias("neighbor_id"), "cell_id"
     )
+    return _ivf_search(spark, sf_dir, vectors, cent, members, cand_filter)
+
+
+def _ivf_search(
+    spark: SparkSession,
+    sf_dir: str,
+    vectors: DataFrame,
+    cent: DataFrame,
+    members: DataFrame,
+    cand_filter: Column | None = None,
+) -> DataFrame:
+    """Probe-and-rank core shared by every trained-quantizer search:
+    nprobe cells per query against ``cent``, exact-cosine ranking of the
+    probed ``members`` (posting lists keyed by cell_id)."""
     probe_scored = (
         vectors.filter(F.col("vec_id") < NUM_QUERY_VECTORS)
         .crossJoin(F.broadcast(cent))
@@ -1270,12 +1317,62 @@ def q_sim_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _ivf_trained_oracle_sql(cand_where: str = "") -> str:
+# Index-append split: vectors with vec_id ≡ IVF_BATCH_REM (mod
+# IVF_BATCH_MOD) play the late-arriving batch (~10% of the corpus); the
+# quantizer trains on the other ~90%.
+IVF_BATCH_MOD = 10
+IVF_BATCH_REM = 7
+
+
+def q_sim_ivf_append_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL index maintenance: a late-arriving batch (~1/
+    {IVF_BATCH_MOD} of the corpus) is appended to the trained IVF index
+    WITHOUT retraining — each new vector is assigned to its nearest
+    existing centroid and lands in that posting list, exactly how a
+    production IVF deployment absorbs new data between periodic retrains
+    (the ``dedup_incremental_minhash`` discipline applied to ANN).
+
+    The quantizer trains only on the base (the batch never influences
+    the centroids — pinned by test: centroids are identical with the
+    batch deleted), the base posting lists are the session-cached
+    standing index, and the append step is ONE broadcast K-row arg-min
+    over just the batch — per-batch cost ∝ batch size, never a corpus
+    pass.  Search then runs over base ∪ appended postings; queries probe
+    the same centroids.  At 100 TB the standing index persists and each
+    ingest micro-batch pays only its own assignment.  Oracle: unrolled
+    k-means CTEs over the base, one extra assignment CTE for the batch,
+    search over the union.
+    """
+    is_batch = F.col("vec_id") % IVF_BATCH_MOD == F.lit(IVF_BATCH_REM)
+    vectors, cent = _kmeans_trained(
+        spark, sf_dir, base_filter=~is_batch, key_prefix="kmeans_app"
+    )
+    base_members = session_cache(
+        _kmeans_assign(vectors.filter(~is_batch), cent).select(
+            F.col("vec_id").alias("neighbor_id"), "cell_id"
+        ),
+        sf_dir,
+        "ivf_append_base_members",
+    )
+    batch_members = _kmeans_assign(vectors.filter(is_batch), cent).select(
+        F.col("vec_id").alias("neighbor_id"), "cell_id"
+    )
+    members = base_members.unionByName(batch_members)
+    return _ivf_search(spark, sf_dir, vectors, cent, members)
+
+
+def _ivf_trained_oracle_sql(
+    cand_where: str = "", base_where: str = "", batch_where: str = ""
+) -> str:
     """Kmeans training CTEs + probe ranking + exact-cosine cell search —
     the DuckDB twin of :func:`q_sim_ivf_trained_topk`; ``cand_where``
     (a ``WHERE m.<pred>`` clause on the metadata row) yields the
-    :func:`q_sim_filtered_topk` twin."""
-    parts, final_cent = _kmeans_oracle_parts()
+    :func:`q_sim_filtered_topk` twin; ``base_where``/``batch_where``
+    (train-set / held-out-batch predicates) yield the
+    :func:`q_sim_ivf_append_topk` twin."""
+    parts, final_cent, members = _kmeans_oracle_parts(
+        base_where=base_where, batch_where=batch_where
+    )
     sq = (
         f"CAST(list_sum(list_transform(range(1, {EMB_DIM + 1}), "
         "j -> (v.sv[j] - c.cv[j]) * (v.sv[j] - c.cv[j]))) AS BIGINT)"
@@ -1309,7 +1406,7 @@ def _ivf_trained_oracle_sql(cand_where: str = "") -> str:
                    ROUND(list_dot_product(qe.ev, ce.ev)
                          / (qe.nrm * ce.nrm), 4) AS similarity
             FROM probes p
-            JOIN af a ON a.cell_id = p.cell_id AND a.vec_id <> p.query_id
+            JOIN {members} a ON a.cell_id = p.cell_id AND a.vec_id <> p.query_id
             JOIN e qe ON qe.vec_id = p.query_id
             JOIN ec ce ON ce.vec_id = a.vec_id
         )
@@ -1327,6 +1424,7 @@ QUERIES = {
     "sim_kmeans_train": q_sim_kmeans_train,
     "sim_ivf_trained_topk": q_sim_ivf_trained_topk,
     "sim_filtered_topk": q_sim_filtered_topk,
+    "sim_ivf_append_topk": q_sim_ivf_append_topk,
     "sim_recall_audit": q_sim_recall_audit,
     "sim_recall_audit_trained": q_sim_recall_audit_trained,
     "sim_neardup_pairs_baseline": q_sim_neardup_pairs_baseline,
@@ -1365,6 +1463,10 @@ ORACLES = {
     "sim_ivf_trained_topk": _ivf_trained_oracle_sql(),
     "sim_filtered_topk": _ivf_trained_oracle_sql(
         cand_where=f"WHERE m.label IN {FILTER_LABELS}"
+    ),
+    "sim_ivf_append_topk": _ivf_trained_oracle_sql(
+        base_where=f"vec_id % {IVF_BATCH_MOD} <> {IVF_BATCH_REM}",
+        batch_where=f"vec_id % {IVF_BATCH_MOD} = {IVF_BATCH_REM}",
     ),
     "sim_neardup_pairs_baseline": f"""
         WITH e AS (

@@ -440,3 +440,96 @@ def test_filtered_topk_prefilter_semantics(spark, sf_dir):
         assert labels[r.neighbor_id] in S.FILTER_LABELS
         got.setdefault(r.query_id, []).append(r.neighbor_id)
     assert got == {q: v for q, v in expected.items() if v}
+
+def test_ivf_append_trains_on_base_only_and_ranks_union(spark, sf_dir):
+    """Numpy model of the append pipeline: (1) the trained centroids must
+    equal integer Lloyd run on the BASE rows alone — the late batch never
+    influences the quantizer; (2) the search output must equal ranking
+    over base-assignment ∪ batch-argmin posting lists."""
+    import hashlib
+
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    rows = spark.read.parquet(f"{sf_dir}/embeddings.parquet").collect()
+    sv = {
+        r.vec_id: (
+            np.floor(np.array(r.embedding, dtype=np.float64) * S.EMB_SCALE)
+            + S.KMEANS_OFFSET
+        ).astype(np.int64)
+        for r in rows
+    }
+    emb = {r.vec_id: np.array(r.embedding, dtype=np.float64) for r in rows}
+    base_ids = [v for v in sv if v % S.IVF_BATCH_MOD != S.IVF_BATCH_REM]
+    batch_ids = [v for v in sv if v % S.IVF_BATCH_MOD == S.IVF_BATCH_REM]
+    assert batch_ids, "fixture has no batch rows"
+
+    def h(vid):
+        return int(
+            hashlib.md5(str(vid).encode()).hexdigest()[: S.IVF_HASH_WIDTH], 16
+        )
+
+    seed_ids = sorted(base_ids, key=lambda v: (h(v), v))[: S.KMEANS_K]
+    cent = {vid: sv[vid].copy() for vid in seed_ids}
+
+    def argmin(x):
+        return min((int(((x - c) ** 2).sum()), cid) for cid, c in cent.items())
+
+    for _ in range(S.KMEANS_ITERS):
+        a = {vid: argmin(sv[vid]) for vid in base_ids}
+        sums, counts = {}, {}
+        for vid, (_, cid) in a.items():
+            sums[cid] = sums.get(cid, 0) + sv[vid]
+            counts[cid] = counts.get(cid, 0) + 1
+        for cid in cent:
+            if cid in counts:
+                cent[cid] = sums[cid] // counts[cid]
+
+    is_batch = F.col("vec_id") % S.IVF_BATCH_MOD == F.lit(S.IVF_BATCH_REM)
+    _, cent_df = S._kmeans_trained(
+        spark, sf_dir, base_filter=~is_batch, key_prefix="kmeans_app"
+    )
+    got_cent = {r.cell_id: list(r.cv) for r in cent_df.collect()}
+    assert got_cent == {cid: [int(x) for x in c] for cid, c in cent.items()}
+
+    # membership: base + batch all argmin-assigned to the final centroids
+    assigned = {vid: argmin(x)[1] for vid, x in sv.items()}
+    expected = {}
+    for qid in range(S.NUM_QUERY_VECTORS):
+        dists = sorted(
+            (int(((sv[qid] - c) ** 2).sum()), cid) for cid, c in cent.items()
+        )
+        probe = {cid for _, cid in dists[: S.KMEANS_NPROBE]}
+        q = emb[qid]
+        scored = sorted(
+            (
+                -round(
+                    float(
+                        q @ emb[v] / (np.linalg.norm(q) * np.linalg.norm(emb[v]))
+                    ),
+                    4,
+                ),
+                v,
+            )
+            for v, c in assigned.items()
+            if c in probe and v != qid
+        )
+        expected[qid] = [v for _, v in scored[: S.TOP_K]]
+
+    got: dict[int, list] = {}
+    batch_neighbors = 0
+    for r in sorted(
+        S.q_sim_ivf_append_topk(spark, sf_dir).collect(),
+        key=lambda r: (r.query_id, r.sim_rank),
+    ):
+        got.setdefault(r.query_id, []).append(r.neighbor_id)
+        if r.neighbor_id % S.IVF_BATCH_MOD == S.IVF_BATCH_REM:
+            batch_neighbors += 1
+    assert got == {q: v for q, v in expected.items() if v}
+    # the appended rows must actually be searchable (the point of the op)
+    assert batch_neighbors == sum(
+        1
+        for vs in expected.values()
+        for v in vs
+        if v % S.IVF_BATCH_MOD == S.IVF_BATCH_REM
+    )
