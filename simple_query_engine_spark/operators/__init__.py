@@ -45,6 +45,7 @@ _ROTATION_FRONT = [
     "sim_recall_audit_trained",
     "sim_filtered_topk",
     "sim_ivf_append_topk",
+    "stream_vector_ingest",
     # --- 3. function-changed in r10, results hash-identical; re-cert ---
     "udtf_split_fields",
     "events_rfm_segments",
@@ -64,7 +65,7 @@ _ROTATION_FRONT = [
     "stream_stream_join",
     "stream_restart_resume",
     "stream_dedup_user_counts",
-    # --- 5. age queue: the 24 oldest r06-era names (25 r06 names remain
+    # --- 5. age queue: the 23 oldest r06-era names (26 r06 names remain
     #     for the r12 front) ---
     "events_retention_cohort",
     "events_user_streaks",
@@ -89,7 +90,6 @@ _ROTATION_FRONT = [
     "text_bigram_freq",
     "dedup_exact",
     "dedup_clusters",
-    "dedup_clusters_lsh",
 ]
 
 # Entries added or function-changed THIS round that could not displace the

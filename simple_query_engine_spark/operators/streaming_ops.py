@@ -297,6 +297,105 @@ def q_stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_vector_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming VECTOR INGEST into the trained IVF index: the embeddings
+    table replays as a file-source stream and every arriving vector is
+    assigned to its nearest trained centroid, feeding a running per-cell
+    ingest report (rows landed, integer inertia, ingest frontier) — the
+    streaming face of ``sim_ivf_append_topk``'s append step: this is what
+    posting-list growth looks like while a 100 TB/day embedding firehose
+    lands, with the quantizer held fixed between retrains.
+
+    The arg-min is deliberately a PROJECTION, not an aggregation: the
+    K-row centroid table packs into ONE broadcast array row
+    (stream-static join), and each vector's nearest cell is
+    ``array_min`` over a transform to (distance, cell_id) structs —
+    chained streaming aggregations are disallowed, and none are needed
+    when K is executor-resident.  The single streaming aggregation is
+    the per-cell rollup (complete mode).  On a finite replay the report
+    equals the batch assignment rollup, which is what the oracle's
+    unrolled k-means CTEs compute; ties break to the lowest cell_id
+    exactly like ``_kmeans_assign``'s min-struct.
+    """
+    return run_vector_ingest(spark, sf_dir)
+
+
+def run_vector_ingest(
+    spark: SparkSession,
+    sf_dir: str,
+    stream_path: str | None = None,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """The :func:`q_stream_vector_ingest` pipeline with an overridable
+    stream source — tests replay a staged multi-file copy of the
+    embeddings (``max_files_per_trigger=1`` forces one micro-batch per
+    file) while the quantizer still trains from the canonical ``sf_dir``
+    (keeping the session caches tagged to the real dir)."""
+    import tempfile
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from simple_query_engine_spark.operators.similarity import (
+        EMB_SCALE,
+        KMEANS_OFFSET,
+        _kmeans_sqdist,
+        _kmeans_trained,
+    )
+    from simple_query_engine_spark.streaming.windows import read_event_stream
+
+    _, cent = _kmeans_trained(spark, sf_dir)
+    packed = F.broadcast(
+        cent.agg(
+            F.array_sort(F.collect_list(F.struct("cell_id", "cv"))).alias("cents")
+        )
+    )
+    stream = read_event_stream(
+        spark,
+        stream_path or os.path.join(sf_dir, "embeddings.parquet"),
+        max_files_per_trigger,
+    )
+    sv = F.transform(
+        F.col("embedding"),
+        lambda x: (F.floor(x.cast("double") * EMB_SCALE) + KMEANS_OFFSET).cast(
+            "long"
+        ),
+    )
+    scored = (
+        stream.withColumn("sv", sv)
+        .crossJoin(packed)
+        .withColumn(
+            "best",
+            F.array_min(
+                F.transform(
+                    F.col("cents"),
+                    lambda c: F.struct(
+                        _kmeans_sqdist(F.col("sv"), c.cv).alias("d"),
+                        c.cell_id.alias("cell_id"),
+                    ),
+                )
+            ),
+        )
+    )
+    report = scored.groupBy(F.col("best.cell_id").alias("cell_id")).agg(
+        F.count(F.lit(1)).alias("n_ingested"),
+        F.sum("best.d").alias("inertia"),
+        F.max("vec_id").alias("last_vec_id"),
+    )
+    sink_name = f"vecingest_{uuid.uuid4().hex[:8]}"
+    checkpoint = os.path.join(tempfile.gettempdir(), f"ckpt_{sink_name}")
+    query = (
+        report.writeStream.format("memory")
+        .queryName(sink_name)
+        .outputMode("complete")
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return spark.table(sink_name)
+
+
 def q_stream_watermark_late_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Watermark late-data DROP accounting: a 4-batch ordered replay where
     the held-back straggler slice arrives weeks past its event time and
@@ -322,6 +421,7 @@ QUERIES = {
     "stream_restart_resume": q_stream_restart_resume,
     "stream_dedup_user_counts": q_stream_dedup_user_counts,
     "stream_upsert_managed": q_stream_upsert_managed,
+    "stream_vector_ingest": q_stream_vector_ingest,
     "window_tumbling_counts": q_batch_tumbling,
     "window_sliding_counts": q_window_sliding,
     "window_session_counts": q_window_session,
@@ -476,3 +576,28 @@ ORACLES = {
     "window_sliding_counts": _SLIDING_SQL,
     "window_session_counts": _SESSION_SQL,
 }
+
+
+def _vector_ingest_oracle_sql() -> str:
+    """Batch twin of the streaming ingest report: the unrolled k-means
+    training CTEs (identical to the ``sim_kmeans_train`` oracle) plus the
+    per-cell rollup over the final assignment — on a finite replay the
+    complete-mode stream converges to exactly this."""
+    from simple_query_engine_spark.operators.similarity import (
+        _kmeans_oracle_parts,
+    )
+
+    parts, _, _ = _kmeans_oracle_parts()
+    return (
+        "WITH "
+        + ",\n        ".join(parts)
+        + """
+        SELECT cell_id,
+               COUNT(*) AS n_ingested,
+               CAST(SUM(d) AS BIGINT) AS inertia,
+               CAST(MAX(vec_id) AS BIGINT) AS last_vec_id
+        FROM af GROUP BY cell_id"""
+    )
+
+
+ORACLES["stream_vector_ingest"] = _vector_ingest_oracle_sql()

@@ -348,3 +348,33 @@ def test_dedup_within_watermark_state_is_evicted(spark, tmp_path):
         int(t0.timestamp()),
         int((t0 + dt.timedelta(hours=2, minutes=30)).timestamp()),
     ], ones
+
+def test_vector_ingest_multi_batch_equals_batch_rollup(spark, sf_dir, tmp_path):
+    """The streaming ingest report over a 3-file replay (one micro-batch
+    per file) must equal the batch assignment rollup — posting-list
+    growth is correct however the corpus is sliced into batches.  The
+    quantizer trains from the canonical sf_dir so the session caches stay
+    tagged to the real dir."""
+    from simple_query_engine_spark.operators import similarity as S
+
+    staged = str(tmp_path / "emb_multi")
+    spark.read.parquet(f"{sf_dir}/embeddings.parquet").repartition(3).write.parquet(
+        staged
+    )
+
+    got = rows_set(
+        SO.run_vector_ingest(spark, sf_dir, stream_path=staged, max_files_per_trigger=1)
+    )
+
+    vectors, cent = S._kmeans_trained(spark, sf_dir)
+    batch = rows_set(
+        S._kmeans_assign(vectors, cent)
+        .groupBy("cell_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_ingested"),
+            F.sum("d").alias("inertia"),
+            F.max("vec_id").alias("last_vec_id"),
+        )
+    )
+    assert got == batch
+    assert len(got) <= S.KMEANS_K and len(got) > 0
