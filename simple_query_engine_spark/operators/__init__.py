@@ -45,6 +45,7 @@ _ROTATION_FRONT = [
     "sim_recall_audit_trained",
     "sim_filtered_topk",
     "sim_ivf_append_topk",
+    "sim_hard_negatives",
     "stream_vector_ingest",
     # --- 3. function-changed in r10, results hash-identical; re-cert ---
     "udtf_split_fields",
@@ -65,7 +66,7 @@ _ROTATION_FRONT = [
     "stream_stream_join",
     "stream_restart_resume",
     "stream_dedup_user_counts",
-    # --- 5. age queue: the 23 oldest r06-era names (26 r06 names remain
+    # --- 5. age queue: the 22 oldest r06-era names (27 r06 names remain
     #     for the r12 front) ---
     "events_retention_cohort",
     "events_user_streaks",
@@ -89,7 +90,6 @@ _ROTATION_FRONT = [
     "text_repetition",
     "text_bigram_freq",
     "dedup_exact",
-    "dedup_clusters",
 ]
 
 # Entries added or function-changed THIS round that could not displace the

@@ -55,12 +55,21 @@ def _norm(a: Column) -> Column:
     return F.sqrt(_dot(a, a))
 
 
-def _with_norm(df: DataFrame, id_alias: str, emb_alias: str, norm_alias: str) -> DataFrame:
-    return df.select(
+def _with_norm(
+    df: DataFrame,
+    id_alias: str,
+    emb_alias: str,
+    norm_alias: str,
+    label_alias: str | None = None,
+) -> DataFrame:
+    cols = [
         F.col("vec_id").alias(id_alias),
         F.col("embedding").alias(emb_alias),
         _norm(F.col("embedding")).alias(norm_alias),
-    )
+    ]
+    if label_alias is not None:
+        cols.append(F.col("label").alias(label_alias))
+    return df.select(*cols)
 
 
 def q_sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1218,16 +1227,22 @@ def q_sim_ivf_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _ivf_trained_search(
-    spark: SparkSession, sf_dir: str, cand_filter: Column | None
+    spark: SparkSession,
+    sf_dir: str,
+    cand_filter: Column | None,
+    pair_filter: Column | None = None,
 ) -> DataFrame:
     """Trained-IVF top-k search, optionally restricted to candidates
-    passing ``cand_filter`` — shared by the unfiltered entry and the
-    metadata-filtered variant."""
+    passing ``cand_filter`` (static) and pairs passing ``pair_filter``
+    (per-query) — shared by the unfiltered, metadata-filtered, and
+    hard-negative variants."""
     vectors, cent = _kmeans_trained(spark, sf_dir)
     members = _kmeans_assign(vectors, cent).select(
         F.col("vec_id").alias("neighbor_id"), "cell_id"
     )
-    return _ivf_search(spark, sf_dir, vectors, cent, members, cand_filter)
+    return _ivf_search(
+        spark, sf_dir, vectors, cent, members, cand_filter, pair_filter
+    )
 
 
 def _ivf_search(
@@ -1237,10 +1252,14 @@ def _ivf_search(
     cent: DataFrame,
     members: DataFrame,
     cand_filter: Column | None = None,
+    pair_filter: Column | None = None,
 ) -> DataFrame:
     """Probe-and-rank core shared by every trained-quantizer search:
     nprobe cells per query against ``cent``, exact-cosine ranking of the
-    probed ``members`` (posting lists keyed by cell_id)."""
+    probed ``members`` (posting lists keyed by cell_id).  ``cand_filter``
+    statically restricts the candidate scan; ``pair_filter`` is a
+    per-(query, candidate) predicate over ``q_label``/``c_label`` applied
+    after the probe join, before ranking (hard-negative mining)."""
     probe_scored = (
         vectors.filter(F.col("vec_id") < NUM_QUERY_VECTORS)
         .crossJoin(F.broadcast(cent))
@@ -1256,6 +1275,7 @@ def _ivf_search(
         .filter(F.col("cell_rank") <= KMEANS_NPROBE)
         .select("query_id", "cell_id")
     )
+    with_labels = pair_filter is not None
     queries = _with_norm(
         table(spark, sf_dir, "embeddings").filter(
             F.col("vec_id") < NUM_QUERY_VECTORS
@@ -1263,21 +1283,32 @@ def _ivf_search(
         "query_id",
         "q_emb",
         "q_norm",
+        "q_label" if with_labels else None,
     )
     cands_src = table(spark, sf_dir, "embeddings")
     if cand_filter is not None:
         cands_src = cands_src.filter(cand_filter)
-    cands = _with_norm(cands_src, "neighbor_id", "c_emb", "c_norm")
+    cands = _with_norm(
+        cands_src,
+        "neighbor_id",
+        "c_emb",
+        "c_norm",
+        "c_label" if with_labels else None,
+    )
     cosine = _dot(F.col("q_emb"), F.col("c_emb")) / (
         F.col("q_norm") * F.col("c_norm")
     )
-    scored = (
+    joined = (
         F.broadcast(probes)
         .join(members, "cell_id")
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .join(F.broadcast(queries), "query_id")
         .join(cands, "neighbor_id")
-        .select("query_id", "neighbor_id", F.round(cosine, 4).alias("similarity"))
+    )
+    if pair_filter is not None:
+        joined = joined.filter(pair_filter)
+    scored = joined.select(
+        "query_id", "neighbor_id", F.round(cosine, 4).alias("similarity")
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("similarity").desc(), F.col("neighbor_id")
@@ -1314,6 +1345,33 @@ def q_sim_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     return _ivf_trained_search(
         spark, sf_dir, cand_filter=F.col("label").isin(*FILTER_LABELS)
+    )
+
+
+def q_sim_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HARD-NEGATIVE MINING for contrastive training: per query vector,
+    the top-k most similar candidates whose label DIFFERS from the
+    query's — the highest-similarity wrong-class neighbors are exactly
+    the pairs an embedding-model trainer wants in the negatives batch
+    (easy negatives teach nothing; these sit right at the decision
+    boundary).
+
+    Where ``sim_filtered_topk`` applies one STATIC predicate to the
+    candidate scan, the anti-label constraint here is PER-QUERY — it can
+    only be evaluated on the (query, candidate) pair, so it sits after
+    the posting-list probe join and before ranking.  Scan cost is
+    unchanged from the trained-IVF search (nprobe/K of the corpus); the
+    pair predicate drops rows mid-pipeline, JVM-side, before any cosine
+    leaves the stage.  At 100 TB this is the mining pass a contrastive
+    pipeline runs per epoch over a sampled query set.  Oracle: the
+    trained-IVF SQL with labels carried through the vector CTEs and the
+    inequality on the searched pair.
+    """
+    return _ivf_trained_search(
+        spark,
+        sf_dir,
+        cand_filter=None,
+        pair_filter=F.col("q_label") != F.col("c_label"),
     )
 
 
@@ -1362,14 +1420,18 @@ def q_sim_ivf_append_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _ivf_trained_oracle_sql(
-    cand_where: str = "", base_where: str = "", batch_where: str = ""
+    cand_where: str = "",
+    base_where: str = "",
+    batch_where: str = "",
+    pair_where: str = "",
 ) -> str:
     """Kmeans training CTEs + probe ranking + exact-cosine cell search —
     the DuckDB twin of :func:`q_sim_ivf_trained_topk`; ``cand_where``
     (a ``WHERE m.<pred>`` clause on the metadata row) yields the
     :func:`q_sim_filtered_topk` twin; ``base_where``/``batch_where``
     (train-set / held-out-batch predicates) yield the
-    :func:`q_sim_ivf_append_topk` twin."""
+    :func:`q_sim_ivf_append_topk` twin; ``pair_where`` (a ``WHERE`` over
+    ``qe``/``ce`` labels) yields the :func:`q_sim_hard_negatives` twin."""
     parts, final_cent, members = _kmeans_oracle_parts(
         base_where=base_where, batch_where=batch_where
     )
@@ -1391,13 +1453,13 @@ def _ivf_trained_oracle_sql(
             ) WHERE rn <= {KMEANS_NPROBE}
         ),
         e AS (
-            SELECT vec_id, embedding::DOUBLE[] AS ev,
+            SELECT vec_id, label, embedding::DOUBLE[] AS ev,
                    sqrt(list_dot_product(embedding::DOUBLE[],
                                          embedding::DOUBLE[])) AS nrm
             FROM embeddings
         ),
         ec AS (
-            SELECT e.vec_id, e.ev, e.nrm
+            SELECT e.vec_id, e.label, e.ev, e.nrm
             FROM e JOIN embeddings m ON m.vec_id = e.vec_id
             {cand_where}
         ),
@@ -1409,6 +1471,7 @@ def _ivf_trained_oracle_sql(
             JOIN {members} a ON a.cell_id = p.cell_id AND a.vec_id <> p.query_id
             JOIN e qe ON qe.vec_id = p.query_id
             JOIN ec ce ON ce.vec_id = a.vec_id
+            {pair_where}
         )
         SELECT query_id, neighbor_id, similarity, sim_rank FROM (
             SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
@@ -1424,6 +1487,7 @@ QUERIES = {
     "sim_kmeans_train": q_sim_kmeans_train,
     "sim_ivf_trained_topk": q_sim_ivf_trained_topk,
     "sim_filtered_topk": q_sim_filtered_topk,
+    "sim_hard_negatives": q_sim_hard_negatives,
     "sim_ivf_append_topk": q_sim_ivf_append_topk,
     "sim_recall_audit": q_sim_recall_audit,
     "sim_recall_audit_trained": q_sim_recall_audit_trained,
@@ -1467,6 +1531,9 @@ ORACLES = {
     "sim_ivf_append_topk": _ivf_trained_oracle_sql(
         base_where=f"vec_id % {IVF_BATCH_MOD} <> {IVF_BATCH_REM}",
         batch_where=f"vec_id % {IVF_BATCH_MOD} = {IVF_BATCH_REM}",
+    ),
+    "sim_hard_negatives": _ivf_trained_oracle_sql(
+        pair_where="WHERE qe.label <> ce.label"
     ),
     "sim_neardup_pairs_baseline": f"""
         WITH e AS (

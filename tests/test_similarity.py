@@ -533,3 +533,49 @@ def test_ivf_append_trains_on_base_only_and_ranks_union(spark, sf_dir):
         for v in vs
         if v % S.IVF_BATCH_MOD == S.IVF_BATCH_REM
     )
+
+def test_hard_negatives_anti_label_semantics(spark, sf_dir):
+    """Hard-negative mining must equal the Python model: probed-cell
+    members with a label DIFFERENT from the query's, ranked by rounded
+    cosine — and never contain a same-label neighbor."""
+    import numpy as np
+
+    rows = spark.read.parquet(f"{sf_dir}/embeddings.parquet").collect()
+    labels = {r.vec_id: r.label for r in rows}
+    emb = {r.vec_id: np.array(r.embedding, dtype=np.float64) for r in rows}
+
+    vectors, cent = S._kmeans_trained(spark, sf_dir)
+    assigned = {r.vec_id: r.cell_id for r in S._kmeans_assign(vectors, cent).collect()}
+    cent_rows = {r.cell_id: np.array(r.cv, dtype=np.int64) for r in cent.collect()}
+    sv = {r.vec_id: np.array(r.sv, dtype=np.int64) for r in vectors.collect()}
+
+    expected = {}
+    for qid in range(S.NUM_QUERY_VECTORS):
+        dists = sorted(
+            (int(((sv[qid] - c) ** 2).sum()), cid) for cid, c in cent_rows.items()
+        )
+        probe = {cid for _, cid in dists[: S.KMEANS_NPROBE]}
+        q = emb[qid]
+        scored = sorted(
+            (
+                -round(
+                    float(
+                        q @ emb[v] / (np.linalg.norm(q) * np.linalg.norm(emb[v]))
+                    ),
+                    4,
+                ),
+                v,
+            )
+            for v, c in assigned.items()
+            if c in probe and v != qid and labels[v] != labels[qid]
+        )
+        expected[qid] = [v for _, v in scored[: S.TOP_K]]
+
+    got: dict[int, list] = {}
+    for r in sorted(
+        S.q_sim_hard_negatives(spark, sf_dir).collect(),
+        key=lambda r: (r.query_id, r.sim_rank),
+    ):
+        assert labels[r.neighbor_id] != labels[r.query_id]
+        got.setdefault(r.query_id, []).append(r.neighbor_id)
+    assert got == {q: v for q, v in expected.items() if v}
