@@ -25,10 +25,10 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # Round-11 front window (exactly 50 = the driver's window size), per
 # VERDICT r10 items 1 and 7: the 4 never-certified round-10 additions
 # (including sim_ivf_trained_topk, restored to the rotation after the
-# front_audit FAIL), the 3 entries new in round 11, the 2 r10
+# front_audit FAIL), the 8 entries new in round 11, the 2 r10
 # function-changed re-certs, then the age queue — all 15 r05-era names
-# and the 26 oldest r06-era names.  9 + 15 + 26 = exactly 50; after this
-# round the oldest cert anywhere in the catalog is r06.
+# and the 21 oldest r06-era names.  4 + 8 + 2 + 15 + 21 = exactly 50;
+# after this round the oldest cert anywhere in the catalog is r06.
 # ROUND11_NOTES.md tracks the ledger.
 _ROTATION_FRONT = [
     # --- 1. never driver-certified: the 4 round-10 additions (queued by
@@ -38,11 +38,13 @@ _ROTATION_FRONT = [
     "text_bpe_train",
     "sim_kmeans_train",
     "sim_ivf_trained_topk",
-    # --- 2. new in round 11 (BPE encode round-trip, trained-IVF recall
-    #     audit) ---
+    # --- 2. new in round 11 (BPE encode round-trip + fertility,
+    #     trained-IVF recall audit, filtered/append/hard-negative ANN,
+    #     streaming vector ingest) ---
     "text_bpe_encode",
     "text_bpe_encode_docs",
     "sim_recall_audit_trained",
+    "text_bpe_fertility",
     "sim_filtered_topk",
     "sim_ivf_append_topk",
     "sim_hard_negatives",
@@ -66,7 +68,7 @@ _ROTATION_FRONT = [
     "stream_stream_join",
     "stream_restart_resume",
     "stream_dedup_user_counts",
-    # --- 5. age queue: the 22 oldest r06-era names (27 r06 names remain
+    # --- 5. age queue: the 21 oldest r06-era names (28 r06 names remain
     #     for the r12 front) ---
     "events_retention_cohort",
     "events_user_streaks",
@@ -89,7 +91,6 @@ _ROTATION_FRONT = [
     "text_unigram_surprisal",
     "text_repetition",
     "text_bigram_freq",
-    "dedup_exact",
 ]
 
 # Entries added or function-changed THIS round that could not displace the

@@ -615,6 +615,49 @@ def q_text_bpe_encode_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_text_bpe_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer FERTILITY by language: tokens-per-word under the trained
+    merges, rolled up per ``lang`` — THE standard tokenizer-evaluation
+    metric (a vocab trained on one language family over-fragments the
+    others; fertility is how that bias is measured and reported, e.g. in
+    the multilingual-tokenizer literature).  Fertility is reported in
+    exact parts-per-million (token·10⁶/words, integer division) so the
+    ratio is engine-identical — the quantized-ln/integer-cents
+    convention.
+
+    Same plan as :func:`q_text_bpe_encode_docs` with the rollup keyed on
+    ``lang`` (5-ish groups) instead of ``doc_id``: one corpus explode +
+    vocab join + a partial-aggregated shuffle of a handful of rows.
+    """
+    _, seq = _bpe_trained(spark, sf_dir)
+    vocab_tok = seq.select(
+        F.regexp_replace("seq", r"[()]", "").alias("word"),
+        F.size(
+            F.split(F.expr("substring(seq, 2, length(seq) - 2)"), r"\)\(")
+        ).alias("n_symbols"),
+    )
+    words = _documents(spark, sf_dir).select(
+        "lang",
+        F.explode(
+            F.expr("regexp_extract_all(lower(text), '[a-z]+', 0)")
+        ).alias("word"),
+    )
+    return (
+        words.join(F.broadcast(vocab_tok), "word")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("n_symbols").alias("n_tokens"),
+        )
+        .select(
+            "lang",
+            "n_words",
+            "n_tokens",
+            F.expr("n_tokens * 1000000 div n_words").alias("fertility_ppm"),
+        )
+    )
+
+
 def _bpe_chain_parts(k: int = BPE_MERGES, full: bool = False) -> tuple[list[str], str]:
     """Shared unrolled-CTE merge chain of the BPE oracles: (CTE parts,
     name of the last rewrite CTE).  ``full=True`` includes the K-th
@@ -697,6 +740,34 @@ def _bpe_encode_oracle_sql(k: int = BPE_MERGES) -> str:
     )
 
 
+def _bpe_fertility_oracle_sql(k: int = BPE_MERGES) -> str:
+    """Full merge chain + per-language fertility rollup — the DuckDB twin
+    of :func:`q_text_bpe_fertility`."""
+    parts, final = _bpe_chain_parts(k, full=True)
+    return (
+        "WITH "
+        + ",\n        ".join(parts)
+        + f""",
+        vocab AS (
+            SELECT replace(replace(seq, '(', ''), ')', '') AS word,
+                   CAST(len(string_split(seq[2:-2], ')(')) AS INT) AS n_symbols
+            FROM {final}
+        ),
+        words AS (
+            SELECT lang,
+                   unnest(regexp_extract_all(lower(text), '[a-z]+', 0)) AS word
+            FROM documents
+        )
+        SELECT lang,
+               CAST(COUNT(*) AS BIGINT) AS n_words,
+               CAST(SUM(n_symbols) AS BIGINT) AS n_tokens,
+               CAST(SUM(n_symbols) AS BIGINT) * 1000000
+                   // CAST(COUNT(*) AS BIGINT) AS fertility_ppm
+        FROM words JOIN vocab USING (word)
+        GROUP BY lang"""
+    )
+
+
 def _bpe_encode_docs_oracle_sql(k: int = BPE_MERGES) -> str:
     """Full merge chain + per-document token counts under the trained
     merges — the DuckDB twin of :func:`q_text_bpe_encode_docs`.  The word
@@ -731,6 +802,7 @@ QUERIES = {
     "text_bpe_train": q_text_bpe_train,
     "text_bpe_encode": q_text_bpe_encode,
     "text_bpe_encode_docs": q_text_bpe_encode_docs,
+    "text_bpe_fertility": q_text_bpe_fertility,
     "text_quality_score": q_quality_score,
     "text_lang_id": q_lang_id,
     "text_fingerprint": q_fingerprint,
@@ -756,6 +828,7 @@ ORACLES = {
     "text_bpe_train": _bpe_train_oracle_sql(),
     "text_bpe_encode": _bpe_encode_oracle_sql(),
     "text_bpe_encode_docs": _bpe_encode_docs_oracle_sql(),
+    "text_bpe_fertility": _bpe_fertility_oracle_sql(),
     "text_bpe_token_count": f"""
         SELECT doc_id,
                CAST(len(regexp_extract_all(lower(text), '{_BPE_PATTERN}', 0)) AS INT) AS n_bpe_tokens,

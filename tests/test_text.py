@@ -362,3 +362,34 @@ def test_bpe_encode_docs_matches_reference_encoding(spark, sf_dir):
             len(w) for w in re.findall(r"[a-z]+", docs[doc_id].lower())
         )
         assert n_words <= n_tokens <= n_chars
+
+def test_bpe_fertility_matches_reference(spark, sf_dir):
+    """Per-language fertility must equal the reference model's rollup,
+    and the integer-ppm ratio must be the exact floor division."""
+    import re
+
+    from simple_query_engine_spark.operators.text import (
+        BPE_MERGES,
+        q_text_bpe_fertility,
+    )
+    from simple_query_engine_spark.sources.catalog import table
+
+    rows = table(spark, sf_dir, "documents").select("lang", "text").collect()
+    _, syms_of = _reference_bpe_final_vocab([r.text for r in rows], BPE_MERGES)
+    agg: dict[str, list[int]] = {}
+    for r in rows:
+        for w in re.findall(r"[a-z]+", r.text.lower()):
+            cur = agg.setdefault(r.lang, [0, 0])
+            cur[0] += 1
+            cur[1] += len(syms_of[w])
+    expected = {
+        lang: (n_words, n_tokens, n_tokens * 1_000_000 // n_words)
+        for lang, (n_words, n_tokens) in agg.items()
+    }
+    got = {
+        r.lang: (r.n_words, r.n_tokens, r.fertility_ppm)
+        for r in q_text_bpe_fertility(spark, sf_dir).collect()
+    }
+    assert got == expected
+    # every language's fertility is >= 1 token/word by construction
+    assert all(f >= 1_000_000 for _, _, f in got.values())
