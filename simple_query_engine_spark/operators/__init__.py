@@ -97,8 +97,10 @@ _ROTATION_FRONT = [
 # front (the front is full).  They sit immediately after the front in
 # registration order and lead the NEXT round's front.  tools/front_audit.py
 # treats queue membership as "pending" for the no-name-falls-through
-# invariant.  Empty this round: all round-11 additions fit in the front.
-_ROTATION_QUEUE: list[str] = []
+# invariant.
+_ROTATION_QUEUE: list[str] = [
+    "dedup_substring_spans",
+]
 
 
 def _rotated(merged: dict) -> dict:

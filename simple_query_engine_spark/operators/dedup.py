@@ -524,6 +524,106 @@ def q_dup_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Fixed-width window for the substring-level dedup diagnostic: a duplicated
+# substring of >= DUP_SPAN_WORDS words is caught by (all of) its constituent
+# windows, so maximal runs of duplicated windows recover the duplicated
+# substring's extent exactly.
+DUP_SPAN_WORDS = 8
+
+
+def q_dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-level duplication: per document, the OCCURRENCE-level
+    fraction of overlapping {DUP_SPAN_WORDS}-word windows whose content
+    also appears in another document, plus the maximal consecutive
+    duplicated runs — the unit substring-dedup excises (the public
+    "deduplicating training data" recipe: repeated spans inside otherwise
+    unique pages are what exact-dedup misses and what inflates
+    memorization).  Differs from ``text_dup_ngram_coverage`` on both axes:
+    occurrence-level (a span repeated 5× in one doc counts 5×, not once)
+    and run-collapsed (consecutive duplicated windows merge into one
+    maximal span, so ``max_dup_words`` is the longest duplicated
+    substring's length in words).
+
+    The reference engine has no text operators; this extends its scan →
+    filter → project pipeline shape (src/query_engine.rs:96-117) to the
+    training-data layer the brief requires.
+
+    Scale shape: fixed-width window fingerprinting is the shuffle-friendly
+    substitute for the single-machine suffix-array construction — windows
+    shuffle as 32-byte md5 keys, never text; the cross-doc document
+    frequency is a two-level aggregate (map-side partial on (h, doc_id));
+    the flag join is keyed on the fingerprint; the run collapse is a
+    per-doc window (gaps-and-islands on window position) after a doc_id
+    shuffle.  Nothing is all-pairs and nothing is driver-side; at 100 TB
+    the span table is ~n_words rows of (doc_id, pos, 16-byte digest).
+    """
+    from pyspark.sql.window import Window
+
+    documents = table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
+    words = F.col("w")
+    span_array = F.when(
+        F.size(words) >= DUP_SPAN_WORDS,
+        F.transform(
+            F.sequence(F.lit(1), F.size(words) - (DUP_SPAN_WORDS - 1)),
+            lambda i: F.md5(F.concat_ws(" ", F.slice(words, i, DUP_SPAN_WORDS))),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    tokenized = documents.select(
+        "doc_id", F.split(_normalized(F.col("text")), " ").alias("w")
+    )
+    occ = session_cache(
+        tokenized.select("doc_id", F.posexplode(span_array).alias("pos", "h")),
+        sf_dir,
+        "dedup_substring_occ",
+    )
+    dup = (
+        occ.select("doc_id", "h")
+        .distinct()
+        .groupBy("h")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .filter(F.col("n_docs") >= 2)
+        .select("h")
+    )
+    flagged = occ.join(
+        dup.withColumn("is_dup", F.lit(True)), "h", "left"
+    ).select("doc_id", "pos", F.coalesce("is_dup", F.lit(False)).alias("is_dup"))
+    totals = flagged.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_spans"),
+        F.sum(F.col("is_dup").cast("long")).alias("dup_spans"),
+    )
+    isl = flagged.filter("is_dup").withColumn(
+        "grp",
+        F.col("pos")
+        - F.row_number().over(Window.partitionBy("doc_id").orderBy("pos")),
+    )
+    runs = isl.groupBy("doc_id", "grp").agg(F.count(F.lit(1)).alias("run_len"))
+    runagg = runs.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_runs"),
+        (F.max("run_len") + (DUP_SPAN_WORDS - 1)).alias("max_dup_words"),
+    )
+    return (
+        documents.select("doc_id")
+        .join(totals, "doc_id", "left")
+        .join(runagg, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_spans", F.lit(0)).cast("long").alias("n_spans"),
+            F.coalesce("dup_spans", F.lit(0)).cast("long").alias("dup_spans"),
+            F.coalesce("n_runs", F.lit(0)).cast("long").alias("n_runs"),
+            F.coalesce("max_dup_words", F.lit(0)).cast("long").alias(
+                "max_dup_words"
+            ),
+            F.when(F.coalesce("n_spans", F.lit(0)) == 0, F.lit(0).cast("long"))
+            .otherwise(
+                F.expr("(dup_spans * 1000000) div n_spans").cast("long")
+            )
+            .alias("dup_span_ppm"),
+        )
+    )
+
+
 SIMHASH_BITS = 60  # md5-derived base hash is 15 hex digits = 60 bits
 # 5 × 12-bit chunks, candidates keyed on PAIRS of chunks (24-bit keys):
 # hamming ≤ 3 flips bits in ≤ 3 chunks, leaving ≥ 2 untouched, so some
@@ -1136,6 +1236,7 @@ def _triangles_oracle_sql() -> str:
 
 QUERIES = {
     "dedup_exact": q_dedup_exact,
+    "dedup_substring_spans": q_dedup_substring_spans,
     "dedup_keep_latest": q_dedup_keep_latest,
     "dedup_clusters": q_dedup_clusters,
     "dedup_clusters_lsh": q_dedup_clusters_lsh,
@@ -1365,6 +1466,53 @@ _NGRAM_NEAR_SQL = f"""
 """
 
 ORACLES = {
+    "dedup_substring_spans": f"""
+        WITH w AS (
+            SELECT doc_id, string_split({_NORM}, ' ') AS w FROM documents
+        ), occ AS (
+            SELECT doc_id, CAST(i AS BIGINT) AS pos,
+                   md5(array_to_string(w[i:i+{DUP_SPAN_WORDS - 1}], ' ')) AS h
+            FROM w, UNNEST(range(1, len(w) - {DUP_SPAN_WORDS} + 2)) AS t(i)
+            WHERE len(w) >= {DUP_SPAN_WORDS}
+        ), dup AS (
+            SELECT h FROM (
+                SELECT h, COUNT(DISTINCT doc_id) AS nd FROM occ GROUP BY h
+            ) WHERE nd >= 2
+        ), fl AS (
+            SELECT o.doc_id, o.pos,
+                   o.h IN (SELECT h FROM dup) AS is_dup
+            FROM occ o
+        ), tot AS (
+            SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_spans,
+                   CAST(SUM(CASE WHEN is_dup THEN 1 ELSE 0 END) AS BIGINT)
+                       AS dup_spans
+            FROM fl GROUP BY doc_id
+        ), isl AS (
+            SELECT doc_id, pos,
+                   pos - ROW_NUMBER() OVER (PARTITION BY doc_id
+                                            ORDER BY pos) AS grp
+            FROM fl WHERE is_dup
+        ), runs AS (
+            SELECT doc_id, grp, COUNT(*) AS run_len
+            FROM isl GROUP BY doc_id, grp
+        ), runagg AS (
+            SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_runs,
+                   CAST(MAX(run_len) + {DUP_SPAN_WORDS - 1} AS BIGINT)
+                       AS max_dup_words
+            FROM runs GROUP BY doc_id
+        )
+        SELECT d.doc_id,
+               CAST(COALESCE(t.n_spans, 0) AS BIGINT) AS n_spans,
+               CAST(COALESCE(t.dup_spans, 0) AS BIGINT) AS dup_spans,
+               CAST(COALESCE(r.n_runs, 0) AS BIGINT) AS n_runs,
+               CAST(COALESCE(r.max_dup_words, 0) AS BIGINT) AS max_dup_words,
+               CAST(CASE WHEN COALESCE(t.n_spans, 0) = 0 THEN 0
+                         ELSE (t.dup_spans * 1000000) // t.n_spans
+                    END AS BIGINT) AS dup_span_ppm
+        FROM documents d
+        LEFT JOIN tot t USING (doc_id)
+        LEFT JOIN runagg r USING (doc_id)
+    """,
     "dedup_minhash_lsh": _minhash_oracle_sql(),
     "dedup_planted_minhash": _minhash_oracle_sql(
         docs_sql=_PLANTED_DOCS_SQL, threshold=PLANTED_JACCARD_THRESHOLD

@@ -346,3 +346,55 @@ def test_triangles_match_python_model(spark, sf_dir):
         assert got[n].clustering_coeff == expect_cc, n
     # Global identity: each triangle contributes 3 node-credits.
     assert sum(r.n_triangles for r in got.values()) % 3 == 0
+
+
+def test_substring_spans_match_python_model(spark, sf_dir):
+    """Full-corpus reference model: recompute the 8-word window dup flags
+    and the gaps-and-islands run collapse in plain Python and require
+    exact per-doc equality on every output column."""
+    import re
+    from collections import defaultdict
+
+    got = {r.doc_id: r for r in D.q_dedup_substring_spans(spark, sf_dir).collect()}
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "text")
+        .collect()
+    )
+    k = D.DUP_SPAN_WORDS
+    spans: dict[int, list[str]] = {}
+    for d in docs:
+        w = re.sub(r"\s+", " ", d.text.lower()).strip().split(" ")
+        spans[d.doc_id] = (
+            [" ".join(w[i : i + k]) for i in range(len(w) - k + 1)]
+            if len(w) >= k
+            else []
+        )
+    docs_of: dict[str, set[int]] = defaultdict(set)
+    for did, sp in spans.items():
+        for s in sp:
+            docs_of[s].add(did)
+    assert set(got) == set(spans)
+    saw_dup_run = False
+    for did, sp in spans.items():
+        flags = [len(docs_of[s]) >= 2 for s in sp]
+        runs: list[int] = []
+        cur = 0
+        for f in flags:
+            if f:
+                cur += 1
+            elif cur:
+                runs.append(cur)
+                cur = 0
+        if cur:
+            runs.append(cur)
+        r = got[did]
+        assert r.n_spans == len(sp), did
+        assert r.dup_spans == sum(flags), did
+        assert r.n_runs == len(runs), did
+        assert r.max_dup_words == ((max(runs) + k - 1) if runs else 0), did
+        expect_ppm = (sum(flags) * 1_000_000) // len(sp) if sp else 0
+        assert r.dup_span_ppm == expect_ppm, did
+        saw_dup_run = saw_dup_run or bool(runs)
+    # The synthetic corpus plants near-dups — the entry must be non-vacuous.
+    assert saw_dup_run
