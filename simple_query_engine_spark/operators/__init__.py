@@ -100,6 +100,7 @@ _ROTATION_FRONT = [
 # invariant.
 _ROTATION_QUEUE: list[str] = [
     "dedup_substring_spans",
+    "sim_semdedup",
 ]
 
 

@@ -1005,6 +1005,8 @@ def _kmeans_trained(
     sf_dir: str,
     base_filter: Column | None = None,
     key_prefix: str = "kmeans",
+    k: int = KMEANS_K,
+    iters: int = KMEANS_ITERS,
 ) -> tuple[DataFrame, DataFrame]:
     """(shifted-integer vectors — ALL of them, trained K-row centroid
     table) after KMEANS_ITERS Lloyd iterations — shared by the catalog
@@ -1030,11 +1032,11 @@ def _kmeans_trained(
             "h", md5_prefix_long(F.col("vec_id").cast("string"), IVF_HASH_WIDTH)
         )
         .orderBy("h", "vec_id")
-        .limit(KMEANS_K)
+        .limit(k)
         .select(F.col("vec_id").alias("cell_id"), F.col("sv").alias("cv"))
     )
     cent = session_cache(seeds, sf_dir, f"{key_prefix}_cent_0")
-    for it in range(1, KMEANS_ITERS + 1):
+    for it in range(1, iters + 1):
         assigned = _kmeans_assign(base, cent)
         dims = assigned.select("cell_id", F.posexplode("sv").alias("j", "x"))
         means = dims.groupBy("cell_id", "j").agg(
@@ -1419,6 +1421,119 @@ def q_sim_ivf_append_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ivf_search(spark, sf_dir, vectors, cent, members)
 
 
+# SemDeDup quantizer: its OWN k/iters, decoupled from the IVF family's —
+# semantic dedup wants many small cells (bounded within-cell pair count),
+# search wants few big posting lists (nprobe/K scan fraction).  At the test
+# corpus sizes K=64 bounds cells to ~8-31 members; production scales K ∝ N
+# so the within-cell pair budget Σ cᵢ² stays ~N·(N/K) — the published
+# SemDeDup cost model.  2 Lloyd iterations keep the unrolled oracle CTE
+# chain short (CTE count scales with iters, not K).
+SEMDEDUP_K = 64
+SEMDEDUP_ITERS = 2
+
+
+def q_sim_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEMANTIC dedup (the public SemDeDup recipe): cluster the corpus
+    with the integer-exact k-means quantizer, then compare pairs ONLY
+    within each cluster — near-duplicate *meaning* (paraphrases,
+    templated rewrites) that no lexical dedup (exact / MinHash / SimHash
+    — all surface-form) can see.  A vector is dropped iff a LOWER-id
+    member of its cell is within cosine ≥ {NEARDUP_COSINE}; output is one
+    row per dropped vector with its cell, its keeper (``dup_of``, the
+    lowest-id such partner — the published recipe keeps the member
+    farthest from the centroid; lowest-id is the engine-exact
+    deterministic substitute, declared here), and the max in-cell
+    similarity that condemned it.
+
+    The reference engine has no vector operators (SURVEY §2.2); this is
+    the extension surface the brief requires.
+
+    Scale shape: clustering bounds the pair space — the all-pairs
+    O(N²) of ``sim_neardup_pairs_baseline`` becomes Σ cᵢ² ≈ N·(N/K),
+    tuned by K (production: K ∝ N ⇒ constant cell width).  The pair
+    join is an equi-join on cell_id (skew bounded by the largest cell);
+    per-pair work is one JVM-side 64-dim dot product; the drop rule is a
+    map-side-combinable groupBy on the higher id.  Nothing touches the
+    driver and no row is ever compared across cells.  Threshold honesty:
+    as with ``NEARDUP_COSINE`` (see its comment), the synthetic corpus
+    is near-orthogonal, so the production ≥0.9 bar would match nothing;
+    the shipped bar sits at the top of the corpus's in-cell cosine
+    distribution (78 pairs at sf0.001), and the planted-pair tests pin
+    detection at ≥0.8 regardless.
+    """
+    vectors, cent = _kmeans_trained(
+        spark,
+        sf_dir,
+        key_prefix="semdedup",
+        k=SEMDEDUP_K,
+        iters=SEMDEDUP_ITERS,
+    )
+    mem = _kmeans_assign(vectors, cent).select("vec_id", "cell_id")
+    emb = _with_norm(table(spark, sf_dir, "embeddings"), "vec_id", "ev", "nrm")
+    m = mem.join(emb, "vec_id")
+    a = m.select(
+        "cell_id",
+        F.col("vec_id").alias("vec_id_a"),
+        F.col("ev").alias("ea"),
+        F.col("nrm").alias("na"),
+    )
+    b = m.select(
+        "cell_id",
+        F.col("vec_id").alias("vec_id_b"),
+        F.col("ev").alias("eb"),
+        F.col("nrm").alias("nb"),
+    )
+    cosine = _dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb"))
+    pairs = (
+        a.join(b, "cell_id")
+        .filter(F.col("vec_id_a") < F.col("vec_id_b"))
+        .select(
+            "cell_id",
+            "vec_id_a",
+            "vec_id_b",
+            F.round(cosine, 4).alias("similarity"),
+        )
+        .filter(F.col("similarity") >= NEARDUP_COSINE)
+    )
+    return pairs.groupBy(
+        F.col("vec_id_b").alias("vec_id"), F.col("cell_id")
+    ).agg(
+        F.min("vec_id_a").alias("dup_of"),
+        F.max("similarity").alias("max_sim"),
+    )
+
+
+def _semdedup_oracle_sql() -> str:
+    """Parametrized k-means CTEs (K={SEMDEDUP_K}, {SEMDEDUP_ITERS} iters)
+    + within-cell pairwise cosine + the lowest-id drop rule."""
+    parts, _, members = _kmeans_oracle_parts(k=SEMDEDUP_K, iters=SEMDEDUP_ITERS)
+    return (
+        "WITH "
+        + ",\n        ".join(parts)
+        + f""",
+        e AS (
+            SELECT vec_id, embedding::DOUBLE[] AS ev,
+                   sqrt(list_dot_product(embedding::DOUBLE[],
+                                         embedding::DOUBLE[])) AS nrm
+            FROM embeddings
+        ),
+        p AS (
+            SELECT a.cell_id, a.vec_id AS vec_id_a, b.vec_id AS vec_id_b,
+                   ROUND(list_dot_product(ea.ev, eb.ev)
+                         / (ea.nrm * eb.nrm), 4) AS similarity
+            FROM {members} a
+            JOIN {members} b
+              ON a.cell_id = b.cell_id AND a.vec_id < b.vec_id
+            JOIN e ea ON ea.vec_id = a.vec_id
+            JOIN e eb ON eb.vec_id = b.vec_id
+        )
+        SELECT vec_id_b AS vec_id, cell_id,
+               MIN(vec_id_a) AS dup_of, MAX(similarity) AS max_sim
+        FROM p WHERE similarity >= {NEARDUP_COSINE}
+        GROUP BY vec_id_b, cell_id"""
+    )
+
+
 def _ivf_trained_oracle_sql(
     cand_where: str = "",
     base_where: str = "",
@@ -1489,6 +1604,7 @@ QUERIES = {
     "sim_filtered_topk": q_sim_filtered_topk,
     "sim_hard_negatives": q_sim_hard_negatives,
     "sim_ivf_append_topk": q_sim_ivf_append_topk,
+    "sim_semdedup": q_sim_semdedup,
     "sim_recall_audit": q_sim_recall_audit,
     "sim_recall_audit_trained": q_sim_recall_audit_trained,
     "sim_neardup_pairs_baseline": q_sim_neardup_pairs_baseline,
@@ -1535,6 +1651,7 @@ ORACLES = {
     "sim_hard_negatives": _ivf_trained_oracle_sql(
         pair_where="WHERE qe.label <> ce.label"
     ),
+    "sim_semdedup": _semdedup_oracle_sql(),
     "sim_neardup_pairs_baseline": f"""
         WITH e AS (
             SELECT vec_id, embedding::DOUBLE[] AS v,

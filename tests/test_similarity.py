@@ -579,3 +579,63 @@ def test_hard_negatives_anti_label_semantics(spark, sf_dir):
         assert labels[r.neighbor_id] != labels[r.query_id]
         got.setdefault(r.query_id, []).append(r.neighbor_id)
     assert got == {q: v for q, v in expected.items() if v}
+
+
+def test_semdedup_matches_numpy_within_cell_model(spark, sf_dir):
+    """The pair stage recomputed independently: take the trained
+    assignment (training itself is model-checked by
+    test_kmeans_train_matches_numpy_lloyd), brute-force every within-cell
+    pair in numpy, and require the drop set, keeper ids, and max
+    similarities to match exactly."""
+    import numpy as np
+
+    vectors, cent = S._kmeans_trained(
+        spark,
+        sf_dir,
+        key_prefix="semdedup",
+        k=S.SEMDEDUP_K,
+        iters=S.SEMDEDUP_ITERS,
+    )
+    cells = {
+        r.vec_id: r.cell_id
+        for r in S._kmeans_assign(vectors, cent).select("vec_id", "cell_id").collect()
+    }
+    emb = {
+        r.vec_id: np.array(r.embedding, dtype=np.float64)
+        for r in spark.read.parquet(f"{sf_dir}/embeddings.parquet").collect()
+    }
+    by_cell: dict[int, list[int]] = {}
+    for vid, cid in cells.items():
+        by_cell.setdefault(cid, []).append(vid)
+    expected: dict[int, tuple[int, int, float]] = {}
+    for cid, members in by_cell.items():
+        for b in members:
+            partners = []
+            for a in members:
+                if a >= b:
+                    continue
+                s = round(
+                    float(
+                        emb[a] @ emb[b]
+                        / (np.linalg.norm(emb[a]) * np.linalg.norm(emb[b]))
+                    ),
+                    4,
+                )
+                if s >= S.NEARDUP_COSINE:
+                    partners.append((a, s))
+            if partners:
+                expected[b] = (
+                    cid,
+                    min(a for a, _ in partners),
+                    max(s for _, s in partners),
+                )
+    got = {
+        r.vec_id: (r.cell_id, r.dup_of, r.max_sim)
+        for r in S.q_sim_semdedup(spark, sf_dir).collect()
+    }
+    assert set(got) == set(expected)
+    assert len(got) > 0  # non-vacuous at every SF
+    for vid, (cid, dup_of, max_sim) in expected.items():
+        g = got[vid]
+        assert g[0] == cid and g[1] == dup_of, vid
+        assert abs(g[2] - max_sim) <= 1e-9, vid
