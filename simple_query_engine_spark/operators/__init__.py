@@ -101,6 +101,7 @@ _ROTATION_FRONT = [
 _ROTATION_QUEUE: list[str] = [
     "dedup_substring_spans",
     "sim_semdedup",
+    "text_quality_classifier",
 ]
 
 

@@ -417,6 +417,101 @@ def q_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRAINED quality/language classifier — multinomial Naive Bayes
+    (en-vs-rest on the ``lang`` label), trained ON the corpus and applied
+    to every document: the fastText-classifier filtering stage of the
+    public pretraining recipes (CCNet / GPT-3-style "looks like the
+    target distribution" scoring), where ``text_lang_id`` is the
+    hand-written n-gram heuristic and ``text_unigram_surprisal`` the
+    single-LM generative score, this is the *discriminative trained*
+    counterpart — with the ground-truth label carried through so the
+    confusion matrix is one groupBy away.
+
+    Exact integer discipline (the ``text_unigram_surprisal`` trick): the
+    per-token class log-likelihoods ln(n_{c,w}+1) quantize to BIGINT
+    micro-units at the (tiny) vocabulary level; each document's
+    log-likelihood-RATIO score is then an exact integer sum —
+    Σ c_w·(s_en(w) − s_rest(w)) − n_tokens·(L_en − L_rest), with
+    L_c = round(1e6·ln(T_c + V)) the Laplace normalizers — so the score
+    is independent of partitioning and summation order (same declared
+    1-ulp-at-the-rounding-boundary residual risk as surprisal).  Uniform
+    class prior (no prior term), declared.
+
+    Shape at 100 TB: training IS the aggregation — (doc, word) counts
+    (one keyed shuffle), the per-word class-count table (vocabulary-sized,
+    partial-aggregated map-side), and a 1-row normalizer broadcast;
+    inference is the (doc,word)⋈vocab join (AQE-broadcast when the vocab
+    fits, never a corpus shuffle of raw text) followed by a per-doc sum.
+    No iteration, no driver round-trip, no float accumulation anywhere.
+
+    Measurement honesty: the synthetic corpus's ``lang`` column is
+    metadata-only — every language shares the same English-like
+    vocabulary (measured: en stopword rate ≈6% in ALL five langs, de/es
+    stopwords absent everywhere) — so in-sample accuracy on this corpus
+    is ≈0.6, barely above the majority class.  The certified claim is the
+    exact distributed train+score pipeline; that the classifier LEARNS
+    when lexical signal exists is pinned by the planted-vocabulary
+    fixture in tests/test_text.py (100% separation required).
+    """
+    documents = _documents(spark, sf_dir)
+    scale = SURPRISAL_LN_SCALE
+    words = documents.select(
+        "doc_id",
+        (F.col("lang") == "en").alias("is_en"),
+        F.explode(F.split(_normalized(F.col("text")), " ")).alias("word"),
+    ).filter(F.col("word") != "")
+    dw = words.groupBy("doc_id", "is_en", "word").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    cc = dw.groupBy("word").agg(
+        F.sum(F.when(F.col("is_en"), F.col("c")).otherwise(F.lit(0))).alias(
+            "n_en"
+        ),
+        F.sum(F.when(~F.col("is_en"), F.col("c")).otherwise(F.lit(0))).alias(
+            "n_rest"
+        ),
+    )
+    tot = cc.agg(
+        F.round(
+            F.log((F.sum("n_en") + F.count(F.lit(1))).cast("double")) * scale
+        )
+        .cast("long")
+        .alias("l_en"),
+        F.round(
+            F.log((F.sum("n_rest") + F.count(F.lit(1))).cast("double")) * scale
+        )
+        .cast("long")
+        .alias("l_rest"),
+    )
+    wts = cc.select(
+        "word",
+        F.round(F.log((F.col("n_en") + 1).cast("double")) * scale)
+        .cast("long")
+        .alias("s_en"),
+        F.round(F.log((F.col("n_rest") + 1).cast("double")) * scale)
+        .cast("long")
+        .alias("s_rest"),
+    )
+    per_doc = (
+        dw.join(wts, "word")
+        .groupBy("doc_id")
+        .agg(
+            F.bool_or("is_en").alias("actual_en"),
+            F.sum("c").alias("n_tokens"),
+            F.sum(F.col("c") * (F.col("s_en") - F.col("s_rest"))).alias("sw"),
+        )
+    )
+    score = F.col("sw") - F.col("n_tokens") * (F.col("l_en") - F.col("l_rest"))
+    return per_doc.join(F.broadcast(tot)).select(
+        "doc_id",
+        "n_tokens",
+        score.alias("score_micro"),
+        (score > 0).alias("predicted_en"),
+        "actual_en",
+    )
+
+
 # --------------------------------------------------------------------------
 # BPE merge training (fixed-iteration, deterministic)
 # --------------------------------------------------------------------------
@@ -804,6 +899,7 @@ QUERIES = {
     "text_bpe_encode_docs": q_text_bpe_encode_docs,
     "text_bpe_fertility": q_text_bpe_fertility,
     "text_quality_score": q_quality_score,
+    "text_quality_classifier": q_quality_classifier,
     "text_lang_id": q_lang_id,
     "text_fingerprint": q_fingerprint,
     "text_rolling_hash": q_rolling_hash,
@@ -825,6 +921,47 @@ _NORM = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
 _TOKENS = f"string_split({_NORM}, ' ')"
 
 ORACLES = {
+    "text_quality_classifier": f"""
+        WITH toks AS (
+            SELECT doc_id, lang = 'en' AS is_en,
+                   unnest(string_split({_NORM}, ' ')) AS word
+            FROM documents
+        ), dw AS (
+            SELECT doc_id, is_en, word, COUNT(*) AS c
+            FROM toks WHERE word <> '' GROUP BY doc_id, is_en, word
+        ), cc AS (
+            SELECT word,
+                   CAST(SUM(CASE WHEN is_en THEN c ELSE 0 END) AS BIGINT)
+                       AS n_en,
+                   CAST(SUM(CASE WHEN NOT is_en THEN c ELSE 0 END) AS BIGINT)
+                       AS n_rest
+            FROM dw GROUP BY word
+        ), tot AS (
+            SELECT CAST(round(ln(CAST(SUM(n_en) + COUNT(*) AS DOUBLE))
+                              * {SURPRISAL_LN_SCALE}) AS BIGINT) AS l_en,
+                   CAST(round(ln(CAST(SUM(n_rest) + COUNT(*) AS DOUBLE))
+                              * {SURPRISAL_LN_SCALE}) AS BIGINT) AS l_rest
+            FROM cc
+        ), wts AS (
+            SELECT word,
+                   CAST(round(ln(CAST(n_en + 1 AS DOUBLE))
+                              * {SURPRISAL_LN_SCALE}) AS BIGINT) AS s_en,
+                   CAST(round(ln(CAST(n_rest + 1 AS DOUBLE))
+                              * {SURPRISAL_LN_SCALE}) AS BIGINT) AS s_rest
+            FROM cc
+        ), pd AS (
+            SELECT dw.doc_id,
+                   bool_or(is_en) AS actual_en,
+                   CAST(SUM(c) AS BIGINT) AS n_tokens,
+                   CAST(SUM(c * (s_en - s_rest)) AS BIGINT) AS sw
+            FROM dw JOIN wts USING (word) GROUP BY dw.doc_id
+        )
+        SELECT doc_id, n_tokens,
+               CAST(sw - n_tokens * (l_en - l_rest) AS BIGINT) AS score_micro,
+               (sw - n_tokens * (l_en - l_rest)) > 0 AS predicted_en,
+               actual_en
+        FROM pd, tot
+    """,
     "text_bpe_train": _bpe_train_oracle_sql(),
     "text_bpe_encode": _bpe_encode_oracle_sql(),
     "text_bpe_encode_docs": _bpe_encode_docs_oracle_sql(),

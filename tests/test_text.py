@@ -393,3 +393,51 @@ def test_bpe_fertility_matches_reference(spark, sf_dir):
     assert got == expected
     # every language's fertility is >= 1 token/word by construction
     assert all(f >= 1_000_000 for _, _, f in got.values())
+
+
+def test_quality_classifier_learns_planted_vocab(spark, tmp_path):
+    """The corpus's lang column carries no lexical signal (declared in the
+    entry docstring), so learning power is pinned on a planted fixture:
+    two classes with disjoint content vocabularies plus shared stopwords
+    must separate perfectly, scores signed by class."""
+    import pandas as pd
+
+    en_vocab = ["alpha", "bravo", "charlie", "delta", "echo"]
+    xx_vocab = ["uno", "dos", "tres", "cuatro", "cinco"]
+    shared = ["the", "of"]
+    rows = []
+    for i in range(40):
+        is_en = i % 2 == 0
+        vocab = en_vocab if is_en else xx_vocab
+        words = [vocab[(i + j) % len(vocab)] for j in range(8)] + shared
+        text = " ".join(words)
+        rows.append(
+            {
+                "doc_id": i,
+                "text": text,
+                "lang": "en" if is_en else "fr",
+                "source": "src0",
+                "n_chars": len(text),
+            }
+        )
+    pd.DataFrame(rows).to_parquet(tmp_path / "documents.parquet")
+    got = {
+        r.doc_id: r for r in TX.q_quality_classifier(spark, str(tmp_path)).collect()
+    }
+    assert len(got) == 40
+    for i, r in got.items():
+        assert r.actual_en == (i % 2 == 0), i
+        assert r.predicted_en == r.actual_en, (i, r.score_micro)
+        assert (r.score_micro > 0) == r.actual_en, i
+        assert r.n_tokens == 10, i
+
+
+def test_quality_classifier_token_counts_match_token_count_entry(spark, sf_dir):
+    base = {
+        r.doc_id: r.n_tokens for r in TX.q_token_count(spark, sf_dir).collect()
+    }
+    got = {
+        r.doc_id: r.n_tokens
+        for r in TX.q_quality_classifier(spark, sf_dir).collect()
+    }
+    assert got == {k: v for k, v in base.items() if v > 0} or got == base
