@@ -102,6 +102,7 @@ _ROTATION_QUEUE: list[str] = [
     "dedup_substring_spans",
     "sim_semdedup",
     "text_quality_classifier",
+    "pipeline_dsir_weights",
 ]
 
 

@@ -759,8 +759,150 @@ def q_pipeline_incremental_curation(spark: SparkSession, sf_dir: str) -> DataFra
     )
 
 
+# DSIR feature space: hashed word-bigram buckets.  The point of hashing
+# (vs the raw vocabulary the NB classifier keeps) is the model size bound:
+# at 100 TB the bigram vocabulary is unbounded but the importance model
+# stays exactly DSIR_BUCKETS rows, broadcastable forever.
+DSIR_BUCKETS = 1_024
+DSIR_TILES = 4  # select the top quartile by importance weight
+
+
+def q_pipeline_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data Selection via Importance Resampling (the public DSIR recipe):
+    score every raw document by how much its hashed-bigram feature
+    distribution looks like the TARGET distribution (here: the
+    ``lang='en'`` slice) versus the RAW corpus, then keep the top
+    importance quartile — the distribution-matching selection stage that
+    sits between raw crawl and quality filtering in modern pretraining
+    pipelines.  ``text_quality_classifier`` is the per-document
+    discriminative twin; DSIR's distinguishing mechanics are (a) the
+    FIXED hashed feature space (importance model = {DSIR_BUCKETS} bucket
+    rows regardless of vocabulary growth) and (b) the corpus-level
+    resampling step (an exact global top-quartile cut, not a per-doc
+    threshold).
+
+    log-importance weight, exact integer micro-units (the quantized-ln
+    discipline of ``text_unigram_surprisal``): w(doc) =
+    Σ_b c_b·(s_t(b) − s_r(b)) − n_feats·(L_t − L_r) with
+    s_x(b) = round(1e6·ln(n_x(b)+1)) and L_x = round(1e6·ln(T_x +
+    {DSIR_BUCKETS})) the Laplace normalizers.  The published recipe adds
+    Gumbel noise before the cut; the deterministic substitute is the
+    (weight, doc_id) total order, declared.  Selection reuses
+    :func:`quality._distributed_ntile` — the range-partitioned two-phase
+    exact rank, NO single-reducer window (oracle stays plain NTILE).
+
+    Shape at 100 TB: feature extraction is scan-side; the bucket model is
+    one map-side-combined aggregate to {DSIR_BUCKETS} rows + a 1-row
+    normalizer, both broadcast; scoring is a broadcast join + per-doc
+    sum; the quartile cut is the two-phase rank.  Same measured caveat
+    as the classifier: the synthetic corpus's lang column carries no
+    lexical signal, so weights spread narrowly here; the planted-signal
+    test pins that target-like docs rank on top when signal exists.
+    """
+    from simple_query_engine_spark.functions.hashing import md5_prefix_long
+    from simple_query_engine_spark.operators.quality import _distributed_ntile
+    from simple_query_engine_spark.operators.text import SURPRISAL_LN_SCALE
+
+    scale = SURPRISAL_LN_SCALE
+    documents = table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
+    words = F.col("w")
+    bigram_arr = F.when(
+        F.size(words) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(words) - 1),
+            lambda i: F.concat_ws(" ", F.slice(words, i, 2)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    tokenized = documents.select(
+        "doc_id",
+        (F.col("lang") == "en").alias("is_target"),
+        F.split(_normalized(F.col("text")), " ").alias("w"),
+    )
+    feats = tokenized.select(
+        "doc_id",
+        "is_target",
+        F.explode(bigram_arr).alias("bg"),
+    ).select(
+        "doc_id",
+        "is_target",
+        (md5_prefix_long(F.col("bg"), 15) % DSIR_BUCKETS).alias("b"),
+    )
+    db = feats.groupBy("doc_id", "is_target", "b").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    cb = db.groupBy("b").agg(
+        F.sum(F.when(F.col("is_target"), F.col("c")).otherwise(F.lit(0))).alias(
+            "n_t"
+        ),
+        F.sum("c").alias("n_r"),
+    )
+    tot = cb.agg(
+        F.round(
+            F.log((F.sum("n_t") + F.lit(DSIR_BUCKETS)).cast("double")) * scale
+        )
+        .cast("long")
+        .alias("l_t"),
+        F.round(
+            F.log((F.sum("n_r") + F.lit(DSIR_BUCKETS)).cast("double")) * scale
+        )
+        .cast("long")
+        .alias("l_r"),
+    )
+    wts = cb.select(
+        "b",
+        F.round(F.log((F.col("n_t") + 1).cast("double")) * scale)
+        .cast("long")
+        .alias("s_t"),
+        F.round(F.log((F.col("n_r") + 1).cast("double")) * scale)
+        .cast("long")
+        .alias("s_r"),
+    )
+    scored = (
+        db.join(wts, "b")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n_feats"),
+            F.sum(F.col("c") * (F.col("s_t") - F.col("s_r"))).alias("sw"),
+        )
+    )
+    per_doc = (
+        documents.select("doc_id")
+        .join(scored, "doc_id", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "doc_id",
+            F.coalesce("n_feats", F.lit(0)).cast("long").alias("n_feats"),
+            (
+                F.coalesce("sw", F.lit(0))
+                - F.coalesce("n_feats", F.lit(0))
+                * (F.col("l_t") - F.col("l_r"))
+            )
+            .cast("long")
+            .alias("logweight_micro"),
+        )
+    )
+    tiled = _distributed_ntile(
+        per_doc,
+        DSIR_TILES,
+        [F.col("logweight_micro").desc(), F.col("doc_id")],
+        "tile",
+        sf_dir,
+        "dsir_tiles",
+    )
+    return tiled.select(
+        "doc_id",
+        "n_feats",
+        "logweight_micro",
+        "tile",
+        (F.col("tile") == 1).alias("selected"),
+    )
+
+
 QUERIES = {
     "pipeline_corpus_curation": q_pipeline_corpus_curation,
+    "pipeline_dsir_weights": q_pipeline_dsir_weights,
     "pipeline_incremental_curation": q_pipeline_incremental_curation,
     "pipeline_url_dedup": q_pipeline_url_dedup,
     "pipeline_quality_prune_curve": q_pipeline_quality_prune_curve,
@@ -833,7 +975,62 @@ _INC_MERGED_SQL = f"""(
         )"""
 
 
+_DSIR_LN = "1000000"  # SURPRISAL_LN_SCALE, spelled out for the SQL below
+
 ORACLES = {
+    "pipeline_dsir_weights": f"""
+        WITH docs AS (
+            SELECT doc_id, lang = 'en' AS is_target,
+                   string_split({_NORM}, ' ') AS w
+            FROM documents
+        ), feats AS (
+            SELECT doc_id, is_target,
+                   {md5_prefix_long_sql("concat_ws(' ', w[i], w[i+1])", 15)}
+                       % {DSIR_BUCKETS} AS b
+            FROM docs, UNNEST(range(1, len(w))) AS t(i)
+            WHERE len(w) >= 2
+        ), db AS (
+            SELECT doc_id, is_target, b, COUNT(*) AS c
+            FROM feats GROUP BY doc_id, is_target, b
+        ), cb AS (
+            SELECT b,
+                   CAST(SUM(CASE WHEN is_target THEN c ELSE 0 END) AS BIGINT)
+                       AS n_t,
+                   CAST(SUM(c) AS BIGINT) AS n_r
+            FROM db GROUP BY b
+        ), tot AS (
+            SELECT CAST(round(ln(CAST(SUM(n_t) + {DSIR_BUCKETS} AS DOUBLE))
+                              * {_DSIR_LN}) AS BIGINT) AS l_t,
+                   CAST(round(ln(CAST(SUM(n_r) + {DSIR_BUCKETS} AS DOUBLE))
+                              * {_DSIR_LN}) AS BIGINT) AS l_r
+            FROM cb
+        ), wts AS (
+            SELECT b,
+                   CAST(round(ln(CAST(n_t + 1 AS DOUBLE)) * {_DSIR_LN})
+                        AS BIGINT) AS s_t,
+                   CAST(round(ln(CAST(n_r + 1 AS DOUBLE)) * {_DSIR_LN})
+                        AS BIGINT) AS s_r
+            FROM cb
+        ), scored AS (
+            SELECT db.doc_id,
+                   CAST(SUM(c) AS BIGINT) AS n_feats,
+                   CAST(SUM(c * (s_t - s_r)) AS BIGINT) AS sw
+            FROM db JOIN wts USING (b) GROUP BY db.doc_id
+        ), per_doc AS (
+            SELECT d.doc_id,
+                   CAST(COALESCE(s.n_feats, 0) AS BIGINT) AS n_feats,
+                   CAST(COALESCE(s.sw, 0)
+                        - COALESCE(s.n_feats, 0) * (t.l_t - t.l_r)
+                        AS BIGINT) AS logweight_micro
+            FROM documents d LEFT JOIN scored s USING (doc_id), tot t
+        )
+        SELECT doc_id, n_feats, logweight_micro, tile, tile = 1 AS selected
+        FROM (
+            SELECT *, CAST(NTILE({DSIR_TILES}) OVER (
+                       ORDER BY logweight_micro DESC, doc_id) AS INT) AS tile
+            FROM per_doc
+        )
+    """,
     # The incremental path must land exactly on the from-scratch recompute
     # over the merged final state — this oracle IS that recompute (merged
     # relation + full incremental-MinHash rederivation + direct rollup).

@@ -392,3 +392,51 @@ def test_incremental_curation_matches_full_recompute_and_is_delta_sized(
     flagged_rows = maintained.filter(F.col("n_new_neardup") > 0).collect()
     assert all(r.source == INC_NEW_SOURCE for r in flagged_rows)
     assert sum(r.n_new_neardup for r in flagged_rows) <= n_new
+
+
+def test_dsir_selects_target_distribution_not_target_label(spark, tmp_path):
+    """DSIR's defining property: selection follows the target DISTRIBUTION,
+    not the target label.  20 docs share the target-like vocabulary (only
+    10 of them labeled 'en'), 20 draw from a disjoint vocabulary; the top
+    quartile must contain exclusively target-like docs — including
+    unlabeled ones — and every off-distribution doc must sit in the
+    bottom tiles."""
+    import pandas as pd
+
+    from simple_query_engine_spark.operators.pipeline import (
+        q_pipeline_dsir_weights,
+    )
+
+    voc_a = ["alpha", "bravo", "charlie", "delta", "echo", "foxtrot"]
+    voc_b = ["uno", "dos", "tres", "cuatro", "cinco", "seis"]
+    rows = []
+    for i in range(40):
+        target_like = i < 20
+        vocab = voc_a if target_like else voc_b
+        words = [vocab[(i + j) % len(vocab)] for j in range(12)]
+        text = " ".join(words)
+        rows.append(
+            {
+                "doc_id": i,
+                # only HALF the target-like docs carry the target label
+                "lang": "en" if (target_like and i % 2 == 0) else "fr",
+                "text": text,
+                "source": "src0",
+                "n_chars": len(text),
+            }
+        )
+    pd.DataFrame(rows).to_parquet(tmp_path / "documents.parquet")
+    got = {
+        r.doc_id: r
+        for r in q_pipeline_dsir_weights(spark, str(tmp_path)).collect()
+    }
+    assert len(got) == 40
+    selected = {i for i, r in got.items() if r.selected}
+    assert len(selected) == 10  # exact top quartile of 40
+    assert all(i < 20 for i in selected), selected
+    a_weights = [got[i].logweight_micro for i in range(20)]
+    b_weights = [got[i].logweight_micro for i in range(20, 40)]
+    assert min(a_weights) > max(b_weights)
+    for i, r in got.items():
+        assert r.selected == (r.tile == 1), i
+        assert r.n_feats == 11, i  # 12 words -> 11 bigrams
