@@ -103,6 +103,7 @@ _ROTATION_QUEUE: list[str] = [
     "sim_semdedup",
     "text_quality_classifier",
     "pipeline_dsir_weights",
+    "text_bm25_search",
 ]
 
 

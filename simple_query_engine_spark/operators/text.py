@@ -417,6 +417,113 @@ def q_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# BM25 ranked retrieval: fixed keyword queries (terms verified present in
+# the corpus vocabulary), Robertson k1 = 1.2 and b = 0.75 kept as the exact
+# rationals 6/5 and 3/4 so the tf normalization clears to integers.
+BM25_QUERIES: dict[int, list[str]] = {
+    1: ["spark", "join"],
+    2: ["window", "agg", "stream"],
+    3: ["customer", "table", "scan"],
+}
+BM25_TOP_K = 10
+
+
+def q_text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 ranked keyword retrieval — the inverted-index search every
+    retrieval/RAG stack runs, as a pure DataFrame plan: postings are the
+    (doc, term, tf) aggregate, document frequency and corpus totals are
+    tiny broadcast aggregates, and scoring is a postings⋈query join —
+    the physical twin of a distributed inverted index (the postings
+    shuffle IS the index build; at 100 TB you persist it bucketed by
+    term and this plan becomes one bucket-pruned probe per query term).
+
+    Exact arithmetic: with k1 = 6/5, b = 3/4, idf(w) = ln((N+1)/(df+½))
+    (the +1-smoothed Robertson idf, = ln(2N+2) − ln(2df+1) over pure
+    integers — each ln quantized to BIGINT micro-units separately, the
+    ``text_unigram_surprisal`` discipline), a term's score
+    idf·tf·(k1+1)/(tf + k1(1−b+b·dl/avgdl)) multiplies out over
+    avgdl = T/N to integers:
+
+        score_term = (idf_µ · 22·T·tf) div (10·T·tf + 3·T + 9·dl·N)
+
+    — one floor division per (query, doc, term), summed exactly, so
+    ranking is engine-identical (ties broken by doc_id).  Bound honesty:
+    the cleared-denominator products stay < 2⁶³ up to ~10¹² corpus
+    tokens with these constants; past that a production deployment
+    rescales (divide idf·tf products through by T) or scores in doubles
+    and accepts last-ulp rank ties.
+
+    The reference engine's FILTER-then-PROJECT pipeline
+    (src/query_engine.rs:96-117) has no ranked retrieval; this is the
+    §2.2 extension surface.
+    """
+    scale = SURPRISAL_LN_SCALE
+    documents = _documents(spark, sf_dir)
+    qdf = spark.createDataFrame(
+        [(qid, t) for qid, terms in BM25_QUERIES.items() for t in terms],
+        "query_id int, term string",
+    )
+    words = documents.select(
+        "doc_id",
+        F.explode(F.split(_normalized(F.col("text")), " ")).alias("word"),
+    ).filter(F.col("word") != "")
+    postings = words.groupBy("doc_id", "word").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    doclen = postings.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    corpus = doclen.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("t_tokens")
+    )
+    matched = postings.join(
+        F.broadcast(qdf), postings["word"] == qdf["term"]
+    ).select("query_id", "doc_id", "term", "tf")
+    dfreq = matched.select("doc_id", "term").distinct().groupBy("term").agg(
+        F.count(F.lit(1)).alias("df")
+    )
+    idf = (
+        dfreq.crossJoin(F.broadcast(corpus))
+        .select(
+            "term",
+            (
+                F.round(
+                    F.log((2 * F.col("n_docs") + 2).cast("double")) * scale
+                ).cast("long")
+                - F.round(
+                    F.log((2 * F.col("df") + 1).cast("double")) * scale
+                ).cast("long")
+            ).alias("idf_micro"),
+        )
+    )
+    score_term = F.expr(
+        "(idf_micro * 22 * t_tokens * tf) div "
+        "(10 * t_tokens * tf + 3 * t_tokens + 9 * dl * n_docs)"
+    )
+    scored = (
+        matched.join(F.broadcast(idf), "term")
+        .join(doclen, "doc_id")
+        .crossJoin(F.broadcast(corpus))
+        .select(
+            "query_id",
+            "doc_id",
+            score_term.alias("s"),
+        )
+        .groupBy("query_id", "doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_matched_terms"),
+            F.sum("s").alias("score_micro"),
+        )
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score_micro").desc(), F.col("doc_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= BM25_TOP_K)
+    )
+
+
 def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TRAINED quality/language classifier — multinomial Naive Bayes
     (en-vs-rest on the ``lang`` label), trained ON the corpus and applied
@@ -900,6 +1007,7 @@ QUERIES = {
     "text_bpe_fertility": q_text_bpe_fertility,
     "text_quality_score": q_quality_score,
     "text_quality_classifier": q_quality_classifier,
+    "text_bm25_search": q_text_bm25_search,
     "text_lang_id": q_lang_id,
     "text_fingerprint": q_fingerprint,
     "text_rolling_hash": q_rolling_hash,
@@ -920,7 +1028,62 @@ QUERIES = {
 _NORM = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
 _TOKENS = f"string_split({_NORM}, ' ')"
 
+def _bm25_oracle_sql() -> str:
+    values = ", ".join(
+        f"({qid}, '{t}')" for qid, terms in BM25_QUERIES.items() for t in terms
+    )
+    s = SURPRISAL_LN_SCALE
+    return f"""
+        WITH q(query_id, term) AS (VALUES {values}),
+        toks AS (
+            SELECT doc_id, unnest(string_split({{norm}}, ' ')) AS word
+            FROM documents
+        ), postings AS (
+            SELECT doc_id, word, CAST(COUNT(*) AS BIGINT) AS tf
+            FROM toks WHERE word <> '' GROUP BY doc_id, word
+        ), doclen AS (
+            SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl
+            FROM postings GROUP BY doc_id
+        ), corpus AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(dl) AS BIGINT) AS t_tokens
+            FROM doclen
+        ), matched AS (
+            SELECT q.query_id, p.doc_id, q.term, p.tf
+            FROM postings p JOIN q ON p.word = q.term
+        ), dfreq AS (
+            SELECT term, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+            FROM matched GROUP BY term
+        ), idf AS (
+            SELECT term,
+                   CAST(round(ln(CAST(2 * c.n_docs + 2 AS DOUBLE)) * {s})
+                        AS BIGINT)
+                   - CAST(round(ln(CAST(2 * df + 1 AS DOUBLE)) * {s})
+                          AS BIGINT) AS idf_micro
+            FROM dfreq, corpus c
+        ), scored AS (
+            SELECT m.query_id, m.doc_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_matched_terms,
+                   CAST(SUM((idf_micro * 22 * c.t_tokens * m.tf)
+                            // (10 * c.t_tokens * m.tf + 3 * c.t_tokens
+                                + 9 * d.dl * c.n_docs)) AS BIGINT)
+                       AS score_micro
+            FROM matched m
+            JOIN idf USING (term)
+            JOIN doclen d USING (doc_id), corpus c
+            GROUP BY m.query_id, m.doc_id
+        )
+        SELECT query_id, doc_id, n_matched_terms, score_micro, rank FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                         ORDER BY score_micro DESC,
+                                                  doc_id) AS rank
+            FROM scored
+        ) WHERE rank <= {BM25_TOP_K}
+    """
+
+
 ORACLES = {
+    "text_bm25_search": _bm25_oracle_sql().format(norm=_NORM),
     "text_quality_classifier": f"""
         WITH toks AS (
             SELECT doc_id, lang = 'en' AS is_en,

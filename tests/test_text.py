@@ -441,3 +441,59 @@ def test_quality_classifier_token_counts_match_token_count_entry(spark, sf_dir):
         for r in TX.q_quality_classifier(spark, sf_dir).collect()
     }
     assert got == {k: v for k, v in base.items() if v > 0} or got == base
+
+
+def test_bm25_matches_python_model(spark, sf_dir):
+    """Full integer BM25 recomputed in plain Python (postings, df, the
+    quantized-ln idf, the cleared-denominator term score, ranking) —
+    every (query, rank) row must match exactly."""
+    import math
+    import re
+    from collections import Counter
+
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "text")
+        .collect()
+    )
+    postings: dict[int, Counter] = {}
+    for d in docs:
+        w = [
+            t
+            for t in re.sub(r"\s+", " ", d.text.lower()).strip().split(" ")
+            if t
+        ]
+        if w:
+            postings[d.doc_id] = Counter(w)
+    dl = {did: sum(c.values()) for did, c in postings.items()}
+    n_docs, t_tokens = len(dl), sum(dl.values())
+    scale = TX.SURPRISAL_LN_SCALE
+    expected: dict[tuple[int, int], tuple[int, int]] = {}
+    for qid, terms in TX.BM25_QUERIES.items():
+        scores: dict[int, tuple[int, int]] = {}
+        for term in terms:
+            df = sum(1 for c in postings.values() if term in c)
+            if df == 0:
+                continue
+            idf = round(math.log(2 * n_docs + 2) * scale) - round(
+                math.log(2 * df + 1) * scale
+            )
+            for did, c in postings.items():
+                tf = c.get(term)
+                if not tf:
+                    continue
+                s = (idf * 22 * t_tokens * tf) // (
+                    10 * t_tokens * tf + 3 * t_tokens + 9 * dl[did] * n_docs
+                )
+                n, tot = scores.get(did, (0, 0))
+                scores[did] = (n + 1, tot + s)
+        ranked = sorted(scores.items(), key=lambda kv: (-kv[1][1], kv[0]))
+        for rank, (did, (n, tot)) in enumerate(ranked[: TX.BM25_TOP_K], 1):
+            expected[(qid, rank)] = (did, n, tot)
+    got = {
+        (r.query_id, r.rank): (r.doc_id, r.n_matched_terms, r.score_micro)
+        for r in TX.q_text_bm25_search(spark, sf_dir).collect()
+    }
+    assert got == expected
+    # every query returns a full page at the corpus vocabularies
+    assert len(got) == len(TX.BM25_QUERIES) * TX.BM25_TOP_K
