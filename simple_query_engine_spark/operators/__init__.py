@@ -104,6 +104,7 @@ _ROTATION_QUEUE: list[str] = [
     "text_quality_classifier",
     "pipeline_dsir_weights",
     "text_bm25_search",
+    "sim_hybrid_retrieval",
 ]
 
 

@@ -1421,6 +1421,137 @@ def q_sim_ivf_append_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ivf_search(spark, sf_dir, vectors, cent, members)
 
 
+# Reciprocal-rank-fusion constant (the standard k=60 of the public RRF
+# recipe) and the hybrid query set: lexical side = BM25_QUERIES[qid],
+# dense side = query vector vec_id = qid.  The synthetic corpus aligns
+# doc_id ↔ vec_id by construction; a production deployment carries an
+# explicit document↔vector mapping table and joins through it — declared.
+RRF_K = 60
+HYBRID_TOP_K = 10
+
+
+def q_sim_hybrid_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HYBRID retrieval — reciprocal-rank fusion of the BM25 lexical
+    ranking (``text_bm25_search``) with the dense cosine ranking, the
+    fusion every production RAG/search stack runs (lexical catches exact
+    keywords, dense catches paraphrase; RRF needs no score calibration
+    between the two systems).  rrf = Σ_sides 1/(k + rank) with k =
+    {RRF_K}, in exact integer micro-units (1e6 div (k + rank)) so fusion
+    order is engine-identical; a doc absent from one side contributes
+    nothing from that side (rank reported as 0).
+
+    Scale shape: each side is its own already-audited plan (the postings
+    join; the broadcast-query brute-force scan — swap in the trained-IVF
+    search past memory scale); fusion touches only 2·|Q|·k rank rows —
+    broadcast-sized forever — in one full-outer join + per-query top-k
+    window.
+    """
+    from simple_query_engine_spark.operators.text import (
+        BM25_QUERIES,
+        q_text_bm25_search,
+    )
+
+    lex = q_text_bm25_search(spark, sf_dir).select(
+        "query_id", "doc_id", F.col("rank").alias("lex_rank")
+    )
+    qids = sorted(BM25_QUERIES)
+    embeddings = table(spark, sf_dir, "embeddings")
+    queries = _with_norm(
+        embeddings.filter(F.col("vec_id").isin(qids)), "query_id", "q_emb", "q_norm"
+    )
+    candidates = _with_norm(embeddings, "doc_id", "c_emb", "c_norm")
+    cosine = _dot(F.col("q_emb"), F.col("c_emb")) / (
+        F.col("q_norm") * F.col("c_norm")
+    )
+    w_dense = Window.partitionBy("query_id").orderBy(
+        F.col("similarity").desc(), F.col("doc_id")
+    )
+    dense = (
+        F.broadcast(queries)
+        .crossJoin(candidates)
+        .filter(F.col("query_id") != F.col("doc_id"))
+        .select("query_id", "doc_id", F.round(cosine, 4).alias("similarity"))
+        .withColumn("dense_rank", F.row_number().over(w_dense))
+        .filter(F.col("dense_rank") <= HYBRID_TOP_K)
+        .select("query_id", "doc_id", "dense_rank")
+    )
+    fused = (
+        lex.join(dense, ["query_id", "doc_id"], "full_outer")
+        .select(
+            "query_id",
+            "doc_id",
+            F.coalesce("lex_rank", F.lit(0)).cast("int").alias("lex_rank"),
+            F.coalesce("dense_rank", F.lit(0)).cast("int").alias("dense_rank"),
+        )
+        .withColumn(
+            "rrf_micro",
+            (
+                F.when(
+                    F.col("lex_rank") > 0,
+                    F.expr(f"1000000 div ({RRF_K} + lex_rank)"),
+                ).otherwise(F.lit(0))
+                + F.when(
+                    F.col("dense_rank") > 0,
+                    F.expr(f"1000000 div ({RRF_K} + dense_rank)"),
+                ).otherwise(F.lit(0))
+            ).cast("long"),
+        )
+    )
+    w_fused = Window.partitionBy("query_id").orderBy(
+        F.col("rrf_micro").desc(), F.col("doc_id")
+    )
+    return (
+        fused.withColumn("fused_rank", F.row_number().over(w_fused))
+        .filter(F.col("fused_rank") <= HYBRID_TOP_K)
+    )
+
+
+def _hybrid_oracle_sql() -> str:
+    from simple_query_engine_spark.operators.text import (
+        BM25_QUERIES,
+        ORACLES as TEXT_ORACLES,
+    )
+
+    qids = ", ".join(str(q) for q in sorted(BM25_QUERIES))
+    return f"""
+        WITH lex AS ({TEXT_ORACLES["text_bm25_search"]}),
+        e AS (
+            SELECT vec_id, embedding::DOUBLE[] AS v,
+                   sqrt(list_dot_product(embedding::DOUBLE[],
+                                         embedding::DOUBLE[])) AS nrm
+            FROM embeddings
+        ), dense AS (
+            SELECT query_id, doc_id, rank AS dense_rank FROM (
+                SELECT q.vec_id AS query_id, c.vec_id AS doc_id,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY q.vec_id
+                           ORDER BY ROUND(list_dot_product(q.v, c.v)
+                                          / (q.nrm * c.nrm), 4) DESC,
+                                    c.vec_id) AS rank
+                FROM e q JOIN e c
+                  ON q.vec_id IN ({qids}) AND q.vec_id <> c.vec_id
+            ) WHERE rank <= {HYBRID_TOP_K}
+        ), fused AS (
+            SELECT COALESCE(l.query_id, d.query_id) AS query_id,
+                   COALESCE(l.doc_id, d.doc_id) AS doc_id,
+                   CAST(COALESCE(l.rank, 0) AS INT) AS lex_rank,
+                   CAST(COALESCE(d.dense_rank, 0) AS INT) AS dense_rank,
+                   CAST(COALESCE(1000000 // ({RRF_K} + l.rank), 0)
+                        + COALESCE(1000000 // ({RRF_K} + d.dense_rank), 0)
+                        AS BIGINT) AS rrf_micro
+            FROM lex l FULL OUTER JOIN dense d
+              ON l.query_id = d.query_id AND l.doc_id = d.doc_id
+        )
+        SELECT query_id, doc_id, lex_rank, dense_rank, rrf_micro, fused_rank
+        FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                         ORDER BY rrf_micro DESC,
+                                                  doc_id) AS fused_rank
+            FROM fused
+        ) WHERE fused_rank <= {HYBRID_TOP_K}
+    """
+
+
 # SemDeDup quantizer: its OWN k/iters, decoupled from the IVF family's —
 # semantic dedup wants many small cells (bounded within-cell pair count),
 # search wants few big posting lists (nprobe/K scan fraction).  At the test
@@ -1605,6 +1736,7 @@ QUERIES = {
     "sim_hard_negatives": q_sim_hard_negatives,
     "sim_ivf_append_topk": q_sim_ivf_append_topk,
     "sim_semdedup": q_sim_semdedup,
+    "sim_hybrid_retrieval": q_sim_hybrid_retrieval,
     "sim_recall_audit": q_sim_recall_audit,
     "sim_recall_audit_trained": q_sim_recall_audit_trained,
     "sim_neardup_pairs_baseline": q_sim_neardup_pairs_baseline,
@@ -1652,6 +1784,7 @@ ORACLES = {
         pair_where="WHERE qe.label <> ce.label"
     ),
     "sim_semdedup": _semdedup_oracle_sql(),
+    "sim_hybrid_retrieval": _hybrid_oracle_sql(),
     "sim_neardup_pairs_baseline": f"""
         WITH e AS (
             SELECT vec_id, embedding::DOUBLE[] AS v,

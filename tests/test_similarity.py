@@ -639,3 +639,57 @@ def test_semdedup_matches_numpy_within_cell_model(spark, sf_dir):
         g = got[vid]
         assert g[0] == cid and g[1] == dup_of, vid
         assert abs(g[2] - max_sim) <= 1e-9, vid
+
+
+def test_hybrid_retrieval_fuses_rank_lists_exactly(spark, sf_dir):
+    """Fusion recomputed in Python from the two side rankings: collect the
+    BM25 page and an independently recomputed dense page, apply the RRF
+    formula, and require exact (query, fused_rank) agreement."""
+    import numpy as np
+
+    from simple_query_engine_spark.operators.text import (
+        BM25_QUERIES,
+        q_text_bm25_search,
+    )
+
+    lex = {}
+    for r in q_text_bm25_search(spark, sf_dir).collect():
+        lex[(r.query_id, r.doc_id)] = r.rank
+    emb = {
+        r.vec_id: np.array(r.embedding, dtype=np.float64)
+        for r in spark.read.parquet(f"{sf_dir}/embeddings.parquet").collect()
+    }
+    dense = {}
+    for qid in sorted(BM25_QUERIES):
+        sims = []
+        q = emb[qid]
+        qn = np.linalg.norm(q)
+        for did, v in emb.items():
+            if did == qid:
+                continue
+            sims.append((round(float(q @ v / (qn * np.linalg.norm(v))), 4), did))
+        ranked = sorted(sims, key=lambda t: (-t[0], t[1]))[: S.HYBRID_TOP_K]
+        for i, (_, did) in enumerate(ranked, 1):
+            dense[(qid, did)] = i
+    expected = {}
+    for qid in sorted(BM25_QUERIES):
+        cands = {d for q, d in list(lex) + list(dense) if q == qid}
+        rows = []
+        for d in cands:
+            lr = lex.get((qid, d), 0)
+            dr = dense.get((qid, d), 0)
+            rrf = (1_000_000 // (S.RRF_K + lr) if lr else 0) + (
+                1_000_000 // (S.RRF_K + dr) if dr else 0
+            )
+            rows.append((d, lr, dr, rrf))
+        rows.sort(key=lambda t: (-t[3], t[0]))
+        for i, (d, lr, dr, rrf) in enumerate(rows[: S.HYBRID_TOP_K], 1):
+            expected[(qid, i)] = (d, lr, dr, rrf)
+    got = {
+        (r.query_id, r.fused_rank): (r.doc_id, r.lex_rank, r.dense_rank, r.rrf_micro)
+        for r in S.q_sim_hybrid_retrieval(spark, sf_dir).collect()
+    }
+    assert got == expected
+    # both modalities contribute to the fused pages
+    assert any(lr > 0 for (_, lr, _, _) in got.values())
+    assert any(dr > 0 for (_, _, dr, _) in got.values())
