@@ -61,8 +61,14 @@ HEADLINE = [
 # round-over-round comparison knows when the totals became incomparable.
 # r11a = r09a +4: the round-10/11 heavies (k-means train, trained-IVF
 # top-k, BPE merge-rule training, CDC incremental curation)
-SUITE2_VERSION = "r11a"
+SUITE2_VERSION = "r11b"  # r11a + the 6 continued-session entries
 SUITE2 = [
+    "dedup_substring_spans",
+    "sim_semdedup",
+    "text_quality_classifier",
+    "pipeline_dsir_weights",
+    "text_bm25_search",
+    "sim_hybrid_retrieval",
     "sim_kmeans_train",
     "sim_ivf_trained_topk",
     "text_bpe_train",

@@ -105,6 +105,7 @@ _ROTATION_QUEUE: list[str] = [
     "pipeline_dsir_weights",
     "text_bm25_search",
     "sim_hybrid_retrieval",
+    "stream_bm25_postings",
 ]
 
 

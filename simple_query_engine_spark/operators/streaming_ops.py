@@ -396,6 +396,92 @@ def run_vector_ingest(
     return spark.table(sink_name)
 
 
+def q_stream_bm25_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming INVERTED-INDEX maintenance: the documents table replays
+    as a file-source stream and the per-term index statistics the BM25
+    scorer reads (document frequency, total and max term frequency for
+    the ``text_bm25_search`` query terms) update as documents land — the
+    streaming face of the postings build, i.e. what a live retrieval
+    index does between full rebuilds.
+
+    Per-document term frequency is deliberately a PROJECTION (one
+    ``size(filter(words, = term))`` per tracked term over the tokenized
+    array — executor-resident, no state), so the single streaming
+    aggregation is the per-term rollup: each document contributes exactly
+    one (doc, term, tf) row per matched term, making df a plain count —
+    no distinct aggregation and no chained aggregations, which streaming
+    disallows.  On a finite replay the report equals the batch postings
+    rollup (multi-batch equality pinned in tests); the oracle is the
+    batch SQL.  At 100 TB/day the state is |tracked terms| rows — for a
+    full-vocabulary index the groupBy key is the term and state is
+    vocabulary-sized, partitioned by the same keyed shuffle.
+    """
+    return run_bm25_postings(spark, sf_dir)
+
+
+def run_bm25_postings(
+    spark: SparkSession,
+    sf_dir: str,
+    stream_path: str | None = None,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """The :func:`q_stream_bm25_postings` pipeline with an overridable
+    stream source (tests replay a staged multi-file copy)."""
+    import tempfile
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from simple_query_engine_spark.operators.text import (
+        BM25_QUERIES,
+        _normalized,
+    )
+    from simple_query_engine_spark.streaming.windows import read_event_stream
+
+    terms = sorted({t for ts in BM25_QUERIES.values() for t in ts})
+    stream = read_event_stream(
+        spark,
+        stream_path or os.path.join(sf_dir, "documents.parquet"),
+        max_files_per_trigger,
+    )
+    tokenized = stream.select(
+        "doc_id", F.split(_normalized(F.col("text")), " ").alias("w")
+    )
+    per_term = F.array(
+        *[
+            F.struct(
+                F.lit(t).alias("term"),
+                F.size(
+                    F.filter(F.col("w"), lambda x: x == F.lit(t))  # noqa: B023
+                ).alias("tf"),
+            )
+            for t in terms
+        ]
+    )
+    rows = (
+        tokenized.select("doc_id", F.explode(per_term).alias("s"))
+        .select("doc_id", F.col("s.term").alias("term"), F.col("s.tf").alias("tf"))
+        .filter(F.col("tf") > 0)
+    )
+    report = rows.groupBy("term").agg(
+        F.count(F.lit(1)).alias("df"),
+        F.sum("tf").alias("total_tf"),
+        F.max("tf").alias("max_tf"),
+    )
+    sink_name = f"bm25post_{uuid.uuid4().hex[:8]}"
+    checkpoint = os.path.join(tempfile.gettempdir(), f"ckpt_{sink_name}")
+    query = (
+        report.writeStream.format("memory")
+        .queryName(sink_name)
+        .outputMode("complete")
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return spark.table(sink_name)
+
+
 def q_stream_watermark_late_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Watermark late-data DROP accounting: a 4-batch ordered replay where
     the held-back straggler slice arrives weeks past its event time and
@@ -422,6 +508,7 @@ QUERIES = {
     "stream_dedup_user_counts": q_stream_dedup_user_counts,
     "stream_upsert_managed": q_stream_upsert_managed,
     "stream_vector_ingest": q_stream_vector_ingest,
+    "stream_bm25_postings": q_stream_bm25_postings,
     "window_tumbling_counts": q_batch_tumbling,
     "window_sliding_counts": q_window_sliding,
     "window_session_counts": q_window_session,
@@ -471,7 +558,31 @@ _SESSION_SQL = """
     FROM sessions GROUP BY session_id, user_id
 """
 
+def _bm25_postings_oracle_sql() -> str:
+    """Batch twin of the streaming postings rollup: same tracked terms
+    (generated from BM25_QUERIES at import), same df/tf definitions."""
+    from simple_query_engine_spark.operators.text import _NORM, BM25_QUERIES
+
+    terms = sorted({t for ts in BM25_QUERIES.values() for t in ts})
+    values = ", ".join(f"('{t}')" for t in terms)
+    return f"""
+        WITH t(term) AS (VALUES {values}),
+        d AS (
+            SELECT doc_id, string_split({_NORM}, ' ') AS w FROM documents
+        ), r AS (
+            SELECT term, len(list_filter(w, x -> x = term)) AS tf
+            FROM d, t
+        )
+        SELECT term,
+               CAST(COUNT(*) AS BIGINT) AS df,
+               CAST(SUM(tf) AS BIGINT) AS total_tf,
+               CAST(MAX(tf) AS BIGINT) AS max_tf
+        FROM r WHERE tf > 0 GROUP BY term
+    """
+
+
 ORACLES = {
+    "stream_bm25_postings": _bm25_postings_oracle_sql(),
     # Batch gap-sessionization (gap EXCLUSIVE: an event exactly gap
     # seconds later continues the session — matching the stateful op's
     # `t - last > gap` close rule; the built-in session_window exhibit

@@ -378,3 +378,35 @@ def test_vector_ingest_multi_batch_equals_batch_rollup(spark, sf_dir, tmp_path):
     )
     assert got == batch
     assert len(got) <= S.KMEANS_K and len(got) > 0
+
+
+def test_bm25_postings_multi_batch_equals_batch(spark, sf_dir, tmp_path):
+    """The streaming postings report over a 3-file replay (one micro-batch
+    per file) must equal the batch rollup — the inverted index grows
+    correctly however the corpus is sliced into micro-batches."""
+    import re
+    from collections import Counter
+
+    from simple_query_engine_spark.operators.text import BM25_QUERIES
+
+    staged = str(tmp_path / "docs_multi")
+    spark.read.parquet(f"{sf_dir}/documents.parquet").repartition(3).write.parquet(
+        staged
+    )
+    got = rows_set(
+        SO.run_bm25_postings(spark, sf_dir, stream_path=staged, max_files_per_trigger=1)
+    )
+    terms = sorted({t for ts in BM25_QUERIES.values() for t in ts})
+    stats = {t: [0, 0, 0] for t in terms}  # df, total_tf, max_tf
+    for r in spark.read.parquet(f"{sf_dir}/documents.parquet").collect():
+        c = Counter(re.sub(r"\s+", " ", r.text.lower()).strip().split(" "))
+        for t in terms:
+            tf = c.get(t, 0)
+            if tf:
+                stats[t][0] += 1
+                stats[t][1] += tf
+                stats[t][2] = max(stats[t][2], tf)
+    expected = {
+        (t, df, tot, mx) for t, (df, tot, mx) in stats.items() if df > 0
+    }
+    assert got == expected
