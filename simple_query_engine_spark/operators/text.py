@@ -470,7 +470,21 @@ def q_text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     postings = words.groupBy("doc_id", "word").agg(
         F.count(F.lit(1)).alias("tf")
     )
-    doclen = postings.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    # dl is derivable scan-side (count of non-empty tokens) — a projection,
+    # not a re-aggregation of postings, which would need its own exchange
+    # because the (doc_id, word) hash partitioning can't serve a doc_id
+    # grouping.  Docs that normalize to zero tokens drop from N exactly as
+    # they drop from the postings.
+    doclen = documents.select(
+        "doc_id",
+        F.size(
+            F.filter(
+                F.split(_normalized(F.col("text")), " "), lambda x: x != ""
+            )
+        )
+        .cast("long")
+        .alias("dl"),
+    ).filter(F.col("dl") > 0)
     corpus = doclen.agg(
         F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("t_tokens")
     )
@@ -1042,8 +1056,12 @@ def _bm25_oracle_sql() -> str:
             SELECT doc_id, word, CAST(COUNT(*) AS BIGINT) AS tf
             FROM toks WHERE word <> '' GROUP BY doc_id, word
         ), doclen AS (
-            SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl
-            FROM postings GROUP BY doc_id
+            SELECT doc_id,
+                   CAST(len(list_filter(string_split({{norm}}, ' '),
+                                        x -> x <> '')) AS BIGINT) AS dl
+            FROM documents
+            WHERE len(list_filter(string_split({{norm}}, ' '),
+                                  x -> x <> '')) > 0
         ), corpus AS (
             SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
                    CAST(SUM(dl) AS BIGINT) AS t_tokens
