@@ -106,6 +106,7 @@ _ROTATION_QUEUE: list[str] = [
     "text_bm25_search",
     "sim_hybrid_retrieval",
     "stream_bm25_postings",
+    "graph_kcore_neardup",
 ]
 
 

@@ -1234,6 +1234,152 @@ def _triangles_oracle_sql() -> str:
     """
 
 
+# k-core peeling: K is the degree bar, KCORE_ROUNDS the FIXED number of
+# synchronized peel rounds (the graph-family fixed-iteration discipline —
+# both engines run exactly R rounds, so results are engine-identical even
+# on graphs whose peel depth exceeds R; fixpoint at the test SFs is
+# asserted in tests/test_dedup.py by running one extra round).
+KCORE_K = 2
+KCORE_ROUNDS = 6
+
+
+def q_graph_kcore_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """{KCORE_K}-core decomposition of the MinHash-LSH near-dup graph by
+    synchronized peeling — the third member of the dup-graph analysis
+    family (PageRank ranks canonical copies, triangles measure local
+    density, the k-core separates STRUCTURAL duplication — documents
+    embedded in cycles/cliques of mutual near-dups, e.g. template farms —
+    from incidental pairwise matches, which all peel).  ``peel_round`` is
+    the synchronized round that removed the document (1-based); 0 means it
+    survived all {KCORE_ROUNDS} rounds and sits in the (K, R)-core, with
+    ``core_degree`` its degree inside the surviving subgraph.
+
+    Determinism: peeling is pure set arithmetic — no floats, no ordering,
+    no ties — so a FIXED round count is bit-identical across engines and
+    the DuckDB oracle simply unrolls the rounds as chained CTEs (the
+    ``graph_pagerank_neardup`` pattern).  Exact coreness would iterate to
+    a data-dependent fixpoint; the fixed-R form is declared, and the model
+    test asserts round {KCORE_ROUNDS + 1} changes nothing at the test SFs.
+
+    Scale shape: each round is two semi-joins of the static edge table
+    against the shrinking alive set plus one map-side-combined degree
+    count — O(m) per round, R fixed rounds.  The alive set is referenced
+    TWICE per round (src side and dst side), so each round is materialized
+    to scratch parquet and read back (the ``_propagate_labels`` lineage-
+    truncation discipline — the analyzer's self-join deduplication would
+    otherwise copy the nested subtree and the plan doubles per round,
+    observed OOM by round 6); scratch holds R+1 node lists, all of which
+    the final union scans.  Nothing is all-pairs and the driver never
+    sees a node list."""
+    pairs = q_dedup_minhash_lsh(spark, sf_dir).select("doc_id_a", "doc_id_b")
+    scratch = _cc_scratch_dir(spark)
+
+    def _materialize(df: DataFrame, name: str) -> DataFrame:
+        path = os.path.join(scratch, name)
+        df.write.mode("overwrite").parquet(path)
+        return spark.read.parquet(path)
+
+    edges = _materialize(
+        pairs.union(
+            pairs.select(
+                F.col("doc_id_b").alias("doc_id_a"),
+                F.col("doc_id_a").alias("doc_id_b"),
+            )
+        ).select(F.col("doc_id_a").alias("src"), F.col("doc_id_b").alias("dst")),
+        "kcore_edges",
+    )
+    alive = _materialize(
+        edges.select(F.col("src").alias("node")).distinct(), "kcore_alive_0"
+    )
+
+    def _alive_deg(alive_df: DataFrame) -> DataFrame:
+        return (
+            edges.join(alive_df.withColumnRenamed("node", "src"), "src")
+            .join(alive_df.withColumnRenamed("node", "dst"), "dst")
+            .groupBy("src")
+            .agg(F.count(F.lit(1)).alias("deg"))
+        )
+
+    removed_frames = []
+    for r in range(1, KCORE_ROUNDS + 1):
+        new_alive = _materialize(
+            _alive_deg(alive)
+            .filter(F.col("deg") >= KCORE_K)
+            .select(F.col("src").alias("node")),
+            f"kcore_alive_{r}",
+        )
+        removed_frames.append(
+            alive.join(new_alive, "node", "left_anti").select(
+                "node", F.lit(r).alias("peel_round")
+            )
+        )
+        alive = new_alive
+    # LEFT join: a round-R survivor can end with degree 0 *inside* the
+    # final alive set (its supporting neighbors peeled in the same round);
+    # it still survived R rounds and must not vanish from the output.
+    survivors = alive.join(
+        _alive_deg(alive).withColumnRenamed("src", "node"), "node", "left"
+    ).select(
+        "node",
+        F.lit(0).alias("peel_round"),
+        F.coalesce("deg", F.lit(0)).alias("core_degree"),
+    )
+    removed = removed_frames[0]
+    for frame in removed_frames[1:]:
+        removed = removed.union(frame)
+    return survivors.union(
+        removed.select("node", "peel_round", F.lit(0).alias("core_degree"))
+    ).select(
+        F.col("node").alias("doc_id"),
+        F.col("peel_round").cast("long").alias("peel_round"),
+        (F.col("peel_round") == 0).cast("long").alias("in_core"),
+        F.col("core_degree").cast("long").alias("core_degree"),
+    )
+
+
+def _kcore_oracle_sql() -> str:
+    """Unrolled fixed-round peeling twin over the shared MinHash pair SQL:
+    aliveᵢ₊₁ = nodes of aliveᵢ with ≥ K neighbors inside aliveᵢ; the
+    peel round falls out of which alive set a node first drops from."""
+    rounds = []
+    prev = "a0"
+    for i in range(1, KCORE_ROUNDS + 1):
+        rounds.append(f"""a{i} AS MATERIALIZED (
+            SELECT e.src AS node FROM edges e
+            JOIN {prev} x ON e.src = x.node
+            JOIN {prev} y ON e.dst = y.node
+            GROUP BY e.src HAVING COUNT(*) >= {KCORE_K}
+        )""")
+        prev = f"a{i}"
+    peel = " ".join(
+        f"WHEN n.node NOT IN (SELECT node FROM a{i}) THEN {i}"
+        for i in range(1, KCORE_ROUNDS + 1)
+    )
+    return f"""
+        WITH near AS MATERIALIZED ({_minhash_oracle_sql()}),
+        edges AS MATERIALIZED (
+            SELECT doc_id_a AS src, doc_id_b AS dst FROM near
+            UNION ALL
+            SELECT doc_id_b AS src, doc_id_a AS dst FROM near
+        ), a0 AS MATERIALIZED (
+            SELECT DISTINCT src AS node FROM edges
+        ),
+        {",".join(rounds)},
+        fdeg AS (
+            SELECT e.src AS node, COUNT(*) AS core_degree FROM edges e
+            JOIN {prev} x ON e.src = x.node
+            JOIN {prev} y ON e.dst = y.node
+            GROUP BY e.src
+        )
+        SELECT n.node AS doc_id,
+               CAST(CASE {peel} ELSE 0 END AS BIGINT) AS peel_round,
+               CAST(CASE WHEN n.node IN (SELECT node FROM {prev})
+                         THEN 1 ELSE 0 END AS BIGINT) AS in_core,
+               CAST(COALESCE(f.core_degree, 0) AS BIGINT) AS core_degree
+        FROM a0 n LEFT JOIN fdeg f ON f.node = n.node
+    """
+
+
 QUERIES = {
     "dedup_exact": q_dedup_exact,
     "dedup_substring_spans": q_dedup_substring_spans,
@@ -1249,6 +1395,7 @@ QUERIES = {
     "dedup_lsh_quality": q_dedup_lsh_quality,
     "graph_pagerank_neardup": q_graph_pagerank_neardup,
     "graph_triangles_neardup": q_graph_triangles_neardup,
+    "graph_kcore_neardup": q_graph_kcore_neardup,
     "text_dup_ngram_coverage": q_dup_ngram_coverage,
 }
 
@@ -1608,6 +1755,7 @@ _NGRAM_JACCARD_SQL = f"""
 ORACLES["dedup_ngram_jaccard"] = _NGRAM_JACCARD_SQL
 ORACLES["graph_pagerank_neardup"] = _pagerank_oracle_sql()
 ORACLES["graph_triangles_neardup"] = _triangles_oracle_sql()
+ORACLES["graph_kcore_neardup"] = _kcore_oracle_sql()
 
 _LSH_QUALITY_ERR = "CAST(ROUND(ABS(est_jaccard - jaccard) * 10000, 0) AS BIGINT)"
 ORACLES["dedup_lsh_quality"] = f"""

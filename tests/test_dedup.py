@@ -398,3 +398,40 @@ def test_substring_spans_match_python_model(spark, sf_dir):
         saw_dup_run = saw_dup_run or bool(runs)
     # The synthetic corpus plants near-dups — the entry must be non-vacuous.
     assert saw_dup_run
+
+def test_kcore_matches_python_model(spark, sf_dir):
+    """Pure-Python synchronized peeling over the same near-dup pair list:
+    peel rounds, core membership, and in-core degrees must match exactly
+    (set arithmetic — equality is literal).  Also asserts the declared
+    fixed round count REACHES the fixpoint at the test SFs: one extra
+    round removes nobody."""
+    pairs = {
+        (r.doc_id_a, r.doc_id_b)
+        for r in D.q_dedup_minhash_lsh(spark, sf_dir)
+        .select("doc_id_a", "doc_id_b")
+        .collect()
+    }
+    assert pairs, "fixture must produce a non-empty near-dup graph"
+    adj: dict[int, set[int]] = {}
+    for a, b in pairs:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    alive = set(adj)
+    peel_round = {n: 0 for n in adj}
+    for r in range(1, D.KCORE_ROUNDS + 1):
+        deg = {n: sum(1 for m in adj[n] if m in alive) for n in alive}
+        dropped = {n for n in alive if deg[n] < D.KCORE_K}
+        for n in dropped:
+            peel_round[n] = r
+        alive -= dropped
+    # Fixpoint check: the declared fixed R suffices on this corpus.
+    extra = {n for n in alive
+             if sum(1 for m in adj[n] if m in alive) < D.KCORE_K}
+    assert not extra, "KCORE_ROUNDS too small for the test corpus"
+    core_deg = {n: sum(1 for m in adj[n] if m in alive) for n in alive}
+    got = {r.doc_id: r for r in D.q_graph_kcore_neardup(spark, sf_dir).collect()}
+    assert set(got) == set(adj)
+    for n in adj:
+        assert got[n].peel_round == peel_round[n], n
+        assert got[n].in_core == (1 if n in alive else 0), n
+        assert got[n].core_degree == core_deg.get(n, 0), n
