@@ -107,6 +107,7 @@ _ROTATION_QUEUE: list[str] = [
     "sim_hybrid_retrieval",
     "stream_bm25_postings",
     "graph_kcore_neardup",
+    "sim_knn_graph",
 ]
 
 

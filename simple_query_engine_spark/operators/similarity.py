@@ -1421,6 +1421,152 @@ def q_sim_ivf_append_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ivf_search(spark, sf_dir, vectors, cent, members)
 
 
+# kNN-graph degree: every vector keeps its KNN_GRAPH_K best neighbors
+# from the cells it probes (the trained-IVF candidate restriction).
+KNN_GRAPH_K = 5
+
+
+def q_sim_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN-GRAPH construction over the WHOLE corpus through the trained
+    IVF index — every vector is a query: probe the {KMEANS_NPROBE}
+    nearest trained cells, rank exact cosine over the probed posting
+    lists, keep each vector's top {KNN_GRAPH_K} neighbors, and flag
+    MUTUAL edges (both endpoints keep each other).  The kNN graph is the
+    backbone structure of graph-based corpus analysis — agglomerative /
+    HDBSCAN-style clustering, graph ANN seeding, kNN-density outlier
+    scoring all start from exactly this edge list; the mutual flag is the
+    symmetrization those consumers apply first.
+
+    Scale shape: this is the all-queries generalization of
+    ``sim_ivf_trained_topk`` — candidate volume is Σ_cells |postings| ×
+    |probes into the cell| ≈ (nprobe/K)·N per vector, the same corpus
+    fraction as single-query IVF search and a K/nprobe-fold reduction
+    over the N² brute-force graph; with the standard K ∝ √N cell sizing
+    the total candidate volume is ~nprobe·N^{3/2}.  Probes collapse
+    map-side via the sorted-slice aggregate (never a corpus-wide
+    window — partitioned by vec_id); the probe⋈posting join is keyed on
+    cell_id and stays UNHINTED (both sides are corpus-sized — a
+    broadcast here would ship the whole posting table); the edge list is
+    session-cached once and the mutual flag is a self-equi-join on the
+    (vec, neighbor) key of that N·k-row table, never of the corpus.
+    Oracle: k-means CTEs + unrestricted probe ranking + the same
+    left-join mutual marker."""
+    vectors, cent = _kmeans_trained(spark, sf_dir)
+    members = _kmeans_assign(vectors, cent).select(
+        F.col("vec_id").alias("neighbor_id"), "cell_id"
+    )
+    probe_scored = vectors.crossJoin(F.broadcast(cent)).select(
+        F.col("vec_id").alias("query_id"),
+        "cell_id",
+        _kmeans_sqdist(F.col("sv"), F.col("cv")).alias("d"),
+    )
+    probes = (
+        probe_scored.groupBy("query_id")
+        .agg(
+            F.slice(
+                F.array_sort(F.collect_list(F.struct("d", "cell_id"))),
+                1,
+                KMEANS_NPROBE,
+            ).alias("cells")
+        )
+        .select("query_id", F.explode(F.col("cells.cell_id")).alias("cell_id"))
+    )
+    queries = _with_norm(
+        table(spark, sf_dir, "embeddings"), "query_id", "q_emb", "q_norm"
+    )
+    cands = _with_norm(
+        table(spark, sf_dir, "embeddings"), "neighbor_id", "c_emb", "c_norm"
+    )
+    cosine = _dot(F.col("q_emb"), F.col("c_emb")) / (
+        F.col("q_norm") * F.col("c_norm")
+    )
+    scored = (
+        probes.join(members, "cell_id")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .join(queries, "query_id")
+        .join(cands, "neighbor_id")
+        .select("query_id", "neighbor_id", F.round(cosine, 4).alias("similarity"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("similarity").desc(), F.col("neighbor_id")
+    )
+    edges = session_cache(
+        scored.withColumn("knn_rank", F.row_number().over(w))
+        .filter(F.col("knn_rank") <= KNN_GRAPH_K)
+        .select(
+            F.col("query_id").alias("vec_id"),
+            "neighbor_id",
+            "knn_rank",
+            "similarity",
+        ),
+        sf_dir,
+        "knn_graph_edges",
+    )
+    rev = edges.select(
+        F.col("neighbor_id").alias("vec_id"),
+        F.col("vec_id").alias("neighbor_id"),
+        F.lit(1).alias("is_mutual"),
+    ).distinct()
+    return edges.join(rev, ["vec_id", "neighbor_id"], "left").select(
+        "vec_id",
+        "neighbor_id",
+        "knn_rank",
+        "similarity",
+        F.coalesce("is_mutual", F.lit(0)).cast("long").alias("mutual"),
+    )
+
+
+def _knn_graph_oracle_sql() -> str:
+    """K-means training CTEs + all-vectors probe ranking + top-k cosine
+    per vector + the reverse-edge mutual marker."""
+    parts, final_cent, members = _kmeans_oracle_parts()
+    sq = (
+        f"CAST(list_sum(list_transform(range(1, {EMB_DIM + 1}), "
+        "j -> (v.sv[j] - c.cv[j]) * (v.sv[j] - c.cv[j]))) AS BIGINT)"
+    )
+    return (
+        "WITH "
+        + ",\n        ".join(parts)
+        + f""",
+        probes AS (
+            SELECT query_id, cell_id FROM (
+                SELECT v.vec_id AS query_id, c.cell_id,
+                       ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                                          ORDER BY {sq}, c.cell_id) AS rn
+                FROM v, {final_cent} c
+            ) WHERE rn <= {KMEANS_NPROBE}
+        ),
+        e AS (
+            SELECT vec_id, embedding::DOUBLE[] AS ev,
+                   sqrt(list_dot_product(embedding::DOUBLE[],
+                                         embedding::DOUBLE[])) AS nrm
+            FROM embeddings
+        ),
+        searched AS (
+            SELECT p.query_id, a.vec_id AS neighbor_id,
+                   ROUND(list_dot_product(qe.ev, ce.ev)
+                         / (qe.nrm * ce.nrm), 4) AS similarity
+            FROM probes p
+            JOIN {members} a ON a.cell_id = p.cell_id AND a.vec_id <> p.query_id
+            JOIN e qe ON qe.vec_id = p.query_id
+            JOIN e ce ON ce.vec_id = a.vec_id
+        ),
+        ranked AS MATERIALIZED (
+            SELECT * FROM (
+                SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                             ORDER BY similarity DESC,
+                                                      neighbor_id) AS knn_rank
+                FROM searched
+            ) WHERE knn_rank <= {KNN_GRAPH_K}
+        )
+        SELECT r.query_id AS vec_id, r.neighbor_id, r.knn_rank, r.similarity,
+               CAST(CASE WHEN m.query_id IS NOT NULL THEN 1 ELSE 0 END
+                    AS BIGINT) AS mutual
+        FROM ranked r LEFT JOIN ranked m
+             ON m.query_id = r.neighbor_id AND m.neighbor_id = r.query_id"""
+    )
+
+
 # Reciprocal-rank-fusion constant (the standard k=60 of the public RRF
 # recipe) and the hybrid query set: lexical side = BM25_QUERIES[qid],
 # dense side = query vector vec_id = qid.  The synthetic corpus aligns
@@ -1735,6 +1881,7 @@ QUERIES = {
     "sim_filtered_topk": q_sim_filtered_topk,
     "sim_hard_negatives": q_sim_hard_negatives,
     "sim_ivf_append_topk": q_sim_ivf_append_topk,
+    "sim_knn_graph": q_sim_knn_graph,
     "sim_semdedup": q_sim_semdedup,
     "sim_hybrid_retrieval": q_sim_hybrid_retrieval,
     "sim_recall_audit": q_sim_recall_audit,
@@ -1783,6 +1930,7 @@ ORACLES = {
     "sim_hard_negatives": _ivf_trained_oracle_sql(
         pair_where="WHERE qe.label <> ce.label"
     ),
+    "sim_knn_graph": _knn_graph_oracle_sql(),
     "sim_semdedup": _semdedup_oracle_sql(),
     "sim_hybrid_retrieval": _hybrid_oracle_sql(),
     "sim_neardup_pairs_baseline": f"""

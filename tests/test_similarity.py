@@ -693,3 +693,57 @@ def test_hybrid_retrieval_fuses_rank_lists_exactly(spark, sf_dir):
     # both modalities contribute to the fused pages
     assert any(lr > 0 for (_, lr, _, _) in got.values())
     assert any(dr > 0 for (_, _, dr, _) in got.values())
+
+
+def test_knn_graph_matches_numpy_model(spark, sf_dir):
+    """Full numpy recompute of the IVF-restricted kNN graph: per-vector
+    probe set, candidate lists, rounded-cosine top-k ordering, and the
+    mutual flag must all match exactly."""
+    import numpy as np
+
+    vectors, cent = S._kmeans_trained(spark, sf_dir)
+    assigned = {
+        r.vec_id: r.cell_id for r in S._kmeans_assign(vectors, cent).collect()
+    }
+    cent_rows = {r.cell_id: np.array(r.cv, dtype=np.int64) for r in cent.collect()}
+    sv = {r.vec_id: np.array(r.sv, dtype=np.int64) for r in vectors.collect()}
+    emb = {
+        r.vec_id: np.array(r.embedding, dtype=np.float64)
+        for r in spark.read.parquet(f"{sf_dir}/embeddings.parquet").collect()
+    }
+    nrm = {v: float(np.linalg.norm(e)) for v, e in emb.items()}
+
+    edges: dict[int, list[tuple[int, int, float]]] = {}
+    for qid in sv:
+        dists = sorted(
+            (int(((sv[qid] - c) ** 2).sum()), cid) for cid, c in cent_rows.items()
+        )
+        probe = {cid for _, cid in dists[: S.KMEANS_NPROBE]}
+        cands = [v for v, c in assigned.items() if c in probe and v != qid]
+        scored = sorted(
+            (-round(float(emb[qid] @ emb[v]) / (nrm[qid] * nrm[v]), 4), v)
+            for v in cands
+        )[: S.KNN_GRAPH_K]
+        edges[qid] = [
+            (v, rank + 1, -negsim) for rank, (negsim, v) in enumerate(scored)
+        ]
+    kept = {(q, v) for q, lst in edges.items() for v, _, _ in lst}
+
+    rows = S.q_sim_knn_graph(spark, sf_dir).collect()
+    got: dict[int, list] = {}
+    for r in rows:
+        got.setdefault(r.vec_id, []).append(r)
+    assert set(got) == {q for q, lst in edges.items() if lst}
+    saw_mutual = False
+    for q, lst in edges.items():
+        g = sorted(got.get(q, []), key=lambda r: r.knn_rank)
+        assert [(r.neighbor_id, r.knn_rank) for r in g] == [
+            (v, rank) for v, rank, _ in lst
+        ], q
+        for r, (_, _, sim) in zip(g, lst):
+            assert abs(r.similarity - sim) < 1e-9, (q, r.neighbor_id)
+            want_mutual = 1 if (r.neighbor_id, q) in kept else 0
+            assert r.mutual == want_mutual, (q, r.neighbor_id)
+            saw_mutual = saw_mutual or want_mutual == 1
+    # Non-vacuous: the planted near-dup pairs make some edges mutual.
+    assert saw_mutual
