@@ -108,6 +108,7 @@ _ROTATION_QUEUE: list[str] = [
     "stream_bm25_postings",
     "graph_kcore_neardup",
     "sim_knn_graph",
+    "pipeline_mixture_sample",
 ]
 
 

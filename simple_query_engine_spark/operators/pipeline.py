@@ -430,6 +430,99 @@ def q_pipeline_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Mixture resampling gate resolution: acceptance thresholds live in ppm of
+# the md5(doc_id) % 1e6 gate, so membership is a pure function of doc_id
+# (stable under retries and corpus growth — the pipeline_split_assign
+# discipline applied to mixture weights).  corpus_tokens·1e6 must stay
+# < 2⁶³ → declared bound ~9·10¹² corpus tokens (the text_bm25_search
+# integer-headroom convention; shard the totals beyond that).
+MIXTURE_GATE_MOD = 1_000_000
+
+
+def q_pipeline_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic mixture RESAMPLING — the application step of
+    ``pipeline_domain_mix``: that entry computes per-source reweighting
+    factors; this one actually draws the rebalanced corpus.  Each source
+    gets an acceptance threshold ``accept_ppm = min(1e6, T·1e6 //
+    (|S|·T_s))`` (uniform token budget per source, downsample-only:
+    over-represented sources are cut to the uniform share, scarce ones
+    keep everything — up-weighting is an epoch-repetition decision left
+    to the trainer), and a document survives iff ``md5(doc_id) % 1e6 <
+    accept_ppm`` — membership is a pure function of doc_id, so the drawn
+    sample is stable under retries, partitioning, and corpus growth,
+    where a ``rand()`` sampler re-draws every run.  Output: per-source
+    audit — inputs, threshold, sampled counts/tokens, achieved share in
+    ppm (the number the DoReMi-style mixture tuning loop feeds back on).
+
+    Scale shape: ONE corpus scan builds the (doc_id, source, n_tokens,
+    gate) projection, session-cached because both the threshold aggregate
+    and the sampled aggregate read it (uncached, Catalyst re-scans and
+    re-tokenizes the corpus for each — the ``pipeline_domain_mix``
+    two-scan trap); thresholds are |S| rows computed by a window over the
+    per-source aggregate and broadcast back; both aggregates are map-side
+    combined.  All arithmetic is single integer divisions — no float
+    accumulation anywhere."""
+    from simple_query_engine_spark.functions.caching import session_cache
+    from simple_query_engine_spark.functions.hashing import md5_prefix_long
+
+    documents = table(spark, sf_dir, "documents")
+    per_doc = session_cache(
+        documents.select(
+            "source",
+            F.size(F.split(_normalized(F.col("text")), " ")).alias("n_tokens"),
+            F.pmod(
+                md5_prefix_long(F.col("doc_id").cast("string"), 8),
+                F.lit(MIXTURE_GATE_MOD),
+            ).alias("gate"),
+        ),
+        sf_dir,
+        "mixture_per_doc",
+    )
+    per_source = per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+    )
+    thresholds = per_source.select(
+        "source",
+        "n_docs",
+        "total_tokens",
+        F.expr(
+            f"least(cast({MIXTURE_GATE_MOD} as bigint), "
+            f"sum(total_tokens) over () * {MIXTURE_GATE_MOD} "
+            "div (count(1) over () * total_tokens))"
+        ).alias("accept_ppm"),
+    )
+    sampled = (
+        per_doc.join(
+            F.broadcast(thresholds.select("source", "accept_ppm")), "source"
+        )
+        .filter(F.col("gate") < F.col("accept_ppm"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("docs_sampled"),
+            F.sum("n_tokens").alias("tokens_sampled"),
+        )
+    )
+    return (
+        thresholds.join(sampled, "source", "left")
+        .select(
+            "source",
+            "n_docs",
+            "total_tokens",
+            "accept_ppm",
+            F.coalesce("docs_sampled", F.lit(0)).alias("docs_sampled"),
+            F.coalesce("tokens_sampled", F.lit(0)).alias("tokens_sampled"),
+        )
+        .select(
+            "*",
+            F.expr(
+                f"tokens_sampled * {MIXTURE_GATE_MOD} "
+                "div sum(tokens_sampled) over ()"
+            ).alias("sampled_share_ppm"),
+        )
+    )
+
+
 def q_pipeline_attrition_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source attrition accounting for the curation pipeline — the
     observability twin of ``pipeline_corpus_curation``: how many docs each
@@ -912,6 +1005,7 @@ QUERIES = {
     "text_decontamination": q_text_decontamination,
     "text_decontamination_bloom": q_text_decontamination_bloom,
     "pipeline_domain_mix": q_pipeline_domain_mix,
+    "pipeline_mixture_sample": q_pipeline_mixture_sample,
     "pipeline_attrition_report": q_pipeline_attrition_report,
 }
 
@@ -1170,6 +1264,43 @@ ORACLES = {
         )
         SELECT doc_id, COUNT(*) AS flagged_ngrams
         FROM flagged GROUP BY doc_id
+    """,
+    "pipeline_mixture_sample": f"""
+        WITH d AS (
+            SELECT source,
+                   len(string_split({_NORM}, ' ')) AS n_tokens,
+                   {md5_prefix_long_sql("CAST(doc_id AS VARCHAR)", 8)}
+                       % {MIXTURE_GATE_MOD} AS gate
+            FROM documents
+        ), per_source AS (
+            SELECT source, COUNT(*) AS n_docs,
+                   CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+            FROM d GROUP BY source
+        ), tot AS (
+            SELECT CAST(SUM(total_tokens) AS BIGINT) AS corpus_tokens,
+                   COUNT(*) AS n_sources
+            FROM per_source
+        ), thr AS (
+            SELECT source, n_docs, total_tokens,
+                   LEAST(CAST({MIXTURE_GATE_MOD} AS BIGINT),
+                         (corpus_tokens * {MIXTURE_GATE_MOD})
+                         // (n_sources * total_tokens)) AS accept_ppm
+            FROM per_source, tot
+        ), samp AS (
+            SELECT d.source, COUNT(*) AS docs_sampled,
+                   CAST(SUM(d.n_tokens) AS BIGINT) AS tokens_sampled
+            FROM d JOIN thr t ON d.source = t.source
+            WHERE d.gate < t.accept_ppm
+            GROUP BY d.source
+        )
+        SELECT t.source, t.n_docs, t.total_tokens,
+               CAST(t.accept_ppm AS BIGINT) AS accept_ppm,
+               CAST(COALESCE(s.docs_sampled, 0) AS BIGINT) AS docs_sampled,
+               CAST(COALESCE(s.tokens_sampled, 0) AS BIGINT) AS tokens_sampled,
+               CAST(COALESCE(s.tokens_sampled, 0) * {MIXTURE_GATE_MOD}
+                    // (SELECT CAST(SUM(tokens_sampled) AS BIGINT) FROM samp)
+                    AS BIGINT) AS sampled_share_ppm
+        FROM thr t LEFT JOIN samp s ON t.source = s.source
     """,
     "pipeline_domain_mix": f"""
         WITH per_source AS (

@@ -440,3 +440,83 @@ def test_dsir_selects_target_distribution_not_target_label(spark, tmp_path):
     for i, r in got.items():
         assert r.selected == (r.tile == 1), i
         assert r.n_feats == 11, i  # 12 words -> 11 bigrams
+
+
+def test_mixture_sample_matches_python_model(spark, sf_dir):
+    """Full Python recompute of the hash-gated mixture draw: thresholds,
+    per-source sampled counts/tokens, and achieved shares must match
+    exactly — plus the rebalancing property the entry exists for: the
+    sampled token distribution is strictly closer to uniform than the
+    input distribution."""
+    import hashlib
+    import re
+
+    from simple_query_engine_spark.operators.pipeline import (
+        MIXTURE_GATE_MOD,
+        q_pipeline_mixture_sample,
+    )
+
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "source", "text")
+        .collect()
+    )
+    per_source: dict[str, list] = {}
+    for d in docs:
+        n = len(re.sub(r"\s+", " ", d.text.lower()).strip().split(" "))
+        gate = (
+            int(hashlib.md5(str(d.doc_id).encode()).hexdigest()[:8], 16)
+            % MIXTURE_GATE_MOD
+        )
+        per_source.setdefault(d.source, []).append((n, gate))
+    corpus_tokens = sum(n for lst in per_source.values() for n, _ in lst)
+    n_sources = len(per_source)
+    want = {}
+    for s, lst in per_source.items():
+        total = sum(n for n, _ in lst)
+        accept = min(
+            MIXTURE_GATE_MOD,
+            (corpus_tokens * MIXTURE_GATE_MOD) // (n_sources * total),
+        )
+        kept = [(n, g) for n, g in lst if g < accept]
+        want[s] = (len(lst), total, accept, len(kept), sum(n for n, _ in kept))
+    total_sampled = sum(v[4] for v in want.values())
+    rows = {r.source: r for r in q_pipeline_mixture_sample(spark, sf_dir).collect()}
+    assert set(rows) == set(want)
+    for s, (n_docs, total, accept, ds, ts) in want.items():
+        r = rows[s]
+        assert (
+            r.n_docs,
+            r.total_tokens,
+            r.accept_ppm,
+            r.docs_sampled,
+            r.tokens_sampled,
+        ) == (n_docs, total, accept, ds, ts), s
+        assert r.sampled_share_ppm == ts * MIXTURE_GATE_MOD // total_sampled, s
+    # Rebalancing: total absolute deviation from the uniform share shrinks.
+    uniform = 1 / n_sources
+    dev_in = sum(
+        abs(v[1] / corpus_tokens - uniform) for v in want.values()
+    )
+    dev_out = sum(
+        abs(v[4] / total_sampled - uniform) for v in want.values()
+    )
+    assert dev_out < dev_in, (dev_out, dev_in)
+
+
+def test_mixture_sample_single_corpus_scan(spark, sf_dir):
+    """Both the threshold aggregate and the sampled aggregate must read
+    the session-cached per-doc projection, never re-scan the corpus:
+    every ``Scan parquet`` string in the executed plan is the reprint
+    inside an ``InMemoryTableScan`` reference (cache populated by ONE
+    physical scan), with none outside (the domain-mix discipline)."""
+    from simple_query_engine_spark.operators.pipeline import (
+        q_pipeline_mixture_sample,
+    )
+
+    plan = (
+        q_pipeline_mixture_sample(spark, sf_dir)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("InMemoryTableScan") >= 2, plan
+    assert plan.count("Scan parquet") == plan.count("InMemoryTableScan"), plan
