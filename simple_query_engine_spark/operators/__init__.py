@@ -109,6 +109,7 @@ _ROTATION_QUEUE: list[str] = [
     "graph_kcore_neardup",
     "sim_knn_graph",
     "pipeline_mixture_sample",
+    "dedup_cdc_chunks",
 ]
 
 

@@ -624,6 +624,159 @@ def q_dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Content-defined chunking: a word position closes a chunk when the
+# rolling window hash of the CDC_WINDOW words ending there is ≡ 0 mod
+# CDC_MASK_MOD — expected chunk length ≈ CDC_MASK_MOD words.
+CDC_WINDOW = 3
+CDC_MASK_MOD = 8
+
+
+def q_dedup_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined-chunking dedup (the storage-dedup / gear-hash
+    recipe applied to text): chunk boundaries fall where the hash of the
+    {CDC_WINDOW}-word window ending at a position is ≡ 0 (mod
+    {CDC_MASK_MOD}), so boundaries are a pure function of LOCAL content —
+    an insertion early in a document shifts every fixed-width window
+    after it (``dedup_substring_spans``' blind spot at chunk granularity)
+    but leaves CDC chunk identities untouched from the next boundary on
+    (shift-resistance pinned by a planted test).  Chunks dedup across
+    the corpus by content hash; per document the output reports chunk
+    count and the duplicated-chunk token mass — the bytes a chunk-level
+    dedup store would not re-store.
+
+    Whole derivation is array-side inside the row (the
+    ``dedup_substring_spans`` span construction): boundary positions,
+    chunk ranges, and chunk digests are higher-order array functions over
+    the tokenized document — scan-side map work, NO shuffle until chunks
+    aggregate by 32-hex digest.  Cross-doc duplication is the same
+    two-level (digest, doc) aggregate as the span entry; per-doc rollup
+    shuffles (doc_id)-keyed rows.  At 100 TB the chunk table is
+    ~n_words/{CDC_MASK_MOD} rows of (doc_id, pos, digest) — ~8× smaller
+    than the per-window span table — and nothing is all-pairs."""
+    documents = table(spark, sf_dir, "documents")
+    tokenized = documents.select(
+        "doc_id", F.split(_normalized(F.col("text")), " ").alias("w")
+    )
+    w = F.col("w")
+    n = F.size(w)
+    boundary_hash = lambda i: F.pmod(  # noqa: E731 - local hash closure
+        md5_prefix_long(
+            F.concat_ws(" ", F.slice(w, i - (CDC_WINDOW - 1), CDC_WINDOW)), 15
+        ),
+        F.lit(CDC_MASK_MOD),
+    )
+    interior = F.when(
+        n - 1 >= CDC_WINDOW,
+        F.filter(
+            F.sequence(F.lit(CDC_WINDOW), n - 1),
+            lambda i: boundary_hash(i) == 0,
+        ),
+    ).otherwise(F.array().cast("array<int>"))
+    with_bounds = tokenized.select(
+        "doc_id",
+        "w",
+        n.alias("n"),
+        F.concat(F.array(F.lit(1)), F.transform(interior, lambda e: e + 1)).alias(
+            "starts"
+        ),
+        F.concat(interior, F.array(n)).alias("ends"),
+    )
+    chunks = with_bounds.select(
+        "doc_id",
+        "n",
+        F.posexplode(
+            F.zip_with(
+                F.col("starts"),
+                F.col("ends"),
+                lambda s, e: F.struct(
+                    (e - s + 1).alias("chunk_words"),
+                    F.md5(F.concat_ws(" ", F.slice(F.col("w"), s, e - s + 1))).alias(
+                        "h"
+                    ),
+                ),
+            )
+        ).alias("chunk_idx", "c"),
+    ).select("doc_id", "n", "chunk_idx", F.col("c.chunk_words"), F.col("c.h"))
+    dup = (
+        chunks.select("doc_id", "h")
+        .distinct()
+        .groupBy("h")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .filter(F.col("n_docs") >= 2)
+        .select("h", F.lit(True).alias("is_dup"))
+    )
+    flagged = chunks.join(dup, "h", "left").select(
+        "doc_id",
+        "n",
+        "chunk_words",
+        F.coalesce("is_dup", F.lit(False)).alias("is_dup"),
+    )
+    return flagged.groupBy("doc_id", "n").agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.sum(F.col("is_dup").cast("long")).alias("dup_chunks"),
+        F.sum(F.when(F.col("is_dup"), F.col("chunk_words")).otherwise(0)).alias(
+            "dup_words"
+        ),
+    ).select(
+        "doc_id",
+        F.col("n").cast("long").alias("n_words"),
+        "n_chunks",
+        "dup_chunks",
+        F.col("dup_words").cast("long").alias("dup_words"),
+        F.expr("dup_words * 1000000 div n").cast("long").alias("dup_word_ppm"),
+    )
+
+
+def _cdc_oracle_sql() -> str:
+    """DuckDB twin: same window-hash boundary rule, chunk ranges, and
+    digests via list higher-order functions, then the two-level dup
+    aggregate."""
+    win = md5_prefix_long_sql(
+        f"array_to_string(w[i - {CDC_WINDOW - 1}:i], ' ')", 15
+    )
+    return f"""
+        WITH docs AS (
+            SELECT doc_id, string_split({_NORM}, ' ') AS w FROM documents
+        ), base AS (
+            SELECT doc_id, w, len(w) AS n,
+                   CASE WHEN len(w) - 1 >= {CDC_WINDOW}
+                        THEN list_filter(range({CDC_WINDOW}, len(w)),
+                                         i -> {win} % {CDC_MASK_MOD} = 0)
+                        ELSE CAST([] AS BIGINT[]) END AS interior
+            FROM docs
+        ), bounds AS (
+            SELECT doc_id, w, n,
+                   list_concat([CAST(1 AS BIGINT)],
+                               list_transform(interior, e -> e + 1)) AS starts,
+                   list_concat(interior, [CAST(n AS BIGINT)]) AS ends
+            FROM base
+        ), occ AS (
+            SELECT doc_id, n,
+                   unnest(list_transform(range(1, len(starts) + 1), i -> {{
+                       'chunk_words': ends[i] - starts[i] + 1,
+                       'h': md5(array_to_string(w[starts[i]:ends[i]], ' '))
+                   }})) AS c
+            FROM bounds
+        ), occ2 AS (
+            SELECT doc_id, n, c.chunk_words AS chunk_words, c.h AS h FROM occ
+        ), dup AS (
+            SELECT h FROM (
+                SELECT h, COUNT(DISTINCT doc_id) AS cd FROM occ2 GROUP BY h
+            ) WHERE cd >= 2
+        )
+        SELECT doc_id, CAST(n AS BIGINT) AS n_words,
+               COUNT(*) AS n_chunks,
+               CAST(SUM(CASE WHEN h IN (SELECT h FROM dup)
+                             THEN 1 ELSE 0 END) AS BIGINT) AS dup_chunks,
+               CAST(SUM(CASE WHEN h IN (SELECT h FROM dup)
+                             THEN chunk_words ELSE 0 END) AS BIGINT) AS dup_words,
+               CAST(SUM(CASE WHEN h IN (SELECT h FROM dup)
+                             THEN chunk_words ELSE 0 END) * 1000000
+                    // n AS BIGINT) AS dup_word_ppm
+        FROM occ2 GROUP BY doc_id, n
+    """
+
+
 SIMHASH_BITS = 60  # md5-derived base hash is 15 hex digits = 60 bits
 # 5 × 12-bit chunks, candidates keyed on PAIRS of chunks (24-bit keys):
 # hamming ≤ 3 flips bits in ≤ 3 chunks, leaving ≥ 2 untouched, so some
@@ -1383,6 +1536,7 @@ def _kcore_oracle_sql() -> str:
 QUERIES = {
     "dedup_exact": q_dedup_exact,
     "dedup_substring_spans": q_dedup_substring_spans,
+    "dedup_cdc_chunks": q_dedup_cdc_chunks,
     "dedup_keep_latest": q_dedup_keep_latest,
     "dedup_clusters": q_dedup_clusters,
     "dedup_clusters_lsh": q_dedup_clusters_lsh,
@@ -1756,6 +1910,7 @@ ORACLES["dedup_ngram_jaccard"] = _NGRAM_JACCARD_SQL
 ORACLES["graph_pagerank_neardup"] = _pagerank_oracle_sql()
 ORACLES["graph_triangles_neardup"] = _triangles_oracle_sql()
 ORACLES["graph_kcore_neardup"] = _kcore_oracle_sql()
+ORACLES["dedup_cdc_chunks"] = _cdc_oracle_sql()
 
 _LSH_QUALITY_ERR = "CAST(ROUND(ABS(est_jaccard - jaccard) * 10000, 0) AS BIGINT)"
 ORACLES["dedup_lsh_quality"] = f"""

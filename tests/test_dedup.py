@@ -435,3 +435,105 @@ def test_kcore_matches_python_model(spark, sf_dir):
         assert got[n].peel_round == peel_round[n], n
         assert got[n].in_core == (1 if n in alive else 0), n
         assert got[n].core_degree == core_deg.get(n, 0), n
+
+def _py_cdc_chunks(words: list[str]) -> list[tuple[int, str]]:
+    """Reference chunker: (chunk_words, digest) list for one document."""
+    import hashlib
+
+    n = len(words)
+    interior = [
+        i
+        for i in range(D.CDC_WINDOW, n)  # 1-based i in [W, n-1]
+        if int(
+            hashlib.md5(
+                " ".join(words[i - D.CDC_WINDOW : i]).encode()
+            ).hexdigest()[:15],
+            16,
+        )
+        % D.CDC_MASK_MOD
+        == 0
+    ]
+    ends = interior + [n]
+    starts = [1] + [e + 1 for e in interior]
+    return [
+        (
+            e - s + 1,
+            hashlib.md5(" ".join(words[s - 1 : e]).encode()).hexdigest(),
+        )
+        for s, e in zip(starts, ends)
+    ]
+
+
+def test_cdc_chunks_match_python_model(spark, sf_dir):
+    """Full-corpus reference model: boundary rule, chunk ranges, digests,
+    cross-doc dup flags, and every per-doc output column must match
+    exactly."""
+    import re
+    from collections import defaultdict
+
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "text")
+        .collect()
+    )
+    chunks = {
+        d.doc_id: _py_cdc_chunks(
+            re.sub(r"\s+", " ", d.text.lower()).strip().split(" ")
+        )
+        for d in docs
+    }
+    docs_of: dict[str, set[int]] = defaultdict(set)
+    for did, cl in chunks.items():
+        for _, h in cl:
+            docs_of[h].add(did)
+    got = {r.doc_id: r for r in D.q_dedup_cdc_chunks(spark, sf_dir).collect()}
+    assert set(got) == set(chunks)
+    saw_dup = False
+    for did, cl in chunks.items():
+        n_words = sum(cw for cw, _ in cl)
+        dup = [(cw, h) for cw, h in cl if len(docs_of[h]) >= 2]
+        r = got[did]
+        assert r.n_words == n_words, did
+        assert r.n_chunks == len(cl), did
+        assert r.dup_chunks == len(dup), did
+        assert r.dup_words == sum(cw for cw, _ in dup), did
+        assert r.dup_word_ppm == sum(cw for cw, _ in dup) * 1_000_000 // n_words
+        saw_dup = saw_dup or bool(dup)
+    assert saw_dup  # planted near-dups make the entry non-vacuous
+
+
+def test_cdc_chunks_shift_resistance(spark, tmp_path):
+    """The property CDC exists for: prepending junk words to a document
+    shifts every fixed-width window but leaves chunk identities intact
+    from the first post-junk boundary on — all but (at most) the first
+    chunk of the original must dedup against the shifted copy."""
+    from pyspark.sql import Row
+
+    base = [f"tok{i}alpha" for i in range(150)]  # distinct → no self-dups
+    shifted = ["junkx", "junky", "junkz"] + base
+    rows = [
+        Row(
+            doc_id=1,
+            text=" ".join(base),
+            lang="en",
+            source="s",
+            n_chars=len(" ".join(base)),
+        ),
+        Row(
+            doc_id=2,
+            text=" ".join(shifted),
+            lang="en",
+            source="s",
+            n_chars=len(" ".join(shifted)),
+        ),
+    ]
+    spark.createDataFrame(rows).write.parquet(str(tmp_path / "documents.parquet"))
+    a_chunks = _py_cdc_chunks(base)
+    assert len(a_chunks) >= 3, "need interior boundaries for a meaningful test"
+    got = {
+        r.doc_id: r
+        for r in D.q_dedup_cdc_chunks(spark, str(tmp_path)).collect()
+    }
+    assert got[1].n_chunks == len(a_chunks)
+    assert got[1].dup_chunks >= len(a_chunks) - 1, got[1]
+    assert got[2].dup_chunks >= len(a_chunks) - 1, got[2]
