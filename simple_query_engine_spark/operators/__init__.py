@@ -110,6 +110,7 @@ _ROTATION_QUEUE: list[str] = [
     "sim_knn_graph",
     "pipeline_mixture_sample",
     "dedup_cdc_chunks",
+    "stream_mixture_sample",
 ]
 
 

@@ -439,6 +439,48 @@ def q_pipeline_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
 MIXTURE_GATE_MOD = 1_000_000
 
 
+def _mixture_per_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-cached (source, n_tokens, gate) projection of the corpus —
+    read by both the threshold aggregate and the sampled aggregate (and
+    by the streaming twin's oracle side)."""
+    from simple_query_engine_spark.functions.caching import session_cache
+    from simple_query_engine_spark.functions.hashing import md5_prefix_long
+
+    documents = table(spark, sf_dir, "documents")
+    return session_cache(
+        documents.select(
+            "source",
+            F.size(F.split(_normalized(F.col("text")), " ")).alias("n_tokens"),
+            F.pmod(
+                md5_prefix_long(F.col("doc_id").cast("string"), 8),
+                F.lit(MIXTURE_GATE_MOD),
+            ).alias("gate"),
+        ),
+        sf_dir,
+        "mixture_per_doc",
+    )
+
+
+def mixture_thresholds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """|S|-row mixture policy table: (source, n_docs, total_tokens,
+    accept_ppm) — the standing acceptance thresholds both the batch
+    resampler and the streaming ingest gate apply."""
+    per_source = _mixture_per_doc(spark, sf_dir).groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+    )
+    return per_source.select(
+        "source",
+        "n_docs",
+        "total_tokens",
+        F.expr(
+            f"least(cast({MIXTURE_GATE_MOD} as bigint), "
+            f"sum(total_tokens) over () * {MIXTURE_GATE_MOD} "
+            "div (count(1) over () * total_tokens))"
+        ).alias("accept_ppm"),
+    )
+
+
 def q_pipeline_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic mixture RESAMPLING — the application step of
     ``pipeline_domain_mix``: that entry computes per-source reweighting
@@ -462,36 +504,8 @@ def q_pipeline_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-source aggregate and broadcast back; both aggregates are map-side
     combined.  All arithmetic is single integer divisions — no float
     accumulation anywhere."""
-    from simple_query_engine_spark.functions.caching import session_cache
-    from simple_query_engine_spark.functions.hashing import md5_prefix_long
-
-    documents = table(spark, sf_dir, "documents")
-    per_doc = session_cache(
-        documents.select(
-            "source",
-            F.size(F.split(_normalized(F.col("text")), " ")).alias("n_tokens"),
-            F.pmod(
-                md5_prefix_long(F.col("doc_id").cast("string"), 8),
-                F.lit(MIXTURE_GATE_MOD),
-            ).alias("gate"),
-        ),
-        sf_dir,
-        "mixture_per_doc",
-    )
-    per_source = per_doc.groupBy("source").agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.sum("n_tokens").alias("total_tokens"),
-    )
-    thresholds = per_source.select(
-        "source",
-        "n_docs",
-        "total_tokens",
-        F.expr(
-            f"least(cast({MIXTURE_GATE_MOD} as bigint), "
-            f"sum(total_tokens) over () * {MIXTURE_GATE_MOD} "
-            "div (count(1) over () * total_tokens))"
-        ).alias("accept_ppm"),
-    )
+    per_doc = _mixture_per_doc(spark, sf_dir)
+    thresholds = mixture_thresholds(spark, sf_dir)
     sampled = (
         per_doc.join(
             F.broadcast(thresholds.select("source", "accept_ppm")), "source"

@@ -482,6 +482,92 @@ def run_bm25_postings(
     return spark.table(sink_name)
 
 
+def q_stream_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming MIXTURE-GATED INGEST: the documents table replays as a
+    file-source stream and each arriving document passes or fails the
+    standing per-source acceptance threshold
+    (:func:`~simple_query_engine_spark.operators.pipeline.mixture_thresholds`
+    — the ``pipeline_mixture_sample`` policy table, computed from the
+    static corpus snapshot and broadcast) — exactly how a production
+    ingest gate applies a mixture policy that a periodic batch job
+    refreshes.  The running per-source report tracks seen vs sampled
+    docs and sampled token mass.
+
+    The accept/reject decision is a PROJECTION (hash gate vs the
+    stream-static broadcast join's threshold column — no state), so the
+    single streaming aggregation is the per-source rollup (complete
+    mode), counting seen and sampled in one pass via conditional sums —
+    no chained aggregations.  On a finite replay the report equals the
+    batch gate applied to the whole corpus, which is the oracle; state
+    is |S| rows.  At 100 TB/day the gate drops over-quota sources
+    map-side before any shuffle — the whole point of hash-gating the
+    firehose instead of sampling post-hoc."""
+    return run_mixture_ingest(spark, sf_dir)
+
+
+def run_mixture_ingest(
+    spark: SparkSession,
+    sf_dir: str,
+    stream_path: str | None = None,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """The :func:`q_stream_mixture_sample` pipeline with an overridable
+    stream source (tests replay a staged multi-file copy)."""
+    import tempfile
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from simple_query_engine_spark.functions.hashing import md5_prefix_long
+    from simple_query_engine_spark.operators.pipeline import (
+        MIXTURE_GATE_MOD,
+        mixture_thresholds,
+    )
+    from simple_query_engine_spark.operators.text import _normalized
+    from simple_query_engine_spark.streaming.windows import read_event_stream
+
+    policy = F.broadcast(
+        mixture_thresholds(spark, sf_dir).select("source", "accept_ppm")
+    )
+    stream = read_event_stream(
+        spark,
+        stream_path or os.path.join(sf_dir, "documents.parquet"),
+        max_files_per_trigger,
+    )
+    gated = (
+        stream.select(
+            "source",
+            F.size(F.split(_normalized(F.col("text")), " ")).alias("n_tokens"),
+            F.pmod(
+                md5_prefix_long(F.col("doc_id").cast("string"), 8),
+                F.lit(MIXTURE_GATE_MOD),
+            ).alias("gate"),
+        )
+        .join(policy, "source")
+        .withColumn("accepted", F.col("gate") < F.col("accept_ppm"))
+    )
+    report = gated.groupBy("source").agg(
+        F.count(F.lit(1)).alias("docs_seen"),
+        F.max("accept_ppm").alias("accept_ppm"),
+        F.sum(F.col("accepted").cast("long")).alias("docs_sampled"),
+        F.sum(F.when(F.col("accepted"), F.col("n_tokens")).otherwise(0)).alias(
+            "tokens_sampled"
+        ),
+    )
+    sink_name = f"mixgate_{uuid.uuid4().hex[:8]}"
+    checkpoint = os.path.join(tempfile.gettempdir(), f"ckpt_{sink_name}")
+    query = (
+        report.writeStream.format("memory")
+        .queryName(sink_name)
+        .outputMode("complete")
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return spark.table(sink_name)
+
+
 def q_stream_watermark_late_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Watermark late-data DROP accounting: a 4-batch ordered replay where
     the held-back straggler slice arrives weeks past its event time and
@@ -509,6 +595,7 @@ QUERIES = {
     "stream_upsert_managed": q_stream_upsert_managed,
     "stream_vector_ingest": q_stream_vector_ingest,
     "stream_bm25_postings": q_stream_bm25_postings,
+    "stream_mixture_sample": q_stream_mixture_sample,
     "window_tumbling_counts": q_batch_tumbling,
     "window_sliding_counts": q_window_sliding,
     "window_session_counts": q_window_session,
@@ -581,7 +668,47 @@ def _bm25_postings_oracle_sql() -> str:
     """
 
 
+def _mixture_ingest_oracle_sql() -> str:
+    """Batch twin of the streaming mixture gate: the same thresholds and
+    hash gate applied to the whole corpus in one pass."""
+    from simple_query_engine_spark.functions.hashing import md5_prefix_long_sql
+    from simple_query_engine_spark.operators.pipeline import MIXTURE_GATE_MOD
+    from simple_query_engine_spark.operators.text import _NORM
+
+    gate = md5_prefix_long_sql("CAST(doc_id AS VARCHAR)", 8)
+    return f"""
+        WITH d AS (
+            SELECT source, len(string_split({_NORM}, ' ')) AS n_tokens,
+                   {gate} % {MIXTURE_GATE_MOD} AS gate
+            FROM documents
+        ), per_source AS (
+            SELECT source, COUNT(*) AS n_docs,
+                   CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+            FROM d GROUP BY source
+        ), tot AS (
+            SELECT CAST(SUM(total_tokens) AS BIGINT) AS corpus_tokens,
+                   COUNT(*) AS n_sources
+            FROM per_source
+        ), thr AS (
+            SELECT source, n_docs,
+                   LEAST(CAST({MIXTURE_GATE_MOD} AS BIGINT),
+                         (corpus_tokens * {MIXTURE_GATE_MOD})
+                         // (n_sources * total_tokens)) AS accept_ppm
+            FROM per_source, tot
+        )
+        SELECT t.source, t.n_docs AS docs_seen,
+               CAST(t.accept_ppm AS BIGINT) AS accept_ppm,
+               CAST(SUM(CASE WHEN d.gate < t.accept_ppm THEN 1 ELSE 0 END)
+                    AS BIGINT) AS docs_sampled,
+               CAST(SUM(CASE WHEN d.gate < t.accept_ppm THEN d.n_tokens
+                             ELSE 0 END) AS BIGINT) AS tokens_sampled
+        FROM d JOIN thr t ON d.source = t.source
+        GROUP BY t.source, t.n_docs, t.accept_ppm
+    """
+
+
 ORACLES = {
+    "stream_mixture_sample": _mixture_ingest_oracle_sql(),
     "stream_bm25_postings": _bm25_postings_oracle_sql(),
     # Batch gap-sessionization (gap EXCLUSIVE: an event exactly gap
     # seconds later continues the session — matching the stateful op's

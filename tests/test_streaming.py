@@ -410,3 +410,42 @@ def test_bm25_postings_multi_batch_equals_batch(spark, sf_dir, tmp_path):
         (t, df, tot, mx) for t, (df, tot, mx) in stats.items() if df > 0
     }
     assert got == expected
+
+def test_mixture_ingest_multi_batch_equals_batch_gate(spark, sf_dir, tmp_path):
+    """The streaming mixture-gate report over a 3-file replay (one
+    micro-batch per file) must equal the batch gate applied to the whole
+    corpus — the policy table comes from the static snapshot, so slicing
+    the stream differently can never change who passes."""
+    import hashlib
+    import re
+
+    from simple_query_engine_spark.operators.pipeline import MIXTURE_GATE_MOD
+
+    staged = str(tmp_path / "docs_mix")
+    spark.read.parquet(f"{sf_dir}/documents.parquet").repartition(3).write.parquet(
+        staged
+    )
+    got = rows_set(
+        SO.run_mixture_ingest(spark, sf_dir, stream_path=staged, max_files_per_trigger=1)
+    )
+    per_source: dict[str, list] = {}
+    for r in spark.read.parquet(f"{sf_dir}/documents.parquet").collect():
+        n = len(re.sub(r"\s+", " ", r.text.lower()).strip().split(" "))
+        gate = (
+            int(hashlib.md5(str(r.doc_id).encode()).hexdigest()[:8], 16)
+            % MIXTURE_GATE_MOD
+        )
+        per_source.setdefault(r.source, []).append((n, gate))
+    corpus = sum(n for lst in per_source.values() for n, _ in lst)
+    n_sources = len(per_source)
+    expected = set()
+    for s, lst in per_source.items():
+        total = sum(n for n, _ in lst)
+        accept = min(
+            MIXTURE_GATE_MOD, (corpus * MIXTURE_GATE_MOD) // (n_sources * total)
+        )
+        kept = [(n, g) for n, g in lst if g < accept]
+        expected.add(
+            (s, len(lst), accept, len(kept), sum(n for n, _ in kept))
+        )
+    assert got == expected
