@@ -111,6 +111,7 @@ _ROTATION_QUEUE: list[str] = [
     "pipeline_mixture_sample",
     "dedup_cdc_chunks",
     "stream_mixture_sample",
+    "sim_ivf_delete_topk",
 ]
 
 

@@ -1421,6 +1421,44 @@ def q_sim_ivf_append_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ivf_search(spark, sf_dir, vectors, cent, members)
 
 
+# Tombstone-delete split: vectors with vec_id ≡ IVF_DELETE_REM (mod
+# IVF_DELETE_MOD) play the deleted set (~10% of the index) — disjoint
+# from the append split's remainder so the two lifecycle entries stress
+# different rows.
+IVF_DELETE_MOD = 10
+IVF_DELETE_REM = 3
+
+
+def q_sim_ivf_delete_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TOMBSTONE DELETION from the standing IVF index — the third
+    index-lifecycle operation after build (``sim_ivf_trained_topk``) and
+    append (``sim_ivf_append_topk``): ~1/{IVF_DELETE_MOD} of the corpus
+    is deleted and search must never surface a deleted vector.  Unlike
+    ``sim_filtered_topk`` (a QUERY-TIME predicate over index metadata),
+    deletion mutates the INDEX STATE: the tombstone set anti-joins the
+    posting lists once, centroids stay fixed (the production recipe —
+    deletes don't retrain; the quantizer drifts until the periodic
+    rebuild), and every subsequent query pays zero filter cost.  The
+    posting-list shrinkage (exactly |tombstones| rows) is pinned in
+    tests, distinguishing this from a scan predicate.
+
+    Scale shape: the anti-join is keyed on vec_id (tombstone side ∝
+    delete batch, unhinted — AQE broadcasts real-world tombstone batches,
+    falls back to shuffle when a bulk purge is corpus-sized); search cost
+    is unchanged from the trained search (nprobe/K of the surviving
+    corpus).  Oracle: the trained-IVF SQL with the tombstone predicate on
+    the posting-list rows."""
+    vectors, cent = _kmeans_trained(spark, sf_dir)
+    members = _kmeans_assign(vectors, cent).select(
+        F.col("vec_id").alias("neighbor_id"), "cell_id"
+    )
+    tombstones = vectors.filter(
+        F.col("vec_id") % IVF_DELETE_MOD == F.lit(IVF_DELETE_REM)
+    ).select(F.col("vec_id").alias("neighbor_id"))
+    live = members.join(tombstones, "neighbor_id", "left_anti")
+    return _ivf_search(spark, sf_dir, vectors, cent, live)
+
+
 # kNN-graph degree: every vector keeps its KNN_GRAPH_K best neighbors
 # from the cells it probes (the trained-IVF candidate restriction).
 KNN_GRAPH_K = 5
@@ -1816,6 +1854,7 @@ def _ivf_trained_oracle_sql(
     base_where: str = "",
     batch_where: str = "",
     pair_where: str = "",
+    member_and: str = "",
 ) -> str:
     """Kmeans training CTEs + probe ranking + exact-cosine cell search —
     the DuckDB twin of :func:`q_sim_ivf_trained_topk`; ``cand_where``
@@ -1823,7 +1862,9 @@ def _ivf_trained_oracle_sql(
     :func:`q_sim_filtered_topk` twin; ``base_where``/``batch_where``
     (train-set / held-out-batch predicates) yield the
     :func:`q_sim_ivf_append_topk` twin; ``pair_where`` (a ``WHERE`` over
-    ``qe``/``ce`` labels) yields the :func:`q_sim_hard_negatives` twin."""
+    ``qe``/``ce`` labels) yields the :func:`q_sim_hard_negatives` twin;
+    ``member_and`` (an ``AND a.<pred>`` on the posting-list rows) yields
+    the :func:`q_sim_ivf_delete_topk` tombstone twin."""
     parts, final_cent, members = _kmeans_oracle_parts(
         base_where=base_where, batch_where=batch_where
     )
@@ -1861,6 +1902,7 @@ def _ivf_trained_oracle_sql(
                          / (qe.nrm * ce.nrm), 4) AS similarity
             FROM probes p
             JOIN {members} a ON a.cell_id = p.cell_id AND a.vec_id <> p.query_id
+                 {member_and}
             JOIN e qe ON qe.vec_id = p.query_id
             JOIN ec ce ON ce.vec_id = a.vec_id
             {pair_where}
@@ -1882,6 +1924,7 @@ QUERIES = {
     "sim_hard_negatives": q_sim_hard_negatives,
     "sim_ivf_append_topk": q_sim_ivf_append_topk,
     "sim_knn_graph": q_sim_knn_graph,
+    "sim_ivf_delete_topk": q_sim_ivf_delete_topk,
     "sim_semdedup": q_sim_semdedup,
     "sim_hybrid_retrieval": q_sim_hybrid_retrieval,
     "sim_recall_audit": q_sim_recall_audit,
@@ -1931,6 +1974,9 @@ ORACLES = {
         pair_where="WHERE qe.label <> ce.label"
     ),
     "sim_knn_graph": _knn_graph_oracle_sql(),
+    "sim_ivf_delete_topk": _ivf_trained_oracle_sql(
+        member_and=f"AND a.vec_id % {IVF_DELETE_MOD} <> {IVF_DELETE_REM}"
+    ),
     "sim_semdedup": _semdedup_oracle_sql(),
     "sim_hybrid_retrieval": _hybrid_oracle_sql(),
     "sim_neardup_pairs_baseline": f"""

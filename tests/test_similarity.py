@@ -747,3 +747,37 @@ def test_knn_graph_matches_numpy_model(spark, sf_dir):
             saw_mutual = saw_mutual or want_mutual == 1
     # Non-vacuous: the planted near-dup pairs make some edges mutual.
     assert saw_mutual
+
+
+def test_ivf_delete_tombstones_mutate_index_state(spark, sf_dir):
+    """Deletion semantics: (a) no deleted vector ever appears in any
+    result page; (b) the live posting lists shrink by exactly the
+    tombstone count (index-state mutation, not a scan predicate); (c)
+    results equal the trained search restricted to surviving candidates
+    (the two formulations must agree — deletion loses nothing else)."""
+    from pyspark.sql import functions as F
+
+    rows = S.q_sim_ivf_delete_topk(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.neighbor_id % S.IVF_DELETE_MOD != S.IVF_DELETE_REM, r
+
+    vectors, cent = S._kmeans_trained(spark, sf_dir)
+    members = S._kmeans_assign(vectors, cent)
+    n_all = members.count()
+    n_tomb = vectors.filter(
+        F.col("vec_id") % S.IVF_DELETE_MOD == S.IVF_DELETE_REM
+    ).count()
+    live = members.filter(
+        F.col("vec_id") % S.IVF_DELETE_MOD != S.IVF_DELETE_REM
+    ).count()
+    assert n_tomb > 0
+    assert live == n_all - n_tomb
+
+    ref = S._ivf_trained_search(
+        spark,
+        sf_dir,
+        cand_filter=F.col("vec_id") % S.IVF_DELETE_MOD != S.IVF_DELETE_REM,
+    ).collect()
+    key = lambda r: (r.query_id, r.sim_rank, r.neighbor_id, r.similarity)  # noqa: E731
+    assert sorted(map(key, rows)) == sorted(map(key, ref))
