@@ -112,6 +112,7 @@ _ROTATION_QUEUE: list[str] = [
     "dedup_cdc_chunks",
     "stream_mixture_sample",
     "sim_ivf_delete_topk",
+    "sim_ivfadc_topk",
 ]
 
 

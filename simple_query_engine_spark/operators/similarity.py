@@ -806,10 +806,24 @@ def q_sim_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     float64 — a 64× smaller scan than brute force and 4× smaller than
     the SQ copy; the LUT build is per-query O(M·256) and broadcast; the
     full-precision corpus is touched only for |queries|·SQ_CAND rows.
-    This is the IVFADC coarse stage (minus the IVF partition, exhibited
-    separately in ``sim_ivf_topk``).
+    This is the IVFADC coarse stage (minus the IVF partition — the full
+    composition is ``sim_ivfadc_topk``).
     """
-    base = session_cache(
+    base = _pq_base(spark, sf_dir)
+    queries = _pq_lut_queries(base)
+    coarse = (
+        F.broadcast(queries)
+        .crossJoin(base.select(F.col("vec_id").alias("neighbor_id"), "codes"))
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", _pq_iscore().alias("iscore"))
+    )
+    return _pq_exact_rerank(base, _pq_shortlist(coarse))
+
+
+def _pq_base(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-cached (vec_id, embedding, codes) table — each vector's
+    PQ_M one-byte sign-grid codes (see :func:`q_sim_pq_rerank`)."""
+    return session_cache(
         table(spark, sf_dir, "embeddings").select(
             "vec_id",
             "embedding",
@@ -833,13 +847,17 @@ def q_sim_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         sf_dir,
         "sim_pq_base",
     )
+
+
+def _pq_lut_queries(base: DataFrame) -> DataFrame:
+    """(query_id, lut) — the per-query flattened ADC lookup table:
+    lut[s*256 + c] = Σ_d (±1 from code c's bit d) · qi[s*8+d]."""
     qi = F.transform(
         F.col("embedding"),
         lambda x: F.floor(x.cast("double") * SQ_SCALE).cast("long"),
     )
-    # ADC lookup table, flattened: lut[s*256 + c] = Σ_d (±1)·qi[s*8+d].
     lut_index = F.sequence(F.lit(0), F.lit(PQ_M * 256 - 1))
-    queries = (
+    return (
         base.filter(F.col("vec_id") < NUM_QUERY_VECTORS)
         .withColumn("qi", qi)
         .select(
@@ -861,28 +879,36 @@ def q_sim_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("lut"),
         )
     )
-    # Coarse scan: codes only + 8 LUT lookups per (query, vector).
-    iscore = sum(
+
+
+def _pq_iscore() -> Column:
+    """Coarse ADC score over the ``lut``/``codes`` columns: 8 table
+    lookups per (query, vector) — the corpus side touches codes only."""
+    return sum(
         F.element_at(
             F.col("lut"),
             (F.lit(s * 256 + 1) + F.element_at(F.col("codes"), s + 1)).cast("int"),
         )
         for s in range(PQ_M)
     )
-    coarse = (
-        F.broadcast(queries)
-        .crossJoin(base.select(F.col("vec_id").alias("neighbor_id"), "codes"))
-        .filter(F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "neighbor_id", iscore.alias("iscore"))
-    )
+
+
+def _pq_shortlist(coarse: DataFrame) -> DataFrame:
+    """Top SQ_CAND candidates per query by (iscore desc, neighbor_id)."""
     w_coarse = Window.partitionBy("query_id").orderBy(
         F.col("iscore").desc(), F.col("neighbor_id")
     )
-    shortlist = (
+    return (
         coarse.withColumn("cand_rank", F.row_number().over(w_coarse))
         .filter(F.col("cand_rank") <= SQ_CAND)
         .select("query_id", "neighbor_id")
     )
+
+
+def _pq_exact_rerank(base: DataFrame, shortlist: DataFrame) -> DataFrame:
+    """Exact-cosine rerank of a (query_id, neighbor_id) shortlist to
+    TOP_K — the full-precision corpus is touched only for |queries| ×
+    SQ_CAND rows."""
     q_full = base.filter(F.col("vec_id") < NUM_QUERY_VECTORS).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("q_emb"),
@@ -907,6 +933,59 @@ def q_sim_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.withColumn("sim_rank", F.row_number().over(w)).filter(
         F.col("sim_rank") <= TOP_K
     )
+
+
+def q_sim_ivfadc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF + ADC — the full production vector-index layout (the faiss
+    ``IVFx,PQy`` composition): the trained coarse quantizer partitions
+    the corpus into posting lists, each query probes its {KMEANS_NPROBE}
+    nearest cells, the coarse pass scores ONLY the probed posting lists
+    and touches ONLY their {PQ_M}-byte codes (the ``sim_pq_rerank`` ADC
+    lookup tables), and exact cosine reranks the SQ_CAND shortlist.
+    Compound scan reduction at 100 TB: nprobe/K of the corpus ×
+    8 bytes/vector — the partition and the compression multiply, which
+    is why this layout serves billion-vector indexes.
+
+    Codebook honesty: codes are the GLOBAL sign-grid of the raw vector
+    (``sim_pq_rerank``'s integer-exact codebook), not per-cell residual
+    codes — residual refinement is a codebook-training concern,
+    orthogonal to the partition+ADC plumbing this entry composes; with
+    the sign codebook the ADC score provably collapses to
+    Σ_d sgn(c_d)·⌊q_d·{SQ_SCALE}⌋, which is what the oracle computes
+    over the probed cells.  All three stages reuse their certified
+    building blocks (k-means cells, posting-list probe join, LUT coarse
+    scan, exact rerank) — the new claim under test is the composition.
+    """
+    vectors, cent = _kmeans_trained(spark, sf_dir)
+    members = _kmeans_assign(vectors, cent).select(
+        F.col("vec_id").alias("neighbor_id"), "cell_id"
+    )
+    base = _pq_base(spark, sf_dir)
+    probe_scored = (
+        vectors.filter(F.col("vec_id") < NUM_QUERY_VECTORS)
+        .crossJoin(F.broadcast(cent))
+        .select(
+            F.col("vec_id").alias("query_id"),
+            "cell_id",
+            _kmeans_sqdist(F.col("sv"), F.col("cv")).alias("d"),
+        )
+    )
+    w_probe = Window.partitionBy("query_id").orderBy("d", "cell_id")
+    probes = (
+        probe_scored.withColumn("cell_rank", F.row_number().over(w_probe))
+        .filter(F.col("cell_rank") <= KMEANS_NPROBE)
+        .select("query_id", "cell_id")
+    )
+    queries = _pq_lut_queries(base)
+    coarse = (
+        F.broadcast(probes)
+        .join(members, "cell_id")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .join(F.broadcast(queries), "query_id")
+        .join(base.select(F.col("vec_id").alias("neighbor_id"), "codes"), "neighbor_id")
+        .select("query_id", "neighbor_id", _pq_iscore().alias("iscore"))
+    )
+    return _pq_exact_rerank(base, _pq_shortlist(coarse))
 
 
 # The oracle computes the coarse score in its algebraically-collapsed
@@ -1605,6 +1684,73 @@ def _knn_graph_oracle_sql() -> str:
     )
 
 
+def _ivfadc_oracle_sql() -> str:
+    """K-means training CTEs + probe ranking + the algebraically-collapsed
+    ADC coarse score (Σ_d sgn(c_d)·⌊q_d·SQ_SCALE⌋ — see the
+    ``sim_pq_rerank`` derivation) restricted to probed posting lists +
+    exact-cosine rerank."""
+    parts, final_cent, members = _kmeans_oracle_parts()
+    sq = (
+        f"CAST(list_sum(list_transform(range(1, {EMB_DIM + 1}), "
+        "j -> (v.sv[j] - c.cv[j]) * (v.sv[j] - c.cv[j]))) AS BIGINT)"
+    )
+    return (
+        "WITH "
+        + ",\n        ".join(parts)
+        + f""",
+        probes AS (
+            SELECT query_id, cell_id FROM (
+                SELECT v.vec_id AS query_id, c.cell_id,
+                       ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                                          ORDER BY {sq}, c.cell_id) AS rn
+                FROM v, {final_cent} c
+                WHERE v.vec_id < {NUM_QUERY_VECTORS}
+            ) WHERE rn <= {KMEANS_NPROBE}
+        ),
+        e AS (
+            SELECT vec_id, embedding::DOUBLE[] AS ev,
+                   list_transform(embedding::DOUBLE[],
+                                  x -> CAST(floor(x * {SQ_SCALE}) AS BIGINT)) AS qi,
+                   list_transform(embedding::DOUBLE[],
+                                  x -> CASE WHEN x >= 0 THEN CAST(1 AS BIGINT)
+                                            ELSE CAST(-1 AS BIGINT) END) AS sgn,
+                   sqrt(list_dot_product(embedding::DOUBLE[],
+                                         embedding::DOUBLE[])) AS nrm
+            FROM embeddings
+        ),
+        coarse AS (
+            SELECT p.query_id, a.vec_id AS neighbor_id,
+                   list_dot_product(q.qi, c.sgn) AS iscore
+            FROM probes p
+            JOIN {members} a ON a.cell_id = p.cell_id AND a.vec_id <> p.query_id
+            JOIN e q ON q.vec_id = p.query_id
+            JOIN e c ON c.vec_id = a.vec_id
+        ),
+        shortlist AS (
+            SELECT query_id, neighbor_id FROM (
+                SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                             ORDER BY iscore DESC, neighbor_id)
+                       AS cand_rank
+                FROM coarse
+            ) WHERE cand_rank <= {SQ_CAND}
+        ),
+        scored AS (
+            SELECT s.query_id, s.neighbor_id,
+                   ROUND(list_dot_product(q.ev, c.ev) / (q.nrm * c.nrm), 4)
+                       AS similarity
+            FROM shortlist s
+            JOIN e q ON q.vec_id = s.query_id
+            JOIN e c ON c.vec_id = s.neighbor_id
+        )
+        SELECT query_id, neighbor_id, similarity, sim_rank FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                         ORDER BY similarity DESC, neighbor_id)
+                   AS sim_rank
+            FROM scored
+        ) WHERE sim_rank <= {TOP_K}"""
+    )
+
+
 # Reciprocal-rank-fusion constant (the standard k=60 of the public RRF
 # recipe) and the hybrid query set: lexical side = BM25_QUERIES[qid],
 # dense side = query vector vec_id = qid.  The synthetic corpus aligns
@@ -1925,6 +2071,7 @@ QUERIES = {
     "sim_ivf_append_topk": q_sim_ivf_append_topk,
     "sim_knn_graph": q_sim_knn_graph,
     "sim_ivf_delete_topk": q_sim_ivf_delete_topk,
+    "sim_ivfadc_topk": q_sim_ivfadc_topk,
     "sim_semdedup": q_sim_semdedup,
     "sim_hybrid_retrieval": q_sim_hybrid_retrieval,
     "sim_recall_audit": q_sim_recall_audit,
@@ -1977,6 +2124,7 @@ ORACLES = {
     "sim_ivf_delete_topk": _ivf_trained_oracle_sql(
         member_and=f"AND a.vec_id % {IVF_DELETE_MOD} <> {IVF_DELETE_REM}"
     ),
+    "sim_ivfadc_topk": _ivfadc_oracle_sql(),
     "sim_semdedup": _semdedup_oracle_sql(),
     "sim_hybrid_retrieval": _hybrid_oracle_sql(),
     "sim_neardup_pairs_baseline": f"""

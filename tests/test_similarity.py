@@ -781,3 +781,55 @@ def test_ivf_delete_tombstones_mutate_index_state(spark, sf_dir):
     ).collect()
     key = lambda r: (r.query_id, r.sim_rank, r.neighbor_id, r.similarity)  # noqa: E731
     assert sorted(map(key, rows)) == sorted(map(key, ref))
+
+
+def test_ivfadc_matches_numpy_model(spark, sf_dir):
+    """Full numpy recompute of the IVF+ADC composition: probe sets,
+    sign-dot coarse scores within probed cells, SQ_CAND shortlist, and
+    the exact-cosine rerank page must all match exactly."""
+    import numpy as np
+
+    vectors, cent = S._kmeans_trained(spark, sf_dir)
+    assigned = {
+        r.vec_id: r.cell_id for r in S._kmeans_assign(vectors, cent).collect()
+    }
+    cent_rows = {r.cell_id: np.array(r.cv, dtype=np.int64) for r in cent.collect()}
+    sv = {r.vec_id: np.array(r.sv, dtype=np.int64) for r in vectors.collect()}
+    emb = {
+        r.vec_id: np.array(r.embedding, dtype=np.float64)
+        for r in spark.read.parquet(f"{sf_dir}/embeddings.parquet").collect()
+    }
+    sgn = {v: np.where(e >= 0, 1, -1) for v, e in emb.items()}
+    qi = {v: np.floor(e * S.SQ_SCALE).astype(np.int64) for v, e in emb.items()}
+    nrm = {v: float(np.linalg.norm(e)) for v, e in emb.items()}
+
+    want = {}
+    for qid in range(S.NUM_QUERY_VECTORS):
+        dists = sorted(
+            (int(((sv[qid] - c) ** 2).sum()), cid) for cid, c in cent_rows.items()
+        )
+        probe = {cid for _, cid in dists[: S.KMEANS_NPROBE]}
+        cands = [v for v, c in assigned.items() if c in probe and v != qid]
+        coarse = sorted(
+            (-int(qi[qid] @ sgn[v]), v) for v in cands
+        )[: S.SQ_CAND]
+        short = [v for _, v in coarse]
+        reranked = sorted(
+            (-round(float(emb[qid] @ emb[v]) / (nrm[qid] * nrm[v]), 4), v)
+            for v in short
+        )[: S.TOP_K]
+        want[qid] = [
+            (v, rank + 1, -negsim) for rank, (negsim, v) in enumerate(reranked)
+        ]
+
+    got: dict[int, list] = {}
+    for r in S.q_sim_ivfadc_topk(spark, sf_dir).collect():
+        got.setdefault(r.query_id, []).append(r)
+    assert set(got) == {q for q, lst in want.items() if lst}
+    for qid, lst in want.items():
+        g = sorted(got.get(qid, []), key=lambda r: r.sim_rank)
+        assert [(r.neighbor_id, r.sim_rank) for r in g] == [
+            (v, rank) for v, rank, _ in lst
+        ], qid
+        for r, (_, _, sim) in zip(g, lst):
+            assert abs(r.similarity - sim) < 1e-9, (qid, r.neighbor_id)
