@@ -113,6 +113,7 @@ _ROTATION_QUEUE: list[str] = [
     "stream_mixture_sample",
     "sim_ivf_delete_topk",
     "sim_ivfadc_topk",
+    "graph_components_incremental",
 ]
 
 

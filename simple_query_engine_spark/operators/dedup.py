@@ -1387,6 +1387,119 @@ def _triangles_oracle_sql() -> str:
     """
 
 
+def q_graph_components_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL connected components: the near-dup cluster table is
+    maintained under an arriving batch WITHOUT re-running components over
+    the corpus — the graph-maintenance step a continuous-ingestion dedup
+    pipeline runs after ``dedup_incremental_minhash`` hands it the new
+    edges.  Standing clusters (corpus-only pairs at the production
+    threshold) collapse to their label nodes; the delta edges (batch ↔
+    corpus from the incremental banded join, plus batch-internal pairs)
+    are REWRITTEN through those labels, and the second propagation runs
+    over that reduced graph — whose size is ∝ the batch, never the
+    corpus.  A batch edge that bridges two standing clusters merges them
+    by merging their two label nodes; min-label composition keeps the
+    global min (batch ids sit above PLANT_DOC_OFFSET, so merged clusters
+    keep their corpus-born survivor).  The result is value-identical to
+    recomputing components over the full pair graph — which is exactly
+    what the oracle (recursive closure over ALL planted pairs) and the
+    model test assert — while the incremental plan touches
+    O(|standing labels| + |batch edges|) rows after the one-time
+    standing build.
+
+    Scale shape: the standing label table is the persisted state (one
+    row per clustered doc — the session cache stands in for it, as in
+    the incremental MinHash entry); per batch the work is the two
+    banded candidate joins (∝ batch bands), two label lookups, and a
+    pointer-doubling propagation over the reduced graph whose node set
+    is ≤ 2·|delta edges|.  Cost bounds pinned in tests."""
+    sig = session_cache(
+        _minhash_sig_of(
+            _shingles_of(
+                _planted_documents(spark, sf_dir), sf_dir, "dedup_shingles_planted"
+            )
+        ),
+        sf_dir,
+        "dedup_minhash_sig_planted",
+    )
+    corpus_sig = sig.filter(F.col("doc_id") < PLANT_DOC_OFFSET)
+    batch_sig = sig.filter(F.col("doc_id") >= PLANT_DOC_OFFSET)
+    standing_pairs = _minhash_lsh_pairs(
+        corpus_sig, PLANTED_JACCARD_THRESHOLD
+    ).select("doc_id_a", "doc_id_b")
+    std_edges = (
+        standing_pairs.union(
+            standing_pairs.select(
+                F.col("doc_id_b").alias("doc_id_a"),
+                F.col("doc_id_a").alias("doc_id_b"),
+            )
+        )
+        .withColumnRenamed("doc_id_a", "src")
+        .withColumnRenamed("doc_id_b", "dst")
+    )
+    std_labels, _ = _propagate_labels(std_edges)
+    delta = (
+        q_dedup_incremental_minhash(spark, sf_dir)
+        .select(
+            F.col("new_doc_id").alias("doc_id_a"),
+            F.col("corpus_doc_id").alias("doc_id_b"),
+        )
+        .union(
+            _minhash_lsh_pairs(batch_sig, PLANTED_JACCARD_THRESHOLD).select(
+                "doc_id_a", "doc_id_b"
+            )
+        )
+    )
+    lbl_a = std_labels.select(
+        F.col("doc_id").alias("doc_id_a"), F.col("label").alias("la")
+    )
+    lbl_b = std_labels.select(
+        F.col("doc_id").alias("doc_id_b"), F.col("label").alias("lb")
+    )
+    reduced_pairs = (
+        delta.join(lbl_a, "doc_id_a", "left")
+        .join(lbl_b, "doc_id_b", "left")
+        .select(
+            F.coalesce("la", F.col("doc_id_a")).alias("doc_id_a"),
+            F.coalesce("lb", F.col("doc_id_b")).alias("doc_id_b"),
+        )
+    )
+    reduced_edges = (
+        reduced_pairs.union(
+            reduced_pairs.select(
+                F.col("doc_id_b").alias("doc_id_a"),
+                F.col("doc_id_a").alias("doc_id_b"),
+            )
+        )
+        .withColumnRenamed("doc_id_a", "src")
+        .withColumnRenamed("doc_id_b", "dst")
+    )
+    reduced_labels, _ = _propagate_labels(reduced_edges)
+    rl = reduced_labels.select(
+        F.col("doc_id").alias("base_label"), F.col("label").alias("rlabel")
+    )
+    delta_nodes = (
+        delta.select(F.col("doc_id_a").alias("doc_id"))
+        .union(delta.select(F.col("doc_id_b").alias("doc_id")))
+        .distinct()
+    )
+    all_nodes = std_labels.select("doc_id").union(delta_nodes).distinct()
+    base = all_nodes.join(std_labels, "doc_id", "left").select(
+        "doc_id", F.coalesce("label", F.col("doc_id")).alias("base_label")
+    )
+    final = base.join(rl, "base_label", "left").select(
+        "doc_id", F.coalesce("rlabel", F.col("base_label")).alias("label")
+    )
+    return (
+        final.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("cluster_size"),
+            F.min("doc_id").alias("keep_doc_id"),
+        )
+        .withColumnRenamed("label", "cluster_id")
+    )
+
+
 # k-core peeling: K is the degree bar, KCORE_ROUNDS the FIXED number of
 # synchronized peel rounds (the graph-family fixed-iteration discipline —
 # both engines run exactly R rounds, so results are engine-identical even
@@ -1550,6 +1663,7 @@ QUERIES = {
     "graph_pagerank_neardup": q_graph_pagerank_neardup,
     "graph_triangles_neardup": q_graph_triangles_neardup,
     "graph_kcore_neardup": q_graph_kcore_neardup,
+    "graph_components_incremental": q_graph_components_incremental,
     "text_dup_ngram_coverage": q_dup_ngram_coverage,
 }
 
@@ -1911,6 +2025,13 @@ ORACLES["graph_pagerank_neardup"] = _pagerank_oracle_sql()
 ORACLES["graph_triangles_neardup"] = _triangles_oracle_sql()
 ORACLES["graph_kcore_neardup"] = _kcore_oracle_sql()
 ORACLES["dedup_cdc_chunks"] = _cdc_oracle_sql()
+# Incremental components must equal the full recompute: closure over ALL
+# planted pairs (corpus-corpus + batch-corpus + batch-batch) at the
+# production threshold.
+ORACLES["graph_components_incremental"] = _closure_sql(
+    f"SELECT doc_id_a AS ida, doc_id_b AS idb FROM "
+    f"({_minhash_oracle_sql(_PLANTED_DOCS_SQL, PLANTED_JACCARD_THRESHOLD)}) mh"
+)
 
 _LSH_QUALITY_ERR = "CAST(ROUND(ABS(est_jaccard - jaccard) * 10000, 0) AS BIGINT)"
 ORACLES["dedup_lsh_quality"] = f"""

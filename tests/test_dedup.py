@@ -537,3 +537,58 @@ def test_cdc_chunks_shift_resistance(spark, tmp_path):
     assert got[1].n_chunks == len(a_chunks)
     assert got[1].dup_chunks >= len(a_chunks) - 1, got[1]
     assert got[2].dup_chunks >= len(a_chunks) - 1, got[2]
+
+
+def test_incremental_components_equal_full_recompute(spark, sf_dir):
+    """The incremental maintenance path (standing labels + reduced-graph
+    propagation over the delta) must produce EXACTLY the cluster table a
+    full recompute over all planted pairs produces — and the reduced
+    graph it propagates over must be batch-sized, not corpus-sized."""
+    sig = D.session_cache(
+        D._minhash_sig_of(
+            D._shingles_of(
+                D._planted_documents(spark, sf_dir),
+                sf_dir,
+                "dedup_shingles_planted",
+            )
+        ),
+        sf_dir,
+        "dedup_minhash_sig_planted",
+    )
+    full_pairs = D._minhash_lsh_pairs(sig, D.PLANTED_JACCARD_THRESHOLD).select(
+        "doc_id_a", "doc_id_b"
+    )
+    want = {
+        (r.cluster_id, r.cluster_size, r.keep_doc_id)
+        for r in D._cluster_components(full_pairs).collect()
+    }
+    got = {
+        (r.cluster_id, r.cluster_size, r.keep_doc_id)
+        for r in D.q_graph_components_incremental(spark, sf_dir).collect()
+    }
+    assert got == want
+    assert got, "planted corpus must produce clusters"
+    # Non-vacuity: batch docs were absorbed — some cluster grew beyond the
+    # standing (corpus-only) components.
+    from pyspark.sql import functions as F
+
+    corpus_pairs = D._minhash_lsh_pairs(
+        sig.filter(F.col("doc_id") < D.PLANT_DOC_OFFSET),
+        D.PLANTED_JACCARD_THRESHOLD,
+    ).select("doc_id_a", "doc_id_b")
+    standing_mass = sum(
+        r.cluster_size for r in D._cluster_components(corpus_pairs).collect()
+    )
+    assert sum(s for _, s, _ in got) > standing_mass
+    # Cost bound: the delta (batch↔corpus + batch↔batch pairs) and hence
+    # the reduced propagation graph is a small fraction of the full pair
+    # graph at every SF (batch = 1/PLANT_DOC_MOD of the corpus).
+    n_full = full_pairs.count()
+    n_delta = (
+        D.q_dedup_incremental_minhash(spark, sf_dir).count()
+        + D._minhash_lsh_pairs(
+            sig.filter(F.col("doc_id") >= D.PLANT_DOC_OFFSET),
+            D.PLANTED_JACCARD_THRESHOLD,
+        ).count()
+    )
+    assert 0 < n_delta < n_full
