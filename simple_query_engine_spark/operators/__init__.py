@@ -114,6 +114,7 @@ _ROTATION_QUEUE: list[str] = [
     "sim_ivf_delete_topk",
     "sim_ivfadc_topk",
     "graph_components_incremental",
+    "text_gopher_quality",
 ]
 
 

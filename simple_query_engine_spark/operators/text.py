@@ -336,6 +336,135 @@ def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Gopher/MassiveText repetition thresholds (Rae et al. 2021, table A1):
+# a doc fails when the most frequent 3-gram covers > 18% of its characters
+# or when characters inside ANY within-doc duplicated 5-gram cover > 15%.
+GOPHER_TOP3_PPM_MAX = 180_000
+GOPHER_DUP5_PPM_MAX = 150_000
+
+
+def _word_ngrams_pos(words_col, n: int):
+    """(1-based start position, space-joined n-word gram) structs; empty
+    array below n words.  The when() guard matters: F.sequence(1, size-k)
+    with size < k would step DOWNWARD and fabricate grams."""
+    return F.when(
+        F.size(words_col) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(words_col) - (n - 1)),
+            lambda i: F.struct(
+                i.alias("i"),
+                F.concat_ws(" ", F.slice(words_col, i, n)).alias("gram"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<i:int,gram:string>>"))
+
+
+def q_text_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style WITHIN-document repetition filters in exact integer
+    ppm: the character fraction covered by occurrences of the single most
+    frequent 3-gram (``top3gram_ppm``) and the character fraction covered
+    by the UNION of all within-doc duplicated 5-gram occurrences
+    (``dup5gram_ppm``), plus the pass flag at the published thresholds
+    (0.18 / 0.15).  Distinct from ``text_repetition`` (which counts gram
+    occurrences, not characters) and from the cross-document
+    ``text_dup_ngram_coverage``: these are the character-mass signals the
+    MassiveText/Gopher recipe actually thresholds, and the duplicated-gram
+    side is a positional COVERAGE (overlapping duplicated grams must not
+    double-count a word), computed as a distinct-position union.
+
+    Exactness: character counts are integers; fractions are
+    ``chars * 1_000_000 div total_chars`` on non-negative integers — no
+    float path.  The most-frequent-3-gram tie-break is total order
+    (count desc, char length desc, gram asc), mirrored in the oracle.
+    Denominator is the doc's non-space character mass; empty docs yield
+    NULL ppm and pass=1 (nothing to threshold).
+
+    Shape at 100 TB: per-doc gram tables shuffle on (doc_id, gram) with
+    map-side partial aggregation; the coverage join and the word-length
+    join are both doc_id-keyed (co-partitioned with the exploded grams);
+    the top-3-gram pick is a per-doc window over the already-reduced
+    gram-count table.  Nothing is corpus-global — every stage is linear
+    in the doc's own gram count, so the operator scales with input
+    splits.  The reference engine has no text operators; this extends its
+    scan -> project -> filter pipeline (reference src/query_engine.rs:96)
+    with the document-quality stage an LLM curation pipeline needs.
+    """
+    documents = _documents(spark, sf_dir)
+    norm = _normalized(F.col("text"))
+    base = documents.select(
+        "doc_id",
+        F.split(norm, " ").alias("w"),
+        F.length(F.regexp_replace(norm, " ", "")).cast("long").alias("total_chars"),
+    )
+    tri = base.select(
+        "doc_id", F.explode(_word_ngrams_pos(F.col("w"), 3)).alias("g")
+    ).select("doc_id", F.col("g.gram").alias("gram"))
+    tc3 = (
+        tri.groupBy("doc_id", "gram")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .withColumn("cl", (F.length("gram") - 2).cast("long"))
+    )
+    from pyspark.sql.window import Window
+
+    win = Window.partitionBy("doc_id").orderBy(
+        F.col("c").desc(), F.col("cl").desc(), F.col("gram")
+    )
+    top3 = (
+        tc3.withColumn("rn", F.row_number().over(win))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", (F.col("c") * F.col("cl")).alias("chars3"))
+    )
+    g5 = base.select(
+        "doc_id", F.explode(_word_ngrams_pos(F.col("w"), 5)).alias("g")
+    ).select("doc_id", F.col("g.i").alias("i"), F.col("g.gram").alias("gram"))
+    dup5 = (
+        g5.groupBy("doc_id", "gram")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") >= 2)
+        .select("doc_id", "gram")
+    )
+    cover = (
+        g5.join(dup5, ["doc_id", "gram"])
+        .select("doc_id", F.explode(F.sequence(F.col("i"), F.col("i") + 4)).alias("idx"))
+        .distinct()
+    )
+    wl = base.select(
+        "doc_id", F.posexplode("w").alias("pos0", "word")
+    ).select(
+        "doc_id",
+        (F.col("pos0") + 1).cast("int").alias("idx"),
+        F.length("word").cast("long").alias("wlen"),
+    )
+    cov_chars = (
+        cover.join(wl, ["doc_id", "idx"])
+        .groupBy("doc_id")
+        .agg(F.sum("wlen").alias("dup_chars"))
+    )
+    return (
+        base.select("doc_id", F.size("w").alias("n_words"), "total_chars")
+        .join(top3, "doc_id", "left")
+        .join(cov_chars, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_words",
+            "total_chars",
+            F.expr(
+                "coalesce(chars3, 0L) * 1000000 div nullif(total_chars, 0)"
+            ).alias("top3gram_ppm"),
+            F.expr(
+                "coalesce(dup_chars, 0L) * 1000000 div nullif(total_chars, 0)"
+            ).alias("dup5gram_ppm"),
+        )
+        .withColumn(
+            "gopher_pass",
+            (
+                (F.coalesce(F.col("top3gram_ppm"), F.lit(0)) <= GOPHER_TOP3_PPM_MAX)
+                & (F.coalesce(F.col("dup5gram_ppm"), F.lit(0)) <= GOPHER_DUP5_PPM_MAX)
+            ).cast("int"),
+        )
+    )
+
+
 BIGRAM_TOP_K = 20
 
 
@@ -1031,6 +1160,7 @@ QUERIES = {
     "text_unigram_surprisal": q_unigram_surprisal,
     "text_bigram_surprisal": q_bigram_surprisal,
     "text_repetition": q_text_repetition,
+    "text_gopher_quality": q_text_gopher_quality,
     "text_bigram_freq": q_text_bigram_freq,
 }
 
@@ -1272,6 +1402,60 @@ ORACLES = {
                ROUND(pd.top_bigram / CAST(pd.n_bigrams AS DOUBLE), 4)
                    AS top_bigram_frac
         FROM base b LEFT JOIN pd ON b.doc_id = pd.doc_id
+    """,
+    # Mirrors q_text_gopher_quality exactly: DuckDB list slicing w[a:b] is
+    # 1-based inclusive on both ends (w[i:i+4] is the 5-gram at i); range()
+    # is end-exclusive; '//' is integer division (non-negative operands).
+    "text_gopher_quality": f"""
+        WITH base AS (
+            SELECT doc_id, {_TOKENS} AS w,
+                   CAST(len(replace({_NORM}, ' ', '')) AS BIGINT) AS total_chars
+            FROM documents
+        ), tri AS (
+            SELECT doc_id,
+                   unnest(list_transform(range(1, len(w) - 1),
+                                         i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS gram
+            FROM base WHERE len(w) >= 3
+        ), tc3 AS (
+            SELECT doc_id, gram, CAST(COUNT(*) AS BIGINT) AS c,
+                   CAST(len(gram) - 2 AS BIGINT) AS cl
+            FROM tri GROUP BY doc_id, gram
+        ), top3 AS (
+            SELECT doc_id, c * cl AS chars3,
+                   ROW_NUMBER() OVER (PARTITION BY doc_id
+                                      ORDER BY c DESC, cl DESC, gram) AS rn
+            FROM tc3
+        ), g5g AS (
+            SELECT doc_id, unnest(range(1, len(w) - 3)) AS i,
+                   unnest(list_transform(range(1, len(w) - 3),
+                                         i -> array_to_string(w[CAST(i AS INT):CAST(i + 4 AS INT)], ' '))) AS gram
+            FROM base WHERE len(w) >= 5
+        ), dup5 AS (
+            SELECT doc_id, gram FROM g5g GROUP BY doc_id, gram
+            HAVING COUNT(*) >= 2
+        ), cover AS (
+            SELECT DISTINCT doc_id, idx FROM (
+                SELECT g.doc_id, unnest(range(g.i, g.i + 5)) AS idx
+                FROM g5g g JOIN dup5 d USING (doc_id, gram)
+            )
+        ), cov_chars AS (
+            SELECT c.doc_id,
+                   CAST(SUM(len(b.w[CAST(c.idx AS INT)])) AS BIGINT) AS dup_chars
+            FROM cover c JOIN base b USING (doc_id) GROUP BY c.doc_id
+        )
+        SELECT b.doc_id, CAST(len(b.w) AS INT) AS n_words, b.total_chars,
+               coalesce(t.chars3, 0) * 1000000 // nullif(b.total_chars, 0)
+                   AS top3gram_ppm,
+               coalesce(cc.dup_chars, 0) * 1000000 // nullif(b.total_chars, 0)
+                   AS dup5gram_ppm,
+               CAST(coalesce(coalesce(t.chars3, 0) * 1000000
+                             // nullif(b.total_chars, 0), 0) <= {GOPHER_TOP3_PPM_MAX}
+                    AND coalesce(coalesce(cc.dup_chars, 0) * 1000000
+                                 // nullif(b.total_chars, 0), 0) <= {GOPHER_DUP5_PPM_MAX}
+                    AS INT) AS gopher_pass
+        FROM base b
+        LEFT JOIN (SELECT doc_id, chars3 FROM top3 WHERE rn = 1) t USING (doc_id)
+        LEFT JOIN cov_chars cc USING (doc_id)
     """,
     "text_bigram_freq": f"""
         SELECT gram, COUNT(*) AS n FROM (

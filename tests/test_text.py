@@ -192,6 +192,51 @@ def test_repetition_edge_docs_agree_with_oracle(spark, tmp_path):
     assert by_id[4] == (4, 4, 0.5, 0.6667)  # 'x y' twice of 3 bigrams
 
 
+def test_gopher_quality_planted_docs(spark, tmp_path):
+    """Hand-computed Gopher char-fraction values on planted docs, plus
+    Spark-vs-DuckDB agreement on the edge shapes (empty doc, fully
+    repetitive doc, coverage union of overlapping duplicated 5-grams)."""
+    import duckdb
+
+    texts = {
+        1: "x y z x y z x y z",  # every word inside a duplicated 5-gram
+        2: " ".join("abcdefghijklmnopqrst"),  # 20 distinct 1-char words
+        3: "",  # empty: NULL ppm, pass=1
+        4: "p q r s t u v p q r s t w x y z",  # one repeated 5-gram
+    }
+    rows = [(i, t, "en", "s", len(t)) for i, t in texts.items()]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "lang", "source", "n_chars"])
+    df.write.parquet(str(tmp_path / "documents.parquet"))
+    con = duckdb.connect()
+    vals = ", ".join(
+        f"({i}, '{t}', 'en', 's', {len(t)})" for i, t in texts.items()
+    )
+    con.execute(
+        f"CREATE TABLE documents AS SELECT * FROM (VALUES {vals}) "
+        "t(doc_id, text, lang, source, n_chars)"
+    )
+    spark_rows = sorted(
+        map(tuple, TX.q_text_gopher_quality(spark, str(tmp_path)).collect())
+    )
+    duck_rows = sorted(
+        map(tuple, con.execute(TX.ORACLES["text_gopher_quality"]).fetchall())
+    )
+    assert spark_rows == duck_rows
+    by_id = {r[0]: r for r in spark_rows}
+    # doc 1: 'x y z' occurs 3x, chars3 = 3*3 = 9 of 9; both duplicated
+    # 5-grams together cover positions 1..9 -> dup chars 9 of 9.
+    assert by_id[1] == (1, 9, 9, 1_000_000, 1_000_000, 0)
+    # doc 2: all 3-grams distinct -> top gram covers 3 of 20 chars
+    # (150000 ppm <= 180000) and no duplicated 5-gram -> pass.
+    assert by_id[2] == (2, 20, 20, 150_000, 0, 1)
+    # doc 3: empty -> one empty token, zero chars, NULL ppm, pass.
+    assert by_id[3] == (3, 1, 0, None, None, 1)
+    # doc 4: tie on (c=2, cl=3) across 'p q r'/'q r s'/'r s t' breaks to
+    # 'p q r' (gram asc): 6 of 16 chars; the repeated 5-gram at positions
+    # 1 and 8 covers word indices 1..5 and 8..12 -> 10 of 16 chars.
+    assert by_id[4] == (4, 16, 16, 375_000, 625_000, 0)
+
+
 def test_bigram_freq_counts(spark, tmp_path):
     rows = [
         (1, "to be or not to be", "en", "s", 18),
