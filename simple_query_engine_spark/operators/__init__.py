@@ -115,6 +115,7 @@ _ROTATION_QUEUE: list[str] = [
     "sim_ivfadc_topk",
     "graph_components_incremental",
     "text_gopher_quality",
+    "sim_knn_density",
 ]
 
 

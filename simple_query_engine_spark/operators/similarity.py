@@ -1543,31 +1543,11 @@ def q_sim_ivf_delete_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 KNN_GRAPH_K = 5
 
 
-def q_sim_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """kNN-GRAPH construction over the WHOLE corpus through the trained
-    IVF index — every vector is a query: probe the {KMEANS_NPROBE}
-    nearest trained cells, rank exact cosine over the probed posting
-    lists, keep each vector's top {KNN_GRAPH_K} neighbors, and flag
-    MUTUAL edges (both endpoints keep each other).  The kNN graph is the
-    backbone structure of graph-based corpus analysis — agglomerative /
-    HDBSCAN-style clustering, graph ANN seeding, kNN-density outlier
-    scoring all start from exactly this edge list; the mutual flag is the
-    symmetrization those consumers apply first.
-
-    Scale shape: this is the all-queries generalization of
-    ``sim_ivf_trained_topk`` — candidate volume is Σ_cells |postings| ×
-    |probes into the cell| ≈ (nprobe/K)·N per vector, the same corpus
-    fraction as single-query IVF search and a K/nprobe-fold reduction
-    over the N² brute-force graph; with the standard K ∝ √N cell sizing
-    the total candidate volume is ~nprobe·N^{3/2}.  Probes collapse
-    map-side via the sorted-slice aggregate (never a corpus-wide
-    window — partitioned by vec_id); the probe⋈posting join is keyed on
-    cell_id and stays UNHINTED (both sides are corpus-sized — a
-    broadcast here would ship the whole posting table); the edge list is
-    session-cached once and the mutual flag is a self-equi-join on the
-    (vec, neighbor) key of that N·k-row table, never of the corpus.
-    Oracle: k-means CTEs + unrestricted probe ranking + the same
-    left-join mutual marker."""
+def _knn_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The session-cached corpus kNN edge list (every vector's top
+    {KNN_GRAPH_K} neighbors through the trained IVF probes) — shared by
+    ``sim_knn_graph`` (mutual-flag symmetrization) and
+    ``sim_knn_density`` (outlier scoring)."""
     vectors, cent = _kmeans_trained(spark, sf_dir)
     members = _kmeans_assign(vectors, cent).select(
         F.col("vec_id").alias("neighbor_id"), "cell_id"
@@ -1607,7 +1587,7 @@ def q_sim_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("query_id").orderBy(
         F.col("similarity").desc(), F.col("neighbor_id")
     )
-    edges = session_cache(
+    return session_cache(
         scored.withColumn("knn_rank", F.row_number().over(w))
         .filter(F.col("knn_rank") <= KNN_GRAPH_K)
         .select(
@@ -1619,6 +1599,34 @@ def q_sim_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         sf_dir,
         "knn_graph_edges",
     )
+
+
+def q_sim_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN-GRAPH construction over the WHOLE corpus through the trained
+    IVF index — every vector is a query: probe the {KMEANS_NPROBE}
+    nearest trained cells, rank exact cosine over the probed posting
+    lists, keep each vector's top {KNN_GRAPH_K} neighbors, and flag
+    MUTUAL edges (both endpoints keep each other).  The kNN graph is the
+    backbone structure of graph-based corpus analysis — agglomerative /
+    HDBSCAN-style clustering, graph ANN seeding, kNN-density outlier
+    scoring all start from exactly this edge list; the mutual flag is the
+    symmetrization those consumers apply first.
+
+    Scale shape: this is the all-queries generalization of
+    ``sim_ivf_trained_topk`` — candidate volume is Σ_cells |postings| ×
+    |probes into the cell| ≈ (nprobe/K)·N per vector, the same corpus
+    fraction as single-query IVF search and a K/nprobe-fold reduction
+    over the N² brute-force graph; with the standard K ∝ √N cell sizing
+    the total candidate volume is ~nprobe·N^{3/2}.  Probes collapse
+    map-side via the sorted-slice aggregate (never a corpus-wide
+    window — partitioned by vec_id); the probe⋈posting join is keyed on
+    cell_id and stays UNHINTED (both sides are corpus-sized — a
+    broadcast here would ship the whole posting table); the edge list is
+    session-cached once and the mutual flag is a self-equi-join on the
+    (vec, neighbor) key of that N·k-row table, never of the corpus.
+    Oracle: k-means CTEs + unrestricted probe ranking + the same
+    left-join mutual marker."""
+    edges = _knn_edges(spark, sf_dir)
     rev = edges.select(
         F.col("neighbor_id").alias("vec_id"),
         F.col("vec_id").alias("neighbor_id"),
@@ -1633,9 +1641,70 @@ def q_sim_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _knn_graph_oracle_sql() -> str:
-    """K-means training CTEs + all-vectors probe ranking + top-k cosine
-    per vector + the reverse-edge mutual marker."""
+SIM_OUTLIER_TOPN = 50
+
+
+def q_sim_knn_density(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN-DENSITY outlier scoring over the corpus kNN graph: each
+    vector's density is the mean cosine to its {KNN_GRAPH_K} nearest
+    neighbors (through the trained IVF probes), and the
+    {SIM_OUTLIER_TOPN} LOWEST-density vectors are returned as the
+    outlier page — the embedding-space analogue of the quality prune:
+    low kNN density marks off-distribution samples (mislabeled, garbled,
+    or adversarial documents) that curation pipelines drop or route to
+    review (the SSL-prototypes/outlier-removal step of the DataComp-
+    style recipe).
+
+    Exactness: similarities enter as round(cos, 4) basis points; the
+    mean is ``(sum_bp + 10000·n)·1000 div n − 10^7`` — the +10000/vector
+    offset keeps the div operand non-negative (Spark truncates toward
+    zero, DuckDB floors; they agree only on non-negative operands) and
+    floor((a + c·n)/n) = floor(a/n) + c makes the shift exact.  Vectors
+    whose probed cells contain no other vector have no neighbors:
+    density −1, ranked first (the extreme outliers).
+
+    Scale shape: the edge list is the session-cached kNN graph (shared
+    with ``sim_knn_graph`` — built once per session); density is one
+    partial-agg shuffle over N·k edge rows; the outlier page is
+    orderBy+limit → TakeOrderedAndProject (per-task heaps, driver merges
+    |tasks|·{SIM_OUTLIER_TOPN} rows — never a global sort), and the
+    final rank window orders {SIM_OUTLIER_TOPN} rows, a bounded
+    single-partition window by construction."""
+    edges = _knn_edges(spark, sf_dir)
+    bp = F.round(F.col("similarity") * 10000, 0).cast("long")
+    dens = edges.groupBy("vec_id").agg(
+        F.count(F.lit(1)).alias("n_neighbors"), F.sum(bp).alias("sum_bp")
+    )
+    allv = table(spark, sf_dir, "embeddings").select("vec_id")
+    scored = (
+        allv.join(dens, "vec_id", "left")
+        .withColumn("n_neighbors", F.coalesce("n_neighbors", F.lit(0)).cast("long"))
+        .withColumn(
+            "density_mbp",
+            F.coalesce(
+                F.expr(
+                    "(sum_bp + 10000 * n_neighbors) * 1000 div n_neighbors"
+                    " - 10000000"
+                ),
+                F.lit(-1),
+            ).cast("long"),
+        )
+        .select("vec_id", "n_neighbors", "density_mbp")
+    )
+    page = scored.orderBy("density_mbp", "vec_id").limit(SIM_OUTLIER_TOPN)
+    w = Window.orderBy("density_mbp", "vec_id")
+    return page.select(
+        "vec_id",
+        "n_neighbors",
+        "density_mbp",
+        F.row_number().over(w).cast("int").alias("outlier_rank"),
+    )
+
+
+def _knn_edge_oracle_ctes() -> str:
+    """The shared WITH-prefix of the kNN-graph oracles: k-means training
+    CTEs + all-vectors probe ranking + top-k cosine per vector, ending at
+    the materialized ``ranked`` edge CTE."""
     parts, final_cent, members = _kmeans_oracle_parts()
     sq = (
         f"CAST(list_sum(list_transform(range(1, {EMB_DIM + 1}), "
@@ -1675,12 +1744,49 @@ def _knn_graph_oracle_sql() -> str:
                                                       neighbor_id) AS knn_rank
                 FROM searched
             ) WHERE knn_rank <= {KNN_GRAPH_K}
-        )
+        )"""
+    )
+
+
+def _knn_graph_oracle_sql() -> str:
+    """Shared kNN-edge CTEs + the reverse-edge mutual marker."""
+    return (
+        _knn_edge_oracle_ctes()
+        + """
         SELECT r.query_id AS vec_id, r.neighbor_id, r.knn_rank, r.similarity,
                CAST(CASE WHEN m.query_id IS NOT NULL THEN 1 ELSE 0 END
                     AS BIGINT) AS mutual
         FROM ranked r LEFT JOIN ranked m
              ON m.query_id = r.neighbor_id AND m.neighbor_id = r.query_id"""
+    )
+
+
+def _knn_density_oracle_sql() -> str:
+    """Shared kNN-edge CTEs + basis-point density mean (offset-shifted
+    non-negative integer division — see q_sim_knn_density) + the
+    lowest-density outlier page."""
+    return (
+        _knn_edge_oracle_ctes()
+        + f""",
+        dens AS (
+            SELECT query_id AS vec_id, CAST(COUNT(*) AS BIGINT) AS n_neighbors,
+                   CAST(SUM(CAST(round(similarity * 10000) AS BIGINT))
+                        AS BIGINT) AS sum_bp
+            FROM ranked GROUP BY query_id
+        ),
+        scored AS (
+            SELECT emb.vec_id,
+                   coalesce(d.n_neighbors, 0) AS n_neighbors,
+                   coalesce((d.sum_bp + 10000 * d.n_neighbors) * 1000
+                            // d.n_neighbors - 10000000, -1) AS density_mbp
+            FROM embeddings emb LEFT JOIN dens d ON d.vec_id = emb.vec_id
+        )
+        SELECT vec_id, n_neighbors, density_mbp,
+               CAST(rn AS INT) AS outlier_rank
+        FROM (
+            SELECT *, ROW_NUMBER() OVER (ORDER BY density_mbp, vec_id) AS rn
+            FROM scored
+        ) WHERE rn <= {SIM_OUTLIER_TOPN}"""
     )
 
 
@@ -2070,6 +2176,7 @@ QUERIES = {
     "sim_hard_negatives": q_sim_hard_negatives,
     "sim_ivf_append_topk": q_sim_ivf_append_topk,
     "sim_knn_graph": q_sim_knn_graph,
+    "sim_knn_density": q_sim_knn_density,
     "sim_ivf_delete_topk": q_sim_ivf_delete_topk,
     "sim_ivfadc_topk": q_sim_ivfadc_topk,
     "sim_semdedup": q_sim_semdedup,
@@ -2121,6 +2228,7 @@ ORACLES = {
         pair_where="WHERE qe.label <> ce.label"
     ),
     "sim_knn_graph": _knn_graph_oracle_sql(),
+    "sim_knn_density": _knn_density_oracle_sql(),
     "sim_ivf_delete_topk": _ivf_trained_oracle_sql(
         member_and=f"AND a.vec_id % {IVF_DELETE_MOD} <> {IVF_DELETE_REM}"
     ),

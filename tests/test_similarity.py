@@ -749,6 +749,55 @@ def test_knn_graph_matches_numpy_model(spark, sf_dir):
     assert saw_mutual
 
 
+def test_knn_density_matches_numpy_model(spark, sf_dir):
+    """Full numpy recompute of the kNN-density outlier page: rebuild the
+    IVF-restricted kNN edges, take the offset-shifted integer basis-point
+    mean per vector, rank ascending — page membership, ranks, neighbor
+    counts, and exact density values must all match."""
+    import numpy as np
+
+    vectors, cent = S._kmeans_trained(spark, sf_dir)
+    assigned = {
+        r.vec_id: r.cell_id for r in S._kmeans_assign(vectors, cent).collect()
+    }
+    cent_rows = {r.cell_id: np.array(r.cv, dtype=np.int64) for r in cent.collect()}
+    sv = {r.vec_id: np.array(r.sv, dtype=np.int64) for r in vectors.collect()}
+    emb = {
+        r.vec_id: np.array(r.embedding, dtype=np.float64)
+        for r in spark.read.parquet(f"{sf_dir}/embeddings.parquet").collect()
+    }
+    nrm = {v: float(np.linalg.norm(e)) for v, e in emb.items()}
+
+    dens: dict[int, tuple[int, int]] = {}
+    for qid in sv:
+        dists = sorted(
+            (int(((sv[qid] - c) ** 2).sum()), cid) for cid, c in cent_rows.items()
+        )
+        probe = {cid for _, cid in dists[: S.KMEANS_NPROBE]}
+        cands = [v for v, c in assigned.items() if c in probe and v != qid]
+        top = sorted(
+            (-round(float(emb[qid] @ emb[v]) / (nrm[qid] * nrm[v]), 4), v)
+            for v in cands
+        )[: S.KNN_GRAPH_K]
+        n = len(top)
+        sum_bp = sum(int(round(-negsim * 10000)) for negsim, _ in top)
+        d = ((sum_bp + 10000 * n) * 1000) // n - 10_000_000 if n else -1
+        dens[qid] = (n, d)
+    page = sorted(dens.items(), key=lambda kv: (kv[1][1], kv[0]))
+    expected = {
+        vid: (n, d, rank)
+        for rank, (vid, (n, d)) in enumerate(page[: S.SIM_OUTLIER_TOPN], 1)
+    }
+
+    got = {
+        r.vec_id: (r.n_neighbors, r.density_mbp, r.outlier_rank)
+        for r in S.q_sim_knn_density(spark, sf_dir).collect()
+    }
+    assert got == expected
+    # Non-vacuous: densities vary across the page (a real ranking).
+    assert len({d for _, d, _ in got.values()}) > 1
+
+
 def test_ivf_delete_tombstones_mutate_index_state(spark, sf_dir):
     """Deletion semantics: (a) no deleted vector ever appears in any
     result page; (b) the live posting lists shrink by exactly the
