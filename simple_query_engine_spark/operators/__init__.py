@@ -116,6 +116,7 @@ _ROTATION_QUEUE: list[str] = [
     "graph_components_incremental",
     "text_gopher_quality",
     "sim_knn_density",
+    "sim_multiprobe_lsh",
 ]
 
 

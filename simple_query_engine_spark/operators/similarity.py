@@ -218,6 +218,87 @@ def q_sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+MULTIPROBE_T = 4  # query-directed sign-flip probes per query (plus home)
+
+
+def q_sim_multiprobe_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Query-directed MULTI-PROBE LSH ANN (Lv et al., VLDB 2007): each
+    query probes its home bucket PLUS the {MULTIPROBE_T} perturbed
+    buckets obtained by flipping the sign bits with the SMALLEST
+    absolute hyperplane margins — the planes a query sits closest to are
+    exactly where its true neighbors most likely landed on the other
+    side, so flipping those recovers most of the recall that extra hash
+    tables would buy at ZERO extra index memory: one table stands,
+    probes multiply per QUERY, not per indexed vector.  The
+    single-bucket baseline is ``sim_ann_lsh``; recall dominance over it
+    is pinned in tests (a superset of candidate buckets can only help).
+
+    Exactness: margins are the same integer-grid plane dot products that
+    make the bucket bits engine-exact (integral doubles < 2⁵³); the
+    flip choice is totally ordered (margin asc, plane index asc) and the
+    probe set is deduplicated before ranking, mirrored in the oracle.
+
+    Scale shape: identical to ``sim_ann_lsh`` with (T+1)× the probe
+    rows on the QUERY side only — the corpus-side signature table is
+    computed and keyed once; queries stay broadcast (|Q|·(T+1) rows);
+    candidate volume is (T+1)·|Q|·N/2^bits, still a vanishing corpus
+    fraction.  At 100 TB the probe fan-out is the standard recall dial
+    that avoids re-hashing the corpus into more tables."""
+    signed = _signed_embeddings(spark, sf_dir)
+    planes = _int_hyperplanes()
+    margins = F.array(
+        *[
+            F.struct(
+                F.abs(
+                    _dot(F.col("sv"), F.array(*[F.lit(float(v)) for v in plane]))
+                ).alias("m"),
+                F.lit(i).alias("i"),
+                F.lit(1 << i).alias("flipbit"),
+            )
+            for i, plane in enumerate(planes)
+        ]
+    )
+    queries = (
+        signed.filter(F.col("vec_id") < NUM_QUERY_VECTORS)
+        .withColumn("flips", F.slice(F.array_sort(margins), 1, MULTIPROBE_T))
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("q_emb"),
+            _norm(F.col("embedding")).alias("q_norm"),
+            F.explode(
+                F.array_union(
+                    F.array(F.col("bucket")),
+                    F.transform(
+                        F.col("flips"),
+                        lambda s: F.col("bucket").bitwiseXOR(s["flipbit"]),
+                    ),
+                )
+            ).alias("bucket"),
+        )
+    )
+    candidates = _signed_embeddings(spark, sf_dir).select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("c_emb"),
+        _norm(F.col("embedding")).alias("c_norm"),
+        "bucket",
+    )
+    cosine = _dot(F.col("q_emb"), F.col("c_emb")) / (F.col("q_norm") * F.col("c_norm"))
+    scored = (
+        F.broadcast(queries)
+        .join(candidates, "bucket")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", F.round(cosine, 4).alias("similarity"))
+        .distinct()
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("similarity").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("sim_rank", F.row_number().over(w))
+        .filter(F.col("sim_rank") <= TOP_K)
+    )
+
+
 # Multi-table LSH for the near-dup SELF-join: a self-join's candidate
 # volume is tables × N²/2^bits, so the per-table key must be wide (12-bit
 # buckets here vs the 8-bit single-table key the broadcast ANN query can
@@ -567,6 +648,48 @@ def _ann_lsh_oracle_sql() -> str:
                    ROUND(list_dot_product(q.v, c.v) / (q.nrm * c.nrm), 4) AS similarity
             FROM sig q JOIN sig c ON q.bucket = c.bucket
             WHERE q.vec_id < {NUM_QUERY_VECTORS} AND q.vec_id <> c.vec_id
+        )
+        SELECT query_id, neighbor_id, similarity, sim_rank FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                         ORDER BY similarity DESC, neighbor_id) AS sim_rank
+            FROM scored
+        ) WHERE sim_rank <= {TOP_K}
+    """
+
+
+def _multiprobe_lsh_oracle_sql() -> str:
+    """Signature CTE + per-plane margin branches (one generated SELECT per
+    plane, each knowing its flip bit as a literal) + the total-order flip
+    pick + deduplicated probe ranking — mirrors q_sim_multiprobe_lsh."""
+    marg_branches = "\n            UNION ALL ".join(
+        f"SELECT vec_id, {i} AS idx, {1 << i} AS flipbit, "
+        f"abs(list_dot_product(sv, {plane}::DOUBLE[])) AS ad "
+        f"FROM e WHERE vec_id < {NUM_QUERY_VECTORS}"
+        for i, plane in enumerate(_int_hyperplanes())
+    )
+    return f"""
+        WITH {_lsh_sig_cte()}, marg AS (
+            {marg_branches}
+        ), flips AS (
+            SELECT vec_id, flipbit FROM (
+                SELECT vec_id, flipbit,
+                       ROW_NUMBER() OVER (PARTITION BY vec_id
+                                          ORDER BY ad, idx) AS rn
+                FROM marg
+            ) WHERE rn <= {MULTIPROBE_T}
+        ), probes AS (
+            SELECT vec_id AS query_id, bucket AS probe FROM sig
+            WHERE vec_id < {NUM_QUERY_VECTORS}
+            UNION
+            SELECT f.vec_id, xor(s.bucket, f.flipbit)
+            FROM flips f JOIN sig s ON s.vec_id = f.vec_id
+        ), scored AS (
+            SELECT DISTINCT p.query_id, c.vec_id AS neighbor_id,
+                   ROUND(list_dot_product(q.v, c.v) / (q.nrm * c.nrm), 4)
+                       AS similarity
+            FROM probes p
+            JOIN sig c ON c.bucket = p.probe AND c.vec_id <> p.query_id
+            JOIN sig q ON q.vec_id = p.query_id
         )
         SELECT query_id, neighbor_id, similarity, sim_rank FROM (
             SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
@@ -2187,6 +2310,7 @@ QUERIES = {
     "sim_neardup_lsh": q_sim_neardup_lsh,
     "sim_neardup_planted": q_sim_neardup_planted,
     "sim_ann_lsh": q_sim_ann_lsh,
+    "sim_multiprobe_lsh": q_sim_multiprobe_lsh,
     "sim_ivf_topk": q_sim_ivf_topk,
     "sim_label_centroids": q_sim_label_centroids,
     "sim_semantic_clusters": q_sim_semantic_clusters,
@@ -2267,6 +2391,7 @@ ORACLES = {
     "sim_sq_rerank": _SQ_RERANK_SQL,
     "sim_pq_rerank": _PQ_RERANK_SQL,
     "sim_ann_lsh": _ann_lsh_oracle_sql(),
+    "sim_multiprobe_lsh": _multiprobe_lsh_oracle_sql(),
     "sim_neardup_lsh": _neardup_lsh_oracle_sql(),
     "sim_neardup_planted": _neardup_lsh_oracle_sql(
         source=_PLANTED_EMB_SQL, threshold=PLANTED_COSINE

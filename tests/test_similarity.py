@@ -56,6 +56,67 @@ def test_ann_finds_some_candidates(spark, sf_dir):
     assert len(ann_rows) > 0  # buckets are non-degenerate
 
 
+def test_multiprobe_lsh_matches_python_model_and_dominates(spark, sf_dir):
+    """Full Python recompute of query-directed multi-probe LSH: integer
+    signatures, smallest-|margin| flip choice (margin asc, plane idx
+    asc), deduplicated probe candidates, rounded-cosine ranking — exact
+    page equality.  Structurally, the multi-probe candidate set is a
+    SUPERSET of the single-bucket set, so every single-bucket result
+    similarity is ≤ the multi-probe similarity at the same rank."""
+    import math as m
+
+    import numpy as np
+
+    emb = {
+        r.vec_id: np.array(r.embedding, dtype=np.float64)
+        for r in spark.read.parquet(f"{sf_dir}/embeddings.parquet").collect()
+    }
+    planes = [np.array(p, dtype=np.float64) for p in S._int_hyperplanes()]
+    sv = {v: np.floor(e * S.EMB_SCALE) for v, e in emb.items()}
+    dots = {v: [float(s @ p) for p in planes] for v, s in sv.items()}
+    bucket = {
+        v: sum((1 << i) for i, d in enumerate(ds) if d >= 0)
+        for v, ds in dots.items()
+    }
+    nrm = {v: m.sqrt(float(e @ e)) for v, e in emb.items()}
+
+    expected = {}
+    for qid in range(S.NUM_QUERY_VECTORS):
+        flips = sorted((abs(d), i) for i, d in enumerate(dots[qid]))[
+            : S.MULTIPROBE_T
+        ]
+        probes = {bucket[qid]} | {bucket[qid] ^ (1 << i) for _, i in flips}
+        cands = {v for v, b in bucket.items() if b in probes and v != qid}
+        scored = sorted(
+            (-round(float(emb[qid] @ emb[v]) / (nrm[qid] * nrm[v]), 4), v)
+            for v in cands
+        )[: S.TOP_K]
+        for rank, (negsim, v) in enumerate(scored, 1):
+            expected[(qid, rank)] = (v, -negsim)
+
+    got = {
+        (r.query_id, r.sim_rank): (r.neighbor_id, r.similarity)
+        for r in S.q_sim_multiprobe_lsh(spark, sf_dir).collect()
+    }
+    assert {k: v[0] for k, v in got.items()} == {
+        k: v[0] for k, v in expected.items()
+    }
+    for k in expected:
+        assert abs(got[k][1] - expected[k][1]) < 1e-9, k
+
+    # Dominance over the single-bucket path: superset candidates mean the
+    # rank-r similarity can only improve (compare where both have rank r).
+    single = {
+        (r.query_id, r.sim_rank): r.similarity
+        for r in S.q_sim_ann_lsh(spark, sf_dir).collect()
+    }
+    assert single  # baseline non-degenerate
+    for k, sim in single.items():
+        assert k in got and got[k][1] >= sim - 1e-9, k
+    # and the probe fan-out genuinely adds candidates somewhere
+    assert len(got) > len(single)
+
+
 def test_ivf_recall_against_bruteforce(spark, sf_dir, exact_topk):
     ivf_rows = S.q_sim_ivf_topk(spark, sf_dir).collect()
     by_query: dict[int, set] = {}
