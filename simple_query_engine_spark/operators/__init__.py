@@ -117,6 +117,7 @@ _ROTATION_QUEUE: list[str] = [
     "text_gopher_quality",
     "sim_knn_density",
     "sim_multiprobe_lsh",
+    "graph_label_spread",
 ]
 
 

@@ -1243,6 +1243,119 @@ def _pagerank_oracle_sql() -> str:
     """
 
 
+LABEL_SEED_MOD = 3  # every 3rd doc_id is a labeled seed
+LABEL_SPREAD_ROUNDS = 3  # fixed synchronous frontier rounds
+
+
+def q_graph_label_spread(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-supervised LABEL SPREADING over the MinHash-LSH near-dup
+    graph: seed nodes (doc_id % {LABEL_SEED_MOD} == 0) carry their
+    ``source`` as a trusted label; for {LABEL_SPREAD_ROUNDS} fixed
+    synchronous rounds, every still-unlabeled node adjacent to the
+    labeled set adopts the MAJORITY label among its labeled neighbors
+    (count desc, label asc — a total order, so the adoption is
+    engine-exact).  This is the propagate-human-judgments step of a
+    curation pipeline: a reviewed quality/topic/provenance label on one
+    copy extends to its near-duplicates without re-reviewing them, with
+    ``labeled_round`` recording the trust distance from a seed (0 =
+    reviewed directly).
+
+    Determinism on an iterative algorithm, same discipline as
+    ``graph_pagerank_neardup``: fixed round count, integer counts, total
+    tie order — so the DuckDB oracle simply unrolls the rounds as
+    chained CTEs.  Seeds never relabel; rounds are synchronous (the
+    frontier sees the PREVIOUS cumulative labeled set).
+
+    Scale shape: per round one join of the cached symmetric edge list
+    with the labeled set (shuffle keyed on node), one map-side-combined
+    (node, label) count, one per-node row_number pick, one anti-join
+    against the labeled set — every stage ∝ frontier edges, never the
+    corpus; {LABEL_SPREAD_ROUNDS} fixed rounds ⇒ linear plan depth.
+    Labels never join themselves recursively (the cumulative set is a
+    3-deep union), so no lineage truncation is needed."""
+    from pyspark.sql.window import Window
+
+    pairs = q_dedup_minhash_lsh(spark, sf_dir).select("doc_id_a", "doc_id_b")
+    edges = session_cache(
+        pairs.union(
+            pairs.select(
+                F.col("doc_id_b").alias("doc_id_a"),
+                F.col("doc_id_a").alias("doc_id_b"),
+            )
+        ).select(F.col("doc_id_a").alias("src"), F.col("doc_id_b").alias("dst")),
+        sf_dir,
+        "label_spread_edges",
+    )
+    nodes = edges.select(F.col("src").alias("node")).distinct()
+    docs = table(spark, sf_dir, "documents").select("doc_id", "source")
+    labels = (
+        nodes.filter(F.col("node") % LABEL_SEED_MOD == 0)
+        .join(docs, F.col("node") == F.col("doc_id"))
+        .select("node", F.col("source").alias("label"), F.lit(0).alias("labeled_round"))
+    )
+    for r in range(1, LABEL_SPREAD_ROUNDS + 1):
+        w = Window.partitionBy("dst").orderBy(F.col("c").desc(), F.col("label"))
+        new = (
+            edges.join(labels.select(F.col("node").alias("src"), "label"), "src")
+            .join(
+                labels.select(F.col("node").alias("dst")),
+                "dst",
+                "left_anti",
+            )
+            .groupBy("dst", "label")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select(
+                F.col("dst").alias("node"), "label", F.lit(r).alias("labeled_round")
+            )
+        )
+        labels = labels.union(new)
+    return labels.select(
+        F.col("node").alias("doc_id"), "label", F.col("labeled_round").cast("int")
+    )
+
+
+def _label_spread_oracle_sql() -> str:
+    """Unrolled fixed-round twin of q_graph_label_spread: cumulative
+    labeled-set CTEs all0..allN, majority pick via the same
+    (count desc, label asc) total order."""
+    steps = []
+    prev = "all0"
+    for r in range(1, LABEL_SPREAD_ROUNDS + 1):
+        steps.append(f"""new{r} AS (
+            SELECT node, label, {r} AS labeled_round FROM (
+                SELECT e.dst AS node, l.label, COUNT(*) AS c,
+                       ROW_NUMBER() OVER (PARTITION BY e.dst
+                                          ORDER BY COUNT(*) DESC, l.label) AS rn
+                FROM edges e
+                JOIN {prev} l ON e.src = l.node
+                WHERE e.dst NOT IN (SELECT node FROM {prev})
+                GROUP BY e.dst, l.label
+            ) WHERE rn = 1
+        ), all{r} AS (
+            SELECT * FROM {prev} UNION ALL SELECT * FROM new{r}
+        )""")
+        prev = f"all{r}"
+    chain = ",\n        ".join(steps)
+    return f"""
+        WITH near AS MATERIALIZED ({_minhash_oracle_sql()}),
+        edges AS (
+            SELECT doc_id_a AS src, doc_id_b AS dst FROM near
+            UNION ALL
+            SELECT doc_id_b AS src, doc_id_a AS dst FROM near
+        ), all0 AS (
+            SELECT n.node, d.source AS label, 0 AS labeled_round FROM (
+                SELECT DISTINCT src AS node FROM edges
+            ) n JOIN documents d ON d.doc_id = n.node
+            WHERE n.node % {LABEL_SEED_MOD} = 0
+        ),
+        {chain}
+        SELECT node AS doc_id, label, CAST(labeled_round AS INT) AS labeled_round
+        FROM {prev}
+    """
+
+
 def q_graph_triangles_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Triangle counts + local clustering coefficient over the MinHash-LSH
     near-dup graph — the graph-density companion of
@@ -1664,6 +1777,7 @@ QUERIES = {
     "graph_triangles_neardup": q_graph_triangles_neardup,
     "graph_kcore_neardup": q_graph_kcore_neardup,
     "graph_components_incremental": q_graph_components_incremental,
+    "graph_label_spread": q_graph_label_spread,
     "text_dup_ngram_coverage": q_dup_ngram_coverage,
 }
 
@@ -2022,6 +2136,7 @@ _NGRAM_JACCARD_SQL = f"""
 """
 ORACLES["dedup_ngram_jaccard"] = _NGRAM_JACCARD_SQL
 ORACLES["graph_pagerank_neardup"] = _pagerank_oracle_sql()
+ORACLES["graph_label_spread"] = _label_spread_oracle_sql()
 ORACLES["graph_triangles_neardup"] = _triangles_oracle_sql()
 ORACLES["graph_kcore_neardup"] = _kcore_oracle_sql()
 ORACLES["dedup_cdc_chunks"] = _cdc_oracle_sql()

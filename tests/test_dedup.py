@@ -311,6 +311,58 @@ def test_pagerank_against_python_model(spark, sf_dir):
     }
 
 
+def test_label_spread_matches_python_model(spark, sf_dir):
+    """Pure-Python synchronous label propagation over the same pair list
+    and seed rule: per-round majority adoption (count desc, label asc),
+    cumulative frontier — exact equality of (label, labeled_round) for
+    every labeled node, and seeds never relabel."""
+    from collections import Counter, defaultdict
+
+    from simple_query_engine_spark.operators.dedup import (
+        LABEL_SEED_MOD,
+        LABEL_SPREAD_ROUNDS,
+        q_dedup_minhash_lsh,
+        q_graph_label_spread,
+    )
+
+    pairs = [
+        (r.doc_id_a, r.doc_id_b)
+        for r in q_dedup_minhash_lsh(spark, sf_dir).collect()
+    ]
+    assert pairs
+    adj = defaultdict(set)
+    for a, b in pairs:
+        adj[a].add(b)
+        adj[b].add(a)
+    src_of = {
+        r.doc_id: r.source
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
+    }
+    labeled = {
+        n: (src_of[n], 0) for n in adj if n % LABEL_SEED_MOD == 0
+    }
+    for rnd in range(1, LABEL_SPREAD_ROUNDS + 1):
+        new = {}
+        for n in adj:
+            if n in labeled:
+                continue
+            votes = Counter(
+                labeled[m][0] for m in adj[n] if m in labeled
+            )
+            if votes:
+                best = sorted(votes.items(), key=lambda kv: (-kv[1], kv[0]))[0][0]
+                new[n] = (best, rnd)
+        labeled.update(new)
+
+    got = {
+        r.doc_id: (r.label, r.labeled_round)
+        for r in q_graph_label_spread(spark, sf_dir).collect()
+    }
+    assert got == labeled
+    # non-vacuous: propagation actually happened beyond the seeds
+    assert any(rnd > 0 for _, rnd in got.values())
+
+
 def test_triangles_match_python_model(spark, sf_dir):
     """Independent pure-Python triangle count over the same pair list:
     per-node triangle counts, degrees, and coefficients must match."""
