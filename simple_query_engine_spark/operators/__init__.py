@@ -118,6 +118,7 @@ _ROTATION_QUEUE: list[str] = [
     "sim_knn_density",
     "sim_multiprobe_lsh",
     "graph_label_spread",
+    "sim_range_search",
 ]
 
 

@@ -1435,17 +1435,26 @@ def _ivf_trained_search(
     sf_dir: str,
     cand_filter: Column | None,
     pair_filter: Column | None = None,
+    range_threshold: float | None = None,
 ) -> DataFrame:
     """Trained-IVF top-k search, optionally restricted to candidates
     passing ``cand_filter`` (static) and pairs passing ``pair_filter``
     (per-query) — shared by the unfiltered, metadata-filtered, and
-    hard-negative variants."""
+    hard-negative variants.  ``range_threshold`` swaps the top-k page
+    for the radius predicate (``sim_range_search``)."""
     vectors, cent = _kmeans_trained(spark, sf_dir)
     members = _kmeans_assign(vectors, cent).select(
         F.col("vec_id").alias("neighbor_id"), "cell_id"
     )
     return _ivf_search(
-        spark, sf_dir, vectors, cent, members, cand_filter, pair_filter
+        spark,
+        sf_dir,
+        vectors,
+        cent,
+        members,
+        cand_filter,
+        pair_filter,
+        range_threshold,
     )
 
 
@@ -1457,13 +1466,16 @@ def _ivf_search(
     members: DataFrame,
     cand_filter: Column | None = None,
     pair_filter: Column | None = None,
+    range_threshold: float | None = None,
 ) -> DataFrame:
     """Probe-and-rank core shared by every trained-quantizer search:
     nprobe cells per query against ``cent``, exact-cosine ranking of the
     probed ``members`` (posting lists keyed by cell_id).  ``cand_filter``
     statically restricts the candidate scan; ``pair_filter`` is a
     per-(query, candidate) predicate over ``q_label``/``c_label`` applied
-    after the probe join, before ranking (hard-negative mining)."""
+    after the probe join, before ranking (hard-negative mining);
+    ``range_threshold`` replaces the top-k window with the radius
+    predicate — no window at all, the scored rows filter directly."""
     probe_scored = (
         vectors.filter(F.col("vec_id") < NUM_QUERY_VECTORS)
         .crossJoin(F.broadcast(cent))
@@ -1514,11 +1526,42 @@ def _ivf_search(
     scored = joined.select(
         "query_id", "neighbor_id", F.round(cosine, 4).alias("similarity")
     )
+    if range_threshold is not None:
+        return scored.filter(F.col("similarity") >= range_threshold)
     w = Window.partitionBy("query_id").orderBy(
         F.col("similarity").desc(), F.col("neighbor_id")
     )
     return scored.withColumn("sim_rank", F.row_number().over(w)).filter(
         F.col("sim_rank") <= TOP_K
+    )
+
+
+# Radius for the range-search entry — inside the corpus's probed-cosine
+# range (top-k pages span ~0.17-0.37 at every SF), so the result is
+# non-empty and data-dependent in size: the defining property vs top-k.
+SIM_RANGE_THRESHOLD = 0.25
+
+
+def q_sim_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE (radius) search through the trained IVF index: every probed
+    candidate with cosine ≥ {SIM_RANGE_THRESHOLD}, however many there
+    are — the "find ALL sufficiently-similar items" operation (near-dup
+    lookup of an incoming document, recall-oriented retrieval, contamination
+    probes) where top-k's fixed page either truncates dense neighborhoods
+    or pads sparse ones.  Same probe-and-rank core as
+    ``sim_ivf_trained_topk`` with the top-k window REPLACED by the radius
+    predicate — physically cheaper, not costlier: no per-query window at
+    all, the scored candidate rows filter directly, so the plan is
+    probe → posting join → cosine → filter, entirely windowless.
+
+    At 100 TB the scan still touches nprobe/K of the corpus per query;
+    the radius only changes how many of those candidates survive, and
+    result size scales with true neighborhood density (the operator's
+    point).  Recall caveat identical to IVF top-k: matches outside the
+    probed cells are missed; the audit-entry pattern
+    (``sim_recall_audit_trained``) applies unchanged."""
+    return _ivf_trained_search(
+        spark, sf_dir, cand_filter=None, range_threshold=SIM_RANGE_THRESHOLD
     )
 
 
@@ -2230,6 +2273,7 @@ def _ivf_trained_oracle_sql(
     batch_where: str = "",
     pair_where: str = "",
     member_and: str = "",
+    range_threshold: float | None = None,
 ) -> str:
     """Kmeans training CTEs + probe ranking + exact-cosine cell search —
     the DuckDB twin of :func:`q_sim_ivf_trained_topk`; ``cand_where``
@@ -2239,7 +2283,9 @@ def _ivf_trained_oracle_sql(
     :func:`q_sim_ivf_append_topk` twin; ``pair_where`` (a ``WHERE`` over
     ``qe``/``ce`` labels) yields the :func:`q_sim_hard_negatives` twin;
     ``member_and`` (an ``AND a.<pred>`` on the posting-list rows) yields
-    the :func:`q_sim_ivf_delete_topk` tombstone twin."""
+    the :func:`q_sim_ivf_delete_topk` tombstone twin; ``range_threshold``
+    swaps the top-k page for the radius predicate — the
+    :func:`q_sim_range_search` twin."""
     parts, final_cent, members = _kmeans_oracle_parts(
         base_where=base_where, batch_where=batch_where
     )
@@ -2282,19 +2328,29 @@ def _ivf_trained_oracle_sql(
             JOIN ec ce ON ce.vec_id = a.vec_id
             {pair_where}
         )
-        SELECT query_id, neighbor_id, similarity, sim_rank FROM (
+        {_ivf_final_select(range_threshold)}"""
+    )
+
+
+def _ivf_final_select(range_threshold: float | None) -> str:
+    if range_threshold is not None:
+        return (
+            "SELECT query_id, neighbor_id, similarity FROM searched "
+            f"WHERE similarity >= {range_threshold}"
+        )
+    return f"""SELECT query_id, neighbor_id, similarity, sim_rank FROM (
             SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
                                          ORDER BY similarity DESC,
                                                   neighbor_id) AS sim_rank
             FROM searched
         ) WHERE sim_rank <= {TOP_K}"""
-    )
 
 
 QUERIES = {
     "sim_topk_bruteforce": q_sim_topk_bruteforce,
     "sim_kmeans_train": q_sim_kmeans_train,
     "sim_ivf_trained_topk": q_sim_ivf_trained_topk,
+    "sim_range_search": q_sim_range_search,
     "sim_filtered_topk": q_sim_filtered_topk,
     "sim_hard_negatives": q_sim_hard_negatives,
     "sim_ivf_append_topk": q_sim_ivf_append_topk,
@@ -2341,6 +2397,7 @@ ORACLES = {
     "sim_topk_bruteforce": _BRUTE_TOPK_SQL,
     "sim_kmeans_train": _kmeans_oracle_sql(),
     "sim_ivf_trained_topk": _ivf_trained_oracle_sql(),
+    "sim_range_search": _ivf_trained_oracle_sql(range_threshold=SIM_RANGE_THRESHOLD),
     "sim_filtered_topk": _ivf_trained_oracle_sql(
         cand_where=f"WHERE m.label IN {FILTER_LABELS}"
     ),

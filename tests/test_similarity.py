@@ -859,6 +859,51 @@ def test_knn_density_matches_numpy_model(spark, sf_dir):
     assert len({d for _, d, _ in got.values()}) > 1
 
 
+def test_range_search_matches_numpy_model(spark, sf_dir):
+    """Numpy recompute of the radius search: same trained probes and
+    candidate lists as IVF top-k, kept iff round(cos,4) >= threshold —
+    exact set equality, plus the top-k consistency property (every
+    top-k row at or above the radius appears in the range result, and
+    no range row beats the top-1)."""
+    import numpy as np
+
+    vectors, cent = S._kmeans_trained(spark, sf_dir)
+    assigned = {
+        r.vec_id: r.cell_id for r in S._kmeans_assign(vectors, cent).collect()
+    }
+    cent_rows = {r.cell_id: np.array(r.cv, dtype=np.int64) for r in cent.collect()}
+    sv = {r.vec_id: np.array(r.sv, dtype=np.int64) for r in vectors.collect()}
+    emb = {
+        r.vec_id: np.array(r.embedding, dtype=np.float64)
+        for r in spark.read.parquet(f"{sf_dir}/embeddings.parquet").collect()
+    }
+    nrm = {v: float(np.linalg.norm(e)) for v, e in emb.items()}
+
+    expected = {}
+    for qid in range(S.NUM_QUERY_VECTORS):
+        dists = sorted(
+            (int(((sv[qid] - c) ** 2).sum()), cid) for cid, c in cent_rows.items()
+        )
+        probe = {cid for _, cid in dists[: S.KMEANS_NPROBE]}
+        for v, c in assigned.items():
+            if c in probe and v != qid:
+                sim = round(float(emb[qid] @ emb[v]) / (nrm[qid] * nrm[v]), 4)
+                if sim >= S.SIM_RANGE_THRESHOLD:
+                    expected[(qid, v)] = sim
+
+    rows = S.q_sim_range_search(spark, sf_dir).collect()
+    got = {(r.query_id, r.neighbor_id): r.similarity for r in rows}
+    assert set(got) == set(expected)
+    for k in expected:
+        assert abs(got[k] - expected[k]) < 1e-9, k
+    # consistency with the top-k page
+    topk = S.q_sim_ivf_trained_topk(spark, sf_dir).collect()
+    for r in topk:
+        if r.similarity >= S.SIM_RANGE_THRESHOLD:
+            assert (r.query_id, r.neighbor_id) in got
+    assert got  # radius sits inside the corpus cosine range
+
+
 def test_ivf_delete_tombstones_mutate_index_state(spark, sf_dir):
     """Deletion semantics: (a) no deleted vector ever appears in any
     result page; (b) the live posting lists shrink by exactly the
