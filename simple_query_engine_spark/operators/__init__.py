@@ -119,6 +119,7 @@ _ROTATION_QUEUE: list[str] = [
     "sim_multiprobe_lsh",
     "graph_label_spread",
     "sim_range_search",
+    "sim_diverse_topk",
 ]
 
 

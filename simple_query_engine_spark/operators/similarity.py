@@ -1565,6 +1565,144 @@ def q_sim_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+DIVERSE_CELL_CAP = 2  # max results per coarse cell in the diversified page
+
+
+def q_sim_diverse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DIVERSIFIED top-k through the trained IVF index: at most
+    {DIVERSE_CELL_CAP} results per coarse cell make it into each query's
+    page — the cheap, deterministic form of result diversification
+    (MMR-lite): the coarse cells ARE a clustering of the corpus, so
+    capping per-cell contribution forces the page to span distinct
+    regions of embedding space instead of returning {TOP_K} members of
+    one dense cluster.  The retrieval-for-training use: hard-negative /
+    example pages that cover modes rather than repeat one.
+
+    Two-stage ranking, both total orders: within (query, cell) keep the
+    top {DIVERSE_CELL_CAP} by (similarity desc, neighbor_id), then rank
+    the survivors globally per query to {TOP_K}.  Oracle: the trained-IVF
+    SQL with the same two ROW_NUMBER stages.
+
+    Scale shape: identical probe volume to ``sim_ivf_trained_topk``
+    (nprobe/K of the corpus per query); the extra window partitions by
+    (query_id, cell_id) — FINER than the per-query window, so no new
+    skew risk — and feeds the per-query window at most
+    nprobe·{DIVERSE_CELL_CAP} rows."""
+    vectors, cent = _kmeans_trained(spark, sf_dir)
+    members = _kmeans_assign(vectors, cent).select(
+        F.col("vec_id").alias("neighbor_id"), "cell_id"
+    )
+    probe_scored = (
+        vectors.filter(F.col("vec_id") < NUM_QUERY_VECTORS)
+        .crossJoin(F.broadcast(cent))
+        .select(
+            F.col("vec_id").alias("query_id"),
+            "cell_id",
+            _kmeans_sqdist(F.col("sv"), F.col("cv")).alias("d"),
+        )
+    )
+    w_probe = Window.partitionBy("query_id").orderBy("d", "cell_id")
+    probes = (
+        probe_scored.withColumn("cell_rank", F.row_number().over(w_probe))
+        .filter(F.col("cell_rank") <= KMEANS_NPROBE)
+        .select("query_id", "cell_id")
+    )
+    queries = _with_norm(
+        table(spark, sf_dir, "embeddings").filter(
+            F.col("vec_id") < NUM_QUERY_VECTORS
+        ),
+        "query_id",
+        "q_emb",
+        "q_norm",
+    )
+    cands = _with_norm(
+        table(spark, sf_dir, "embeddings"), "neighbor_id", "c_emb", "c_norm"
+    )
+    cosine = _dot(F.col("q_emb"), F.col("c_emb")) / (
+        F.col("q_norm") * F.col("c_norm")
+    )
+    scored = (
+        F.broadcast(probes)
+        .join(members, "cell_id")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .join(F.broadcast(queries), "query_id")
+        .join(cands, "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            "cell_id",
+            F.round(cosine, 4).alias("similarity"),
+        )
+    )
+    w_cell = Window.partitionBy("query_id", "cell_id").orderBy(
+        F.col("similarity").desc(), F.col("neighbor_id")
+    )
+    w_page = Window.partitionBy("query_id").orderBy(
+        F.col("similarity").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("cell_slot", F.row_number().over(w_cell))
+        .filter(F.col("cell_slot") <= DIVERSE_CELL_CAP)
+        .withColumn("sim_rank", F.row_number().over(w_page))
+        .filter(F.col("sim_rank") <= TOP_K)
+        .select("query_id", "neighbor_id", "cell_id", "similarity", "sim_rank")
+    )
+
+
+def _diverse_topk_oracle_sql() -> str:
+    """Trained-IVF probe SQL with the two-stage (per-cell cap, then
+    per-query page) ROW_NUMBER ranking of q_sim_diverse_topk."""
+    parts, final_cent, members = _kmeans_oracle_parts()
+    sq = (
+        f"CAST(list_sum(list_transform(range(1, {EMB_DIM + 1}), "
+        "j -> (v.sv[j] - c.cv[j]) * (v.sv[j] - c.cv[j]))) AS BIGINT)"
+    )
+    return (
+        "WITH "
+        + ",\n        ".join(parts)
+        + f""",
+        probes AS (
+            SELECT query_id, cell_id FROM (
+                SELECT v.vec_id AS query_id, c.cell_id,
+                       ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                                          ORDER BY {sq}, c.cell_id) AS rn
+                FROM v, {final_cent} c
+                WHERE v.vec_id < {NUM_QUERY_VECTORS}
+            ) WHERE rn <= {KMEANS_NPROBE}
+        ),
+        e AS (
+            SELECT vec_id, embedding::DOUBLE[] AS ev,
+                   sqrt(list_dot_product(embedding::DOUBLE[],
+                                         embedding::DOUBLE[])) AS nrm
+            FROM embeddings
+        ),
+        searched AS (
+            SELECT p.query_id, a.vec_id AS neighbor_id, a.cell_id,
+                   ROUND(list_dot_product(qe.ev, ce.ev)
+                         / (qe.nrm * ce.nrm), 4) AS similarity
+            FROM probes p
+            JOIN {members} a ON a.cell_id = p.cell_id AND a.vec_id <> p.query_id
+            JOIN e qe ON qe.vec_id = p.query_id
+            JOIN e ce ON ce.vec_id = a.vec_id
+        ),
+        capped AS (
+            SELECT * FROM (
+                SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id, cell_id
+                                             ORDER BY similarity DESC,
+                                                      neighbor_id) AS cell_slot
+                FROM searched
+            ) WHERE cell_slot <= {DIVERSE_CELL_CAP}
+        )
+        SELECT query_id, neighbor_id, cell_id, similarity, sim_rank FROM (
+            SELECT query_id, neighbor_id, cell_id, similarity,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                                      ORDER BY similarity DESC,
+                                               neighbor_id) AS sim_rank
+            FROM capped
+        ) WHERE sim_rank <= {TOP_K}"""
+    )
+
+
 # The metadata predicate of the filtered-search entry: candidates must
 # carry an even label (half the corpus) — stand-in for the tenant /
 # language / license filters every production vector store supports.
@@ -2351,6 +2489,7 @@ QUERIES = {
     "sim_kmeans_train": q_sim_kmeans_train,
     "sim_ivf_trained_topk": q_sim_ivf_trained_topk,
     "sim_range_search": q_sim_range_search,
+    "sim_diverse_topk": q_sim_diverse_topk,
     "sim_filtered_topk": q_sim_filtered_topk,
     "sim_hard_negatives": q_sim_hard_negatives,
     "sim_ivf_append_topk": q_sim_ivf_append_topk,
@@ -2398,6 +2537,7 @@ ORACLES = {
     "sim_kmeans_train": _kmeans_oracle_sql(),
     "sim_ivf_trained_topk": _ivf_trained_oracle_sql(),
     "sim_range_search": _ivf_trained_oracle_sql(range_threshold=SIM_RANGE_THRESHOLD),
+    "sim_diverse_topk": _diverse_topk_oracle_sql(),
     "sim_filtered_topk": _ivf_trained_oracle_sql(
         cand_where=f"WHERE m.label IN {FILTER_LABELS}"
     ),

@@ -904,6 +904,75 @@ def test_range_search_matches_numpy_model(spark, sf_dir):
     assert got  # radius sits inside the corpus cosine range
 
 
+def test_diverse_topk_cell_cap_and_model(spark, sf_dir):
+    """Numpy recompute of the diversified page (per-cell cap, then global
+    rank) plus the structural properties: no query page carries more than
+    DIVERSE_CELL_CAP results from one cell, and diversification actually
+    binds somewhere (some plain-top-k page exceeds the cap, so the
+    diversified page differs)."""
+    import numpy as np
+
+    vectors, cent = S._kmeans_trained(spark, sf_dir)
+    assigned = {
+        r.vec_id: r.cell_id for r in S._kmeans_assign(vectors, cent).collect()
+    }
+    cent_rows = {r.cell_id: np.array(r.cv, dtype=np.int64) for r in cent.collect()}
+    sv = {r.vec_id: np.array(r.sv, dtype=np.int64) for r in vectors.collect()}
+    emb = {
+        r.vec_id: np.array(r.embedding, dtype=np.float64)
+        for r in spark.read.parquet(f"{sf_dir}/embeddings.parquet").collect()
+    }
+    nrm = {v: float(np.linalg.norm(e)) for v, e in emb.items()}
+
+    expected = {}
+    plain_pages_hit_cap = False
+    for qid in range(S.NUM_QUERY_VECTORS):
+        dists = sorted(
+            (int(((sv[qid] - c) ** 2).sum()), cid) for cid, c in cent_rows.items()
+        )
+        probe = {cid for _, cid in dists[: S.KMEANS_NPROBE]}
+        scored = sorted(
+            (
+                -round(float(emb[qid] @ emb[v]) / (nrm[qid] * nrm[v]), 4),
+                v,
+                c,
+            )
+            for v, c in assigned.items()
+            if c in probe and v != qid
+        )
+        from collections import Counter
+
+        plain_cells = Counter(c for _, _, c in scored[: S.TOP_K])
+        plain_pages_hit_cap |= any(
+            n > S.DIVERSE_CELL_CAP for n in plain_cells.values()
+        )
+        slots: dict[int, int] = {}
+        survivors = []
+        for negsim, v, c in scored:
+            slots[c] = slots.get(c, 0) + 1
+            if slots[c] <= S.DIVERSE_CELL_CAP:
+                survivors.append((negsim, v, c))
+        for rank, (negsim, v, c) in enumerate(survivors[: S.TOP_K], 1):
+            expected[(qid, rank)] = (v, c, -negsim)
+
+    got = {
+        (r.query_id, r.sim_rank): (r.neighbor_id, r.cell_id, r.similarity)
+        for r in S.q_sim_diverse_topk(spark, sf_dir).collect()
+    }
+    assert {k: v[:2] for k, v in got.items()} == {
+        k: v[:2] for k, v in expected.items()
+    }
+    for k in expected:
+        assert abs(got[k][2] - expected[k][2]) < 1e-9, k
+    # the cap holds on every returned page
+    from collections import Counter
+
+    per_page = Counter((q, c) for (q, _), (_, c, _) in got.items())
+    assert all(n <= S.DIVERSE_CELL_CAP for n in per_page.values())
+    # and it binds: some plain top-k page over-concentrates in one cell
+    assert plain_pages_hit_cap
+
+
 def test_ivf_delete_tombstones_mutate_index_state(spark, sf_dir):
     """Deletion semantics: (a) no deleted vector ever appears in any
     result page; (b) the live posting lists shrink by exactly the
