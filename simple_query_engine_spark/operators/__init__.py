@@ -120,6 +120,7 @@ _ROTATION_QUEUE: list[str] = [
     "graph_label_spread",
     "sim_range_search",
     "sim_diverse_topk",
+    "join_interval_overlap",
 ]
 
 

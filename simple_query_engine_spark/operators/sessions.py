@@ -481,8 +481,131 @@ def q_events_resample_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Maintenance window per active day: [02:00, 04:00) — the interval table
+# the overlap join matches sessions against.
+MAINT_START_HOUR = 2
+MAINT_END_HOUR = 4
+OVERLAP_BUCKET_US = 3600 * 1_000_000  # 1-hour join buckets
+
+
+def q_join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERVAL-OVERLAP join — interval × interval, the join shape
+    point-in-range (``join_range``) and as-of (``join_asof``) don't
+    cover: which user sessions overlap a nightly maintenance window
+    ([0{MAINT_START_HOUR}:00, 0{MAINT_END_HOUR}:00) on every active
+    day), and by how many seconds.  The warehouse use is incident /
+    deploy / outage attribution: "which sessions were exposed to the
+    event window".
+
+    Scale mechanics — the reason this is bucketized, not a theta join:
+    a raw ``s.start < w.end AND s.end >= w.start`` predicate compiles to
+    BroadcastNestedLoopJoin (all-pairs when both sides are large).
+    Instead both interval sets explode into the 1-hour buckets they
+    touch, the join is an EQUI-join on the bucket key, pairs dedup, and
+    the true overlap predicate verifies — lossless, because any
+    overlapping pair shares at least one bucket (the overlap region
+    lives in some hour).  Candidate volume is Σ interval-length/bucket
+    per side, linear in the data; bucket width is the dial matched to
+    typical interval length.  Sessions reuse the SHARED gap-labeling
+    pipeline (one user-keyed exchange); the maintenance table derives
+    from the distinct active days, |days| rows.
+
+    Exactness: all boundary arithmetic in integer microseconds
+    (``unix_micros``/``epoch_us``); overlap_sec is a floored division of
+    exact integers; the half-open window makes boundary ties
+    deterministic on both engines."""
+    events = table(spark, sf_dir, "events")
+    sessions = (
+        _labeled_events(events, "user_id", "ts")
+        .groupBy("user_id", "session_seq")
+        .agg(
+            F.unix_micros(F.min("ts")).alias("s_start_us"),
+            F.unix_micros(F.max("ts")).alias("s_end_us"),
+        )
+    )
+    days = events.select(
+        F.date_trunc("day", F.col("ts")).alias("day")
+    ).distinct()
+    windows = days.select(
+        F.to_date("day").alias("win_day"),
+        (
+            F.unix_micros(F.col("day"))
+            + F.lit(MAINT_START_HOUR * 3600 * 1_000_000)
+        ).alias("w_start_us"),
+        (
+            F.unix_micros(F.col("day"))
+            + F.lit(MAINT_END_HOUR * 3600 * 1_000_000)
+        ).alias("w_end_us"),
+    )
+    bucket = lambda lo, hi: F.explode(  # noqa: E731
+        F.sequence(
+            F.expr(f"{lo} div {OVERLAP_BUCKET_US}"),
+            F.expr(f"{hi} div {OVERLAP_BUCKET_US}"),
+        )
+    ).alias("bucket")
+    s_b = sessions.select(
+        "user_id", "session_seq", "s_start_us", "s_end_us",
+        bucket("s_start_us", "s_end_us"),
+    )
+    w_b = windows.select(
+        "win_day", "w_start_us", "w_end_us", bucket("w_start_us", "w_end_us")
+    )
+    pairs = (
+        s_b.join(w_b, "bucket")
+        .drop("bucket")
+        .distinct()
+        .filter(
+            (F.col("s_start_us") < F.col("w_end_us"))
+            & (F.col("s_end_us") >= F.col("w_start_us"))
+        )
+    )
+    return pairs.select(
+        "user_id",
+        "session_seq",
+        "win_day",
+        F.expr(
+            "(least(s_end_us, w_end_us - 1) - greatest(s_start_us, w_start_us))"
+            " div 1000000"
+        ).alias("overlap_sec"),
+    )
+
+
+_INTERVAL_OVERLAP_ORACLE = f"""
+        WITH labeled AS (
+            SELECT user_id, ts,
+                   CAST(SUM(CASE WHEN prev_us IS NULL
+                            OR epoch_us(ts) - prev_us > {SESSION_GAP_SEC * 1_000_000}
+                            THEN 1 ELSE 0 END)
+                       OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+            FROM (
+                SELECT user_id, ts, event_id,
+                       LAG(epoch_us(ts)) OVER (PARTITION BY user_id
+                                               ORDER BY ts, event_id) AS prev_us
+                FROM events
+            )
+        ), sessions AS (
+            SELECT user_id, session_seq,
+                   epoch_us(MIN(ts)) AS s_start_us,
+                   epoch_us(MAX(ts)) AS s_end_us
+            FROM labeled GROUP BY user_id, session_seq
+        ), windows AS (
+            SELECT CAST(day AS DATE) AS win_day,
+                   epoch_us(day) + {MAINT_START_HOUR * 3600 * 1_000_000} AS w_start_us,
+                   epoch_us(day) + {MAINT_END_HOUR * 3600 * 1_000_000} AS w_end_us
+            FROM (SELECT DISTINCT date_trunc('day', ts) AS day FROM events)
+        )
+        SELECT s.user_id, s.session_seq, w.win_day,
+               (least(s.s_end_us, w.w_end_us - 1)
+                - greatest(s.s_start_us, w.w_start_us)) // 1000000 AS overlap_sec
+        FROM sessions s JOIN windows w
+          ON s.s_start_us < w.w_end_us AND s.s_end_us >= w.w_start_us
+"""
+
+
 QUERIES = {
     "events_sessionize_gap": q_events_sessionize_gap,
+    "join_interval_overlap": q_join_interval_overlap,
     "events_resample_locf": q_events_resample_locf,
     "events_rolling_wau": q_events_rolling_wau,
     "events_top_paths": q_events_top_paths,
@@ -556,6 +679,7 @@ ORACLES = {
                    AS stickiness
         FROM wau w LEFT JOIN dau d ON d.day = w.window_end
     """,
+    "join_interval_overlap": _INTERVAL_OVERLAP_ORACLE,
     "events_sessionize_gap": f"""
         WITH labeled AS (
             SELECT user_id, ts,

@@ -498,3 +498,59 @@ def test_rolling_wau_matches_python_model(spark, sf_dir, tables):
         assert r.dau == len(dau_users), end
         assert r.stickiness == round(len(dau_users) / len(wau_users), 4)
         assert r.dau <= r.wau
+
+
+def test_interval_overlap_bucketization_is_lossless(spark, sf_dir):
+    """The bucketized equi-join must return EXACTLY the pairs a direct
+    range-predicate model finds over the same sessions and maintenance
+    windows — bucketization is a physical rewrite, not an approximation —
+    with the same integer overlap seconds; and it must be non-vacuous
+    (some session overlaps a maintenance window at the corpus's event
+    density)."""
+    import datetime
+
+    from simple_query_engine_spark.operators.sessions import (
+        MAINT_END_HOUR,
+        MAINT_START_HOUR,
+        q_events_sessionize_gap,
+        q_join_interval_overlap,
+    )
+
+    sessions = {
+        (r.user_id, r.session_seq): (
+            int(r.session_start.timestamp() * 1_000_000),
+            int(r.session_end.timestamp() * 1_000_000),
+        )
+        for r in q_events_sessionize_gap(spark, sf_dir).collect()
+    }
+    days = sorted(
+        {
+            datetime.datetime.fromtimestamp(us // 1_000_000).date()
+            for us, _ in sessions.values()
+        }
+        | {
+            datetime.datetime.fromtimestamp(us // 1_000_000).date()
+            for _, us in sessions.values()
+        }
+    )
+    windows = {}
+    for d in days:
+        day_us = int(
+            datetime.datetime(d.year, d.month, d.day).timestamp() * 1_000_000
+        )
+        windows[d] = (
+            day_us + MAINT_START_HOUR * 3600 * 1_000_000,
+            day_us + MAINT_END_HOUR * 3600 * 1_000_000,
+        )
+    expected = {}
+    for (u, seq), (s0, s1) in sessions.items():
+        for d, (w0, w1) in windows.items():
+            if s0 < w1 and s1 >= w0:
+                expected[(u, seq, d)] = (min(s1, w1 - 1) - max(s0, w0)) // 1_000_000
+
+    got = {
+        (r.user_id, r.session_seq, r.win_day): r.overlap_sec
+        for r in q_join_interval_overlap(spark, sf_dir).collect()
+    }
+    assert got == expected
+    assert got  # non-vacuous at the corpus event density
