@@ -121,6 +121,7 @@ _ROTATION_QUEUE: list[str] = [
     "sim_range_search",
     "sim_diverse_topk",
     "join_interval_overlap",
+    "multimodal_clip_pairs",
 ]
 
 

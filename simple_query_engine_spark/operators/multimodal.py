@@ -253,8 +253,62 @@ def q_multimodal_frame_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+CLIP_MIN_BYTES = 120  # pair-manifest quality gate: payload size floor
+
+
+def q_multimodal_clip_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive PAIR-MANIFEST construction — the data-prep step of
+    CLIP-style multimodal training: align each binary payload with its
+    embedding row (doc_id ↔ vec_id, the family's declared alignment —
+    production carries an explicit mapping table and joins through it),
+    drop byte-identical duplicate payloads (exact dedup, lowest doc_id
+    keeps — duplicated pairs corrupt the contrastive loss: the "negative"
+    is the positive), gate undersized payloads
+    (n_bytes < {CLIP_MIN_BYTES}), and stamp the SAME deterministic
+    md5(doc_id) train/val/test split as ``pipeline_split_assign`` so the
+    pair manifest reconciles with the document-level split (a pair can
+    never leak across splits relative to its document).
+
+    Scale shape: the dedup groups on the 16-byte payload digest
+    (payload bytes never shuffle — same discipline as
+    ``multimodal_frame_dedup``); the embedding join is keyed on the id;
+    the split is a pure function of doc_id (stable under retries and
+    corpus growth).  Output is the manifest a training job reads:
+    one row per surviving pair with digest, size, embedding dim, split.
+    """
+    from simple_query_engine_spark.functions.hashing import md5_prefix_long
+    from simple_query_engine_spark.operators.curation import (
+        SPLIT_TRAIN_PCT,
+        SPLIT_VAL_PCT,
+    )
+
+    payloads = with_binary_payload(table(spark, sf_dir, "documents"))
+    digests = payloads.select(
+        "doc_id",
+        F.md5(F.col("payload")).alias("digest"),
+        F.col("meta.n_bytes").cast("long").alias("n_bytes"),
+    )
+    keep = digests.groupBy("digest").agg(F.min("doc_id").alias("doc_id"))
+    kept = digests.join(keep, ["digest", "doc_id"]).filter(
+        F.col("n_bytes") >= CLIP_MIN_BYTES
+    )
+    emb = table(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("doc_id"), F.size("embedding").alias("emb_dim")
+    )
+    bucket = F.pmod(md5_prefix_long(F.col("doc_id").cast("string"), 8), F.lit(100))
+    split = (
+        F.when(bucket < SPLIT_TRAIN_PCT, "train")
+        .when(bucket < SPLIT_TRAIN_PCT + SPLIT_VAL_PCT, "val")
+        .otherwise("test")
+    )
+    return kept.join(emb, "doc_id").select(
+        "doc_id", "digest", "n_bytes", "emb_dim", split.alias("split")
+    )
+
+
 QUERIES = {
     "multimodal_meta": q_multimodal_meta,
+    "multimodal_clip_pairs": q_multimodal_clip_pairs,
     "multimodal_frame_dedup": q_multimodal_frame_dedup,
     "multimodal_features": q_multimodal_features,
     "multimodal_resize": q_multimodal_resize,
@@ -262,6 +316,24 @@ QUERIES = {
 }
 
 ORACLES = {
+    "multimodal_clip_pairs": """
+        WITH p AS (
+            SELECT doc_id, md5(text) AS digest,
+                   CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+            FROM documents
+        ), keep AS (
+            SELECT digest, MIN(doc_id) AS doc_id FROM p GROUP BY digest
+        ), kept AS (
+            SELECT p.* FROM p JOIN keep USING (digest, doc_id)
+            WHERE p.n_bytes >= 120
+        )
+        SELECT k.doc_id, k.digest, k.n_bytes,
+               CAST(len(e.embedding) AS INT) AS emb_dim,
+               CASE WHEN (CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)) % 100 < 90 THEN 'train'
+                    WHEN (CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)) % 100 < 95 THEN 'val'
+                    ELSE 'test' END AS split
+        FROM kept k JOIN embeddings e ON e.vec_id = k.doc_id
+    """,
     # Same framing over '<intro>' || text; md5 of the ASCII frame string
     # equals md5 of the same bytes.  total = sum over groups, dup = total
     # minus distinct, intro group size = n_docs.

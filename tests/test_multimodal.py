@@ -128,3 +128,61 @@ def test_meta_matches_payload_length(spark, sf_dir):
         if r.doc_id in docs:
             assert r.n_bytes == len(docs[r.doc_id].encode("utf-8"))
             assert r.mime == "text/plain"
+
+
+def test_clip_pairs_manifest_properties(spark, sf_dir):
+    """Pair-manifest invariants: byte-identical payloads dedup to one row
+    (lowest doc_id), the size gate holds, every pair aligns to an
+    embedding row, and the split stamp is the SAME md5(doc_id) rule as
+    pipeline_split_assign (recomputed in Python), so the manifest can
+    never leak a pair across its document's split."""
+    import hashlib
+
+    from simple_query_engine_spark.operators.curation import (
+        SPLIT_TRAIN_PCT,
+        SPLIT_VAL_PCT,
+    )
+    from simple_query_engine_spark.operators.multimodal import (
+        CLIP_MIN_BYTES,
+        q_multimodal_clip_pairs,
+    )
+
+    rows = q_multimodal_clip_pairs(spark, sf_dir).collect()
+    assert rows
+    digests = [r.digest for r in rows]
+    assert len(digests) == len(set(digests))  # exact dedup held
+    texts = {
+        r.doc_id: r.text
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
+    }
+    vec_ids = {
+        r.vec_id
+        for r in spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .select("vec_id")
+        .collect()
+    }
+    by_digest_min = {}
+    for did, t in texts.items():
+        d = hashlib.md5(t.encode()).hexdigest()
+        if d not in by_digest_min or did < by_digest_min[d]:
+            by_digest_min[d] = did
+    for r in rows:
+        assert r.n_bytes >= CLIP_MIN_BYTES
+        assert r.doc_id in vec_ids  # aligned to an embedding row
+        assert by_digest_min[r.digest] == r.doc_id  # lowest-id keeper
+        bucket = int(hashlib.md5(str(r.doc_id).encode()).hexdigest()[:8], 16) % 100
+        want = (
+            "train"
+            if bucket < SPLIT_TRAIN_PCT
+            else ("val" if bucket < SPLIT_TRAIN_PCT + SPLIT_VAL_PCT else "test")
+        )
+        assert r.split == want, r.doc_id
+    # expected membership: every non-dup, gated, embedded doc is present
+    expected = {
+        did
+        for did, t in texts.items()
+        if len(t.encode()) >= CLIP_MIN_BYTES
+        and by_digest_min[hashlib.md5(t.encode()).hexdigest()] == did
+        and did in vec_ids
+    }
+    assert {r.doc_id for r in rows} == expected
