@@ -122,6 +122,7 @@ _ROTATION_QUEUE: list[str] = [
     "sim_diverse_topk",
     "join_interval_overlap",
     "multimodal_clip_pairs",
+    "stream_clip_ingest",
 ]
 
 

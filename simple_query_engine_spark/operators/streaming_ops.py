@@ -580,8 +580,94 @@ def q_stream_watermark_late_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_late_drop_daily_counts(spark, sf_dir)
 
 
+def q_stream_clip_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming PAIR-MANIFEST maintenance — the streaming face of
+    ``multimodal_clip_pairs``: documents replay as a file-source stream,
+    undersized payloads drop MAP-SIDE (a projection gate, before any
+    state), and the single streaming aggregation maintains the
+    digest-keyed manifest state: per byte-identical payload, the keeper
+    (MIN doc_id — deterministic whatever the batch split, unlike
+    first-arrival ``dropDuplicates``), the copy count, and the byte
+    size.  The embedding alignment and the md5 split stamp are applied
+    AT READ TIME over the manifest table (the ``stream_bm25_postings``
+    read-side-scoring pattern) — they are pure functions / static joins
+    that need no stream state.
+
+    State is one row per distinct surviving payload (16-byte digest +
+    three ints) — the minimum any cross-batch exact dedup can hold; at
+    100 TB/day the map-side size gate and the digest groupBy's partial
+    aggregation mean payload bytes never shuffle and per-batch state
+    touches only that batch's digests.  On a finite replay the manifest
+    equals the batch construction, which is the oracle; multi-batch
+    replay equality is pinned in tests."""
+    return run_clip_ingest(spark, sf_dir)
+
+
+def run_clip_ingest(
+    spark: SparkSession,
+    sf_dir: str,
+    stream_path: str | None = None,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """The :func:`q_stream_clip_ingest` pipeline with an overridable
+    stream source (tests replay a staged multi-file copy)."""
+    import tempfile
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from simple_query_engine_spark.functions.hashing import md5_prefix_long
+    from simple_query_engine_spark.operators.curation import (
+        SPLIT_TRAIN_PCT,
+        SPLIT_VAL_PCT,
+    )
+    from simple_query_engine_spark.operators.multimodal import CLIP_MIN_BYTES
+    from simple_query_engine_spark.streaming.windows import read_event_stream
+
+    stream = read_event_stream(
+        spark,
+        stream_path or os.path.join(sf_dir, "documents.parquet"),
+        max_files_per_trigger,
+    )
+    payload = F.encode("text", "UTF-8")
+    digested = stream.select(
+        "doc_id",
+        F.md5(payload).alias("digest"),
+        F.octet_length(payload).cast("long").alias("n_bytes"),
+    ).filter(F.col("n_bytes") >= CLIP_MIN_BYTES)
+    manifest = digested.groupBy("digest").agg(
+        F.min("doc_id").alias("doc_id"),
+        F.count(F.lit(1)).alias("n_copies"),
+        F.max("n_bytes").alias("n_bytes"),
+    )
+    sink_name = f"clipingest_{uuid.uuid4().hex[:8]}"
+    checkpoint = os.path.join(tempfile.gettempdir(), f"ckpt_{sink_name}")
+    query = (
+        manifest.writeStream.format("memory")
+        .queryName(sink_name)
+        .outputMode("complete")
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    emb = table(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("doc_id"), F.size("embedding").alias("emb_dim")
+    )
+    bucket = F.pmod(md5_prefix_long(F.col("doc_id").cast("string"), 8), F.lit(100))
+    split = (
+        F.when(bucket < SPLIT_TRAIN_PCT, "train")
+        .when(bucket < SPLIT_TRAIN_PCT + SPLIT_VAL_PCT, "val")
+        .otherwise("test")
+    )
+    return spark.table(sink_name).join(emb, "doc_id").select(
+        "doc_id", "digest", "n_copies", "n_bytes", split.alias("split")
+    )
+
+
 QUERIES = {
     "stream_tumbling_counts": q_stream_tumbling,
+    "stream_clip_ingest": q_stream_clip_ingest,
     "stream_ttl_sessions": q_stream_ttl_sessions,
     "stream_static_enrich": q_stream_static_enrich,
     "stream_dedup_within_watermark": q_stream_dedup_within_watermark,
@@ -707,7 +793,27 @@ def _mixture_ingest_oracle_sql() -> str:
     """
 
 
+
+_CLIP_INGEST_SQL = """
+    WITH p AS (
+        SELECT doc_id, md5(text) AS digest,
+               CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+        FROM documents
+    ), g AS (
+        SELECT digest, MIN(doc_id) AS doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_copies,
+               CAST(MAX(n_bytes) AS BIGINT) AS n_bytes
+        FROM p WHERE n_bytes >= 120 GROUP BY digest
+    )
+    SELECT g.doc_id, g.digest, g.n_copies, g.n_bytes,
+           CASE WHEN (CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)) % 100 < 90 THEN 'train'
+                WHEN (CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)) % 100 < 95 THEN 'val'
+                ELSE 'test' END AS split
+    FROM g JOIN embeddings e ON e.vec_id = g.doc_id
+"""
+
 ORACLES = {
+    "stream_clip_ingest": _CLIP_INGEST_SQL,
     "stream_mixture_sample": _mixture_ingest_oracle_sql(),
     "stream_bm25_postings": _bm25_postings_oracle_sql(),
     # Batch gap-sessionization (gap EXCLUSIVE: an event exactly gap

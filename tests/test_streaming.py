@@ -449,3 +449,53 @@ def test_mixture_ingest_multi_batch_equals_batch_gate(spark, sf_dir, tmp_path):
             (s, len(lst), accept, len(kept), sum(n for n, _ in kept))
         )
     assert got == expected
+
+
+def test_clip_ingest_multi_batch_equals_batch_manifest(spark, sf_dir, tmp_path):
+    """The streaming pair manifest over a 3-file replay (one micro-batch
+    per file) must equal the batch construction: min-doc_id keepers are
+    deterministic however the corpus slices into micro-batches (the
+    reason the state is a groupBy-min, not first-arrival
+    dropDuplicates), copy counts accumulate across batches, and the
+    read-time split stamp matches the md5 rule."""
+    import hashlib
+
+    from simple_query_engine_spark.operators.curation import (
+        SPLIT_TRAIN_PCT,
+        SPLIT_VAL_PCT,
+    )
+    from simple_query_engine_spark.operators.multimodal import CLIP_MIN_BYTES
+
+    staged = str(tmp_path / "docs_clip")
+    spark.read.parquet(f"{sf_dir}/documents.parquet").repartition(3).write.parquet(
+        staged
+    )
+    got = rows_set(
+        SO.run_clip_ingest(spark, sf_dir, stream_path=staged, max_files_per_trigger=1)
+    )
+    vec_ids = {
+        r.vec_id
+        for r in spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .select("vec_id")
+        .collect()
+    }
+    groups: dict[str, list] = {}
+    for r in spark.read.parquet(f"{sf_dir}/documents.parquet").collect():
+        b = r.text.encode()
+        if len(b) < CLIP_MIN_BYTES:
+            continue
+        groups.setdefault(hashlib.md5(b).hexdigest(), []).append((r.doc_id, len(b)))
+    expected = set()
+    for digest, members in groups.items():
+        doc_id = min(d for d, _ in members)
+        if doc_id not in vec_ids:
+            continue
+        bucket = int(hashlib.md5(str(doc_id).encode()).hexdigest()[:8], 16) % 100
+        split = (
+            "train"
+            if bucket < SPLIT_TRAIN_PCT
+            else ("val" if bucket < SPLIT_TRAIN_PCT + SPLIT_VAL_PCT else "test")
+        )
+        expected.add((doc_id, digest, len(members), members[0][1], split))
+    assert got == expected
+    assert got
