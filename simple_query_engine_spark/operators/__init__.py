@@ -123,6 +123,8 @@ _ROTATION_QUEUE: list[str] = [
     "join_interval_overlap",
     "multimodal_clip_pairs",
     "stream_clip_ingest",
+    "sim_centroid_balance",
+    "stats_source_overlap",
 ]
 
 

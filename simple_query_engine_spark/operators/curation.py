@@ -408,6 +408,52 @@ def q_events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stats_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CROSS-SOURCE duplication matrix: for every source pair, how many
+    byte-identical documents they share — the provenance diagnostic that
+    tells a curator WHICH feeds copy from which (mirror detection, feed
+    syndication, scraper overlap) and therefore which source to drop
+    wholesale instead of deduplicating document-by-document.  Companion
+    to ``stats_corpus_report``'s scalar dup rate — this is the dup rate's
+    STRUCTURE.
+
+    Shape at 100 TB: documents collapse to distinct (digest, source)
+    pairs map-side (16-byte digest — body bytes never shuffle, the
+    ``dedup_exact`` discipline); the pair join is keyed on the digest
+    with fan-out bounded by C(|sources|, 2) per digest (sources per
+    digest ≤ |sources|, a constant); the matrix is ≤ C(|sources|, 2)
+    rows.  Exact integer counts throughout.
+
+    Corpus honesty: the synthetic corpus carries exact duplicates only
+    at sf0.1 (8 cross-source groups; none below), so the oracle row is
+    empty-equals-empty at smaller SFs; mirror DETECTION is pinned on a
+    planted fixture in tests/test_curation.py."""
+    d = (
+        table(spark, sf_dir, "documents")
+        .select("source", F.md5(F.col("text")).alias("digest"))
+        .distinct()
+    )
+    a = d.select(F.col("digest"), F.col("source").alias("source_a"))
+    b = d.select(F.col("digest"), F.col("source").alias("source_b"))
+    return (
+        a.join(b, "digest")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).alias("n_shared_digests"))
+    )
+
+
+_SOURCE_OVERLAP_SQL = """
+    WITH d AS (
+        SELECT DISTINCT source, md5(text) AS digest FROM documents
+    )
+    SELECT a.source AS source_a, b.source AS source_b,
+           CAST(COUNT(*) AS BIGINT) AS n_shared_digests
+    FROM d a JOIN d b ON a.digest = b.digest AND a.source < b.source
+    GROUP BY 1, 2
+"""
+
+
 def q_stats_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dataset-card corpus report: per (source, lang) doc counts, token
     mass, EXACT p50/p90 token-length quantiles, and the exact-duplicate
@@ -561,6 +607,7 @@ QUERIES = {
     "pipeline_split_assign": q_pipeline_split_assign,
     "events_anomaly_mad": q_events_anomaly_mad,
     "stats_corpus_report": q_stats_corpus_report,
+    "stats_source_overlap": q_stats_source_overlap,
 }
 
 _hash8_sql = md5_prefix_long_sql("CAST(doc_id AS VARCHAR)", 8)
@@ -737,6 +784,7 @@ ORACLES = {
     # cumulative-count math, NOT quantile_disc — the two engines' built-in
     # discrete-quantile index conventions differ; the shared derivation is
     # pinned against Spark's percentile_disc in tests/test_curation.py).
+    "stats_source_overlap": _SOURCE_OVERLAP_SQL,
     "stats_corpus_report": f"""
         WITH per_doc AS (
             SELECT source, lang,

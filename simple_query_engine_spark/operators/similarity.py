@@ -1408,6 +1408,57 @@ def _kmeans_oracle_sql(k: int = KMEANS_K, iters: int = KMEANS_ITERS) -> str:
     )
 
 
+def q_sim_centroid_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF INDEX-HEALTH audit — the report a vector-store operator reads
+    before trusting an index: populated/empty cell counts, min/max
+    posting-list sizes, and the imbalance factor
+    (max·populated·10⁶ div total = max/mean in exact ppm).  Imbalance is
+    the quantity that decides whether probed-cell scans skew (one hot
+    cell makes every nprobe query that probes it pay its size) and
+    whether the index needs retraining or cell splitting; empty cells
+    waste probe budget.  Completes the index lifecycle family: train →
+    search → append → delete → AUDIT.
+
+    Exactness: all counts integers; the ratio is integer division on
+    non-negative operands.  Shape: one map-side-combined count per cell
+    (K rows), then a single-row rollup — metadata-sized at any corpus.
+    """
+    vectors, cent = _kmeans_trained(spark, sf_dir)
+    sizes = _kmeans_assign(vectors, cent).groupBy("cell_id").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    return sizes.agg(
+        F.count(F.lit(1)).alias("n_cells_populated"),
+        (F.lit(KMEANS_K) - F.count(F.lit(1))).cast("long").alias("n_cells_empty"),
+        F.sum("n").alias("total_vecs"),
+        F.max("n").alias("max_members"),
+        F.min("n").alias("min_members"),
+        F.expr("max(n) * count(1) * 1000000 div sum(n)").alias("imbalance_ppm"),
+    )
+
+
+def _centroid_balance_oracle_sql() -> str:
+    """K-means CTEs + per-cell sizes + the single-row health rollup."""
+    parts, _final_cent, members = _kmeans_oracle_parts()
+    return (
+        "WITH "
+        + ",\n        ".join(parts)
+        + f""",
+        sizes AS (
+            SELECT cell_id, CAST(COUNT(*) AS BIGINT) AS n
+            FROM {members} GROUP BY cell_id
+        )
+        SELECT COUNT(*) AS n_cells_populated,
+               CAST({KMEANS_K} - COUNT(*) AS BIGINT) AS n_cells_empty,
+               CAST(SUM(n) AS BIGINT) AS total_vecs,
+               CAST(MAX(n) AS BIGINT) AS max_members,
+               CAST(MIN(n) AS BIGINT) AS min_members,
+               (CAST(MAX(n) AS BIGINT) * CAST(COUNT(*) AS BIGINT) * 1000000)
+                   // CAST(SUM(n) AS BIGINT) AS imbalance_ppm
+        FROM sizes"""
+    )
+
+
 KMEANS_NPROBE = 2  # of KMEANS_K cells — the trained-IVF recall/throughput dial
 
 
@@ -2487,6 +2538,7 @@ def _ivf_final_select(range_threshold: float | None) -> str:
 QUERIES = {
     "sim_topk_bruteforce": q_sim_topk_bruteforce,
     "sim_kmeans_train": q_sim_kmeans_train,
+    "sim_centroid_balance": q_sim_centroid_balance,
     "sim_ivf_trained_topk": q_sim_ivf_trained_topk,
     "sim_range_search": q_sim_range_search,
     "sim_diverse_topk": q_sim_diverse_topk,
@@ -2536,6 +2588,7 @@ ORACLES = {
     "sim_topk_bruteforce": _BRUTE_TOPK_SQL,
     "sim_kmeans_train": _kmeans_oracle_sql(),
     "sim_ivf_trained_topk": _ivf_trained_oracle_sql(),
+    "sim_centroid_balance": _centroid_balance_oracle_sql(),
     "sim_range_search": _ivf_trained_oracle_sql(range_threshold=SIM_RANGE_THRESHOLD),
     "sim_diverse_topk": _diverse_topk_oracle_sql(),
     "sim_filtered_topk": _ivf_trained_oracle_sql(

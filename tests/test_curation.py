@@ -396,3 +396,68 @@ def test_corpus_report_plan_bounded_exchanges(spark, sf_dir):
     assert len(exchange_nodes) <= 4, exchange_nodes
     assert plan.count("hashpartitioning(text_hash") == 1
     assert "percentile" not in plan and "collect_list" not in plan
+
+
+def test_source_overlap_matches_python_recompute(spark, sf_dir):
+    """Cross-source duplicate matrix: full Python recompute over
+    (digest, source) sets — exact pair counts.  The synthetic corpus only
+    carries exact duplicates at sf0.1 (measured: 8 cross-source groups;
+    none below), so the corpus check may legitimately be empty-equals-
+    empty here; DETECTION power is pinned on the planted fixture below
+    (corpus-honesty convention)."""
+    import hashlib
+    from collections import defaultdict
+    from itertools import combinations
+
+    from simple_query_engine_spark.operators.curation import (
+        q_stats_source_overlap,
+    )
+
+    srcs = defaultdict(set)
+    for r in spark.read.parquet(f"{sf_dir}/documents.parquet").collect():
+        srcs[hashlib.md5(r.text.encode()).hexdigest()].add(r.source)
+    expected = defaultdict(int)
+    for members in srcs.values():
+        for a, b in combinations(sorted(members), 2):
+            expected[(a, b)] += 1
+    got = {
+        (r.source_a, r.source_b): r.n_shared_digests
+        for r in q_stats_source_overlap(spark, sf_dir).collect()
+    }
+    assert got == dict(expected)
+
+
+def test_source_overlap_detects_planted_mirrors(spark, tmp_path):
+    """Planted mirror detection: srcB copies 3 docs from srcA, srcC
+    copies 1 from srcA and 1 from srcB — the matrix must show exactly
+    those pair counts (and a doc copied by BOTH B and C increments three
+    cells: AB, AC, BC)."""
+    from simple_query_engine_spark.operators.curation import (
+        q_stats_source_overlap,
+    )
+
+    rows = []
+    did = 0
+    def add(text, src):
+        nonlocal did
+        rows.append((did, text, "en", src, len(text)))
+        did += 1
+    for i in range(5):
+        add(f"alpha unique doc {i} body words", "srcA")
+    # B mirrors A's docs 0,1,2; C mirrors A's doc 0 and B-only doc
+    for i in range(3):
+        add(f"alpha unique doc {i} body words", "srcB")
+    add("beta b-only doc body", "srcB")
+    add("alpha unique doc 0 body words", "srcC")
+    add("beta b-only doc body", "srcC")
+    df = spark.createDataFrame(rows, ["doc_id", "text", "lang", "source", "n_chars"])
+    df.write.parquet(str(tmp_path / "documents.parquet"))
+    got = {
+        (r.source_a, r.source_b): r.n_shared_digests
+        for r in q_stats_source_overlap(spark, str(tmp_path)).collect()
+    }
+    assert got == {
+        ("srcA", "srcB"): 3,  # docs 0,1,2 mirrored
+        ("srcA", "srcC"): 1,  # doc 0 mirrored twice over -> also BC below
+        ("srcB", "srcC"): 2,  # doc 0 (via B's mirror) + the b-only doc
+    }

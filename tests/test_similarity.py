@@ -1057,3 +1057,23 @@ def test_ivfadc_matches_numpy_model(spark, sf_dir):
         ], qid
         for r, (_, _, sim) in zip(g, lst):
             assert abs(r.similarity - sim) < 1e-9, (qid, r.neighbor_id)
+
+
+def test_centroid_balance_reconciles_with_train_report(spark, sf_dir):
+    """The index-health row must be derivable from the per-cell training
+    report: same populated-cell count, totals, extremes, and the exact
+    integer imbalance ratio."""
+    cells = {
+        r.cell_id: r.n_members
+        for r in S.q_sim_kmeans_train(spark, sf_dir).collect()
+    }
+    row = S.q_sim_centroid_balance(spark, sf_dir).collect()[0]
+    assert row.n_cells_populated == len(cells)
+    assert row.n_cells_empty == S.KMEANS_K - len(cells)
+    assert row.total_vecs == sum(cells.values())
+    assert row.max_members == max(cells.values())
+    assert row.min_members == min(cells.values())
+    assert row.imbalance_ppm == (
+        max(cells.values()) * len(cells) * 1_000_000
+    ) // sum(cells.values())
+    assert row.imbalance_ppm >= 1_000_000  # max >= mean always
