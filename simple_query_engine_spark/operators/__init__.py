@@ -125,6 +125,7 @@ _ROTATION_QUEUE: list[str] = [
     "stream_clip_ingest",
     "sim_centroid_balance",
     "stats_source_overlap",
+    "agg_weighted_median",
 ]
 
 

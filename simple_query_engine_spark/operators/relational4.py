@@ -153,6 +153,82 @@ def q_agg_mode_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact WEIGHTED (lower) median per group: the smallest price whose
+    cumulative quantity weight reaches half the group's total — "the
+    price at which half the UNITS trade", the inventory/market-structure
+    statistic the unweighted median (one vote per line item) misstates
+    whenever quantity and price correlate.  ``agg_mode_median`` is the
+    per-row exact tier; this is its per-unit twin.
+
+    Exactness: prices enter as integer cents, weights as integral
+    quantities (BIGINT) — the half test is ``2·cum >= total`` in pure
+    integer arithmetic, no division at all; equal prices merge BEFORE
+    the cumulative scan so the pick is total-ordered.
+
+    Shape at 100 TB: the (group, cents) pre-aggregation collapses
+    map-side (bounded by the price domain per group); the cumulative
+    window and the pick run over that reduced table, partitioned by
+    group — never a full-sort of line items.
+    """
+    lineitem = table(spark, sf_dir, "lineitem")
+    base = (
+        lineitem.select(
+            "l_returnflag",
+            "l_linestatus",
+            F.expr("CAST(round(l_extendedprice * 100) AS BIGINT)").alias("cents"),
+            F.col("l_quantity").cast("long").alias("w"),
+        )
+        .groupBy("l_returnflag", "l_linestatus", "cents")
+        .agg(F.sum("w").alias("w"))
+    )
+    grp = Window.partitionBy("l_returnflag", "l_linestatus")
+    cum = base.select(
+        "l_returnflag",
+        "l_linestatus",
+        "cents",
+        F.sum("w")
+        .over(grp.orderBy("cents").rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("cum"),
+        F.sum("w").over(grp).alias("total_w"),
+    )
+    picked = cum.filter(2 * F.col("cum") >= F.col("total_w")).withColumn(
+        "rn",
+        F.row_number().over(grp.orderBy("cents")),
+    )
+    return picked.filter(F.col("rn") == 1).select(
+        "l_returnflag",
+        "l_linestatus",
+        F.col("cents").alias("weighted_median_cents"),
+        F.col("total_w").alias("total_units"),
+    )
+
+
+_WEIGHTED_MEDIAN_SQL = """
+    WITH base AS (
+        SELECT l_returnflag, l_linestatus,
+               CAST(round(l_extendedprice * 100) AS BIGINT) AS cents,
+               CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS w
+        FROM lineitem GROUP BY 1, 2, 3
+    ), cum AS (
+        SELECT l_returnflag, l_linestatus, cents,
+               CAST(SUM(w) OVER (PARTITION BY l_returnflag, l_linestatus
+                                 ORDER BY cents ROWS UNBOUNDED PRECEDING)
+                    AS BIGINT) AS cum,
+               CAST(SUM(w) OVER (PARTITION BY l_returnflag, l_linestatus)
+                    AS BIGINT) AS total_w
+        FROM base
+    )
+    SELECT l_returnflag, l_linestatus,
+           cents AS weighted_median_cents, total_w AS total_units
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY l_returnflag, l_linestatus
+                                     ORDER BY cents) AS rn
+        FROM cum WHERE 2 * cum >= total_w
+    ) WHERE rn = 1
+"""
+
+
 _UNPIVOT_METRICS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
 
 
@@ -429,6 +505,7 @@ QUERIES = {
     "map_funcs": q_map_funcs,
     "variant_funcs": q_variant_funcs,
     "agg_mode_median": q_agg_mode_median,
+    "agg_weighted_median": q_agg_weighted_median,
     "unpivot_metrics": q_unpivot_metrics,
     "join_lateral_topn": q_join_lateral_topn,
     "agg_hll_union": q_agg_hll_union,
@@ -555,6 +632,7 @@ ORACLES = {
         WHERE CAST(props->>'$.k' AS BIGINT) > 50
         GROUP BY 1
     """,
+    "agg_weighted_median": _WEIGHTED_MEDIAN_SQL,
     "agg_mode_median": """
         SELECT o_orderpriority,
                mode(o_orderstatus) AS status_mode,

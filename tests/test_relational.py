@@ -135,3 +135,40 @@ def test_topn_per_group_uses_rank_limit_pushdown(spark, sf):
     assert "WindowGroupLimit" in plan
     # The map-side (pre-exchange) group limit: rank fn, limit 2, Partial.
     assert "row_number(), 2, Partial" in plan
+
+
+def test_weighted_median_matches_python_model(spark, sf_dir):
+    """Pure-Python weighted-median recompute: merge equal cents, scan
+    cumulative quantity, pick the first cents with 2*cum >= total — exact
+    per-group equality, plus the defining property (the weighted median
+    splits UNIT mass in half: weight strictly below <= half, weight at or
+    below >= half)."""
+    from collections import defaultdict
+
+    from simple_query_engine_spark.operators.relational4 import (
+        q_agg_weighted_median,
+    )
+
+    groups: dict[tuple, dict[int, int]] = defaultdict(lambda: defaultdict(int))
+    for r in spark.read.parquet(f"{sf_dir}/lineitem.parquet").collect():
+        cents = int(round(r.l_extendedprice * 100))
+        groups[(r.l_returnflag, r.l_linestatus)][cents] += int(r.l_quantity)
+    expected = {}
+    for g, cw in groups.items():
+        total = sum(cw.values())
+        cum = 0
+        for cents in sorted(cw):
+            cum += cw[cents]
+            if 2 * cum >= total:
+                expected[g] = (cents, total)
+                break
+    got = {
+        (r.l_returnflag, r.l_linestatus): (r.weighted_median_cents, r.total_units)
+        for r in q_agg_weighted_median(spark, sf_dir).collect()
+    }
+    assert got == expected
+    for g, (med, total) in got.items():
+        below = sum(w for c, w in groups[g].items() if c < med)
+        at_or_below = sum(w for c, w in groups[g].items() if c <= med)
+        assert 2 * below < total or 2 * below == total
+        assert 2 * at_or_below >= total
