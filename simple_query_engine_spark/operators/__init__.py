@@ -126,6 +126,7 @@ _ROTATION_QUEUE: list[str] = [
     "sim_centroid_balance",
     "stats_source_overlap",
     "agg_weighted_median",
+    "events_ema_features",
 ]
 
 

@@ -426,6 +426,77 @@ def q_events_trailing_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Integer EMA decay: state <- (state*EMA_KEEP + x*EMA_MIX) div EMA_DEN —
+# a fixed-point alpha = 0.3 with floored division on non-negative cents.
+EMA_KEEP = 7
+EMA_MIX = 3
+EMA_DEN = 10
+
+
+def q_events_ema_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user EXPONENTIAL moving average of event value — the decayed
+    engagement/spend feature every behavioral model uses, and the shape
+    SQL windows cannot express: EMA is RECURSIVE (each state depends on
+    the previous state, not on a frame of raw rows), so it is computed
+    as an in-row ARRAY FOLD — ``aggregate(rest, first, (acc, x) ->
+    (acc·{EMA_KEEP} + x·{EMA_MIX}) div {EMA_DEN})`` over the
+    time-ordered cents sequence.  Fixed-point integer decay (alpha =
+    {EMA_MIX}/{EMA_DEN}) with floored division on non-negative operands
+    makes the recursion bit-identical across engines — float EMA never
+    hash-matches because error compounds per step.
+
+    Shape at 100 TB: one exchange on user_id; the per-user sequence
+    collects in-row (users are 10–10³ events — the same bound every
+    window op here relies on) and the fold is scan-side arithmetic,
+    whole-stage-codegen'd, no Python.  The streaming twin of this state
+    recursion is ``stream_stateful_profiles``' running profile; this is
+    the batch backfill that seeds such state stores.
+    """
+    events = table(spark, sf_dir, "events")
+    ev = events.select(
+        "user_id",
+        F.struct(
+            F.unix_micros(F.col("ts")).alias("t_us"),
+            F.col("event_id").alias("event_id"),
+            F.round(F.col("value") * 100).cast("long").alias("cents"),
+        ).alias("s"),
+    )
+    seqd = ev.groupBy("user_id").agg(
+        F.array_sort(F.collect_list("s")).alias("seq"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    return seqd.select(
+        "user_id",
+        "n_events",
+        F.expr("element_at(seq, -1).cents").alias("last_cents"),
+        F.expr(
+            f"aggregate(slice(transform(seq, x -> x.cents), 2,"
+            f" greatest(size(seq) - 1, 0)), element_at(seq, 1).cents,"
+            f" (acc, x) -> (acc * {EMA_KEEP} + x * {EMA_MIX}) div {EMA_DEN})"
+        ).alias("ema_cents"),
+    )
+
+
+_EMA_FEATURES_SQL = f"""
+    WITH ev AS (
+        SELECT user_id, ts, event_id,
+               CAST(round(value * 100) AS BIGINT) AS cents
+        FROM events
+    ), seqs AS (
+        SELECT user_id,
+               list(cents ORDER BY ts, event_id) AS seq,
+               CAST(COUNT(*) AS BIGINT) AS n_events
+        FROM ev GROUP BY user_id
+    )
+    SELECT user_id, n_events,
+           seq[-1] AS last_cents,
+           list_reduce(seq,
+                       (acc, x) -> (acc * {EMA_KEEP} + x * {EMA_MIX})
+                                   // {EMA_DEN}) AS ema_cents
+    FROM seqs
+"""
+
+
 # --------------------------------------------------------------------------
 # Zipf slope
 # --------------------------------------------------------------------------
@@ -530,12 +601,14 @@ QUERIES = {
     "stats_drift_psi": q_stats_drift_psi,
     "events_rfm_segments": q_events_rfm_segments,
     "events_trailing_features": q_events_trailing_features,
+    "events_ema_features": q_events_ema_features,
     "text_zipf_slope": q_text_zipf_slope,
     "text_ngram_novelty": q_text_ngram_novelty,
 }
 
 
 ORACLES = {
+    "events_ema_features": _EMA_FEATURES_SQL,
     "stats_expectations": """
         WITH o AS (
             SELECT COUNT(*) AS n_rows,

@@ -260,3 +260,36 @@ def test_ngram_novelty_accounting(spark, sf_dir):
         .count()
     )
     assert sum(r.n_novel for r in rows) == n_distinct
+
+
+def test_ema_features_match_python_recursion(spark, sf_dir):
+    """Pure-Python recursive EMA over each user's time-ordered cents
+    sequence — exact equality, proving the array-fold formulation IS the
+    recursion (and that fixed-point integer decay is engine-stable)."""
+    from collections import defaultdict
+
+    from simple_query_engine_spark.operators.quality import (
+        EMA_DEN,
+        EMA_KEEP,
+        EMA_MIX,
+        q_events_ema_features,
+    )
+    from simple_query_engine_spark.sources.catalog import table as _table
+
+    seqs = defaultdict(list)
+    for r in _table(spark, sf_dir, "events").collect():
+        seqs[r.user_id].append((r.ts, r.event_id, int(round(r.value * 100))))
+    expected = {}
+    for uid, evs in seqs.items():
+        evs.sort()
+        state = evs[0][2]
+        for _, _, cents in evs[1:]:
+            state = (state * EMA_KEEP + cents * EMA_MIX) // EMA_DEN
+        expected[uid] = (len(evs), evs[-1][2], state)
+    got = {
+        r.user_id: (r.n_events, r.last_cents, r.ema_cents)
+        for r in q_events_ema_features(spark, sf_dir).collect()
+    }
+    assert got == expected
+    # non-vacuous: the EMA differs from the last value somewhere
+    assert any(e != l for _, l, e in got.values())
