@@ -127,6 +127,7 @@ _ROTATION_QUEUE: list[str] = [
     "stats_source_overlap",
     "agg_weighted_median",
     "events_ema_features",
+    "stats_k_anonymity",
 ]
 
 

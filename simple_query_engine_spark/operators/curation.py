@@ -454,6 +454,59 @@ _SOURCE_OVERLAP_SQL = """
 """
 
 
+K_ANON_K = 5  # groups smaller than this are re-identification risks
+K_ANON_LEN_BUCKET = 200  # n_chars quantization for the quasi-identifier
+
+
+def q_stats_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-ANONYMITY audit over the release quasi-identifiers — the
+    governance check run next to ``pipeline_pii_redaction`` before a
+    dataset ships: treating (source, lang, length-bucket) as the
+    quasi-identifier tuple (the columns a re-identification attacker can
+    match against external knowledge), every equivalence class smaller
+    than k = {K_ANON_K} is a risk.  The report is one row per class
+    SIZE: how many classes and how many documents sit at each size, with
+    the at-risk flag — the histogram a privacy reviewer reads to decide
+    whether to generalize (widen buckets) or suppress (drop the tail).
+
+    Shape at 100 TB: one map-side-combined aggregate to the class table
+    (≤ |sources|·|langs|·|buckets| rows), then a tiny size-histogram
+    rollup.  Exact integer counts throughout."""
+    classes = (
+        table(spark, sf_dir, "documents")
+        .select(
+            "source",
+            "lang",
+            F.expr(f"n_chars div {K_ANON_LEN_BUCKET}").alias("len_bucket"),
+        )
+        .groupBy("source", "lang", "len_bucket")
+        .agg(F.count(F.lit(1)).alias("class_size"))
+    )
+    return (
+        classes.groupBy("class_size")
+        .agg(F.count(F.lit(1)).alias("n_classes"))
+        .select(
+            "class_size",
+            "n_classes",
+            (F.col("class_size") * F.col("n_classes")).alias("n_docs"),
+            (F.col("class_size") < K_ANON_K).cast("int").alias("at_risk"),
+        )
+    )
+
+
+_K_ANONYMITY_SQL = f"""
+    WITH classes AS (
+        SELECT source, lang, n_chars // {K_ANON_LEN_BUCKET} AS len_bucket,
+               CAST(COUNT(*) AS BIGINT) AS class_size
+        FROM documents GROUP BY 1, 2, 3
+    )
+    SELECT class_size, CAST(COUNT(*) AS BIGINT) AS n_classes,
+           CAST(class_size * COUNT(*) AS BIGINT) AS n_docs,
+           CAST(class_size < {K_ANON_K} AS INT) AS at_risk
+    FROM classes GROUP BY class_size
+"""
+
+
 def q_stats_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dataset-card corpus report: per (source, lang) doc counts, token
     mass, EXACT p50/p90 token-length quantiles, and the exact-duplicate
@@ -608,6 +661,7 @@ QUERIES = {
     "events_anomaly_mad": q_events_anomaly_mad,
     "stats_corpus_report": q_stats_corpus_report,
     "stats_source_overlap": q_stats_source_overlap,
+    "stats_k_anonymity": q_stats_k_anonymity,
 }
 
 _hash8_sql = md5_prefix_long_sql("CAST(doc_id AS VARCHAR)", 8)
@@ -785,6 +839,7 @@ ORACLES = {
     # discrete-quantile index conventions differ; the shared derivation is
     # pinned against Spark's percentile_disc in tests/test_curation.py).
     "stats_source_overlap": _SOURCE_OVERLAP_SQL,
+    "stats_k_anonymity": _K_ANONYMITY_SQL,
     "stats_corpus_report": f"""
         WITH per_doc AS (
             SELECT source, lang,

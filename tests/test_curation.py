@@ -461,3 +461,31 @@ def test_source_overlap_detects_planted_mirrors(spark, tmp_path):
         ("srcA", "srcC"): 1,  # doc 0 mirrored twice over -> also BC below
         ("srcB", "srcC"): 2,  # doc 0 (via B's mirror) + the b-only doc
     }
+
+
+def test_k_anonymity_histogram_matches_python(spark, sf_dir):
+    """Python recompute of the quasi-identifier class-size histogram:
+    exact per-size class/doc counts, risk flags at the k threshold, and
+    the histogram's doc mass must equal the corpus size."""
+    from collections import Counter
+
+    from simple_query_engine_spark.operators.curation import (
+        K_ANON_K,
+        K_ANON_LEN_BUCKET,
+        q_stats_k_anonymity,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
+    classes = Counter(
+        (r.source, r.lang, r.n_chars // K_ANON_LEN_BUCKET) for r in docs
+    )
+    hist = Counter(classes.values())
+    expected = {
+        size: (n, size * n, int(size < K_ANON_K)) for size, n in hist.items()
+    }
+    got = {
+        r.class_size: (r.n_classes, r.n_docs, r.at_risk)
+        for r in q_stats_k_anonymity(spark, sf_dir).collect()
+    }
+    assert got == expected
+    assert sum(nd for _, nd, _ in got.values()) == len(docs)
