@@ -61,7 +61,7 @@ HEADLINE = [
 # round-over-round comparison knows when the totals became incomparable.
 # r11a = r09a +4: the round-10/11 heavies (k-means train, trained-IVF
 # top-k, BPE merge-rule training, CDC incremental curation)
-SUITE2_VERSION = "r11b"  # r11a + the 6 continued-session entries
+SUITE2_VERSION = "r11c"  # r11b + the 4 third-continuation heavies
 SUITE2 = [
     "dedup_substring_spans",
     "sim_semdedup",
@@ -94,6 +94,11 @@ SUITE2 = [
     "stats_corpus_report",
     "sim_semantic_clusters",
     "graph_pagerank_neardup",
+    # r11c additions (third continuation)
+    "text_gopher_quality",
+    "graph_label_spread",
+    "sim_knn_density",
+    "sim_multiprobe_lsh",
 ]
 
 

@@ -1288,14 +1288,24 @@ def q_graph_label_spread(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     nodes = edges.select(F.col("src").alias("node")).distinct()
     docs = table(spark, sf_dir, "documents").select("doc_id", "source")
-    labels = (
+    # Each round references the cumulative labeled set TWICE (vote join +
+    # anti-join), so an uncached union chain re-evaluates exponentially
+    # (3^rounds leaf references).  Caching the seeds and each round's
+    # DELTA keeps the union a cheap lazy node over cached children —
+    # every reference is linear (the pagerank iterations don't need this
+    # because rank never joins itself twice).
+    labels = session_cache(
         nodes.filter(F.col("node") % LABEL_SEED_MOD == 0)
         .join(docs, F.col("node") == F.col("doc_id"))
-        .select("node", F.col("source").alias("label"), F.lit(0).alias("labeled_round"))
+        .select(
+            "node", F.col("source").alias("label"), F.lit(0).alias("labeled_round")
+        ),
+        sf_dir,
+        "label_spread_seeds",
     )
     for r in range(1, LABEL_SPREAD_ROUNDS + 1):
         w = Window.partitionBy("dst").orderBy(F.col("c").desc(), F.col("label"))
-        new = (
+        new = session_cache(
             edges.join(labels.select(F.col("node").alias("src"), "label"), "src")
             .join(
                 labels.select(F.col("node").alias("dst")),
@@ -1308,7 +1318,9 @@ def q_graph_label_spread(spark: SparkSession, sf_dir: str) -> DataFrame:
             .filter(F.col("rn") == 1)
             .select(
                 F.col("dst").alias("node"), "label", F.lit(r).alias("labeled_round")
-            )
+            ),
+            sf_dir,
+            f"label_spread_delta_r{r}",
         )
         labels = labels.union(new)
     return labels.select(

@@ -32,7 +32,13 @@ def main() -> int:
 
     import __spark_entry__ as entrymod
 
-    spark = get_spark(app_name="sqe-bench-one")
+    # Same driver-heap sizing as bench.py: the 1g local default OOMs once
+    # the cached input tables plus an entry's session caches coexist.
+    driver_mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g")
+    spark = get_spark(
+        app_name="sqe-bench-one",
+        extra_conf={"spark.driver.memory": driver_mem},
+    )
     queries = entrymod.queries()
     unknown = [n for n in names if n not in queries]
     if unknown:
