@@ -128,6 +128,7 @@ _ROTATION_QUEUE: list[str] = [
     "agg_weighted_median",
     "events_ema_features",
     "stats_k_anonymity",
+    "text_decontamination_fuzzy",
 ]
 
 

@@ -1823,6 +1823,7 @@ def _minhash_oracle_sql(
     docs_sql: str = "documents",
     threshold: float = JACCARD_THRESHOLD,
     incremental_offset: int | None = None,
+    eval_max: int | None = None,
 ) -> str:
     """DuckDB oracle for the full MinHash-LSH pipeline, generated from the
     same permutation constants the Spark side uses (identical modular
@@ -1831,8 +1832,13 @@ def _minhash_oracle_sql(
     variant passes a derived union here.  With ``incremental_offset``,
     candidates pair incoming docs (id ≥ offset) against corpus docs
     (id < offset) instead of the a < b self-join, mirroring the Spark
-    incremental path."""
-    if incremental_offset is None:
+    incremental path.  With ``eval_max``, candidates pair corpus docs
+    (id ≥ eval_max) against eval docs (id < eval_max) — the fuzzy
+    decontamination split."""
+    if eval_max is not None:
+        pair_cond = f"a.doc_id >= {eval_max} AND b.doc_id < {eval_max}"
+        col_a, col_b = "doc_id", "eval_doc_id"
+    elif incremental_offset is None:
         pair_cond = "a.doc_id < b.doc_id"
         col_a, col_b = "doc_id_a", "doc_id_b"
     else:

@@ -33,8 +33,13 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from simple_query_engine_spark.operators.dedup import (
+    PLANT_DOC_OFFSET,
+    PLANT_SUFFIX,
     PLANTED_JACCARD_THRESHOLD,
+    _band_rows,
     _minhash_oracle_sql,
+    _minhash_sig_of,
+    _shingles_of,
     q_dedup_exact,
     q_dedup_minhash_lsh,
 )
@@ -303,6 +308,88 @@ def q_text_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("shared_ngrams"))
     )
+
+
+def q_text_decontamination_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FUZZY benchmark decontamination: corpus documents whose MinHash
+    signature estimates Jaccard ≥ {PLANTED_JACCARD_THRESHOLD} against an
+    eval document — the paraphrase-level leak the exact-5-gram operators
+    (``text_decontamination`` / ``_bloom``) MISS: a lightly-edited
+    benchmark answer shares high shingle Jaccard but may share no intact
+    5-gram.  Every serious pretraining hygiene stack runs both tiers
+    (exact n-gram + fuzzy near-dup) against its eval suites.
+
+    Vacuity handling (the ``dedup_planted_minhash`` convention): the
+    corpus's organic Jaccard against the 10-doc eval set never reaches
+    the production threshold, so the query derives leaked copies INSIDE
+    itself — each eval doc gains a one-token-appended copy at
+    doc_id + PLANT_DOC_OFFSET posing as a corpus document — and the
+    oracle performs the identical derivation, so paraphrase-level
+    DETECTION is exercised by the hash-checked gate, not only by tests.
+
+    Scale shape: the eval side is |eval| docs — its band rows BROADCAST,
+    so the corpus side streams once with NO shuffle for candidate
+    generation (same discipline as the exact path's broadcast semi-join;
+    the incremental-minhash machinery reused with the tiny side
+    broadcast).  Verification touches candidates only."""
+    from simple_query_engine_spark.functions.caching import session_cache
+
+    base = table(spark, sf_dir, "documents").select("doc_id", "text")
+    leaked = base.filter(F.col("doc_id") < EVAL_SET_MAX_DOC_ID).select(
+        (F.col("doc_id") + PLANT_DOC_OFFSET).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" " + PLANT_SUFFIX)).alias("text"),
+    )
+    sig = session_cache(
+        _minhash_sig_of(
+            _shingles_of(base.union(leaked), sf_dir, "decontam_fuzzy_shingles")
+        ),
+        sf_dir,
+        "decontam_fuzzy_sig",
+    )
+    evals = sig.filter(F.col("doc_id") < EVAL_SET_MAX_DOC_ID)
+    corpus = sig.filter(F.col("doc_id") >= EVAL_SET_MAX_DOC_ID)
+    candidates = (
+        _band_rows(corpus)
+        .alias("a")
+        .join(
+            F.broadcast(_band_rows(evals)).alias("b"),
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_hash") == F.col("b.band_hash")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_id"),
+            F.col("b.doc_id").alias("eval_doc_id"),
+        )
+        .dropDuplicates(["doc_id", "eval_doc_id"])
+    )
+    sig_c = sig.select(F.col("doc_id"), F.col("signature").alias("sig_a"))
+    sig_e = sig.select(
+        F.col("doc_id").alias("eval_doc_id"), F.col("signature").alias("sig_b")
+    )
+    from simple_query_engine_spark.operators.dedup import NUM_MINHASH
+
+    est = F.size(
+        F.filter(
+            F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda eq: eq
+        )
+    ) / F.lit(NUM_MINHASH)
+    return (
+        candidates.join(sig_c, "doc_id")
+        .join(F.broadcast(sig_e), "eval_doc_id")
+        .withColumn("est_jaccard", F.round(est, 4))
+        .filter(F.col("est_jaccard") >= PLANTED_JACCARD_THRESHOLD)
+        .select("doc_id", "eval_doc_id", "est_jaccard")
+    )
+
+
+# Oracle twin of the in-query leak derivation above.
+_FUZZY_LEAK_DOCS_SQL = f"""(
+            SELECT doc_id, text FROM documents
+            UNION ALL
+            SELECT doc_id + {PLANT_DOC_OFFSET} AS doc_id,
+                   text || ' {PLANT_SUFFIX}' AS text
+            FROM documents WHERE doc_id < {EVAL_SET_MAX_DOC_ID}
+        )"""
 
 
 # m: bit-array size — fixed, independent of eval-set size.  Sized for a
@@ -1017,6 +1104,7 @@ QUERIES = {
     "sample_topk": q_sample_topk,
     "pipeline_pack_sequences": q_pipeline_pack_sequences,
     "text_decontamination": q_text_decontamination,
+    "text_decontamination_fuzzy": q_text_decontamination_fuzzy,
     "text_decontamination_bloom": q_text_decontamination_bloom,
     "pipeline_domain_mix": q_pipeline_domain_mix,
     "pipeline_mixture_sample": q_pipeline_mixture_sample,
@@ -1250,6 +1338,11 @@ ORACLES = {
             FROM documents
         ) WHERE sample_rank <= {SAMPLES_PER_LANG}
     """,
+    "text_decontamination_fuzzy": _minhash_oracle_sql(
+        docs_sql=_FUZZY_LEAK_DOCS_SQL,
+        threshold=PLANTED_JACCARD_THRESHOLD,
+        eval_max=EVAL_SET_MAX_DOC_ID,
+    ),
     "text_decontamination": f"""
         WITH grams AS ({_GRAMS_SQL}), eval_grams AS (
             SELECT DISTINCT gram FROM grams WHERE doc_id < {EVAL_SET_MAX_DOC_ID}

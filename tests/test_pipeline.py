@@ -520,3 +520,26 @@ def test_mixture_sample_single_corpus_scan(spark, sf_dir):
     )
     assert plan.count("InMemoryTableScan") >= 2, plan
     assert plan.count("Scan parquet") == plan.count("InMemoryTableScan"), plan
+
+
+def test_fuzzy_decontamination_catches_planted_leaks(spark, sf_dir):
+    """Every planted leaked copy (eval doc + one appended token, posing as
+    a corpus doc) must be flagged against ITS OWN eval source at the
+    production threshold; planted detections are a subset of the full
+    result (organic eval near-matches may legitimately also fire)."""
+    from simple_query_engine_spark.operators.dedup import PLANT_DOC_OFFSET
+    from simple_query_engine_spark.operators.pipeline import (
+        EVAL_SET_MAX_DOC_ID,
+        PLANTED_JACCARD_THRESHOLD,
+        q_text_decontamination_fuzzy,
+    )
+
+    rows = q_text_decontamination_fuzzy(spark, sf_dir).collect()
+    got = {(r.doc_id, r.eval_doc_id): r.est_jaccard for r in rows}
+    for eval_id in range(EVAL_SET_MAX_DOC_ID):
+        key = (eval_id + PLANT_DOC_OFFSET, eval_id)
+        assert key in got, f"planted leak {key} not detected"
+        assert got[key] >= PLANTED_JACCARD_THRESHOLD
+    for (did, eid), est in got.items():
+        assert eid < EVAL_SET_MAX_DOC_ID and did >= EVAL_SET_MAX_DOC_ID
+        assert est >= PLANTED_JACCARD_THRESHOLD
