@@ -129,6 +129,7 @@ _ROTATION_QUEUE: list[str] = [
     "events_ema_features",
     "stats_k_anonymity",
     "text_decontamination_fuzzy",
+    "events_forecast_holt",
 ]
 
 

@@ -497,6 +497,122 @@ _EMA_FEATURES_SQL = f"""
 """
 
 
+# Holt fixed-point smoothing weights (alpha = 3/10 level, beta = 2/10
+# trend).  Trend can be NEGATIVE — safe here because BOTH engines'
+# integer division truncates toward zero (verified: DuckDB -6 // 10 = 0
+# and Spark -6 div 10 = 0), so plain div/(//) is engine-identical at any
+# sign.  (The repo's non-negative-operands convention predates this
+# verification and stays the default elsewhere.)
+HOLT_DEN = 10
+HOLT_ALPHA = 3
+HOLT_BETA = 2
+
+
+def _holt_floordiv(v: str) -> str:
+    return f"(({v}) div {HOLT_DEN})"
+
+
+def q_events_forecast_holt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HOLT double-exponential forecast of daily event volume per event
+    type — the capacity-planning statistic next to the MAD anomaly
+    monitor: level + trend smoothing over the observed daily counts and
+    the one-step-ahead forecast.  Like ``events_ema_features`` this is a
+    RECURSIVE state (two states now: level and trend), inexpressible as
+    a SQL window, computed as an in-row array fold — but the state
+    struct rides the fold with acc type == element type (seed = first
+    element), the shape DuckDB's ``list_reduce`` shares, so both engines
+    run the IDENTICAL recursion.
+
+    Exactness: counts are integers; the fixed-point updates
+    ``l' = (αx + (10−α)(l+b)) div 10`` and ``b' = (β(l'−l) + (10−β)b)
+    div 10`` agree on BOTH engines even when the trend is negative —
+    both truncate toward zero (see the division note above
+    ``_holt_floordiv``).  Initialization declared: l₀ = first count,
+    b₀ = 0; the fold runs over OBSERVED days in order (gaps are not
+    filled — the resample operator exists for that).
+
+    Shape at 100 TB: daily counts partial-aggregate map-side to a
+    |types|·|days| grid; each type's sequence collects in-row (bounded
+    by the calendar) and the fold is scan-side integer arithmetic."""
+    events = table(spark, sf_dir, "events")
+    daily = (
+        events.groupBy("event_type", F.to_date("ts").alias("day"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    seqd = daily.groupBy("event_type").agg(
+        F.array_sort(F.collect_list(F.struct("day", "cnt"))).alias("s"),
+        F.count(F.lit(1)).alias("n_days"),
+    )
+    lnew = _holt_floordiv(
+        f"{HOLT_ALPHA} * x.v + {HOLT_DEN - HOLT_ALPHA} * (acc.l + acc.b)"
+    )
+    bnew = _holt_floordiv(
+        f"{HOLT_BETA} * (({lnew}) - acc.l) + {HOLT_DEN - HOLT_BETA} * acc.b"
+    )
+    fold = (
+        "aggregate(slice(st, 2, greatest(size(st) - 1, 0)),"
+        " element_at(st, 1),"
+        f" (acc, x) -> named_struct('v', x.v, 'l', {lnew}, 'b', {bnew}))"
+    )
+    return seqd.select(
+        "event_type",
+        "n_days",
+        F.expr("element_at(s, -1).cnt").alias("last_cnt"),
+        F.expr(
+            "transform(s, p -> named_struct('v', p.cnt, 'l', p.cnt,"
+            " 'b', CAST(0 AS BIGINT)))"
+        ).alias("st"),
+    ).select(
+        "event_type",
+        "n_days",
+        "last_cnt",
+        F.expr(f"({fold}).l").alias("level"),
+        F.expr(f"({fold}).b").alias("trend"),
+    ).withColumn("forecast_next", F.col("level") + F.col("trend"))
+
+
+def _holt_oracle_sql() -> str:
+    """Recursive-CTE twin of the Spark array fold.  Deliberately NOT
+    ``list_reduce`` with a struct accumulator: DuckDB 1.0 evaluates the
+    result-struct's fields SEQUENTIALLY against a mutating accumulator —
+    by the time the trend field reads ``a.l`` it already holds the NEW
+    level (measured: fold b=0 where per-step SQL gives b=-1) — so the
+    recursion is unrolled as a step-indexed recursive CTE whose old
+    state is referenced explicitly."""
+    lnew = (
+        f"(({HOLT_ALPHA} * s.xs[st.i + 1]"
+        f" + {HOLT_DEN - HOLT_ALPHA} * (st.l + st.b)) // {HOLT_DEN})"
+    )
+    bnew = (
+        f"(({HOLT_BETA} * (({lnew}) - st.l)"
+        f" + {HOLT_DEN - HOLT_BETA} * st.b) // {HOLT_DEN})"
+    )
+    return f"""
+    WITH RECURSIVE daily AS (
+        SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+               CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM events GROUP BY 1, 2
+    ), seqs AS (
+        SELECT event_type,
+               list(cnt ORDER BY day) AS xs,
+               CAST(COUNT(*) AS BIGINT) AS n_days,
+               CAST(arg_max(cnt, day) AS BIGINT) AS last_cnt
+        FROM daily GROUP BY event_type
+    ), step(event_type, i, l, b) AS (
+        SELECT event_type, CAST(1 AS BIGINT), xs[1], CAST(0 AS BIGINT)
+        FROM seqs
+        UNION ALL
+        SELECT st.event_type, st.i + 1, {lnew}, {bnew}
+        FROM step st JOIN seqs s USING (event_type)
+        WHERE st.i < len(s.xs)
+    )
+    SELECT s.event_type, s.n_days, s.last_cnt,
+           st.l AS level, st.b AS trend, st.l + st.b AS forecast_next
+    FROM step st JOIN seqs s USING (event_type)
+    WHERE st.i = len(s.xs)
+"""
+
+
 # --------------------------------------------------------------------------
 # Zipf slope
 # --------------------------------------------------------------------------
@@ -602,6 +718,7 @@ QUERIES = {
     "events_rfm_segments": q_events_rfm_segments,
     "events_trailing_features": q_events_trailing_features,
     "events_ema_features": q_events_ema_features,
+    "events_forecast_holt": q_events_forecast_holt,
     "text_zipf_slope": q_text_zipf_slope,
     "text_ngram_novelty": q_text_ngram_novelty,
 }
@@ -609,6 +726,7 @@ QUERIES = {
 
 ORACLES = {
     "events_ema_features": _EMA_FEATURES_SQL,
+    "events_forecast_holt": _holt_oracle_sql(),
     "stats_expectations": """
         WITH o AS (
             SELECT COUNT(*) AS n_rows,

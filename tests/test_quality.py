@@ -293,3 +293,45 @@ def test_ema_features_match_python_recursion(spark, sf_dir):
     assert got == expected
     # non-vacuous: the EMA differs from the last value somewhere
     assert any(e != l for _, l, e in got.values())
+
+
+def test_holt_forecast_matches_python_recursion(spark, sf_dir):
+    """Pure-Python Holt recursion (truncating integer division, l0 =
+    first count, b0 = 0) over each type's day-ordered counts — exact
+    equality.  This is also the regression pin for the DuckDB
+    list_reduce struct-mutation hazard documented in _holt_oracle_sql:
+    the Spark fold must equal the FUNCTIONAL recursion."""
+    from collections import defaultdict
+
+    from simple_query_engine_spark.operators.quality import (
+        HOLT_ALPHA,
+        HOLT_BETA,
+        HOLT_DEN,
+        q_events_forecast_holt,
+    )
+    from simple_query_engine_spark.sources.catalog import table as _table
+
+    daily = defaultdict(lambda: defaultdict(int))
+    for r in _table(spark, sf_dir, "events").collect():
+        daily[r.event_type][r.ts.date()] += 1
+
+    def tdiv(v):
+        q = abs(v) // HOLT_DEN
+        return q if v >= 0 else -q
+
+    expected = {}
+    for et, days in daily.items():
+        xs = [days[d] for d in sorted(days)]
+        l, b = xs[0], 0
+        for x in xs[1:]:
+            ln = tdiv(HOLT_ALPHA * x + (HOLT_DEN - HOLT_ALPHA) * (l + b))
+            b = tdiv(HOLT_BETA * (ln - l) + (HOLT_DEN - HOLT_BETA) * b)
+            l = ln
+        expected[et] = (len(xs), xs[-1], l, b, l + b)
+    got = {
+        r.event_type: (r.n_days, r.last_cnt, r.level, r.trend, r.forecast_next)
+        for r in q_events_forecast_holt(spark, sf_dir).collect()
+    }
+    assert got == expected
+    # non-vacuous: smoothing moved some level away from the raw last count
+    assert any(l != last for _, last, l, _, _ in got.values())
