@@ -130,6 +130,7 @@ _ROTATION_QUEUE: list[str] = [
     "stats_k_anonymity",
     "text_decontamination_fuzzy",
     "events_forecast_holt",
+    "events_new_vs_returning",
 ]
 
 

@@ -370,6 +370,63 @@ def q_events_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFra
 WAU_WINDOW_DAYS = 7
 
 
+def q_events_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily NEW vs RETURNING active users + the cumulative distinct-user
+    curve — the growth-accounting table behind every DAU dashboard.  A
+    running COUNT(DISTINCT) window is unbounded state and unexpressible
+    as a frame; the first-seen reformulation makes it linear: a user is
+    NEW on min(active day), so dau splits by a first-seen join and the
+    cumulative distinct count is just the running SUM of new_users.
+
+    Shape at 100 TB: distinct (user, day) collapses map-side (the
+    ``events_user_streaks`` discipline); first-seen is one user-keyed
+    partial aggregate; the final running sum windows over |days| rows.
+    All counts exact integers."""
+    events = table(spark, sf_dir, "events")
+    days = events.select("user_id", F.to_date("ts").alias("day")).distinct()
+    first_seen = days.groupBy("user_id").agg(F.min("day").alias("first_day"))
+    flagged = days.join(first_seen, "user_id").select(
+        "day", (F.col("day") == F.col("first_day")).cast("long").alias("is_new")
+    )
+    daily = flagged.groupBy("day").agg(
+        F.count(F.lit(1)).alias("dau"),
+        F.sum("is_new").alias("new_users"),
+        (F.count(F.lit(1)) - F.sum("is_new")).alias("returning_users"),
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return daily.select(
+        "day",
+        "dau",
+        "new_users",
+        "returning_users",
+        F.sum("new_users").over(w).alias("cum_users"),
+    )
+
+
+_NEW_VS_RETURNING_SQL = """
+    WITH days AS (
+        SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS day
+        FROM events
+    ), first_seen AS (
+        SELECT user_id, MIN(day) AS first_day FROM days GROUP BY user_id
+    ), daily AS (
+        SELECT d.day,
+               CAST(COUNT(*) AS BIGINT) AS dau,
+               CAST(SUM(CASE WHEN d.day = f.first_day THEN 1 ELSE 0 END)
+                    AS BIGINT) AS new_users,
+               CAST(COUNT(*) - SUM(CASE WHEN d.day = f.first_day
+                                        THEN 1 ELSE 0 END)
+                    AS BIGINT) AS returning_users
+        FROM days d JOIN first_seen f USING (user_id)
+        GROUP BY d.day
+    )
+    SELECT day, dau, new_users, returning_users,
+           CAST(SUM(new_users) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING)
+                AS BIGINT) AS cum_users
+    FROM daily
+"""
+
+
 def q_events_rolling_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rolling 7-day active users per day (WAU) + same-day actives (DAU)
     + the DAU/WAU stickiness ratio — the engagement dashboard's headline
@@ -608,6 +665,7 @@ QUERIES = {
     "join_interval_overlap": q_join_interval_overlap,
     "events_resample_locf": q_events_resample_locf,
     "events_rolling_wau": q_events_rolling_wau,
+    "events_new_vs_returning": q_events_new_vs_returning,
     "events_top_paths": q_events_top_paths,
     "events_markov_transitions": q_events_markov_transitions,
     "events_attribution_last_touch": q_events_attribution_last_touch,
@@ -680,6 +738,7 @@ ORACLES = {
         FROM wau w LEFT JOIN dau d ON d.day = w.window_end
     """,
     "join_interval_overlap": _INTERVAL_OVERLAP_ORACLE,
+    "events_new_vs_returning": _NEW_VS_RETURNING_SQL,
     "events_sessionize_gap": f"""
         WITH labeled AS (
             SELECT user_id, ts,

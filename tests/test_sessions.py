@@ -554,3 +554,34 @@ def test_interval_overlap_bucketization_is_lossless(spark, sf_dir):
     }
     assert got == expected
     assert got  # non-vacuous at the corpus event density
+
+
+def test_new_vs_returning_matches_python(spark, sf_dir):
+    """Python recompute of the growth-accounting table: per-day new /
+    returning splits by first-seen day, cumulative distinct users equals
+    the running sum of new users AND the true distinct-user count."""
+    from collections import defaultdict
+
+    from simple_query_engine_spark.operators.sessions import (
+        q_events_new_vs_returning,
+    )
+
+    active = defaultdict(set)
+    for r in spark.read.parquet(f"{sf_dir}/events.parquet").collect():
+        active[r.ts.date()].add(r.user_id)
+    first = {}
+    for d in sorted(active):
+        for u in active[d]:
+            first.setdefault(u, d)
+    expected = {}
+    seen = set()
+    for d in sorted(active):
+        new = {u for u in active[d] if first[u] == d}
+        seen |= active[d]
+        expected[d] = (len(active[d]), len(new), len(active[d]) - len(new), len(seen))
+    got = {
+        r.day: (r.dau, r.new_users, r.returning_users, r.cum_users)
+        for r in q_events_new_vs_returning(spark, sf_dir).collect()
+    }
+    assert got == expected
+    assert any(ret > 0 for _, _, ret, _ in got.values())
