@@ -131,6 +131,7 @@ _ROTATION_QUEUE: list[str] = [
     "text_decontamination_fuzzy",
     "events_forecast_holt",
     "events_new_vs_returning",
+    "source_csv_dialect",
 ]
 
 

@@ -28,6 +28,10 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from simple_query_engine_spark.functions.hashing import (
+    md5_prefix_long,
+    md5_prefix_long_sql,
+)
 from simple_query_engine_spark.sources.catalog import table
 from simple_query_engine_spark.sources.sinks import write_parquet
 
@@ -220,6 +224,87 @@ def q_source_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     df = spark.read.option("header", True).option("inferSchema", True).csv(path)
     return _roundtrip_aggregate(df)
+
+
+def q_source_csv_dialect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV DIALECT conformance roundtrip: every field shape that breaks a
+    naive split-on-comma parser — embedded delimiters, embedded double
+    quotes, and embedded NEWLINES — derived deterministically from the
+    documents table, written through Spark's CSV sink with RFC-4180
+    quoting (quote='"', escape='"' → doubled quotes), and read back with
+    ``multiLine`` record reassembly.  The aggregate fingerprints the
+    read-back payloads (md5-prefix sums + per-hazard counts); the oracle
+    computes the SAME aggregate over the in-SQL derivation — green only
+    if the write+read preserved every byte of every hazard.  This is the
+    dialect surface the reference's naive comma-split loader
+    (``src/table.rs:89-109``) gets wrong by construction — the
+    conformance the brief's "CSV scan source" must actually have.
+
+    Shape: the dialect stress is I/O-bound by design; ``multiLine``
+    disables record-level splitting WITHIN a file (a quoted newline can
+    cross a split boundary), so the parallelism unit becomes the file —
+    the production mitigation is many files, which the sink's
+    partitioned write already produces."""
+    path = _roundtrip_path(sf_dir, "csvdialect")
+    tricky = table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.lit('pre,"mid" '),
+            F.substring("text", 1, 20),
+            F.lit(",\ntail"),
+        ).alias("payload"),
+        "lang",
+    )
+    materialize_once(
+        path,
+        lambda tmp: tricky.write.mode("overwrite")
+        .option("header", True)
+        .option("quote", '"')
+        .option("escape", '"')
+        .csv(tmp),
+    )
+    back = (
+        spark.read.option("header", True)
+        .option("multiLine", True)
+        .option("quote", '"')
+        .option("escape", '"')
+        .csv(path)
+        .select(F.col("doc_id").cast("long").alias("doc_id"), "payload", "lang")
+    )
+    return back.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("doc_id").alias("id_sum"),
+        F.sum(F.length("payload")).alias("payload_chars"),
+        F.sum(md5_prefix_long(F.col("payload"), 8)).alias("payload_md5_sum"),
+        F.sum(F.col("payload").contains(",").cast("long")).alias("with_comma"),
+        F.sum(F.col("payload").contains('"').cast("long")).alias("with_quote"),
+        F.sum(F.col("payload").contains("\n").cast("long")).alias("with_newline"),
+        F.count_distinct("lang").alias("n_langs"),
+    )
+
+
+_CSV_DIALECT_ORACLE = f"""
+    WITH tricky AS (
+        SELECT doc_id,
+               'pre,"mid" ' || substr(text, 1, 20) || ',' || chr(10) || 'tail'
+                   AS payload,
+               lang
+        FROM documents
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(doc_id) AS BIGINT) AS id_sum,
+           CAST(SUM(length(payload)) AS BIGINT) AS payload_chars,
+           CAST(SUM({md5_prefix_long_sql("payload", 8)}) AS BIGINT)
+               AS payload_md5_sum,
+           CAST(SUM(CASE WHEN contains(payload, ',') THEN 1 ELSE 0 END)
+                AS BIGINT) AS with_comma,
+           CAST(SUM(CASE WHEN contains(payload, '"') THEN 1 ELSE 0 END)
+                AS BIGINT) AS with_quote,
+           CAST(SUM(CASE WHEN contains(payload, chr(10)) THEN 1 ELSE 0 END)
+                AS BIGINT) AS with_newline,
+           CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs
+    FROM tricky
+"""
 
 
 def q_source_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -569,6 +654,7 @@ QUERIES = {
     "join_bucketed_revenue": q_join_bucketed_revenue,
     "source_json_roundtrip": q_source_json_roundtrip,
     "source_csv_roundtrip": q_source_csv_roundtrip,
+    "source_csv_dialect": q_source_csv_dialect,
     "source_orc_roundtrip": q_source_orc_roundtrip,
     "source_python_datasource": q_source_python_datasource,
     "stream_python_datasource": q_stream_python_datasource,
@@ -597,6 +683,7 @@ ORACLES = {
     """,
     "source_json_roundtrip": _ROUNDTRIP_ORACLE,
     "source_csv_roundtrip": _ROUNDTRIP_ORACLE,
+    "source_csv_dialect": _CSV_DIALECT_ORACLE,
     "source_orc_roundtrip": _ROUNDTRIP_ORACLE,
     # The dim is rebuilt relationally (day i → 2024-01-01 + i); the join
     # + week filter must select exactly week-2 dates.

@@ -69,3 +69,30 @@ def test_csv_write_read_roundtrip(spark, sf_dir, tmp_path):
     assert sorted(tuple(r) for r in back.collect()) == sorted(
         tuple(r) for r in region.collect()
     )
+
+
+def test_csv_dialect_payload_bytes_survive(spark, sf_dir):
+    """Byte-level proof for one row: the read-back payload equals the
+    derivation exactly — embedded comma, doubled-quote escaping, and the
+    quoted newline all survive the sink+source roundtrip (the multiLine
+    record reassembly the aggregate fingerprints corpus-wide)."""
+    from simple_query_engine_spark.operators.storage import (
+        _roundtrip_path,
+        q_source_csv_dialect,
+    )
+
+    q_source_csv_dialect(spark, sf_dir).collect()  # ensure materialized
+    back = (
+        spark.read.option("header", True)
+        .option("multiLine", True)
+        .option("quote", '"')
+        .option("escape", '"')
+        .csv(_roundtrip_path(sf_dir, "csvdialect"))
+    )
+    row = back.filter("CAST(doc_id AS BIGINT) = 0").collect()[0]
+    src = spark.read.parquet(f"{sf_dir}/documents.parquet").filter(
+        "doc_id = 0"
+    ).collect()[0]
+    expected = 'pre,"mid" ' + src.text[:20] + ",\ntail"
+    assert row.payload == expected
+    assert "\n" in row.payload and '"' in row.payload and "," in row.payload
