@@ -132,6 +132,9 @@ _ROTATION_QUEUE: list[str] = [
     "events_forecast_holt",
     "events_new_vs_returning",
     "source_csv_dialect",
+    "events_wow_growth",
+    "agg_histogram_numeric",
+    "stats_token_gini",
 ]
 
 

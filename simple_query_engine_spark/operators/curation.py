@@ -454,6 +454,62 @@ _SOURCE_OVERLAP_SQL = """
 """
 
 
+def q_stats_token_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GINI coefficient of token mass across sources — the concentration
+    diagnostic a mixture curator reads next to ``pipeline_domain_mix``:
+    Gini ≈ 0 means sources contribute evenly, high Gini means a few
+    feeds dominate the corpus (and a naive uniform sample is really a
+    sample of those feeds).  Computed from the sorted-source identity
+    ``G = (2·Σ i·xᵢ − (n+1)·Σx) / (n·Σx)`` (xᵢ ascending, i = 1..n) in
+    exact integer arithmetic to ppm — the numerator and denominator are
+    exact BIGINTs, the single division is integer div (non-negative:
+    the ascending-rank numerator is ≥ 0 by the rearrangement
+    inequality).
+
+    Shape: one map-side-combined rollup to |sources| rows; the rank and
+    the sums window over those rows only."""
+    per_source = (
+        _documents(spark, sf_dir)
+        .select(
+            "source",
+            F.size(F.split(_normalized(F.col("text")), " ")).alias("n_tokens"),
+        )
+        .groupBy("source")
+        .agg(F.sum("n_tokens").alias("mass"))
+    )
+    w = Window.orderBy("mass", "source")
+    ranked = per_source.select(
+        "mass", F.row_number().over(w).cast("long").alias("i")
+    )
+    return ranked.agg(
+        F.count(F.lit(1)).alias("n_sources"),
+        F.sum("mass").alias("total_tokens"),
+        F.expr(
+            "(2 * sum(i * mass) - (count(1) + 1) * sum(mass)) * 1000000"
+            " div (count(1) * sum(mass))"
+        ).alias("gini_ppm"),
+    )
+
+
+_TOKEN_GINI_SQL = f"""
+    WITH per_source AS (
+        SELECT source,
+               CAST(SUM(len(string_split({_NORM}, ' '))) AS BIGINT) AS mass
+        FROM documents GROUP BY source
+    ), ranked AS (
+        SELECT mass,
+               CAST(ROW_NUMBER() OVER (ORDER BY mass, source) AS BIGINT) AS i
+        FROM per_source
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_sources,
+           CAST(SUM(mass) AS BIGINT) AS total_tokens,
+           (2 * CAST(SUM(i * mass) AS BIGINT)
+            - (COUNT(*) + 1) * CAST(SUM(mass) AS BIGINT)) * 1000000
+               // (COUNT(*) * CAST(SUM(mass) AS BIGINT)) AS gini_ppm
+    FROM ranked
+"""
+
+
 K_ANON_K = 5  # groups smaller than this are re-identification risks
 K_ANON_LEN_BUCKET = 200  # n_chars quantization for the quasi-identifier
 
@@ -662,6 +718,7 @@ QUERIES = {
     "stats_corpus_report": q_stats_corpus_report,
     "stats_source_overlap": q_stats_source_overlap,
     "stats_k_anonymity": q_stats_k_anonymity,
+    "stats_token_gini": q_stats_token_gini,
 }
 
 _hash8_sql = md5_prefix_long_sql("CAST(doc_id AS VARCHAR)", 8)
@@ -840,6 +897,7 @@ ORACLES = {
     # pinned against Spark's percentile_disc in tests/test_curation.py).
     "stats_source_overlap": _SOURCE_OVERLAP_SQL,
     "stats_k_anonymity": _K_ANONYMITY_SQL,
+    "stats_token_gini": _TOKEN_GINI_SQL,
     "stats_corpus_report": f"""
         WITH per_doc AS (
             SELECT source, lang,

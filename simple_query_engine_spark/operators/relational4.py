@@ -229,6 +229,81 @@ _WEIGHTED_MEDIAN_SQL = """
 """
 
 
+# Equi-width histogram spec (declared fixed bounds: TPC-H order totals
+# land in [~850, ~560k]; out-of-range values clamp to the edge buckets).
+HIST_LO = 0
+HIST_HI = 600_000
+HIST_BINS = 20
+
+
+def q_agg_histogram_numeric(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width HISTOGRAM of order totals — the distribution profile
+    behind every numeric-column data-card (and the fixed-memory
+    alternative to collecting raw values: |bins| rows whatever the
+    table).  Buckets are declared fixed-width (lo/hi/bins constants, not
+    data-dependent min/max — a second scan and a moving target at
+    ingest); edge values clamp.  Bucket mass, share in exact ppm, and
+    in-bucket min/max (the "effective" bucket range) per row.
+
+    Shape: one map-side-combined aggregate to ≤ {HIST_BINS} rows; the
+    share windows over those rows only."""
+    orders = table(spark, sf_dir, "orders")
+    width = (HIST_HI - HIST_LO) // HIST_BINS
+    cents = F.expr("CAST(round(o_totalprice * 100) AS BIGINT)")
+    bucket = F.least(
+        F.greatest(
+            F.expr(
+                f"CAST(round(o_totalprice * 100) AS BIGINT) div {width * 100}"
+            ),
+            F.lit(0),
+        ),
+        F.lit(HIST_BINS - 1),
+    )
+    hist = (
+        orders.select(bucket.alias("bucket"), cents.alias("cents"))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.min("cents").alias("min_cents"),
+            F.max("cents").alias("max_cents"),
+        )
+    )
+    w = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return hist.select(
+        "bucket",
+        (F.col("bucket") * width).alias("bucket_lo"),
+        ((F.col("bucket") + 1) * width).alias("bucket_hi"),
+        "n_orders",
+        "min_cents",
+        "max_cents",
+        F.expr(
+            f"n_orders * 1000000 div sum(n_orders) over ()"
+        ).alias("share_ppm"),
+    )
+
+
+_HISTOGRAM_SQL = f"""
+    WITH h AS (
+        SELECT LEAST(GREATEST(CAST(round(o_totalprice * 100) AS BIGINT)
+                              // {(HIST_HI - HIST_LO) // HIST_BINS * 100}, 0),
+                     {HIST_BINS - 1}) AS bucket,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders
+    ), g AS (
+        SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(MIN(cents) AS BIGINT) AS min_cents,
+               CAST(MAX(cents) AS BIGINT) AS max_cents
+        FROM h GROUP BY bucket
+    )
+    SELECT bucket, bucket * {(HIST_HI - HIST_LO) // HIST_BINS} AS bucket_lo,
+           (bucket + 1) * {(HIST_HI - HIST_LO) // HIST_BINS} AS bucket_hi,
+           n_orders, min_cents, max_cents,
+           n_orders * 1000000 // CAST(SUM(n_orders) OVER () AS BIGINT)
+               AS share_ppm
+    FROM g
+"""
+
+
 _UNPIVOT_METRICS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
 
 
@@ -506,6 +581,7 @@ QUERIES = {
     "variant_funcs": q_variant_funcs,
     "agg_mode_median": q_agg_mode_median,
     "agg_weighted_median": q_agg_weighted_median,
+    "agg_histogram_numeric": q_agg_histogram_numeric,
     "unpivot_metrics": q_unpivot_metrics,
     "join_lateral_topn": q_join_lateral_topn,
     "agg_hll_union": q_agg_hll_union,
@@ -633,6 +709,7 @@ ORACLES = {
         GROUP BY 1
     """,
     "agg_weighted_median": _WEIGHTED_MEDIAN_SQL,
+    "agg_histogram_numeric": _HISTOGRAM_SQL,
     "agg_mode_median": """
         SELECT o_orderpriority,
                mode(o_orderstatus) AS status_mode,

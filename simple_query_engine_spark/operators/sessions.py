@@ -427,6 +427,50 @@ _NEW_VS_RETURNING_SQL = """
 """
 
 
+def q_events_wow_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Week-over-week growth by event type in exact integer ppm — the
+    dashboard trend table: weekly counts on the (type, week) grid, the
+    previous week via LAG, and growth = (cur − prev)·10⁶ div prev.
+    Growth can be NEGATIVE; both engines' integer division truncates
+    toward zero (the r11-verified engine fact, see
+    quality._holt_floordiv's note), so the ppm is engine-identical at
+    any sign.  First weeks carry NULL growth (nothing to compare).
+
+    Shape at 100 TB: the weekly rollup partial-aggregates map-side to a
+    |types|·|weeks| grid; the LAG window partitions by type over that
+    tiny grid."""
+    events = table(spark, sf_dir, "events")
+    weekly = events.groupBy(
+        "event_type", F.to_date(F.date_trunc("week", F.col("ts"))).alias("week")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.partitionBy("event_type").orderBy("week")
+    return weekly.select(
+        "event_type",
+        "week",
+        "cnt",
+        F.lag("cnt").over(w).alias("prev_cnt"),
+    ).withColumn(
+        "growth_ppm",
+        F.expr("(cnt - prev_cnt) * 1000000 div prev_cnt"),
+    )
+
+
+_WOW_GROWTH_SQL = """
+    WITH weekly AS (
+        SELECT event_type, CAST(date_trunc('week', ts) AS DATE) AS week,
+               CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM events GROUP BY 1, 2
+    )
+    SELECT event_type, week, cnt,
+           LAG(cnt) OVER (PARTITION BY event_type ORDER BY week) AS prev_cnt,
+           (cnt - LAG(cnt) OVER (PARTITION BY event_type ORDER BY week))
+               * 1000000
+               // LAG(cnt) OVER (PARTITION BY event_type ORDER BY week)
+               AS growth_ppm
+    FROM weekly
+"""
+
+
 def q_events_rolling_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rolling 7-day active users per day (WAU) + same-day actives (DAU)
     + the DAU/WAU stickiness ratio — the engagement dashboard's headline
@@ -666,6 +710,7 @@ QUERIES = {
     "events_resample_locf": q_events_resample_locf,
     "events_rolling_wau": q_events_rolling_wau,
     "events_new_vs_returning": q_events_new_vs_returning,
+    "events_wow_growth": q_events_wow_growth,
     "events_top_paths": q_events_top_paths,
     "events_markov_transitions": q_events_markov_transitions,
     "events_attribution_last_touch": q_events_attribution_last_touch,
@@ -739,6 +784,7 @@ ORACLES = {
     """,
     "join_interval_overlap": _INTERVAL_OVERLAP_ORACLE,
     "events_new_vs_returning": _NEW_VS_RETURNING_SQL,
+    "events_wow_growth": _WOW_GROWTH_SQL,
     "events_sessionize_gap": f"""
         WITH labeled AS (
             SELECT user_id, ts,

@@ -489,3 +489,40 @@ def test_k_anonymity_histogram_matches_python(spark, sf_dir):
     }
     assert got == expected
     assert sum(nd for _, nd, _ in got.values()) == len(docs)
+
+
+def test_token_gini_matches_python_and_planted_extremes(spark, sf_dir, tmp_path):
+    """Python recompute of the corpus Gini (exact ppm), plus the
+    boundary behaviors on planted corpora: a perfectly uniform source
+    split gives gini 0; an extreme concentration approaches
+    (n-1)/n."""
+    import re
+    from collections import defaultdict
+
+    from simple_query_engine_spark.operators.curation import (
+        q_stats_token_gini,
+    )
+
+    mass = defaultdict(int)
+    for r in spark.read.parquet(f"{sf_dir}/documents.parquet").collect():
+        mass[r.source] += len(re.sub(r"\s+", " ", r.text.lower()).strip().split(" "))
+    xs = sorted(mass.values())
+    n, s = len(xs), sum(xs)
+    want = (2 * sum(i * x for i, x in enumerate(xs, 1)) - (n + 1) * s) * 1_000_000 // (n * s)
+    row = q_stats_token_gini(spark, sf_dir).collect()[0]
+    assert (row.n_sources, row.total_tokens, row.gini_ppm) == (n, s, want)
+
+    # planted extremes
+    uniform = [(i, "a b c d", "en", f"s{i % 4}", 7) for i in range(8)]
+    spark.createDataFrame(
+        uniform, ["doc_id", "text", "lang", "source", "n_chars"]
+    ).write.parquet(str(tmp_path / "u" / "documents.parquet"))
+    assert q_stats_token_gini(spark, str(tmp_path / "u")).collect()[0].gini_ppm == 0
+    skew = [(0, "w " * 399 + "w", "en", "big", 800)] + [
+        (i, "w", "en", f"tiny{i}", 1) for i in range(1, 4)
+    ]
+    spark.createDataFrame(
+        skew, ["doc_id", "text", "lang", "source", "n_chars"]
+    ).write.parquet(str(tmp_path / "s" / "documents.parquet"))
+    g = q_stats_token_gini(spark, str(tmp_path / "s")).collect()[0].gini_ppm
+    assert g > 700_000  # 4 sources, one holds ~99% of mass -> near 3/4

@@ -172,3 +172,26 @@ def test_weighted_median_matches_python_model(spark, sf_dir):
         at_or_below = sum(w for c, w in groups[g].items() if c <= med)
         assert 2 * below < total or 2 * below == total
         assert 2 * at_or_below >= total
+
+
+def test_histogram_buckets_partition_all_orders(spark, sf_dir):
+    """Histogram invariants: bucket masses sum to the table, effective
+    ranges sit inside the declared bucket bounds (after clamping), and
+    shares are the exact integer ppm of the counts."""
+    from simple_query_engine_spark.operators.relational4 import (
+        HIST_BINS,
+        HIST_HI,
+        HIST_LO,
+        q_agg_histogram_numeric,
+    )
+
+    rows = q_agg_histogram_numeric(spark, sf_dir).collect()
+    n_orders = spark.read.parquet(f"{sf_dir}/orders.parquet").count()
+    assert sum(r.n_orders for r in rows) == n_orders
+    total = sum(r.n_orders for r in rows)
+    width = (HIST_HI - HIST_LO) // HIST_BINS
+    for r in rows:
+        assert 0 <= r.bucket < HIST_BINS
+        assert r.share_ppm == r.n_orders * 1_000_000 // total
+        if 0 < r.bucket < HIST_BINS - 1:  # interior buckets: exact bounds
+            assert r.bucket_lo * 100 <= r.min_cents <= r.max_cents < r.bucket_hi * 100

@@ -585,3 +585,39 @@ def test_new_vs_returning_matches_python(spark, sf_dir):
     }
     assert got == expected
     assert any(ret > 0 for _, _, ret, _ in got.values())
+
+
+def test_wow_growth_matches_python(spark, sf_dir):
+    """Python recompute of weekly counts + truncating ppm growth; first
+    weeks carry NULL growth."""
+    from collections import defaultdict
+    import datetime
+
+    from simple_query_engine_spark.operators.sessions import q_events_wow_growth
+
+    weekly = defaultdict(int)
+    for r in spark.read.parquet(f"{sf_dir}/events.parquet").collect():
+        d = r.ts.date()
+        monday = d - datetime.timedelta(days=d.weekday())
+        weekly[(r.event_type, monday)] += 1
+    expected = {}
+    by_type = defaultdict(list)
+    for (et, wk), c in weekly.items():
+        by_type[et].append((wk, c))
+    for et, lst in by_type.items():
+        lst.sort()
+        prev = None
+        for wk, c in lst:
+            if prev is None:
+                expected[(et, wk)] = (c, None, None)
+            else:
+                diff = (c - prev) * 1_000_000
+                q = abs(diff) // prev
+                expected[(et, wk)] = (c, prev, q if diff >= 0 else -q)
+            prev = c
+    got = {
+        (r.event_type, r.week): (r.cnt, r.prev_cnt, r.growth_ppm)
+        for r in q_events_wow_growth(spark, sf_dir).collect()
+    }
+    assert got == expected
+    assert any(g is not None and g < 0 for _, _, g in got.values())
