@@ -135,6 +135,7 @@ _ROTATION_QUEUE: list[str] = [
     "events_wow_growth",
     "agg_histogram_numeric",
     "stats_token_gini",
+    "sim_power_iteration",
 ]
 
 

@@ -1408,6 +1408,135 @@ def _kmeans_oracle_sql(k: int = KMEANS_K, iters: int = KMEANS_ITERS) -> str:
     )
 
 
+POWER_ITERS = 5  # fixed power-method iterations (pagerank discipline)
+POWER_VSCALE = 10_000  # per-iteration rescale grid for the direction
+
+
+def q_sim_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TOP PRINCIPAL DIRECTION of the embedding corpus by the power
+    method on the (uncentered) second-moment matrix — {POWER_ITERS}
+    fixed iterations of v ← XᵀXv with per-iteration integer rescale:
+    the anisotropy probe run before choosing ANN parameters (a strongly
+    anisotropic corpus wants OPQ-style rotation; embeddings' "dominant
+    direction" is also the classic all-but-the-top postprocessing
+    target).  Iterative LINEAR ALGEBRA under the repo's fixed-iteration
+    integer discipline: floor-grid vectors (floor(x·{EMB_SCALE})), all
+    products and sums exact int64, per-iteration rescale
+    ``v_j ← w_j·{POWER_VSCALE} div max|w|`` (components are SIGNED —
+    safe because both engines' integer division truncates toward zero,
+    the r11-verified engine fact).  v₀ = all-ones: deterministic, and
+    never orthogonal to a nonnegative-correlation-dominated top
+    direction.
+
+    Fully relational — no driver-side vector: per iteration, d = Xv is
+    an exploded (vec, dim, val) join against the BROADCAST 64-row
+    direction + a per-vector sum; w = Xᵀd joins d back per-vector and
+    sums per dimension (64 groups, map-side combined); the rescale is a
+    broadcast 1-row max.  {POWER_ITERS} iterations ⇒ linear plan depth
+    with the per-iteration direction session-cached (the kmeans
+    truncation discipline).  Int64 headroom: |w_j| ≤ N·64·{EMB_SCALE}²·
+    {POWER_VSCALE} ≈ N·6.4e13 — exact to N ≈ 10⁵ vectors at this grid;
+    beyond that, production rescales the grid or shards the sum
+    (declared bound, same spirit as BM25's token bound).
+
+    Output: the 64 (dim_idx, component) rows of the final direction —
+    hash-exact; the oracle unrolls the iterations as CTE chains."""
+    emb = table(spark, sf_dir, "embeddings")
+    sv = emb.select(
+        "vec_id",
+        F.transform(
+            F.col("embedding"),
+            lambda x: F.floor(x.cast("double") * EMB_SCALE).cast("long"),
+        ).alias("sv"),
+    )
+    exploded = session_cache(
+        sv.select(
+            "vec_id", F.posexplode("sv").alias("j0", "val")
+        ).select("vec_id", (F.col("j0") + 1).alias("j"), "val"),
+        sf_dir,
+        "power_iter_exploded",
+    )
+    v = None  # (j, vj); None means v0 = all ones
+    for it in range(1, POWER_ITERS + 1):
+        if v is None:
+            d = exploded.groupBy("vec_id").agg(F.sum("val").alias("d"))
+        else:
+            d = (
+                exploded.join(F.broadcast(v), "j")
+                .groupBy("vec_id")
+                .agg(F.sum(F.col("val") * F.col("vj")).alias("d"))
+            )
+        w = (
+            exploded.join(d, "vec_id")
+            .groupBy("j")
+            .agg(F.sum(F.col("val") * F.col("d")).alias("w"))
+        )
+        m = w.agg(F.max(F.abs(F.col("w"))).alias("m"))
+        v = session_cache(
+            w.crossJoin(F.broadcast(m)).select(
+                "j", F.expr(f"w * {POWER_VSCALE} div m").alias("vj")
+            ),
+            sf_dir,
+            f"power_iter_v{it}",
+        )
+    return v.select(F.col("j").alias("dim_idx"), F.col("vj").alias("component"))
+
+
+def _power_iteration_oracle_sql() -> str:
+    """Unrolled power-method twin: per iteration a d CTE (per-vector
+    integer dot against the previous direction), a w CTE (per-dimension
+    integer sums), and the truncating rescale; everything BIGINT via
+    SUM→CAST (never list_dot_product — its double sums lose exactness
+    past 2^53)."""
+    parts = [
+        f"""sv AS (
+            SELECT vec_id,
+                   list_transform(embedding::DOUBLE[],
+                       x -> CAST(floor(x * {EMB_SCALE}) AS BIGINT)) AS sv
+            FROM embeddings
+        )""",
+        f"""ex AS (
+            SELECT vec_id, j, sv[j] AS val
+            FROM sv, (SELECT unnest(range(1, {EMB_DIM + 1})) AS j) dims
+        )""",
+    ]
+    prev_v = None
+    for it in range(1, POWER_ITERS + 1):
+        if prev_v is None:
+            parts.append(
+                f"d{it} AS (SELECT vec_id, CAST(SUM(val) AS BIGINT) AS d "
+                "FROM ex GROUP BY vec_id)"
+            )
+        else:
+            parts.append(
+                f"""d{it} AS (
+            SELECT e.vec_id, CAST(SUM(e.val * v.vj) AS BIGINT) AS d
+            FROM ex e JOIN {prev_v} v USING (j) GROUP BY e.vec_id
+        )"""
+            )
+        parts.append(
+            f"""w{it} AS (
+            SELECT e.j, CAST(SUM(e.val * d.d) AS BIGINT) AS w
+            FROM ex e JOIN d{it} d USING (vec_id) GROUP BY e.j
+        )"""
+        )
+        parts.append(
+            f"""v{it} AS (
+            SELECT j, w * {POWER_VSCALE}
+                   // (SELECT MAX(ABS(w)) FROM w{it}) AS vj
+            FROM w{it}
+        )"""
+        )
+        prev_v = f"v{it}"
+    return (
+        "WITH "
+        + ",\n        ".join(parts)
+        + f"""
+        SELECT CAST(j AS INT) AS dim_idx, CAST(vj AS BIGINT) AS component
+        FROM {prev_v}"""
+    )
+
+
 def q_sim_centroid_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF INDEX-HEALTH audit — the report a vector-store operator reads
     before trusting an index: populated/empty cell counts, min/max
@@ -2539,6 +2668,7 @@ QUERIES = {
     "sim_topk_bruteforce": q_sim_topk_bruteforce,
     "sim_kmeans_train": q_sim_kmeans_train,
     "sim_centroid_balance": q_sim_centroid_balance,
+    "sim_power_iteration": q_sim_power_iteration,
     "sim_ivf_trained_topk": q_sim_ivf_trained_topk,
     "sim_range_search": q_sim_range_search,
     "sim_diverse_topk": q_sim_diverse_topk,
@@ -2589,6 +2719,7 @@ ORACLES = {
     "sim_kmeans_train": _kmeans_oracle_sql(),
     "sim_ivf_trained_topk": _ivf_trained_oracle_sql(),
     "sim_centroid_balance": _centroid_balance_oracle_sql(),
+    "sim_power_iteration": _power_iteration_oracle_sql(),
     "sim_range_search": _ivf_trained_oracle_sql(range_threshold=SIM_RANGE_THRESHOLD),
     "sim_diverse_topk": _diverse_topk_oracle_sql(),
     "sim_filtered_topk": _ivf_trained_oracle_sql(
