@@ -136,6 +136,7 @@ _ROTATION_QUEUE: list[str] = [
     "agg_histogram_numeric",
     "stats_token_gini",
     "sim_power_iteration",
+    "text_boilerplate_templates",
 ]
 
 

@@ -465,6 +465,54 @@ def q_text_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+TEMPLATE_WORDS = 8  # boilerplate window width (dedup.DUP_SPAN_WORDS twin)
+TEMPLATE_TOP_K = 15
+
+
+def q_text_boilerplate_templates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BOILERPLATE TEMPLATE mining: the corpus-wide top-{TEMPLATE_TOP_K}
+    duplicated {TEMPLATE_WORDS}-word windows with their occurrence count,
+    document spread, and SOURCE spread — the target list a substring-
+    dedup pass (``dedup_substring_spans``) excises, mined corpus-wide
+    instead of diagnosed per-doc: repeated navigation strings, legal
+    footers, and generator signatures show up here as high-occurrence
+    windows spanning many docs (and, when syndicated, many sources).
+
+    Shape at 100 TB: windows shuffle as (gram) keys with map-side
+    partial aggregation (occurrence + two distinct-ish counts in one
+    pass — doc/source spread via count(distinct) over the grouped key);
+    the page is TakeOrderedAndProject.  Only duplicated windows
+    (n_occurrences ≥ 2) rank, so the page is the actual boilerplate
+    list, not a sample of singletons."""
+    documents = _documents(spark, sf_dir)
+    words = F.split(_normalized(F.col("text")), " ")
+    base = documents.select("doc_id", "source", words.alias("w"))
+    grams = base.select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.when(
+                F.size("w") >= TEMPLATE_WORDS,
+                F.transform(
+                    F.sequence(F.lit(1), F.size("w") - (TEMPLATE_WORDS - 1)),
+                    lambda i: F.concat_ws(" ", F.slice(F.col("w"), i, TEMPLATE_WORDS)),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("gram"),
+    )
+    return (
+        grams.groupBy("gram")
+        .agg(
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.count_distinct("doc_id").alias("n_docs"),
+            F.count_distinct("source").alias("n_sources"),
+        )
+        .filter(F.col("n_occurrences") >= 2)
+        .orderBy(F.col("n_occurrences").desc(), "gram")
+        .limit(TEMPLATE_TOP_K)
+    )
+
+
 BIGRAM_TOP_K = 20
 
 
@@ -1161,6 +1209,7 @@ QUERIES = {
     "text_bigram_surprisal": q_bigram_surprisal,
     "text_repetition": q_text_repetition,
     "text_gopher_quality": q_text_gopher_quality,
+    "text_boilerplate_templates": q_text_boilerplate_templates,
     "text_bigram_freq": q_text_bigram_freq,
 }
 
@@ -1406,6 +1455,22 @@ ORACLES = {
     # Mirrors q_text_gopher_quality exactly: DuckDB list slicing w[a:b] is
     # 1-based inclusive on both ends (w[i:i+4] is the 5-gram at i); range()
     # is end-exclusive; '//' is integer division (non-negative operands).
+    "text_boilerplate_templates": f"""
+        WITH base AS (
+            SELECT doc_id, source, {_TOKENS} AS w FROM documents
+        ), grams AS (
+            SELECT doc_id, source,
+                   unnest(list_transform(range(1, len(w) - {TEMPLATE_WORDS - 2}),
+                          i -> array_to_string(w[CAST(i AS INT):CAST(i + {TEMPLATE_WORDS - 1} AS INT)], ' '))) AS gram
+            FROM base WHERE len(w) >= {TEMPLATE_WORDS}
+        )
+        SELECT gram, CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+               COUNT(DISTINCT doc_id) AS n_docs,
+               COUNT(DISTINCT source) AS n_sources
+        FROM grams GROUP BY gram
+        HAVING COUNT(*) >= 2
+        ORDER BY n_occurrences DESC, gram LIMIT {TEMPLATE_TOP_K}
+    """,
     "text_gopher_quality": f"""
         WITH base AS (
             SELECT doc_id, {_TOKENS} AS w,

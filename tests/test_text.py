@@ -542,3 +542,22 @@ def test_bm25_matches_python_model(spark, sf_dir):
     assert got == expected
     # every query returns a full page at the corpus vocabularies
     assert len(got) == len(TX.BM25_QUERIES) * TX.BM25_TOP_K
+
+
+def test_boilerplate_templates_surface_planted_footer(spark, tmp_path):
+    """A planted 8-word footer shared by most docs must rank first with
+    exact occurrence/doc/source counts; singleton windows never rank."""
+    footer = "contact us at example site all rights reserved"[:100]
+    rows = []
+    for i in range(6):
+        body = f"unique body words number {i} alpha{i} beta{i} gamma{i} delta{i}"
+        rows.append((i, body + " " + footer, "en", f"s{i % 2}", 0))
+    rows.append((6, "totally unrelated standalone document body here now", "en", "s0", 0))
+    df = spark.createDataFrame(rows, ["doc_id", "text", "lang", "source", "n_chars"])
+    df.write.parquet(str(tmp_path / "documents.parquet"))
+    out = TX.q_text_boilerplate_templates(spark, str(tmp_path)).collect()
+    assert out
+    top = out[0]
+    assert top.gram == footer
+    assert (top.n_occurrences, top.n_docs, top.n_sources) == (6, 6, 2)
+    assert all(r.n_occurrences >= 2 for r in out)
