@@ -137,6 +137,7 @@ _ROTATION_QUEUE: list[str] = [
     "stats_token_gini",
     "sim_power_iteration",
     "text_boilerplate_templates",
+    "sketch_kmv_union",
 ]
 
 

@@ -707,9 +707,119 @@ def q_sketch_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Union sketch uses a NARROWER 48-bit hash than the overlap sketch: the
+# estimator's (k-1)*M product must fit int64 (63 * 2^60 overflows; 63 *
+# 2^48 = 1.8e16 does not), and 48 bits keeps collisions negligible to
+# ~2^24 elements.
+KMV_UNION_HEX = 12
+KMV_HASH_SPACE = 16 ** KMV_UNION_HEX
+
+
+def q_sketch_kmv_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV UNION-cardinality sketch — the merge half of the theta-sketch
+    pair (``sketch_kmv_overlap`` is the intersection): each side keeps
+    its K smallest element hashes, the sketches MERGE by taking the K
+    smallest of their union, and |A ∪ B| is estimated by the classic
+    KMV estimator ``(k−1)·M div h₍k₎`` (M = the 60-bit hash space,
+    h₍k₎ = the largest surviving hash).  Mergeability is the whole
+    point: union cardinality across datasets that never co-reside costs
+    K values per side, not a shuffle of either — the sketch a federated
+    dedup/audience system actually exchanges.  When the merged sketch
+    is not full (tiny inputs), it IS the union and the exact count is
+    returned — the standard small-set rule, declared.
+
+    Determinism: the md5 hash family fixes the surviving values, so the
+    ESTIMATE is bit-identical cross-engine; estimate error vs the exact
+    union rides alongside (the ``dedup_lsh_quality`` accounting
+    discipline).  Integer arithmetic throughout — this sketch uses a
+    NARROWER 48-bit hash than the overlap sketch precisely so the
+    estimator's (k−1)·M product fits int64 (63·2⁶⁰ overflows, 63·2⁴⁸
+    doesn't; 48 bits keeps collisions negligible to ~2²⁴ elements —
+    declared trade)."""
+    events = table(spark, sf_dir, "events")
+    day = F.datediff(F.to_date("ts"), F.lit(KMV_EPOCH).cast("date"))
+    elems = (
+        events.filter(F.col("event_type").isin(KMV_TYPE_A, KMV_TYPE_B))
+        .select(
+            "event_type",
+            md5_prefix_long(
+                F.concat_ws(":", F.col("user_id"), day), KMV_UNION_HEX
+            ).alias("h"),
+        )
+        .distinct()
+    )
+    full_a = elems.filter(F.col("event_type") == KMV_TYPE_A).select("h")
+    full_b = elems.filter(F.col("event_type") == KMV_TYPE_B).select("h")
+    sketch_a = full_a.orderBy("h").limit(KMV_K)
+    sketch_b = full_b.orderBy("h").limit(KMV_K)
+    merged = sketch_a.unionAll(sketch_b).distinct().orderBy("h").limit(KMV_K)
+    mstats = merged.agg(
+        F.count(F.lit(1)).alias("k_used"), F.max("h").alias("theta_hash")
+    )
+    exact_union = (
+        full_a.unionAll(full_b).distinct().agg(F.count(F.lit(1)).alias("exact_union"))
+    )
+    return (
+        mstats.crossJoin(exact_union)
+        .select(
+            "k_used",
+            "theta_hash",
+            "exact_union",
+            F.expr(
+                f"CASE WHEN k_used < {KMV_K} THEN k_used"
+                f" ELSE (k_used - 1) * {KMV_HASH_SPACE} div theta_hash END"
+            ).alias("union_est"),
+        )
+        .withColumn(
+            "err_ppm",
+            F.expr(
+                "abs(union_est - exact_union) * 1000000 div exact_union"
+            ),
+        )
+    )
+
+
+_KMV_UNION_SQL = f"""
+    WITH elems AS (
+        SELECT DISTINCT event_type,
+               {md5_prefix_long_sql(
+                   "concat_ws(':', user_id, "
+                   f"datediff('day', DATE '{KMV_EPOCH}', date_trunc('day', ts)))",
+                   KMV_UNION_HEX,
+               )} AS h
+        FROM events
+        WHERE event_type IN ('{KMV_TYPE_A}', '{KMV_TYPE_B}')
+    ), sa AS (
+        SELECT h FROM elems WHERE event_type = '{KMV_TYPE_A}'
+        ORDER BY h LIMIT {KMV_K}
+    ), sb AS (
+        SELECT h FROM elems WHERE event_type = '{KMV_TYPE_B}'
+        ORDER BY h LIMIT {KMV_K}
+    ), merged AS (
+        SELECT DISTINCT h FROM (SELECT h FROM sa UNION ALL SELECT h FROM sb)
+        ORDER BY h LIMIT {KMV_K}
+    ), ms AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS k_used,
+               CAST(MAX(h) AS BIGINT) AS theta_hash
+        FROM merged
+    ), eu AS (
+        SELECT CAST(COUNT(DISTINCT h) AS BIGINT) AS exact_union FROM elems
+    )
+    SELECT k_used, theta_hash, exact_union,
+           CASE WHEN k_used < {KMV_K} THEN k_used
+                ELSE (k_used - 1) * {KMV_HASH_SPACE} // theta_hash END
+               AS union_est,
+           abs(CASE WHEN k_used < {KMV_K} THEN k_used
+                    ELSE (k_used - 1) * {KMV_HASH_SPACE} // theta_hash END
+               - exact_union) * 1000000 // exact_union AS err_ppm
+    FROM ms, eu
+"""
+
+
 QUERIES = {
     "sketch_countmin_words": q_sketch_countmin_words,
     "sketch_kmv_overlap": q_sketch_kmv_overlap,
+    "sketch_kmv_union": q_sketch_kmv_union,
     "pipeline_shuffle_shards": q_pipeline_shuffle_shards,
     "pipeline_token_quota": q_pipeline_token_quota,
     "pipeline_pii_redaction": q_pipeline_pii_redaction,
@@ -732,6 +842,7 @@ def _cms_pos_sql(d: int) -> str:
 assert CMS_DEPTH == 4  # the CMS oracle spells out four position expressions
 
 ORACLES = {
+    "sketch_kmv_union": _KMV_UNION_SQL,
     "sketch_kmv_overlap": f"""
         WITH e AS (
             SELECT DISTINCT event_type,

@@ -526,3 +526,51 @@ def test_token_gini_matches_python_and_planted_extremes(spark, sf_dir, tmp_path)
     ).write.parquet(str(tmp_path / "s" / "documents.parquet"))
     g = q_stats_token_gini(spark, str(tmp_path / "s")).collect()[0].gini_ppm
     assert g > 700_000  # 4 sources, one holds ~99% of mass -> near 3/4
+
+
+def test_kmv_union_estimator_matches_python_and_is_sane(spark, sf_dir):
+    """Python recompute of the merged-sketch union estimator (same 48-bit
+    md5 hashes, same (k-1)*M // h_k rule with the small-set fallback) —
+    exact equality; and the estimate lands within the standard KMV
+    relative-error envelope (~1/sqrt(k)*3) of the exact union."""
+    import datetime
+    import hashlib
+
+    from simple_query_engine_spark.operators.curation import (
+        KMV_EPOCH,
+        KMV_HASH_SPACE,
+        KMV_K,
+        KMV_TYPE_A,
+        KMV_TYPE_B,
+        KMV_UNION_HEX,
+        q_sketch_kmv_union,
+    )
+
+    epoch = datetime.date.fromisoformat(KMV_EPOCH)
+    sides = {KMV_TYPE_A: set(), KMV_TYPE_B: set()}
+    for r in spark.read.parquet(f"{sf_dir}/events.parquet").collect():
+        if r.event_type in sides:
+            day = (r.ts.date() - epoch).days
+            h = int(
+                hashlib.md5(f"{r.user_id}:{day}".encode()).hexdigest()[
+                    :KMV_UNION_HEX
+                ],
+                16,
+            )
+            sides[r.event_type].add(h)
+    a, b = sides[KMV_TYPE_A], sides[KMV_TYPE_B]
+    merged = sorted(sorted(a)[: KMV_K] + sorted(b)[: KMV_K])
+    merged = sorted(set(merged))[: KMV_K]
+    k_used, theta = len(merged), max(merged)
+    exact = len(a | b)
+    est = k_used if k_used < KMV_K else (k_used - 1) * KMV_HASH_SPACE // theta
+    row = q_sketch_kmv_union(spark, sf_dir).collect()[0]
+    assert (row.k_used, row.theta_hash, row.exact_union, row.union_est) == (
+        k_used,
+        theta,
+        exact,
+        est,
+    )
+    assert row.err_ppm == abs(est - exact) * 1_000_000 // exact
+    if k_used == KMV_K:  # estimator regime: check the error envelope
+        assert abs(est - exact) / exact < 3 / (KMV_K ** 0.5)
