@@ -22,83 +22,17 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # everything else (already green in CORRECTNESS_r01/r02) follows in module
 # order.  ROUND3_NOTES.md tracks which round certified which query.
 #
-# Round-11 front window (exactly 50 = the driver's window size), per
-# VERDICT r10 items 1 and 7: the 4 never-certified round-10 additions
-# (including sim_ivf_trained_topk, restored to the rotation after the
-# front_audit FAIL), the 8 entries new in round 11, the 2 r10
-# function-changed re-certs, then the age queue — all 15 r05-era names
-# and the 21 oldest r06-era names.  4 + 8 + 2 + 15 + 21 = exactly 50;
-# after this round the oldest cert anywhere in the catalog is r06.
-# ROUND11_NOTES.md tracks the ledger.
+# Round-12 front window (exactly 50 = the driver's window size), per
+# VERDICT r11 items 1 and 2: ALL 39 never-certified names from r11's
+# post-close waves (the full r11 _ROTATION_QUEUE, in queue order), then
+# the age queue — the 11 oldest r06-era names in registration order
+# (17 r06 names remain for r13).  39 + 11 = exactly 50; after a green
+# r12 every catalog name has faced the driver's oracle at least once
+# except those 17, and no cert predates r06.  ROUND12_NOTES.md tracks
+# the ledger.
 _ROTATION_FRONT = [
-    # --- 1. never driver-certified: the 4 round-10 additions (queued by
-    #     r10's _ROTATION_QUEUE; sim_ivf_trained_topk restored per VERDICT
-    #     r10 item 1) ---
-    "pipeline_incremental_curation",
-    "text_bpe_train",
-    "sim_kmeans_train",
-    "sim_ivf_trained_topk",
-    # --- 2. new in round 11 (BPE encode round-trip + fertility,
-    #     trained-IVF recall audit, filtered/append/hard-negative ANN,
-    #     streaming vector ingest) ---
-    "text_bpe_encode",
-    "text_bpe_encode_docs",
-    "sim_recall_audit_trained",
-    "text_bpe_fertility",
-    "sim_filtered_topk",
-    "sim_ivf_append_topk",
-    "sim_hard_negatives",
-    "stream_vector_ingest",
-    # --- 3. function-changed in r10, results hash-identical; re-cert ---
-    "udtf_split_fields",
-    "events_rfm_segments",
-    # --- 4. age queue: the 15 names whose newest driver cert is r05 ---
-    "agg_percentiles_exact",
-    "variant_funcs",
-    "agg_mode_median",
-    "unpivot_metrics",
-    "join_lateral_topn",
-    "agg_hll_union",
-    "source_orc_roundtrip",
-    "source_python_datasource",
-    "stream_python_datasource",
-    "sink_python_datasource",
-    "stream_session_counts",
-    "stream_stateful_profiles",
-    "stream_stream_join",
-    "stream_restart_resume",
-    "stream_dedup_user_counts",
-    # --- 5. age queue: the 21 oldest r06-era names (28 r06 names remain
-    #     for the r12 front) ---
-    "events_retention_cohort",
-    "events_user_streaks",
-    "events_funnel_windowed",
-    "events_quality_drift",
-    "tpch_q3_shipping_priority",
-    "tpch_q7_nation_trade",
-    "tpch_q13_order_distribution",
-    "tpch_q18_large_orders",
-    "tpch_q4_priority_exists",
-    "text_token_count",
-    "text_bpe_token_count",
-    "text_quality_score",
-    "text_lang_id",
-    "text_fingerprint",
-    "text_rolling_hash",
-    "text_word_freq",
-    "text_length_histogram",
-    "text_tfidf_top_terms",
-    "text_unigram_surprisal",
-    "text_repetition",
-    "text_bigram_freq",
-]
-
-# Entries added or function-changed THIS round that could not displace the
-# front (the front is full).  They sit immediately after the front in
-# registration order and lead the NEXT round's front.  tools/front_audit.py
-# treats queue membership as "pending" for the no-name-falls-through
-# invariant.
-_ROTATION_QUEUE: list[str] = [
+    # --- 1. never driver-certified: r11's three post-close waves, in
+    #     queue order (VERDICT r11 item 1) ---
     "dedup_substring_spans",
     "sim_semdedup",
     "text_quality_classifier",
@@ -138,7 +72,27 @@ _ROTATION_QUEUE: list[str] = [
     "sim_power_iteration",
     "text_boilerplate_templates",
     "sketch_kmv_union",
+    # --- 2. age queue: the 11 oldest r06-era names in registration
+    #     order (17 r06 names remain for r13) ---
+    "dedup_exact",
+    "dedup_clusters",
+    "dedup_clusters_lsh",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "dedup_planted_minhash",
+    "dedup_incremental_minhash",
+    "dedup_containment_planted",
+    "dedup_simhash",
+    "text_dup_ngram_coverage",
+    "sim_topk_bruteforce",
 ]
+
+# Entries added or function-changed THIS round that could not displace the
+# front (the front is full).  They sit immediately after the front in
+# registration order and lead the NEXT round's front.  tools/front_audit.py
+# treats queue membership as "pending" for the no-name-falls-through
+# invariant.
+_ROTATION_QUEUE: list[str] = []
 
 
 def _rotated(merged: dict) -> dict:
