@@ -92,7 +92,9 @@ _ROTATION_FRONT = [
 # registration order and lead the NEXT round's front.  tools/front_audit.py
 # treats queue membership as "pending" for the no-name-falls-through
 # invariant.
-_ROTATION_QUEUE: list[str] = []
+_ROTATION_QUEUE: list[str] = [
+    "dedup_cluster_keeper_quality",
+]
 
 
 def _rotated(merged: dict) -> dict:

@@ -1127,6 +1127,108 @@ def q_dedup_lsh_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+def q_dedup_cluster_keeper_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware cluster survivors: near-dup components where the
+    keeper is the BEST member, not the smallest id — the production
+    keeper rule (``_cluster_components`` keeps min-doc_id; real curation
+    keeps the highest-quality copy of each near-dup family).
+
+    Quality is the certified trained NB classifier score
+    (``text_quality_classifier`` — exact integer micro-units, so the
+    (score_micro DESC, doc_id ASC) keeper pick is a total order both
+    engines agree on bit-for-bit).  Components come from the same
+    MinHash-LSH pair graph + pointer-doubling propagation as
+    ``dedup_clusters_lsh``; ``keeper_not_min_id`` flags the clusters
+    where the quality rule actually changed the outcome vs min-id.
+
+    Shape at 100 TB: the pair graph is banded-LSH (never all-pairs),
+    components are O(log diameter) rounds, the score join is
+    doc_id-keyed, and both the row_number pick and the size count share
+    ONE hash-partitioning on cluster_id (a single window exchange).
+    Oracle: recursive-CTE closure + the same classifier SQL + the same
+    ROW_NUMBER pick.
+    """
+    from pyspark.sql.window import Window
+
+    from simple_query_engine_spark.operators.text import q_quality_classifier
+
+    pairs = q_dedup_minhash_lsh(spark, sf_dir).select("doc_id_a", "doc_id_b")
+    edges = (
+        pairs.union(
+            pairs.select(
+                F.col("doc_id_b").alias("doc_id_a"), F.col("doc_id_a").alias("doc_id_b")
+            )
+        )
+        .withColumnRenamed("doc_id_a", "src")
+        .withColumnRenamed("doc_id_b", "dst")
+        .cache()
+    )
+    labels, _ = _propagate_labels(edges)
+    edges.unpersist()
+    members = labels.withColumnRenamed("label", "cluster_id")
+    quality = q_quality_classifier(spark, sf_dir).select("doc_id", "score_micro")
+    # Every clustered doc has shingles, hence tokens, hence a score row —
+    # the inner join drops nothing (pinned in tests).
+    scored = members.join(quality, "doc_id")
+    w_pick = Window.partitionBy("cluster_id").orderBy(
+        F.col("score_micro").desc(), F.col("doc_id")
+    )
+    w_all = Window.partitionBy("cluster_id")
+    return (
+        scored.withColumn("rn", F.row_number().over(w_pick))
+        .withColumn("cluster_size", F.count(F.lit(1)).over(w_all))
+        .filter(F.col("rn") == 1)
+        .select(
+            "cluster_id",
+            "cluster_size",
+            F.col("doc_id").alias("keep_doc_id"),
+            F.col("score_micro").alias("keep_score_micro"),
+            (F.col("doc_id") != F.col("cluster_id")).alias("keeper_not_min_id"),
+        )
+    )
+
+
+def _keeper_quality_oracle_sql() -> str:
+    """DuckDB oracle for the quality-keeper clusters: the
+    ``_closure_sql`` recursive closure over the LSH pair SQL, joined with
+    the classifier score relation (imported verbatim from text.py so the
+    two entries can never desynchronize), same ROW_NUMBER total order."""
+    from simple_query_engine_spark.operators.text import _CLASSIFIER_ORACLE_SQL
+
+    return f"""
+        WITH RECURSIVE near AS (
+            SELECT doc_id_a AS ida, doc_id_b AS idb
+            FROM ({_minhash_oracle_sql()}) mh
+        ), edges AS (
+            SELECT ida AS src, idb AS dst FROM near
+            UNION SELECT idb, ida FROM near
+            UNION SELECT ida, ida FROM near
+            UNION SELECT idb, idb FROM near
+        ), reach(src, dst) AS (
+            SELECT src, dst FROM edges
+            UNION
+            SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+        ), members AS (
+            SELECT src AS doc_id, MIN(dst) AS cluster_id FROM reach GROUP BY src
+        ), ranked AS (
+            SELECT m.cluster_id, m.doc_id, s.score_micro,
+                   ROW_NUMBER() OVER (PARTITION BY m.cluster_id
+                                      ORDER BY s.score_micro DESC, m.doc_id)
+                       AS rn,
+                   CAST(COUNT(*) OVER (PARTITION BY m.cluster_id) AS BIGINT)
+                       AS cluster_size
+            FROM members m
+            JOIN (SELECT doc_id, score_micro
+                  FROM ({_CLASSIFIER_ORACLE_SQL}) c) s USING (doc_id)
+        )
+        SELECT cluster_id, cluster_size,
+               doc_id AS keep_doc_id,
+               score_micro AS keep_score_micro,
+               doc_id <> cluster_id AS keeper_not_min_id
+        FROM ranked WHERE rn = 1
+    """
+
+
 PAGERANK_ITERATIONS = 5
 PAGERANK_UNIT = 1_000_000  # rank carried in integer micro-units
 PAGERANK_DAMP_NUM, PAGERANK_DAMP_DEN = 85, 100  # damping 0.85, exact
@@ -1778,6 +1880,7 @@ QUERIES = {
     "dedup_keep_latest": q_dedup_keep_latest,
     "dedup_clusters": q_dedup_clusters,
     "dedup_clusters_lsh": q_dedup_clusters_lsh,
+    "dedup_cluster_keeper_quality": q_dedup_cluster_keeper_quality,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_planted_minhash": q_dedup_planted_minhash,
@@ -2111,6 +2214,7 @@ ORACLES = {
     "dedup_clusters_lsh": _closure_sql(
         f"SELECT doc_id_a AS ida, doc_id_b AS idb FROM ({_minhash_oracle_sql()}) mh"
     ),
+    "dedup_cluster_keeper_quality": _keeper_quality_oracle_sql(),
     "dedup_simhash": _simhash_oracle_sql(),
     # Same deterministic latest-per-key pick: (ts, event_id) DESC.
     "dedup_keep_latest": """

@@ -1279,9 +1279,10 @@ def _bm25_oracle_sql() -> str:
     """
 
 
-ORACLES = {
-    "text_bm25_search": _bm25_oracle_sql().format(norm=_NORM),
-    "text_quality_classifier": f"""
+# Shared with dedup._keeper_quality_oracle_sql (the cluster-keeper entry
+# joins components with this exact score relation) — keep it a complete,
+# self-contained SELECT so it embeds as a parenthesized subquery.
+_CLASSIFIER_ORACLE_SQL = f"""
         WITH toks AS (
             SELECT doc_id, lang = 'en' AS is_en,
                    unnest(string_split({_NORM}, ' ')) AS word
@@ -1321,7 +1322,11 @@ ORACLES = {
                (sw - n_tokens * (l_en - l_rest)) > 0 AS predicted_en,
                actual_en
         FROM pd, tot
-    """,
+    """
+
+ORACLES = {
+    "text_bm25_search": _bm25_oracle_sql().format(norm=_NORM),
+    "text_quality_classifier": _CLASSIFIER_ORACLE_SQL,
     "text_bpe_train": _bpe_train_oracle_sql(),
     "text_bpe_encode": _bpe_encode_oracle_sql(),
     "text_bpe_encode_docs": _bpe_encode_docs_oracle_sql(),

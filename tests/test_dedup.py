@@ -91,6 +91,52 @@ def test_clusters_match_union_find(spark, sf_dir, exact_pairs):
         assert got[root].keep_doc_id == min(members)
 
 
+def test_cluster_keeper_quality_matches_model(spark, sf_dir):
+    """Quality-keeper clusters must equal a driver-side model: union-find
+    over the SAME LSH pair list, keeper = argmax (score_micro, -doc_id)
+    using the (separately model-tested) classifier scores.  Also pins that
+    the score join drops nothing: every clustered doc has tokens, so the
+    total member count equals the union-find node count."""
+    from simple_query_engine_spark.operators.text import q_quality_classifier
+
+    lsh_pairs = [
+        (r.doc_id_a, r.doc_id_b)
+        for r in D.q_dedup_minhash_lsh(spark, sf_dir).collect()
+    ]
+    scores = {
+        r.doc_id: r.score_micro
+        for r in q_quality_classifier(spark, sf_dir).collect()
+    }
+    got = {r.cluster_id: r for r in D.q_dedup_cluster_keeper_quality(spark, sf_dir).collect()}
+
+    parent: dict[int, int] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in lsh_pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    components: dict[int, set] = {}
+    for node in list(parent):
+        components.setdefault(find(node), set()).add(node)
+
+    assert set(got) == set(components)
+    assert sum(r.cluster_size for r in got.values()) == len(parent)
+    for root, members in components.items():
+        keeper = min(members, key=lambda d: (-scores[d], d))
+        row = got[root]
+        assert row.cluster_size == len(members)
+        assert row.keep_doc_id == keeper
+        assert row.keep_score_micro == scores[keeper]
+        assert row.keeper_not_min_id == (keeper != root)
+
+
 def test_shingle_df_cap_drops_hot_shingles(spark):
     """A shingle present in more docs than the cap is excluded before the
     self-join; Jaccard is then computed over the capped sets."""
