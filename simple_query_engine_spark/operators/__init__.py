@@ -94,6 +94,7 @@ _ROTATION_FRONT = [
 # invariant.
 _ROTATION_QUEUE: list[str] = [
     "dedup_cluster_keeper_quality",
+    "sim_ivf_rebuild",
 ]
 
 

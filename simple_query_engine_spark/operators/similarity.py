@@ -2022,6 +2022,159 @@ def q_sim_ivf_delete_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ivf_search(spark, sf_dir, vectors, cent, live)
 
 
+# Rebuild-on-drift policy bar: retrain when the hottest posting list
+# exceeds 2× the mean (max/mean in ppm).  The synthetic corpus's appends
+# are distribution-uniform, so the trigger correctly stays FALSE at every
+# SF (drifted imbalance reads 1.09–1.20×); that it FIRES when appended
+# data genuinely drifts — a new cluster the base quantizer has no cell
+# for — is pinned on a planted fixture in tests/test_similarity.py.
+REBUILD_IMBALANCE_PPM = 2_000_000
+
+
+def q_sim_ivf_rebuild(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REBUILD-ON-DRIFT — the decision step that closes the IVF index
+    lifecycle (train → search → append → delete → audit → REBUILD): audit
+    the imbalance of the DRIFTED index (the ``sim_ivf_append_topk``
+    standing index — quantizer trained on the base, late batch absorbed
+    without retraining), fire the rebuild trigger when the hottest
+    posting list exceeds the declared {REBUILD_IMBALANCE_PPM} ppm bar
+    (max > 2× mean — the point where nprobe scans that hit the hot cell
+    dominate query latency), and retrain on the CURRENT corpus, reporting
+    both indexes' health and recall@k in one decision row.
+
+    Trigger policy (declared): production gates the retrain on
+    ``rebuild_triggered`` and re-audits after; this certification entry
+    materializes both branches so the oracle can check the retrained
+    index too.  A rebuild converges the index toward the data's inherent
+    imbalance — it removes QUANTIZER drift (appended clusters the base
+    centroids never saw get their own cells), not true data concentration.
+
+    Recall accounting is exact integers (total exact-top-k hits across
+    the query set, reusing ``_recall_vs_exact``); the imbalance ratio is
+    integer division on non-negative operands.  Shape at 100 TB: both
+    audits are K-row rollups off map-side-combined per-cell counts; the
+    retrain is the ``sim_kmeans_train`` fixed-iteration pipeline (and is
+    the expensive step — exactly why it hides behind the trigger); the
+    recall reconciliation joins two |Q|·k-row sets.  Oracle: two unrolled
+    k-means CTE chains (base-trained + full-corpus), imbalance rollups,
+    and the brute-force recall reconciliation, composed in one statement.
+    """
+    is_batch = F.col("vec_id") % IVF_BATCH_MOD == F.lit(IVF_BATCH_REM)
+    vectors, dcent = _kmeans_trained(
+        spark, sf_dir, base_filter=~is_batch, key_prefix="kmeans_app"
+    )
+    drift_members = session_cache(
+        _kmeans_assign(vectors.filter(~is_batch), dcent).select(
+            F.col("vec_id").alias("neighbor_id"), "cell_id"
+        ),
+        sf_dir,
+        "ivf_append_base_members",
+    ).unionByName(
+        _kmeans_assign(vectors.filter(is_batch), dcent).select(
+            F.col("vec_id").alias("neighbor_id"), "cell_id"
+        )
+    )
+    rvec, rcent = _kmeans_trained(spark, sf_dir)
+    reb_members = _kmeans_assign(rvec, rcent).select(
+        F.col("vec_id").alias("neighbor_id"), "cell_id"
+    )
+
+    def _imbalance(members: DataFrame, col: str) -> DataFrame:
+        sizes = members.groupBy("cell_id").agg(F.count(F.lit(1)).alias("n"))
+        return sizes.agg(
+            F.expr("max(n) * count(1) * 1000000 div sum(n)").alias(col)
+        )
+
+    def _hits(approx: DataFrame, hits_col: str, exact_col: str) -> DataFrame:
+        return _recall_vs_exact(spark, sf_dir, approx).agg(
+            F.sum("n_hits").alias(hits_col), F.sum("n_exact").alias(exact_col)
+        )
+
+    drift_bal = _imbalance(drift_members, "drifted_imbalance_ppm")
+    reb_bal = _imbalance(reb_members, "rebuilt_imbalance_ppm")
+    drift_rec = _hits(
+        _ivf_search(spark, sf_dir, vectors, dcent, drift_members),
+        "drifted_hits",
+        "n_exact_total",
+    )
+    reb_rec = _hits(
+        _ivf_search(spark, sf_dir, rvec, rcent, reb_members),
+        "rebuilt_hits",
+        "n_exact_rebuilt",
+    )
+    return (
+        drift_bal.crossJoin(reb_bal)
+        .crossJoin(drift_rec)
+        .crossJoin(reb_rec)
+        .select(
+            "drifted_imbalance_ppm",
+            (F.col("drifted_imbalance_ppm") > REBUILD_IMBALANCE_PPM).alias(
+                "rebuild_triggered"
+            ),
+            "rebuilt_imbalance_ppm",
+            "n_exact_total",
+            "drifted_hits",
+            "rebuilt_hits",
+            (F.col("rebuilt_hits") - F.col("drifted_hits")).alias(
+                "recall_delta_hits"
+            ),
+        )
+    )
+
+
+def _imbalance_oracle_sql(base_where: str = "", batch_where: str = "") -> str:
+    """Single-row imbalance-ppm rollup over the (optionally drifted)
+    k-means posting lists — the ``sim_centroid_balance`` core, minus the
+    report columns, parameterized like ``_ivf_trained_oracle_sql``."""
+    parts, _final_cent, members = _kmeans_oracle_parts(
+        base_where=base_where, batch_where=batch_where
+    )
+    return (
+        "WITH "
+        + ",\n        ".join(parts)
+        + f""",
+        sizes AS (
+            SELECT cell_id, CAST(COUNT(*) AS BIGINT) AS n
+            FROM {members} GROUP BY cell_id
+        )
+        SELECT (CAST(MAX(n) AS BIGINT) * CAST(COUNT(*) AS BIGINT) * 1000000)
+                   // CAST(SUM(n) AS BIGINT) AS imbalance_ppm
+        FROM sizes"""
+    )
+
+
+def _ivf_rebuild_oracle_sql() -> str:
+    """Decision-row twin: drifted/rebuilt imbalance rollups + the two
+    recall reconciliations against the brute-force exact top-k."""
+    hits = (
+        "SELECT CAST(SUM(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)"
+        " AS BIGINT) AS hits, CAST(COUNT(*) AS BIGINT) AS n_exact"
+        " FROM exact e LEFT JOIN {idx} a"
+        " ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id"
+    )
+    drift_where = dict(
+        base_where=f"vec_id % {IVF_BATCH_MOD} <> {IVF_BATCH_REM}",
+        batch_where=f"vec_id % {IVF_BATCH_MOD} = {IVF_BATCH_REM}",
+    )
+    return f"""
+        WITH exact AS ({_BRUTE_TOPK_SQL}),
+        drift_idx AS ({_ivf_trained_oracle_sql(**drift_where)}),
+        reb_idx AS ({_ivf_trained_oracle_sql()}),
+        drift_bal AS ({_imbalance_oracle_sql(**drift_where)}),
+        reb_bal AS ({_imbalance_oracle_sql()}),
+        dr AS ({hits.format(idx="drift_idx")}),
+        rr AS ({hits.format(idx="reb_idx")})
+        SELECT db.imbalance_ppm AS drifted_imbalance_ppm,
+               db.imbalance_ppm > {REBUILD_IMBALANCE_PPM} AS rebuild_triggered,
+               rb.imbalance_ppm AS rebuilt_imbalance_ppm,
+               dr.n_exact AS n_exact_total,
+               dr.hits AS drifted_hits,
+               rr.hits AS rebuilt_hits,
+               rr.hits - dr.hits AS recall_delta_hits
+        FROM drift_bal db, reb_bal rb, dr, rr
+    """
+
+
 # kNN-graph degree: every vector keeps its KNN_GRAPH_K best neighbors
 # from the cells it probes (the trained-IVF candidate restriction).
 KNN_GRAPH_K = 5
@@ -2675,6 +2828,7 @@ QUERIES = {
     "sim_filtered_topk": q_sim_filtered_topk,
     "sim_hard_negatives": q_sim_hard_negatives,
     "sim_ivf_append_topk": q_sim_ivf_append_topk,
+    "sim_ivf_rebuild": q_sim_ivf_rebuild,
     "sim_knn_graph": q_sim_knn_graph,
     "sim_knn_density": q_sim_knn_density,
     "sim_ivf_delete_topk": q_sim_ivf_delete_topk,
@@ -2729,6 +2883,7 @@ ORACLES = {
         base_where=f"vec_id % {IVF_BATCH_MOD} <> {IVF_BATCH_REM}",
         batch_where=f"vec_id % {IVF_BATCH_MOD} = {IVF_BATCH_REM}",
     ),
+    "sim_ivf_rebuild": _ivf_rebuild_oracle_sql(),
     "sim_hard_negatives": _ivf_trained_oracle_sql(
         pair_where="WHERE qe.label <> ce.label"
     ),

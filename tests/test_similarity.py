@@ -1079,6 +1079,72 @@ def test_centroid_balance_reconciles_with_train_report(spark, sf_dir):
     assert row.imbalance_ppm >= 1_000_000  # max >= mean always
 
 
+def test_ivf_rebuild_reconciles_with_lifecycle_entries(spark, sf_dir):
+    """The rebuild decision row must be derivable from the already-model-
+    tested lifecycle entries: rebuilt imbalance == the centroid-balance
+    audit, both hit totals == the summed recall reconciliations of the
+    drifted (append) and rebuilt (trained) searches, and on the
+    distribution-uniform synthetic corpus the trigger stays FALSE."""
+    row = S.q_sim_ivf_rebuild(spark, sf_dir).collect()[0]
+    bal = S.q_sim_centroid_balance(spark, sf_dir).collect()[0]
+    assert row.rebuilt_imbalance_ppm == bal.imbalance_ppm
+    drifted = S._recall_vs_exact(
+        spark, sf_dir, S.q_sim_ivf_append_topk(spark, sf_dir)
+    ).collect()
+    rebuilt = {
+        r.query_id: r
+        for r in S.q_sim_recall_audit_trained(spark, sf_dir).collect()
+    }
+    assert row.drifted_hits == sum(r.n_hits for r in drifted)
+    assert row.rebuilt_hits == sum(r.n_hits for r in rebuilt.values())
+    assert row.n_exact_total == sum(r.n_exact for r in drifted)
+    assert row.recall_delta_hits == row.rebuilt_hits - row.drifted_hits
+    assert row.drifted_imbalance_ppm >= 1_000_000  # max >= mean always
+    assert not row.rebuild_triggered, (
+        "uniform appends must not trip the drift bar: "
+        f"{row.drifted_imbalance_ppm} ppm"
+    )
+
+
+def test_ivf_rebuild_fires_and_improves_on_planted_drift(spark, tmp_path):
+    """When the appended batch IS a new cluster the base quantizer has no
+    cell for (true quantizer drift), the trigger must fire and the
+    retrained index must strictly reduce imbalance without losing recall:
+    base = 7 tight separated clusters, batch (vec_id % 10 == 7) = a tight
+    cloud on an 8th axis the base never saw."""
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.RandomState(11)
+    centers = np.zeros((8, 64))
+    for c in range(8):
+        centers[c, c] = 0.35
+    vecs = []
+    for i in range(200):
+        if i % 10 == 7:
+            v = centers[7] + 0.005 * rng.standard_normal(64)
+        else:
+            v = centers[i % 7] + 0.01 * rng.standard_normal(64)
+        vecs.append(np.clip(v, -0.45, 0.45).astype("float32"))
+    pd.DataFrame(
+        {
+            "vec_id": range(200),
+            "embedding": [v.tolist() for v in vecs],
+            "label": [i % 10 for i in range(200)],
+        }
+    ).to_parquet(tmp_path / "embeddings.parquet")
+
+    row = S.q_sim_ivf_rebuild(spark, str(tmp_path)).collect()[0]
+    assert row.rebuild_triggered, (
+        f"planted new-cluster drift must trip the bar: "
+        f"{row.drifted_imbalance_ppm} ppm <= {S.REBUILD_IMBALANCE_PPM}"
+    )
+    assert row.rebuilt_imbalance_ppm < row.drifted_imbalance_ppm, (
+        "retraining on the current corpus must absorb the planted cluster"
+    )
+    assert row.recall_delta_hits >= 0, "the rebuilt index must not lose recall"
+
+
 def test_power_iteration_matches_numpy_and_converges(spark, sf_dir):
     """Numpy recompute of the integer power method (same grid, same
     truncating rescale) — exact component equality; and the direction is
