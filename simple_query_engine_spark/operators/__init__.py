@@ -95,6 +95,7 @@ _ROTATION_FRONT = [
 _ROTATION_QUEUE: list[str] = [
     "dedup_cluster_keeper_quality",
     "sim_ivf_rebuild",
+    "stream_decontamination",
 ]
 
 

@@ -256,6 +256,49 @@ def _minhash_sig_of(shingles: DataFrame) -> DataFrame:
     )
 
 
+def _row_minhash_signature(documents: DataFrame) -> DataFrame:
+    """(doc_id, text) → (doc_id, signature) as a PURE PROJECTION — no
+    explode/groupBy — for STREAMING pipelines where the signature must be
+    stateless (Structured Streaming allows only one stateful operator and
+    the decontamination rollup needs it).  Same shingle definition, base
+    hash, and permutations as :func:`_minhash_sig_of` (equality of the
+    two constructions is pinned in tests); each min is an ``array_min``
+    over the in-row shingle array, so cost is per-row and the operator
+    parallelizes embarrassingly.  The tokenized/hashed arrays materialize
+    in their own projections (the ``_shingles_of`` CSE discipline —
+    64 permutation lambdas reference the hashed array)."""
+    words = F.col("w")
+    shingle_array = F.when(
+        F.size(words) >= 3,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.size(words) - 2),
+                lambda i: F.concat_ws(" ", F.slice(words, i, 3)),
+            )
+        ),
+    ).otherwise(F.array(F.concat_ws(" ", words)))
+    tokenized = documents.select(
+        "doc_id", F.split(_normalized(F.col("text")), " ").alias("w")
+    )
+    hashed = tokenized.select(
+        "doc_id",
+        F.transform(
+            shingle_array, lambda s: md5_prefix_long(s, 15) % _MERSENNE_P
+        ).alias("hs"),
+    )
+    sig = F.array(
+        *[
+            F.array_min(
+                F.transform(
+                    F.col("hs"), lambda h: (F.lit(a) * h + F.lit(b)) % _MERSENNE_P
+                )
+            )
+            for (a, b) in _MINHASH_PARAMS
+        ]
+    )
+    return hashed.select("doc_id", sig.alias("signature"))
+
+
 def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """doc_id → array of NUM_MINHASH minimum permuted shingle hashes.
 
@@ -284,12 +327,17 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _minhash_lsh_pairs(sig, JACCARD_THRESHOLD)
 
 
-def _band_rows(sig: DataFrame) -> DataFrame:
+def _band_rows(sig: DataFrame, keep_signature: bool = False) -> DataFrame:
     """Explode a signature table into (doc_id, band_idx, band_hash) rows —
-    the 24-byte join keys of every LSH candidate join."""
+    the 24-byte join keys of every LSH candidate join.  With
+    ``keep_signature`` the 64-long signature rides along (the STREAMING
+    candidate path can't join back to a keyed signature table without a
+    second stateful operator, so it carries the array through the
+    explode instead)."""
     rows_per_band = NUM_MINHASH // MINHASH_BANDS
+    keep = ["doc_id", "signature"] if keep_signature else ["doc_id"]
     return sig.select(
-        "doc_id",
+        *keep,
         F.explode(
             F.array(
                 *[
@@ -311,7 +359,7 @@ def _band_rows(sig: DataFrame) -> DataFrame:
                 ]
             )
         ).alias("band"),
-    ).select("doc_id", "band.band_idx", "band.band_hash")
+    ).select(*keep, "band.band_idx", "band.band_hash")
 
 
 def _minhash_lsh_pairs(sig: DataFrame, threshold: float) -> DataFrame:

@@ -665,9 +665,151 @@ def run_clip_ingest(
     )
 
 
+def q_stream_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING fuzzy decontamination gate — the ``text_decontamination_
+    fuzzy`` tier moved to the ingest door, where pretraining pipelines
+    actually need it (a leaked benchmark paraphrase should never reach
+    the corpus, not be found there later).  Documents replay as a
+    file-source stream; everything up to the rollup is STATELESS:
+    per-row MinHash signatures via the projection form
+    (``dedup._row_minhash_signature`` — equality with the grouped batch
+    construction is pinned in tests), band keys exploded per row with
+    the signature riding along, candidates from a stream-static join
+    against the BROADCAST eval band rows (|eval| docs — tiny), estimated
+    Jaccard as a projection, and the ≥ {PLANTED_JACCARD_THRESHOLD}
+    verify filter map-side.  The single streaming aggregation maintains
+    the flagged-pair state (complete mode); the per-eval-doc leak report
+    (count, first flagged doc, max estimate) is a read-time rollup over
+    the pair table (the ``stream_clip_ingest`` read-side pattern).
+
+    Vacuity handling (the batch twin's convention): leaked paraphrase
+    copies are derived INSIDE the stream — each eval doc's replay row
+    also emits a one-token-appended copy posing as a corpus document —
+    and the oracle performs the identical derivation, so paraphrase
+    DETECTION is exercised by the hash-checked gate.
+
+    Shape at 100 TB/day: eval bands broadcast once; each micro-batch
+    pays one stateless pass over its own rows + a candidate-count-sized
+    verify; state is one row per flagged (corpus, eval) pair — bounded
+    by true leaks, not corpus size.  Multi-batch replay equality is
+    pinned in tests."""
+    return run_stream_decontamination(spark, sf_dir)
+
+
+def run_stream_decontamination(
+    spark: SparkSession,
+    sf_dir: str,
+    stream_path: str | None = None,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """The :func:`q_stream_decontamination` pipeline with an overridable
+    stream source (tests replay a staged multi-file copy)."""
+    import tempfile
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from simple_query_engine_spark.functions.caching import session_cache
+    from simple_query_engine_spark.operators.dedup import (
+        NUM_MINHASH,
+        PLANT_DOC_OFFSET,
+        PLANT_SUFFIX,
+        PLANTED_JACCARD_THRESHOLD,
+        _band_rows,
+        _minhash_sig_of,
+        _row_minhash_signature,
+        _shingles_of,
+    )
+    from simple_query_engine_spark.operators.pipeline import EVAL_SET_MAX_DOC_ID
+    from simple_query_engine_spark.streaming.windows import read_event_stream
+
+    stream = read_event_stream(
+        spark,
+        stream_path or os.path.join(sf_dir, "documents.parquet"),
+        max_files_per_trigger,
+    )
+    # In-stream leak derivation: an eval doc's replay row becomes its
+    # planted corpus copy; corpus rows pass through unchanged.
+    own = F.struct(F.col("doc_id").alias("doc_id"), F.col("text").alias("text"))
+    leaked = F.struct(
+        (F.col("doc_id") + PLANT_DOC_OFFSET).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" " + PLANT_SUFFIX)).alias("text"),
+    )
+    corpus = (
+        stream.select(
+            F.explode(
+                F.when(
+                    F.col("doc_id") < EVAL_SET_MAX_DOC_ID, F.array(leaked)
+                ).otherwise(F.array(own))
+            ).alias("r")
+        )
+        .select(F.col("r.doc_id").alias("doc_id"), F.col("r.text").alias("text"))
+    )
+    banded = _band_rows(_row_minhash_signature(corpus), keep_signature=True)
+
+    eval_docs = (
+        table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < EVAL_SET_MAX_DOC_ID)
+        .select("doc_id", "text")
+    )
+    eval_sig = session_cache(
+        _minhash_sig_of(
+            _shingles_of(eval_docs, sf_dir, "stream_decontam_eval_shingles")
+        ),
+        sf_dir,
+        "stream_decontam_eval_sig",
+    )
+    eval_bands = _band_rows(eval_sig).select(
+        F.col("doc_id").alias("eval_doc_id"), "band_idx", "band_hash"
+    )
+    eval_sigs = eval_sig.select(
+        F.col("doc_id").alias("eval_doc_id"), F.col("signature").alias("sig_b")
+    )
+    est = F.round(
+        F.size(
+            F.filter(
+                F.zip_with("signature", "sig_b", lambda x, y: x == y),
+                lambda eq: eq,
+            )
+        )
+        / F.lit(NUM_MINHASH),
+        4,
+    )
+    flagged = (
+        banded.join(F.broadcast(eval_bands), ["band_idx", "band_hash"])
+        .join(F.broadcast(eval_sigs), "eval_doc_id")
+        .withColumn("est_jaccard", est)
+        .filter(F.col("est_jaccard") >= PLANTED_JACCARD_THRESHOLD)
+    )
+    pairs = flagged.groupBy("doc_id", "eval_doc_id").agg(
+        F.max("est_jaccard").alias("est_jaccard")
+    )
+    sink_name = f"decontam_{uuid.uuid4().hex[:8]}"
+    checkpoint = os.path.join(tempfile.gettempdir(), f"ckpt_{sink_name}")
+    query = (
+        pairs.writeStream.format("memory")
+        .queryName(sink_name)
+        .outputMode("complete")
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return (
+        spark.table(sink_name)
+        .groupBy("eval_doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_flagged_docs"),
+            F.min("doc_id").alias("first_flagged_doc_id"),
+            F.max("est_jaccard").alias("max_est_jaccard"),
+        )
+    )
+
+
 QUERIES = {
     "stream_tumbling_counts": q_stream_tumbling,
     "stream_clip_ingest": q_stream_clip_ingest,
+    "stream_decontamination": q_stream_decontamination,
     "stream_ttl_sessions": q_stream_ttl_sessions,
     "stream_static_enrich": q_stream_static_enrich,
     "stream_dedup_within_watermark": q_stream_dedup_within_watermark,
@@ -812,8 +954,37 @@ _CLIP_INGEST_SQL = """
     FROM g JOIN embeddings e ON e.vec_id = g.doc_id
 """
 
+def _stream_decontam_oracle_sql() -> str:
+    """Per-eval-doc rollup over the batch fuzzy-decontamination pair SQL
+    (same leak derivation, same MinHash pipeline, same threshold) — on a
+    finite replay the streaming gate must equal the batch tier exactly."""
+    from simple_query_engine_spark.operators.dedup import (
+        PLANTED_JACCARD_THRESHOLD,
+        _minhash_oracle_sql,
+    )
+    from simple_query_engine_spark.operators.pipeline import (
+        EVAL_SET_MAX_DOC_ID,
+        _FUZZY_LEAK_DOCS_SQL,
+    )
+
+    pairs = _minhash_oracle_sql(
+        docs_sql=_FUZZY_LEAK_DOCS_SQL,
+        threshold=PLANTED_JACCARD_THRESHOLD,
+        eval_max=EVAL_SET_MAX_DOC_ID,
+    )
+    return f"""
+        WITH flagged AS ({pairs})
+        SELECT eval_doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_flagged_docs,
+               MIN(doc_id) AS first_flagged_doc_id,
+               MAX(est_jaccard) AS max_est_jaccard
+        FROM flagged GROUP BY eval_doc_id
+    """
+
+
 ORACLES = {
     "stream_clip_ingest": _CLIP_INGEST_SQL,
+    "stream_decontamination": _stream_decontam_oracle_sql(),
     "stream_mixture_sample": _mixture_ingest_oracle_sql(),
     "stream_bm25_postings": _bm25_postings_oracle_sql(),
     # Batch gap-sessionization (gap EXCLUSIVE: an event exactly gap

@@ -91,6 +91,27 @@ def test_clusters_match_union_find(spark, sf_dir, exact_pairs):
         assert got[root].keep_doc_id == min(members)
 
 
+def test_row_minhash_signature_equals_grouped_construction(spark, sf_dir):
+    """The stateless projection form (streaming decontamination's
+    signature path) must produce bit-identical signatures to the
+    explode+groupBy batch construction — the invariant that lets the
+    streaming gate share the batch tier's oracle."""
+    from simple_query_engine_spark.sources.catalog import table
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    row_form = {
+        r.doc_id: tuple(r.signature)
+        for r in D._row_minhash_signature(docs).collect()
+    }
+    grouped = {
+        r.doc_id: tuple(r.signature)
+        for r in D._minhash_sig_of(
+            D._shingles_of(docs, sf_dir, "rowsig_pin_shingles")
+        ).collect()
+    }
+    assert row_form == grouped
+
+
 def test_cluster_keeper_quality_matches_model(spark, sf_dir):
     """Quality-keeper clusters must equal a driver-side model: union-find
     over the SAME LSH pair list, keeper = argmax (score_micro, -doc_id)

@@ -451,6 +451,39 @@ def test_mixture_ingest_multi_batch_equals_batch_gate(spark, sf_dir, tmp_path):
     assert got == expected
 
 
+def test_stream_decontamination_multi_batch_equals_single_shot(
+    spark, sf_dir, tmp_path
+):
+    """The streaming fuzzy gate over a 3-file replay (one micro-batch per
+    file) must equal the single-shot run: band candidates and the verify
+    filter are stateless, the pair state is a groupBy (batch-split-
+    invariant), so however the corpus slices into micro-batches the leak
+    report is identical.  Every eval doc must be flagged (its in-stream
+    planted paraphrase copy guarantees a >= threshold match)."""
+    from simple_query_engine_spark.operators.pipeline import EVAL_SET_MAX_DOC_ID
+
+    staged = str(tmp_path / "docs_decontam")
+    spark.read.parquet(f"{sf_dir}/documents.parquet").repartition(3).write.parquet(
+        staged
+    )
+    replay = rows_set(
+        SO.run_stream_decontamination(
+            spark, sf_dir, stream_path=staged, max_files_per_trigger=1
+        )
+    )
+    single = rows_set(SO.run_stream_decontamination(spark, sf_dir))
+    assert replay == single
+    flagged_evals = {r[0] for r in replay}
+    eval_ids = {
+        r.doc_id
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .filter(f"doc_id < {EVAL_SET_MAX_DOC_ID}")
+        .collect()
+    }
+    assert flagged_evals == eval_ids, "every eval doc's planted leak must fire"
+    assert all(r[1] >= 1 for r in replay)
+
+
 def test_clip_ingest_multi_batch_equals_batch_manifest(spark, sf_dir, tmp_path):
     """The streaming pair manifest over a 3-file replay (one micro-batch
     per file) must equal the batch construction: min-doc_id keepers are
