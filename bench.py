@@ -4,11 +4,13 @@
 Prints ONE JSON line:
     {"metric": "...", "value": <total sec>, "unit": "sec",
      "queries": {name: sec, ...}, "sf": <sf>,
-     "suite2_version": ..., "suite2_value": ..., "suite2_queries": {...}}
+     "suite2_version": ..., "suite2_value": ..., "suite2_queries": {...},
+     "suite3_version": ..., "suite3_value": ..., "suite3_queries": {...}}
 
 "value"/"queries" are the FROZEN r01 headline suite (cross-round
 continuity); "suite2_*" is the versioned heavy-operator suite added in
-r07 (same three-pass warm protocol, same calibration applies).
+r07; "suite3_*" is the fixed-round iterative group split out in r12
+(same three-pass warm protocol, same calibration applies to all three).
 
 Each query executes fully via the `noop` sink (forces the whole plan —
 df.count() would let Catalyst prune projections and under-report).  A
@@ -61,7 +63,10 @@ HEADLINE = [
 # round-over-round comparison knows when the totals became incomparable.
 # r11a = r09a +4: the round-10/11 heavies (k-means train, trained-IVF
 # top-k, BPE merge-rule training, CDC incremental curation)
-SUITE2_VERSION = "r11c"  # r11b + the 4 third-continuation heavies
+# r12a: the fixed-round graph iteratives moved OUT to SUITE3_ITERATIVE
+# (VERDICT r11 item 6 — their wall time is rounds × local scheduler
+# floor, which was masking regressions in the other members).
+SUITE2_VERSION = "r12a"
 SUITE2 = [
     "dedup_substring_spans",
     "sim_semdedup",
@@ -76,7 +81,6 @@ SUITE2 = [
     "sim_pq_rerank",
     "dedup_keep_latest",
     "dml_zorder_skipping",
-    "graph_triangles_neardup",
     "text_ngram_novelty",
     "sim_sq_rerank",
     "dedup_incremental_minhash",
@@ -92,13 +96,23 @@ SUITE2 = [
     "sketch_countmin_words",
     "pipeline_token_quota",
     "stats_corpus_report",
-    "sim_semantic_clusters",
-    "graph_pagerank_neardup",
-    # r11c additions (third continuation)
     "text_gopher_quality",
-    "graph_label_spread",
     "sim_knn_density",
     "sim_multiprobe_lsh",
+]
+
+# Third suite: the fixed-round ITERATIVE graph/cluster operators.  Their
+# sf0.1 wall time is dominated by rounds × the local job-scheduling floor
+# (not a data term), so they get their own timing group — a regression in
+# SUITE2's data-bound members stays visible, and a scheduler-floor wobble
+# here can't masquerade as an operator regression there.
+SUITE3_VERSION = "r12a"
+SUITE3_ITERATIVE = [
+    "sim_semantic_clusters",
+    "graph_pagerank_neardup",
+    "graph_triangles_neardup",
+    "graph_label_spread",
+    "graph_components_incremental",
 ]
 
 
@@ -161,6 +175,7 @@ def main() -> int:
 
     cold, timings = three_pass(HEADLINE)
     cold2, timings2 = three_pass(SUITE2)
+    cold3, timings3 = three_pass(SUITE3_ITERATIVE)
 
     def _calibrate() -> float:
         probe = lambda: spark.range(500_000_000, numPartitions=32).selectExpr(
@@ -199,6 +214,10 @@ def main() -> int:
         "suite2_value": round(sum(timings2.values()), 3),
         "suite2_queries": timings2,
         "suite2_cold_value": round(sum(cold2.values()), 3),
+        "suite3_version": SUITE3_VERSION,
+        "suite3_value": round(sum(timings3.values()), 3),
+        "suite3_queries": timings3,
+        "suite3_cold_value": round(sum(cold3.values()), 3),
         "calibration_jvm_sum_sec": calibration,
         "host_phase": host_phase,
     }
