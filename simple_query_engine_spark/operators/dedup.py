@@ -963,6 +963,43 @@ def _cc_scratch_dir(spark: SparkSession) -> str:
     return tempfile.mkdtemp(prefix="cc_", dir=root)
 
 
+def _propagation_round(edges: DataFrame, labels: DataFrame) -> DataFrame:
+    """ONE synchronous round of min-label propagation with pointer
+    doubling — the loop body of :func:`_propagate_labels`, extracted so
+    the per-round plan (the shape that repeats at scale) can be audited
+    un-materialized by ``tools/plan_audit.py``: a neighbor-min join +
+    map-side-combined aggregate, a left join back, then the doubling
+    self-lookup."""
+    neighbor_min = (
+        edges.join(labels, edges.dst == labels.doc_id)
+        .groupBy("src")
+        .agg(F.min("label").alias("neighbor_label"))
+    )
+    stepped = (
+        labels.join(neighbor_min, labels.doc_id == neighbor_min.src, "left")
+        .select(
+            "doc_id",
+            F.least(
+                F.col("label"), F.coalesce("neighbor_label", F.col("label"))
+            ).alias("label"),
+        )
+    )
+    # Pointer doubling: every label value is itself a doc_id, so look
+    # up the label's label and jump straight to it.
+    anchor = stepped.select(
+        F.col("doc_id").alias("anchor"), F.col("label").alias("anchor_label")
+    )
+    return (
+        stepped.join(anchor, stepped.label == anchor.anchor, "left")
+        .select(
+            "doc_id",
+            F.least(
+                F.col("label"), F.coalesce("anchor_label", F.col("label"))
+            ).alias("label"),
+        )
+    )
+
+
 def _propagate_labels(
     edges: DataFrame, max_iterations: int = MAX_CC_ITERATIONS
 ) -> tuple[DataFrame, int]:
@@ -1023,35 +1060,7 @@ def _propagate_labels(
     )
     rounds = 0
     for rounds in range(1, max_iterations + 1):
-        neighbor_min = (
-            edges.join(labels, edges.dst == labels.doc_id)
-            .groupBy("src")
-            .agg(F.min("label").alias("neighbor_label"))
-        )
-        stepped = (
-            labels.join(neighbor_min, labels.doc_id == neighbor_min.src, "left")
-            .select(
-                "doc_id",
-                F.least(
-                    F.col("label"), F.coalesce("neighbor_label", F.col("label"))
-                ).alias("label"),
-            )
-        )
-        # Pointer doubling: every label value is itself a doc_id, so look
-        # up the label's label and jump straight to it.
-        anchor = stepped.select(
-            F.col("doc_id").alias("anchor"), F.col("label").alias("anchor_label")
-        )
-        new_labels = _materialize(
-            stepped.join(anchor, stepped.label == anchor.anchor, "left")
-            .select(
-                "doc_id",
-                F.least(
-                    F.col("label"), F.coalesce("anchor_label", F.col("label"))
-                ).alias("label"),
-            ),
-            rounds,
-        )
+        new_labels = _materialize(_propagation_round(edges, labels), rounds)
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "doc_id")
@@ -1775,6 +1784,29 @@ def q_graph_components_incremental(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
 
+def _alive_degrees(edges: DataFrame, alive: DataFrame) -> DataFrame:
+    """Per-node degree INSIDE the alive subgraph: two semi-join-shaped
+    inner joins against the alive node list, then one map-side-combined
+    count per source node."""
+    return (
+        edges.join(alive.withColumnRenamed("node", "src"), "src")
+        .join(alive.withColumnRenamed("node", "dst"), "dst")
+        .groupBy("src")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+
+
+def _kcore_round(edges: DataFrame, alive: DataFrame) -> DataFrame:
+    """ONE synchronized peel round — the loop body of
+    :func:`q_graph_kcore_neardup`, extracted so the per-round plan can be
+    audited un-materialized by ``tools/plan_audit.py``."""
+    return (
+        _alive_degrees(edges, alive)
+        .filter(F.col("deg") >= KCORE_K)
+        .select(F.col("src").alias("node"))
+    )
+
+
 # k-core peeling: K is the degree bar, KCORE_ROUNDS the FIXED number of
 # synchronized peel rounds (the graph-family fixed-iteration discipline —
 # both engines run exactly R rounds, so results are engine-identical even
@@ -1833,22 +1865,9 @@ def q_graph_kcore_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         edges.select(F.col("src").alias("node")).distinct(), "kcore_alive_0"
     )
 
-    def _alive_deg(alive_df: DataFrame) -> DataFrame:
-        return (
-            edges.join(alive_df.withColumnRenamed("node", "src"), "src")
-            .join(alive_df.withColumnRenamed("node", "dst"), "dst")
-            .groupBy("src")
-            .agg(F.count(F.lit(1)).alias("deg"))
-        )
-
     removed_frames = []
     for r in range(1, KCORE_ROUNDS + 1):
-        new_alive = _materialize(
-            _alive_deg(alive)
-            .filter(F.col("deg") >= KCORE_K)
-            .select(F.col("src").alias("node")),
-            f"kcore_alive_{r}",
-        )
+        new_alive = _materialize(_kcore_round(edges, alive), f"kcore_alive_{r}")
         removed_frames.append(
             alive.join(new_alive, "node", "left_anti").select(
                 "node", F.lit(r).alias("peel_round")
@@ -1859,7 +1878,9 @@ def q_graph_kcore_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # final alive set (its supporting neighbors peeled in the same round);
     # it still survived R rounds and must not vanish from the output.
     survivors = alive.join(
-        _alive_deg(alive).withColumnRenamed("src", "node"), "node", "left"
+        _alive_degrees(edges, alive).withColumnRenamed("src", "node"),
+        "node",
+        "left",
     ).select(
         "node",
         F.lit(0).alias("peel_round"),
