@@ -1084,10 +1084,10 @@ def _propagate_labels(
     return labels, rounds
 
 
-def _cluster_components(pairs: DataFrame) -> DataFrame:
-    """Connected components over a (doc_id_a, doc_id_b) pair list →
-    (cluster_id, cluster_size, keep_doc_id)."""
-    edges = (
+def _symmetric_edges(pairs: DataFrame) -> DataFrame:
+    """(doc_id_a, doc_id_b) pair list → bidirectional (src, dst) edge
+    list — the shared prefix of every component/graph construction."""
+    return (
         pairs.union(
             pairs.select(
                 F.col("doc_id_b").alias("doc_id_a"), F.col("doc_id_a").alias("doc_id_b")
@@ -1095,12 +1095,26 @@ def _cluster_components(pairs: DataFrame) -> DataFrame:
         )
         .withColumnRenamed("doc_id_a", "src")
         .withColumnRenamed("doc_id_b", "dst")
-        .cache()
     )
+
+
+def _component_labels(pairs: DataFrame) -> DataFrame:
+    """(doc_id_a, doc_id_b) pair list → fixpoint (doc_id, label)
+    component labels: symmetrize, cache for the propagation rounds,
+    propagate, release — shared by the cluster rollup and the
+    quality-keeper entry so the prefix can never diverge."""
+    edges = _symmetric_edges(pairs).cache()
     labels, _ = _propagate_labels(edges)
     edges.unpersist()
+    return labels
+
+
+def _cluster_components(pairs: DataFrame) -> DataFrame:
+    """Connected components over a (doc_id_a, doc_id_b) pair list →
+    (cluster_id, cluster_size, keep_doc_id)."""
     return (
-        labels.groupBy("label")
+        _component_labels(pairs)
+        .groupBy("label")
         .agg(
             F.count(F.lit(1)).alias("cluster_size"),
             F.min("doc_id").alias("keep_doc_id"),
@@ -1210,19 +1224,7 @@ def q_dedup_cluster_keeper_quality(spark: SparkSession, sf_dir: str) -> DataFram
     from simple_query_engine_spark.operators.text import q_quality_classifier
 
     pairs = q_dedup_minhash_lsh(spark, sf_dir).select("doc_id_a", "doc_id_b")
-    edges = (
-        pairs.union(
-            pairs.select(
-                F.col("doc_id_b").alias("doc_id_a"), F.col("doc_id_a").alias("doc_id_b")
-            )
-        )
-        .withColumnRenamed("doc_id_a", "src")
-        .withColumnRenamed("doc_id_b", "dst")
-        .cache()
-    )
-    labels, _ = _propagate_labels(edges)
-    edges.unpersist()
-    members = labels.withColumnRenamed("label", "cluster_id")
+    members = _component_labels(pairs).withColumnRenamed("label", "cluster_id")
     quality = q_quality_classifier(spark, sf_dir).select("doc_id", "score_micro")
     # Every clustered doc has shingles, hence tokens, hence a score row —
     # the inner join drops nothing (pinned in tests).
@@ -1246,35 +1248,26 @@ def q_dedup_cluster_keeper_quality(spark: SparkSession, sf_dir: str) -> DataFram
 
 
 def _keeper_quality_oracle_sql() -> str:
-    """DuckDB oracle for the quality-keeper clusters: the
-    ``_closure_sql`` recursive closure over the LSH pair SQL, joined with
-    the classifier score relation (imported verbatim from text.py so the
-    two entries can never desynchronize), same ROW_NUMBER total order."""
+    """DuckDB oracle for the quality-keeper clusters: the SHARED
+    ``_closure_label_ctes`` recursive closure over the LSH pair SQL
+    (one definition with the cluster-rollup oracles), joined with the
+    classifier score relation (imported verbatim from text.py), same
+    ROW_NUMBER total order."""
     from simple_query_engine_spark.operators.text import _CLASSIFIER_ORACLE_SQL
 
+    near_sql = (
+        "SELECT doc_id_a AS ida, doc_id_b AS idb\n"
+        f"            FROM ({_minhash_oracle_sql()}) mh"
+    )
     return f"""
-        WITH RECURSIVE near AS (
-            SELECT doc_id_a AS ida, doc_id_b AS idb
-            FROM ({_minhash_oracle_sql()}) mh
-        ), edges AS (
-            SELECT ida AS src, idb AS dst FROM near
-            UNION SELECT idb, ida FROM near
-            UNION SELECT ida, ida FROM near
-            UNION SELECT idb, idb FROM near
-        ), reach(src, dst) AS (
-            SELECT src, dst FROM edges
-            UNION
-            SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
-        ), members AS (
-            SELECT src AS doc_id, MIN(dst) AS cluster_id FROM reach GROUP BY src
-        ), ranked AS (
+        WITH RECURSIVE {_closure_label_ctes(near_sql)}, ranked AS (
             SELECT m.cluster_id, m.doc_id, s.score_micro,
                    ROW_NUMBER() OVER (PARTITION BY m.cluster_id
                                       ORDER BY s.score_micro DESC, m.doc_id)
                        AS rn,
                    CAST(COUNT(*) OVER (PARTITION BY m.cluster_id) AS BIGINT)
                        AS cluster_size
-            FROM members m
+            FROM labels m
             JOIN (SELECT doc_id, score_micro
                   FROM ({_CLASSIFIER_ORACLE_SQL}) c) s USING (doc_id)
         )
@@ -2080,16 +2073,13 @@ _PLANTED_DOCS_SQL = f"""(
         )"""
 
 
-def _closure_sql(near_sql: str, keep_col: str = "keep_doc_id") -> str:
-    """DuckDB oracle for connected components over any (ida, idb) pair
-    source: recursive transitive closure; a node's cluster id is the
-    minimum node it can reach.  (The Spark side iterates label
-    propagation — a different algorithm for the same relation, which is
-    exactly what an oracle should be.)  ``keep_col`` names the survivor
-    column — ``keep_vec_id`` for the embedding-graph reuse in
-    ``similarity.q_sim_semantic_clusters``."""
-    return f"""
-        WITH RECURSIVE near AS (
+def _closure_label_ctes(near_sql: str) -> str:
+    """The recursive-closure CTE chain (near → edges → reach → per-node
+    ``labels``) shared by the cluster-rollup oracle and the
+    quality-keeper oracle — ONE definition of the component relation, so
+    a closure change (e.g. the self-loop rows) can never desynchronize
+    them."""
+    return f"""near AS (
             {near_sql}
         ), edges AS (
             SELECT ida AS src, idb AS dst FROM near
@@ -2102,7 +2092,19 @@ def _closure_sql(near_sql: str, keep_col: str = "keep_doc_id") -> str:
             SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
         ), labels AS (
             SELECT src AS doc_id, MIN(dst) AS cluster_id FROM reach GROUP BY src
-        )
+        )"""
+
+
+def _closure_sql(near_sql: str, keep_col: str = "keep_doc_id") -> str:
+    """DuckDB oracle for connected components over any (ida, idb) pair
+    source: recursive transitive closure; a node's cluster id is the
+    minimum node it can reach.  (The Spark side iterates label
+    propagation — a different algorithm for the same relation, which is
+    exactly what an oracle should be.)  ``keep_col`` names the survivor
+    column — ``keep_vec_id`` for the embedding-graph reuse in
+    ``similarity.q_sim_semantic_clusters``."""
+    return f"""
+        WITH RECURSIVE {_closure_label_ctes(near_sql)}
         SELECT cluster_id,
                COUNT(*) AS cluster_size,
                MIN(doc_id) AS {keep_col}

@@ -716,13 +716,19 @@ def q_sim_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _recall_vs_exact(
-    spark: SparkSession, sf_dir: str, approx: DataFrame
+    spark: SparkSession, sf_dir: str, approx: DataFrame, exact: DataFrame | None = None
 ) -> DataFrame:
     """Per-query recall@k of ``approx`` against the exact brute-force
     top-k — the shared reconciliation of both recall-audit entries.  Both
     inputs are |Q|·k rows, so the join is broadcast-sized whatever the
-    corpus."""
-    exact = q_sim_topk_bruteforce(spark, sf_dir).select("query_id", "neighbor_id")
+    corpus.  Callers reconciling SEVERAL approximate indexes in one plan
+    (``sim_ivf_rebuild``) pass a shared cached ``exact`` page — Catalyst
+    does not dedupe identical subtrees, so letting each branch rebuild
+    the brute-force scan pays the corpus pass once per branch."""
+    if exact is None:
+        exact = q_sim_topk_bruteforce(spark, sf_dir).select(
+            "query_id", "neighbor_id"
+        )
     hits = approx.select("query_id", "neighbor_id", F.lit(1).alias("hit"))
     flagged = exact.join(hits, ["query_id", "neighbor_id"], "left")
     return flagged.groupBy("query_id").agg(
@@ -2085,8 +2091,17 @@ def q_sim_ivf_rebuild(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("max(n) * count(1) * 1000000 div sum(n)").alias(col)
         )
 
+    # ONE brute-force exact page shared by both recall branches — the
+    # single most expensive subplan in the entry; uncached, the crossJoin
+    # composition below would execute it once per branch.
+    exact = session_cache(
+        q_sim_topk_bruteforce(spark, sf_dir).select("query_id", "neighbor_id"),
+        sf_dir,
+        "rebuild_exact_topk",
+    )
+
     def _hits(approx: DataFrame, hits_col: str, exact_col: str) -> DataFrame:
-        return _recall_vs_exact(spark, sf_dir, approx).agg(
+        return _recall_vs_exact(spark, sf_dir, approx, exact=exact).agg(
             F.sum("n_hits").alias(hits_col), F.sum("n_exact").alias(exact_col)
         )
 

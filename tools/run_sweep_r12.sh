@@ -5,17 +5,20 @@
 cd /root/repo
 {
   echo "=== RUNLOG r12 — full catalog sweep at HEAD $(git rev-parse --short HEAD) ($(date -u +%Y-%m-%dT%H:%MZ)) ==="
+  # Keep EVERY per-query FAIL line (the runlog is the permanent failure
+  # record — a tail cap would silently drop named failures past the cap)
+  # plus the one aggregate summary line per leg.
   for sf in sf0.001 sf0.01 sf0.1; do
     echo "--- $sf ---"
     python tools/check_correctness.py /root/testdata/$sf 2>&1 \
       | grep -vE "WARN|INFO|Using|Setting|To adjust|^\[Stage" \
-      | grep -E "FAIL|rows-only:|ok, " | tail -3
+      | grep -E "FAIL|ok, "
   done
   echo "--- types-only scan (sf0.01) ---"
   python tools/check_correctness.py /root/testdata/sf0.01 --types-only 2>&1 | tail -2
   echo "--- local[5] determinism (sf0.01) ---"
   SPARK_GRAFT_CPUS=5 python tools/check_correctness.py /root/testdata/sf0.01 2>&1 \
     | grep -vE "WARN|INFO|Using|Setting|To adjust|^\[Stage" \
-    | grep -E "FAIL|ok, " | tail -2
+    | grep -E "FAIL|ok, "
   echo "=== sweep done ($(date -u +%Y-%m-%dT%H:%MZ)) ==="
 } > RUNLOG_r12.txt 2>&1
