@@ -93,9 +93,30 @@ _ROTATION_FRONT = [
 # treats queue membership as "pending" for the no-name-falls-through
 # invariant.
 _ROTATION_QUEUE: list[str] = [
+    # new in round 12
     "dedup_cluster_keeper_quality",
     "sim_ivf_rebuild",
     "stream_decontamination",
+    # function-changed in round 12 (managed.py hardening: SQL NULL delete
+    # semantics, atomic manifest commit, merge source materialization +
+    # schema/duplicate-key parity guards, absolute-path normalization) —
+    # all re-gated green locally at the close; queued for driver re-cert
+    "dml_insert_append",
+    "dml_delete_where",
+    "dml_update_set",
+    "dml_merge_upsert",
+    "dml_time_travel",
+    "dml_compact_files",
+    "dml_schema_evolution",
+    "dml_vacuum",
+    "dml_change_feed",
+    "dml_incremental_view",
+    "dml_table_history",
+    "dml_shallow_clone",
+    "dml_restore_version",
+    "dml_zorder_skipping",
+    "pipeline_incremental_curation",
+    "stream_upsert_managed",
 ]
 
 

@@ -51,8 +51,15 @@ class ManagedTable:
 
     def __init__(self, spark: SparkSession, path: str):
         self.spark = spark
-        self.path = path
-        self._manifest_dir = os.path.join(path, "_manifests")
+        # Absolute from the start: manifests record the paths
+        # _write_data_files produces, and copy-on-write subtracts the
+        # _metadata.file_path-derived affected set (always absolute) from
+        # them by string equality.  A relative table path would make that
+        # subtraction never match — rewrites would then carry BOTH the
+        # original and rewritten files, silently duplicating/undeleting
+        # rows — and vacuum's ownership prefix would turn cwd-dependent.
+        self.path = os.path.abspath(path)
+        self._manifest_dir = os.path.join(self.path, "_manifests")
 
     # -- creation / versions -------------------------------------------------
 
@@ -367,8 +374,16 @@ class ManagedTable:
         )
 
     def delete_where(self, condition: Column) -> int:
-        """Delete matching rows by rewriting only the files that hold them."""
-        return self._rewrite(condition, lambda df: df.filter(~condition), "delete")
+        """Delete matching rows by rewriting only the files that hold them.
+
+        SQL DELETE semantics: a row is deleted only where the predicate is
+        TRUE; rows where it evaluates NULL survive.  The keep-filter is
+        therefore ``NOT coalesce(condition, FALSE)`` — a bare
+        ``filter(~condition)`` would drop NULL-predicate rows from
+        rewritten files while identical rows in untouched files survive,
+        making deletion depend on physical file placement."""
+        keep = ~F.coalesce(condition, F.lit(False))
+        return self._rewrite(condition, lambda df: df.filter(keep), "delete")
 
     def update(self, condition: Column, assignments: dict[str, Column]) -> int:
         """Set ``assignments`` on matching rows; untouched files carry over."""
@@ -494,64 +509,135 @@ class ManagedTable:
         source rows are appended when ``insert_not_matched``.  One commit —
         rewritten match-files plus appended insert-files land in the same
         manifest, so readers never observe a half-applied merge.
+
+        Three SQL/Delta-parity disciplines:
+
+        - The source is MATERIALIZED once (scratch parquet) before any of
+          the four reads that consume it — a non-deterministic source
+          would otherwise present different rows to the duplicate check,
+          the affected-file probe, the update join, and the insert
+          anti-join, losing or duplicating rows (Delta materializes the
+          merge source for exactly this reason).
+        - Duplicate source keys are an error only when they MATCH a
+          target row (multiple updates of one target row are ambiguous);
+          duplicates that match nothing — including NULL keys, which
+          never equal anything — all flow to WHEN NOT MATCHED inserts.
+        - The source's overlapping columns must carry the table's exact
+          types, and the rewritten projection is re-checked against the
+          table schema — silently writing divergent types under a
+          manifest that says otherwise would poison every later read
+          (the ``insert`` contract, enforced here too).
         """
+        import shutil
+        import tempfile
+
         base = self.current_version()
-        target_cols = self.read(base).columns
-        # SQL MERGE semantics: more than one source row per key is an
-        # error, not a silent fan-out of the matched target rows.
-        dup = (
-            source.groupBy(on)
-            .agg(F.count(F.lit(1)).alias("n"))
-            .filter(F.col("n") > 1)
-            .limit(1)
-            .collect()
-        )
-        if dup:
-            raise ValueError(
-                f"merge source has multiple rows for key {on}={dup[0][0]!r}"
-            )
-        keys = source.select(on).distinct()
-        affected = self._affected_files(
-            self._with_file_path(base).join(keys, on, "left_semi")
-        )
-
-        new_files: list[str] = []
-        if affected:
-            # __matched marks source presence explicitly — probing a data
-            # column would misread legitimately-NULL values as "no match".
-            marked = source.withColumn("__matched", F.lit(True))
-            joined = (
-                self._read_files(affected, self._schema(base))
-                .alias("t")
-                .join(
-                    marked.alias("s"),
-                    F.col(f"t.{on}") == F.col(f"s.{on}"),
-                    "left",
+        base_schema = self._schema(base) or self.read(base).schema
+        target_cols = [f.name for f in base_schema.fields]
+        base_fields = {f.name: f for f in base_schema.fields}
+        if update_assignments:
+            unknown = [n for n in update_assignments if n not in base_fields]
+            if unknown:
+                raise ValueError(
+                    f"merge update_assignments reference unknown columns {unknown}"
                 )
+        for f in source.schema.fields:
+            tgt = base_fields.get(f.name)
+            if tgt is not None and f.dataType != tgt.dataType:
+                raise ValueError(
+                    f"merge source column {f.name!r} is {f.dataType}, "
+                    f"table has {tgt.dataType}"
+                )
+
+        scratch = os.path.join(
+            tempfile.gettempdir(), f"sqe_merge_src_{uuid.uuid4().hex}"
+        )
+        source.write.parquet(scratch)
+        source = self.spark.read.schema(source.schema).parquet(scratch)
+        try:
+            # SQL MERGE semantics: more than one source row per MATCHED
+            # target key is an error, not a silent fan-out of the matched
+            # target rows.
+            dup_keys = (
+                source.filter(F.col(on).isNotNull())
+                .groupBy(on)
+                .agg(F.count(F.lit(1)).alias("n"))
+                .filter(F.col("n") > 1)
             )
-            matched = F.col("s.__matched").isNotNull()
-            projected = joined.select(
-                *[
-                    (
-                        F.when(matched, update_assignments[name])
-                        .otherwise(F.col(f"t.{name}"))
-                        .alias(name)
-                        if update_assignments and name in update_assignments
-                        else F.col(f"t.{name}").alias(name)
+            dup = (
+                dup_keys.join(
+                    self.read(base).select(on).distinct(), on, "left_semi"
+                )
+                .limit(1)
+                .collect()
+            )
+            if dup:
+                raise ValueError(
+                    f"merge source has multiple rows for matched key "
+                    f"{on}={dup[0][0]!r}"
+                )
+            keys = source.select(on).distinct()
+            affected = self._affected_files(
+                self._with_file_path(base).join(keys, on, "left_semi")
+            )
+
+            new_files: list[str] = []
+            if affected:
+                # __matched marks source presence explicitly — probing a
+                # data column would misread legitimately-NULL values as
+                # "no match".
+                marked = source.withColumn("__matched", F.lit(True))
+                joined = (
+                    self._read_files(affected, self._schema(base))
+                    .alias("t")
+                    .join(
+                        marked.alias("s"),
+                        F.col(f"t.{on}") == F.col(f"s.{on}"),
+                        "left",
                     )
-                    for name in target_cols
-                ]
+                )
+                matched = F.col("s.__matched").isNotNull()
+                projected = joined.select(
+                    *[
+                        (
+                            F.when(matched, update_assignments[name])
+                            .otherwise(F.col(f"t.{name}"))
+                            .alias(name)
+                            if update_assignments and name in update_assignments
+                            else F.col(f"t.{name}").alias(name)
+                        )
+                        for name in target_cols
+                    ]
+                )
+                self._check_merge_schema(projected, base_schema, "update")
+                new_files.extend(self._write_data_files(projected))
+
+            if insert_not_matched:
+                existing_keys = self.read(base).select(on).distinct()
+                inserts = source.join(existing_keys, on, "left_anti").select(
+                    *target_cols
+                )
+                self._check_merge_schema(inserts, base_schema, "insert")
+                new_files.extend(self._write_data_files(inserts))
+
+            affected_set = set(affected)
+            untouched = [f for f in self._files(base) if f not in affected_set]
+            return self._commit(
+                base + 1, untouched + new_files, txn=txn, op="merge"
             )
-            new_files.extend(self._write_data_files(projected))
+        finally:
+            shutil.rmtree(scratch, ignore_errors=True)
 
-        if insert_not_matched:
-            existing_keys = self.read(base).select(on).distinct()
-            inserts = source.join(existing_keys, on, "left_anti")
-            new_files.extend(self._write_data_files(inserts.select(*target_cols)))
-
-        affected_set = set(affected)
-        untouched = [f for f in self._files(base) if f not in affected_set]
-        return self._commit(base + 1, untouched + new_files, txn=txn, op="merge")
+    @staticmethod
+    def _check_merge_schema(df: DataFrame, base_schema, ctx: str) -> None:
+        """Raise if ``df``'s column types diverge from the table schema —
+        the write would otherwise land files the manifest misdescribes."""
+        for got, want in zip(df.schema.fields, base_schema.fields):
+            if got.name != want.name or got.dataType != want.dataType:
+                raise ValueError(
+                    f"merge {ctx} column {got.name!r} is {got.dataType}, "
+                    f"table has {want.name!r} {want.dataType}"
+                )
 
     # -- internals -----------------------------------------------------------
 
@@ -655,16 +741,26 @@ class ManagedTable:
         if schema is not None:
             payload["schema"] = schema.json()
         manifest = os.path.join(self._manifest_dir, f"v{version:05d}.json")
+        # Write-temp-then-link = the commit point.  Streaming json.dump
+        # into the final name would make a half-written manifest visible
+        # as the latest version (readers crash on it; retrying writers
+        # see a permanent conflict).  The payload lands fully in a temp
+        # file first; os.link publishes it atomically, and exactly one
+        # writer can link a given version name — losers see the conflict
+        # and retry against the new snapshot.
+        tmp = manifest + f".tmp.{uuid.uuid4().hex}"
+        with open(tmp, "w") as fh:
+            json.dump(payload, fh)
+            fh.flush()
+            os.fsync(fh.fileno())
         try:
-            # O_EXCL create = the commit point.  Exactly one writer can
-            # create a given version file; losers see the conflict and
-            # retry against the new snapshot.
-            with open(manifest, "x") as fh:
-                json.dump(payload, fh)
+            os.link(tmp, manifest)
         except FileExistsError:
             raise TableVersionConflict(
                 f"version {version} of {self.path} was committed concurrently"
             ) from None
+        finally:
+            os.unlink(tmp)
         return version
 
     def history(self) -> list[dict]:

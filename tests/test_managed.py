@@ -623,3 +623,122 @@ def test_restore_is_forward_history_and_restores_stats(spark, tmp_path):
     assert n_read < n_total
     with pytest.raises(ValueError, match="cannot restore"):
         t.restore(99)
+
+
+# -- round-12 hardening: SQL NULL semantics, path normalization, atomic
+#    commits, and the four merge-parity guards -----------------------------
+
+
+def test_delete_null_predicate_rows_survive_everywhere(spark, tmp_path):
+    """SQL DELETE keeps rows where the predicate evaluates NULL — and the
+    outcome must not depend on whether the NULL row happens to share a
+    file with a deleted row (the rewritten-file path) or not (the
+    untouched-file path)."""
+    co_located = spark.createDataFrame(
+        [(1, 10.0), (2, None)], ["id", "x"]
+    ).coalesce(1)
+    isolated = spark.createDataFrame([(3, None), (4, 1.0)], ["id", "x"]).coalesce(1)
+    t = ManagedTable.create(spark, str(tmp_path / "t"), co_located)
+    t.insert(isolated)
+    t.delete_where(F.col("x") > 5)
+    got = sorted((r.id, r.x) for r in t.read().collect())
+    # Only id=1 (x=10 > 5 is TRUE) is deleted; both NULL rows and x=1 stay.
+    assert got == [(2, None), (3, None), (4, 1.0)]
+
+
+def test_relative_table_path_rewrites_correctly(spark, tmp_path, monkeypatch):
+    """A table created via a cwd-relative path must still subtract the
+    affected files from the manifest (absolute _metadata paths vs
+    manifest strings): a broken subtraction would carry the original
+    file AND its rewrite — resurrecting deleted rows."""
+    monkeypatch.chdir(tmp_path)
+    df = spark.createDataFrame([(i, i * 1.0) for i in range(10)], ["id", "x"])
+    t = ManagedTable.create(spark, "rel_table", df.coalesce(1))
+    t.delete_where(F.col("id") < 5)
+    got = sorted(r.id for r in t.read().collect())
+    assert got == [5, 6, 7, 8, 9]  # not duplicated, not resurrected
+
+
+def test_commit_leaves_no_temp_manifests_and_conflicts_cleanly(
+    spark, tmp_path, people
+):
+    t = ManagedTable.create(spark, str(tmp_path / "t"), people)
+    t.insert(people.limit(1))
+    names = os.listdir(t._manifest_dir)
+    assert all(n.endswith(".json") for n in names), names
+    # A pre-existing version file still raises a clean conflict (and the
+    # loser's temp file is removed).
+    with pytest.raises(TableVersionConflict):
+        t._commit(1, t._files(1), op="insert")
+    assert all(n.endswith(".json") for n in os.listdir(t._manifest_dir))
+
+
+def test_merge_duplicate_unmatched_keys_insert_and_matched_raise(
+    spark, tmp_path, people
+):
+    t = ManagedTable.create(spark, str(tmp_path / "t"), people)
+    # Two source rows with key 100 (matches no target row) both insert;
+    # two rows with NULL keys also both insert (NULL never matches).
+    src = spark.createDataFrame(
+        [
+            (100, "dup_a", 1.0, "even"),
+            (100, "dup_b", 2.0, "even"),
+            (None, "null_a", 3.0, "odd"),
+            (None, "null_b", 4.0, "odd"),
+        ],
+        "id long, name string, balance double, parity string",
+    )
+    t.merge(src, on="id")
+    names = sorted(
+        r.name for r in t.read().filter(F.col("id").isNull() | (F.col("id") == 100)).collect()
+    )
+    assert names == ["dup_a", "dup_b", "null_a", "null_b"]
+    # Duplicate keys that DO match a target row are ambiguous → error.
+    dup_matched = spark.createDataFrame(
+        [(1, "x", 0.0, "odd"), (1, "y", 0.0, "odd")],
+        "id long, name string, balance double, parity string",
+    )
+    with pytest.raises(ValueError, match="multiple rows for matched key"):
+        t.merge(dup_matched, on="id", update_assignments={"name": F.col("s.name")})
+
+
+def test_merge_rejects_divergent_types_and_unknown_assignments(
+    spark, tmp_path, people
+):
+    t = ManagedTable.create(spark, str(tmp_path / "t"), people)
+    int_source = spark.createDataFrame(
+        [(1, "x", 0.0, "odd")], "id int, name string, balance double, parity string"
+    )
+    with pytest.raises(ValueError, match="merge source column 'id'"):
+        t.merge(int_source, on="id")
+    ok_source = spark.createDataFrame(
+        [(1, "x", 0.0, "odd")], "id long, name string, balance double, parity string"
+    )
+    with pytest.raises(ValueError, match="unknown columns"):
+        t.merge(ok_source, on="id", update_assignments={"balanec": F.lit(0.0)})
+    # Assignment expressions that change a column's type are caught before
+    # any file is written.
+    with pytest.raises(ValueError, match="merge update column 'balance'"):
+        t.merge(
+            ok_source, on="id", update_assignments={"balance": F.lit("not a double")}
+        )
+    assert t.current_version() == 0  # nothing committed by any failed merge
+
+
+def test_merge_nondeterministic_source_is_materialized_once(spark, tmp_path):
+    """Every source key must land exactly once even when the source is
+    non-deterministic (rand()): without one-shot materialization the
+    duplicate check, affected-file probe, update join, and insert
+    anti-join would each see DIFFERENT rows."""
+    base = spark.createDataFrame([(i, 0.0) for i in range(5)], ["id", "x"])
+    t = ManagedTable.create(spark, str(tmp_path / "t"), base)
+    src = spark.range(0, 10).select(
+        F.col("id").cast("long").alias("id"), F.rand().alias("x")
+    )
+    t.merge(src, on="id", update_assignments={"x": F.col("s.x")})
+    rows = t.read().collect()
+    counts = {}
+    for r in rows:
+        counts[r.id] = counts.get(r.id, 0) + 1
+    assert counts == {i: 1 for i in range(10)}, counts
+    assert all(0.0 <= r.x < 1.0 for r in rows if r.id < 10)
