@@ -25,21 +25,39 @@ from pyspark.sql import DataFrame
 _TRACKED: dict[str, tuple[str, DataFrame]] = {}
 
 
+def _unpersist_quietly(handle: DataFrame) -> None:
+    """Unpersist, tolerating a handle whose SparkSession has been stopped
+    and recreated within the same Python process: the module-level
+    registry outlives sessions, and letting the py4j error escape BEFORE
+    the registry entry is removed would poison ``_TRACKED`` permanently
+    (every later call re-hits the dead handle and fails)."""
+    try:
+        handle.unpersist()
+    except Exception:
+        pass  # stale handle from a stopped session — nothing to release
+
+
 def session_cache(df: DataFrame, sf_dir: str, key: str) -> DataFrame:
     """Cache ``df`` for the session under ``key``, evicting caches that
     belong to a different scale dir."""
     for other_key, (other_dir, handle) in list(_TRACKED.items()):
         if other_dir != sf_dir:
-            handle.unpersist()
             del _TRACKED[other_key]
+            _unpersist_quietly(handle)
     prior = _TRACKED.get(key)
     if prior is not None:
-        if df.sameSemantics(prior[1]):
-            return prior[1]
+        try:
+            if df.sameSemantics(prior[1]):
+                return prior[1]
+        except Exception:
+            # Stale handle from a stopped session: fall through to
+            # replace it (the cache itself died with that session).
+            pass
         # Same key, new plan (e.g. a scratch-table path baked into the
         # lineage changed): release the stale blocks instead of leaking
         # them for the rest of the session.
-        prior[1].unpersist()
+        del _TRACKED[key]
+        _unpersist_quietly(prior[1])
     handle = df.cache()
     _TRACKED[key] = (sf_dir, handle)
     return handle
@@ -47,6 +65,7 @@ def session_cache(df: DataFrame, sf_dir: str, key: str) -> DataFrame:
 
 def evict_all() -> None:
     """Unpersist every tracked cache (test hook / explicit session reset)."""
-    for _, (_, handle) in list(_TRACKED.items()):
-        handle.unpersist()
+    handles = [handle for _, (_, handle) in list(_TRACKED.items())]
     _TRACKED.clear()
+    for handle in handles:
+        _unpersist_quietly(handle)

@@ -117,6 +117,14 @@ _ROTATION_QUEUE: list[str] = [
     "dml_zorder_skipping",
     "pipeline_incremental_curation",
     "stream_upsert_managed",
+    # function-changed in round 12 (streaming/datasource hardening:
+    # watermark-proof TTL-session emission over pending intervals,
+    # manifest-sink append merge + schema carriage, offset-regression
+    # guard) — re-gated green locally; queued for driver re-cert
+    "stream_ttl_sessions",
+    "source_python_datasource",
+    "stream_python_datasource",
+    "sink_python_datasource",
 ]
 
 

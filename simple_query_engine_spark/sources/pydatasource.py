@@ -179,6 +179,17 @@ class ReadingsStreamReader(DataSourceStreamReader):
 
     def partitions(self, start: dict, end: dict) -> Sequence[InputPartition]:
         lo, hi = start["next"], end["next"]
+        if hi < lo:
+            # Fail fast on an offset regression (the Kafka-source
+            # discipline): silently planning an empty batch would let
+            # Spark COMMIT the regressed offset, and a later growth of
+            # the source would replay ids below the original commit —
+            # duplicates under the exactly-once contract.
+            raise ValueError(
+                f"offset regression: latest {hi} < committed {lo} — the "
+                "configured source shrank (rows option lowered?); refusing "
+                "to rewind a committed offset"
+            )
         n = max(1, self.num_partitions)
         width, extra = divmod(max(0, hi - lo), n)
         slices, cursor = [], lo
@@ -244,12 +255,16 @@ class ManifestParquetWriter(DataSourceArrowWriter):
     shared mount or object store, locally it just works.
     """
 
-    def __init__(self, options: dict) -> None:
+    def __init__(self, options: dict, schema=None) -> None:
         path = options.get("path")
         if not path:
             raise ValueError("sqe_manifest_parquet requires a save path")
         self.path = path
         self.data_dir = os.path.join(path, "data")
+        # Recorded in the manifest so a committed EMPTY write (every
+        # partition empty) stays readable — the reader cannot infer a
+        # schema from zero files.
+        self.schema_json = schema.json() if schema is not None else None
 
     def write(self, iterator) -> _FileCommit:
         import pyarrow as pa
@@ -273,18 +288,40 @@ class ManifestParquetWriter(DataSourceArrowWriter):
 
     def commit(self, messages) -> None:
         files = [m for m in messages if m is not None and m.filename]
+        new_entries = [{"name": m.filename, "rows": m.rows} for m in files]
+        # APPEND semantics across jobs: a second append to the same path
+        # must MERGE with the committed manifest — replacing it would
+        # silently orphan every previously committed file (reads through
+        # the manifest would drop the first job's rows without any error).
+        manifest_path = os.path.join(self.path, "manifest.json")
+        prior_files: list[dict] = []
+        prior_rows = 0
+        if os.path.exists(manifest_path):
+            with open(manifest_path) as fh:
+                prior = json.load(fh)
+            prior_files = prior.get("files", [])
+            prior_rows = prior.get("total_rows", 0)
+            prior_schema = prior.get("schema")
+            if (
+                prior_schema is not None
+                and self.schema_json is not None
+                and prior_schema != self.schema_json
+            ):
+                raise ValueError(
+                    "sqe_manifest_parquet append schema differs from the "
+                    "committed manifest's schema; write to a fresh dir"
+                )
         manifest = {
-            "files": sorted(
-                ({"name": m.filename, "rows": m.rows} for m in files),
-                key=lambda f: f["name"],
-            ),
-            "total_rows": sum(m.rows for m in files),
+            "files": sorted(prior_files + new_entries, key=lambda f: f["name"]),
+            "total_rows": prior_rows + sum(m.rows for m in files),
         }
+        if self.schema_json is not None:
+            manifest["schema"] = self.schema_json
         os.makedirs(self.path, exist_ok=True)
         tmp = os.path.join(self.path, f".manifest.{uuid.uuid4().hex}.tmp")
         with open(tmp, "w") as fh:
             json.dump(manifest, fh, indent=1)
-        os.replace(tmp, os.path.join(self.path, "manifest.json"))
+        os.replace(tmp, manifest_path)
         # Spark-convention success marker so generic completeness checks
         # (e.g. operators/storage.py::materialize_once) recognize the dir.
         with open(os.path.join(self.path, "_SUCCESS"), "w"):
@@ -309,17 +346,27 @@ class ManifestParquetSink(DataSource):
             raise NotImplementedError(
                 "sqe_manifest_parquet is append-only; write to a fresh dir"
             )
-        return ManifestParquetWriter(self.options)
+        return ManifestParquetWriter(self.options, schema)
 
 
 def read_manifest_parquet(spark: SparkSession, path: str) -> DataFrame:
     """Read back ONLY the manifest-listed files (never orphans from failed
-    or in-flight writers)."""
+    or in-flight writers).  A legitimately committed EMPTY write (every
+    partition empty) reads back as an empty DataFrame via the manifest's
+    recorded schema."""
     with open(os.path.join(path, "manifest.json")) as fh:
         manifest = json.load(fh)
     files = [os.path.join(path, "data", f["name"]) for f in manifest["files"]]
     if not files:
-        raise ValueError(f"empty manifest at {path}")
+        raw = manifest.get("schema")
+        if raw is None:
+            raise ValueError(
+                f"empty manifest at {path} and no recorded schema "
+                "(written by a pre-schema version of the sink)"
+            )
+        from pyspark.sql.types import StructType
+
+        return spark.createDataFrame([], StructType.fromJson(json.loads(raw)))
     return spark.read.parquet(*files)
 
 

@@ -79,11 +79,15 @@ def _update_user_profile(
 
 TTL_SESSION_GAP_SEC = 600  # inactivity gap that closes a session = state TTL
 
+# Pending sessions as parallel arrays — a user can legitimately hold
+# SEVERAL sessions that are all still extendable by late-but-admitted
+# events (the watermark is 1 h, the gap 600 s), so the state is the set
+# of open intervals, not a single one.
 SESSION_STATE_SCHEMA = T.StructType(
     [
-        T.StructField("open_start", T.LongType()),  # epoch sec of first event
-        T.StructField("open_last", T.LongType()),  # epoch sec of latest event
-        T.StructField("open_n", T.LongType()),
+        T.StructField("starts", T.ArrayType(T.LongType())),
+        T.StructField("lasts", T.ArrayType(T.LongType())),
+        T.StructField("ns", T.ArrayType(T.LongType())),
     ]
 )
 
@@ -97,52 +101,85 @@ SESSION_OUTPUT_SCHEMA = T.StructType(
 )
 
 
+def _merge_session_intervals(
+    intervals: list[tuple[int, int, int]],
+) -> list[tuple[int, int, int]]:
+    """Merge (start, last, n) gap-session intervals: sorted by start, two
+    intervals belong to one session iff the next starts within the gap of
+    the previous one's last event.  A single event is the interval
+    (t, t, 1); a point landing INSIDE an interval's span always joins it
+    (its nearest in-session neighbor is at most half a gap away), which
+    the same rule covers since start − prev_last ≤ 0.  This interval
+    algebra is exact for gap sessionization — it never needs the
+    individual event times back."""
+    out: list[tuple[int, int, int]] = []
+    for s, l, n in sorted(intervals):
+        if out and s - out[-1][1] <= TTL_SESSION_GAP_SEC:
+            ps, pl, pn = out[-1]
+            out[-1] = (ps, max(pl, l), pn + n)
+        else:
+            out.append((s, l, n))
+    return out
+
+
 def _update_ttl_sessions(
     key: tuple, batches: Iterable[pd.DataFrame], state: GroupState
 ) -> Iterable[pd.DataFrame]:
-    """Gap-sessionize one user's events with TTL'd state: a session closes
-    (and is emitted) when a later event arrives past the gap, or when the
-    EVENT-TIME TIMEOUT fires — the watermark passing ``last + gap`` proves
-    no in-order event can extend the session, so the state is emitted and
-    REMOVED.  Idle keys therefore hold no state (the TTL eviction
-    ``transformWithState`` ships as ValueState TTL; expressed here on
-    ``applyInPandasWithState``'s timeout API because the successor API's
-    Python runner needs google.protobuf, absent in this environment —
-    see module docstring)."""
+    """Gap-sessionize one user's events with TTL'd state and
+    WATERMARK-PROOF emission: a session is emitted (and its state
+    dropped) only when the watermark passes ``last + gap`` — the proof
+    that no still-admissible event (ts ≥ watermark) can extend it.
+    Closing on the data path alone (emit as soon as a later event
+    arrives past the gap) would assume in-order arrival: the query
+    admits events up to the 1 h watermark late while the gap is only
+    600 s, so a late-but-admitted event can bridge or extend a session
+    a naive closer already emitted — an append-mode output can never
+    retract that.  Pending sessions merge through the exact interval
+    algebra of :func:`_merge_session_intervals`; the EVENT-TIME TIMEOUT
+    re-evaluates emission when the watermark passes the earliest
+    pending ``last + gap``, so idle keys still hold no state past their
+    TTL (the eviction ``transformWithState`` ships as ValueState TTL;
+    expressed on ``applyInPandasWithState``'s timeout API because the
+    successor API's Python runner needs google.protobuf, absent in this
+    environment — see module docstring)."""
     (user_id,) = key
-    closed: list[tuple] = []
-    if state.hasTimedOut:
-        start, last, n = state.get
-        closed.append((user_id, start, last, n))
-        state.remove()
-    else:
-        if state.exists:
-            start, last, n = state.get
-        else:
-            start = last = n = None
-        epochs: list[int] = []
-        for pdf in batches:
-            epochs.extend(int(e) for e in pdf["epoch"])
-        epochs.sort()
-        for t in epochs:
-            if start is None:
-                start, last, n = t, t, 1
-            elif t - last > TTL_SESSION_GAP_SEC:
-                closed.append((user_id, start, last, n))
-                start, last, n = t, t, 1
-            else:
-                last, n = max(last, t), n + 1
-        state.update((start, last, n))
-        # Timeout = the moment the watermark proves the open session dead.
-        # Clamped above the current watermark (the API rejects timeouts
-        # at/behind it; the clamp only delays eviction, never correctness).
+    pending: list[tuple[int, int, int]] = []
+    if state.exists:
+        starts, lasts, ns = state.get
+        pending = list(zip(starts, lasts, ns))
+    if not state.hasTimedOut:
+        points = [
+            (int(e), int(e), 1) for pdf in batches for e in pdf["epoch"]
+        ]
+        pending = pending + points
+    merged = _merge_session_intervals(pending)
+    # Floor-divide the watermark to whole seconds: a conservative bound
+    # (emission can only be delayed one second, never premature).
+    wm_sec = state.getCurrentWatermarkMs() // 1000
+    closed = [iv for iv in merged if iv[1] + TTL_SESSION_GAP_SEC < wm_sec]
+    still = [iv for iv in merged if iv[1] + TTL_SESSION_GAP_SEC >= wm_sec]
+    if still:
+        state.update(
+            (
+                [s for s, _, _ in still],
+                [l for _, l, _ in still],
+                [n for _, _, n in still],
+            )
+        )
+        # Timeout = the moment the watermark proves the EARLIEST pending
+        # session dead.  Clamped above the current watermark (the API
+        # rejects timeouts at/behind it; the clamp only delays eviction,
+        # never correctness).
         timeout_ms = max(
-            (last + TTL_SESSION_GAP_SEC) * 1000 + 1,
+            (min(l for _, l, _ in still) + TTL_SESSION_GAP_SEC) * 1000 + 1,
             state.getCurrentWatermarkMs() + 1,
         )
         state.setTimeoutTimestamp(timeout_ms)
+    elif state.exists:
+        state.remove()
     yield pd.DataFrame(
-        closed, columns=["user_id", "session_start", "session_end", "n_events"]
+        [(user_id, s, l, n) for s, l, n in closed],
+        columns=["user_id", "session_start", "session_end", "n_events"],
     )
 
 
@@ -172,6 +209,17 @@ def run_ttl_session_counts(
         WATERMARK,
         read_event_stream,
     )
+
+    if checkpoint_dir is not None and output_dir is None:
+        # A memory sink does NOT replay batches committed by an earlier
+        # run of the same checkpoint — a resumed query would silently
+        # return only post-restart sessions.  Restart recovery requires
+        # the replayable parquet sink.
+        raise ValueError(
+            "checkpoint_dir without output_dir would resume into a fresh "
+            "memory sink and silently drop pre-restart sessions; pass "
+            "output_dir (parquet sink) for restartable runs"
+        )
 
     # Stateful streaming gets no AQE coalescing: shuffle.partitions fixes
     # the state-store task count for the query's LIFETIME (it is baked

@@ -174,3 +174,52 @@ def test_manifest_writer_abort_removes_task_files(tmp_path):
         manifest = json.load(fh)
     assert manifest["total_rows"] == 3
     assert [f["name"] for f in manifest["files"]] == [msg2.filename]
+
+
+def test_manifest_sink_second_append_merges_not_replaces(spark, tmp_path):
+    """Appending twice to the same path must accumulate BOTH jobs' rows —
+    replacing the manifest would silently orphan the first job's files."""
+    from simple_query_engine_spark.sources.pydatasource import (
+        read_manifest_parquet,
+        register_manifest_sink,
+    )
+
+    register_manifest_sink(spark)
+    path = str(tmp_path / "sink")
+    spark.range(0, 5).write.format("sqe_manifest_parquet").mode("append").save(path)
+    spark.range(5, 9).write.format("sqe_manifest_parquet").mode("append").save(path)
+    got = sorted(r.id for r in read_manifest_parquet(spark, path).collect())
+    assert got == list(range(9))
+
+
+def test_manifest_sink_empty_commit_reads_back_empty(spark, tmp_path):
+    """A committed zero-row write is valid output: the reader must return
+    an empty DataFrame with the recorded schema, not refuse to read."""
+    from simple_query_engine_spark.sources.pydatasource import (
+        read_manifest_parquet,
+        register_manifest_sink,
+    )
+
+    register_manifest_sink(spark)
+    path = str(tmp_path / "sink_empty")
+    spark.range(0, 5).filter(F.lit(False)).write.format(
+        "sqe_manifest_parquet"
+    ).mode("append").save(path)
+    df = read_manifest_parquet(spark, path)
+    assert df.count() == 0
+    assert df.columns == ["id"]
+
+
+def test_stream_reader_refuses_offset_regression():
+    """A shrunken source (rows lowered below the committed offset) must
+    fail fast, not plan an empty batch that lets Spark commit the
+    regressed offset and replay old ids when the source grows again."""
+    import pytest
+
+    from simple_query_engine_spark.sources.pydatasource import (
+        ReadingsStreamReader,
+    )
+
+    reader = ReadingsStreamReader({"rows": "300"})
+    with pytest.raises(ValueError, match="offset regression"):
+        reader.partitions({"next": 500}, {"next": 300})

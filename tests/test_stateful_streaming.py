@@ -123,3 +123,48 @@ def test_ttl_sessions_state_survives_checkpoint_restart(spark, tmp_path):
     assert r.n_events == 3  # 2 pre-restart events + 1 post-restart
     assert r.session_start == int(t0.timestamp())
     assert r.session_end == int((t0 + dt.timedelta(minutes=8)).timestamp())
+
+
+def test_ttl_sessions_late_admitted_event_bridges_sessions(spark, tmp_path):
+    """A late-but-watermark-admitted event that lands INSIDE the gap
+    between two already-seen events must produce ONE session — the
+    reason emission is watermark-proof: a data-path closer that emits
+    the moment a later event arrives past the gap would have already
+    emitted a phantom [t0, t0] session that append mode can never
+    retract (the watermark is 1 h, the gap only 600 s, so such late
+    events are legal)."""
+    import datetime as dt
+
+    from simple_query_engine_spark.streaming.stateful import (
+        run_ttl_session_counts,
+    )
+
+    input_dir = str(tmp_path / "ev")
+    os.makedirs(input_dir)
+
+    def add_batch(name, order, rows):
+        spark.createDataFrame(rows, "ts timestamp, user_id long").coalesce(
+            1
+        ).write.parquet(f"{input_dir}/{name}")
+        for part in glob.glob(f"{input_dir}/{name}/*.parquet"):
+            os.utime(part, (1_000_000 * order,) * 2)
+
+    t0 = dt.datetime(2024, 1, 1, 9, 0, 0)
+    add_batch("b1", 1, [(t0, 7)])
+    # 1000 s later: past the 600 s gap — a naive closer emits [t0, t0] now.
+    add_batch("b2", 2, [(t0 + dt.timedelta(seconds=1000), 7)])
+    # Late by 500 s (well inside the 1 h watermark): bridges the two.
+    add_batch("b3", 3, [(t0 + dt.timedelta(seconds=500), 7)])
+    # Sentinels march the watermark past the session's TTL.
+    add_batch("b4", 4, [(t0 + dt.timedelta(hours=3), -1)])
+    add_batch("b5", 5, [(t0 + dt.timedelta(hours=6), -1)])
+
+    sessions = run_ttl_session_counts(
+        spark, f"{input_dir}/*", max_files_per_trigger=1
+    ).filter(F.col("user_id") == 7)
+    rows = sessions.collect()
+    assert len(rows) == 1, [tuple(r) for r in rows]
+    (r,) = rows
+    assert r.session_start == int(t0.timestamp())
+    assert r.session_end == int((t0 + dt.timedelta(seconds=1000)).timestamp())
+    assert r.n_events == 3
