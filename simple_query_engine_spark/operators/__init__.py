@@ -22,85 +22,21 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # everything else (already green in CORRECTNESS_r01/r02) follows in module
 # order.  ROUND3_NOTES.md tracks which round certified which query.
 #
-# Round-12 front window (exactly 50 = the driver's window size), per
-# VERDICT r11 items 1 and 2: ALL 39 never-certified names from r11's
-# post-close waves (the full r11 _ROTATION_QUEUE, in queue order), then
-# the age queue — the 11 oldest r06-era names in registration order
-# (17 r06 names remain for r13).  39 + 11 = exactly 50; after a green
-# r12 every catalog name has faced the driver's oracle at least once
-# except those 17, and no cert predates r06.  ROUND12_NOTES.md tracks
-# the ledger.
+# Round-13 front window (exactly 50 = the driver's window size), per
+# VERDICT r12 item 1: ALL 23 names from r12's _ROTATION_QUEUE in queue
+# order (3 never-certified + 20 function-changed by the r12 hardening
+# waves, whose old certs those changes invalidated), then the age queue
+# — the 17 remaining r06-era names and the 10 oldest r08-era names not
+# already in the queue, both in registration order.  23 + 17 + 10 =
+# exactly 50; after a green r13 the never-certified pool is EMPTY and
+# no cert predates r08.  ROUND13_NOTES.md tracks the ledger.
 _ROTATION_FRONT = [
-    # --- 1. never driver-certified: r11's three post-close waves, in
-    #     queue order (VERDICT r11 item 1) ---
-    "dedup_substring_spans",
-    "sim_semdedup",
-    "text_quality_classifier",
-    "pipeline_dsir_weights",
-    "text_bm25_search",
-    "sim_hybrid_retrieval",
-    "stream_bm25_postings",
-    "graph_kcore_neardup",
-    "sim_knn_graph",
-    "pipeline_mixture_sample",
-    "dedup_cdc_chunks",
-    "stream_mixture_sample",
-    "sim_ivf_delete_topk",
-    "sim_ivfadc_topk",
-    "graph_components_incremental",
-    "text_gopher_quality",
-    "sim_knn_density",
-    "sim_multiprobe_lsh",
-    "graph_label_spread",
-    "sim_range_search",
-    "sim_diverse_topk",
-    "join_interval_overlap",
-    "multimodal_clip_pairs",
-    "stream_clip_ingest",
-    "sim_centroid_balance",
-    "stats_source_overlap",
-    "agg_weighted_median",
-    "events_ema_features",
-    "stats_k_anonymity",
-    "text_decontamination_fuzzy",
-    "events_forecast_holt",
-    "events_new_vs_returning",
-    "source_csv_dialect",
-    "events_wow_growth",
-    "agg_histogram_numeric",
-    "stats_token_gini",
-    "sim_power_iteration",
-    "text_boilerplate_templates",
-    "sketch_kmv_union",
-    # --- 2. age queue: the 11 oldest r06-era names in registration
-    #     order (17 r06 names remain for r13) ---
-    "dedup_exact",
-    "dedup_clusters",
-    "dedup_clusters_lsh",
-    "dedup_ngram_jaccard",
-    "dedup_minhash_lsh",
-    "dedup_planted_minhash",
-    "dedup_incremental_minhash",
-    "dedup_containment_planted",
-    "dedup_simhash",
-    "text_dup_ngram_coverage",
-    "sim_topk_bruteforce",
-]
-
-# Entries added or function-changed THIS round that could not displace the
-# front (the front is full).  They sit immediately after the front in
-# registration order and lead the NEXT round's front.  tools/front_audit.py
-# treats queue membership as "pending" for the no-name-falls-through
-# invariant.
-_ROTATION_QUEUE: list[str] = [
-    # new in round 12
+    # --- 1. r12's full _ROTATION_QUEUE in queue order: 3 never-
+    #     certified r12 additions + 20 function-changed by the r12
+    #     managed/streaming/datasource hardening waves ---
     "dedup_cluster_keeper_quality",
     "sim_ivf_rebuild",
     "stream_decontamination",
-    # function-changed in round 12 (managed.py hardening: SQL NULL delete
-    # semantics, atomic manifest commit, merge source materialization +
-    # schema/duplicate-key parity guards, absolute-path normalization) —
-    # all re-gated green locally at the close; queued for driver re-cert
     "dml_insert_append",
     "dml_delete_where",
     "dml_update_set",
@@ -117,15 +53,51 @@ _ROTATION_QUEUE: list[str] = [
     "dml_zorder_skipping",
     "pipeline_incremental_curation",
     "stream_upsert_managed",
-    # function-changed in round 12 (streaming/datasource hardening:
-    # watermark-proof TTL-session emission over pending intervals,
-    # manifest-sink append merge + schema carriage, offset-regression
-    # guard) — re-gated green locally; queued for driver re-cert
     "stream_ttl_sessions",
     "source_python_datasource",
     "stream_python_datasource",
     "sink_python_datasource",
+    # --- 2. age queue: the 17 remaining r06-era names, registration
+    #     order ---
+    "sim_neardup_pairs_baseline",
+    "sim_neardup_lsh",
+    "sim_neardup_planted",
+    "sim_ann_lsh",
+    "sim_ivf_topk",
+    "sim_label_centroids",
+    "events_partition_prune",
+    "join_bucketed_revenue",
+    "source_json_roundtrip",
+    "source_csv_roundtrip",
+    "stream_tumbling_counts",
+    "stream_sliding_counts",
+    "pipeline_corpus_curation",
+    "sample_stratified",
+    "sample_topk",
+    "pipeline_pack_sequences",
+    "text_decontamination",
+    # --- 3. age queue: the 10 oldest r08-era names not already above,
+    #     registration order ---
+    "case_in_between",
+    "math_funcs",
+    "json_funcs",
+    "join_null_safe",
+    "stats_column_profile",
+    "events_sessionize_gap",
+    "events_rolling_wau",
+    "events_top_paths",
+    "events_markov_transitions",
+    "events_attribution_last_touch",
 ]
+
+# Entries added or function-changed THIS round that could not displace the
+# front (the front is full).  They sit immediately after the front in
+# registration order and lead the NEXT round's front.  tools/front_audit.py
+# treats queue membership as "pending" for the no-name-falls-through
+# invariant.  Empty at round-13 open: the full r12 queue moved into the
+# front above (VERDICT r12 item 1).
+_ROTATION_QUEUE: list[str] = []
+
 
 
 def _rotated(merged: dict) -> dict:
