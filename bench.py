@@ -66,7 +66,9 @@ HEADLINE = [
 # r12a: the fixed-round graph iteratives moved OUT to SUITE3_ITERATIVE
 # (VERDICT r11 item 6 — their wall time is rounds × local scheduler
 # floor, which was masking regressions in the other members).
-SUITE2_VERSION = "r12a"
+# r13a = r12a +1: dedup_cluster_keeper_quality (VERDICT r12 item 4 —
+# the r12 additions need suite rows so regressions in them are visible).
+SUITE2_VERSION = "r13a"
 SUITE2 = [
     "dedup_substring_spans",
     "sim_semdedup",
@@ -99,6 +101,7 @@ SUITE2 = [
     "text_gopher_quality",
     "sim_knn_density",
     "sim_multiprobe_lsh",
+    "dedup_cluster_keeper_quality",
 ]
 
 # Third suite: the fixed-round ITERATIVE graph/cluster operators.  Their
@@ -106,13 +109,18 @@ SUITE2 = [
 # (not a data term), so they get their own timing group — a regression in
 # SUITE2's data-bound members stays visible, and a scheduler-floor wobble
 # here can't masquerade as an operator regression there.
-SUITE3_VERSION = "r12a"
+# r13a = r12a + sim_ivf_rebuild (VERDICT r12 item 4): two fixed-iteration
+# k-means trainings + two searches — scheduler-floor-bound like its
+# siblings, and the heaviest single catalog entry, so a regression in it
+# must be visible somewhere.
+SUITE3_VERSION = "r13a"
 SUITE3_ITERATIVE = [
     "sim_semantic_clusters",
     "graph_pagerank_neardup",
     "graph_triangles_neardup",
     "graph_label_spread",
     "graph_components_incremental",
+    "sim_ivf_rebuild",
 ]
 
 

@@ -19,6 +19,10 @@ concurrent queries over different scale dirs would evict each other.
 
 from __future__ import annotations
 
+import warnings
+
+from py4j.protocol import Py4JError
+
 from pyspark.sql import DataFrame
 
 # key -> (sf_dir, cached handle)
@@ -33,8 +37,19 @@ def _unpersist_quietly(handle: DataFrame) -> None:
     (every later call re-hits the dead handle and fails)."""
     try:
         handle.unpersist()
-    except Exception:
-        pass  # stale handle from a stopped session — nothing to release
+    except (Py4JError, AttributeError):
+        # Stale handle from a stopped session — the py4j gateway call
+        # fails (Py4JError and subclasses) or an internal ref is already
+        # torn down (AttributeError); nothing left to release.
+        pass
+    except Exception as exc:
+        # A GENUINE unpersist failure (e.g. an interrupted job) must not
+        # poison the registry, but it must not vanish either.
+        warnings.warn(
+            f"unpersist of a tracked session cache failed: {exc!r}",
+            RuntimeWarning,
+            stacklevel=2,
+        )
 
 
 def session_cache(df: DataFrame, sf_dir: str, key: str) -> DataFrame:

@@ -421,6 +421,7 @@ class ManagedTable:
         own expired manifests are the only remaining references here."""
         if retain_versions < 1:
             raise ValueError(f"retain_versions must be >= 1, got {retain_versions}")
+        self._sweep_stale_temps()
         versions = self.versions()
         expired = versions[:-retain_versions]
         if not expired:
@@ -443,6 +444,47 @@ class ManagedTable:
         for v in expired:
             os.remove(os.path.join(self._manifest_dir, f"v{v:05d}.json"))
         return doomed
+
+    # Crash leftovers older than this are presumed abandoned.  Commits hold
+    # their temp manifest for milliseconds and a merge holds its scratch
+    # for one job, so an hour is conservative by orders of magnitude.
+    _STALE_TMP_SEC = 3600
+
+    def _sweep_stale_temps(self) -> None:
+        """Reclaim crash leftovers the commit/merge protocols can strand.
+
+        A writer that dies between ``os.link`` and the ``finally``'s
+        ``os.unlink`` strands a ``v*.json.tmp.<hex>`` in ``_manifests``
+        (``versions()`` ignores it, but nothing else ever removes it); a
+        merge driver that dies before its ``finally`` strands a scratch
+        dir under ``<table>/_tmp``.  Both are invisible to readers but
+        accumulate forever, so vacuum — the table's janitor — sweeps
+        them.  The sweep is AGE-GATED (mtime older than
+        ``_STALE_TMP_SEC``) so an in-flight commit's temp or a concurrent
+        merge's live scratch is never yanked out from under its owner."""
+        import shutil
+        import time
+
+        cutoff = time.time() - self._STALE_TMP_SEC
+        if os.path.isdir(self._manifest_dir):
+            for name in os.listdir(self._manifest_dir):
+                if ".json.tmp." not in name:
+                    continue
+                p = os.path.join(self._manifest_dir, name)
+                try:
+                    if os.path.getmtime(p) < cutoff:
+                        os.remove(p)
+                except FileNotFoundError:
+                    pass  # another vacuum or the owner got there first
+        scratch_root = os.path.join(self.path, "_tmp")
+        if os.path.isdir(scratch_root):
+            for name in os.listdir(scratch_root):
+                p = os.path.join(scratch_root, name)
+                try:
+                    if os.path.getmtime(p) < cutoff:
+                        shutil.rmtree(p, ignore_errors=True)
+                except FileNotFoundError:
+                    pass
 
     def changes(self, from_version: int, to_version: int) -> DataFrame:
         """Change feed between two snapshots: one row per inserted /
@@ -500,6 +542,7 @@ class ManagedTable:
         update_assignments: dict[str, Column] | None = None,
         insert_not_matched: bool = True,
         txn: tuple[str, int] | None = None,
+        materialize_source: bool = True,
     ) -> int:
         """Upsert ``source`` by equality on key column ``on``.
 
@@ -512,12 +555,17 @@ class ManagedTable:
 
         Three SQL/Delta-parity disciplines:
 
-        - The source is MATERIALIZED once (scratch parquet) before any of
-          the four reads that consume it — a non-deterministic source
-          would otherwise present different rows to the duplicate check,
-          the affected-file probe, the update join, and the insert
-          anti-join, losing or duplicating rows (Delta materializes the
-          merge source for exactly this reason).
+        - The source is MATERIALIZED once (scratch parquet under
+          ``<table>/_tmp`` so a crashed merge's leak is reclaimed by the
+          next vacuum) before any of the four reads that consume it — a
+          non-deterministic source would otherwise present different rows
+          to the duplicate check, the affected-file probe, the update
+          join, and the insert anti-join, losing or duplicating rows
+          (Delta materializes the merge source for exactly this reason).
+          Callers who KNOW their source is deterministic (a plain file
+          scan, a change feed) can pass ``materialize_source=False`` to
+          skip the extra write+read; correctness is then the caller's
+          assertion, which is why the safe default stays True.
         - Duplicate source keys are an error only when they MATCH a
           target row (multiple updates of one target row are ambiguous);
           duplicates that match nothing — including NULL keys, which
@@ -529,7 +577,6 @@ class ManagedTable:
           (the ``insert`` contract, enforced here too).
         """
         import shutil
-        import tempfile
 
         base = self.current_version()
         base_schema = self._schema(base) or self.read(base).schema
@@ -549,11 +596,13 @@ class ManagedTable:
                     f"table has {tgt.dataType}"
                 )
 
-        scratch = os.path.join(
-            tempfile.gettempdir(), f"sqe_merge_src_{uuid.uuid4().hex}"
-        )
-        source.write.parquet(scratch)
-        source = self.spark.read.schema(source.schema).parquet(scratch)
+        scratch = None
+        if materialize_source:
+            scratch = os.path.join(
+                self.path, "_tmp", f"merge_src_{uuid.uuid4().hex}"
+            )
+            source.write.parquet(scratch)
+            source = self.spark.read.schema(source.schema).parquet(scratch)
         try:
             # SQL MERGE semantics: more than one source row per MATCHED
             # target key is an error, not a silent fan-out of the matched
@@ -626,7 +675,8 @@ class ManagedTable:
                 base + 1, untouched + new_files, txn=txn, op="merge"
             )
         finally:
-            shutil.rmtree(scratch, ignore_errors=True)
+            if scratch is not None:
+                shutil.rmtree(scratch, ignore_errors=True)
 
     @staticmethod
     def _check_merge_schema(df: DataFrame, base_schema, ctx: str) -> None:

@@ -40,6 +40,7 @@ Row formulas (shared with the DuckDB oracle in ``operators/storage.py``
 
 from __future__ import annotations
 
+import fcntl
 import json
 import os
 import uuid
@@ -293,35 +294,49 @@ class ManifestParquetWriter(DataSourceArrowWriter):
         # must MERGE with the committed manifest — replacing it would
         # silently orphan every previously committed file (reads through
         # the manifest would drop the first job's rows without any error).
-        manifest_path = os.path.join(self.path, "manifest.json")
-        prior_files: list[dict] = []
-        prior_rows = 0
-        if os.path.exists(manifest_path):
-            with open(manifest_path) as fh:
-                prior = json.load(fh)
-            prior_files = prior.get("files", [])
-            prior_rows = prior.get("total_rows", 0)
-            prior_schema = prior.get("schema")
-            if (
-                prior_schema is not None
-                and self.schema_json is not None
-                and prior_schema != self.schema_json
-            ):
-                raise ValueError(
-                    "sqe_manifest_parquet append schema differs from the "
-                    "committed manifest's schema; write to a fresh dir"
-                )
-        manifest = {
-            "files": sorted(prior_files + new_entries, key=lambda f: f["name"]),
-            "total_rows": prior_rows + sum(m.rows for m in files),
-        }
-        if self.schema_json is not None:
-            manifest["schema"] = self.schema_json
+        # The read-merge-write below is NOT atomic on its own: two
+        # concurrent appends to the same path would each read the same
+        # prior manifest and the second os.replace would orphan the first
+        # job's files (lost update).  An exclusive flock on a sidecar
+        # serializes the whole merge; the kernel releases it if the
+        # committer dies, so no stranded locks (the managed-table layer
+        # solves the same problem with O_EXCL version links — here there
+        # is no version history, so a lock is the simpler correct tool).
+        # flock is advisory + POSIX-local: fine for this sink, whose path
+        # contract is already "a shared filesystem mount" (class docs).
         os.makedirs(self.path, exist_ok=True)
-        tmp = os.path.join(self.path, f".manifest.{uuid.uuid4().hex}.tmp")
-        with open(tmp, "w") as fh:
-            json.dump(manifest, fh, indent=1)
-        os.replace(tmp, manifest_path)
+        manifest_path = os.path.join(self.path, "manifest.json")
+        with open(os.path.join(self.path, ".manifest.lock"), "w") as lock_fh:
+            fcntl.flock(lock_fh, fcntl.LOCK_EX)
+            prior_files: list[dict] = []
+            prior_rows = 0
+            if os.path.exists(manifest_path):
+                with open(manifest_path) as fh:
+                    prior = json.load(fh)
+                prior_files = prior.get("files", [])
+                prior_rows = prior.get("total_rows", 0)
+                prior_schema = prior.get("schema")
+                if (
+                    prior_schema is not None
+                    and self.schema_json is not None
+                    and prior_schema != self.schema_json
+                ):
+                    raise ValueError(
+                        "sqe_manifest_parquet append schema differs from the "
+                        "committed manifest's schema; write to a fresh dir"
+                    )
+            manifest = {
+                "files": sorted(prior_files + new_entries, key=lambda f: f["name"]),
+                "total_rows": prior_rows + sum(m.rows for m in files),
+            }
+            if self.schema_json is not None:
+                manifest["schema"] = self.schema_json
+            tmp = os.path.join(self.path, f".manifest.{uuid.uuid4().hex}.tmp")
+            with open(tmp, "w") as fh:
+                json.dump(manifest, fh, indent=1)
+                fh.flush()
+                os.fsync(fh.fileno())
+            os.replace(tmp, manifest_path)
         # Spark-convention success marker so generic completeness checks
         # (e.g. operators/storage.py::materialize_once) recognize the dir.
         with open(os.path.join(self.path, "_SUCCESS"), "w"):

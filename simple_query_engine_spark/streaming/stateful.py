@@ -83,6 +83,17 @@ TTL_SESSION_GAP_SEC = 600  # inactivity gap that closes a session = state TTL
 # SEVERAL sessions that are all still extendable by late-but-admitted
 # events (the watermark is 1 h, the gap 600 s), so the state is the set
 # of open intervals, not a single one.
+#
+# CHECKPOINT COMPATIBILITY: this schema replaced an earlier three-SCALAR
+# shape (one open interval per user) in round 12.  The state store
+# serializes state with the schema the query was STARTED with, so a query
+# resumed from a checkpoint written under the scalar schema would misread
+# or fail on the array state — there is no migration path.  Restart such
+# a query from a FRESH checkpoint directory (all in-repo users already
+# checkpoint to per-run temp dirs, so only an external caller pinning a
+# checkpoint across versions can hit this).  Any future reshape of this
+# struct carries the same break: change the checkpoint location when you
+# change the schema.
 SESSION_STATE_SCHEMA = T.StructType(
     [
         T.StructField("starts", T.ArrayType(T.LongType())),

@@ -223,3 +223,58 @@ def test_stream_reader_refuses_offset_regression():
     reader = ReadingsStreamReader({"rows": "300"})
     with pytest.raises(ValueError, match="offset regression"):
         reader.partitions({"next": 500}, {"next": 300})
+
+
+def _race_sink_commit(path, barrier, writer_id, results):
+    """One 'driver commit' process in the concurrent-append race below."""
+    from simple_query_engine_spark.sources.pydatasource import (
+        ManifestParquetWriter,
+        _FileCommit,
+    )
+
+    writer = ManifestParquetWriter({"path": path})
+    barrier.wait()  # maximize contention: all commits merge "at once"
+    try:
+        writer.commit([_FileCommit(f"part-writer-{writer_id}.parquet", 10)])
+        results.put(("ok", writer_id))
+    except Exception as exc:  # pragma: no cover - diagnostic aid
+        results.put(("err", repr(exc)))
+
+
+def test_manifest_sink_concurrent_commits_lose_no_files(tmp_path):
+    """N real processes committing appends to the same path concurrently:
+    the merged manifest must list ALL N files (the unlocked read-merge-write
+    this guards against let the last os.replace orphan earlier jobs'
+    files — a silent lost update)."""
+    import json
+    import multiprocessing
+    import os
+
+    path = str(tmp_path / "sink_race")
+    ctx = multiprocessing.get_context("fork")
+    n_writers = 8
+    barrier = ctx.Barrier(n_writers)
+    results = ctx.Queue()
+    procs = [
+        ctx.Process(target=_race_sink_commit, args=(path, barrier, i, results))
+        for i in range(n_writers)
+    ]
+    for p in procs:
+        p.start()
+    for p in procs:
+        p.join(timeout=60)
+        assert p.exitcode == 0
+    outcomes = [results.get(timeout=5) for _ in range(n_writers)]
+    assert all(verdict == "ok" for verdict, _ in outcomes), outcomes
+    with open(os.path.join(path, "manifest.json")) as fh:
+        manifest = json.load(fh)
+    names = [f["name"] for f in manifest["files"]]
+    assert sorted(names) == sorted(
+        f"part-writer-{i}.parquet" for i in range(n_writers)
+    )
+    assert manifest["total_rows"] == 10 * n_writers
+    # No stray temp manifests left behind by the serialized merges.
+    leftovers = [
+        f for f in os.listdir(path) if f.startswith(".manifest.") and f.endswith(".tmp")
+    ]
+    assert leftovers == []
