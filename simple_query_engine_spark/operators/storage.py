@@ -34,6 +34,7 @@ from simple_query_engine_spark.functions.hashing import (
 )
 from simple_query_engine_spark.sources.catalog import table
 from simple_query_engine_spark.sources.sinks import write_parquet
+from simple_query_engine_spark.streaming.explain_capture import record_explain
 
 PRUNE_WEEK_START = "2024-01-08"
 PRUNE_WEEK_END = "2024-01-14"
@@ -402,6 +403,7 @@ def q_stream_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     query.awaitTermination()
+    record_explain(query, "python_datasource_stream")
     return spark.table(sink_name)
 
 

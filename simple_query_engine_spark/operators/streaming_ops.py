@@ -16,6 +16,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 
 from simple_query_engine_spark.sources.catalog import table
+from simple_query_engine_spark.streaming.explain_capture import record_explain
 from simple_query_engine_spark.streaming.stateful import run_stateful_user_profiles
 from simple_query_engine_spark.streaming.windows import (
     LATE_STRAGGLER_END,
@@ -393,6 +394,7 @@ def run_vector_ingest(
         .start()
     )
     query.awaitTermination()
+    record_explain(query, "vector_ingest")
     return spark.table(sink_name)
 
 
@@ -479,6 +481,7 @@ def run_bm25_postings(
         .start()
     )
     query.awaitTermination()
+    record_explain(query, "bm25_postings")
     return spark.table(sink_name)
 
 
@@ -565,6 +568,7 @@ def run_mixture_ingest(
         .start()
     )
     query.awaitTermination()
+    record_explain(query, "mixture_sample")
     return spark.table(sink_name)
 
 
@@ -651,6 +655,7 @@ def run_clip_ingest(
         .start()
     )
     query.awaitTermination()
+    record_explain(query, "clip_ingest")
     emb = table(spark, sf_dir, "embeddings").select(
         F.col("vec_id").alias("doc_id"), F.size("embedding").alias("emb_dim")
     )
@@ -795,6 +800,7 @@ def run_stream_decontamination(
         .start()
     )
     query.awaitTermination()
+    record_explain(query, "decontamination")
     return (
         spark.table(sink_name)
         .groupBy("eval_doc_id")

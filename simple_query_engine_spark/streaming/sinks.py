@@ -19,6 +19,7 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from simple_query_engine_spark.streaming.explain_capture import record_explain
 from simple_query_engine_spark.streaming.windows import (
     WATERMARK,
     tumbling_window_counts,
@@ -68,6 +69,7 @@ def run_streaming_to_parquet(
             .start()
         )
         query.awaitTermination()
+        record_explain(query, "windowed_upsert")
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", previous_mode)
     return spark.read.parquet(output_path)
@@ -115,6 +117,7 @@ def run_resumable_file_sink(
     if not await_termination:
         return query
     query.awaitTermination()
+    record_explain(query, "resumable_file_sink")
     return None
 
 
@@ -197,4 +200,5 @@ def run_streaming_upsert_managed(
         .start()
     )
     query.awaitTermination()
+    record_explain(query, "managed_merge_upsert")
     return ManagedTable(spark, table_path).read()

@@ -33,6 +33,8 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
+from simple_query_engine_spark.streaming.explain_capture import record_explain
+
 STATE_SCHEMA = T.StructType(
     [
         T.StructField("event_count", T.LongType()),
@@ -272,6 +274,7 @@ def run_ttl_session_counts(
             .start()
         )
         query.awaitTermination()
+        record_explain(query, "ttl_sessions")
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", previous_partitions)
     if output_dir is not None:
@@ -316,4 +319,5 @@ def run_stateful_user_profiles(
         .start()
     )
     query.awaitTermination()
+    record_explain(query, "stateful_profiles")
     return spark.table(sink_name)

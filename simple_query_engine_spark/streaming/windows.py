@@ -30,6 +30,8 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from simple_query_engine_spark.streaming.explain_capture import record_explain
+
 TUMBLE = "1 hour"
 SLIDE_SIZE = "1 hour"
 SLIDE_STEP = "30 minutes"
@@ -171,6 +173,7 @@ def run_stream_stream_join(
             .start()
         )
         query.awaitTermination()
+        record_explain(query, "stream_join")
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", previous_partitions)
     return spark.table(sink_name)
@@ -203,6 +206,7 @@ def _run_windowed_stream(
         .start()
     )
     query.awaitTermination()
+    record_explain(query, f"windowed:{sink_prefix}")
     return spark.table(sink_name)
 
 
@@ -378,6 +382,7 @@ def run_streaming_dedup_counts(
         .start()
     )
     query.awaitTermination()
+    record_explain(query, "dedup_counts")
     return spark.table(sink_name)
 
 
@@ -429,6 +434,7 @@ def run_streaming_dedup_within_watermark(
         .start()
     )
     query.awaitTermination()
+    record_explain(query, "dedup_within_watermark")
     return spark.table(sink_name)
 
 
