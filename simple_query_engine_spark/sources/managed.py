@@ -64,14 +64,77 @@ class ManagedTable:
     # -- creation / versions -------------------------------------------------
 
     @classmethod
-    def create(cls, spark: SparkSession, path: str, df: DataFrame) -> "ManagedTable":
-        """Materialize ``df`` as version 0 of a new managed table."""
+    def create(
+        cls,
+        spark: SparkSession,
+        path: str,
+        df: DataFrame,
+        stats_columns: list[str] | None = None,
+    ) -> "ManagedTable":
+        """Materialize ``df`` as version 0 of a new managed table.
+
+        ``stats_columns`` opts the table into per-file min/max stats for
+        those columns at EVERY data write (create/insert/rewrite/merge) —
+        the Delta data-skipping discipline.  The column list is recorded
+        in the manifest and carried forward by every commit, so the
+        policy is durable table metadata, not a per-call flag; ``merge``
+        uses the stats to prune its key probes to range-overlapping
+        files.  Locally the stats job is a second file-parallel read of
+        just-written files (file-count-sized result); a production writer
+        collects the same min/max inline during the write."""
         table = cls(spark, path)
         if table.versions():
             raise ValueError(f"managed table already exists at {path}")
+        if stats_columns:
+            table._validate_stats_columns(df.schema, stats_columns)
         files = table._write_data_files(df)
-        table._commit(0, files, schema=df.schema, op="create")
+        table._commit(
+            0,
+            files,
+            schema=df.schema,
+            op="create",
+            stats_columns=stats_columns,
+            new_stats=(
+                table._collect_file_stats(files, df.schema, stats_columns)
+                if stats_columns
+                else None
+            ),
+        )
         return table
+
+    @staticmethod
+    def _validate_stats_columns(schema, columns: list[str]) -> None:
+        """Stats values must be JSON-native and meaningfully ordered —
+        numeric/string/boolean top-level columns only."""
+        from pyspark.sql.types import (
+            BooleanType,
+            ByteType,
+            DoubleType,
+            FloatType,
+            IntegerType,
+            LongType,
+            ShortType,
+            StringType,
+        )
+
+        ok_types = (
+            ByteType, ShortType, IntegerType, LongType,
+            FloatType, DoubleType, StringType, BooleanType,
+        )
+        fields = {f.name: f for f in schema.fields}
+        for c in columns:
+            if c not in fields:
+                raise ValueError(f"stats column {c!r} not in table schema")
+            if not isinstance(fields[c].dataType, ok_types):
+                raise ValueError(
+                    f"stats column {c!r} has non-JSON-orderable type "
+                    f"{fields[c].dataType}"
+                )
+
+    def stats_columns(self, version: int | None = None) -> list[str]:
+        """The table's recorded stats-column policy (empty = stats off)."""
+        v = self.current_version() if version is None else version
+        return self._manifest(v).get("stats_columns", [])
 
     def versions(self) -> list[int]:
         if not os.path.isdir(self._manifest_dir):
@@ -157,7 +220,11 @@ class ManagedTable:
         ordered = df.select(*[f.name for f in new_schema.fields])
         new_files = self._write_data_files(ordered)
         return self._commit(
-            base + 1, self._files(base) + new_files, schema=new_schema, op="insert"
+            base + 1,
+            self._files(base) + new_files,
+            schema=new_schema,
+            op="insert",
+            new_stats=self._stats_for_new_files(base, new_files, new_schema),
         )
 
     ZORDER_BITS = 8  # per-dimension grid for z-order compaction
@@ -604,6 +671,84 @@ class ManagedTable:
             source.write.parquet(scratch)
             source = self.spark.read.schema(source.schema).parquet(scratch)
         try:
+            # Key-range file pruning (the Delta data-skipping shape): a
+            # target row can only MATCH a source key that actually occurs
+            # in the batch, so when the manifest carries stats for the
+            # merge key, every probe below — duplicate check,
+            # affected-file probe, insert anti-join — reads ONLY the files
+            # whose recorded [min, max] key box CONTAINS some source key.
+            # Two stages: the span filter ([src_min, src_max] overlap) is
+            # driver-side manifest arithmetic, but a realistic CDC batch
+            # mixes low-range updates with high-range inserts and its span
+            # covers everything — so the survivors' boxes (file-count-
+            # sized, the manifest's own scale) are refined by a broadcast
+            # range semi-join against the batch's distinct keys.  Exact by
+            # construction: keys in pruned files cannot equal any source
+            # key; files without usable stats are never pruned.  (At
+            # extreme file counts the box join would bucket boxes by key
+            # range instead of nested-looping them; file-count ≪ row-count
+            # makes the plain form right here.)  At scale this is what
+            # makes merge ∝ batch instead of ∝ table: measured 32× table
+            # growth at fixed batch, unpruned probes cost 2.7× wall
+            # (DML_SCALE.json carries the before/after).
+            keys = source.select(on).distinct()
+            all_files = self._files(base)
+            candidates = all_files
+            stats = self._manifest(base).get("stats", {})
+            if any(on in s for s in stats.values()):
+                b = source.agg(F.min(on).alias("lo"), F.max(on).alias("hi")).first()
+                if b["lo"] is None:
+                    candidates = []  # every source key NULL: nothing matches
+                else:
+                    span, _ = self.matching_files({on: (b["lo"], b["hi"])}, base)
+                    boxed = [
+                        f
+                        for f in span
+                        if on in stats.get(f, {})
+                        and stats[f][on][0] is not None
+                        and stats[f][on][1] is not None
+                    ]
+                    unboxed = [f for f in span if f not in set(boxed)]
+                    from pyspark.sql.types import StringType, StructField, StructType
+
+                    key_type = base_fields[on].dataType
+                    boxes = self.spark.createDataFrame(
+                        [(f, stats[f][on][0], stats[f][on][1]) for f in boxed],
+                        StructType(
+                            [
+                                StructField("__file", StringType()),
+                                StructField("__lo", key_type),
+                                StructField("__hi", key_type),
+                            ]
+                        ),
+                    )
+                    # Boxes broadcast (file-count-sized, like the manifest);
+                    # the batch's keys stream past them.
+                    hits = (
+                        keys.filter(F.col(on).isNotNull())
+                        .join(
+                            F.broadcast(boxes),
+                            (F.col(on) >= F.col("__lo"))
+                            & (F.col(on) <= F.col("__hi")),
+                            "inner",
+                        )
+                        .select("__file")
+                        .distinct()
+                    )
+                    hit_files = {r["__file"] for r in hits.collect()}
+                    candidates = [f for f in span if f in hit_files or f in set(unboxed)]
+            self.last_merge_probe = {
+                "candidate_files": len(candidates),
+                "total_files": len(all_files),
+            }
+            if candidates:
+                target_keys = (
+                    self._read_files(candidates, base_schema)
+                    .select(on)
+                    .distinct()
+                )
+            else:
+                target_keys = self.spark.createDataFrame([], base_schema).select(on)
             # SQL MERGE semantics: more than one source row per MATCHED
             # target key is an error, not a silent fan-out of the matched
             # target rows.
@@ -613,22 +758,20 @@ class ManagedTable:
                 .agg(F.count(F.lit(1)).alias("n"))
                 .filter(F.col("n") > 1)
             )
-            dup = (
-                dup_keys.join(
-                    self.read(base).select(on).distinct(), on, "left_semi"
-                )
-                .limit(1)
-                .collect()
-            )
+            dup = dup_keys.join(target_keys, on, "left_semi").limit(1).collect()
             if dup:
                 raise ValueError(
                     f"merge source has multiple rows for matched key "
                     f"{on}={dup[0][0]!r}"
                 )
-            keys = source.select(on).distinct()
-            affected = self._affected_files(
-                self._with_file_path(base).join(keys, on, "left_semi")
-            )
+            if candidates:
+                affected = self._affected_files(
+                    self._with_file_path(base, candidates).join(
+                        keys, on, "left_semi"
+                    )
+                )
+            else:
+                affected = []
 
             new_files: list[str] = []
             if affected:
@@ -662,8 +805,10 @@ class ManagedTable:
                 new_files.extend(self._write_data_files(projected))
 
             if insert_not_matched:
-                existing_keys = self.read(base).select(on).distinct()
-                inserts = source.join(existing_keys, on, "left_anti").select(
+                # target_keys is already the pruned, exact key set: a
+                # table key outside the candidate files lies outside the
+                # source key range and can never anti-join-match.
+                inserts = source.join(target_keys, on, "left_anti").select(
                     *target_cols
                 )
                 self._check_merge_schema(inserts, base_schema, "insert")
@@ -672,7 +817,11 @@ class ManagedTable:
             affected_set = set(affected)
             untouched = [f for f in self._files(base) if f not in affected_set]
             return self._commit(
-                base + 1, untouched + new_files, txn=txn, op="merge"
+                base + 1,
+                untouched + new_files,
+                txn=txn,
+                op="merge",
+                new_stats=self._stats_for_new_files(base, new_files, base_schema),
             )
         finally:
             if scratch is not None:
@@ -703,10 +852,29 @@ class ManagedTable:
             new_files = self._write_data_files(rewritten)
         affected_set = set(affected)
         untouched = [f for f in self._files(base) if f not in affected_set]
-        return self._commit(base + 1, untouched + new_files, op=op)
+        return self._commit(
+            base + 1,
+            untouched + new_files,
+            op=op,
+            new_stats=self._stats_for_new_files(base, new_files, self._schema(base)),
+        )
 
-    def _with_file_path(self, version: int) -> DataFrame:
-        files = self._files(version)
+    def _stats_for_new_files(
+        self, base: int, new_files: list[str], schema
+    ) -> dict[str, dict] | None:
+        """Min/max stats for just-written files, per the table's recorded
+        stats-column policy (None when the policy is off or nothing was
+        written — commits then carry prior stats forward unchanged)."""
+        cols = self._manifest(base).get("stats_columns") if base >= 0 else None
+        if not cols or not new_files:
+            return None
+        if schema is None:
+            schema = self._schema(base)
+        return self._collect_file_stats(new_files, schema, cols)
+
+    def _with_file_path(self, version: int, files: list[str] | None = None) -> DataFrame:
+        if files is None:
+            files = self._files(version)
         if not files:
             return self.read(version).withColumn("file_path", F.lit(None).cast("string"))
         return self._read_files(files, self._schema(version)).withColumn(
@@ -750,6 +918,7 @@ class ManagedTable:
         txn=None,
         op: str = "write",
         new_stats: dict[str, dict] | None = None,
+        stats_columns: list[str] | None = None,
     ) -> int:
         """Atomically publish ``version``.  The manifest records the
         snapshot's schema: passed explicitly by schema-changing commits
@@ -783,7 +952,13 @@ class ManagedTable:
         stats = {f: s for f, s in prev_stats.items() if f in file_set}
         if new_stats:
             stats.update({f: s for f, s in new_stats.items() if f in file_set})
+        # The stats-column policy is table metadata: set once at create,
+        # carried forward by every later commit (like txns and schema).
+        if stats_columns is None and version > 0:
+            stats_columns = self._manifest(version - 1).get("stats_columns")
         payload = {"version": version, "files": files, "op": op}
+        if stats_columns:
+            payload["stats_columns"] = stats_columns
         if stats:
             payload["stats"] = stats
         if txns:

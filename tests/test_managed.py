@@ -850,3 +850,86 @@ def test_crash_between_temp_write_and_link_strands_nothing_vital(
     os.utime(stranded_path, (old, old))
     t.vacuum(retain_versions=2)
     assert not os.path.exists(stranded_path)
+
+
+def test_stats_policy_recorded_and_maintained_by_every_write(spark, tmp_path, people):
+    """stats_columns at create is durable table metadata: every later
+    write (insert / rewrite / merge) collects min/max for those columns
+    on its new files, so the manifest's stats cover EVERY live file at
+    every version."""
+    t = ManagedTable.create(
+        spark, str(tmp_path / "t"), people, stats_columns=["id", "balance"]
+    )
+    t.insert(people.withColumn("id", F.col("id") + 100))
+    t.update(F.col("id") == 5, {"balance": F.lit(999.0)})
+    src = spark.createDataFrame(
+        [(200, "m", 1.0, "even")], "id long, name string, balance double, parity string"
+    )
+    t.merge(src, on="id")
+    assert t.stats_columns() == ["id", "balance"]
+    v = t.current_version()
+    manifest = t._manifest(v)
+    stats = manifest.get("stats", {})
+    assert set(stats) == set(manifest["files"])  # every live file covered
+    for box in stats.values():
+        assert set(box) == {"id", "balance"}
+        lo, hi = box["id"]
+        assert lo <= hi
+    # The policy column must exist and be orderable.
+    with pytest.raises(ValueError, match="not in table schema"):
+        ManagedTable.create(spark, str(tmp_path / "bad"), people, stats_columns=["nope"])
+
+
+def test_merge_prunes_probes_to_key_range_overlapping_files(spark, tmp_path):
+    """On a stats table whose files partition the key range, a merge whose
+    source keys live in ONE file's range probes only that file — and the
+    result is identical to the same merge on a stats-less twin."""
+    base = spark.range(0, 4000).select(
+        F.col("id").alias("k"), (F.col("id") * 2.0).alias("v")
+    ).repartitionByRange(8, "k")
+    t_stats = ManagedTable.create(spark, str(tmp_path / "s"), base, stats_columns=["k"])
+    t_plain = ManagedTable.create(spark, str(tmp_path / "p"), base)
+    src = spark.createDataFrame(
+        [(10, -1.0), (20, -2.0), (99999, -3.0)], "k long, v double"
+    )
+    # 99999 is outside every file's range; 10/20 live in the first file.
+    for t in (t_stats, t_plain):
+        t.merge(src, on="k", update_assignments={"v": F.col("s.v")})
+    rows_s = sorted(map(tuple, t_stats.read().collect()))
+    rows_p = sorted(map(tuple, t_plain.read().collect()))
+    assert rows_s == rows_p
+    assert t_stats.read().filter(F.col("k") == 10).first().v == -1.0
+    assert t_stats.read().filter(F.col("k") == 99999).first().v == -3.0
+    assert t_stats.last_merge_probe["total_files"] >= 8
+    assert (
+        t_stats.last_merge_probe["candidate_files"]
+        < t_stats.last_merge_probe["total_files"]
+    )
+    assert t_plain.last_merge_probe["candidate_files"] == (
+        t_plain.last_merge_probe["total_files"]
+    )
+
+
+def test_merge_pruning_null_only_source_inserts_everything(spark, tmp_path):
+    """A source whose keys are ALL NULL can match nothing: with stats on,
+    the probe set is empty, no duplicate error fires (NULLs never match),
+    and every row flows to WHEN NOT MATCHED."""
+    base = spark.range(0, 100).select(F.col("id").alias("k"), F.lit(0.0).alias("v"))
+    t = ManagedTable.create(spark, str(tmp_path / "t"), base, stats_columns=["k"])
+    src = spark.createDataFrame(
+        [(None, 1.0), (None, 2.0)], "k long, v double"
+    )
+    t.merge(src, on="k")
+    assert t.last_merge_probe["candidate_files"] == 0
+    assert t.read().count() == 102
+    assert t.read().filter(F.col("k").isNull()).count() == 2
+
+
+def test_merge_pruned_dup_check_still_raises_on_matched_duplicates(spark, tmp_path):
+    base = spark.range(0, 1000).select(
+        F.col("id").alias("k"), F.lit(0.0).alias("v")
+    ).repartitionByRange(4, "k")
+    t = ManagedTable.create(spark, str(tmp_path / "t"), base, stats_columns=["k"])
+    dup = spark.createDataFrame([(7, 1.0), (7, 2.0)], "k long, v double")
+    with pytest.raises(ValueError, match="multiple rows for matched key"):
+        t.merge(dup, on="k", update_assignments={"v": F.col("s.v")})

@@ -45,7 +45,7 @@ UPDATE_LO, UPDATE_HI = 2_000, 3_000
 INSERT_KEY_BASE = 10**15  # far above any replica's shifted key space
 
 
-def build_table(spark: SparkSession, src_dir: str, path: str):
+def build_table(spark: SparkSession, src_dir: str, path: str, stats: bool):
     from simple_query_engine_spark.sources.catalog import table
     from simple_query_engine_spark.sources.managed import ManagedTable
 
@@ -54,18 +54,23 @@ def build_table(spark: SparkSession, src_dir: str, path: str):
     n_files = max(1, n_rows // ROWS_PER_FILE)
     t0 = time.time()
     t = ManagedTable.create(
-        spark, path, orders.repartitionByRange(n_files, "o_orderkey")
+        spark,
+        path,
+        orders.repartitionByRange(n_files, "o_orderkey"),
+        stats_columns=["o_orderkey"] if stats else None,
     )
     create_sec = time.time() - t0
     return t, n_rows, len(t._files(0)), create_sec
 
 
-def probe_scale(spark: SparkSession, src_dir: str, label: str) -> dict:
+def probe_scale(
+    spark: SparkSession, src_dir: str, label: str, stats: bool
+) -> dict:
     root = tempfile.mkdtemp(prefix=f"sqe_dml_scale_{label}_")
     out: dict = {"label": label}
     try:
         t, n_rows, n_files, create_sec = build_table(
-            spark, src_dir, os.path.join(root, "orders_t")
+            spark, src_dir, os.path.join(root, "orders_t"), stats
         )
         out.update(rows=n_rows, files=n_files, create_sec=round(create_sec, 2))
 
@@ -96,6 +101,7 @@ def probe_scale(spark: SparkSession, src_dir: str, label: str) -> dict:
         after = set(t._files(t.current_version()))
         out["merge_files_rewritten"] = len(before - after)
         out["merge_files_added"] = len(after - before)
+        out["merge_probe_files"] = t.last_merge_probe
     finally:
         shutil.rmtree(root, ignore_errors=True)
     return out
@@ -115,14 +121,25 @@ def main() -> int:
     result = {
         "sf_dir": sf_dir,
         "k": k,
+        # plain = no stats policy (unpruned full-key merge probes);
+        # stats = per-file o_orderkey min/max recorded at every write and
+        # the merge probes pruned to box-hit files.
         "scales": [
-            probe_scale(spark, sf_dir, "1x"),
-            probe_scale(spark, amplified, f"{k}x"),
+            probe_scale(spark, sf_dir, "1x_plain", stats=False),
+            probe_scale(spark, amplified, f"{k}x_plain", stats=False),
+            probe_scale(spark, sf_dir, "1x_stats", stats=True),
+            probe_scale(spark, amplified, f"{k}x_stats", stats=True),
         ],
     }
-    one, many = result["scales"]
-    result["delete_wall_ratio"] = round(many["delete_sec"] / one["delete_sec"], 2)
-    result["merge_wall_ratio"] = round(many["merge_sec"] / one["merge_sec"], 2)
+    by = {s["label"]: s for s in result["scales"]}
+    for mode in ("plain", "stats"):
+        one, many = by[f"1x_{mode}"], by[f"{k}x_{mode}"]
+        result[f"delete_wall_ratio_{mode}"] = round(
+            many["delete_sec"] / one["delete_sec"], 2
+        )
+        result[f"merge_wall_ratio_{mode}"] = round(
+            many["merge_sec"] / one["merge_sec"], 2
+        )
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     out_path = os.path.join(repo, "DML_SCALE.json")
     with open(out_path, "w") as fh:
