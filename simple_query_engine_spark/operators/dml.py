@@ -107,6 +107,9 @@ def q_dml_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         source,
         on="c_custkey",
         update_assignments={"c_acctbal": F.col("s.c_acctbal")},
+        # Deterministic source (filter+projection of a parquet scan):
+        # skip the defensive scratch materialization.
+        materialize_source=False,
     )
     return (
         t.read()

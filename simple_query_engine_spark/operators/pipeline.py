@@ -856,6 +856,9 @@ def q_pipeline_incremental_curation(spark: SparkSession, sf_dir: str) -> DataFra
         edits.unionByName(news),
         on="doc_id",
         update_assignments={"text": F.col("s.text")},
+        # Deterministic source (filters/projections of the documents
+        # scan): skip the defensive scratch materialization.
+        materialize_source=False,
     )
 
     # -- everything below reads the CHANGE FEED, not the corpus -------------

@@ -58,27 +58,29 @@ def materialize_once(path: str, write) -> None:
     """Build a derived-copy directory exactly once, race-safely.
 
     ``write(tmp_path)`` produces the directory at a process-private temp
-    path which is then atomically renamed into place, so a concurrent
-    process can never observe (or serve) a half-written copy.  If another
-    process won the rename race, our copy is discarded; a stale
-    ``_SUCCESS``-less directory from a crashed direct writer is cleared
-    first."""
+    path which is then atomically renamed into place, so a reader can
+    never observe a half-written copy.  Builders are serialized under an
+    exclusive flock (kernel-released on crash): without it, a second
+    builder that passed the ``_SUCCESS`` check before the winner's rename
+    would ``rmtree`` the winner's COMPLETE copy as "partial" — self-
+    healing (the next call rebuilds) but a transient window where
+    concurrent readers see the path vanish.  The fast path (``_SUCCESS``
+    present) stays lock-free."""
+    import fcntl
     import shutil
 
     if os.path.exists(os.path.join(path, "_SUCCESS")):
         return
-    if os.path.exists(path):  # crashed/partial previous materialization
-        shutil.rmtree(path, ignore_errors=True)
-    tmp = f"{path}.tmp.{os.getpid()}"
-    shutil.rmtree(tmp, ignore_errors=True)
-    write(tmp)
-    try:
-        os.rename(tmp, path)
-    except OSError:
+    with open(f"{path}.lock", "w") as lock_fh:
+        fcntl.flock(lock_fh, fcntl.LOCK_EX)
         if os.path.exists(os.path.join(path, "_SUCCESS")):
-            shutil.rmtree(tmp, ignore_errors=True)  # lost the race; theirs is complete
-        else:
-            raise
+            return  # another builder finished while we waited
+        if os.path.exists(path):  # crashed/partial previous materialization
+            shutil.rmtree(path, ignore_errors=True)
+        tmp = f"{path}.tmp.{os.getpid()}"
+        shutil.rmtree(tmp, ignore_errors=True)
+        write(tmp)
+        os.rename(tmp, path)
 
 
 def _partitioned_events_path(sf_dir: str) -> str:

@@ -283,13 +283,25 @@ class ManagedTable:
         n = target_files or max(1, -(-small_bytes // (128 << 20)))
         schema = self._schema(base)
         merged = self._read_files(small, schema)
-        new_stats: dict[str, dict] | None = None
+        # One stats pass covers BOTH column sets: the z-order columns (the
+        # scan_box read path) and the table's recorded stats policy (the
+        # merge-probe pruning path) — compaction must not silently strip
+        # merge-key stats from the files it rewrites.
+        stat_cols = list(
+            dict.fromkeys(
+                (zorder_by or []) + (self._manifest(base).get("stats_columns") or [])
+            )
+        )
         if zorder_by:
             clustered = self._zorder(merged, zorder_by, n)
             new_files = self._write_data_files(clustered)
-            new_stats = self._collect_file_stats(new_files, schema, zorder_by)
         else:
             new_files = self._write_data_files(merged.coalesce(n))
+        new_stats = (
+            self._collect_file_stats(new_files, schema, stat_cols)
+            if stat_cols
+            else None
+        )
         small_set = set(small)
         untouched = [f for f in files if f not in small_set]
         return self._commit(

@@ -167,6 +167,11 @@ def upsert_users_batch(
                 "last_ts": F.greatest(F.col("t.last_ts"), F.col("s.last_ts")),
             },
             txn=(UPSERT_APP, batch_id),
+            # The rollup is cached above AND deterministic even on a cache
+            # miss (batch_df is a fixed set of committed source files), so
+            # merge's defensive scratch materialization would only add a
+            # write+read per micro-batch.
+            materialize_source=False,
         )
     finally:
         agg.unpersist()

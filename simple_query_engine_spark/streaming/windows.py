@@ -352,15 +352,21 @@ def run_streaming_dedup_counts(
     """Streaming deduplication → aggregation (two chained stateful ops).
 
     ``dropDuplicates`` on (user_id, event_type) holds one state entry per
-    distinct key; the watermark bounds that state — without it a streaming
-    dedup accumulates every key it has ever seen, which is the classic
-    unbounded-state failure at 100 TB/day event volumes.  The deduped
-    stream then feeds a per-type distinct-user count (stateful agg chained
-    after stateful dedup — supported since multi-stateful-operator
-    pipelines landed in Spark 3.5).  Output only key columns survive the
-    dedup, so the result is arrival-order-independent and the whole
-    pipeline is oracle-checkable: on a finite replay it equals
-    ``COUNT(DISTINCT user_id) GROUP BY event_type``.
+    distinct key — and holds it for the query's LIFETIME: a watermark
+    evicts plain-dropDuplicates state only when the event-time column is
+    part of the dedup key (which here it deliberately is not — the
+    computation is an exact lifetime distinct, so O(distinct keys) state
+    is inherent, the same bound as any streaming distinct aggregate; the
+    watermark on ``ts`` serves the downstream aggregation, not dedup
+    eviction).  For at-least-once DELIVERY dedup, where state must stay
+    bounded by the redelivery horizon rather than key cardinality, use
+    :func:`run_streaming_dedup_within_watermark` — that is the 100 TB/day
+    ingest-door shape.  The deduped stream feeds a per-type distinct-user
+    count (stateful agg chained after stateful dedup — supported since
+    multi-stateful-operator pipelines landed in Spark 3.5).  Only key
+    columns survive the dedup, so the result is arrival-order-independent
+    and the whole pipeline is oracle-checkable: on a finite replay it
+    equals ``COUNT(DISTINCT user_id) GROUP BY event_type``.
     """
     stream = read_event_stream(spark, events_path, max_files_per_trigger)
     deduped = (

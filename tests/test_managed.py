@@ -933,3 +933,31 @@ def test_merge_pruned_dup_check_still_raises_on_matched_duplicates(spark, tmp_pa
     dup = spark.createDataFrame([(7, 1.0), (7, 2.0)], "k long, v double")
     with pytest.raises(ValueError, match="multiple rows for matched key"):
         t.merge(dup, on="k", update_assignments={"v": F.col("s.v")})
+
+
+def test_compact_preserves_stats_policy_columns(spark, tmp_path):
+    """Compaction must not strip merge-key stats from rewritten files:
+    on a stats-policy table, compacted files carry stats for BOTH the
+    z-order columns and the policy columns."""
+    base = spark.range(0, 2000).select(
+        F.col("id").alias("k"), (F.col("id") % 7).alias("g"), F.lit(1.0).alias("v")
+    ).repartition(6)
+    t = ManagedTable.create(spark, str(tmp_path / "t"), base, stats_columns=["k"])
+    t.compact(zorder_by=["g"], target_files=2)
+    manifest = t._manifest(t.current_version())
+    stats = manifest["stats"]
+    assert set(stats) == set(manifest["files"])
+    for box in stats.values():
+        assert set(box) == {"g", "k"}
+    # Merge pruning still fires on the compacted table.
+    src = spark.createDataFrame([(1, 0, -1.0)], "k long, g long, v double")
+    t.merge(src, on="k", update_assignments={"v": F.col("s.v")})
+    assert t.last_merge_probe["candidate_files"] <= t.last_merge_probe["total_files"]
+    assert t.read().filter(F.col("k") == 1).first().v == -1.0
+    # Plain (non-zorder) compaction keeps policy stats too.
+    t2 = ManagedTable.create(
+        spark, str(tmp_path / "t2"), base.repartition(6), stats_columns=["k"]
+    )
+    t2.compact(target_files=2)
+    m2 = t2._manifest(t2.current_version())
+    assert set(m2["stats"]) == set(m2["files"])

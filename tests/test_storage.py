@@ -128,3 +128,55 @@ def test_zorder_layout_skips_more_files_than_linear(spark, sf_dir, tmp_path):
     # files whose z-range crosses it qualify.
     assert z_hits < l_hits, (z_hits, l_hits)
     assert z_hits <= 6, z_hits
+
+
+def _race_materialize(path, barrier, writer_id, results):
+    from simple_query_engine_spark.operators.storage import materialize_once
+    import os
+
+    def write(tmp):
+        os.makedirs(tmp)
+        with open(os.path.join(tmp, "payload.txt"), "w") as fh:
+            fh.write(f"writer {writer_id}")
+        with open(os.path.join(tmp, "_SUCCESS"), "w"):
+            pass
+
+    barrier.wait()
+    try:
+        materialize_once(path, write)
+        results.put(("ok", writer_id))
+    except Exception as exc:  # pragma: no cover - diagnostic aid
+        results.put(("err", repr(exc)))
+
+
+def test_materialize_once_concurrent_builders_never_clobber(tmp_path):
+    """N processes racing the same materialization: exactly one copy is
+    built, no builder errors, and the finished dir is never deleted out
+    from under a winner (the pre-lock race: a late builder rmtree'd the
+    winner's COMPLETE copy as 'partial')."""
+    import multiprocessing
+    import os
+
+    path = str(tmp_path / "derived")
+    ctx = multiprocessing.get_context("fork")
+    n = 8
+    barrier = ctx.Barrier(n)
+    results = ctx.Queue()
+    procs = [
+        ctx.Process(target=_race_materialize, args=(path, barrier, i, results))
+        for i in range(n)
+    ]
+    for p in procs:
+        p.start()
+    for p in procs:
+        p.join(timeout=60)
+        assert p.exitcode == 0
+    outcomes = [results.get(timeout=5) for _ in range(n)]
+    assert all(v == "ok" for v, _ in outcomes), outcomes
+    assert os.path.exists(os.path.join(path, "_SUCCESS"))
+    with open(os.path.join(path, "payload.txt")) as fh:
+        assert fh.read().startswith("writer ")
+    # No stray tmp dirs left behind.
+    parent = os.path.dirname(path)
+    strays = [d for d in os.listdir(parent) if ".tmp." in d]
+    assert strays == []
