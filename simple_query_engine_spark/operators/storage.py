@@ -66,21 +66,37 @@ def materialize_once(path: str, write) -> None:
     healing (the next call rebuilds) but a transient window where
     concurrent readers see the path vanish.  The fast path (``_SUCCESS``
     present) stays lock-free."""
+    import contextlib
     import fcntl
     import shutil
 
     if os.path.exists(os.path.join(path, "_SUCCESS")):
         return
-    with open(f"{path}.lock", "w") as lock_fh:
-        fcntl.flock(lock_fh, fcntl.LOCK_EX)
-        if os.path.exists(os.path.join(path, "_SUCCESS")):
-            return  # another builder finished while we waited
+    # The lock file lives in a shared temp dir: another USER's leftover
+    # lock (sticky /tmp forbids truncating it) must degrade to the old
+    # lock-free rename-race protocol, not fail the query.
+    try:
+        lock_fh = open(f"{path}.lock", "w")
+    except OSError:
+        lock_fh = None
+    with lock_fh if lock_fh is not None else contextlib.nullcontext():
+        if lock_fh is not None:
+            fcntl.flock(lock_fh, fcntl.LOCK_EX)
+            if os.path.exists(os.path.join(path, "_SUCCESS")):
+                return  # another builder finished while we waited
         if os.path.exists(path):  # crashed/partial previous materialization
             shutil.rmtree(path, ignore_errors=True)
         tmp = f"{path}.tmp.{os.getpid()}"
         shutil.rmtree(tmp, ignore_errors=True)
         write(tmp)
-        os.rename(tmp, path)
+        try:
+            os.rename(tmp, path)
+        except OSError:
+            if os.path.exists(os.path.join(path, "_SUCCESS")):
+                # Lost a (lock-free fallback) race; theirs is complete.
+                shutil.rmtree(tmp, ignore_errors=True)
+            else:
+                raise
 
 
 def _partitioned_events_path(sf_dir: str) -> str:

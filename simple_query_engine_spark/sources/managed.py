@@ -428,6 +428,11 @@ class ManagedTable:
             schema=self._schema(base),
             op="clone",
             new_stats=self._manifest(base).get("stats"),
+            # The stats-column policy is table metadata and must survive
+            # the clone — dropping it would make every later write to the
+            # clone collect no stats and compact() strip the inherited
+            # merge-key stats it was supposed to preserve.
+            stats_columns=self._manifest(base).get("stats_columns"),
         )
         return clone
 
@@ -557,11 +562,50 @@ class ManagedTable:
                     pass  # another vacuum or the owner got there first
         scratch_root = os.path.join(self.path, "_tmp")
         if os.path.isdir(scratch_root):
+            import fcntl
+
             for name in os.listdir(scratch_root):
+                if name.endswith(".lock"):
+                    # Reaped with their scratch below; an ORPHAN lock (its
+                    # scratch already gone, owner dead) is reaped here so
+                    # nothing strands forever.
+                    p = os.path.join(scratch_root, name)
+                    base_entry = p[: -len(".lock")]
+                    try:
+                        if os.path.exists(base_entry) or os.path.getmtime(p) >= cutoff:
+                            continue
+                        probe = open(p, "a")
+                        try:
+                            fcntl.flock(probe, fcntl.LOCK_EX | fcntl.LOCK_NB)
+                        except OSError:
+                            probe.close()
+                            continue
+                        probe.close()
+                        os.unlink(p)
+                    except FileNotFoundError:
+                        pass
+                    continue
                 p = os.path.join(scratch_root, name)
+                lock_path = f"{p}.lock"
                 try:
-                    if os.path.getmtime(p) < cutoff:
-                        shutil.rmtree(p, ignore_errors=True)
+                    if os.path.getmtime(p) >= cutoff:
+                        continue
+                    # Liveness check beats the age gate: a merge whose
+                    # probes outlive the gate still HOLDS its scratch lock
+                    # (kernel-released only on process death) — skip it.
+                    if os.path.exists(lock_path):
+                        probe = open(lock_path, "a")
+                        try:
+                            fcntl.flock(probe, fcntl.LOCK_EX | fcntl.LOCK_NB)
+                        except OSError:
+                            probe.close()
+                            continue  # owner alive: not ours to reap
+                        probe.close()
+                    shutil.rmtree(p, ignore_errors=True)
+                    try:
+                        os.unlink(lock_path)
+                    except FileNotFoundError:
+                        pass
                 except FileNotFoundError:
                     pass
 
@@ -676,10 +720,22 @@ class ManagedTable:
                 )
 
         scratch = None
+        scratch_lock = None
         if materialize_source:
             scratch = os.path.join(
                 self.path, "_tmp", f"merge_src_{uuid.uuid4().hex}"
             )
+            # Hold an exclusive flock on a sidecar for the scratch's whole
+            # life: vacuum's stale-temp sweep skips any scratch whose lock
+            # is still held (liveness, not mtime — a merge whose probes run
+            # longer than the age gate must not lose its materialized
+            # source mid-flight), while a crashed merge's lock is released
+            # by the kernel and its scratch becomes sweepable once stale.
+            import fcntl
+
+            os.makedirs(os.path.dirname(scratch), exist_ok=True)
+            scratch_lock = open(f"{scratch}.lock", "w")
+            fcntl.flock(scratch_lock, fcntl.LOCK_EX)
             source.write.parquet(scratch)
             source = self.spark.read.schema(source.schema).parquet(scratch)
         try:
@@ -701,8 +757,8 @@ class ManagedTable:
             # range instead of nested-looping them; file-count ≪ row-count
             # makes the plain form right here.)  At scale this is what
             # makes merge ∝ batch instead of ∝ table: measured 32× table
-            # growth at fixed batch, unpruned probes cost 2.7× wall
-            # (DML_SCALE.json carries the before/after).
+            # growth at fixed batch, unpruned probes cost 2.3× wall vs
+            # flat pruned (DML_SCALE.json carries the before/after).
             keys = source.select(on).distinct()
             all_files = self._files(base)
             candidates = all_files
@@ -720,7 +776,8 @@ class ManagedTable:
                         and stats[f][on][0] is not None
                         and stats[f][on][1] is not None
                     ]
-                    unboxed = [f for f in span if f not in set(boxed)]
+                    boxed_set = set(boxed)
+                    unboxed_set = {f for f in span if f not in boxed_set}
                     from pyspark.sql.types import StringType, StructField, StructType
 
                     key_type = base_fields[on].dataType
@@ -748,7 +805,9 @@ class ManagedTable:
                         .distinct()
                     )
                     hit_files = {r["__file"] for r in hits.collect()}
-                    candidates = [f for f in span if f in hit_files or f in set(unboxed)]
+                    candidates = [
+                        f for f in span if f in hit_files or f in unboxed_set
+                    ]
             self.last_merge_probe = {
                 "candidate_files": len(candidates),
                 "total_files": len(all_files),
@@ -838,6 +897,12 @@ class ManagedTable:
         finally:
             if scratch is not None:
                 shutil.rmtree(scratch, ignore_errors=True)
+            if scratch_lock is not None:
+                scratch_lock.close()
+                try:
+                    os.unlink(scratch_lock.name)
+                except FileNotFoundError:
+                    pass
 
     @staticmethod
     def _check_merge_schema(df: DataFrame, base_schema, ctx: str) -> None:

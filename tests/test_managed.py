@@ -961,3 +961,36 @@ def test_compact_preserves_stats_policy_columns(spark, tmp_path):
     t2.compact(target_files=2)
     m2 = t2._manifest(t2.current_version())
     assert set(m2["stats"]) == set(m2["files"])
+
+
+def test_clone_carries_stats_policy(spark, tmp_path, people):
+    """SHALLOW CLONE must carry the stats-column policy: without it every
+    later write to the clone collects no stats and compaction strips the
+    inherited merge-key stats."""
+    t = ManagedTable.create(spark, str(tmp_path / "src"), people, stats_columns=["id"])
+    clone = t.clone_shallow(str(tmp_path / "dst"))
+    assert clone.stats_columns() == ["id"]
+    clone.insert(people.withColumn("id", F.col("id") + 500))
+    m = clone._manifest(clone.current_version())
+    assert set(m["stats"]) == set(m["files"])  # new files got stats too
+
+
+def test_sweep_skips_scratch_whose_lock_is_held(spark, tmp_path, people):
+    """A merge scratch older than the age gate but whose flock is still
+    HELD (long-running probes) must survive vacuum's sweep; once the lock
+    is released the same scratch is reaped."""
+    import fcntl
+
+    t = ManagedTable.create(spark, str(tmp_path / "t"), people)
+    scratch = os.path.join(t.path, "_tmp", "merge_src_longrunner")
+    os.makedirs(scratch)
+    lock = open(scratch + ".lock", "w")
+    fcntl.flock(lock, fcntl.LOCK_EX)
+    old = os.path.getmtime(scratch) - ManagedTable._STALE_TMP_SEC - 60
+    os.utime(scratch, (old, old))
+    t.vacuum(retain_versions=2)
+    assert os.path.exists(scratch)  # lock held: not reaped despite age
+    lock.close()
+    t.vacuum(retain_versions=2)
+    assert not os.path.exists(scratch)  # released: reaped
+    assert not os.path.exists(scratch + ".lock")

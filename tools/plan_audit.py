@@ -123,20 +123,36 @@ def streaming_audit(label: str, plan: str) -> dict:
     every InMemoryTableScan, which would misread as per-batch work —
     at runtime the batch serves those scans from memory.  The tree-walk
     collapse works on simple-mode text too (same tree-drawing chars; the
-    formatted-details pass just finds nothing)."""
+    formatted-details pass just finds nothing).
+
+    STATEFUL counts come from the RAW text: a cached STATIC relation's
+    dump can never contain a streaming stateful operator, so raw counts
+    are exact by construction — and comparing them against the collapsed
+    text detects over-collapse (the indent-heuristic dump skip swallowing
+    a legitimate sibling subtree), which flags the row instead of
+    silently under-reporting."""
+
+    def count_stateful(text: str) -> dict:
+        return {
+            # agg state (StateStoreSave; Restore is its read half)
+            "agg": len(re.findall(r"\bStateStoreSave\b", text)),
+            "session_agg": len(re.findall(r"\bSessionWindowStateStoreSave\b", text)),
+            # both the JVM and the Pandas (applyInPandasWithState) variants
+            "flatmap_state": len(
+                re.findall(r"\bFlatMapGroups(?:InPandas)?WithState", text)
+            ),
+            "dedup": len(re.findall(r"\bStreamingDeduplicate", text)),
+            "stream_join": len(re.findall(r"\bStreamingSymmetricHashJoin\b", text)),
+        }
+
+    stateful = count_stateful(plan)  # raw: exact for stateful ops
     plan = collapse_cached(plan)
-    stateful = {
-        # agg state (StateStoreSave; Restore is the same operator's read half)
-        "agg": len(re.findall(r"\bStateStoreSave\b", plan)),
-        "session_agg": len(re.findall(r"\bSessionWindowStateStoreSave\b", plan)),
-        # both the JVM and the Pandas (applyInPandasWithState) variants
-        "flatmap_state": len(re.findall(r"\bFlatMapGroups(?:InPandas)?WithState", plan)),
-        "dedup": len(re.findall(r"\bStreamingDeduplicate", plan)),
-        "stream_join": len(re.findall(r"\bStreamingSymmetricHashJoin\b", plan)),
-    }
     pushed = [p for p in re.findall(r"PushedFilters: \[([^\]]*)\]", plan) if p.strip()]
     return {
         "label": label,
+        # over-collapse detector: stateful ops never live in cached dumps,
+        # so any difference means the collapse dropped real tree
+        "collapse_suspect": count_stateful(plan) != stateful,
         "stateful_total": sum(stateful.values()),
         "stateful": {k: v for k, v in stateful.items() if v},
         # both broadcast-build shapes: hash (equi) and nested-loop (the
@@ -164,8 +180,9 @@ def streaming_row(info: dict) -> str:
         ", ".join(f"{k}×{v}" if v > 1 else k for k, v in info["stateful"].items())
         or "—"
     )
+    label = info["label"] + (" ⚠ over-collapse" if info["collapse_suspect"] else "")
     return (
-        f"| {info['label']} | {info['stateful_total']} ({stateful_str}) | "
+        f"| {label} | {info['stateful_total']} ({stateful_str}) | "
         f"{info['broadcast_joins']}/{info['other_joins']} | {info['exchanges']} | "
         f"{info['cached_scans'] or ''} | "
         f"{'✓' if info['watermark'] else ''} | {info['pushed_filters']} | "
@@ -441,7 +458,7 @@ def main() -> int:
         explain_capture.reset()
         queries[name](spark, sf_dir)
         if not explain_capture.LAST_EXPLAINS:
-            lines.append(f"| {name} | (no plan captured) | | | | | |")
+            lines.append(f"| {name} | (no plan captured) | | | | | | |")
             continue
         for label, plan in explain_capture.LAST_EXPLAINS.items():
             lines.append(streaming_row(streaming_audit(f"{name} [{label}]", plan)))
