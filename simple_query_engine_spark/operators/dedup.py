@@ -1313,11 +1313,7 @@ def q_graph_pagerank_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``_propagate_labels``' parquet truncation does not occur here
     because rank never joins itself)."""
     pairs = q_dedup_minhash_lsh(spark, sf_dir).select("doc_id_a", "doc_id_b")
-    edges = pairs.union(
-        pairs.select(
-            F.col("doc_id_b").alias("doc_id_a"), F.col("doc_id_a").alias("doc_id_b")
-        )
-    ).select(F.col("doc_id_a").alias("src"), F.col("doc_id_b").alias("dst"))
+    edges = _symmetric_edges(pairs)
     # BOTH static tables cache: deg is referenced in every iteration's
     # rank rebuild (and the final join) — uncached, each reference
     # re-executes the whole LSH candidate join upstream of it.
@@ -1429,12 +1425,7 @@ def q_graph_label_spread(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     pairs = q_dedup_minhash_lsh(spark, sf_dir).select("doc_id_a", "doc_id_b")
     edges = session_cache(
-        pairs.union(
-            pairs.select(
-                F.col("doc_id_b").alias("doc_id_a"),
-                F.col("doc_id_a").alias("doc_id_b"),
-            )
-        ).select(F.col("doc_id_a").alias("src"), F.col("doc_id_b").alias("dst")),
+        _symmetric_edges(pairs),
         sf_dir,
         "label_spread_edges",
     )
@@ -1542,11 +1533,7 @@ def q_graph_triangles_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-node rollup is map-side combined.
     """
     pairs = q_dedup_minhash_lsh(spark, sf_dir).select("doc_id_a", "doc_id_b")
-    edges = pairs.union(
-        pairs.select(
-            F.col("doc_id_b").alias("doc_id_a"), F.col("doc_id_a").alias("doc_id_b")
-        )
-    ).select(F.col("doc_id_a").alias("src"), F.col("doc_id_b").alias("dst"))
+    edges = _symmetric_edges(pairs)
     deg = session_cache(
         edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg")),
         sf_dir,
@@ -1704,16 +1691,7 @@ def q_graph_components_incremental(spark: SparkSession, sf_dir: str) -> DataFram
     standing_pairs = _minhash_lsh_pairs(
         corpus_sig, PLANTED_JACCARD_THRESHOLD
     ).select("doc_id_a", "doc_id_b")
-    std_edges = (
-        standing_pairs.union(
-            standing_pairs.select(
-                F.col("doc_id_b").alias("doc_id_a"),
-                F.col("doc_id_a").alias("doc_id_b"),
-            )
-        )
-        .withColumnRenamed("doc_id_a", "src")
-        .withColumnRenamed("doc_id_b", "dst")
-    )
+    std_edges = _symmetric_edges(standing_pairs)
     std_labels, _ = _propagate_labels(std_edges)
     delta = (
         q_dedup_incremental_minhash(spark, sf_dir)
@@ -1741,16 +1719,7 @@ def q_graph_components_incremental(spark: SparkSession, sf_dir: str) -> DataFram
             F.coalesce("lb", F.col("doc_id_b")).alias("doc_id_b"),
         )
     )
-    reduced_edges = (
-        reduced_pairs.union(
-            reduced_pairs.select(
-                F.col("doc_id_b").alias("doc_id_a"),
-                F.col("doc_id_a").alias("doc_id_b"),
-            )
-        )
-        .withColumnRenamed("doc_id_a", "src")
-        .withColumnRenamed("doc_id_b", "dst")
-    )
+    reduced_edges = _symmetric_edges(reduced_pairs)
     reduced_labels, _ = _propagate_labels(reduced_edges)
     rl = reduced_labels.select(
         F.col("doc_id").alias("base_label"), F.col("label").alias("rlabel")
@@ -1845,15 +1814,7 @@ def q_graph_kcore_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         df.write.mode("overwrite").parquet(path)
         return spark.read.parquet(path)
 
-    edges = _materialize(
-        pairs.union(
-            pairs.select(
-                F.col("doc_id_b").alias("doc_id_a"),
-                F.col("doc_id_a").alias("doc_id_b"),
-            )
-        ).select(F.col("doc_id_a").alias("src"), F.col("doc_id_b").alias("dst")),
-        "kcore_edges",
-    )
+    edges = _materialize(_symmetric_edges(pairs), "kcore_edges")
     alive = _materialize(
         edges.select(F.col("src").alias("node")).distinct(), "kcore_alive_0"
     )

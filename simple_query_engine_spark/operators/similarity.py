@@ -318,8 +318,8 @@ def q_sim_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs via multi-table LSH — the scale
     path the guarded all-pairs baseline points at.
 
-    Candidate pairs come from equi-joins on (table_idx, 16-bit bucket) —
-    NEARDUP_TABLES independent hyperplane tables — then exact cosine
+    Candidate pairs come from equi-joins on (table_idx, NEARDUP_BITS-bit
+    bucket) — NEARDUP_TABLES independent hyperplane tables — then exact cosine
     filters at NEARDUP_COSINE.  Planes are the same integer-grid
     construction as the ANN path, so bucket bits are engine-exact and the
     whole pipeline hash-matches its DuckDB oracle; detection of planted
@@ -355,7 +355,8 @@ def _neardup_lsh_pairs(
             F.struct(F.lit(t).alias("table_idx"), bucket.alias("bucket"))
         )
     # Cache: both self-join legs read this table — without it each leg
-    # recomputes all 128 hyperplane dot products per vector.
+    # recomputes all NEARDUP_TABLES*NEARDUP_BITS (144) hyperplane dot
+    # products per vector.
     side = scaled.select(
         "vec_id",
         "embedding",
@@ -548,18 +549,38 @@ def q_sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_sim_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label centroid norm + count — grouped vector aggregation
-    (posexplode → per-(label, dim) mean → re-assemble), all JVM-side."""
+    (posexplode → per-(label, dim) integer sum → re-assemble), all
+    JVM-side, on the shifted integer grid the k-means family uses.
+
+    Exactness (r13): the original float formulation (AVG of doubles per
+    (label, dim), then a float sum of squares) was the catalog's one
+    order-dependent double aggregation — partial-agg order could in
+    principle flip a round(...,4) boundary between engines or runs.  Now
+    every accumulation is exact integer arithmetic: per-dim sums S_d of
+    floor(val·EMB_SCALE) and the label's vector count n are exact, the
+    norm of the mean is sqrt(Σ S_d²)/(n·EMB_SCALE) where Σ S_d² is an
+    exact BIGINT sum (≲2e16 at catalog scales), and the only float ops
+    are one cast + one sqrt + one division — single IEEE operations,
+    bit-identical in both engines regardless of accumulation order."""
     embeddings = table(spark, sf_dir, "embeddings")
     exploded = embeddings.select(
-        "label", F.posexplode(F.col("embedding")).alias("dim", "val")
+        "label",
+        F.posexplode(
+            F.transform(
+                F.col("embedding"),
+                lambda x: F.floor(x.cast("double") * EMB_SCALE).cast("long"),
+            )
+        ).alias("dim", "ival"),
     )
     per_dim = exploded.groupBy("label", "dim").agg(
-        F.avg(F.col("val").cast("double")).alias("mean_val")
+        F.sum("ival").alias("s_d"), F.count(F.lit(1)).alias("n_vec")
     )
     return per_dim.groupBy("label").agg(
-        F.round(F.sqrt(F.sum(F.col("mean_val") * F.col("mean_val"))), 4).alias(
-            "centroid_norm"
-        ),
+        F.round(
+            F.sqrt(F.sum(F.col("s_d") * F.col("s_d")).cast("double"))
+            / (F.max("n_vec") * F.lit(float(EMB_SCALE))),
+            4,
+        ).alias("centroid_norm"),
         F.count(F.lit(1)).alias("n_dims"),
     )
 
@@ -834,38 +855,10 @@ def q_sim_sq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             _dot(F.col("q_q8"), F.col("q8")).alias("iscore"),
         )
     )
-    w_coarse = Window.partitionBy("query_id").orderBy(
-        F.col("iscore").desc(), F.col("neighbor_id")
-    )
-    shortlist = (
-        coarse.withColumn("cand_rank", F.row_number().over(w_coarse))
-        .filter(F.col("cand_rank") <= SQ_CAND)
-        .select("query_id", "neighbor_id")
-    )
-    q_full = base.filter(F.col("vec_id") < NUM_QUERY_VECTORS).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("embedding").alias("q_emb"),
-        _norm(F.col("embedding")).alias("q_norm"),
-    )
-    c_full = base.select(
-        F.col("vec_id").alias("neighbor_id"),
-        F.col("embedding").alias("c_emb"),
-        _norm(F.col("embedding")).alias("c_norm"),
-    )
-    cosine = _dot(F.col("q_emb"), F.col("c_emb")) / (
-        F.col("q_norm") * F.col("c_norm")
-    )
-    scored = (
-        shortlist.join(c_full, "neighbor_id")
-        .join(F.broadcast(q_full), "query_id")
-        .select("query_id", "neighbor_id", F.round(cosine, 4).alias("similarity"))
-    )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("similarity").desc(), F.col("neighbor_id")
-    )
-    return scored.withColumn("sim_rank", F.row_number().over(w)).filter(
-        F.col("sim_rank") <= TOP_K
-    )
+    # Shared with the PQ/ADC family: identical (iscore desc, neighbor_id)
+    # cut and round-4 cosine rerank, so the SQ and PQ entries can never
+    # desynchronize from the common oracle fragments.
+    return _pq_exact_rerank(base, _pq_shortlist(coarse))
 
 
 _SQ_RERANK_SQL = f"""
@@ -1090,21 +1083,7 @@ def q_sim_ivfadc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("neighbor_id"), "cell_id"
     )
     base = _pq_base(spark, sf_dir)
-    probe_scored = (
-        vectors.filter(F.col("vec_id") < NUM_QUERY_VECTORS)
-        .crossJoin(F.broadcast(cent))
-        .select(
-            F.col("vec_id").alias("query_id"),
-            "cell_id",
-            _kmeans_sqdist(F.col("sv"), F.col("cv")).alias("d"),
-        )
-    )
-    w_probe = Window.partitionBy("query_id").orderBy("d", "cell_id")
-    probes = (
-        probe_scored.withColumn("cell_rank", F.row_number().over(w_probe))
-        .filter(F.col("cell_rank") <= KMEANS_NPROBE)
-        .select("query_id", "cell_id")
-    )
+    probes = _probe_cells(vectors, cent)
     queries = _pq_lut_queries(base)
     coarse = (
         F.broadcast(probes)
@@ -1644,6 +1623,29 @@ def _ivf_trained_search(
     )
 
 
+def _probe_cells(vectors: DataFrame, cent: DataFrame) -> DataFrame:
+    """(query_id, cell_id) probe set: every query vector's KMEANS_NPROBE
+    nearest trained cells, ties to the lowest cell_id — the ONE probe
+    ranking every trained-IVF read path shares (search, diverse top-k,
+    IVFADC), so probe semantics cannot drift between entries whose
+    oracles all assume the identical ORDER BY d, cell_id ranking."""
+    probe_scored = (
+        vectors.filter(F.col("vec_id") < NUM_QUERY_VECTORS)
+        .crossJoin(F.broadcast(cent))
+        .select(
+            F.col("vec_id").alias("query_id"),
+            "cell_id",
+            _kmeans_sqdist(F.col("sv"), F.col("cv")).alias("d"),
+        )
+    )
+    w_probe = Window.partitionBy("query_id").orderBy("d", "cell_id")
+    return (
+        probe_scored.withColumn("cell_rank", F.row_number().over(w_probe))
+        .filter(F.col("cell_rank") <= KMEANS_NPROBE)
+        .select("query_id", "cell_id")
+    )
+
+
 def _ivf_search(
     spark: SparkSession,
     sf_dir: str,
@@ -1662,21 +1664,7 @@ def _ivf_search(
     after the probe join, before ranking (hard-negative mining);
     ``range_threshold`` replaces the top-k window with the radius
     predicate — no window at all, the scored rows filter directly."""
-    probe_scored = (
-        vectors.filter(F.col("vec_id") < NUM_QUERY_VECTORS)
-        .crossJoin(F.broadcast(cent))
-        .select(
-            F.col("vec_id").alias("query_id"),
-            "cell_id",
-            _kmeans_sqdist(F.col("sv"), F.col("cv")).alias("d"),
-        )
-    )
-    w_probe = Window.partitionBy("query_id").orderBy("d", "cell_id")
-    probes = (
-        probe_scored.withColumn("cell_rank", F.row_number().over(w_probe))
-        .filter(F.col("cell_rank") <= KMEANS_NPROBE)
-        .select("query_id", "cell_id")
-    )
+    probes = _probe_cells(vectors, cent)
     with_labels = pair_filter is not None
     queries = _with_norm(
         table(spark, sf_dir, "embeddings").filter(
@@ -1778,21 +1766,7 @@ def q_sim_diverse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     members = _kmeans_assign(vectors, cent).select(
         F.col("vec_id").alias("neighbor_id"), "cell_id"
     )
-    probe_scored = (
-        vectors.filter(F.col("vec_id") < NUM_QUERY_VECTORS)
-        .crossJoin(F.broadcast(cent))
-        .select(
-            F.col("vec_id").alias("query_id"),
-            "cell_id",
-            _kmeans_sqdist(F.col("sv"), F.col("cv")).alias("d"),
-        )
-    )
-    w_probe = Window.partitionBy("query_id").orderBy("d", "cell_id")
-    probes = (
-        probe_scored.withColumn("cell_rank", F.row_number().over(w_probe))
-        .filter(F.col("cell_rank") <= KMEANS_NPROBE)
-        .select("query_id", "cell_id")
-    )
+    probes = _probe_cells(vectors, cent)
     queries = _with_norm(
         table(spark, sf_dir, "embeddings").filter(
             F.col("vec_id") < NUM_QUERY_VECTORS
@@ -2309,8 +2283,10 @@ def q_sim_knn_density(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Exactness: similarities enter as round(cos, 4) basis points; the
     mean is ``(sum_bp + 10000·n)·1000 div n − 10^7`` — the +10000/vector
-    offset keeps the div operand non-negative (Spark truncates toward
-    zero, DuckDB floors; they agree only on non-negative operands) and
+    offset keeps the div operand non-negative (belt-and-braces: the
+    r11-verified engine fact is that Spark ``div`` and DuckDB ``//``
+    BOTH truncate toward zero — see ``q_sim_power_iteration`` — so the
+    offset is a convention, not a correctness requirement) and
     floor((a + c·n)/n) = floor(a/n) + c makes the shift exact.  Vectors
     whose probed cells contain no other vector have no neighbors:
     density −1, ranked first (the extreme outliers).
@@ -2921,18 +2897,21 @@ ORACLES = {
         FROM e a JOIN e b ON a.vec_id < b.vec_id
         WHERE ROUND(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 4) >= {NEARDUP_COSINE}
     """,
-    "sim_label_centroids": """
+    "sim_label_centroids": f"""
         WITH per_elem AS (
             SELECT label,
-                   unnest(embedding::DOUBLE[]) AS val,
+                   CAST(floor(unnest(embedding::DOUBLE[]) * {EMB_SCALE}) AS BIGINT) AS ival,
                    generate_subscripts(embedding, 1) - 1 AS dim
             FROM embeddings
         ), per_dim AS (
-            SELECT label, dim, AVG(val) AS mean_val
+            SELECT label, dim,
+                   CAST(SUM(ival) AS BIGINT) AS s_d,
+                   CAST(COUNT(*) AS BIGINT) AS n_vec
             FROM per_elem GROUP BY label, dim
         )
         SELECT label,
-               ROUND(sqrt(SUM(mean_val * mean_val)), 4) AS centroid_norm,
+               ROUND(sqrt(CAST(SUM(s_d * s_d) AS BIGINT)::DOUBLE)
+                     / (MAX(n_vec) * {EMB_SCALE}.0), 4) AS centroid_norm,
                COUNT(*) AS n_dims
         FROM per_dim GROUP BY label
     """,
