@@ -417,6 +417,24 @@ PLANT_SUFFIX = "zzplantedsuffix"
 PLANTED_JACCARD_THRESHOLD = 0.8
 
 
+def offset_doc_id(offset: int, context: str):
+    """``doc_id + offset`` with the loud collision guard every derived-id
+    space needs: the offset-keyed constructions (planted twins, leaked
+    eval copies, incremental-batch news) all assume every REAL doc_id <
+    offset — a corpus that outgrows it would otherwise silently collide
+    derived ids with real ones (MERGE updates where the oracle appends,
+    batch/corpus splits keyed on the offset misclassify).  Same per-row
+    codegen when/raise_error shape as ``_planted_documents``'s guard."""
+    return F.when(F.col("doc_id") < offset, F.col("doc_id") + offset).otherwise(
+        F.raise_error(
+            F.lit(
+                f"{context}: real doc_id >= offset ({offset}); "
+                "raise the offset for this corpus"
+            )
+        ).cast("long")
+    )
+
+
 def _planted_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Loud-failure guard (ADVICE r05): the planted-id space assumes every
     # real doc_id < PLANT_DOC_OFFSET.  The check is folded into the output

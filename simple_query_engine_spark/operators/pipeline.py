@@ -34,6 +34,7 @@ from pyspark.sql import functions as F
 
 from simple_query_engine_spark.operators.dedup import (
     PLANT_DOC_OFFSET,
+    offset_doc_id,
     PLANT_SUFFIX,
     PLANTED_JACCARD_THRESHOLD,
     _band_rows,
@@ -43,7 +44,12 @@ from simple_query_engine_spark.operators.dedup import (
     q_dedup_exact,
     q_dedup_minhash_lsh,
 )
-from simple_query_engine_spark.operators.text import _NORM, _normalized
+from simple_query_engine_spark.operators.text import (
+    _NORM,
+    STOPWORDS,
+    _normalized,
+    _sql_in_list,
+)
 from simple_query_engine_spark.sources.catalog import table
 
 MIN_TOKENS = 20
@@ -72,7 +78,7 @@ def q_pipeline_quality_prune_curve(spark: SparkSession, sf_dir: str) -> DataFram
     """
     documents = table(spark, sf_dir, "documents")
     tokens = F.split(_normalized(F.col("text")), " ")
-    stop = F.size(F.filter(tokens, lambda t: t.isin("the", "a", "of", "and", "to")))
+    stop = F.size(F.filter(tokens, lambda t: t.isin(*STOPWORDS)))
     scored = documents.select(
         F.size(tokens).alias("n_tokens"), stop.alias("n_stop")
     ).select(
@@ -336,7 +342,9 @@ def q_text_decontamination_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     base = table(spark, sf_dir, "documents").select("doc_id", "text")
     leaked = base.filter(F.col("doc_id") < EVAL_SET_MAX_DOC_ID).select(
-        (F.col("doc_id") + PLANT_DOC_OFFSET).alias("doc_id"),
+        offset_doc_id(PLANT_DOC_OFFSET, "fuzzy-decontamination leak ids").alias(
+            "doc_id"
+        ),
         F.concat(F.col("text"), F.lit(" " + PLANT_SUFFIX)).alias("text"),
     )
     sig = session_cache(
@@ -807,13 +815,7 @@ def q_pipeline_incremental_curation(spark: SparkSession, sf_dir: str) -> DataFra
     probes, signed rollup deltas, and a |sources×langs|-row maintenance
     join.
     """
-    from simple_query_engine_spark.operators.dedup import (
-        NUM_MINHASH,
-        PLANTED_JACCARD_THRESHOLD,
-        _band_rows,
-        _minhash_sig_of,
-        _shingles_of,
-    )
+    from simple_query_engine_spark.operators.dedup import NUM_MINHASH
     from simple_query_engine_spark.operators.dml import _scratch
     from simple_query_engine_spark.functions.caching import session_cache
     from simple_query_engine_spark.sources.managed import ManagedTable
@@ -847,7 +849,9 @@ def q_pipeline_incremental_curation(spark: SparkSession, sf_dir: str) -> DataFra
     news = documents.filter(
         F.pmod(F.col("doc_id"), F.lit(INC_NEW_MOD)) == INC_NEW_RES
     ).select(
-        (F.col("doc_id") + INC_NEW_OFFSET).alias("doc_id"),
+        offset_doc_id(INC_NEW_OFFSET, "incremental-curation new-doc ids").alias(
+            "doc_id"
+        ),
         F.concat(F.lit(f"{INC_NEW_PREFIX} "), F.col("text")).alias("text"),
         "lang",
         F.lit(INC_NEW_SOURCE).alias("source"),
@@ -1004,14 +1008,11 @@ def q_pipeline_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     documents = table(spark, sf_dir, "documents").repartition(
         spark.sparkContext.defaultParallelism, "doc_id"
     )
-    words = F.col("w")
-    bigram_arr = F.when(
-        F.size(words) >= 2,
-        F.transform(
-            F.sequence(F.lit(1), F.size(words) - 1),
-            lambda i: F.concat_ws(" ", F.slice(words, i, 2)),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    from simple_query_engine_spark.operators.text import _word_bigrams
+
+    # The DSIR feature space IS the bigram operators' — share the helper
+    # so the two can never drift.
+    bigram_arr = _word_bigrams(F.col("w"))
     tokenized = documents.select(
         "doc_id",
         (F.col("lang") == "en").alias("is_target"),
@@ -1260,7 +1261,7 @@ ORACLES = {
         WITH scored AS (
             SELECT len(toks) AS n_tokens,
                    LEAST(len(list_filter(toks, t -> t IN
-                             ('the', 'a', 'of', 'and', 'to')))
+                             {_sql_in_list(STOPWORDS)}))
                          * 1000000 // len(toks) // {PRUNE_STEP_PPM},
                          {PRUNE_BUCKETS - 1}) AS bucket
             FROM (SELECT string_split({_NORM}, ' ') AS toks FROM documents)

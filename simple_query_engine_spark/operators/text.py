@@ -13,9 +13,31 @@ from pyspark.sql import functions as F
 
 from simple_query_engine_spark.sources.catalog import table
 
+# The shared English stopword set (quality scoring, language-ID, prune
+# curve).  ONE definition drives the Spark filters AND the DuckDB oracle
+# fragments below (plus pipeline.py's) — six hand-maintained copies of
+# the same literal list previously had to stay byte-identical for the
+# hash gates.  LANG_ID extends it with "in" (the language-ID heuristic's
+# extra marker), derived here for the same reason.
+STOPWORDS = ("the", "a", "of", "and", "to")
+LANG_ID_MARKERS = STOPWORDS + ("in",)
+
+
+def _sql_in_list(words: tuple) -> str:
+    return "(" + ", ".join(f"'{w}'" for w in words) + ")"
+
+
 # One shared normalization: lowercase, collapse runs of whitespace, trim.
+# The whitespace class is EXPLICIT rather than \s because the two engines'
+# \s disagree on vertical tab (Java \s = [ \t\n\x0B\f\r], DuckDB's RE2 \s
+# omits \x0B) — with a bare \s a document containing \x0B would tokenize
+# differently per engine and every downstream hash (fingerprints, shingles,
+# token counts) would diverge.  Both sides pin the same five-char class.
+_WS_CLASS = r"[ \t\n\x0B\f\r]+"
+
+
 def _normalized(col):
-    return F.trim(F.regexp_replace(F.lower(col), r"\s+", " "))
+    return F.trim(F.regexp_replace(F.lower(col), _WS_CLASS, " "))
 
 
 def _documents(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -65,7 +87,7 @@ def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_chars = F.length(norm)
     n_spaces = n_tokens - 1
     stopwords = F.size(
-        F.filter(tokens, lambda t: t.isin("the", "a", "of", "and", "to"))
+        F.filter(tokens, lambda t: t.isin(*STOPWORDS))
     )
     return documents.select(
         "doc_id",
@@ -89,7 +111,7 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     documents = _documents(spark, sf_dir)
     tokens = F.split(_normalized(F.col("text")), " ")
     markers = F.size(
-        F.filter(tokens, lambda t: t.isin("the", "a", "of", "and", "to", "in"))
+        F.filter(tokens, lambda t: t.isin(*LANG_ID_MARKERS))
     )
     ratio = F.round(markers / F.size(tokens), 4)
     return documents.select(
@@ -290,15 +312,24 @@ def q_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _word_bigrams(words_col):
-    """Adjacent word pairs of a tokenized doc (empty array below 2 words)."""
+def _word_ngrams(words_col, n: int):
+    """Space-joined word n-grams of a tokenized doc (empty array below n
+    words).  The when() guard matters: ``F.sequence(1, size-(n-1))`` with
+    ``size < n`` would step DOWNWARD and fabricate grams — this is the
+    ONE definition of that guard (bigrams, boilerplate templates, and
+    the positional variant below all derive from it or restate it)."""
     return F.when(
-        F.size(words_col) >= 2,
+        F.size(words_col) >= n,
         F.transform(
-            F.sequence(F.lit(1), F.size(words_col) - 1),
-            lambda i: F.concat_ws(" ", F.slice(words_col, i, 2)),
+            F.sequence(F.lit(1), F.size(words_col) - (n - 1)),
+            lambda i: F.concat_ws(" ", F.slice(words_col, i, n)),
         ),
     ).otherwise(F.array().cast("array<string>"))
+
+
+def _word_bigrams(words_col):
+    """Adjacent word pairs of a tokenized doc (empty array below 2 words)."""
+    return _word_ngrams(words_col, 2)
 
 
 def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -389,12 +420,25 @@ def q_text_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     scan -> project -> filter pipeline (reference src/query_engine.rs:96)
     with the document-quality stage an LLM curation pipeline needs.
     """
+    from simple_query_engine_spark.functions.caching import session_cache
+
     documents = _documents(spark, sf_dir)
     norm = _normalized(F.col("text"))
-    base = documents.select(
-        "doc_id",
-        F.split(norm, " ").alias("w"),
-        F.length(F.regexp_replace(norm, " ", "")).cast("long").alias("total_chars"),
+    # Session-cache the tokenized projection: FOUR branches read it (the
+    # 3-gram explode, the 5-gram explode, the word-length table, and the
+    # final rollup) and Catalyst does not dedupe identical subtrees — an
+    # uncached base re-scans and re-tokenizes the corpus once per branch
+    # (the pipeline_domain_mix "measured two parquet scans" lesson, ×4).
+    base = session_cache(
+        documents.select(
+            "doc_id",
+            F.split(norm, " ").alias("w"),
+            F.length(F.regexp_replace(norm, " ", "")).cast("long").alias(
+                "total_chars"
+            ),
+        ),
+        sf_dir,
+        "gopher_base",
     )
     tri = base.select(
         "doc_id", F.explode(_word_ngrams_pos(F.col("w"), 3)).alias("g")
@@ -490,15 +534,7 @@ def q_text_boilerplate_templates(spark: SparkSession, sf_dir: str) -> DataFrame:
     grams = base.select(
         "doc_id",
         "source",
-        F.explode(
-            F.when(
-                F.size("w") >= TEMPLATE_WORDS,
-                F.transform(
-                    F.sequence(F.lit(1), F.size("w") - (TEMPLATE_WORDS - 1)),
-                    lambda i: F.concat_ws(" ", F.slice(F.col("w"), i, TEMPLATE_WORDS)),
-                ),
-            ).otherwise(F.array().cast("array<string>"))
-        ).alias("gram"),
+        F.explode(_word_ngrams(F.col("w"), TEMPLATE_WORDS)).alias("gram"),
     )
     return (
         grams.groupBy("gram")
@@ -625,10 +661,15 @@ def q_text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     — one floor division per (query, doc, term), summed exactly, so
     ranking is engine-identical (ties broken by doc_id).  Bound honesty:
-    the cleared-denominator products stay < 2⁶³ up to ~10¹² corpus
-    tokens with these constants; past that a production deployment
-    rescales (divide idf·tf products through by T) or scores in doubles
-    and accepts last-ulp rank ties.
+    the numerator idf_µ·22·T·tf is the binding term — with a typical
+    idf_µ ≈ 2·10⁷ and tf ≈ 1 it crosses 2⁶³ near T ≈ 2·10¹⁰ corpus
+    tokens (worst realistic case, idf_µ ≈ 7·10⁵ for a term in half the
+    docs, buys ~6·10¹¹) — so the safe envelope is ~10¹⁰–10¹¹ tokens,
+    NOT the ~10¹² an earlier revision claimed.  Failure modes past the
+    bound differ by engine: the DuckDB oracle raises a BIGINT-overflow
+    error (loud), while Spark's non-ANSI long multiply wraps silently —
+    a production deployment rescales first (divide idf·tf products
+    through by T) or scores in doubles and accepts last-ulp rank ties.
 
     The reference engine's FILTER-then-PROJECT pipeline
     (src/query_engine.rs:96-117) has no ranked retrieval; this is the
@@ -1214,11 +1255,12 @@ QUERIES = {
 }
 
 # DuckDB equivalents.  Normalization mirrored exactly:
-# lower → regexp_replace(\s+ → ' ', 'g') → trim.
+# lower → regexp_replace(explicit ws class → ' ', 'g') → trim.
 # _NORM is the single source of truth for the oracle-side normalization —
 # dedup.py, pipeline.py, and relational4.py import it rather than keeping
-# copies that could drift from the Spark-side ``_normalized``.
-_NORM = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+# copies that could drift from the Spark-side ``_normalized``.  The class
+# is spelled out (not \s) for the same \x0B reason as ``_WS_CLASS``.
+_NORM = "trim(regexp_replace(lower(text), '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g'))"
 _TOKENS = f"string_split({_NORM}, ' ')"
 
 def _bm25_oracle_sql() -> str:
@@ -1354,7 +1396,7 @@ ORACLES = {
                CAST(len(toks) AS INT) AS n_tokens,
                ROUND((n_chars - (len(toks) - 1)) / CAST(len(toks) AS DOUBLE), 4) AS mean_token_len,
                ROUND((len(toks) - 1) / CAST(n_chars AS DOUBLE), 4) AS space_ratio,
-               ROUND(len(list_filter(toks, t -> t IN ('the', 'a', 'of', 'and', 'to')))
+               ROUND(len(list_filter(toks, t -> t IN {_sql_in_list(STOPWORDS)}))
                      / CAST(len(toks) AS DOUBLE), 4) AS stopword_ratio,
                len(toks) >= 20 AS passes_min_length
         FROM t
@@ -1365,9 +1407,9 @@ ORACLES = {
         )
         SELECT doc_id,
                lang AS labeled_lang,
-               ROUND(len(list_filter(toks, t -> t IN ('the', 'a', 'of', 'and', 'to', 'in')))
+               ROUND(len(list_filter(toks, t -> t IN {_sql_in_list(LANG_ID_MARKERS)}))
                      / CAST(len(toks) AS DOUBLE), 4) AS en_marker_ratio,
-               CASE WHEN ROUND(len(list_filter(toks, t -> t IN ('the', 'a', 'of', 'and', 'to', 'in')))
+               CASE WHEN ROUND(len(list_filter(toks, t -> t IN {_sql_in_list(LANG_ID_MARKERS)}))
                                / CAST(len(toks) AS DOUBLE), 4) >= 0.05
                     THEN 'en' ELSE 'unknown' END AS predicted_lang
         FROM t

@@ -231,7 +231,7 @@ def q_udtf_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"""
         SELECT b.doc_id, b.pos, b.bigram
         FROM documents d,
-             LATERAL bigrams_udtf(d.doc_id, regexp_replace(trim(d.text), '\\\\s+', ' ')) b
+             LATERAL bigrams_udtf(d.doc_id, regexp_replace(trim(d.text), '[ \\\\t\\\\n\\\\x0B\\\\f\\\\r]+', ' ')) b
         WHERE d.doc_id < {UDTF_MAX_DOC_ID}
         """
     )
@@ -307,7 +307,7 @@ ORACLES = {
     "udtf_bigrams": f"""
         WITH w AS (
             SELECT doc_id,
-                   string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ') AS ws
+                   string_split(lower(trim(regexp_replace(text, '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g'))), ' ') AS ws
             FROM documents WHERE doc_id < {UDTF_MAX_DOC_ID}
         )
         SELECT doc_id,

@@ -561,3 +561,20 @@ def test_boilerplate_templates_surface_planted_footer(spark, tmp_path):
     assert top.gram == footer
     assert (top.n_occurrences, top.n_docs, top.n_sources) == (6, 6, 2)
     assert all(r.n_occurrences >= 2 for r in out)
+
+
+def test_normalization_agrees_on_vertical_tab(spark):
+    """Java \\s includes \\x0B but DuckDB's RE2 \\s does not — the shared
+    normalization pins an EXPLICIT five-char whitespace class on both
+    sides so a vertical-tab document tokenizes identically per engine."""
+    import duckdb
+    from pyspark.sql import functions as F
+
+    weird = "A\x0bB \tc\nd\x0b"
+    df = spark.createDataFrame([(weird,)], ["text"])
+    got_spark = df.select(TX._normalized(F.col("text")).alias("n")).first().n
+    con = duckdb.connect()
+    got_duck = con.execute(
+        f"SELECT {TX._NORM} FROM (SELECT ? AS text)", [weird]
+    ).fetchone()[0]
+    assert got_spark == got_duck == "a b c d"
