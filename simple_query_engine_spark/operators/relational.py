@@ -295,10 +295,15 @@ def q_sort_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_sort_multi_key(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multi-key global sort with LIMIT (ascending + descending mix)."""
+    """Multi-key global sort with LIMIT (ascending + descending mix).
+    s_suppkey completes the total order — (nationkey, acctbal) alone is
+    not unique, and a tie straddling the LIMIT boundary would make the
+    returned row SET engine-arbitrary."""
     supplier = table(spark, sf_dir, "supplier")
     return (
-        supplier.orderBy(F.col("s_nationkey"), F.col("s_acctbal").desc())
+        supplier.orderBy(
+            F.col("s_nationkey"), F.col("s_acctbal").desc(), F.col("s_suppkey")
+        )
         .select("s_suppkey", "s_nationkey", "s_acctbal")
         .limit(100)
     )
@@ -425,13 +430,19 @@ def q_json_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_subquery_above_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Scalar subquery via Spark SQL: orders above the average total price."""
+    """Scalar subquery via Spark SQL: orders above the average total price.
+
+    The threshold is ROUND(AVG, 2): an unrounded double AVG is
+    summation-order dependent (Spark's partial-agg order vs DuckDB's
+    sequential sum differ in the last ulps), and any o_totalprice —
+    itself a 2-decimal domain — falling between the two engines' raw
+    averages would flip in or out of the result."""
     table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
     return spark.sql(
         """
         SELECT o_orderkey, o_custkey, o_totalprice
         FROM orders
-        WHERE o_totalprice > (SELECT AVG(o_totalprice) FROM orders)
+        WHERE o_totalprice > (SELECT ROUND(AVG(o_totalprice), 2) FROM orders)
         """
     )
 
@@ -588,7 +599,7 @@ ORACLES = {
     """,
     "sort_multi_key": """
         SELECT s_suppkey, s_nationkey, s_acctbal
-        FROM supplier ORDER BY s_nationkey, s_acctbal DESC LIMIT 100
+        FROM supplier ORDER BY s_nationkey, s_acctbal DESC, s_suppkey LIMIT 100
     """,
     "set_union": """
         SELECT c_nationkey AS nationkey FROM customer
@@ -650,7 +661,7 @@ ORACLES = {
     "subquery_above_avg": """
         SELECT o_orderkey, o_custkey, o_totalprice
         FROM orders
-        WHERE o_totalprice > (SELECT AVG(o_totalprice) FROM orders)
+        WHERE o_totalprice > (SELECT ROUND(AVG(o_totalprice), 2) FROM orders)
     """,
     "distinct_rows": """
         SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem

@@ -147,7 +147,11 @@ def q_agg_mode_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     orders = table(spark, sf_dir, "orders")
     return orders.groupBy("o_orderpriority").agg(
-        F.mode("o_orderstatus").alias("status_mode"),
+        # deterministic=True pins mode ties to the LOWEST value — without
+        # it Spark's tie pick is arbitrary and DuckDB's is scan-order, so
+        # a group whose top two statuses tie would flip engines randomly
+        # (the oracle mirrors with MIN over the argmax-count set).
+        F.mode("o_orderstatus", deterministic=True).alias("status_mode"),
         F.round(F.median("o_totalprice"), 2).alias("price_median"),
         F.round(F.percentile("o_totalprice", 0.9), 2).alias("price_p90"),
     )
@@ -177,7 +181,10 @@ def q_agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
             "l_returnflag",
             "l_linestatus",
             F.expr("CAST(round(l_extendedprice * 100) AS BIGINT)").alias("cents"),
-            F.col("l_quantity").cast("long").alias("w"),
+            # floor() explicitly: a bare cast-to-long TRUNCATES in Spark
+            # but CAST(x AS BIGINT) ROUNDS in DuckDB — identical only
+            # while l_quantity stays integral; pin the same op both sides.
+            F.floor(F.col("l_quantity")).cast("long").alias("w"),
         )
         .groupBy("l_returnflag", "l_linestatus", "cents")
         .agg(F.sum("w").alias("w"))
@@ -208,7 +215,7 @@ _WEIGHTED_MEDIAN_SQL = """
     WITH base AS (
         SELECT l_returnflag, l_linestatus,
                CAST(round(l_extendedprice * 100) AS BIGINT) AS cents,
-               CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS w
+               CAST(SUM(CAST(floor(l_quantity) AS BIGINT)) AS BIGINT) AS w
         FROM lineitem GROUP BY 1, 2, 3
     ), cum AS (
         SELECT l_returnflag, l_linestatus, cents,
@@ -249,18 +256,17 @@ def q_agg_histogram_numeric(spark: SparkSession, sf_dir: str) -> DataFrame:
     share windows over those rows only."""
     orders = table(spark, sf_dir, "orders")
     width = (HIST_HI - HIST_LO) // HIST_BINS
+    # ONE cents derivation: bucket is computed FROM the projected cents
+    # column, so an edit to the rounding can never desynchronize bucket
+    # assignment from the emitted min/max_cents within the same query.
     cents = F.expr("CAST(round(o_totalprice * 100) AS BIGINT)")
+    projected = orders.select(cents.alias("cents"))
     bucket = F.least(
-        F.greatest(
-            F.expr(
-                f"CAST(round(o_totalprice * 100) AS BIGINT) div {width * 100}"
-            ),
-            F.lit(0),
-        ),
+        F.greatest(F.expr(f"cents div {width * 100}"), F.lit(0)),
         F.lit(HIST_BINS - 1),
     )
     hist = (
-        orders.select(bucket.alias("bucket"), cents.alias("cents"))
+        projected.select(bucket.alias("bucket"), "cents")
         .groupBy("bucket")
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
@@ -711,12 +717,27 @@ ORACLES = {
     "agg_weighted_median": _WEIGHTED_MEDIAN_SQL,
     "agg_histogram_numeric": _HISTOGRAM_SQL,
     "agg_mode_median": """
-        SELECT o_orderpriority,
-               mode(o_orderstatus) AS status_mode,
-               ROUND(median(o_totalprice), 2) AS price_median,
-               ROUND(quantile_cont(o_totalprice, 0.9), 2) AS price_p90
-        FROM orders
-        GROUP BY o_orderpriority
+        WITH counts AS (
+            SELECT o_orderpriority, o_orderstatus, COUNT(*) AS c
+            FROM orders GROUP BY 1, 2
+        ), modes AS (
+            -- lowest value among the max-count statuses: the same
+            -- tie-break Spark's mode(col, deterministic=true) applies
+            SELECT o_orderpriority, MIN(o_orderstatus) AS status_mode
+            FROM (
+                SELECT o_orderpriority, o_orderstatus, c,
+                       MAX(c) OVER (PARTITION BY o_orderpriority) AS mc
+                FROM counts
+            )
+            WHERE c = mc
+            GROUP BY 1
+        )
+        SELECT o.o_orderpriority,
+               m.status_mode,
+               ROUND(median(o.o_totalprice), 2) AS price_median,
+               ROUND(quantile_cont(o.o_totalprice, 0.9), 2) AS price_p90
+        FROM orders o JOIN modes m USING (o_orderpriority)
+        GROUP BY o.o_orderpriority, m.status_mode
     """,
     # Deliberately NOT an UNPIVOT: per-column aggregates unioned, so the
     # Spark-side reshape is what the comparison exercises.

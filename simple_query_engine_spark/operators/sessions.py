@@ -671,21 +671,35 @@ def q_join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_INTERVAL_OVERLAP_ORACLE = f"""
-        WITH labeled AS (
-            SELECT user_id, ts,
+def _labeled_cte(extra_cols: str = "") -> str:
+    """The gap-labeling CTE every session-shaped oracle shares — the SQL
+    twin of :func:`_labeled_events`, defined ONCE (it was five verbatim
+    copies; a tie-break or gap-predicate change missed in one copy would
+    silently break only that operator's reconciliation).  ``extra_cols``
+    carries additional event columns through (e.g. ``", event_type"``).
+    event_id rides in the output select for the callers that order by it
+    downstream; unused otherwise."""
+    return f"""labeled AS (
+            SELECT user_id, ts, event_id{extra_cols},
+                   -- CAST: DuckDB widens SUM(int) to HUGEINT (int128); Spark's
+                   -- sum is LongType and the driver hash is type-sensitive
+                   -- (repo convention, see relational.py).
                    CAST(SUM(CASE WHEN prev_us IS NULL
                             OR epoch_us(ts) - prev_us > {SESSION_GAP_SEC * 1_000_000}
                             THEN 1 ELSE 0 END)
                        OVER (PARTITION BY user_id ORDER BY ts, event_id
                              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
             FROM (
-                SELECT user_id, ts, event_id,
+                SELECT user_id, ts, event_id{extra_cols},
                        LAG(epoch_us(ts)) OVER (PARTITION BY user_id
                                                ORDER BY ts, event_id) AS prev_us
                 FROM events
             )
-        ), sessions AS (
+        )"""
+
+
+_INTERVAL_OVERLAP_ORACLE = f"""
+        WITH {_labeled_cte()}, sessions AS (
             SELECT user_id, session_seq,
                    epoch_us(MIN(ts)) AS s_start_us,
                    epoch_us(MAX(ts)) AS s_end_us
@@ -786,23 +800,7 @@ ORACLES = {
     "events_new_vs_returning": _NEW_VS_RETURNING_SQL,
     "events_wow_growth": _WOW_GROWTH_SQL,
     "events_sessionize_gap": f"""
-        WITH labeled AS (
-            SELECT user_id, ts,
-                   -- CAST: DuckDB widens SUM(int) to HUGEINT (int128); Spark's
-                   -- sum is LongType and the driver hash is type-sensitive
-                   -- (repo convention, see relational.py).
-                   CAST(SUM(CASE WHEN prev_us IS NULL
-                            OR epoch_us(ts) - prev_us > {SESSION_GAP_SEC * 1_000_000}
-                            THEN 1 ELSE 0 END)
-                       OVER (PARTITION BY user_id ORDER BY ts, event_id
-                             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
-            FROM (
-                SELECT user_id, ts, event_id,
-                       LAG(epoch_us(ts)) OVER (PARTITION BY user_id
-                                               ORDER BY ts, event_id) AS prev_us
-                FROM events
-            )
-        )
+        WITH {_labeled_cte()}
         SELECT user_id, session_seq,
                COUNT(*) AS n_events,
                MIN(ts) AS session_start,
@@ -813,20 +811,7 @@ ORACLES = {
     # Same labeling CTE as the sessionize oracle; DuckDB's ordered list()
     # aggregate is the twin of array_sort(collect_list(struct(...))).
     "events_top_paths": f"""
-        WITH labeled AS (
-            SELECT user_id, ts, event_id, event_type,
-                   CAST(SUM(CASE WHEN prev_us IS NULL
-                            OR epoch_us(ts) - prev_us > {SESSION_GAP_SEC * 1_000_000}
-                            THEN 1 ELSE 0 END)
-                       OVER (PARTITION BY user_id ORDER BY ts, event_id
-                             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
-            FROM (
-                SELECT user_id, ts, event_id, event_type,
-                       LAG(epoch_us(ts)) OVER (PARTITION BY user_id
-                                               ORDER BY ts, event_id) AS prev_us
-                FROM events
-            )
-        ), per_session AS (
+        WITH {_labeled_cte(", event_type")}, per_session AS (
             SELECT user_id, session_seq,
                    array_to_string(
                        (list(event_type ORDER BY ts, event_id))[1:{PATH_MAX_STEPS}],
@@ -839,20 +824,7 @@ ORACLES = {
     """,
     # Same labeling CTE again; the two LEADs reuse the identical window.
     "events_markov_transitions": f"""
-        WITH labeled AS (
-            SELECT user_id, ts, event_id, event_type,
-                   CAST(SUM(CASE WHEN prev_us IS NULL
-                            OR epoch_us(ts) - prev_us > {SESSION_GAP_SEC * 1_000_000}
-                            THEN 1 ELSE 0 END)
-                       OVER (PARTITION BY user_id ORDER BY ts, event_id
-                             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
-            FROM (
-                SELECT user_id, ts, event_id, event_type,
-                       LAG(epoch_us(ts)) OVER (PARTITION BY user_id
-                                               ORDER BY ts, event_id) AS prev_us
-                FROM events
-            )
-        ), steps AS (
+        WITH {_labeled_cte(", event_type")}, steps AS (
             SELECT event_type AS from_type,
                    LEAD(event_type) OVER (PARTITION BY user_id
                                           ORDER BY ts, event_id) AS to_type,
@@ -872,20 +844,7 @@ ORACLES = {
         FROM counts
     """,
     "events_attribution_last_touch": f"""
-        WITH labeled AS (
-            SELECT user_id, ts, event_id, event_type,
-                   CAST(SUM(CASE WHEN prev_us IS NULL
-                            OR epoch_us(ts) - prev_us > {SESSION_GAP_SEC * 1_000_000}
-                            THEN 1 ELSE 0 END)
-                       OVER (PARTITION BY user_id ORDER BY ts, event_id
-                             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
-            FROM (
-                SELECT user_id, ts, event_id, event_type,
-                       LAG(epoch_us(ts)) OVER (PARTITION BY user_id
-                                               ORDER BY ts, event_id) AS prev_us
-                FROM events
-            )
-        ), attributed AS (
+        WITH {_labeled_cte(", event_type")}, attributed AS (
             SELECT user_id, event_type,
                    COALESCE(
                        LAST_VALUE(CASE WHEN event_type <> 'purchase'
