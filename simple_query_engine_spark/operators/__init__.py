@@ -22,80 +22,76 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # everything else (already green in CORRECTNESS_r01/r02) follows in module
 # order.  ROUND3_NOTES.md tracks which round certified which query.
 #
-# Round-13 front window (exactly 50 = the driver's window size), per
-# VERDICT r12 item 1: ALL 23 names from r12's _ROTATION_QUEUE in queue
-# order (3 never-certified + 20 function-changed by the r12 hardening
-# waves, whose old certs those changes invalidated), then the age queue
-# — the 17 remaining r06-era names and the 10 oldest r08-era names not
-# already in the queue, both in registration order.  23 + 17 + 10 =
-# exactly 50; after a green r13 the never-certified pool is EMPTY and
-# no cert predates r08.  ROUND13_NOTES.md tracks the ledger.
+# Round-14 front window (exactly 50 = the driver's window size), per
+# VERDICT r13 item 1: pure age rotation — the 25 names whose newest
+# green cert is r08 (they sit exactly at front_audit's MAX_CERT_AGE = 6
+# bar this round), then the 25 oldest r09-era names, both in
+# registration order.  25 + 25 = exactly 50; after a green r14 no cert
+# predates r09.  ROUND14_NOTES.md tracks the ledger.
 _ROTATION_FRONT = [
-    # --- 1. r12's full _ROTATION_QUEUE in queue order: 3 never-
-    #     certified r12 additions + 20 function-changed by the r12
-    #     managed/streaming/datasource hardening waves ---
-    "dedup_cluster_keeper_quality",
-    "sim_ivf_rebuild",
-    "stream_decontamination",
-    "dml_insert_append",
-    "dml_delete_where",
-    "dml_update_set",
-    "dml_merge_upsert",
-    "dml_time_travel",
-    "dml_compact_files",
-    "dml_schema_evolution",
-    "dml_vacuum",
-    "dml_change_feed",
-    "dml_incremental_view",
-    "dml_table_history",
-    "dml_shallow_clone",
-    "dml_restore_version",
-    "dml_zorder_skipping",
-    "pipeline_incremental_curation",
-    "stream_upsert_managed",
-    "stream_ttl_sessions",
-    "source_python_datasource",
-    "stream_python_datasource",
-    "sink_python_datasource",
-    # --- 2. age queue: the 17 remaining r06-era names, registration
-    #     order ---
-    "sim_neardup_pairs_baseline",
-    "sim_neardup_lsh",
-    "sim_neardup_planted",
-    "sim_ann_lsh",
-    "sim_ivf_topk",
-    "sim_label_centroids",
-    "events_partition_prune",
-    "join_bucketed_revenue",
-    "source_json_roundtrip",
-    "source_csv_roundtrip",
-    "stream_tumbling_counts",
-    "stream_sliding_counts",
-    "pipeline_corpus_curation",
-    "sample_stratified",
-    "sample_topk",
-    "pipeline_pack_sequences",
-    "text_decontamination",
-    # --- 3. age queue: the 10 oldest r08-era names not already above,
+    # --- 1. age queue: all 25 r08-era certs (at the MAX_CERT_AGE bar),
     #     registration order ---
-    "case_in_between",
-    "math_funcs",
-    "json_funcs",
-    "join_null_safe",
-    "stats_column_profile",
-    "events_sessionize_gap",
-    "events_rolling_wau",
-    "events_top_paths",
-    "events_markov_transitions",
-    "events_attribution_last_touch",
+    "text_bigram_surprisal",
+    "dedup_lsh_quality",
+    "graph_pagerank_neardup",
+    "graph_triangles_neardup",
+    "sim_recall_audit",
+    "sim_semantic_clusters",
+    "storage_zorder_prune",
+    "pipeline_url_dedup",
+    "text_decontamination_bloom",
+    "pipeline_domain_mix",
+    "pipeline_attrition_report",
+    "sketch_countmin_words",
+    "pipeline_shuffle_shards",
+    "pipeline_token_quota",
+    "pipeline_pii_redaction",
+    "pipeline_split_assign",
+    "events_anomaly_mad",
+    "stats_corpus_report",
+    "stats_expectations",
+    "stats_drift_psi",
+    "events_trailing_features",
+    "text_zipf_slope",
+    "text_ngram_novelty",
+    "repl_sql_passthrough",
+    "repl_minilang_catalog",
+    # --- 2. age queue: the 25 oldest r09-era names, registration
+    #     order ---
+    "parity_project",
+    "parity_filter_eq",
+    "parity_filter_gt",
+    "parity_project_filter_combo",
+    "agg_pricing_summary",
+    "agg_count_distinct",
+    "agg_having",
+    "agg_rollup",
+    "agg_cube",
+    "join_broadcast_dim",
+    "join_large_revenue",
+    "join_semi",
+    "join_anti",
+    "join_left_outer_agg",
+    "join_multiway",
+    "window_topn_per_group",
+    "window_running_sum",
+    "window_lag_lead",
+    "window_rank_dense",
+    "sort_topk",
+    "sort_multi_key",
+    "set_union",
+    "set_intersect",
+    "set_except",
+    "string_funcs",
 ]
 
 # Entries added or function-changed THIS round that could not displace the
 # front (the front is full).  They sit immediately after the front in
 # registration order and lead the NEXT round's front.  tools/front_audit.py
 # treats queue membership as "pending" for the no-name-falls-through
-# invariant.  Empty at round-13 open: the full r12 queue moved into the
-# front above (VERDICT r12 item 1).
+# invariant.  At round-14 open the queue holds only names whose entry
+# functions r14 changes semantically (VERDICT r13 items 2/4); the r13
+# close left it empty.
 _ROTATION_QUEUE: list[str] = []
 
 
