@@ -79,10 +79,20 @@ def materialize_once(path: str, write) -> None:
         lock_fh = open(f"{path}.lock", "w")
     except OSError:
         lock_fh = None
+    def _reap_lock() -> None:
+        # Best-effort: once _SUCCESS exists the fast path above is
+        # lock-free forever, so the sidecar is pure litter — reap it.
+        # If a concurrent waiter still holds the unlinked inode it just
+        # re-checks _SUCCESS and returns; a recreated lock on some later
+        # race is harmless (it gets reaped again the same way).
+        with contextlib.suppress(OSError):
+            os.unlink(f"{path}.lock")
+
     with lock_fh if lock_fh is not None else contextlib.nullcontext():
         if lock_fh is not None:
             fcntl.flock(lock_fh, fcntl.LOCK_EX)
             if os.path.exists(os.path.join(path, "_SUCCESS")):
+                _reap_lock()
                 return  # another builder finished while we waited
         if os.path.exists(path):  # crashed/partial previous materialization
             shutil.rmtree(path, ignore_errors=True)
@@ -97,6 +107,7 @@ def materialize_once(path: str, write) -> None:
                 shutil.rmtree(tmp, ignore_errors=True)
             else:
                 raise
+        _reap_lock()
 
 
 def _partitioned_events_path(sf_dir: str) -> str:

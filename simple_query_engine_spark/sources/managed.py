@@ -41,6 +41,31 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+def _lock_owner_alive(lock_path: str) -> bool | None:
+    """Probe a scratch lock WITHOUT ever creating it.
+
+    ``open(path, "a")`` after an ``exists()`` check can recreate a lock
+    the owner unlinked in between — stranding a fresh zero-age orphan
+    until a later vacuum.  ``os.open`` with no ``O_CREAT`` cannot:
+    ``None`` = lock already gone (reaped or released), ``True`` = held by
+    a live owner, ``False`` = the owner is dead (we briefly acquired the
+    flock; closing the fd releases it immediately)."""
+    import fcntl
+
+    try:
+        fd = os.open(lock_path, os.O_RDWR)
+    except FileNotFoundError:
+        return None
+    try:
+        try:
+            fcntl.flock(fd, fcntl.LOCK_EX | fcntl.LOCK_NB)
+        except OSError:
+            return True
+        return False
+    finally:
+        os.close(fd)
+
+
 class TableVersionConflict(RuntimeError):
     """Another writer committed this version first — reread and retry."""
 
@@ -562,8 +587,6 @@ class ManagedTable:
                     pass  # another vacuum or the owner got there first
         scratch_root = os.path.join(self.path, "_tmp")
         if os.path.isdir(scratch_root):
-            import fcntl
-
             for name in os.listdir(scratch_root):
                 if name.endswith(".lock"):
                     # Reaped with their scratch below; an ORPHAN lock (its
@@ -574,13 +597,8 @@ class ManagedTable:
                     try:
                         if os.path.exists(base_entry) or os.path.getmtime(p) >= cutoff:
                             continue
-                        probe = open(p, "a")
-                        try:
-                            fcntl.flock(probe, fcntl.LOCK_EX | fcntl.LOCK_NB)
-                        except OSError:
-                            probe.close()
+                        if _lock_owner_alive(p):
                             continue
-                        probe.close()
                         os.unlink(p)
                     except FileNotFoundError:
                         pass
@@ -593,14 +611,8 @@ class ManagedTable:
                     # Liveness check beats the age gate: a merge whose
                     # probes outlive the gate still HOLDS its scratch lock
                     # (kernel-released only on process death) — skip it.
-                    if os.path.exists(lock_path):
-                        probe = open(lock_path, "a")
-                        try:
-                            fcntl.flock(probe, fcntl.LOCK_EX | fcntl.LOCK_NB)
-                        except OSError:
-                            probe.close()
-                            continue  # owner alive: not ours to reap
-                        probe.close()
+                    if _lock_owner_alive(lock_path):
+                        continue  # owner alive: not ours to reap
                     shutil.rmtree(p, ignore_errors=True)
                     try:
                         os.unlink(lock_path)

@@ -994,3 +994,24 @@ def test_sweep_skips_scratch_whose_lock_is_held(spark, tmp_path, people):
     t.vacuum(retain_versions=2)
     assert not os.path.exists(scratch)  # released: reaped
     assert not os.path.exists(scratch + ".lock")
+
+
+def test_lock_owner_alive_never_creates_the_lock(tmp_path):
+    """ADVICE r13: the sweep's liveness probe must not be able to recreate
+    a lock the owner just unlinked — os.open without O_CREAT: missing →
+    None (and still missing), held → True, free file → False."""
+    import fcntl
+
+    from simple_query_engine_spark.sources.managed import _lock_owner_alive
+
+    missing = str(tmp_path / "gone.lock")
+    assert _lock_owner_alive(missing) is None
+    assert not os.path.exists(missing)  # the probe created nothing
+
+    held = str(tmp_path / "held.lock")
+    fh = open(held, "w")
+    fcntl.flock(fh, fcntl.LOCK_EX)
+    assert _lock_owner_alive(held) is True
+    fh.close()
+    assert _lock_owner_alive(held) is False  # dead owner: acquirable
+    assert os.path.exists(held)  # probe acquires+releases, never unlinks

@@ -180,3 +180,23 @@ def test_materialize_once_concurrent_builders_never_clobber(tmp_path):
     parent = os.path.dirname(path)
     strays = [d for d in os.listdir(parent) if ".tmp." in d]
     assert strays == []
+
+
+def test_materialize_once_reaps_its_lock_after_success(tmp_path):
+    """ADVICE r13: the builder-serialization lock sidecar must not
+    accumulate forever — a successful build (or a waiter that finds
+    _SUCCESS) best-effort unlinks it."""
+    import os
+
+    from simple_query_engine_spark.operators.storage import materialize_once
+
+    path = str(tmp_path / "derived")
+
+    def write(tmp):
+        os.makedirs(tmp, exist_ok=True)
+        with open(os.path.join(tmp, "_SUCCESS"), "w"):
+            pass
+
+    materialize_once(path, write)
+    assert os.path.exists(os.path.join(path, "_SUCCESS"))
+    assert not os.path.exists(path + ".lock")
