@@ -92,7 +92,14 @@ _ROTATION_FRONT = [
 # invariant.  At round-14 open the queue holds only names whose entry
 # functions r14 changes semantically (VERDICT r13 items 2/4); the r13
 # close left it empty.
-_ROTATION_QUEUE: list[str] = []
+_ROTATION_QUEUE: list[str] = [
+    # VERDICT r13 item 2: these three now create their managed tables
+    # with stats_columns=[merge key] — the certified path exercises the
+    # stats-pruned merge probes (function change → re-certify r15).
+    "dml_merge_upsert",
+    "stream_upsert_managed",
+    "pipeline_incremental_curation",
+]
 
 
 

@@ -154,8 +154,12 @@ def upsert_users_batch(
         if not t.versions():
             # Empty shell first, then the normal txn-stamped merge path: a
             # crash between the two replays into an exists+no-txn state that
-            # simply merges again (nothing was applied).
-            ManagedTable.create(spark, table_path, agg.limit(0))
+            # simply merges again (nothing was applied).  stats_columns on
+            # the merge key: each micro-batch's merge probes prune to files
+            # whose user_id box overlaps the batch (VERDICT r13 item 2).
+            ManagedTable.create(
+                spark, table_path, agg.limit(0), stats_columns=["user_id"]
+            )
         last = t.last_txn(UPSERT_APP)
         if last is not None and batch_id <= last:
             return  # replayed batch: already in the snapshot

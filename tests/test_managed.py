@@ -1015,3 +1015,24 @@ def test_lock_owner_alive_never_creates_the_lock(tmp_path):
     fh.close()
     assert _lock_owner_alive(held) is False  # dead owner: acquirable
     assert os.path.exists(held)  # probe acquires+releases, never unlinks
+
+
+def test_certified_merge_entry_prunes_its_probes(spark, monkeypatch):
+    """VERDICT r13 item 2: the CERTIFIED dml_merge_upsert path must
+    exercise stats pruning — range-clustered 8-file layout + range-local
+    source band → merge probes fewer files than the table holds."""
+    from simple_query_engine_spark.operators import dml
+
+    probes = []
+    orig = ManagedTable.merge
+
+    def spy(self, *a, **k):
+        out = orig(self, *a, **k)
+        probes.append(dict(self.last_merge_probe))
+        return out
+
+    monkeypatch.setattr(ManagedTable, "merge", spy)
+    dml.q_dml_merge_upsert(spark, "/root/testdata/sf0.001").collect()
+    assert probes, "entry ran no merge"
+    assert probes[0]["total_files"] == 8
+    assert probes[0]["candidate_files"] < probes[0]["total_files"]
