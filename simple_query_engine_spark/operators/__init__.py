@@ -99,6 +99,9 @@ _ROTATION_QUEUE: list[str] = [
     "dml_merge_upsert",
     "stream_upsert_managed",
     "pipeline_incremental_curation",
+    # VERDICT r13 item 4: new entry — real binary-PPM encode + decode
+    # end-to-end with DuckDB-oracled pixel stats (never certified).
+    "multimodal_ppm_decode",
 ]
 
 

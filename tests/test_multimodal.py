@@ -186,3 +186,73 @@ def test_clip_pairs_manifest_properties(spark, sf_dir):
         and did in vec_ids
     }
     assert {r.doc_id for r in rows} == expected
+
+
+class TestPpmCodec:
+    """VERDICT r13 item 4: the dependency-free raster codec."""
+
+    def test_roundtrip(self):
+        from simple_query_engine_spark.functions.ppm import decode_ppm, encode_ppm
+
+        rgb = bytes(range(256)) * 3  # 16x16x3 = 768
+        payload = encode_ppm(16, 16, rgb)
+        assert payload.startswith(b"P6\n16 16\n255\n")
+        assert decode_ppm(payload) == (16, 16, rgb)
+
+    def test_header_comments_and_whitespace(self):
+        from simple_query_engine_spark.functions.ppm import decode_ppm
+
+        rgb = bytes(6)  # 2x1
+        payload = b"P6\n# a comment\n 2\t1 # trailing\n255\n" + rgb
+        assert decode_ppm(payload) == (2, 1, rgb)
+
+    def test_rejects_bad_magic_short_raster_and_maxval(self):
+        import pytest
+
+        from simple_query_engine_spark.functions.ppm import decode_ppm, encode_ppm
+
+        with pytest.raises(ValueError, match="magic"):
+            decode_ppm(b"P5\n1 1\n255\n\x00")
+        with pytest.raises(ValueError, match="raster holds"):
+            decode_ppm(b"P6\n2 2\n255\n" + bytes(5))
+        with pytest.raises(ValueError, match="maxval"):
+            decode_ppm(b"P6\n1 1\n65535\n" + bytes(3))
+        with pytest.raises(ValueError, match="needs"):
+            encode_ppm(2, 2, bytes(3))
+
+    def test_resize_box_mean_exact(self):
+        import numpy as np
+
+        from simple_query_engine_spark.functions.ppm import (
+            decode_ppm,
+            encode_ppm,
+            resize_ppm,
+        )
+
+        # 4x4 image of known blocks: each 2x2 cell pools to its floor-mean.
+        px = np.arange(4 * 4 * 3, dtype=np.uint8).reshape(4, 4, 3)
+        small = resize_ppm(encode_ppm(4, 4, px.tobytes()), 2)
+        w, h, rgb = decode_ppm(small)
+        assert (w, h) == (2, 2)
+        got = np.frombuffer(rgb, dtype=np.uint8).reshape(2, 2, 3)
+        want = (
+            px.reshape(2, 2, 2, 2, 3).astype(np.int64).sum(axis=(1, 3)) // 4
+        ).astype(np.uint8)
+        assert (got == want).all()
+
+    def test_decode_image_routes_ppm_and_stubs_the_rest(self):
+        import pytest
+
+        from simple_query_engine_spark.functions.ppm import encode_ppm
+        from simple_query_engine_spark.operators.multimodal import (
+            decode_image,
+            resize_image,
+        )
+
+        payload = encode_ppm(2, 2, bytes(12))
+        assert decode_image(payload) == (2, 2, bytes(12))
+        assert resize_image(payload, 1) == encode_ppm(1, 1, bytes(3))
+        with pytest.raises(NotImplementedError):
+            decode_image(b"\x89PNG....")
+        with pytest.raises(NotImplementedError):
+            resize_image(b"\xff\xd8jpeg", 8)

@@ -1,0 +1,164 @@
+"""Correctness at 32× scale: the DuckDB oracle over AMPLIFIED fact tables.
+
+VERDICT r13 item 3: the per-round driver gate tops out at sf0.01 and the
+local sweep at sf0.1 — scale evidence was bench-only.  This gate runs the
+heaviest FACT-TABLE-bound catalog entries against the k×-amplified copy of
+sf0.1 (tools/amplify_testdata.py — key-shifted replicas, FK-intact and
+deterministic per tests/test_amplify.py, so every oracle applies
+UNCHANGED) and hash-compares exactly like tools/check_correctness.py.
+
+Only fact-bound entries are gated: documents/embeddings are deliberately
+NOT amplified (replicating identical texts/vectors would manufacture k²
+near-dup pairs no real corpus has), so text/sim entries at 32× would
+re-test the sf0.1 corpus and dilute the gate.
+
+Writes AMPLIFIED_CORRECTNESS.json (same per-entry verdict shape as the
+driver's CORRECTNESS_r*.json, plus a _meta record).
+
+Usage: python tools/amplified_correctness.py [sf_dir] [k] [name_filter...]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import duckdb
+
+from simple_query_engine_spark.sources.catalog import TABLE_NAMES
+from tools.check_correctness import compare, compare_types
+
+# The heaviest entries whose inputs actually GROW under amplification —
+# scans, shuffles, joins, windows, and DML over lineitem / orders /
+# customer / part / supplier / events.
+AMPLIFIED_GATE = [
+    "agg_pricing_summary",
+    "agg_count_distinct",
+    "agg_rollup",
+    "join_broadcast_dim",
+    "join_large_revenue",
+    "join_multiway",
+    "join_salted_skew",
+    "join_asof",
+    "window_topn_per_group",
+    "window_running_sum",
+    "window_session_counts",
+    "window_tumbling_counts",
+    "sort_topk",
+    "subquery_above_avg",
+    "tpch_q3_shipping_priority",
+    "events_sessionize_gap",
+    "events_funnel_windowed",
+    "events_quality_drift",
+    "dml_zorder_skipping",
+    "dml_merge_upsert",
+]
+
+
+def main() -> int:
+    args = sys.argv[1:]
+    sf_dir = args[0] if args else "/root/testdata/sf0.1"
+    k = int(args[1]) if len(args) > 1 else 32
+    name_filter = args[2:]
+
+    import __spark_entry__ as entrymod
+    from simple_query_engine_spark.session import get_spark
+    from tools.amplify_testdata import ensure_amplified
+
+    spark = get_spark(
+        app_name="amplified-correctness",
+        extra_conf={
+            "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g")
+        },
+    )
+    amp_dir = ensure_amplified(spark, sf_dir, k)
+
+    con = duckdb.connect()
+    for name in TABLE_NAMES:
+        path = os.path.join(amp_dir, f"{name}.parquet")
+        if os.path.exists(path):
+            con.sql(f"CREATE VIEW {name} AS SELECT * FROM '{path}/*.parquet'")
+
+    queries = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    verdicts: dict[str, dict] = {}
+    n_fail = 0
+    for name in AMPLIFIED_GATE:
+        if name_filter and not any(f in name for f in name_filter):
+            continue
+        verdict = {
+            "rows_match": False,
+            "schema_match": False,
+            "hash_match": False,
+            "spark_rows": None,
+            "oracle_rows": None,
+            "err": None,
+            "sec": None,
+        }
+        verdicts[name] = verdict
+        start = time.time()
+        try:
+            result = queries[name](spark, amp_dir)
+            spark_cols = result.columns
+            spark_rows = [tuple(r) for r in result.collect()]
+            verdict["spark_rows"] = len(spark_rows)
+        except Exception as error:
+            verdict["err"] = f"SPARK ERROR: {str(error)[:300]}"
+            n_fail += 1
+            print(f"FAIL  {name}: {verdict['err']}")
+            continue
+        try:
+            duck = con.sql(oracles[name])
+            duck_cols = list(duck.columns)
+            duck_types = list(duck.types)
+            duck_rows = duck.fetchall()
+            verdict["oracle_rows"] = len(duck_rows)
+        except Exception as error:
+            verdict["err"] = f"DUCKDB ERROR: {str(error)[:300]}"
+            n_fail += 1
+            print(f"FAIL  {name}: {verdict['err']}")
+            continue
+        verdict["sec"] = round(time.time() - start, 2)
+        verdict["rows_match"] = len(spark_rows) == len(duck_rows)
+        verdict["schema_match"] = sorted(spark_cols) == sorted(duck_cols)
+        problem = compare_types(result.schema, duck_cols, duck_types) or compare(
+            spark_rows, duck_rows, spark_cols, duck_cols
+        )
+        if problem:
+            verdict["err"] = problem[:300]
+            n_fail += 1
+            print(f"FAIL  {name}: {problem[:200]}")
+        else:
+            verdict["hash_match"] = True
+            print(
+                f"ok    {name}: {len(spark_rows)} rows at {k}x  "
+                f"({verdict['sec']}s)"
+            )
+
+    n_ok = sum(1 for v in verdicts.values() if v["hash_match"])
+    print(f"\n{n_ok} ok, {n_fail} failed at {k}x amplification")
+    if not name_filter:
+        repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        payload = {
+            "_meta": {
+                "sf_dir": sf_dir,
+                "amplify": k,
+                "entries": len(verdicts),
+                "ok": n_ok,
+            },
+            **verdicts,
+        }
+        out = os.path.join(repo, "AMPLIFIED_CORRECTNESS.json")
+        with open(out, "w") as fh:
+            json.dump(payload, fh, indent=1)
+        print(f"wrote {out}")
+    spark.stop()
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
