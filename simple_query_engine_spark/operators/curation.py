@@ -28,6 +28,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from simple_query_engine_spark.functions.caching import session_cache
 from simple_query_engine_spark.functions.hashing import (
     md5_prefix_long,
     md5_prefix_long_sql,
@@ -76,41 +77,34 @@ def q_sketch_countmin_words(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     counts = words.groupBy("word").agg(F.count(F.lit(1)).alias("exact_n"))
 
+    # ONE cell expression for both the build and the probe: the estimate
+    # floor (est_n >= exact_n) holds only if a word probes exactly the
+    # cells it hashed into — two hand-maintained copies could drift
+    # silently (the estimate would go wrong, not loudly fail).
+    def cms_cells() -> "F.Column":
+        return F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(d).alias("d"),
+                        _cms_pos(F.col("word"), d).alias("pos"),
+                    )
+                    for d in range(CMS_DEPTH)
+                ]
+            )
+        ).alias("cell")
+
     cells = (
-        counts.select(
-            "exact_n",
-            F.explode(
-                F.array(
-                    *[
-                        F.struct(
-                            F.lit(d).alias("d"),
-                            _cms_pos(F.col("word"), d).alias("pos"),
-                        )
-                        for d in range(CMS_DEPTH)
-                    ]
-                )
-            ).alias("cell"),
-        )
+        counts.select("exact_n", cms_cells())
         .select("exact_n", "cell.d", "cell.pos")
         .groupBy("d", "pos")
         .agg(F.sum("exact_n").alias("cell_n"))
     )
 
     top = counts.orderBy(F.col("exact_n").desc(), "word").limit(CMS_TOP_K)
-    probes = top.select(
-        "word",
-        "exact_n",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(d).alias("d"), _cms_pos(F.col("word"), d).alias("pos")
-                    )
-                    for d in range(CMS_DEPTH)
-                ]
-            )
-        ).alias("cell"),
-    ).select("word", "exact_n", "cell.d", "cell.pos")
+    probes = top.select("word", "exact_n", cms_cells()).select(
+        "word", "exact_n", "cell.d", "cell.pos"
+    )
     return (
         probes.join(F.broadcast(cells), ["d", "pos"])
         .groupBy("word", "exact_n")
@@ -238,6 +232,21 @@ SPLIT_TRAIN_PCT = 90
 SPLIT_VAL_PCT = 5  # test gets the remainder
 
 
+def split_expr(doc_id_col: "F.Column") -> "F.Column":
+    """The canonical train/val/test split stamp: md5(doc_id) mod 100
+    bucket → train < 90 ≤ val < 95 ≤ test.  SINGLE-SOURCED here because
+    ``multimodal_clip_pairs``' leak-free guarantee (a pair never crosses
+    its document's split) depends on the pair manifest and the document
+    split computing byte-identical assignments — hand-copied variants
+    could silently desynchronize on a hash-width or bucket-rule edit."""
+    bucket = F.pmod(md5_prefix_long(doc_id_col.cast("string"), 8), F.lit(100))
+    return (
+        F.when(bucket < SPLIT_TRAIN_PCT, "train")
+        .when(bucket < SPLIT_TRAIN_PCT + SPLIT_VAL_PCT, "val")
+        .otherwise("test")
+    )
+
+
 def q_pipeline_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic train/val/test split assignment + the per-split report
     a dataset release ships: each document lands in the split its
@@ -253,12 +262,7 @@ def q_pipeline_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``pipeline_domain_mix`` single-scan pattern).
     """
     documents = _documents(spark, sf_dir)
-    bucket = F.pmod(md5_prefix_long(F.col("doc_id").cast("string"), 8), F.lit(100))
-    split = (
-        F.when(bucket < SPLIT_TRAIN_PCT, "train")
-        .when(bucket < SPLIT_TRAIN_PCT + SPLIT_VAL_PCT, "val")
-        .otherwise("test")
-    )
+    split = split_expr(F.col("doc_id"))
     per_split = (
         documents.select(
             split.alias("split"),
@@ -670,6 +674,11 @@ def q_sketch_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
+    # ONE cached element page feeds all five 1-row branches below:
+    # Catalyst does not dedupe identical subtrees, so uncached each
+    # branch (and sketch_overlap's sketch lineages twice over) would
+    # re-run the corpus-scale events scan + distinct shuffle.
+    elems = session_cache(elems, sf_dir, "kmv_overlap_elems")
     full_a = elems.filter(F.col("event_type") == KMV_TYPE_A).select("h")
     full_b = elems.filter(F.col("event_type") == KMV_TYPE_B).select("h")
     sketch_a = full_a.orderBy("h").limit(KMV_K)
@@ -748,6 +757,9 @@ def q_sketch_kmv_union(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
+    # Same subtree-dedup discipline as sketch_kmv_overlap: one cached
+    # element page instead of a fresh scan per branch.
+    elems = session_cache(elems, sf_dir, "kmv_union_elems")
     full_a = elems.filter(F.col("event_type") == KMV_TYPE_A).select("h")
     full_b = elems.filter(F.col("event_type") == KMV_TYPE_B).select("h")
     sketch_a = full_a.orderBy("h").limit(KMV_K)

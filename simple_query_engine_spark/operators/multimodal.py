@@ -389,11 +389,7 @@ def q_multimodal_clip_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus growth).  Output is the manifest a training job reads:
     one row per surviving pair with digest, size, embedding dim, split.
     """
-    from simple_query_engine_spark.functions.hashing import md5_prefix_long
-    from simple_query_engine_spark.operators.curation import (
-        SPLIT_TRAIN_PCT,
-        SPLIT_VAL_PCT,
-    )
+    from simple_query_engine_spark.operators.curation import split_expr
 
     payloads = with_binary_payload(table(spark, sf_dir, "documents"))
     digests = payloads.select(
@@ -408,12 +404,9 @@ def q_multimodal_clip_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = table(spark, sf_dir, "embeddings").select(
         F.col("vec_id").alias("doc_id"), F.size("embedding").alias("emb_dim")
     )
-    bucket = F.pmod(md5_prefix_long(F.col("doc_id").cast("string"), 8), F.lit(100))
-    split = (
-        F.when(bucket < SPLIT_TRAIN_PCT, "train")
-        .when(bucket < SPLIT_TRAIN_PCT + SPLIT_VAL_PCT, "val")
-        .otherwise("test")
-    )
+    # SINGLE-SOURCED with pipeline_split_assign (see curation.split_expr):
+    # the leak-free guarantee needs byte-identical assignments.
+    split = split_expr(F.col("doc_id"))
     return kept.join(emb, "doc_id").select(
         "doc_id", "digest", "n_bytes", "emb_dim", split.alias("split")
     )

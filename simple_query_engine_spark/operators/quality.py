@@ -138,7 +138,12 @@ def q_stats_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         },
     )
-    parents = orders.select(F.col("o_orderkey").alias("k"), F.lit(1).alias("hit"))
+    # distinct() mirrors the oracle's SELECT DISTINCT: a duplicated
+    # o_orderkey (exactly what orderkey_unique detects) must not fan out
+    # the probe join and inflate n_rows past the true lineitem count.
+    parents = orders.select(F.col("o_orderkey").alias("k")).distinct().withColumn(
+        "hit", F.lit(1)
+    )
     ref = (
         lineitem.select("l_orderkey")
         .join(parents, F.col("l_orderkey") == F.col("k"), "left")
@@ -328,6 +333,12 @@ def q_events_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents"),
     )
+    # ONE cached per-user page feeds the corpus-max probe and all three
+    # ntile builds: Catalyst does not dedupe identical subtrees (the
+    # sim_ivf_rebuild lesson), so without the cache each of the three
+    # ranked materializations — plus the broadcast corpus_max lineage —
+    # would re-run the corpus-scale events scan + groupBy.
+    per_user = session_cache(per_user, sf_dir, "rfm_per_user")
     corpus_max = per_user.agg(F.max("last_ts").alias("_corpus_max"))
     scored = (
         per_user.crossJoin(F.broadcast(corpus_max))

@@ -620,11 +620,7 @@ def run_clip_ingest(
 
     from pyspark.sql import functions as F
 
-    from simple_query_engine_spark.functions.hashing import md5_prefix_long
-    from simple_query_engine_spark.operators.curation import (
-        SPLIT_TRAIN_PCT,
-        SPLIT_VAL_PCT,
-    )
+    from simple_query_engine_spark.operators.curation import split_expr
     from simple_query_engine_spark.operators.multimodal import CLIP_MIN_BYTES
     from simple_query_engine_spark.streaming.windows import read_event_stream
 
@@ -659,12 +655,8 @@ def run_clip_ingest(
     emb = table(spark, sf_dir, "embeddings").select(
         F.col("vec_id").alias("doc_id"), F.size("embedding").alias("emb_dim")
     )
-    bucket = F.pmod(md5_prefix_long(F.col("doc_id").cast("string"), 8), F.lit(100))
-    split = (
-        F.when(bucket < SPLIT_TRAIN_PCT, "train")
-        .when(bucket < SPLIT_TRAIN_PCT + SPLIT_VAL_PCT, "val")
-        .otherwise("test")
-    )
+    # SINGLE-SOURCED with pipeline_split_assign (curation.split_expr).
+    split = split_expr(F.col("doc_id"))
     return spark.table(sink_name).join(emb, "doc_id").select(
         "doc_id", "digest", "n_copies", "n_bytes", split.alias("split")
     )

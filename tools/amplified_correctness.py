@@ -32,6 +32,24 @@ import duckdb
 from simple_query_engine_spark.sources.catalog import TABLE_NAMES
 from tools.check_correctness import compare, compare_types
 
+
+def _naive_utc(rows: list[tuple]) -> list[tuple]:
+    """Strip tz-awareness after converting to UTC.
+
+    The driver's testdata stores TIMESTAMP(NANOS) (tz-naive in DuckDB),
+    but the amplified copy is SPARK-written parquet whose timestamps are
+    marked isAdjustedToUTC — DuckDB then returns tz-aware datetimes while
+    Spark returns naive ones (session TZ is UTC, session.py).  Same
+    instant, different repr; normalize both sides before comparing."""
+    import datetime
+
+    def fix(v):
+        if isinstance(v, datetime.datetime) and v.tzinfo is not None:
+            return v.astimezone(datetime.timezone.utc).replace(tzinfo=None)
+        return v
+
+    return [tuple(fix(v) for v in row) for row in rows]
+
 # The heaviest entries whose inputs actually GROW under amplification —
 # scans, shuffles, joins, windows, and DML over lineitem / orders /
 # customer / part / supplier / events.
@@ -126,7 +144,7 @@ def main() -> int:
         verdict["rows_match"] = len(spark_rows) == len(duck_rows)
         verdict["schema_match"] = sorted(spark_cols) == sorted(duck_cols)
         problem = compare_types(result.schema, duck_cols, duck_types) or compare(
-            spark_rows, duck_rows, spark_cols, duck_cols
+            _naive_utc(spark_rows), _naive_utc(duck_rows), spark_cols, duck_cols
         )
         if problem:
             verdict["err"] = problem[:300]
