@@ -68,7 +68,10 @@ HEADLINE = [
 # floor, which was masking regressions in the other members).
 # r13a = r12a +1: dedup_cluster_keeper_quality (VERDICT r12 item 4 —
 # the r12 additions need suite rows so regressions in them are visible).
-SUITE2_VERSION = "r13a"
+# r14a = r13a +1: multimodal_ppm_decode (the r14 addition — real PPM
+# encode + decode through two mapInPandas stages; the suite's only
+# Python-boundary-heavy member, so Arrow-path regressions show here).
+SUITE2_VERSION = "r14a"
 SUITE2 = [
     "dedup_substring_spans",
     "sim_semdedup",
@@ -102,6 +105,7 @@ SUITE2 = [
     "sim_knn_density",
     "sim_multiprobe_lsh",
     "dedup_cluster_keeper_quality",
+    "multimodal_ppm_decode",
 ]
 
 # Third suite: the fixed-round ITERATIVE graph/cluster operators.  Their
