@@ -364,6 +364,10 @@ def main() -> int:
         # the sim_semantic_clusters reason below — its components run
         # eagerly; its ROUND body is covered by the iterative section)
         "sim_ivf_rebuild",
+        # round-14 addition: the real-PPM decode entry — the point of its
+        # row is that BOTH Python boundaries are Arrow mapInPandas stages
+        # over a pruned 2-column scan (no shuffle between them).
+        "multimodal_ppm_decode",
         # VERDICT r11 item 7: the two fixed-round iteratives whose loops
         # do NOT materialize per round (rank/label tables never self-join,
         # so lineage stays linear) — their full unrolled plans audit like
