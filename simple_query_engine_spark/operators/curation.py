@@ -247,6 +247,22 @@ def split_expr(doc_id_col: "F.Column") -> "F.Column":
     )
 
 
+def split_sql(doc_id_sql: str = "doc_id") -> str:
+    """DuckDB twin of :func:`split_expr`, SINGLE-SOURCED for the same
+    reason: the oracles of ``pipeline_split_assign``,
+    ``multimodal_clip_pairs``, and ``stream_clip_ingest`` must stamp
+    byte-identical splits, and until r14 each hand-copied the CASE (two
+    of them with the 90/95 bucket bounds as bare literals that a
+    SPLIT_*_PCT edit would have silently missed).  The hash is
+    nonnegative (8 hex digits < 2^63), so ``%`` matches Spark's pmod."""
+    bucket = f"{md5_prefix_long_sql(f'CAST({doc_id_sql} AS VARCHAR)', 8)} % 100"
+    return (
+        f"CASE WHEN {bucket} < {SPLIT_TRAIN_PCT} THEN 'train' "
+        f"WHEN {bucket} < {SPLIT_TRAIN_PCT + SPLIT_VAL_PCT} THEN 'val' "
+        f"ELSE 'test' END"
+    )
+
+
 def q_pipeline_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic train/val/test split assignment + the per-split report
     a dataset release ships: each document lands in the split its
@@ -956,10 +972,7 @@ ORACLES = {
     """,
     "pipeline_split_assign": f"""
         WITH per_split AS (
-            SELECT CASE WHEN {_hash8_sql} % 100 < {SPLIT_TRAIN_PCT} THEN 'train'
-                        WHEN {_hash8_sql} % 100 < {SPLIT_TRAIN_PCT + SPLIT_VAL_PCT}
-                             THEN 'val'
-                        ELSE 'test' END AS split,
+            SELECT {split_sql()} AS split,
                    len(string_split({_NORM}, ' ')) AS n_tokens
             FROM documents
         ), agg AS (

@@ -20,7 +20,6 @@ hygiene is pinned in ``tests/test_managed.py``.
 from __future__ import annotations
 
 import os
-import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -33,9 +32,10 @@ MERGE_SCALE = 2.0
 
 
 def _scratch(prefix: str) -> str:
-    root = os.path.join(tempfile.gettempdir(), "sqe_dml_scratch")
-    os.makedirs(root, exist_ok=True)
-    return os.path.join(tempfile.mkdtemp(prefix=prefix, dir=root), "t")
+    from simple_query_engine_spark.operators.storage import scratch_dir
+
+    # Same root name as ever, so the sweep also reclaims pre-r14 litter.
+    return os.path.join(scratch_dir(prefix, "sqe_dml_scratch"), "t")
 
 
 def q_dml_insert_append(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from simple_query_engine_spark.operators.curation import split_sql
 from simple_query_engine_spark.sources.catalog import table
 
 FEATURE_SCHEMA = T.StructType(
@@ -423,7 +424,9 @@ QUERIES = {
 }
 
 ORACLES = {
-    "multimodal_clip_pairs": """
+    # Split stamp single-sourced via curation.split_sql — same guarantee
+    # as the Spark side's split_expr: a SPLIT_*_PCT edit can't desync.
+    "multimodal_clip_pairs": f"""
         WITH p AS (
             SELECT doc_id, md5(text) AS digest,
                    CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
@@ -432,13 +435,11 @@ ORACLES = {
             SELECT digest, MIN(doc_id) AS doc_id FROM p GROUP BY digest
         ), kept AS (
             SELECT p.* FROM p JOIN keep USING (digest, doc_id)
-            WHERE p.n_bytes >= 120
+            WHERE p.n_bytes >= {CLIP_MIN_BYTES}
         )
         SELECT k.doc_id, k.digest, k.n_bytes,
                CAST(len(e.embedding) AS INT) AS emb_dim,
-               CASE WHEN (CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)) % 100 < 90 THEN 'train'
-                    WHEN (CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)) % 100 < 95 THEN 'val'
-                    ELSE 'test' END AS split
+               {split_sql()} AS split
         FROM kept k JOIN embeddings e ON e.vec_id = k.doc_id
     """,
     # Same framing over '<intro>' || text; md5 of the ASCII frame string

@@ -34,7 +34,6 @@ from simple_query_engine_spark.functions.hashing import (
 )
 from simple_query_engine_spark.sources.catalog import table
 from simple_query_engine_spark.sources.sinks import write_parquet
-from simple_query_engine_spark.streaming.explain_capture import record_explain
 
 PRUNE_WEEK_START = "2024-01-08"
 PRUNE_WEEK_END = "2024-01-14"
@@ -108,6 +107,42 @@ def materialize_once(path: str, write) -> None:
             else:
                 raise
         _reap_lock()
+
+
+# A per-run scratch dir lives for one query run (minutes); anything this
+# old under a scratch root is a leak from a finished or crashed run.  The
+# gate is deliberately huge — a full 3-SF certification sweep stays under
+# a few hours — so a concurrent process can never lose a live scratch.
+_SCRATCH_TTL_SEC = 24 * 3600
+
+
+def scratch_dir(prefix: str, root_name: str = "sqe_scratch") -> str:
+    """``mkdtemp`` under a shared per-purpose scratch root, sweeping
+    siblings older than ``_SCRATCH_TTL_SEC`` first.
+
+    The DML catalog entries and the streaming upsert/restart exhibits
+    each materialize a scratch managed table per RUN and hand its lazy
+    DataFrame to the driver — the files must outlive the function, so
+    nothing can delete them at return; before r14 nothing ever deleted
+    them at all, and every certification sweep left full scratch copies
+    of orders/customer/events in the shared tempdir forever (the same
+    litter class as the materialize_once lock sidecar closed in r14).
+    Sweeping the root on the NEXT run bounds the backlog to one sweep's
+    worth without touching any live run's scratch."""
+    import shutil
+    import time
+
+    root = os.path.join(tempfile.gettempdir(), root_name)
+    os.makedirs(root, exist_ok=True)
+    cutoff = time.time() - _SCRATCH_TTL_SEC
+    for name in os.listdir(root):
+        p = os.path.join(root, name)
+        try:
+            if os.path.getmtime(p) < cutoff:
+                shutil.rmtree(p, ignore_errors=True)
+        except FileNotFoundError:
+            pass  # a concurrent sweep got there first
+    return tempfile.mkdtemp(prefix=prefix, dir=root)
 
 
 def _partitioned_events_path(sf_dir: str) -> str:
@@ -404,10 +439,11 @@ def q_stream_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
     streaming planner and the batch reader agree on the data.  Restart
     exactly-once for this connector is pinned in tests.
     """
-    import uuid
-
     from simple_query_engine_spark.sources.pydatasource import (
         register_readings_source,
+    )
+    from simple_query_engine_spark.streaming.explain_capture import (
+        run_to_memory_sink,
     )
 
     register_readings_source(spark)
@@ -423,17 +459,7 @@ def q_stream_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("reading"), 4).alias("reading_sum"),
         F.max("reading_id").alias("last_reading_id"),
     )
-    sink_name = f"pyds_stream_{uuid.uuid4().hex[:8]}"
-    query = (
-        agg.writeStream.format("memory")
-        .queryName(sink_name)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    query.awaitTermination()
-    record_explain(query, "python_datasource_stream")
-    return spark.table(sink_name)
+    return run_to_memory_sink(agg, "pyds_stream", "python_datasource_stream")
 
 
 def q_sink_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:

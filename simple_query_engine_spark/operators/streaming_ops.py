@@ -16,7 +16,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 
 from simple_query_engine_spark.sources.catalog import table
-from simple_query_engine_spark.streaming.explain_capture import record_explain
+from simple_query_engine_spark.streaming.explain_capture import run_to_memory_sink
 from simple_query_engine_spark.streaming.stateful import run_stateful_user_profiles
 from simple_query_engine_spark.streaming.windows import (
     LATE_STRAGGLER_END,
@@ -96,11 +96,11 @@ def q_stream_restart_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
     between commits) are pinned in tests/test_streaming_sinks.py.
     """
     import shutil
-    import tempfile
 
     from simple_query_engine_spark.operators.storage import (
         events_cache_path,
         materialize_once,
+        scratch_dir,
     )
     from simple_query_engine_spark.streaming.sinks import run_resumable_file_sink
 
@@ -113,7 +113,7 @@ def q_stream_restart_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .write.parquet(tmp),
     )
     part_files = sorted(f for f in os.listdir(staged) if f.endswith(".parquet"))
-    run_root = tempfile.mkdtemp(prefix="sqe_stream_resume_")
+    run_root = scratch_dir("stream_resume_")
     src = os.path.join(run_root, "in")
     out = os.path.join(run_root, "out")
     ckpt = os.path.join(run_root, "ckpt")
@@ -138,11 +138,10 @@ def q_stream_upsert_managed(spark: SparkSession, sf_dir: str) -> DataFrame:
     races, no lost batches).  Replay idempotence (the txn skip) and
     vacuum-survival of the txn map are pinned in
     tests/test_streaming_sinks.py."""
-    import tempfile
-
     from simple_query_engine_spark.operators.storage import (
         events_cache_path,
         materialize_once,
+        scratch_dir,
     )
     from simple_query_engine_spark.streaming.sinks import (
         run_streaming_upsert_managed,
@@ -156,7 +155,7 @@ def q_stream_upsert_managed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .repartition(4)
         .write.parquet(tmp),
     )
-    run_root = tempfile.mkdtemp(prefix="sqe_stream_upsert_")
+    run_root = scratch_dir("stream_upsert_")
     return run_streaming_upsert_managed(
         spark,
         staged,
@@ -332,9 +331,6 @@ def run_vector_ingest(
     embeddings (``max_files_per_trigger=1`` forces one micro-batch per
     file) while the quantizer still trains from the canonical ``sf_dir``
     (keeping the session caches tagged to the real dir)."""
-    import tempfile
-    import uuid
-
     from pyspark.sql import functions as F
 
     from simple_query_engine_spark.operators.similarity import (
@@ -383,19 +379,7 @@ def run_vector_ingest(
         F.sum("best.d").alias("inertia"),
         F.max("vec_id").alias("last_vec_id"),
     )
-    sink_name = f"vecingest_{uuid.uuid4().hex[:8]}"
-    checkpoint = os.path.join(tempfile.gettempdir(), f"ckpt_{sink_name}")
-    query = (
-        report.writeStream.format("memory")
-        .queryName(sink_name)
-        .outputMode("complete")
-        .option("checkpointLocation", checkpoint)
-        .trigger(availableNow=True)
-        .start()
-    )
-    query.awaitTermination()
-    record_explain(query, "vector_ingest")
-    return spark.table(sink_name)
+    return run_to_memory_sink(report, "vecingest", "vector_ingest")
 
 
 def q_stream_bm25_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -429,9 +413,6 @@ def run_bm25_postings(
 ) -> DataFrame:
     """The :func:`q_stream_bm25_postings` pipeline with an overridable
     stream source (tests replay a staged multi-file copy)."""
-    import tempfile
-    import uuid
-
     from pyspark.sql import functions as F
 
     from simple_query_engine_spark.operators.text import (
@@ -470,19 +451,7 @@ def run_bm25_postings(
         F.sum("tf").alias("total_tf"),
         F.max("tf").alias("max_tf"),
     )
-    sink_name = f"bm25post_{uuid.uuid4().hex[:8]}"
-    checkpoint = os.path.join(tempfile.gettempdir(), f"ckpt_{sink_name}")
-    query = (
-        report.writeStream.format("memory")
-        .queryName(sink_name)
-        .outputMode("complete")
-        .option("checkpointLocation", checkpoint)
-        .trigger(availableNow=True)
-        .start()
-    )
-    query.awaitTermination()
-    record_explain(query, "bm25_postings")
-    return spark.table(sink_name)
+    return run_to_memory_sink(report, "bm25post", "bm25_postings")
 
 
 def q_stream_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -516,9 +485,6 @@ def run_mixture_ingest(
 ) -> DataFrame:
     """The :func:`q_stream_mixture_sample` pipeline with an overridable
     stream source (tests replay a staged multi-file copy)."""
-    import tempfile
-    import uuid
-
     from pyspark.sql import functions as F
 
     from simple_query_engine_spark.functions.hashing import md5_prefix_long
@@ -557,19 +523,7 @@ def run_mixture_ingest(
             "tokens_sampled"
         ),
     )
-    sink_name = f"mixgate_{uuid.uuid4().hex[:8]}"
-    checkpoint = os.path.join(tempfile.gettempdir(), f"ckpt_{sink_name}")
-    query = (
-        report.writeStream.format("memory")
-        .queryName(sink_name)
-        .outputMode("complete")
-        .option("checkpointLocation", checkpoint)
-        .trigger(availableNow=True)
-        .start()
-    )
-    query.awaitTermination()
-    record_explain(query, "mixture_sample")
-    return spark.table(sink_name)
+    return run_to_memory_sink(report, "mixgate", "mixture_sample")
 
 
 def q_stream_watermark_late_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -615,9 +569,6 @@ def run_clip_ingest(
 ) -> DataFrame:
     """The :func:`q_stream_clip_ingest` pipeline with an overridable
     stream source (tests replay a staged multi-file copy)."""
-    import tempfile
-    import uuid
-
     from pyspark.sql import functions as F
 
     from simple_query_engine_spark.operators.curation import split_expr
@@ -640,24 +591,13 @@ def run_clip_ingest(
         F.count(F.lit(1)).alias("n_copies"),
         F.max("n_bytes").alias("n_bytes"),
     )
-    sink_name = f"clipingest_{uuid.uuid4().hex[:8]}"
-    checkpoint = os.path.join(tempfile.gettempdir(), f"ckpt_{sink_name}")
-    query = (
-        manifest.writeStream.format("memory")
-        .queryName(sink_name)
-        .outputMode("complete")
-        .option("checkpointLocation", checkpoint)
-        .trigger(availableNow=True)
-        .start()
-    )
-    query.awaitTermination()
-    record_explain(query, "clip_ingest")
+    sink = run_to_memory_sink(manifest, "clipingest", "clip_ingest")
     emb = table(spark, sf_dir, "embeddings").select(
         F.col("vec_id").alias("doc_id"), F.size("embedding").alias("emb_dim")
     )
     # SINGLE-SOURCED with pipeline_split_assign (curation.split_expr).
     split = split_expr(F.col("doc_id"))
-    return spark.table(sink_name).join(emb, "doc_id").select(
+    return sink.join(emb, "doc_id").select(
         "doc_id", "digest", "n_copies", "n_bytes", split.alias("split")
     )
 
@@ -701,9 +641,6 @@ def run_stream_decontamination(
 ) -> DataFrame:
     """The :func:`q_stream_decontamination` pipeline with an overridable
     stream source (tests replay a staged multi-file copy)."""
-    import tempfile
-    import uuid
-
     from pyspark.sql import functions as F
 
     from simple_query_engine_spark.functions.caching import session_cache
@@ -781,20 +718,8 @@ def run_stream_decontamination(
     pairs = flagged.groupBy("doc_id", "eval_doc_id").agg(
         F.max("est_jaccard").alias("est_jaccard")
     )
-    sink_name = f"decontam_{uuid.uuid4().hex[:8]}"
-    checkpoint = os.path.join(tempfile.gettempdir(), f"ckpt_{sink_name}")
-    query = (
-        pairs.writeStream.format("memory")
-        .queryName(sink_name)
-        .outputMode("complete")
-        .option("checkpointLocation", checkpoint)
-        .trigger(availableNow=True)
-        .start()
-    )
-    query.awaitTermination()
-    record_explain(query, "decontamination")
     return (
-        spark.table(sink_name)
+        run_to_memory_sink(pairs, "decontam", "decontamination")
         .groupBy("eval_doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_flagged_docs"),
@@ -934,23 +859,29 @@ def _mixture_ingest_oracle_sql() -> str:
 
 
 
-_CLIP_INGEST_SQL = """
-    WITH p AS (
-        SELECT doc_id, md5(text) AS digest,
-               CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
-        FROM documents
-    ), g AS (
-        SELECT digest, MIN(doc_id) AS doc_id,
-               CAST(COUNT(*) AS BIGINT) AS n_copies,
-               CAST(MAX(n_bytes) AS BIGINT) AS n_bytes
-        FROM p WHERE n_bytes >= 120 GROUP BY digest
-    )
-    SELECT g.doc_id, g.digest, g.n_copies, g.n_bytes,
-           CASE WHEN (CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)) % 100 < 90 THEN 'train'
-                WHEN (CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)) % 100 < 95 THEN 'val'
-                ELSE 'test' END AS split
-    FROM g JOIN embeddings e ON e.vec_id = g.doc_id
-"""
+def _clip_ingest_oracle_sql() -> str:
+    """Batch twin of the streaming pair-manifest state: the size gate is
+    the SAME constant the stream applies (CLIP_MIN_BYTES, not a copied
+    literal) and the split stamp is the single-sourced curation.split_sql
+    twin of the split_expr the read-side projection uses."""
+    from simple_query_engine_spark.operators.curation import split_sql
+    from simple_query_engine_spark.operators.multimodal import CLIP_MIN_BYTES
+
+    return f"""
+        WITH p AS (
+            SELECT doc_id, md5(text) AS digest,
+                   CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+            FROM documents
+        ), g AS (
+            SELECT digest, MIN(doc_id) AS doc_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_copies,
+                   CAST(MAX(n_bytes) AS BIGINT) AS n_bytes
+            FROM p WHERE n_bytes >= {CLIP_MIN_BYTES} GROUP BY digest
+        )
+        SELECT g.doc_id, g.digest, g.n_copies, g.n_bytes,
+               {split_sql()} AS split
+        FROM g JOIN embeddings e ON e.vec_id = g.doc_id
+    """
 
 def _stream_decontam_oracle_sql() -> str:
     """Per-eval-doc rollup over the batch fuzzy-decontamination pair SQL
@@ -981,7 +912,7 @@ def _stream_decontam_oracle_sql() -> str:
 
 
 ORACLES = {
-    "stream_clip_ingest": _CLIP_INGEST_SQL,
+    "stream_clip_ingest": _clip_ingest_oracle_sql(),
     "stream_decontamination": _stream_decontam_oracle_sql(),
     "stream_mixture_sample": _mixture_ingest_oracle_sql(),
     "stream_bm25_postings": _bm25_postings_oracle_sql(),

@@ -22,6 +22,11 @@ QUERY — correctness gates don't depend on the audit trail.
 
 from __future__ import annotations
 
+import os
+import shutil
+import tempfile
+import uuid
+
 # label -> the last captured micro-batch physical plan (text).  One entry
 # may record several labels (e.g. a restart-resume entry runs two queries).
 LAST_EXPLAINS: dict[str, str] = {}
@@ -37,3 +42,36 @@ def record_explain(query, label: str) -> None:
 
 def reset() -> None:
     LAST_EXPLAINS.clear()
+
+
+def run_to_memory_sink(df, prefix: str, label: str, output_mode: str = "complete"):
+    """Shared ``availableNow`` → memory-sink harness for every finite-replay
+    streaming runner: uniquely-named sink, required-but-throwaway
+    checkpoint, ``awaitTermination``, plan capture, checkpoint reap.
+
+    Living here (next to :func:`record_explain`) makes the plan audit
+    structural: a runner built on this helper cannot forget to record its
+    micro-batch plan — before r14 the identical ~12-line block was
+    hand-copied at nine sites, where one dropped ``record_explain`` (or a
+    drifted output mode) would have silently blinded the PLANS.md
+    streaming section.  The checkpoint is reaped after termination:
+    ``availableNow`` memory-sink queries are never resumed (each run gets
+    a fresh uuid sink), so the directory exists only because Spark
+    requires one — without the reap every certified run leaked a
+    checkpoint tree into the shared tempdir (same hygiene class as the
+    r13 materialize_once lock-sidecar advice item)."""
+    spark = df.sparkSession
+    sink_name = f"{prefix}_{uuid.uuid4().hex[:8]}"
+    checkpoint = os.path.join(tempfile.gettempdir(), f"ckpt_{sink_name}")
+    query = (
+        df.writeStream.format("memory")
+        .queryName(sink_name)
+        .outputMode(output_mode)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    record_explain(query, label)
+    shutil.rmtree(checkpoint, ignore_errors=True)
+    return spark.table(sink_name)

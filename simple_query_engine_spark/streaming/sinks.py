@@ -70,6 +70,11 @@ def run_streaming_to_parquet(
         )
         query.awaitTermination()
         record_explain(query, "windowed_upsert")
+        # Per-run throwaway checkpoint (uuid-named, never handed out) —
+        # reap like run_to_memory_sink does.
+        import shutil
+
+        shutil.rmtree(checkpoint, ignore_errors=True)
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", previous_mode)
     return spark.read.parquet(output_path)

@@ -33,7 +33,10 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-from simple_query_engine_spark.streaming.explain_capture import record_explain
+from simple_query_engine_spark.streaming.explain_capture import (
+    record_explain,
+    run_to_memory_sink,
+)
 
 STATE_SCHEMA = T.StructType(
     [
@@ -275,6 +278,12 @@ def run_ttl_session_counts(
         )
         query.awaitTermination()
         record_explain(query, "ttl_sessions")
+        if checkpoint_dir is None:
+            # Throwaway per-run checkpoint (nothing can resume it — the
+            # location was never handed out); reap like run_to_memory_sink.
+            import shutil
+
+            shutil.rmtree(checkpoint, ignore_errors=True)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", previous_partitions)
     if output_dir is not None:
@@ -308,16 +317,4 @@ def run_stateful_user_profiles(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
-    sink_name = f"profiles_{uuid.uuid4().hex[:8]}"
-    checkpoint = os.path.join(tempfile.gettempdir(), f"ckpt_{sink_name}")
-    query = (
-        profiles.writeStream.format("memory")
-        .queryName(sink_name)
-        .outputMode("update")
-        .option("checkpointLocation", checkpoint)
-        .trigger(availableNow=True)
-        .start()
-    )
-    query.awaitTermination()
-    record_explain(query, "stateful_profiles")
-    return spark.table(sink_name)
+    return run_to_memory_sink(profiles, "profiles", "stateful_profiles", output_mode="update")

@@ -24,13 +24,11 @@ sort.
 from __future__ import annotations
 
 import os
-import tempfile
-import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from simple_query_engine_spark.streaming.explain_capture import record_explain
+from simple_query_engine_spark.streaming.explain_capture import run_to_memory_sink
 
 TUMBLE = "1 hour"
 SLIDE_SIZE = "1 hour"
@@ -161,22 +159,10 @@ def run_stream_stream_join(
         F.col("click_ts").cast("long").alias("click_epoch"),
         F.col("purchase_ts").cast("long").alias("purchase_epoch"),
     )
-    sink_name = f"ssj_{uuid.uuid4().hex[:8]}"
-    checkpoint = os.path.join(tempfile.gettempdir(), f"ckpt_{sink_name}")
     try:
-        query = (
-            joined.writeStream.format("memory")
-            .queryName(sink_name)
-            .outputMode("append")
-            .option("checkpointLocation", checkpoint)
-            .trigger(availableNow=True)
-            .start()
-        )
-        query.awaitTermination()
-        record_explain(query, "stream_join")
+        return run_to_memory_sink(joined, "ssj", "stream_join", output_mode="append")
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", previous_partitions)
-    return spark.table(sink_name)
 
 
 def _run_windowed_stream(
@@ -195,19 +181,9 @@ def _run_windowed_stream(
     accounting, which passes ``output_mode="append"``)."""
     stream = read_event_stream(spark, events_path, max_files_per_trigger)
     windowed = window_fn(stream.withWatermark("ts", WATERMARK))
-    sink_name = f"{sink_prefix}_{uuid.uuid4().hex[:8]}"
-    checkpoint = os.path.join(tempfile.gettempdir(), f"ckpt_{sink_name}")
-    query = (
-        windowed.writeStream.format("memory")
-        .queryName(sink_name)
-        .outputMode(output_mode)
-        .option("checkpointLocation", checkpoint)
-        .trigger(availableNow=True)
-        .start()
+    return run_to_memory_sink(
+        windowed, sink_prefix, f"windowed:{sink_prefix}", output_mode=output_mode
     )
-    query.awaitTermination()
-    record_explain(query, f"windowed:{sink_prefix}")
-    return spark.table(sink_name)
 
 
 # Late-data drop accounting: day-1..5 events with event_id % MOD == 0 are
@@ -377,19 +353,7 @@ def run_streaming_dedup_counts(
     counts = deduped.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("unique_users")
     )
-    sink_name = f"dedup_{uuid.uuid4().hex[:8]}"
-    checkpoint = os.path.join(tempfile.gettempdir(), f"ckpt_{sink_name}")
-    query = (
-        counts.writeStream.format("memory")
-        .queryName(sink_name)
-        .outputMode("complete")
-        .option("checkpointLocation", checkpoint)
-        .trigger(availableNow=True)
-        .start()
-    )
-    query.awaitTermination()
-    record_explain(query, "dedup_counts")
-    return spark.table(sink_name)
+    return run_to_memory_sink(counts, "dedup", "dedup_counts")
 
 
 DUP_PLANT_MOD = 5  # events with event_id % MOD == 0 get an identical twin
@@ -429,19 +393,7 @@ def run_streaming_dedup_within_watermark(
     else:
         out = deduped.select("event_id", "event_type", F.col("ts").cast("long").alias("epoch"))
         mode = "append"
-    sink_name = f"dupwm_{uuid.uuid4().hex[:8]}"
-    checkpoint = os.path.join(tempfile.gettempdir(), f"ckpt_{sink_name}")
-    query = (
-        out.writeStream.format("memory")
-        .queryName(sink_name)
-        .outputMode(mode)
-        .option("checkpointLocation", checkpoint)
-        .trigger(availableNow=True)
-        .start()
-    )
-    query.awaitTermination()
-    record_explain(query, "dedup_within_watermark")
-    return spark.table(sink_name)
+    return run_to_memory_sink(out, "dupwm", "dedup_within_watermark", output_mode=mode)
 
 
 def run_streaming_tumbling_counts(

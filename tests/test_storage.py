@@ -200,3 +200,33 @@ def test_materialize_once_reaps_its_lock_after_success(tmp_path):
     materialize_once(path, write)
     assert os.path.exists(os.path.join(path, "_SUCCESS"))
     assert not os.path.exists(path + ".lock")
+
+
+def test_scratch_dir_sweeps_stale_siblings_only():
+    """The shared scratch root is self-cleaning: a sibling older than the
+    TTL is reclaimed on the next scratch_dir call, a fresh one (a live
+    run's scratch) is never touched."""
+    import os
+    import time
+    import uuid
+
+    from simple_query_engine_spark.operators.storage import (
+        _SCRATCH_TTL_SEC,
+        scratch_dir,
+    )
+
+    root_name = f"sqe_scratch_test_{uuid.uuid4().hex[:8]}"
+    fresh = scratch_dir("fresh_", root_name)
+    root = os.path.dirname(fresh)
+    stale = os.path.join(root, "stale_leftover")
+    os.makedirs(os.path.join(stale, "t"))
+    old = time.time() - _SCRATCH_TTL_SEC - 60
+    os.utime(stale, (old, old))
+
+    new = scratch_dir("next_", root_name)
+    assert not os.path.exists(stale)
+    assert os.path.isdir(fresh) and os.path.isdir(new)
+
+    import shutil
+
+    shutil.rmtree(root, ignore_errors=True)
