@@ -78,3 +78,80 @@ def test_keys_stay_unique_and_joins_scale_linearly(spark, sf_dir, amp_dir):
     # replica matches (which would make it super-linear).
     assert amp.n == K * base.n
     assert abs(amp.rev - K * base.rev) <= 1e-6 * abs(K * base.rev)
+
+
+@pytest.fixture(scope="module")
+def corpus_amp_dir(spark, sf_dir):
+    dst = tempfile.mkdtemp(prefix="sqe_amp_corpus_test_")
+    amplify_dir(spark, sf_dir, K, dst, corpus=True)
+    yield dst
+    shutil.rmtree(dst, ignore_errors=True)
+
+
+def test_corpus_mode_scales_documents_and_embeddings(spark, sf_dir, corpus_amp_dir):
+    for name in ("documents", "embeddings"):
+        base = spark.read.parquet(f"{sf_dir}/{name}.parquet").count()
+        amp = spark.read.parquet(f"{corpus_amp_dir}/{name}.parquet").count()
+        assert amp == K * base, name
+    # Facts copy as-is in corpus mode.
+    for name in ("lineitem", "orders"):
+        base = spark.read.parquet(f"{sf_dir}/{name}.parquet").count()
+        amp = spark.read.parquet(f"{corpus_amp_dir}/{name}.parquet").count()
+        assert amp == base, name
+
+
+def test_corpus_replicas_share_no_tokens(spark, corpus_amp_dir):
+    """The whole point of token retagging: replicas are disjoint token
+    universes, so dup/near-dup structure can only grow linearly (within
+    replicas), never quadratically (across them)."""
+    from tools.amplify_testdata import REPLICA_OFFSET
+
+    docs = spark.read.parquet(f"{corpus_amp_dir}/documents.parquet")
+    token = F.explode(F.split(F.lower("text"), " ")).alias("tok")
+    replica = (F.col("doc_id") / REPLICA_OFFSET).cast("long").alias("rep")
+    toks = docs.select(replica, token).distinct()
+    shared = (
+        toks.groupBy("tok")
+        .agg(F.countDistinct("rep").alias("n_reps"))
+        .filter(F.col("n_reps") > 1)
+        .count()
+    )
+    assert shared == 0
+
+
+def test_corpus_exact_dup_groups_grow_linearly(spark, sf_dir, corpus_amp_dir):
+    """Every byte-identical text group replicates within each replica:
+    group COUNT scales k×, max group SIZE stays flat."""
+
+    def profile(d):
+        docs = spark.read.parquet(f"{d}/documents.parquet")
+        groups = docs.groupBy(F.md5("text")).agg(F.count(F.lit(1)).alias("n"))
+        dup = groups.filter(F.col("n") > 1)
+        return dup.count(), (dup.agg(F.max("n")).collect()[0][0] or 0)
+
+    base_groups, base_max = profile(sf_dir)
+    amp_groups, amp_max = profile(corpus_amp_dir)
+    assert amp_groups == K * base_groups
+    assert amp_max == base_max
+
+
+def test_corpus_embeddings_rotate_and_align(spark, sf_dir, corpus_amp_dir):
+    """Replica vectors are rotations (same element multiset, distinct
+    ordering) and vec_id stays aligned with the amplified doc_id space."""
+    from tools.amplify_testdata import REPLICA_OFFSET
+
+    emb = spark.read.parquet(f"{corpus_amp_dir}/embeddings.parquet")
+    base = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    assert emb.select("vec_id").distinct().count() == K * base.count()
+    first = (
+        emb.filter(
+            F.col("vec_id") % REPLICA_OFFSET == F.lit(0)  # the vec_id-0 family
+        )
+        .orderBy("vec_id")
+        .collect()
+    )
+    assert len(first) == K
+    v0 = first[0]["embedding"]
+    v1 = first[1]["embedding"]
+    assert v1 != v0 and sorted(v1) == sorted(v0)
+    assert v1 == v0[1:] + v0[:1]  # replica 1 = rotate left by 1

@@ -7,15 +7,22 @@ sf0.1 (tools/amplify_testdata.py — key-shifted replicas, FK-intact and
 deterministic per tests/test_amplify.py, so every oracle applies
 UNCHANGED) and hash-compares exactly like tools/check_correctness.py.
 
-Only fact-bound entries are gated: documents/embeddings are deliberately
-NOT amplified (replicating identical texts/vectors would manufacture k²
-near-dup pairs no real corpus has), so text/sim entries at 32× would
-re-test the sf0.1 corpus and dilute the gate.
+Two modes, two amplifiers, two gates:
 
-Writes AMPLIFIED_CORRECTNESS.json (same per-entry verdict shape as the
-driver's CORRECTNESS_r*.json, plus a _meta record).
+- default (fact mode): fact tables amplify by key-shifted replicas;
+  documents/embeddings copy as-is (replicating identical texts/vectors
+  would manufacture k² near-dup pairs no real corpus has) — gates
+  AMPLIFIED_GATE, writes AMPLIFIED_CORRECTNESS.json.
+- ``--corpus``: documents amplify by token-retagged replicas (replicas
+  share no shingles — dup/near-dup structure grows ×k like k new
+  domains, never k²) and embeddings by per-replica rotation; facts copy
+  as-is — gates CORPUS_GATE (the dedup/text/sim/multimodal heavies whose
+  input is the corpus), writes AMPLIFIED_CORPUS_CORRECTNESS.json.
 
-Usage: python tools/amplified_correctness.py [sf_dir] [k] [name_filter...]
+Both hash-compare Spark vs the DuckDB oracle over the SAME amplified
+parquet, exactly like tools/check_correctness.py.
+
+Usage: python tools/amplified_correctness.py [--corpus] [sf_dir] [k] [name_filter...]
 """
 
 from __future__ import annotations
@@ -76,12 +83,50 @@ AMPLIFIED_GATE = [
     "dml_merge_upsert",
 ]
 
+# Corpus-bound heavies: scans, shuffles, LSH banding, postings joins,
+# vector math over documents/embeddings — the inputs that actually GROW
+# under --corpus amplification.  Absolute-doc-id conventions (eval bands,
+# query-vector slices) select replica 0 by construction (REPLICA_OFFSET).
+CORPUS_GATE = [
+    "dedup_exact",
+    "dedup_keep_latest",
+    "dedup_minhash_lsh",
+    "dedup_lsh_quality",
+    # NOT dedup_incremental_minhash / dedup_containment_planted: their
+    # planted ids are doc_id + PLANT_DOC_OFFSET (1e6) and their collision
+    # guard (correctly) rejects amplified ids >= the offset; the LSH
+    # machinery they share is gated via the two entries above.
+    "dedup_substring_spans",
+    "text_bm25_search",
+    "text_bpe_train",
+    "text_gopher_quality",
+    "text_unigram_surprisal",
+    "text_decontamination_bloom",
+    "text_word_freq",
+    "text_fingerprint",
+    "pipeline_corpus_curation",
+    "pipeline_token_quota",
+    "sketch_countmin_words",
+    "sim_topk_bruteforce",
+    "sim_semdedup",
+    "sim_ivf_topk",
+    "sim_knn_density",
+    "multimodal_clip_pairs",
+]
+
 
 def main() -> int:
     args = sys.argv[1:]
+    corpus = "--corpus" in args
+    if corpus:
+        args = [a for a in args if a != "--corpus"]
     sf_dir = args[0] if args else "/root/testdata/sf0.1"
-    k = int(args[1]) if len(args) > 1 else 32
+    k = int(args[1]) if len(args) > 1 else (8 if corpus else 32)
     name_filter = args[2:]
+    gate = CORPUS_GATE if corpus else AMPLIFIED_GATE
+    out_name = (
+        "AMPLIFIED_CORPUS_CORRECTNESS.json" if corpus else "AMPLIFIED_CORRECTNESS.json"
+    )
 
     import __spark_entry__ as entrymod
     from simple_query_engine_spark.session import get_spark
@@ -93,7 +138,7 @@ def main() -> int:
             "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g")
         },
     )
-    amp_dir = ensure_amplified(spark, sf_dir, k)
+    amp_dir = ensure_amplified(spark, sf_dir, k, corpus=corpus)
 
     con = duckdb.connect()
     for name in TABLE_NAMES:
@@ -105,7 +150,7 @@ def main() -> int:
     oracles = entrymod.oracle_sql()
     verdicts: dict[str, dict] = {}
     n_fail = 0
-    for name in AMPLIFIED_GATE:
+    for name in gate:
         if name_filter and not any(f in name for f in name_filter):
             continue
         verdict = {
@@ -165,12 +210,13 @@ def main() -> int:
             "_meta": {
                 "sf_dir": sf_dir,
                 "amplify": k,
+                "mode": "corpus" if corpus else "fact",
                 "entries": len(verdicts),
                 "ok": n_ok,
             },
             **verdicts,
         }
-        out = os.path.join(repo, "AMPLIFIED_CORRECTNESS.json")
+        out = os.path.join(repo, out_name)
         with open(out, "w") as fh:
             json.dump(payload, fh, indent=1)
         print(f"wrote {out}")

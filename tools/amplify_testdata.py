@@ -82,15 +82,89 @@ def _amplified(
     return out
 
 
+def _amplified_documents(df: DataFrame, k: int) -> DataFrame:
+    """k× documents with LINEAR duplicate/near-duplicate growth.
+
+    Replica 0 is verbatim; replica i re-tags EVERY whitespace token with a
+    lowercase ``~r<i>`` suffix (which survives the engine's normalization —
+    ``text._NORM`` only lowercases and collapses whitespace), so replicas
+    share no tokens, words, or shingles: exact-dup groups and planted
+    near-dup pairs replicate WITHIN each replica (×k growth, like k new
+    domains), never across replicas (the k² manufacture the fact-side
+    amplifier's docstring rejects).  ``doc_id`` shifts by the same
+    REPLICA_OFFSET as the fact keys, so absolute-id conventions
+    (eval-set bands, query-doc slices) keep selecting replica 0 only, and
+    the ``vec_id == doc_id`` alignment with amplified embeddings holds.
+    ``n_chars`` is recomputed so the stored metadata stays honest."""
+    from pyspark.sql import functions as F
+
+    replicas = [df]
+    for i in range(1, k):
+        tagged = F.array_join(
+            F.transform(
+                F.split("text", " "),
+                lambda x, i=i: F.concat(x, F.lit(f"~r{i}")),  # noqa: B023
+            ),
+            " ",
+        )
+        replicas.append(
+            df.select(
+                (F.col("doc_id") + F.lit(i * REPLICA_OFFSET)).alias("doc_id"),
+                tagged.alias("text"),
+                "lang",
+                "source",
+                F.length(tagged).cast("long").alias("n_chars"),
+            )
+        )
+    out = replicas[0]
+    for replica in replicas[1:]:
+        out = out.unionAll(replica)
+    return out
+
+
+def _amplified_embeddings(df: DataFrame, k: int) -> DataFrame:
+    """k× embeddings: replica i rotates every vector left by i positions
+    (norm- and structure-preserving — within-replica pairwise geometry is
+    identical, cross-replica vectors are distinct), with ``vec_id``
+    shifted by the shared REPLICA_OFFSET to keep doc alignment."""
+    from pyspark.sql import functions as F
+
+    dim = df.select(F.size("embedding")).first()[0]
+    if k > dim:
+        raise ValueError(f"corpus amplification k={k} exceeds dim={dim}")
+    replicas = [df]
+    for i in range(1, k):
+        rotated = F.concat(
+            F.slice("embedding", i + 1, dim - i), F.slice("embedding", 1, i)
+        )
+        replicas.append(
+            df.select(
+                (F.col("vec_id") + F.lit(i * REPLICA_OFFSET)).alias("vec_id"),
+                rotated.alias("embedding"),
+                "label",
+            )
+        )
+    out = replicas[0]
+    for replica in replicas[1:]:
+        out = out.unionAll(replica)
+    return out
+
+
 def amplify_dir(
     spark: SparkSession,
     sf_dir: str,
     k: int,
     dst_dir: str,
     hot_fraction: float = 0.0,
+    corpus: bool = False,
 ) -> str:
     """Write the amplified copy of ``sf_dir`` to ``dst_dir``; idempotent
-    and race-safe (each table lands via temp-dir + atomic rename)."""
+    and race-safe (each table lands via temp-dir + atomic rename).
+
+    Default mode amplifies the FACT tables and copies documents/embeddings
+    as-is (the bench shape); ``corpus=True`` inverts it — documents and
+    embeddings amplify (see the two ``_amplified_*`` transforms), facts
+    copy as-is — for the corpus-bound correctness gate."""
     from simple_query_engine_spark.operators.storage import materialize_once
 
     os.makedirs(dst_dir, exist_ok=True)
@@ -101,7 +175,12 @@ def amplify_dir(
 
         def _write(tmp: str, name: str = name) -> None:
             df = table(spark, sf_dir, name)
-            if name in _SHIFT_COLUMNS:
+            if corpus:
+                if name == "documents":
+                    df = _amplified_documents(df, k)
+                elif name == "embeddings":
+                    df = _amplified_embeddings(df, k)
+            elif name in _SHIFT_COLUMNS:
                 df = _amplified(df, _SHIFT_COLUMNS[name], k, hot_fraction)
             df.write.mode("overwrite").parquet(tmp)
 
@@ -110,7 +189,11 @@ def amplify_dir(
 
 
 def ensure_amplified(
-    spark: SparkSession, sf_dir: str, k: int, hot_fraction: float = 0.0
+    spark: SparkSession,
+    sf_dir: str,
+    k: int,
+    hot_fraction: float = 0.0,
+    corpus: bool = False,
 ) -> str:
     """Amplified copy under the system temp dir, built once per (sf, k,
     source contents) — total source byte size AND newest source mtime are
@@ -129,8 +212,10 @@ def ensure_amplified(
     )
     if hot_fraction > 0.0:
         tag += f"_hot{int(hot_fraction * 100)}"
+    if corpus:
+        tag += "_corpus"
     dst = os.path.join(tempfile.gettempdir(), f"sqe_amplified_{tag}_x{k}")
-    return amplify_dir(spark, sf_dir, k, dst, hot_fraction)
+    return amplify_dir(spark, sf_dir, k, dst, hot_fraction, corpus=corpus)
 
 
 def main() -> int:

@@ -26,5 +26,9 @@ cd /root/repo
   python tools/amplified_correctness.py /root/testdata/sf0.1 32 2>&1 \
     | grep -vE "WARN|INFO|Using|Setting|To adjust|^\[Stage" \
     | grep -E "FAIL|ok |failed at|wrote"
+  echo "--- amplified correctness (sf0.1 x8, corpus-bound gate) ---"
+  python tools/amplified_correctness.py --corpus /root/testdata/sf0.1 8 2>&1 \
+    | grep -vE "WARN|INFO|Using|Setting|To adjust|^\[Stage" \
+    | grep -E "FAIL|ok |failed at|wrote"
   echo "=== sweep done ($(date -u +%Y-%m-%dT%H:%MZ)) ==="
 } > RUNLOG_r14.txt 2>&1
