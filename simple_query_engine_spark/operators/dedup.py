@@ -977,6 +977,15 @@ def _cc_scratch_dir(spark: SparkSession) -> str:
         # Python resolves relative paths against its cwd but the Spark JVM
         # resolves them against ITS cwd — absolutize so both agree.
         root = os.path.abspath(root)
+        # Each run's FINAL label/node tables must outlive this call (the
+        # returned lazy DataFrame scans them), so they can only be
+        # reclaimed by a later run's age-gated sweep (local roots only —
+        # an object-store root is the deployment's lifecycle policy).
+        from simple_query_engine_spark.operators.storage import (
+            sweep_stale_scratch,
+        )
+
+        sweep_stale_scratch(root)
     os.makedirs(root, exist_ok=True)
     return tempfile.mkdtemp(prefix="cc_", dir=root)
 

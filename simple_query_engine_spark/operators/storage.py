@@ -116,6 +116,26 @@ def materialize_once(path: str, write) -> None:
 _SCRATCH_TTL_SEC = 24 * 3600
 
 
+def sweep_stale_scratch(root: str) -> None:
+    """Reclaim scratch-root entries older than ``_SCRATCH_TTL_SEC`` —
+    shared by :func:`scratch_dir` and the connected-components scratch
+    (``dedup._cc_scratch_dir``), whose per-run dirs must outlive their
+    function (a returned lazy DataFrame scans them) and therefore can
+    only ever be reclaimed by a LATER run's sweep."""
+    import shutil
+    import time
+
+    os.makedirs(root, exist_ok=True)
+    cutoff = time.time() - _SCRATCH_TTL_SEC
+    for name in os.listdir(root):
+        p = os.path.join(root, name)
+        try:
+            if os.path.getmtime(p) < cutoff:
+                shutil.rmtree(p, ignore_errors=True)
+        except FileNotFoundError:
+            pass  # a concurrent sweep got there first
+
+
 def scratch_dir(prefix: str, root_name: str = "sqe_scratch") -> str:
     """``mkdtemp`` under a shared per-purpose scratch root, sweeping
     siblings older than ``_SCRATCH_TTL_SEC`` first.
@@ -129,19 +149,8 @@ def scratch_dir(prefix: str, root_name: str = "sqe_scratch") -> str:
     litter class as the materialize_once lock sidecar closed in r14).
     Sweeping the root on the NEXT run bounds the backlog to one sweep's
     worth without touching any live run's scratch."""
-    import shutil
-    import time
-
     root = os.path.join(tempfile.gettempdir(), root_name)
-    os.makedirs(root, exist_ok=True)
-    cutoff = time.time() - _SCRATCH_TTL_SEC
-    for name in os.listdir(root):
-        p = os.path.join(root, name)
-        try:
-            if os.path.getmtime(p) < cutoff:
-                shutil.rmtree(p, ignore_errors=True)
-        except FileNotFoundError:
-            pass  # a concurrent sweep got there first
+    sweep_stale_scratch(root)
     return tempfile.mkdtemp(prefix=prefix, dir=root)
 
 
