@@ -112,6 +112,13 @@ CORPUS_GATE = [
     "sim_ivf_topk",
     "sim_knn_density",
     "multimodal_clip_pairs",
+    # The streaming ingest door over the amplified corpus: digest-keyed
+    # manifest state, postings state, and the decontamination pair state
+    # must grow x k with the corpus and still equal the batch oracle.
+    "stream_clip_ingest",
+    "stream_bm25_postings",
+    "stream_mixture_sample",
+    "stream_decontamination",
 ]
 
 
