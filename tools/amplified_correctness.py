@@ -119,6 +119,11 @@ CORPUS_GATE = [
     "stream_bm25_postings",
     "stream_mixture_sample",
     "stream_decontamination",
+    # The pointer-doubling components path over the x k near-dup graph:
+    # LSH pair edges, fixed-round label propagation, and the
+    # quality-scored keeper pick must stay hash-exact as the graph grows.
+    "dedup_clusters_lsh",
+    "dedup_cluster_keeper_quality",
 ]
 
 
