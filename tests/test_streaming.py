@@ -532,3 +532,32 @@ def test_clip_ingest_multi_batch_equals_batch_manifest(spark, sf_dir, tmp_path):
         expected.add((doc_id, digest, len(members), members[0][1], split))
     assert got == expected
     assert got
+
+
+def test_run_to_memory_sink_reaps_its_checkpoint(spark, tmp_path):
+    """The shared memory-sink runner must leave NO checkpoint litter:
+    availableNow memory-sink queries are never resumed (fresh uuid sink
+    per run), so the required-but-throwaway checkpoint dir is reaped
+    after termination."""
+    import glob
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from simple_query_engine_spark.streaming.explain_capture import (
+        LAST_EXPLAINS,
+        run_to_memory_sink,
+    )
+
+    src = str(tmp_path / "in")
+    spark.range(10).selectExpr("id", "id % 3 AS k").write.parquet(src)
+    stream = spark.readStream.schema("id long, k long").parquet(src)
+    agg = stream.groupBy("k").agg(F.count(F.lit(1)).alias("n"))
+
+    before = set(glob.glob(os.path.join(tempfile.gettempdir(), "ckpt_reaptest_*")))
+    out = run_to_memory_sink(agg, "reaptest", "reaptest_label")
+    assert {tuple(r) for r in out.collect()} == {(0, 4), (1, 3), (2, 3)}
+    after = set(glob.glob(os.path.join(tempfile.gettempdir(), "ckpt_reaptest_*")))
+    assert after == before  # checkpoint reaped
+    assert "reaptest_label" in LAST_EXPLAINS  # plan capture is structural
