@@ -256,3 +256,101 @@ class TestPpmCodec:
             decode_image(b"\x89PNG....")
         with pytest.raises(NotImplementedError):
             resize_image(b"\xff\xd8jpeg", 8)
+
+
+class TestPpmProperties:
+    """Hypothesis coverage for the dependency-free raster codec: the
+    example tests pin known shapes; these pin the ALGEBRA (roundtrip
+    identity, comment tolerance, resize bounds/exactness) over arbitrary
+    dimensions and payloads."""
+
+    def test_roundtrip_identity_any_dims(self):
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        from simple_query_engine_spark.functions.ppm import decode_ppm, encode_ppm
+
+        @settings(max_examples=200, deadline=None)
+        @given(
+            w=st.integers(1, 24),
+            h=st.integers(1, 24),
+            data=st.data(),
+        )
+        def run(w, h, data):
+            rgb = bytes(
+                data.draw(
+                    st.lists(
+                        st.integers(0, 255), min_size=w * h * 3, max_size=w * h * 3
+                    )
+                )
+            )
+            assert decode_ppm(encode_ppm(w, h, rgb)) == (w, h, rgb)
+
+        run()
+
+    def test_header_comments_are_transparent(self):
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        from simple_query_engine_spark.functions.ppm import decode_ppm
+
+        @settings(max_examples=100, deadline=None)
+        @given(
+            comment=st.text(
+                alphabet=st.characters(
+                    codec="ascii", exclude_characters="\n"
+                ),
+                max_size=20,
+            )
+        )
+        def run(comment):
+            rgb = bytes(range(12))
+            payload = (
+                b"P6\n#" + comment.encode("ascii") + b"\n2 2\n255\n" + rgb
+            )
+            assert decode_ppm(payload) == (2, 2, rgb)
+
+        run()
+
+    def test_resize_is_mean_bounded_and_deterministic(self):
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        from simple_query_engine_spark.functions.ppm import (
+            decode_ppm,
+            encode_ppm,
+            resize_ppm,
+        )
+
+        @settings(max_examples=100, deadline=None)
+        @given(side=st.sampled_from([1, 2, 4]), data=st.data())
+        def run(side, data):
+            w = h = 8
+            rgb = bytes(
+                data.draw(
+                    st.lists(
+                        st.integers(0, 255), min_size=w * h * 3, max_size=w * h * 3
+                    )
+                )
+            )
+            src = encode_ppm(w, h, rgb)
+            out = resize_ppm(src, side)
+            assert resize_ppm(src, side) == out  # bit-reproducible
+            ow, oh, orgb = decode_ppm(out)
+            assert (ow, oh) == (side, side)
+            # Every pooled channel value is bounded by its cell's min/max
+            # (floor-mean property).
+            bh, bw = h // side, w // side
+            for cy in range(side):
+                for cx in range(side):
+                    for ch in range(3):
+                        cell = [
+                            rgb[((cy * bh + y) * w + (cx * bw + x)) * 3 + ch]
+                            for y in range(bh)
+                            for x in range(bw)
+                        ]
+                        got = orgb[(cy * side + cx) * 3 + ch]
+                        assert min(cell) <= got <= max(cell)
+                        assert got == sum(cell) // len(cell)
+
+        run()
