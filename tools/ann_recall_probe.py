@@ -1,0 +1,83 @@
+"""Measure IVF recall@k under REALISTIC corpus growth.
+
+The latency probe (tools/ann_scale_probe.py) amplifies by identical
+copies — fine for wall time, wrong for recall (clones tie with their
+originals).  This probe uses the r14 corpus amplifier's ROTATED replicas
+(distinct vectors, within-replica geometry preserved,
+tools/amplify_testdata.py corpus mode) and re-runs the certified
+recall audit (`sim_recall_audit_trained` — trained-IVF search vs the
+exact brute-force top-k, fixed query set = replica 0) at 1x and kx.
+
+What it quantifies: the recall cost of a FIXED quantizer (KMEANS_K
+cells, KMEANS_NPROBE probes) as N grows — the decision input for the
+rebuild-on-drift policy, complementing the corpus gate's latency
+finding (sim_knn_density O(N^2/K) at fixed K).
+
+Usage: python tools/ann_recall_probe.py [k] [sf_dir]
+Prints one JSON line; the round notes append it to ANN_SCALE.json
+under "recall_under_growth".
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def _audit(spark, sf_dir: str) -> dict:
+    from pyspark.sql import functions as F
+
+    from simple_query_engine_spark.functions.caching import evict_all
+    from simple_query_engine_spark.operators.similarity import (
+        q_sim_recall_audit_trained,
+    )
+    from simple_query_engine_spark.sources.catalog import table
+
+    evict_all()  # fresh quantizer/caches per corpus
+    n_vectors = table(spark, sf_dir, "embeddings").count()
+    start = time.time()
+    rows = q_sim_recall_audit_trained(spark, sf_dir).collect()
+    wall = time.time() - start
+    n_exact = sum(r["n_exact"] for r in rows)
+    n_hits = sum(r["n_hits"] for r in rows)
+    return {
+        "n_vectors": n_vectors,
+        "n_queries": len(rows),
+        "n_exact": n_exact,
+        "n_hits": n_hits,
+        "recall_at_k": round(n_hits / n_exact, 4) if n_exact else None,
+        "min_query_recall": min(float(r["recall_at_k"]) for r in rows),
+        "audit_wall_sec": round(wall, 2),
+    }
+
+
+def main() -> int:
+    k = int(sys.argv[1]) if len(sys.argv) > 1 else 8
+    sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
+
+    from simple_query_engine_spark.session import get_spark
+    from tools.amplify_testdata import ensure_amplified
+
+    spark = get_spark(app_name="ann-recall-probe")
+    amp_dir = ensure_amplified(spark, sf_dir, k, corpus=True)
+
+    out = {
+        "what": (
+            "trained-IVF recall@k vs exact brute force (sim_recall_audit_"
+            "trained), fixed replica-0 query set, fixed KMEANS_K/NPROBE, "
+            "rotated-replica corpus growth (amplify_testdata corpus mode)"
+        ),
+        "base": _audit(spark, sf_dir),
+        f"x{k}": _audit(spark, amp_dir),
+    }
+    print(json.dumps(out))
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
