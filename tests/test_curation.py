@@ -574,3 +574,33 @@ def test_kmv_union_estimator_matches_python_and_is_sane(spark, sf_dir):
     assert row.err_ppm == abs(est - exact) * 1_000_000 // exact
     if k_used == KMV_K:  # estimator regime: check the error envelope
         assert abs(est - exact) / exact < 3 / (KMV_K ** 0.5)
+
+
+def test_split_expr_and_split_sql_agree_per_row(spark):
+    """The r14 single-sourcing contract: the Spark split stamp
+    (split_expr) and its generated DuckDB twin (split_sql) must assign
+    byte-identical splits per doc_id — the leak-free guarantee of the
+    pair manifest rides on this equivalence, so it gets a direct
+    cross-engine pin, not just the certified entries' indirect one."""
+    import duckdb
+
+    from simple_query_engine_spark.operators.curation import split_expr, split_sql
+    from pyspark.sql import functions as F
+
+    ids = list(range(500)) + [10**12 + i for i in range(100)]
+    spark_rows = {
+        r["doc_id"]: r["split"]
+        for r in spark.createDataFrame([(i,) for i in ids], "doc_id long")
+        .select("doc_id", split_expr(F.col("doc_id")).alias("split"))
+        .collect()
+    }
+    con = duckdb.connect()
+    values = ", ".join(f"({i})" for i in ids)
+    duck_rows = dict(
+        con.execute(
+            f"SELECT doc_id, {split_sql()} AS split "
+            f"FROM (VALUES {values}) AS t(doc_id)"
+        ).fetchall()
+    )
+    assert spark_rows == duck_rows
+    assert set(spark_rows.values()) == {"train", "val", "test"}
