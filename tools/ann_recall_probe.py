@@ -13,6 +13,12 @@ cells, KMEANS_NPROBE probes) as N grows — the decision input for the
 rebuild-on-drift policy, complementing the corpus gate's latency
 finding (sim_knn_density O(N^2/K) at fixed K).
 
+The certified entries fix the query set at NUM_QUERY_VECTORS (= the
+driver-checked result shape); a 5-query recall estimate is thin for a
+MEASUREMENT, so the probe widens the module constant in-process to
+PROBE_QUERIES before running — search/audit code reads the constant at
+call time, certified paths and oracles are untouched.
+
 Usage: python tools/ann_recall_probe.py [k] [sf_dir]
 Prints one JSON line; the round notes append it to ANN_SCALE.json
 under "recall_under_growth".
@@ -26,6 +32,8 @@ import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+PROBE_QUERIES = 50  # widened query set (see module docstring)
 
 
 def _audit(spark, sf_dir: str) -> dict:
@@ -59,9 +67,11 @@ def main() -> int:
     k = int(sys.argv[1]) if len(sys.argv) > 1 else 8
     sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
 
+    from simple_query_engine_spark.operators import similarity
     from simple_query_engine_spark.session import get_spark
     from tools.amplify_testdata import ensure_amplified
 
+    similarity.NUM_QUERY_VECTORS = PROBE_QUERIES  # probe-only widening
     spark = get_spark(app_name="ann-recall-probe")
     amp_dir = ensure_amplified(spark, sf_dir, k, corpus=True)
 
