@@ -155,8 +155,13 @@ def scan_oracle_types(sf_dir: str) -> int:
     con = duckdb.connect()
     for name in TABLE_NAMES:
         path = os.path.join(sf_dir, f"{name}.parquet")
-        if os.path.exists(path):
-            con.sql(f"CREATE VIEW {name} AS SELECT * FROM '{path}'")
+        if not os.path.exists(path):
+            continue
+        # Driver testdata is one file per table; Spark-written dirs (the
+        # amplified fixtures) are directories of part files — glob those
+        # so the gate runs against either layout.
+        src = f"{path}/*.parquet" if os.path.isdir(path) else path
+        con.sql(f"CREATE VIEW {name} AS SELECT * FROM '{src}'")
     hazards = []
     for name, sql in entrymod.oracle_sql().items():
         try:
@@ -202,8 +207,13 @@ def main() -> int:
     con = duckdb.connect()
     for name in TABLE_NAMES:
         path = os.path.join(sf_dir, f"{name}.parquet")
-        if os.path.exists(path):
-            con.sql(f"CREATE VIEW {name} AS SELECT * FROM '{path}'")
+        if not os.path.exists(path):
+            continue
+        # Driver testdata is one file per table; Spark-written dirs (the
+        # amplified fixtures) are directories of part files — glob those
+        # so the gate runs against either layout.
+        src = f"{path}/*.parquet" if os.path.isdir(path) else path
+        con.sql(f"CREATE VIEW {name} AS SELECT * FROM '{src}'")
 
     queries = entrymod.queries()
     oracles = entrymod.oracle_sql()
