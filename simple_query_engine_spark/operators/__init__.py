@@ -22,67 +22,71 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # everything else (already green in CORRECTNESS_r01/r02) follows in module
 # order.  ROUND3_NOTES.md tracks which round certified which query.
 #
-# Round-14 front window (exactly 50 = the driver's window size), per
-# VERDICT r13 item 1: pure age rotation — the 25 names whose newest
-# green cert is r08 (they sit exactly at front_audit's MAX_CERT_AGE = 6
-# bar this round), then the 25 oldest r09-era names, both in
-# registration order.  25 + 25 = exactly 50; after a green r14 no cert
-# predates r09.  ROUND14_NOTES.md tracks the ledger.
+# Round-15 front window (exactly 50 = the driver's window size), per
+# VERDICT r14 item 1: the 4 names queued at r14 close (3 semantic
+# changes + 1 never-certified new entry) lead the front, followed by
+# the age queue — all 21 names whose newest green cert is r09 (they
+# would cross front_audit's MAX_CERT_AGE = 6 bar at r16) and the 25
+# oldest r10-era names, in registration order.  4 + 21 + 25 = exactly
+# 50; after a green r15 the oldest surviving cert is r10 (23 names,
+# scheduled for the r16 front alongside the oldest r11 certs).
+# ROUND15_NOTES.md tracks the ledger.
 _ROTATION_FRONT = [
-    # --- 1. age queue: all 25 r08-era certs (at the MAX_CERT_AGE bar),
-    #     registration order ---
-    "text_bigram_surprisal",
-    "dedup_lsh_quality",
-    "graph_pagerank_neardup",
-    "graph_triangles_neardup",
-    "sim_recall_audit",
-    "sim_semantic_clusters",
-    "storage_zorder_prune",
-    "pipeline_url_dedup",
-    "text_decontamination_bloom",
-    "pipeline_domain_mix",
-    "pipeline_attrition_report",
-    "sketch_countmin_words",
-    "pipeline_shuffle_shards",
-    "pipeline_token_quota",
-    "pipeline_pii_redaction",
-    "pipeline_split_assign",
-    "events_anomaly_mad",
-    "stats_corpus_report",
-    "stats_expectations",
-    "stats_drift_psi",
-    "events_trailing_features",
-    "text_zipf_slope",
-    "text_ngram_novelty",
-    "repl_sql_passthrough",
-    "repl_minilang_catalog",
-    # --- 2. age queue: the 25 oldest r09-era names, registration
+    # --- 1. the r14 close queue: 3 stats_columns semantic changes +
+    #     the real-bytes PPM decode entry (never certified) ---
+    "dml_merge_upsert",
+    "stream_upsert_managed",
+    "pipeline_incremental_curation",
+    "multimodal_ppm_decode",
+    # --- 2. age queue: all 21 r09-era certs, registration order ---
+    "date_funcs",
+    "subquery_above_avg",
+    "distinct_rows",
+    "join_fuzzy_blocked",
+    "dedup_keep_latest",
+    "sim_sq_rerank",
+    "sim_pq_rerank",
+    "join_dpp_partitioned",
+    "stream_static_enrich",
+    "stream_dedup_within_watermark",
+    "stream_watermark_late_drop",
+    "window_tumbling_counts",
+    "window_sliding_counts",
+    "window_session_counts",
+    "pipeline_quality_prune_curve",
+    "sketch_kmv_overlap",
+    "udf_grouped_map_zscore",
+    "zscore_window",
+    "udaf_weighted_avg",
+    "udtf_bigrams",
+    "join_salted_skew",
+    # --- 3. age queue: the 25 oldest r10-era certs, registration
     #     order ---
-    "parity_project",
-    "parity_filter_eq",
-    "parity_filter_gt",
-    "parity_project_filter_combo",
-    "agg_pricing_summary",
-    "agg_count_distinct",
-    "agg_having",
-    "agg_rollup",
-    "agg_cube",
-    "join_broadcast_dim",
-    "join_large_revenue",
-    "join_semi",
-    "join_anti",
-    "join_left_outer_agg",
-    "join_multiway",
-    "window_topn_per_group",
-    "window_running_sum",
-    "window_lag_lead",
-    "window_rank_dense",
-    "sort_topk",
-    "sort_multi_key",
-    "set_union",
-    "set_intersect",
-    "set_except",
-    "string_funcs",
+    "join_asof",
+    "funnel_conversion",
+    "agg_correlation",
+    "join_range",
+    "pivot_status",
+    "sample_hash",
+    "agg_stats",
+    "array_funcs",
+    "union_by_name",
+    "null_handling",
+    "grouping_sets",
+    "udf_pandas_score",
+    "string_advanced",
+    "date_advanced",
+    "subquery_in",
+    "agg_approx_distinct",
+    "agg_quantile_sketch",
+    "window_range_frame",
+    "window_distribution",
+    "agg_string_concat",
+    "events_time_rollup",
+    "conditional_funcs",
+    "bitwise_funcs",
+    "regexp_count_funcs",
+    "window_value_picks",
 ]
 
 # Entries added or function-changed THIS round that could not displace the
@@ -92,17 +96,7 @@ _ROTATION_FRONT = [
 # invariant.  At round-14 open the queue holds only names whose entry
 # functions r14 changes semantically (VERDICT r13 items 2/4); the r13
 # close left it empty.
-_ROTATION_QUEUE: list[str] = [
-    # VERDICT r13 item 2: these three now create their managed tables
-    # with stats_columns=[merge key] — the certified path exercises the
-    # stats-pruned merge probes (function change → re-certify r15).
-    "dml_merge_upsert",
-    "stream_upsert_managed",
-    "pipeline_incremental_curation",
-    # VERDICT r13 item 4: new entry — real binary-PPM encode + decode
-    # end-to-end with DuckDB-oracled pixel stats (never certified).
-    "multimodal_ppm_decode",
-]
+_ROTATION_QUEUE: list[str] = []
 
 
 
