@@ -96,7 +96,17 @@ _ROTATION_FRONT = [
 # invariant.  At round-14 open the queue holds only names whose entry
 # functions r14 changes semantically (VERDICT r13 items 2/4); the r13
 # close left it empty.
-_ROTATION_QUEUE: list[str] = []
+_ROTATION_QUEUE: list[str] = [
+    # VERDICT r14 item 2: the kNN family quantizer is now ADAPTIVE
+    # (K = max(floor, ⌊√N⌋) — `_adaptive_k` in operators/similarity.py),
+    # retiring the measured O(N²/K) growth at fixed K.  knn_graph /
+    # knn_density results change at every SF (K 8→22/44); semdedup's
+    # floor (64) still binds locally so its results are unchanged, but
+    # the function changed → re-certify all three in the r16 front.
+    "sim_knn_graph",
+    "sim_knn_density",
+    "sim_semdedup",
+]
 
 
 

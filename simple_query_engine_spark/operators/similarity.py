@@ -22,6 +22,8 @@ so results are bit-comparable with the DuckDB oracle's double math.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -1286,14 +1288,16 @@ def q_sim_kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _kmeans_oracle_parts(
-    k: int = KMEANS_K,
+    k: int | str = KMEANS_K,
     iters: int = KMEANS_ITERS,
     base_where: str = "",
     batch_where: str = "",
 ) -> tuple[list[str], str, str]:
     """The shared unrolled-CTE core of the k-means oracles: returns the
     CTE list, the name of the final centroid CTE, and the name of the
-    posting-list (membership) CTE.  ``base_where`` restricts the TRAINING
+    posting-list (membership) CTE.  ``k`` may be an int literal or a SQL
+    scalar-subquery string (the adaptive ``_adaptive_k_sql`` dial —
+    DuckDB accepts subquery LIMIT operands).  ``base_where`` restricts the TRAINING
     set (seeds + iterations + the final ``af`` assignment);
     ``batch_where`` adds an ``abatch`` assignment of the held-out rows to
     the final centroids and a union CTE ``am`` — the index-append twin."""
@@ -2168,13 +2172,50 @@ def _ivf_rebuild_oracle_sql() -> str:
 # from the cells it probes (the trained-IVF candidate restriction).
 KNN_GRAPH_K = 5
 
+# The K ∝ √N quantizer dial (VERDICT r14 item 2).  At fixed K the
+# all-queries kNN candidate volume is (nprobe/K)·N² — quadratic, measured
+# 125× wall at 8× corpus growth (SCALING.md).  Sizing cells at K =
+# max(floor, ⌊√N⌋) bounds it at ~nprobe·N^{3/2}: the standard IVF cell
+# sizing.  Exactness across engines: ⌊sqrt(double(N))⌋ — IEEE-754 sqrt is
+# CORRECTLY ROUNDED, so CPython's libm and DuckDB's sqrt return the same
+# double for the same integer input and the floors agree bit-for-bit
+# (pinned over 1..10⁶ incl. perfect squares in tests/test_similarity.py).
+KNN_K_FLOOR = KMEANS_K  # never fewer cells than the fixed-K IVF family
+
+
+def _adaptive_k(n: int, floor_k: int) -> int:
+    """max(floor_k, ⌊√n⌋) — the Python twin of :func:`_adaptive_k_sql`."""
+    return max(floor_k, int(math.floor(math.sqrt(float(n)))))
+
+
+def _adaptive_k_sql(floor_k: int, src: str = "v") -> str:
+    """The DuckDB twin of :func:`_adaptive_k` as a scalar-subquery LIMIT
+    operand over the training CTE ``src`` (the shifted-vector CTE of
+    ``_kmeans_oracle_parts``, row count = corpus size)."""
+    return (
+        f"(SELECT GREATEST({floor_k}, "
+        f"CAST(floor(sqrt(CAST(COUNT(*) AS DOUBLE))) AS BIGINT)) FROM {src})"
+    )
+
+
+def _knn_quantizer(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    """The kNN family's OWN trained quantizer: K = max({KNN_K_FLOOR}, ⌊√N⌋)
+    cells (N from a metadata-cheap corpus count — one driver-side scalar,
+    never rows), cached under its own ``knn`` session key so the fixed-K
+    IVF entries keep their certified quantizer untouched."""
+    n = table(spark, sf_dir, "embeddings").count()
+    return _kmeans_trained(
+        spark, sf_dir, key_prefix="knn", k=_adaptive_k(n, KNN_K_FLOOR)
+    )
+
 
 def _knn_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The session-cached corpus kNN edge list (every vector's top
     {KNN_GRAPH_K} neighbors through the trained IVF probes) — shared by
     ``sim_knn_graph`` (mutual-flag symmetrization) and
-    ``sim_knn_density`` (outlier scoring)."""
-    vectors, cent = _kmeans_trained(spark, sf_dir)
+    ``sim_knn_density`` (outlier scoring).  The quantizer is the
+    K ∝ √N adaptive one: candidate volume ~nprobe·N^{3/2}, not N²."""
+    vectors, cent = _knn_quantizer(spark, sf_dir)
     members = _kmeans_assign(vectors, cent).select(
         F.col("vec_id").alias("neighbor_id"), "cell_id"
     )
@@ -2242,8 +2283,10 @@ def q_sim_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``sim_ivf_trained_topk`` — candidate volume is Σ_cells |postings| ×
     |probes into the cell| ≈ (nprobe/K)·N per vector, the same corpus
     fraction as single-query IVF search and a K/nprobe-fold reduction
-    over the N² brute-force graph; with the standard K ∝ √N cell sizing
-    the total candidate volume is ~nprobe·N^{3/2}.  Probes collapse
+    over the N² brute-force graph; the quantizer uses the K ∝ √N cell
+    sizing (``_knn_quantizer``, K = max({KNN_K_FLOOR}, ⌊√N⌋)), so the
+    total candidate volume is ~nprobe·N^{3/2} — the fixed-K O(N²/K)
+    growth measured at 8× in SCALING.md is retired.  Probes collapse
     map-side via the sorted-slice aggregate (never a corpus-wide
     window — partitioned by vec_id); the probe⋈posting join is keyed on
     cell_id and stays UNHINTED (both sides are corpus-sized — a
@@ -2332,8 +2375,12 @@ def q_sim_knn_density(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _knn_edge_oracle_ctes() -> str:
     """The shared WITH-prefix of the kNN-graph oracles: k-means training
     CTEs + all-vectors probe ranking + top-k cosine per vector, ending at
-    the materialized ``ranked`` edge CTE."""
-    parts, final_cent, members = _kmeans_oracle_parts()
+    the materialized ``ranked`` edge CTE.  K is the adaptive
+    max({KNN_K_FLOOR}, ⌊√N⌋) dial — the scalar-subquery LIMIT twin of
+    :func:`_knn_quantizer`."""
+    parts, final_cent, members = _kmeans_oracle_parts(
+        k=_adaptive_k_sql(KNN_K_FLOOR)
+    )
     sq = (
         f"CAST(list_sum(list_transform(range(1, {EMB_DIM + 1}), "
         "j -> (v.sv[j] - c.cv[j]) * (v.sv[j] - c.cv[j]))) AS BIGINT)"
@@ -2618,11 +2665,14 @@ def _hybrid_oracle_sql() -> str:
 
 # SemDeDup quantizer: its OWN k/iters, decoupled from the IVF family's —
 # semantic dedup wants many small cells (bounded within-cell pair count),
-# search wants few big posting lists (nprobe/K scan fraction).  At the test
-# corpus sizes K=64 bounds cells to ~8-31 members; production scales K ∝ N
-# so the within-cell pair budget Σ cᵢ² stays ~N·(N/K) — the published
-# SemDeDup cost model.  2 Lloyd iterations keep the unrolled oracle CTE
-# chain short (CTE count scales with iters, not K).
+# search wants few big posting lists (nprobe/K scan fraction).  Since r15
+# the cell count is ADAPTIVE: K = max({SEMDEDUP_K}, ⌊√N⌋) (the
+# ``_adaptive_k`` dial, VERDICT r14 item 2), so the within-cell pair
+# budget Σ cᵢ² ≈ N·(N/K) is bounded at ~N^{3/2} instead of growing
+# quadratically past the point where the fixed floor saturates; at the
+# local SFs (N ≤ 2000) the floor binds and K stays 64 (~8-31 members per
+# cell), preserving the certified results.  2 Lloyd iterations keep the
+# unrolled oracle CTE chain short (CTE count scales with iters, not K).
 SEMDEDUP_K = 64
 SEMDEDUP_ITERS = 2
 
@@ -2656,11 +2706,12 @@ def q_sim_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     distribution (78 pairs at sf0.001), and the planted-pair tests pin
     detection at ≥0.8 regardless.
     """
+    n = table(spark, sf_dir, "embeddings").count()
     vectors, cent = _kmeans_trained(
         spark,
         sf_dir,
         key_prefix="semdedup",
-        k=SEMDEDUP_K,
+        k=_adaptive_k(n, SEMDEDUP_K),
         iters=SEMDEDUP_ITERS,
     )
     mem = _kmeans_assign(vectors, cent).select("vec_id", "cell_id")
@@ -2699,9 +2750,12 @@ def q_sim_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _semdedup_oracle_sql() -> str:
-    """Parametrized k-means CTEs (K={SEMDEDUP_K}, {SEMDEDUP_ITERS} iters)
-    + within-cell pairwise cosine + the lowest-id drop rule."""
-    parts, _, members = _kmeans_oracle_parts(k=SEMDEDUP_K, iters=SEMDEDUP_ITERS)
+    """Parametrized k-means CTEs (K = max({SEMDEDUP_K}, ⌊√N⌋),
+    {SEMDEDUP_ITERS} iters) + within-cell pairwise cosine + the lowest-id
+    drop rule."""
+    parts, _, members = _kmeans_oracle_parts(
+        k=_adaptive_k_sql(SEMDEDUP_K), iters=SEMDEDUP_ITERS
+    )
     return (
         "WITH "
         + ",\n        ".join(parts)

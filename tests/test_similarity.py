@@ -650,11 +650,12 @@ def test_semdedup_matches_numpy_within_cell_model(spark, sf_dir):
     similarities to match exactly."""
     import numpy as np
 
+    n_corpus = spark.read.parquet(f"{sf_dir}/embeddings.parquet").count()
     vectors, cent = S._kmeans_trained(
         spark,
         sf_dir,
         key_prefix="semdedup",
-        k=S.SEMDEDUP_K,
+        k=S._adaptive_k(n_corpus, S.SEMDEDUP_K),
         iters=S.SEMDEDUP_ITERS,
     )
     cells = {
@@ -759,10 +760,11 @@ def test_hybrid_retrieval_fuses_rank_lists_exactly(spark, sf_dir):
 def test_knn_graph_matches_numpy_model(spark, sf_dir):
     """Full numpy recompute of the IVF-restricted kNN graph: per-vector
     probe set, candidate lists, rounded-cosine top-k ordering, and the
-    mutual flag must all match exactly."""
+    mutual flag must all match exactly.  Uses the entry's own adaptive
+    K ∝ √N quantizer (``_knn_quantizer``)."""
     import numpy as np
 
-    vectors, cent = S._kmeans_trained(spark, sf_dir)
+    vectors, cent = S._knn_quantizer(spark, sf_dir)
     assigned = {
         r.vec_id: r.cell_id for r in S._kmeans_assign(vectors, cent).collect()
     }
@@ -814,10 +816,11 @@ def test_knn_density_matches_numpy_model(spark, sf_dir):
     """Full numpy recompute of the kNN-density outlier page: rebuild the
     IVF-restricted kNN edges, take the offset-shifted integer basis-point
     mean per vector, rank ascending — page membership, ranks, neighbor
-    counts, and exact density values must all match."""
+    counts, and exact density values must all match.  Uses the entry's
+    own adaptive K ∝ √N quantizer (``_knn_quantizer``)."""
     import numpy as np
 
-    vectors, cent = S._kmeans_trained(spark, sf_dir)
+    vectors, cent = S._knn_quantizer(spark, sf_dir)
     assigned = {
         r.vec_id: r.cell_id for r in S._kmeans_assign(vectors, cent).collect()
     }
@@ -1191,3 +1194,53 @@ def test_power_iteration_matches_numpy_and_converges(spark, sf_dir):
     # gap), so convergence per iteration is slow — the iteration count is
     # the dial; 5 fixed iterations land ~0.87x of the top eigenvalue here.
     assert rq >= 0.85 * top, (rq, top)
+
+
+def test_adaptive_k_python_and_duckdb_twins_agree():
+    """The K ∝ √N dial must be ENGINE-EXACT: Python's floor(sqrt(double(n)))
+    (``_adaptive_k``) and DuckDB's (``_adaptive_k_sql``) both ride the
+    IEEE-754 correctly-rounded sqrt, so the floors agree bit-for-bit.
+    Sweep 1..4096 plus every perfect square and its ±1 neighbors up to
+    10^6 (the classic floor-tip hazard points), both floor settings."""
+    import duckdb
+
+    hazard = sorted(
+        {n for k in range(1, 1001) for n in (k * k - 1, k * k, k * k + 1)}
+        | set(range(1, 4097))
+    )
+    con = duckdb.connect()
+    con.execute("CREATE TABLE ns(n BIGINT)")
+    con.executemany("INSERT INTO ns VALUES (?)", [(n,) for n in hazard])
+    for floor_k in (S.KNN_K_FLOOR, S.SEMDEDUP_K):
+        rows = con.execute(
+            f"SELECT n, GREATEST({floor_k}, CAST(floor(sqrt(CAST(n AS DOUBLE)))"
+            " AS BIGINT)) FROM ns ORDER BY n"
+        ).fetchall()
+        for n, duck_k in rows:
+            assert duck_k == S._adaptive_k(n, floor_k), (n, floor_k, duck_k)
+    # And the SQL string the oracles actually embed is that expression
+    # over the shifted-vector CTE.
+    assert f"GREATEST({S.KNN_K_FLOOR}, " in S._adaptive_k_sql(S.KNN_K_FLOOR)
+    assert "FROM v)" in S._adaptive_k_sql(S.KNN_K_FLOOR)
+
+
+def test_knn_quantizer_k_scales_with_corpus(spark, tmp_path):
+    """The kNN quantizer's cell count must GROW as the corpus grows —
+    the O(N²/K) fixed-K growth retired by VERDICT r14 item 2.  Build two
+    corpora (floor-bound small, √N-bound large) and count distinct
+    trained cells; the large corpus must train ⌊√N⌋ cells, the small one
+    exactly the floor."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    rng = np.random.default_rng(7)
+    for n, want_k in ((40, S.KNN_K_FLOOR), (400, 20)):
+        assert S._adaptive_k(n, S.KNN_K_FLOOR) == want_k
+        d = str(tmp_path / f"corpus_{n}")
+        emb = rng.uniform(-0.5, 0.5, size=(n, S.EMB_DIM)).astype("float32")
+        spark.createDataFrame(
+            [(i, [float(x) for x in emb[i]]) for i in range(n)],
+            "vec_id BIGINT, embedding ARRAY<FLOAT>",
+        ).coalesce(1).write.mode("overwrite").parquet(f"{d}/embeddings.parquet")
+        _, cent = S._knn_quantizer(spark, d)
+        assert cent.select("cell_id").distinct().count() == want_k, n
