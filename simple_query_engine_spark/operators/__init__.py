@@ -106,6 +106,11 @@ _ROTATION_QUEUE: list[str] = [
     "sim_knn_graph",
     "sim_knn_density",
     "sim_semdedup",
+    # VERDICT r14 item 3: new entry — trained adaptive-K IVF recall on
+    # the derived CLUSTERABLE planted corpus (never certified).  Proves
+    # the r14 recall@10 ≈ 0.49 was the near-orthogonal fixture, not the
+    # index: planted recall = 1.0 at every SF.
+    "sim_recall_floor_planted",
 ]
 
 

@@ -784,6 +784,142 @@ def q_sim_recall_audit_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _recall_vs_exact(spark, sf_dir, approx)
 
 
+# Planted-recall floor (VERDICT r14 item 3).  The synthetic embedding
+# corpus is near-orthogonal, so the trained-IVF recall@10 ≈ 0.49 measured
+# in ANN_SCALE.json tracks the nprobe/K sampling floor — on such a corpus
+# NO index can do better and the number says nothing about the index.
+# This fixture derives a CLUSTERABLE corpus deterministically inside the
+# query: C = max(8, ⌊√N⌋) centers (the C lowest-md5 corpus vectors — the
+# established hash-spread sample), one member per corpus vector v at
+# center (v mod C) + BETA·emb_v.  BETA = 0.125 is an exact binary
+# fraction and all arithmetic is elementwise IEEE double, so the member
+# vectors are bit-identical across engines.  Geometry: with corpus pair
+# cosines ≤ ~0.6, same-cluster members sit at cos ≥ ~0.97 and cross-
+# cluster pairs at ≤ ~0.75 — true cluster structure where recall is
+# meaningful.  C intentionally equals the adaptive quantizer K, so a
+# correctly-trained index maps cells ≈ clusters and nprobe=2 covers the
+# query's cluster even when Lloyd splits one.
+PLANTED_CLUSTER_BETA = 0.125
+
+
+def _planted_cluster_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, embedding DOUBLE[]) — the derived clusterable corpus, one
+    member per source vector; C = adaptive-K clusters."""
+    emb = table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+    )
+    c = _adaptive_k(emb.count(), KNN_K_FLOOR)
+    w = Window.orderBy("h", "vec_id")
+    centers = (
+        emb.withColumn(
+            "h", md5_prefix_long(F.col("vec_id").cast("string"), IVF_HASH_WIDTH)
+        )
+        .orderBy("h", "vec_id")
+        .limit(c)
+        .select(
+            (F.row_number().over(w) - 1).cast("long").alias("cidx"),
+            F.col("embedding").alias("cv"),
+        )
+    )
+    return (
+        emb.withColumn("cidx", F.col("vec_id") % F.lit(c))
+        .join(F.broadcast(centers), "cidx")
+        .select(
+            "vec_id",
+            F.zip_with(
+                "cv",
+                "embedding",
+                lambda cvx, ex: cvx + F.lit(PLANTED_CLUSTER_BETA) * ex,
+            ).alias("embedding"),
+        )
+    )
+
+
+def q_sim_recall_floor_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@{TOP_K} of the trained adaptive-K IVF path on the PLANTED
+    clusterable corpus — the certified recall FLOOR: unlike the
+    near-orthogonal raw corpus (where recall can only track the nprobe/K
+    sampling fraction), this fixture has real cluster structure, so a
+    low number here would mean the index is broken, not the data.  The
+    recall bar (mean ≥ 0.8) is pinned in tests/test_similarity.py and
+    re-measured at 8× corpus growth by tools/ann_recall_probe.py.
+
+    Scale shape: the derived corpus is a broadcast C-row join over the
+    embeddings scan (never shuffled by itself); training is the adaptive
+    K ∝ √N quantizer (N·K = N^{3/2} work per Lloyd iteration); search
+    probes {KMEANS_NPROBE} of K cells for the |Q| = {NUM_QUERY_VECTORS}
+    sampled queries; the exact side is the |Q|-row-broadcast streaming
+    pass of ``sim_topk_bruteforce``; the reconciliation join is |Q|·k vs
+    |Q|·k.  Oracle: the planted-corpus CTEs + unrolled adaptive-K
+    k-means + probe/search + brute force + the recall rollup.
+    """
+    members = session_cache(
+        _planted_cluster_corpus(spark, sf_dir), sf_dir, "planted_recall_corpus"
+    )
+    k = _adaptive_k(table(spark, sf_dir, "embeddings").count(), KNN_K_FLOOR)
+    vectors, cent = _kmeans_trained(
+        spark, sf_dir, key_prefix="planted_recall", k=k, embeddings=members
+    )
+    cells = _kmeans_assign(vectors, cent).select(
+        F.col("vec_id").alias("neighbor_id"), "cell_id"
+    )
+    qvec = vectors.filter(F.col("vec_id") < NUM_QUERY_VECTORS)
+    probe_scored = qvec.crossJoin(F.broadcast(cent)).select(
+        F.col("vec_id").alias("query_id"),
+        "cell_id",
+        _kmeans_sqdist(F.col("sv"), F.col("cv")).alias("d"),
+    )
+    probes = (
+        probe_scored.groupBy("query_id")
+        .agg(
+            F.slice(
+                F.array_sort(F.collect_list(F.struct("d", "cell_id"))),
+                1,
+                KMEANS_NPROBE,
+            ).alias("cells")
+        )
+        .select("query_id", F.explode(F.col("cells.cell_id")).alias("cell_id"))
+    )
+    queries = _with_norm(
+        members.filter(F.col("vec_id") < NUM_QUERY_VECTORS),
+        "query_id",
+        "q_emb",
+        "q_norm",
+    )
+    cands = _with_norm(members, "neighbor_id", "c_emb", "c_norm")
+    cosine = _dot(F.col("q_emb"), F.col("c_emb")) / (
+        F.col("q_norm") * F.col("c_norm")
+    )
+    searched = (
+        probes.join(cells, "cell_id")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .join(queries, "query_id")
+        .join(cands, "neighbor_id")
+        .select("query_id", "neighbor_id", F.round(cosine, 4).alias("similarity"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("similarity").desc(), F.col("neighbor_id")
+    )
+    approx = (
+        searched.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= TOP_K)
+        .select("query_id", "neighbor_id")
+    )
+    exact_scored = (
+        F.broadcast(queries)
+        .crossJoin(cands)
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", F.round(cosine, 4).alias("similarity"))
+    )
+    exact = (
+        exact_scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= TOP_K)
+        .select("query_id", "neighbor_id")
+    )
+    return _recall_vs_exact(spark, sf_dir, approx, exact)
+
+
 def q_sim_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semantic dedup CLUSTERS: connected components over the
     embedding-cosine near-dup pair graph — the embedding-space twin of
@@ -1196,6 +1332,7 @@ def _kmeans_trained(
     key_prefix: str = "kmeans",
     k: int = KMEANS_K,
     iters: int = KMEANS_ITERS,
+    embeddings: DataFrame | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """(shifted-integer vectors — ALL of them, trained K-row centroid
     table) after KMEANS_ITERS Lloyd iterations — shared by the catalog
@@ -1204,8 +1341,11 @@ def _kmeans_trained(
     the returned ``vectors`` frame is always the full corpus, so callers
     can assign rows the quantizer never saw (the index-append path).
     ``key_prefix`` keys the per-iteration session caches — a filtered
-    training run must not collide with the default one."""
-    embeddings = table(spark, sf_dir, "embeddings")
+    training run must not collide with the default one.  ``embeddings``
+    overrides the corpus (a derived (vec_id, embedding) frame — the
+    planted-recall fixture); default is the sf_dir embeddings table."""
+    if embeddings is None:
+        embeddings = table(spark, sf_dir, "embeddings")
     vectors = embeddings.select(
         "vec_id",
         F.transform(
@@ -1292,6 +1432,7 @@ def _kmeans_oracle_parts(
     iters: int = KMEANS_ITERS,
     base_where: str = "",
     batch_where: str = "",
+    source: str = "embeddings",
 ) -> tuple[list[str], str, str]:
     """The shared unrolled-CTE core of the k-means oracles: returns the
     CTE list, the name of the final centroid CTE, and the name of the
@@ -1325,7 +1466,7 @@ def _kmeans_oracle_parts(
                    list_transform(embedding,
                        x -> CAST(floor(CAST(x AS DOUBLE) * {EMB_SCALE})
                                  + {KMEANS_OFFSET} AS BIGINT)) AS sv
-            FROM embeddings
+            FROM {source}
         )""",
     ]
     train_src = "v"
@@ -2465,6 +2606,103 @@ def _knn_density_oracle_sql() -> str:
     )
 
 
+def _recall_floor_planted_oracle_sql() -> str:
+    """Planted-corpus CTEs (adaptive-C centers + BETA-mixed members) +
+    unrolled adaptive-K k-means over the planted corpus + nprobe search
+    for the |Q| queries + brute-force exact top-k + the recall rollup of
+    the two audit oracles."""
+    md5_expr = md5_prefix_long_sql("CAST(vec_id AS VARCHAR)", IVF_HASH_WIDTH)
+    planted_ctes = [
+        "emb0 AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings)",
+        f"""kc AS (
+            SELECT GREATEST({KNN_K_FLOOR}, CAST(floor(sqrt(CAST(COUNT(*)
+                   AS DOUBLE))) AS BIGINT)) AS c
+            FROM emb0
+        )""",
+        f"""centers AS (
+            SELECT ROW_NUMBER() OVER (ORDER BY {md5_expr}, vec_id) - 1 AS cidx,
+                   ev AS cv
+            FROM emb0
+            ORDER BY {md5_expr}, vec_id
+            LIMIT (SELECT c FROM kc)
+        )""",
+        f"""planted AS (
+            SELECT e.vec_id,
+                   list_transform(range(1, {EMB_DIM + 1}),
+                       j -> c.cv[j] + {PLANTED_CLUSTER_BETA} * e.ev[j])
+                       AS embedding
+            FROM emb0 e CROSS JOIN kc
+            JOIN centers c ON (e.vec_id % kc.c) = c.cidx
+        )""",
+    ]
+    parts, final_cent, members = _kmeans_oracle_parts(
+        k=_adaptive_k_sql(KNN_K_FLOOR), source="planted"
+    )
+    sq = (
+        f"CAST(list_sum(list_transform(range(1, {EMB_DIM + 1}), "
+        "j -> (v.sv[j] - c.cv[j]) * (v.sv[j] - c.cv[j]))) AS BIGINT)"
+    )
+    return (
+        "WITH "
+        + ",\n        ".join(planted_ctes + parts)
+        + f""",
+        probes AS (
+            SELECT query_id, cell_id FROM (
+                SELECT v.vec_id AS query_id, c.cell_id,
+                       ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                                          ORDER BY {sq}, c.cell_id) AS rn
+                FROM v, {final_cent} c
+                WHERE v.vec_id < {NUM_QUERY_VECTORS}
+            ) WHERE rn <= {KMEANS_NPROBE}
+        ),
+        pe AS (
+            SELECT vec_id, embedding AS ev,
+                   sqrt(list_dot_product(embedding, embedding)) AS nrm
+            FROM planted
+        ),
+        searched AS (
+            SELECT p.query_id, a.vec_id AS neighbor_id,
+                   ROUND(list_dot_product(qe.ev, ce.ev)
+                         / (qe.nrm * ce.nrm), 4) AS similarity
+            FROM probes p
+            JOIN {members} a ON a.cell_id = p.cell_id AND a.vec_id <> p.query_id
+            JOIN pe qe ON qe.vec_id = p.query_id
+            JOIN pe ce ON ce.vec_id = a.vec_id
+        ),
+        approx AS (
+            SELECT query_id, neighbor_id FROM (
+                SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                             ORDER BY similarity DESC,
+                                                      neighbor_id) AS rn
+                FROM searched
+            ) WHERE rn <= {TOP_K}
+        ),
+        exact AS (
+            SELECT query_id, neighbor_id FROM (
+                SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY q.vec_id
+                           ORDER BY ROUND(list_dot_product(q.ev, c.ev)
+                                          / (q.nrm * c.nrm), 4) DESC,
+                                    c.vec_id) AS rn
+                FROM pe q JOIN pe c
+                  ON q.vec_id < {NUM_QUERY_VECTORS} AND q.vec_id <> c.vec_id
+            ) WHERE rn <= {TOP_K}
+        )
+        SELECT e.query_id,
+               COUNT(*) AS n_exact,
+               CAST(SUM(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_hits,
+               ROUND(CAST(SUM(CASE WHEN a.neighbor_id IS NOT NULL
+                                   THEN 1 ELSE 0 END) AS DOUBLE)
+                     / COUNT(*), 4) AS recall_at_k
+        FROM exact e
+        LEFT JOIN approx a
+          ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+        GROUP BY e.query_id"""
+    )
+
+
 def _ivfadc_oracle_sql() -> str:
     """K-means training CTEs + probe ranking + the algebraically-collapsed
     ADC coarse score (Σ_d sgn(c_d)·⌊q_d·SQ_SCALE⌋ — see the
@@ -2882,6 +3120,7 @@ QUERIES = {
     "sim_hybrid_retrieval": q_sim_hybrid_retrieval,
     "sim_recall_audit": q_sim_recall_audit,
     "sim_recall_audit_trained": q_sim_recall_audit_trained,
+    "sim_recall_floor_planted": q_sim_recall_floor_planted,
     "sim_neardup_pairs_baseline": q_sim_neardup_pairs_baseline,
     "sim_neardup_lsh": q_sim_neardup_lsh,
     "sim_neardup_planted": q_sim_neardup_planted,
@@ -2934,6 +3173,7 @@ ORACLES = {
     ),
     "sim_knn_graph": _knn_graph_oracle_sql(),
     "sim_knn_density": _knn_density_oracle_sql(),
+    "sim_recall_floor_planted": _recall_floor_planted_oracle_sql(),
     "sim_ivf_delete_topk": _ivf_trained_oracle_sql(
         member_and=f"AND a.vec_id % {IVF_DELETE_MOD} <> {IVF_DELETE_REM}"
     ),

@@ -111,6 +111,7 @@ CORPUS_GATE = [
     "sim_semdedup",
     "sim_ivf_topk",
     "sim_knn_density",
+    "sim_recall_floor_planted",
     "multimodal_clip_pairs",
     # The streaming ingest door over the amplified corpus: digest-keyed
     # manifest state, postings state, and the decontamination pair state

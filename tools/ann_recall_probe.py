@@ -63,6 +63,35 @@ def _audit(spark, sf_dir: str) -> dict:
     }
 
 
+def _planted_audit(spark, sf_dir: str) -> dict:
+    """Same rollup over the PLANTED clusterable corpus
+    (sim_recall_floor_planted, r15): recall where the fixture has real
+    cluster structure — the number that measures the index, not the
+    near-orthogonal corpus's nprobe/K sampling floor."""
+    from simple_query_engine_spark.functions.caching import evict_all
+    from simple_query_engine_spark.operators.similarity import (
+        q_sim_recall_floor_planted,
+    )
+    from simple_query_engine_spark.sources.catalog import table
+
+    evict_all()
+    n_vectors = table(spark, sf_dir, "embeddings").count()
+    start = time.time()
+    rows = q_sim_recall_floor_planted(spark, sf_dir).collect()
+    wall = time.time() - start
+    n_exact = sum(r["n_exact"] for r in rows)
+    n_hits = sum(r["n_hits"] for r in rows)
+    return {
+        "n_vectors": n_vectors,
+        "n_queries": len(rows),
+        "n_exact": n_exact,
+        "n_hits": n_hits,
+        "recall_at_k": round(n_hits / n_exact, 4) if n_exact else None,
+        "min_query_recall": min(float(r["recall_at_k"]) for r in rows),
+        "audit_wall_sec": round(wall, 2),
+    }
+
+
 def main() -> int:
     k = int(sys.argv[1]) if len(sys.argv) > 1 else 8
     sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
@@ -83,6 +112,8 @@ def main() -> int:
         ),
         "base": _audit(spark, sf_dir),
         f"x{k}": _audit(spark, amp_dir),
+        "planted_base": _planted_audit(spark, sf_dir),
+        f"planted_x{k}": _planted_audit(spark, amp_dir),
     }
     print(json.dumps(out))
     spark.stop()
