@@ -981,11 +981,14 @@ def _cc_scratch_dir(spark: SparkSession) -> str:
         # returned lazy DataFrame scans them), so they can only be
         # reclaimed by a later run's age-gated sweep (local roots only —
         # an object-store root is the deployment's lifecycle policy).
+        # The sweep is restricted to OUR "cc_" entries: the root is
+        # user-configurable, and a shared directory must never have
+        # unrelated old files reclaimed (ADVICE r14).
         from simple_query_engine_spark.operators.storage import (
             sweep_stale_scratch,
         )
 
-        sweep_stale_scratch(root)
+        sweep_stale_scratch(root, prefix="cc_")
     os.makedirs(root, exist_ok=True)
     return tempfile.mkdtemp(prefix="cc_", dir=root)
 
@@ -1678,6 +1681,71 @@ def _triangles_oracle_sql() -> str:
     """
 
 
+# Format tag for the persisted standing-cluster state: bump on any change
+# to the label pipeline (shingles / MinHash params / threshold semantics)
+# so stale state from an older code version can never be consumed.
+_CC_STATE_FORMAT = "v1"
+
+
+def _standing_labels_managed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The incremental-components STANDING state (doc_id → cluster label
+    over the corpus-only pair graph) as a persisted MANAGED table —
+    VERDICT r14 item 4: production maintains this state across ingest
+    batches instead of rebuilding it per run, and the managed-table layer
+    (snapshot versions, time travel, txn map) is exactly the right home
+    for it: a batch-merge becomes a ``merge`` commit, a bad batch rolls
+    back with ``restore``, and auditing a dedup decision reads the state
+    as of the batch that made it.
+
+    The path is keyed on the SOURCE corpus identity (documents.parquet
+    size + mtime — the events-cache convention, so regenerated testdata
+    invalidates the state) plus the threshold and a format tag.  First
+    build computes the labels and commits them as version 0; every later
+    run — including a fresh session or a fresh process — reads the
+    committed snapshot and skips the corpus-wide banding + propagation
+    entirely.  A concurrent-create race is resolved by the manifest
+    link: the loser's data files are unreferenced litter (the managed
+    layer's vacuum discipline) and it reads the winner's commit."""
+    import tempfile
+
+    from simple_query_engine_spark.sources.managed import (
+        ManagedTable,
+        TableVersionConflict,
+    )
+
+    src = os.path.join(sf_dir, "documents.parquet")
+    st = os.stat(src)
+    tag = (
+        f"{os.path.basename(os.path.normpath(sf_dir))}"
+        f"_{st.st_size}_{st.st_mtime_ns}"
+        f"_{int(PLANTED_JACCARD_THRESHOLD * 1000)}_{_CC_STATE_FORMAT}"
+    )
+    path = os.path.join(tempfile.gettempdir(), f"sqe_cc_standing_{tag}")
+    t = ManagedTable(spark, path)
+    if not t.versions():
+        sig = session_cache(
+            _minhash_sig_of(
+                _shingles_of(
+                    _planted_documents(spark, sf_dir),
+                    sf_dir,
+                    "dedup_shingles_planted",
+                )
+            ),
+            sf_dir,
+            "dedup_minhash_sig_planted",
+        )
+        corpus_sig = sig.filter(F.col("doc_id") < PLANT_DOC_OFFSET)
+        standing_pairs = _minhash_lsh_pairs(
+            corpus_sig, PLANTED_JACCARD_THRESHOLD
+        ).select("doc_id_a", "doc_id_b")
+        std_labels, _ = _propagate_labels(_symmetric_edges(standing_pairs))
+        try:
+            ManagedTable.create(spark, path, std_labels)
+        except (ValueError, TableVersionConflict):
+            pass  # lost a concurrent-create race; the winner's state stands
+    return ManagedTable(spark, path).read()
+
+
 def q_graph_components_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """INCREMENTAL connected components: the near-dup cluster table is
     maintained under an arriving batch WITHOUT re-running components over
@@ -1698,12 +1766,16 @@ def q_graph_components_incremental(spark: SparkSession, sf_dir: str) -> DataFram
     O(|standing labels| + |batch edges|) rows after the one-time
     standing build.
 
-    Scale shape: the standing label table is the persisted state (one
-    row per clustered doc — the session cache stands in for it, as in
-    the incremental MinHash entry); per batch the work is the two
-    banded candidate joins (∝ batch bands), two label lookups, and a
-    pointer-doubling propagation over the reduced graph whose node set
-    is ≤ 2·|delta edges|.  Cost bounds pinned in tests."""
+    Scale shape: the standing label table is the PERSISTED state — a
+    managed table (``_standing_labels_managed``, r15) built once per
+    corpus and read as a committed snapshot by every later run, so the
+    per-batch plan never pays the corpus-wide banding + propagation
+    again (a fresh session, or the bench re-running the entry, reads
+    the snapshot); per batch the work is the two banded candidate joins
+    (∝ batch bands), two label lookups, and a pointer-doubling
+    propagation over the reduced graph whose node set is ≤ 2·|delta
+    edges|.  Cost bounds pinned in tests."""
+    std_labels = _standing_labels_managed(spark, sf_dir)
     sig = session_cache(
         _minhash_sig_of(
             _shingles_of(
@@ -1713,13 +1785,7 @@ def q_graph_components_incremental(spark: SparkSession, sf_dir: str) -> DataFram
         sf_dir,
         "dedup_minhash_sig_planted",
     )
-    corpus_sig = sig.filter(F.col("doc_id") < PLANT_DOC_OFFSET)
     batch_sig = sig.filter(F.col("doc_id") >= PLANT_DOC_OFFSET)
-    standing_pairs = _minhash_lsh_pairs(
-        corpus_sig, PLANTED_JACCARD_THRESHOLD
-    ).select("doc_id_a", "doc_id_b")
-    std_edges = _symmetric_edges(standing_pairs)
-    std_labels, _ = _propagate_labels(std_edges)
     delta = (
         q_dedup_incremental_minhash(spark, sf_dir)
         .select(

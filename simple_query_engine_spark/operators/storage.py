@@ -113,21 +113,30 @@ def materialize_once(path: str, write) -> None:
 # old under a scratch root is a leak from a finished or crashed run.  The
 # gate is deliberately huge — a full 3-SF certification sweep stays under
 # a few hours — so a concurrent process can never lose a live scratch.
-_SCRATCH_TTL_SEC = 24 * 3600
+# Long-lived deployments whose lazy DataFrames may be re-scanned days
+# after creation raise the TTL via SQE_SCRATCH_TTL_SEC (ADVICE r14).
+_SCRATCH_TTL_SEC = int(os.environ.get("SQE_SCRATCH_TTL_SEC", 24 * 3600))
 
 
-def sweep_stale_scratch(root: str) -> None:
+def sweep_stale_scratch(root: str, prefix: str | None = None) -> None:
     """Reclaim scratch-root entries older than ``_SCRATCH_TTL_SEC`` —
     shared by :func:`scratch_dir` and the connected-components scratch
     (``dedup._cc_scratch_dir``), whose per-run dirs must outlive their
     function (a returned lazy DataFrame scans them) and therefore can
-    only ever be reclaimed by a LATER run's sweep."""
+    only ever be reclaimed by a LATER run's sweep.
+
+    ``prefix`` restricts the sweep to entries THIS code created (their
+    mkdtemp name prefix) — mandatory hygiene when the root is
+    user-configurable (ADVICE r14: a shared dir pointed at by
+    SQE_CC_SCRATCH_DIR must never have unrelated old files reclaimed)."""
     import shutil
     import time
 
     os.makedirs(root, exist_ok=True)
     cutoff = time.time() - _SCRATCH_TTL_SEC
     for name in os.listdir(root):
+        if prefix is not None and not name.startswith(prefix):
+            continue
         p = os.path.join(root, name)
         try:
             if os.path.getmtime(p) < cutoff:

@@ -230,3 +230,41 @@ def test_scratch_dir_sweeps_stale_siblings_only():
     import shutil
 
     shutil.rmtree(root, ignore_errors=True)
+
+
+def test_sweep_prefix_filter_spares_unrelated_entries():
+    """ADVICE r14: when the sweep targets a USER-CONFIGURABLE root (the
+    CC scratch dir), it must reclaim only entries this code created
+    (mkdtemp 'cc_' prefix) — an unrelated old file or dir in a shared
+    directory is never touched."""
+    import os
+    import shutil
+    import tempfile
+    import time
+    import uuid
+
+    from simple_query_engine_spark.operators.storage import (
+        _SCRATCH_TTL_SEC,
+        sweep_stale_scratch,
+    )
+
+    root = os.path.join(
+        tempfile.gettempdir(), f"sqe_shared_test_{uuid.uuid4().hex[:8]}"
+    )
+    os.makedirs(root)
+    old = time.time() - _SCRATCH_TTL_SEC - 60
+    ours = os.path.join(root, "cc_stale123")
+    theirs_dir = os.path.join(root, "user_data")
+    theirs_file = os.path.join(root, "notes.txt")
+    os.makedirs(ours)
+    os.makedirs(theirs_dir)
+    with open(theirs_file, "w") as fh:
+        fh.write("precious")
+    for p in (ours, theirs_dir, theirs_file):
+        os.utime(p, (old, old))
+
+    sweep_stale_scratch(root, prefix="cc_")
+    assert not os.path.exists(ours)
+    assert os.path.isdir(theirs_dir)
+    assert os.path.exists(theirs_file)
+    shutil.rmtree(root, ignore_errors=True)
