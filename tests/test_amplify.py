@@ -107,7 +107,10 @@ def test_corpus_replicas_share_no_tokens(spark, corpus_amp_dir):
     from tools.amplify_testdata import REPLICA_OFFSET
 
     docs = spark.read.parquet(f"{corpus_amp_dir}/documents.parquet")
-    token = F.explode(F.split(F.lower("text"), " ")).alias("tok")
+    # Split on the normalization whitespace class, not a literal space —
+    # a literal-space split would miss a tab/newline-carried fragment
+    # leak (ADVICE r14), exactly the hazard the amplifier now guards.
+    token = F.explode(F.split(F.lower("text"), r"\s+")).alias("tok")
     replica = (F.col("doc_id") / REPLICA_OFFSET).cast("long").alias("rep")
     toks = docs.select(replica, token).distinct()
     shared = (
@@ -155,3 +158,31 @@ def test_corpus_embeddings_rotate_and_align(spark, sf_dir, corpus_amp_dir):
     v1 = first[1]["embedding"]
     assert v1 != v0 and sorted(v1) == sorted(v0)
     assert v1 == v0[1:] + v0[:1]  # replica 1 = rotate left by 1
+
+
+def test_corpus_amplifier_tags_every_whitespace_token(spark):
+    """ADVICE r14 regression: a source doc whose tokens are separated by
+    tab / newline / double space must STILL share no normalized tokens
+    across replicas — the amplifier splits on the same whitespace class
+    the engine's _NORM collapses, so no untagged fragment survives."""
+    from tools.amplify_testdata import _amplified_documents
+
+    df = spark.createDataFrame(
+        [(0, "alpha\tbeta\ngamma  delta ", "en", "s", 24)],
+        "doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT",
+    )
+    amp = _amplified_documents(df, 3)
+    toks = amp.select(
+        (F.col("doc_id") / 10**12).cast("long").alias("rep"),
+        F.explode(F.split(F.lower("text"), r"\s+")).alias("tok"),
+    ).filter(F.col("tok") != "").distinct()
+    shared = (
+        toks.groupBy("tok")
+        .agg(F.countDistinct("rep").alias("n_reps"))
+        .filter(F.col("n_reps") > 1)
+        .count()
+    )
+    assert shared == 0
+    # and every replica still carries all four tokens
+    per_rep = toks.groupBy("rep").count().collect()
+    assert {r["count"] for r in per_rep} == {4}

@@ -35,6 +35,11 @@ from simple_query_engine_spark.sources.catalog import TABLE_NAMES, table
 # Per-replica key offset: far above any real key, far below 2⁶³/k.
 REPLICA_OFFSET = 10**12
 
+# Bumped whenever the amplifier's output changes for identical input, so
+# cached amplified copies under the temp dir are rebuilt instead of
+# silently serving the old format.  f2 = r15 whitespace-class token split.
+_AMPLIFY_FORMAT = "f2"
+
 # Key columns shifted per replica (FK relationships stay intact because
 # both sides of every join shift by the same offset).  Non-key attributes
 # and unamplified-dim FKs (c_nationkey, s_nationkey) are left alone.
@@ -100,9 +105,15 @@ def _amplified_documents(df: DataFrame, k: int) -> DataFrame:
 
     replicas = [df]
     for i in range(1, k):
+        # Split on the SAME whitespace class the engine's _NORM collapses
+        # (ADVICE r14): a source doc containing tab/newline/double-space
+        # must not leak untagged token fragments shared across replicas —
+        # splitting on a literal ' ' would leave 'a\tb' as ONE token whose
+        # normalized halves collide replica-to-replica, breaking the
+        # '×k, never k²' dup-growth guarantee.
         tagged = F.array_join(
             F.transform(
-                F.split("text", " "),
+                F.filter(F.split("text", r"\s+"), lambda x: x != F.lit("")),
                 lambda x, i=i: F.concat(x, F.lit(f"~r{i}")),  # noqa: B023
             ),
             " ",
@@ -207,8 +218,11 @@ def ensure_amplified(
     ]
     total_bytes = sum(os.path.getsize(p) for p in sources)
     newest_mtime = max(os.stat(p).st_mtime_ns for p in sources)
+    # _AMPLIFY_FORMAT invalidates cached amplified copies when the
+    # amplifier itself changes (r15: whitespace-class token split).
     tag = (
-        f"{os.path.basename(os.path.normpath(sf_dir))}_{total_bytes}_{newest_mtime}"
+        f"{os.path.basename(os.path.normpath(sf_dir))}_{total_bytes}"
+        f"_{newest_mtime}_{_AMPLIFY_FORMAT}"
     )
     if hot_fraction > 0.0:
         tag += f"_hot{int(hot_fraction * 100)}"

@@ -146,6 +146,25 @@ def compare(spark_rows, duck_rows, spark_cols, duck_cols) -> str | None:
     return None
 
 
+def _table_src(path: str) -> str:
+    """DuckDB source string for a table path: the file itself, or a
+    part-file glob for a Spark-written directory.  A directory with NO
+    part files (an empty or failed write that left only _SUCCESS) fails
+    HERE with a clear message instead of surfacing later as an opaque
+    DuckDB IO error at query time (ADVICE r14)."""
+    import glob as _glob
+
+    if not os.path.isdir(path):
+        return path
+    if not _glob.glob(os.path.join(path, "*.parquet")):
+        raise FileNotFoundError(
+            f"directory-shaped table {path} contains no *.parquet part "
+            "files (empty or failed write?) — the oracle view would fail "
+            "opaquely at query time"
+        )
+    return f"{path}/*.parquet"
+
+
 def scan_oracle_types(sf_dir: str) -> int:
     """Standing DuckDB-only scan: flag every oracle column whose type is a
     widening hazard (HUGEINT/DECIMAL) — catches the round-5 failure class
@@ -160,7 +179,7 @@ def scan_oracle_types(sf_dir: str) -> int:
         # Driver testdata is one file per table; Spark-written dirs (the
         # amplified fixtures) are directories of part files — glob those
         # so the gate runs against either layout.
-        src = f"{path}/*.parquet" if os.path.isdir(path) else path
+        src = _table_src(path)
         con.sql(f"CREATE VIEW {name} AS SELECT * FROM '{src}'")
     hazards = []
     for name, sql in entrymod.oracle_sql().items():
@@ -212,7 +231,7 @@ def main() -> int:
         # Driver testdata is one file per table; Spark-written dirs (the
         # amplified fixtures) are directories of part files — glob those
         # so the gate runs against either layout.
-        src = f"{path}/*.parquet" if os.path.isdir(path) else path
+        src = _table_src(path)
         con.sql(f"CREATE VIEW {name} AS SELECT * FROM '{src}'")
 
     queries = entrymod.queries()
