@@ -71,7 +71,13 @@ HEADLINE = [
 # r14a = r13a +1: multimodal_ppm_decode (the r14 addition — real PPM
 # encode + decode through two mapInPandas stages; the suite's only
 # Python-boundary-heavy member, so Arrow-path regressions show here).
-SUITE2_VERSION = "r14a"
+# r15a = r14a +1: sim_recall_floor_planted (the r15 addition — derived
+# planted corpus + adaptive-K training + IVF search + brute-force
+# reconciliation).  NOTE r15 member-semantics change, list unchanged:
+# sim_semdedup and sim_knn_density now train the adaptive K = max(floor,
+# ⌊√N⌋) quantizer (at sf0.1 semdedup's floor binds → comparable;
+# knn_density trains 44 cells vs 8 → its row is NOT comparable r14→r15).
+SUITE2_VERSION = "r15a"
 SUITE2 = [
     "dedup_substring_spans",
     "sim_semdedup",
@@ -106,6 +112,7 @@ SUITE2 = [
     "sim_multiprobe_lsh",
     "dedup_cluster_keeper_quality",
     "multimodal_ppm_decode",
+    "sim_recall_floor_planted",
 ]
 
 # Third suite: the fixed-round ITERATIVE graph/cluster operators.  Their
