@@ -368,6 +368,11 @@ def main() -> int:
         # row is that BOTH Python boundaries are Arrow mapInPandas stages
         # over a pruned 2-column scan (no shuffle between them).
         "multimodal_ppm_decode",
+        # round-15 addition: planted-recall floor — a broadcast C-row
+        # derived corpus feeding the adaptive-K trained search plus the
+        # |Q|-broadcast brute-force reconciliation (training itself runs
+        # eagerly through session caches, like sim_kmeans_train's row).
+        "sim_recall_floor_planted",
         # VERDICT r11 item 7: the two fixed-round iteratives whose loops
         # do NOT materialize per round (rank/label tables never self-join,
         # so lineage stays linear) — their full unrolled plans audit like
