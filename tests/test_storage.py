@@ -268,3 +268,78 @@ def test_sweep_prefix_filter_spares_unrelated_entries():
     assert os.path.isdir(theirs_dir)
     assert os.path.exists(theirs_file)
     shutil.rmtree(root, ignore_errors=True)
+
+
+def test_z_bucket_matches_exact_integer_division_on_adversarial_spans(spark):
+    """z_bucket computes the grid cell through a double division + long
+    cast (documented exact for spans up to ~2**45); pin it against exact
+    Python integer floor division over adversarial spans — tiny, prime,
+    power-of-two, and at the documented ceiling — including the
+    floor-tip hazard values (cell boundaries ± 1)."""
+    from pyspark.sql import functions as F
+
+    from simple_query_engine_spark.functions.zorder import z_bucket
+
+    bits = 8
+    grid = 1 << bits
+    spans = [
+        (0, 0),                      # degenerate single-value range
+        (0, 9),                      # tiny
+        (-7, 13),                    # negative lo
+        (0, 251),                    # prime span
+        (1000, 1000 + 2**16 - 1),    # power-of-two span
+        (0, 2**40),                  # large
+        (0, 2**45 - 2),              # the documented ceiling
+    ]
+    for lo, hi in spans:
+        span = hi - lo + 1
+        values = {lo, hi, lo - 5, hi + 5}  # clamp edges + out-of-range
+        for cell in (1, grid // 2, grid - 1):
+            # v at and around the exact boundary of `cell`
+            boundary = lo + (cell * span) // grid
+            values |= {boundary - 1, boundary, boundary + 1}
+        values = sorted(v for v in values)
+        df = spark.createDataFrame([(v,) for v in values], "v LONG")
+        got = {
+            r["v"]: r["b"]
+            for r in df.select(
+                "v", z_bucket(F.col("v"), lo, hi, bits).alias("b")
+            ).collect()
+        }
+        for v in values:
+            clamped = min(max(v, lo), hi)
+            want = ((clamped - lo) * grid) // span
+            assert got[v] == want, (lo, hi, v, got[v], want)
+
+
+def test_z_interleave_matches_python_bit_model(spark):
+    """Round-robin interleave pinned against a direct Python bit model
+    for 2 and 3 dimensions over random-ish bucket values."""
+    from pyspark.sql import functions as F
+
+    from simple_query_engine_spark.functions.zorder import z_interleave
+
+    bits = 8
+
+    def model(buckets):
+        z = 0
+        for i in range(bits):
+            for j, b in enumerate(buckets):
+                z |= ((b >> i) & 1) << (i * len(buckets) + j)
+        return z
+
+    rows = [
+        (a % 256, (a * 37) % 256, (a * 101) % 256) for a in range(0, 4096, 61)
+    ]
+    df = spark.createDataFrame(rows, "a LONG, b LONG, c LONG")
+    got2 = df.select(
+        "a", "b", z_interleave([F.col("a"), F.col("b")], bits).alias("z")
+    ).collect()
+    for r in got2:
+        assert r["z"] == model([r["a"], r["b"]]), (r["a"], r["b"])
+    got3 = df.select(
+        "a", "b", "c",
+        z_interleave([F.col("a"), F.col("b"), F.col("c")], bits).alias("z"),
+    ).collect()
+    for r in got3:
+        assert r["z"] == model([r["a"], r["b"], r["c"]]), (r["a"], r["b"], r["c"])
