@@ -168,3 +168,71 @@ def test_ttl_sessions_late_admitted_event_bridges_sessions(spark, tmp_path):
     assert r.session_start == int(t0.timestamp())
     assert r.session_end == int((t0 + dt.timedelta(seconds=1000)).timestamp())
     assert r.n_events == 3
+
+
+def test_merge_session_intervals_equals_point_sessionization():
+    """Property: for ANY multiset of event epochs, arbitrarily pre-grouped
+    into (start, last, n) intervals (the state a batch split could have
+    produced), `_merge_session_intervals` must equal the gap
+    sessionization computed directly from the sorted points — the
+    interval algebra is exact, independent of how batches carved it."""
+    pytest.importorskip("hypothesis")
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from simple_query_engine_spark.streaming.stateful import (
+        TTL_SESSION_GAP_SEC,
+        _merge_session_intervals,
+    )
+
+    @settings(max_examples=300, deadline=None)
+    @given(data=st.data())
+    def prop(data):
+        # Epochs drawn near multiples of the gap so boundary cases
+        # (exactly-gap spacing) occur often.
+        points = sorted(
+            data.draw(
+                st.lists(
+                    st.integers(0, 20).flatmap(
+                        lambda k: st.integers(
+                            k * TTL_SESSION_GAP_SEC - 2,
+                            k * TTL_SESSION_GAP_SEC + 2,
+                        )
+                    ),
+                    min_size=1,
+                    max_size=25,
+                )
+            )
+        )
+        points = [max(0, p) for p in points]
+        # Ground truth: sort-scan gap sessionization of the raw points
+        # (gap-EXCLUSIVE close: > gap starts a new session, matching the
+        # stateful op's close rule).
+        want = []
+        for p in sorted(points):
+            if want and p - want[-1][1] <= TTL_SESSION_GAP_SEC:
+                s, l, n = want[-1]
+                want[-1] = (s, max(l, p), n + 1)
+            else:
+                want.append((p, p, 1))
+        # Arbitrary pre-grouping: split the sorted points into random
+        # consecutive runs; each run becomes one already-merged interval
+        # IF its internal gaps qualify, else stays as point intervals —
+        # model both by sessionizing each run independently.
+        runs = []
+        rest = sorted(points)
+        while rest:
+            k = data.draw(st.integers(1, len(rest)))
+            run, rest = rest[:k], rest[k:]
+            for p in run:
+                if runs and runs[-1][3] and p - runs[-1][1] <= TTL_SESSION_GAP_SEC:
+                    s, l, n, _ = runs[-1]
+                    runs[-1] = (s, max(l, p), n + 1, True)
+                else:
+                    runs.append((p, p, 1, bool(runs) and data.draw(st.booleans())))
+        intervals = [(s, l, n) for s, l, n, _ in runs]
+        shuffled = data.draw(st.permutations(intervals))  # order-insensitive
+        got = _merge_session_intervals(shuffled)
+        assert got == want, (points, intervals)
+
+    prop()
