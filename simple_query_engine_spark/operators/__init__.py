@@ -22,100 +22,86 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # everything else (already green in CORRECTNESS_r01/r02) follows in module
 # order.  ROUND3_NOTES.md tracks which round certified which query.
 #
-# Round-15 front window (exactly 50 = the driver's window size), per
-# VERDICT r14 item 1: the 4 names queued at r14 close (3 semantic
-# changes + 1 never-certified new entry) lead the front, followed by
-# the age queue — all 21 names whose newest green cert is r09 (they
-# would cross front_audit's MAX_CERT_AGE = 6 bar at r16) and the 25
-# oldest r10-era names, in registration order.  4 + 21 + 25 = exactly
-# 50; after a green r15 the oldest surviving cert is r10 (23 names,
-# scheduled for the r16 front alongside the oldest r11 certs).
-# ROUND15_NOTES.md tracks the ledger.
+# Round-16 front window (exactly 50 = the driver's window size), per
+# VERDICT r15 item 1: the 5 names queued at r15 close (the adaptive-K
+# kNN trio, the never-certified planted-recall entry, and the
+# components state-handoff rewire) lead the front, followed by the age
+# queue — all 23 names whose newest green cert is r10 (they would
+# cross front_audit's MAX_CERT_AGE = 6 bar at r17) and the 22 oldest
+# r11-era names, in registration order.  5 + 23 + 22 = exactly 50;
+# after a green r16 the oldest surviving cert is r11 (24 names,
+# scheduled for the r17 front alongside the oldest r12 certs).
+# ROUND16_NOTES.md tracks the ledger.
 _ROTATION_FRONT = [
-    # --- 1. the r14 close queue: 3 stats_columns semantic changes +
-    #     the real-bytes PPM decode entry (never certified) ---
-    "dml_merge_upsert",
-    "stream_upsert_managed",
-    "pipeline_incremental_curation",
-    "multimodal_ppm_decode",
-    # --- 2. age queue: all 21 r09-era certs, registration order ---
-    "date_funcs",
-    "subquery_above_avg",
-    "distinct_rows",
-    "join_fuzzy_blocked",
-    "dedup_keep_latest",
-    "sim_sq_rerank",
-    "sim_pq_rerank",
-    "join_dpp_partitioned",
-    "stream_static_enrich",
-    "stream_dedup_within_watermark",
-    "stream_watermark_late_drop",
-    "window_tumbling_counts",
-    "window_sliding_counts",
-    "window_session_counts",
-    "pipeline_quality_prune_curve",
-    "sketch_kmv_overlap",
-    "udf_grouped_map_zscore",
-    "zscore_window",
-    "udaf_weighted_avg",
-    "udtf_bigrams",
-    "join_salted_skew",
-    # --- 3. age queue: the 25 oldest r10-era certs, registration
-    #     order ---
-    "join_asof",
-    "funnel_conversion",
-    "agg_correlation",
-    "join_range",
-    "pivot_status",
-    "sample_hash",
-    "agg_stats",
-    "array_funcs",
-    "union_by_name",
-    "null_handling",
-    "grouping_sets",
-    "udf_pandas_score",
-    "string_advanced",
-    "date_advanced",
-    "subquery_in",
-    "agg_approx_distinct",
-    "agg_quantile_sketch",
-    "window_range_frame",
-    "window_distribution",
-    "agg_string_concat",
-    "events_time_rollup",
-    "conditional_funcs",
-    "bitwise_funcs",
-    "regexp_count_funcs",
-    "window_value_picks",
+    # --- 1. the r15 close queue: the adaptive-K kNN trio, the new
+    #     planted-recall entry (never certified), and the persisted
+    #     components standing-state rewire ---
+    "sim_knn_graph",
+    "sim_knn_density",
+    "sim_semdedup",
+    "sim_recall_floor_planted",
+    "graph_components_incremental",
+    # --- 2. age queue: all 23 r10-era certs, registration order ---
+    "map_funcs",
+    "events_resample_locf",
+    "tpch_q22_idle_balances",
+    "tpch_q5_local_volume",
+    "tpch_q6_forecast_revenue",
+    "tpch_q10_returned_items",
+    "tpch_q14_promo_share",
+    "tpch_q19_brand_bands",
+    "tpch_q9_nation_profit",
+    "tpch_q12_late_lines",
+    "tpch_q15_top_supplier",
+    "tpch_q16_supplier_counts",
+    "tpch_q17_small_quantity",
+    "tpch_q2_min_cost_supplier",
+    "tpch_q8_market_share",
+    "tpch_q11_important_parts",
+    "tpch_q20_volume_suppliers",
+    "tpch_q21_sole_late_supplier",
+    "multimodal_meta",
+    "multimodal_frame_dedup",
+    "multimodal_features",
+    "multimodal_resize",
+    "multimodal_frame_sample",
+    # --- 3. age queue: the 22 oldest r11-era certs, registration
+    #     order (the remaining 24 r11 names take the r17 front) ---
+    "agg_percentiles_exact",
+    "variant_funcs",
+    "agg_mode_median",
+    "unpivot_metrics",
+    "join_lateral_topn",
+    "agg_hll_union",
+    "events_retention_cohort",
+    "events_user_streaks",
+    "events_funnel_windowed",
+    "events_quality_drift",
+    "tpch_q3_shipping_priority",
+    "tpch_q7_nation_trade",
+    "tpch_q13_order_distribution",
+    "tpch_q18_large_orders",
+    "tpch_q4_priority_exists",
+    "text_token_count",
+    "text_bpe_token_count",
+    "text_bpe_train",
+    "text_bpe_encode",
+    "text_bpe_encode_docs",
+    "text_bpe_fertility",
+    "text_quality_score",
 ]
 
 # Entries added or function-changed THIS round that could not displace the
 # front (the front is full).  They sit immediately after the front in
 # registration order and lead the NEXT round's front.  tools/front_audit.py
 # treats queue membership as "pending" for the no-name-falls-through
-# invariant.  At round-14 open the queue holds only names whose entry
-# functions r14 changes semantically (VERDICT r13 items 2/4); the r13
-# close left it empty.
+# invariant.  At round-16 open the queue is empty (the r15 queue moved
+# into the front); entries added or semantically changed during r16 are
+# appended here as the round progresses.
 _ROTATION_QUEUE: list[str] = [
-    # VERDICT r14 item 2: the kNN family quantizer is now ADAPTIVE
-    # (K = max(floor, ⌊√N⌋) — `_adaptive_k` in operators/similarity.py),
-    # retiring the measured O(N²/K) growth at fixed K.  knn_graph /
-    # knn_density results change at every SF (K 8→22/44); semdedup's
-    # floor (64) still binds locally so its results are unchanged, but
-    # the function changed → re-certify all three in the r16 front.
-    "sim_knn_graph",
-    "sim_knn_density",
-    "sim_semdedup",
-    # VERDICT r14 item 3: new entry — trained adaptive-K IVF recall on
-    # the derived CLUSTERABLE planted corpus (never certified).  Proves
-    # the r14 recall@10 ≈ 0.49 was the near-orthogonal fixture, not the
-    # index: planted recall = 1.0 at every SF.
-    "sim_recall_floor_planted",
-    # VERDICT r14 item 4: the standing-cluster state is now a persisted
-    # managed-table snapshot (`_standing_labels_managed`) read by every
-    # later run — values identical (oracle unchanged, equal-to-full-
-    # recompute test still green), but the function changed → re-certify.
-    "graph_components_incremental",
+    # VERDICT r15 item 5: new entry — streaming IVF vector-index ingest
+    # door (readStream -> foreachBatch -> incremental IVF append via the
+    # managed layer).  Added r16, leads the r17 front.
 ]
 
 

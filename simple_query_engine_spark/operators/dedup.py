@@ -57,6 +57,7 @@ MAX_SHINGLE_DF = 64
 # Modular hash family, identical in Spark and DuckDB:
 #   base(x)  = int(md5(x)[:15 hex], 16) % P      (60-bit value → % P < 2³¹)
 #   h_i(x)   = (a_i * base(x) + b_i) % P         (product < 2³¹·2³¹ = 2⁶² ✓)
+_SHINGLE_WIDTH = 3  # word n-gram width for near-dup shingling
 _MERSENNE_P = 2_147_483_647  # 2³¹ − 1
 _MINHASH_PARAMS = [
     ((2 * i + 1 + 0x9E3779B9) % _MERSENNE_P, (i * 0x85EBCA6B) % _MERSENNE_P)
@@ -85,11 +86,11 @@ def _shingles_of(documents: DataFrame, sf_dir: str, cache_key: str) -> DataFrame
     # pipeline.py — measured 8x on the equivalent 5-gram derivation).
     words = F.col("w")
     shingle_array = F.when(
-        F.size(words) >= 3,
+        F.size(words) >= _SHINGLE_WIDTH,
         F.array_distinct(
             F.transform(
-                F.sequence(F.lit(1), F.size(words) - 2),
-                lambda i: F.concat_ws(" ", F.slice(words, i, 3)),
+                F.sequence(F.lit(1), F.size(words) - (_SHINGLE_WIDTH - 1)),
+                lambda i: F.concat_ws(" ", F.slice(words, i, _SHINGLE_WIDTH)),
             )
         ),
     ).otherwise(F.array(F.concat_ws(" ", words)))
@@ -269,11 +270,11 @@ def _row_minhash_signature(documents: DataFrame) -> DataFrame:
     64 permutation lambdas reference the hashed array)."""
     words = F.col("w")
     shingle_array = F.when(
-        F.size(words) >= 3,
+        F.size(words) >= _SHINGLE_WIDTH,
         F.array_distinct(
             F.transform(
-                F.sequence(F.lit(1), F.size(words) - 2),
-                lambda i: F.concat_ws(" ", F.slice(words, i, 3)),
+                F.sequence(F.lit(1), F.size(words) - (_SHINGLE_WIDTH - 1)),
+                lambda i: F.concat_ws(" ", F.slice(words, i, _SHINGLE_WIDTH)),
             )
         ),
     ).otherwise(F.array(F.concat_ws(" ", words)))
@@ -1681,10 +1682,35 @@ def _triangles_oracle_sql() -> str:
     """
 
 
-# Format tag for the persisted standing-cluster state: bump on any change
-# to the label pipeline (shingles / MinHash params / threshold semantics)
-# so stale state from an older code version can never be consumed.
-_CC_STATE_FORMAT = "v1"
+def _cc_state_format() -> str:
+    """Format tag for the persisted standing-cluster state, DERIVED from
+    the actual label-pipeline parameters (ADVICE r15): the MinHash
+    signature size and banding, the permutation table itself (covers the
+    seed formula, not just its inputs), the shingle width, the DF cap,
+    and the normalization expression.  Any change to any of them changes
+    the tag and invalidates persisted cross-process state automatically —
+    the r15 design needed a hand-bumped version string, and a forgotten
+    bump would have served stale state silently.  The leading literal is
+    the escape hatch for semantic changes the parameters can't see
+    (e.g. the propagation contract)."""
+    import hashlib
+
+    basis = "|".join(
+        str(x)
+        for x in (
+            "cc-v2",
+            NUM_MINHASH,
+            MINHASH_BANDS,
+            MAX_SHINGLE_DF,
+            _SHINGLE_WIDTH,
+            _NORM,
+            _MINHASH_PARAMS,
+        )
+    )
+    return hashlib.sha256(basis.encode()).hexdigest()[:12]
+
+
+_CC_STATE_FORMAT = _cc_state_format()
 
 
 def _standing_labels_managed(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1708,6 +1734,7 @@ def _standing_labels_managed(spark: SparkSession, sf_dir: str) -> DataFrame:
     layer's vacuum discipline) and it reads the winner's commit."""
     import tempfile
 
+    from simple_query_engine_spark.operators.storage import sweep_stale_scratch
     from simple_query_engine_spark.sources.managed import (
         ManagedTable,
         TableVersionConflict,
@@ -1721,6 +1748,14 @@ def _standing_labels_managed(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"_{int(PLANTED_JACCARD_THRESHOLD * 1000)}_{_CC_STATE_FORMAT}"
     )
     path = os.path.join(tempfile.gettempdir(), f"sqe_cc_standing_{tag}")
+    # Reclaim stale standing-state snapshots (old corpus identities /
+    # old format tags) — ADVICE r15: these dirs previously accumulated
+    # forever, one per testdata regeneration.  The live corpus's state
+    # is touched first so the TTL sweep can never reap the snapshot we
+    # are about to read.
+    if os.path.isdir(path):
+        os.utime(path, None)
+    sweep_stale_scratch(tempfile.gettempdir(), prefix="sqe_cc_standing_")
     t = ManagedTable(spark, path)
     if not t.versions():
         sig = session_cache(

@@ -115,7 +115,12 @@ def materialize_once(path: str, write) -> None:
 # a few hours — so a concurrent process can never lose a live scratch.
 # Long-lived deployments whose lazy DataFrames may be re-scanned days
 # after creation raise the TTL via SQE_SCRATCH_TTL_SEC (ADVICE r14).
-_SCRATCH_TTL_SEC = int(os.environ.get("SQE_SCRATCH_TTL_SEC", 24 * 3600))
+# A malformed value falls back to the 24h default instead of crashing
+# module import (ADVICE r15).
+try:
+    _SCRATCH_TTL_SEC = int(os.environ.get("SQE_SCRATCH_TTL_SEC", 24 * 3600))
+except ValueError:
+    _SCRATCH_TTL_SEC = 24 * 3600
 
 
 def sweep_stale_scratch(root: str, prefix: str | None = None) -> None:

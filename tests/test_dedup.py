@@ -735,3 +735,73 @@ def test_standing_labels_persist_as_managed_snapshot(spark, sf_dir, monkeypatch)
         for r in D._standing_labels_managed(spark, sf_dir).collect()
     }
     assert warm == first
+
+
+def test_cc_state_format_derived_from_pipeline_params(monkeypatch):
+    """ADVICE r15: the persisted standing-state format tag is DERIVED
+    from the label-pipeline parameters, so changing MinHash size,
+    banding, shingle width, the DF cap, or the normalization expression
+    invalidates cross-process state automatically — no hand-bumped
+    version string to forget."""
+    base = D._cc_state_format()
+    assert D._CC_STATE_FORMAT == base
+    for name, bumped in [
+        ("NUM_MINHASH", D.NUM_MINHASH + 1),
+        ("MINHASH_BANDS", D.MINHASH_BANDS * 2),
+        ("MAX_SHINGLE_DF", D.MAX_SHINGLE_DF + 1),
+        ("_SHINGLE_WIDTH", D._SHINGLE_WIDTH + 1),
+        ("_NORM", D._NORM + " "),
+        ("_MINHASH_PARAMS", D._MINHASH_PARAMS[:-1]),
+    ]:
+        monkeypatch.setattr(D, name, bumped)
+        assert D._cc_state_format() != base, f"{name} not folded into tag"
+        monkeypatch.undo()
+    assert D._cc_state_format() == base  # deterministic across calls
+
+
+def test_standing_state_dirs_swept_but_live_snapshot_spared(
+    spark, sf_dir, monkeypatch
+):
+    """ADVICE r15: sqe_cc_standing_* snapshot dirs (one per corpus
+    identity) are reclaimed by the TTL sweep once stale — they no longer
+    accumulate forever — while the LIVE corpus's snapshot survives the
+    sweep even when older than the TTL (it is touched before sweeping)."""
+    import os
+    import tempfile
+    import time
+
+    from simple_query_engine_spark.operators.storage import _SCRATCH_TTL_SEC
+
+    tmp = tempfile.gettempdir()
+    stale = os.path.join(tmp, "sqe_cc_standing_oldcorpus_1_2_800_deadbeef")
+    os.makedirs(stale, exist_ok=True)
+    old = time.time() - _SCRATCH_TTL_SEC - 60
+    os.utime(stale, (old, old))
+
+    live = {
+        (r.doc_id, r.label)
+        for r in D._standing_labels_managed(spark, sf_dir).collect()
+    }
+    assert live and not os.path.exists(stale)
+
+    # Age the live snapshot past the TTL: the next call must touch it
+    # first, sweep, and still read it warm (builder poisoned to prove
+    # no rebuild happened).
+    live_dirs = [
+        os.path.join(tmp, n)
+        for n in os.listdir(tmp)
+        if n.startswith("sqe_cc_standing_")
+    ]
+    assert live_dirs
+    for p in live_dirs:
+        os.utime(p, (old, old))
+
+    def boom(*a, **k):
+        raise AssertionError("sweep reaped the live standing snapshot")
+
+    monkeypatch.setattr(D, "_propagate_labels", boom)
+    warm = {
+        (r.doc_id, r.label)
+        for r in D._standing_labels_managed(spark, sf_dir).collect()
+    }
+    assert warm == live

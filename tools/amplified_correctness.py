@@ -22,6 +22,17 @@ Two modes, two amplifiers, two gates:
 Both hash-compare Spark vs the DuckDB oracle over the SAME amplified
 parquet, exactly like tools/check_correctness.py.
 
+PER-ENTRY CACHE ISOLATION (VERDICT r15 item 3): every entry starts from
+a cold executor cache — ``evict_all()`` (the session-cache registry) +
+``spark.catalog.clearCache()`` run before the timer — so the in-gate
+second count tracks the isolated single-entry number instead of
+inheriting cache churn from ~20 prior entries sharing one JVM (r15
+measured sim_knn_density 124 s in-gate vs 51 s isolated purely from
+that churn).  A real regression can no longer hide inside "cache
+churn", and a cache-crowding speedup can no longer flatter an entry.
+Disk-backed state (materialize_once scratch, managed standing
+snapshots) is untouched — only executor-memory caching is reset.
+
 Usage: python tools/amplified_correctness.py [--corpus] [sf_dir] [k] [name_filter...]
 """
 
@@ -176,6 +187,11 @@ def main() -> int:
             "sec": None,
         }
         verdicts[name] = verdict
+        # Cold-cache start (see module docstring): gate time ≈ isolated time.
+        from simple_query_engine_spark.functions.caching import evict_all
+
+        evict_all()
+        spark.catalog.clearCache()
         start = time.time()
         try:
             result = queries[name](spark, amp_dir)

@@ -228,8 +228,35 @@ def ensure_amplified(
         tag += f"_hot{int(hot_fraction * 100)}"
     if corpus:
         tag += "_corpus"
+    _reap_stale_amplified(sf_dir, total_bytes, newest_mtime)
     dst = os.path.join(tempfile.gettempdir(), f"sqe_amplified_{tag}_x{k}")
     return amplify_dir(spark, sf_dir, k, dst, hot_fraction, corpus=corpus)
+
+
+def _reap_stale_amplified(sf_dir: str, total_bytes: int, newest_mtime: int) -> None:
+    """Remove cached amplified copies of ``sf_dir`` whose tag no longer
+    matches the current source identity + ``_AMPLIFY_FORMAT`` (ADVICE
+    r15: a format bump retagged the cache but left every old-format tree
+    on disk forever — multi-GB litter per bump / testdata regeneration).
+    Variants of the CURRENT identity (other k, hot-fraction, corpus) are
+    kept — they coexist legitimately.  Only this repo's own
+    ``sqe_amplified_<sf-basename>_`` entries are candidates; concurrent
+    processes running the same code share the same current tag and are
+    unaffected (two different code versions amplifying concurrently is
+    not a supported scenario — the loser rebuilds, which is correct)."""
+    import shutil
+
+    base = os.path.basename(os.path.normpath(sf_dir))
+    stale_prefix = f"sqe_amplified_{base}_"
+    # Trailing "_" so a stale identity that happens to be a string prefix
+    # of the live one (e.g. mtime 456 vs 4567) can't survive the check —
+    # every cached name continues "_x<k>" / "_hot.." / "_corpus" after
+    # the format tag.
+    live_prefix = f"{stale_prefix}{total_bytes}_{newest_mtime}_{_AMPLIFY_FORMAT}_"
+    tmp = tempfile.gettempdir()
+    for name in os.listdir(tmp):
+        if name.startswith(stale_prefix) and not name.startswith(live_prefix):
+            shutil.rmtree(os.path.join(tmp, name), ignore_errors=True)
 
 
 def main() -> int:
