@@ -100,8 +100,9 @@ _ROTATION_FRONT = [
 # appended here as the round progresses.
 _ROTATION_QUEUE: list[str] = [
     # VERDICT r15 item 5: new entry — streaming IVF vector-index ingest
-    # door (readStream -> foreachBatch -> incremental IVF append via the
-    # managed layer).  Added r16, leads the r17 front.
+    # door (readStream -> foreachBatch -> txn-stamped incremental IVF
+    # append through the managed layer).  Added r16, leads the r17 front.
+    "stream_ivf_ingest",
 ]
 
 

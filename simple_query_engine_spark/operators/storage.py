@@ -39,18 +39,26 @@ PRUNE_WEEK_START = "2024-01-08"
 PRUNE_WEEK_END = "2024-01-14"
 
 
-def events_cache_path(sf_dir: str, prefix: str) -> str:
-    """Deterministic per-scale cache path for derived copies of the events
+def source_cache_path(sf_dir: str, table_name: str, prefix: str) -> str:
+    """Deterministic per-scale cache path for derived copies of a source
     table; the source file's size AND mtime are part of the tag so a
     regenerated testdata set — even one of identical size — invalidates
     every derived copy."""
-    source = os.path.join(sf_dir, "events.parquet")
+    source = os.path.join(sf_dir, f"{table_name}.parquet")
     stat = os.stat(source)
     tag = (
         f"{os.path.basename(os.path.normpath(sf_dir))}"
         f"_{stat.st_size}_{stat.st_mtime_ns}"
     )
-    return os.path.join(tempfile.gettempdir(), f"sqe_events_{prefix}_{tag}")
+    return os.path.join(
+        tempfile.gettempdir(), f"sqe_{table_name}_{prefix}_{tag}"
+    )
+
+
+def events_cache_path(sf_dir: str, prefix: str) -> str:
+    """:func:`source_cache_path` over the events table (the historical
+    name most call sites use)."""
+    return source_cache_path(sf_dir, "events", prefix)
 
 
 def materialize_once(path: str, write) -> None:

@@ -207,7 +207,9 @@ class ManagedTable:
 
     # -- mutations (each commits one new version) ----------------------------
 
-    def insert(self, df: DataFrame, evolve_schema: bool = False) -> int:
+    def insert(
+        self, df: DataFrame, evolve_schema: bool = False, txn=None
+    ) -> int:
         """Append rows — new files only, no existing file touched.
 
         The batch must carry every current column at its exact type
@@ -216,7 +218,12 @@ class ManagedTable:
         they are APPENDED to the table schema as nullable columns — the
         new manifest records the widened schema, old data files stay
         untouched and read as NULL for the added columns, and prior
-        versions keep (and time-travel-read with) the old schema."""
+        versions keep (and time-travel-read with) the old schema.
+
+        ``txn=(app, batch_id)`` stamps the commit with an idempotence
+        token exactly like :meth:`merge` — the streaming-append sink's
+        exactly-once handle (``stream_ivf_ingest``): a replayed batch
+        checks ``last_txn`` and skips."""
         base = self.current_version()
         base_schema = self._schema(base) or self.read(base).schema
         base_fields = {f.name: f for f in base_schema.fields}
@@ -248,6 +255,7 @@ class ManagedTable:
             base + 1,
             self._files(base) + new_files,
             schema=new_schema,
+            txn=txn,
             op="insert",
             new_stats=self._stats_for_new_files(base, new_files, new_schema),
         )

@@ -128,6 +128,9 @@ CORPUS_GATE = [
     # manifest state, postings state, and the decontamination pair state
     # must grow x k with the corpus and still equal the batch oracle.
     "stream_clip_ingest",
+    # The vector-index door: 4 managed append commits over the x k
+    # embedding stream must reproduce the batch append + search exactly.
+    "stream_ivf_ingest",
     "stream_bm25_postings",
     "stream_mixture_sample",
     "stream_decontamination",

@@ -92,9 +92,31 @@ def _planted_audit(spark, sf_dir: str) -> dict:
     }
 
 
+def _nprobe_sweep(spark, sf_dir: str, values: list[int]) -> list[dict]:
+    """Recall/wall curve over nprobe (VERDICT r15 item 4): the module
+    constant is widened in-process per point — ``_probe_cells`` reads it
+    at call time, so the certified paths and oracles are untouched; the
+    per-point ``evict_all`` inside ``_audit`` keeps the trained quantizer
+    caches from leaking between points."""
+    from simple_query_engine_spark.operators import similarity
+
+    out = []
+    orig = similarity.KMEANS_NPROBE
+    try:
+        for nprobe in values:
+            similarity.KMEANS_NPROBE = nprobe
+            point = _audit(spark, sf_dir)
+            point["nprobe"] = nprobe
+            out.append(point)
+    finally:
+        similarity.KMEANS_NPROBE = orig
+    return out
+
+
 def main() -> int:
     k = int(sys.argv[1]) if len(sys.argv) > 1 else 8
     sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
+    sweep = "--nprobe-sweep" in sys.argv
 
     from simple_query_engine_spark.operators import similarity
     from simple_query_engine_spark.session import get_spark
@@ -104,17 +126,30 @@ def main() -> int:
     spark = get_spark(app_name="ann-recall-probe")
     amp_dir = ensure_amplified(spark, sf_dir, k, corpus=True)
 
-    out = {
-        "what": (
-            "trained-IVF recall@k vs exact brute force (sim_recall_audit_"
-            "trained), fixed replica-0 query set, fixed KMEANS_K/NPROBE, "
-            "rotated-replica corpus growth (amplify_testdata corpus mode)"
-        ),
-        "base": _audit(spark, sf_dir),
-        f"x{k}": _audit(spark, amp_dir),
-        "planted_base": _planted_audit(spark, sf_dir),
-        f"planted_x{k}": _planted_audit(spark, amp_dir),
-    }
+    if sweep:
+        values = [1, 2, 3, 4, 6, 8]  # of KMEANS_K = 8 cells
+        out = {
+            "what": (
+                "raw-corpus recall@k vs nprobe (sim_recall_audit_trained, "
+                "fixed K=8 quantizer, 50-query probe set) at 1x and "
+                f"{k}x rotated-replica growth — the operating-point curve "
+                "for the near-orthogonal production analogue"
+            ),
+            "base": _nprobe_sweep(spark, sf_dir, values),
+            f"x{k}": _nprobe_sweep(spark, amp_dir, values),
+        }
+    else:
+        out = {
+            "what": (
+                "trained-IVF recall@k vs exact brute force (sim_recall_audit_"
+                "trained), fixed replica-0 query set, fixed KMEANS_K/NPROBE, "
+                "rotated-replica corpus growth (amplify_testdata corpus mode)"
+            ),
+            "base": _audit(spark, sf_dir),
+            f"x{k}": _audit(spark, amp_dir),
+            "planted_base": _planted_audit(spark, sf_dir),
+            f"planted_x{k}": _planted_audit(spark, amp_dir),
+        }
     print(json.dumps(out))
     spark.stop()
     return 0
