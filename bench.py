@@ -77,7 +77,10 @@ HEADLINE = [
 # sim_semdedup and sim_knn_density now train the adaptive K = max(floor,
 # ⌊√N⌋) quantizer (at sf0.1 semdedup's floor binds → comparable;
 # knn_density trains 44 cells vs 8 → its row is NOT comparable r14→r15).
-SUITE2_VERSION = "r15a"
+# r16a = r15a +1: stream_ivf_ingest (the r16 addition — staged 4-batch
+# stream replay, per-batch managed txn-append of centroid assignments,
+# post-drain nprobe search; the suite's only streaming+managed member).
+SUITE2_VERSION = "r16a"
 SUITE2 = [
     "dedup_substring_spans",
     "sim_semdedup",
@@ -113,6 +116,7 @@ SUITE2 = [
     "dedup_cluster_keeper_quality",
     "multimodal_ppm_decode",
     "sim_recall_floor_planted",
+    "stream_ivf_ingest",
 ]
 
 # Third suite: the fixed-round ITERATIVE graph/cluster operators.  Their

