@@ -43,16 +43,28 @@ def source_cache_path(sf_dir: str, table_name: str, prefix: str) -> str:
     """Deterministic per-scale cache path for derived copies of a source
     table; the source file's size AND mtime are part of the tag so a
     regenerated testdata set — even one of identical size — invalidates
-    every derived copy."""
+    every derived copy.
+
+    Stale-identity siblings (same table + prefix + scale NAME, different
+    size/mtime — i.e. copies derived from a since-regenerated testdata
+    set) are reaped here, the ``_reap_stale_amplified`` discipline: they
+    can never be served again and otherwise accumulate one tree per
+    regeneration forever.  Copies for OTHER scale dirs or prefixes are
+    untouched — they coexist legitimately."""
+    import shutil
+
     source = os.path.join(sf_dir, f"{table_name}.parquet")
     stat = os.stat(source)
-    tag = (
-        f"{os.path.basename(os.path.normpath(sf_dir))}"
-        f"_{stat.st_size}_{stat.st_mtime_ns}"
+    head = (
+        f"sqe_{table_name}_{prefix}_"
+        f"{os.path.basename(os.path.normpath(sf_dir))}_"
     )
-    return os.path.join(
-        tempfile.gettempdir(), f"sqe_{table_name}_{prefix}_{tag}"
-    )
+    live = f"{head}{stat.st_size}_{stat.st_mtime_ns}"
+    tmp = tempfile.gettempdir()
+    for name in os.listdir(tmp):
+        if name.startswith(head) and name != live:
+            shutil.rmtree(os.path.join(tmp, name), ignore_errors=True)
+    return os.path.join(tmp, live)
 
 
 def events_cache_path(sf_dir: str, prefix: str) -> str:

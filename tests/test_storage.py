@@ -343,3 +343,36 @@ def test_z_interleave_matches_python_bit_model(spark):
     ).collect()
     for r in got3:
         assert r["z"] == model([r["a"], r["b"], r["c"]]), (r["a"], r["b"], r["c"])
+
+
+def test_source_cache_path_reaps_stale_identity_siblings(sf_dir):
+    """Regenerated-testdata litter (r16, the _reap_stale_amplified
+    discipline applied to staged source copies): a cached derived copy
+    whose size/mtime tag no longer matches the live source is reaped by
+    the next source_cache_path call for the same table+prefix+scale;
+    the live copy, other prefixes, and other scale names survive."""
+    import os
+    import tempfile
+
+    from simple_query_engine_spark.operators.storage import source_cache_path
+
+    prefix = f"reaptest{os.getpid()}"
+    live = source_cache_path(sf_dir, "events", prefix)
+    head = live.rsplit("_", 2)[0]  # sqe_events_<prefix>_<sfbase>
+    tmp = tempfile.gettempdir()
+    stale = f"{head}_1_2"
+    other_prefix = live.replace(prefix, prefix + "x")
+    other_scale = f"{head}zz_1_2"
+    try:
+        for p in (live, stale, other_prefix, other_scale):
+            os.makedirs(p, exist_ok=True)
+        got = source_cache_path(sf_dir, "events", prefix)
+        assert got == live
+        assert os.path.isdir(live)
+        assert not os.path.exists(stale)
+        assert os.path.isdir(other_prefix) and os.path.isdir(other_scale)
+    finally:
+        import shutil
+
+        for p in (live, stale, other_prefix, other_scale):
+            shutil.rmtree(p, ignore_errors=True)
