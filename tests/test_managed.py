@@ -1036,3 +1036,23 @@ def test_certified_merge_entry_prunes_its_probes(spark, monkeypatch):
     assert probes, "entry ran no merge"
     assert probes[0]["total_files"] == 8
     assert probes[0]["candidate_files"] < probes[0]["total_files"]
+
+
+def test_insert_txn_stamp_recorded_and_vacuum_safe(spark, tmp_path, people):
+    """r16: insert grew the merge-style txn stamp (the streaming IVF
+    append sink's exactly-once handle).  The manifest txns map must
+    carry the latest batch per app through LATER commits (including
+    un-stamped ones) and survive vacuum, exactly like merge's."""
+    t = ManagedTable.create(spark, str(tmp_path / "t"), people)
+    extra = spark.createDataFrame(
+        [(100, "name_100", 1000.0, "even")], ["id", "name", "balance", "parity"]
+    )
+    assert t.last_txn("ingest") is None
+    t.insert(extra, txn=("ingest", 0))
+    assert t.last_txn("ingest") == 0
+    t.insert(extra, txn=("ingest", 1))
+    assert t.last_txn("ingest") == 1
+    t.insert(extra)  # un-stamped commit must not drop the map
+    assert t.last_txn("ingest") == 1
+    t.vacuum(retain_versions=1)
+    assert t.last_txn("ingest") == 1
