@@ -22,88 +22,81 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # everything else (already green in CORRECTNESS_r01/r02) follows in module
 # order.  ROUND3_NOTES.md tracks which round certified which query.
 #
-# Round-16 front window (exactly 50 = the driver's window size), per
-# VERDICT r15 item 1: the 5 names queued at r15 close (the adaptive-K
-# kNN trio, the never-certified planted-recall entry, and the
-# components state-handoff rewire) lead the front, followed by the age
-# queue — all 23 names whose newest green cert is r10 (they would
-# cross front_audit's MAX_CERT_AGE = 6 bar at r17) and the 22 oldest
-# r11-era names, in registration order.  5 + 23 + 22 = exactly 50;
-# after a green r16 the oldest surviving cert is r11 (24 names,
-# scheduled for the r17 front alongside the oldest r12 certs).
-# ROUND16_NOTES.md tracks the ledger.
+# Round-17 front window (exactly 50 = the driver's window size), per
+# VERDICT r16 item 1: the one name queued at r16 close (the streaming
+# IVF ingest door — the only catalog entry never driver-certified)
+# leads the front, followed by the age queue — the 24 names whose
+# newest green cert is r11 (they would cross front_audit's
+# MAX_CERT_AGE = 6 bar at r18) and the 25 oldest r12-era names, in
+# registration order.  1 + 24 + 25 = exactly 50; after a green r17 the
+# oldest surviving cert is r12 (21 names, scheduled for the r18 front
+# alongside the oldest r13 certs).  ROUND17_NOTES.md tracks the ledger.
 _ROTATION_FRONT = [
-    # --- 1. the r15 close queue: the adaptive-K kNN trio, the new
-    #     planted-recall entry (never certified), and the persisted
-    #     components standing-state rewire ---
-    "sim_knn_graph",
-    "sim_knn_density",
-    "sim_semdedup",
-    "sim_recall_floor_planted",
-    "graph_components_incremental",
-    # --- 2. age queue: all 23 r10-era certs, registration order ---
-    "map_funcs",
-    "events_resample_locf",
-    "tpch_q22_idle_balances",
-    "tpch_q5_local_volume",
-    "tpch_q6_forecast_revenue",
-    "tpch_q10_returned_items",
-    "tpch_q14_promo_share",
-    "tpch_q19_brand_bands",
-    "tpch_q9_nation_profit",
-    "tpch_q12_late_lines",
-    "tpch_q15_top_supplier",
-    "tpch_q16_supplier_counts",
-    "tpch_q17_small_quantity",
-    "tpch_q2_min_cost_supplier",
-    "tpch_q8_market_share",
-    "tpch_q11_important_parts",
-    "tpch_q20_volume_suppliers",
-    "tpch_q21_sole_late_supplier",
-    "multimodal_meta",
-    "multimodal_frame_dedup",
-    "multimodal_features",
-    "multimodal_resize",
-    "multimodal_frame_sample",
-    # --- 3. age queue: the 22 oldest r11-era certs, registration
-    #     order (the remaining 24 r11 names take the r17 front) ---
-    "agg_percentiles_exact",
-    "variant_funcs",
-    "agg_mode_median",
-    "unpivot_metrics",
-    "join_lateral_topn",
-    "agg_hll_union",
-    "events_retention_cohort",
-    "events_user_streaks",
-    "events_funnel_windowed",
-    "events_quality_drift",
-    "tpch_q3_shipping_priority",
-    "tpch_q7_nation_trade",
-    "tpch_q13_order_distribution",
-    "tpch_q18_large_orders",
-    "tpch_q4_priority_exists",
-    "text_token_count",
-    "text_bpe_token_count",
-    "text_bpe_train",
-    "text_bpe_encode",
-    "text_bpe_encode_docs",
-    "text_bpe_fertility",
-    "text_quality_score",
+    # --- 1. the r16 close queue: streaming IVF ingest (new at r16,
+    #     never driver-certified — VERDICT r16 "What's missing" #1) ---
+    "stream_ivf_ingest",
+    # --- 2. age queue: all 24 r11-era certs, registration order ---
+    "text_lang_id",
+    "text_fingerprint",
+    "text_rolling_hash",
+    "text_word_freq",
+    "text_length_histogram",
+    "text_tfidf_top_terms",
+    "text_unigram_surprisal",
+    "text_repetition",
+    "text_bigram_freq",
+    "sim_kmeans_train",
+    "sim_ivf_trained_topk",
+    "sim_filtered_topk",
+    "sim_hard_negatives",
+    "sim_ivf_append_topk",
+    "sim_recall_audit_trained",
+    "source_orc_roundtrip",
+    "stream_session_counts",
+    "stream_stateful_profiles",
+    "stream_stream_join",
+    "stream_restart_resume",
+    "stream_dedup_user_counts",
+    "stream_vector_ingest",
+    "events_rfm_segments",
+    "udtf_split_fields",
+    # --- 3. age queue: the 25 oldest r12-era certs, registration
+    #     order (the remaining 21 r12 names take the r18 front) ---
+    "agg_weighted_median",
+    "agg_histogram_numeric",
+    "join_interval_overlap",
+    "events_new_vs_returning",
+    "events_wow_growth",
+    "text_quality_classifier",
+    "text_bm25_search",
+    "text_gopher_quality",
+    "text_boilerplate_templates",
+    "dedup_exact",
+    "dedup_substring_spans",
+    "dedup_cdc_chunks",
+    "dedup_clusters",
+    "dedup_clusters_lsh",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "dedup_planted_minhash",
+    "dedup_incremental_minhash",
+    "dedup_containment_planted",
+    "dedup_simhash",
+    "graph_kcore_neardup",
+    "graph_label_spread",
+    "text_dup_ngram_coverage",
+    "sim_topk_bruteforce",
+    "sim_centroid_balance",
 ]
 
 # Entries added or function-changed THIS round that could not displace the
 # front (the front is full).  They sit immediately after the front in
 # registration order and lead the NEXT round's front.  tools/front_audit.py
 # treats queue membership as "pending" for the no-name-falls-through
-# invariant.  At round-16 open the queue is empty (the r15 queue moved
-# into the front); entries added or semantically changed during r16 are
+# invariant.  At round-17 open the queue is empty (the r16 queue moved
+# into the front); entries added or semantically changed during r17 are
 # appended here as the round progresses.
-_ROTATION_QUEUE: list[str] = [
-    # VERDICT r15 item 5: new entry — streaming IVF vector-index ingest
-    # door (readStream -> foreachBatch -> txn-stamped incremental IVF
-    # append through the managed layer).  Added r16, leads the r17 front.
-    "stream_ivf_ingest",
-]
+_ROTATION_QUEUE: list[str] = []
 
 
 
