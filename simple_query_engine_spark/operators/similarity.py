@@ -1304,6 +1304,22 @@ KMEANS_OFFSET = 8_192
 EMB_DIM = 64
 
 
+def kmeans_shifted_sv(embedding: Column) -> Column:
+    """embedding (array<float>) → the shifted-integer grid vector
+    (floor(x·EMB_SCALE) + KMEANS_OFFSET as long) every k-means-family
+    operator quantizes on.  The SINGLE definition of the formula
+    (ADVICE r16): batch training (:func:`_kmeans_trained`) and the
+    streaming index-append door (``streaming_ops.ingest_ivf_batch``)
+    both call this, so batch-assigned and stream-assigned cells can
+    never silently diverge on a formula change."""
+    return F.transform(
+        embedding,
+        lambda x: (F.floor(x.cast("double") * EMB_SCALE) + KMEANS_OFFSET).cast(
+            "long"
+        ),
+    )
+
+
 def _kmeans_sqdist(a: Column, b: Column) -> Column:
     """Exact integer squared L2 distance between two long arrays."""
     return F.aggregate(
@@ -1358,13 +1374,7 @@ def _kmeans_trained(
     if embeddings is None:
         embeddings = table(spark, sf_dir, "embeddings")
     vectors = embeddings.select(
-        "vec_id",
-        F.transform(
-            F.col("embedding"),
-            lambda x: (F.floor(x.cast("double") * EMB_SCALE) + KMEANS_OFFSET).cast(
-                "long"
-            ),
-        ).alias("sv"),
+        "vec_id", kmeans_shifted_sv(F.col("embedding")).alias("sv")
     )
     base = vectors.filter(base_filter) if base_filter is not None else vectors
     seeds = (

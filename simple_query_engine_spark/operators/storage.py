@@ -45,25 +45,50 @@ def source_cache_path(sf_dir: str, table_name: str, prefix: str) -> str:
     regenerated testdata set — even one of identical size — invalidates
     every derived copy.
 
-    Stale-identity siblings (same table + prefix + scale NAME, different
+    The name folds a short hash of the RESOLVED sf_dir path next to the
+    human-readable basename (ADVICE r16): two testdata roots sharing a
+    basename (``/a/sf0.1`` and ``/b/sf0.1``) keep independent derived
+    copies instead of reaping each other's on every alternating call.
+
+    Stale-identity siblings (same table + prefix + root, different
     size/mtime — i.e. copies derived from a since-regenerated testdata
     set) are reaped here, the ``_reap_stale_amplified`` discipline: they
     can never be served again and otherwise accumulate one tree per
-    regeneration forever.  Copies for OTHER scale dirs or prefixes are
-    untouched — they coexist legitimately."""
+    regeneration forever.  Names belonging to the LIVE identity — the
+    copy itself plus :func:`materialize_once`'s in-flight
+    ``<live>.tmp.<pid>`` and ``<live>.lock`` sidecars — are never
+    touched (ADVICE r16: reaping a concurrent builder's temp dir would
+    defeat materialize_once's flock/atomic-rename race safety; an
+    interleaved rmtree vs rename can leave a ``_SUCCESS``-present cache
+    with part files missing, served silently forever).  Copies for
+    OTHER roots or prefixes are untouched — they coexist legitimately;
+    pre-r17 names (no root hash) can never be served again and are
+    reaped as one-time litter."""
+    import contextlib
+    import hashlib
     import shutil
 
     source = os.path.join(sf_dir, f"{table_name}.parquet")
     stat = os.stat(source)
-    head = (
-        f"sqe_{table_name}_{prefix}_"
-        f"{os.path.basename(os.path.normpath(sf_dir))}_"
-    )
+    base = os.path.basename(os.path.normpath(sf_dir))
+    root_tag = hashlib.md5(
+        os.path.realpath(os.path.abspath(sf_dir)).encode()
+    ).hexdigest()[:8]
+    head = f"sqe_{table_name}_{prefix}_{base}-{root_tag}_"
+    legacy_head = f"sqe_{table_name}_{prefix}_{base}_"  # pre-r17, hashless
     live = f"{head}{stat.st_size}_{stat.st_mtime_ns}"
     tmp = tempfile.gettempdir()
     for name in os.listdir(tmp):
-        if name.startswith(head) and name != live:
-            shutil.rmtree(os.path.join(tmp, name), ignore_errors=True)
+        if name == live or name.startswith(live + "."):
+            continue  # live copy + its in-flight .tmp.<pid>/.lock sidecars
+        if not (name.startswith(head) or name.startswith(legacy_head)):
+            continue
+        path = os.path.join(tmp, name)
+        if os.path.isdir(path):
+            shutil.rmtree(path, ignore_errors=True)
+        else:
+            with contextlib.suppress(OSError):
+                os.unlink(path)
     return os.path.join(tmp, live)
 
 

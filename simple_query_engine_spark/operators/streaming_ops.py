@@ -449,7 +449,12 @@ def run_ivf_ingest(
         spark, sf_dir, base_filter=~is_batch, key_prefix="kmeans_app"
     )
     if stream_path is None:
-        staged = source_cache_path(sf_dir, "embeddings", "ivfingest_v1")
+        # The staged content IS the vec_id % MOD == REM split, so the
+        # cache tag derives from the split constants (ADVICE r16):
+        # changing them can never serve a stale staged split.
+        staged = source_cache_path(
+            sf_dir, "embeddings", f"ivfingest_{IVF_BATCH_MOD}_{IVF_BATCH_REM}_v1"
+        )
         materialize_once(
             staged,
             lambda tmp: table(spark, sf_dir, "embeddings")
@@ -499,9 +504,8 @@ def ingest_ivf_batch(
     from pyspark.sql import functions as F
 
     from simple_query_engine_spark.operators.similarity import (
-        EMB_SCALE,
-        KMEANS_OFFSET,
         _kmeans_assign,
+        kmeans_shifted_sv,
     )
     from simple_query_engine_spark.sources.managed import ManagedTable
 
@@ -509,14 +513,11 @@ def ingest_ivf_batch(
     last = t.last_txn(IVF_INGEST_APP)
     if last is not None and batch_id <= last:
         return  # replayed batch: already in the snapshot
-    sv = F.transform(
-        F.col("embedding"),
-        lambda x: (F.floor(x.cast("double") * EMB_SCALE) + KMEANS_OFFSET).cast(
-            "long"
-        ),
-    )
     assigned = _kmeans_assign(
-        batch_df.select("vec_id", sv.alias("sv")), cent
+        batch_df.select(
+            "vec_id", kmeans_shifted_sv(F.col("embedding")).alias("sv")
+        ),
+        cent,
     ).select(F.col("vec_id").alias("neighbor_id"), "cell_id")
     t.insert(assigned, txn=(IVF_INGEST_APP, batch_id))
 

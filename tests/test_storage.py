@@ -349,8 +349,12 @@ def test_source_cache_path_reaps_stale_identity_siblings(sf_dir):
     """Regenerated-testdata litter (r16, the _reap_stale_amplified
     discipline applied to staged source copies): a cached derived copy
     whose size/mtime tag no longer matches the live source is reaped by
-    the next source_cache_path call for the same table+prefix+scale;
-    the live copy, other prefixes, and other scale names survive."""
+    the next source_cache_path call for the same table+prefix+scale —
+    as is a pre-r17 hashless-format name (ADVICE r16 migration).  The
+    live copy, the live identity's in-flight materialize_once sidecars
+    (`.tmp.<pid>` dir, `.lock` file — ADVICE r16 medium: reaping those
+    would defeat the flock/atomic-rename race safety), other prefixes,
+    and other scale names all survive."""
     import os
     import tempfile
 
@@ -358,21 +362,64 @@ def test_source_cache_path_reaps_stale_identity_siblings(sf_dir):
 
     prefix = f"reaptest{os.getpid()}"
     live = source_cache_path(sf_dir, "events", prefix)
-    head = live.rsplit("_", 2)[0]  # sqe_events_<prefix>_<sfbase>
+    head = live.rsplit("_", 2)[0]  # sqe_events_<prefix>_<sfbase>-<roottag>
     tmp = tempfile.gettempdir()
     stale = f"{head}_1_2"
+    legacy = f"{head.rsplit('-', 1)[0]}_3_4"  # pre-r17: no -<roottag>
     other_prefix = live.replace(prefix, prefix + "x")
     other_scale = f"{head}zz_1_2"
+    live_tmp_sidecar = f"{live}.tmp.12345"
+    live_lock_sidecar = f"{live}.lock"
+    dirs = (live, stale, legacy, other_prefix, other_scale, live_tmp_sidecar)
     try:
-        for p in (live, stale, other_prefix, other_scale):
+        for p in dirs:
             os.makedirs(p, exist_ok=True)
+        with open(live_lock_sidecar, "w"):
+            pass
         got = source_cache_path(sf_dir, "events", prefix)
         assert got == live
         assert os.path.isdir(live)
         assert not os.path.exists(stale)
+        assert not os.path.exists(legacy)
         assert os.path.isdir(other_prefix) and os.path.isdir(other_scale)
+        assert os.path.isdir(live_tmp_sidecar), "in-flight builder temp reaped"
+        assert os.path.exists(live_lock_sidecar), "builder lock reaped"
     finally:
         import shutil
 
-        for p in (live, stale, other_prefix, other_scale):
+        for p in dirs:
             shutil.rmtree(p, ignore_errors=True)
+        if os.path.exists(live_lock_sidecar):
+            os.unlink(live_lock_sidecar)
+
+
+def test_source_cache_path_same_basename_roots_coexist(tmp_path):
+    """ADVICE r16 low: two testdata roots sharing a basename (/a/sf0.1
+    and /b/sf0.1) must keep INDEPENDENT derived copies — alternating
+    calls against both roots must not reap each other's live trees
+    (pre-fix they did, re-materializing multi-GB copies every swap)."""
+    import os
+
+    from simple_query_engine_spark.operators.storage import source_cache_path
+
+    roots = []
+    for side in ("a", "b"):
+        root = tmp_path / side / "sfX"
+        root.mkdir(parents=True)
+        (root / "events.parquet").write_bytes(b"x" * (len(side) + 7))
+        roots.append(str(root))
+    p_a = source_cache_path(roots[0], "events", "coex")
+    p_b = source_cache_path(roots[1], "events", "coex")
+    assert p_a != p_b, "same-basename roots collide on cache identity"
+    try:
+        os.makedirs(p_a, exist_ok=True)
+        os.makedirs(p_b, exist_ok=True)
+        # Alternating calls: each root's reap pass must spare the other's.
+        assert source_cache_path(roots[0], "events", "coex") == p_a
+        assert source_cache_path(roots[1], "events", "coex") == p_b
+        assert os.path.isdir(p_a) and os.path.isdir(p_b)
+    finally:
+        import shutil
+
+        shutil.rmtree(p_a, ignore_errors=True)
+        shutil.rmtree(p_b, ignore_errors=True)
