@@ -508,6 +508,9 @@ def ingest_ivf_batch(
         kmeans_shifted_sv,
     )
     from simple_query_engine_spark.sources.managed import ManagedTable
+    from simple_query_engine_spark.streaming.explain_capture import (
+        record_batch_explain,
+    )
 
     t = ManagedTable(spark, table_path)
     last = t.last_txn(IVF_INGEST_APP)
@@ -519,6 +522,11 @@ def ingest_ivf_batch(
         ),
         cent,
     ).select(F.col("vec_id").alias("neighbor_id"), "cell_id")
+    # The streaming query's lastExecution sees only the source read; the
+    # per-batch plan whose shape the docstring claims (ONE broadcast K-row
+    # arg-min join, no corpus-wide work) is this frame's — record it for
+    # the PLANS.md streaming audit (VERDICT r16 item 4).
+    record_batch_explain(assigned, "ivf_ingest:batch_assign")
     t.insert(assigned, txn=(IVF_INGEST_APP, batch_id))
 
 

@@ -40,6 +40,29 @@ def record_explain(query, label: str) -> None:
         pass  # audit trail only — never fail the query over it
 
 
+def record_batch_explain(df, label: str) -> None:
+    """Store a BATCH DataFrame's physical plan under ``label`` — the
+    ``foreachBatch`` companion to :func:`record_explain` (VERDICT r16
+    item 4).  A foreachBatch handler runs its own batch plans (the IVF
+    arg-min assignment, the managed-merge rollup); those never appear in
+    the streaming query's ``lastExecution`` — ``explainInternal`` shows
+    only the source read, so the sink-side rows of PLANS.md's streaming
+    section read as all-zero and the one-broadcast-join-per-batch claim
+    was not mechanically checkable.  Handlers call this on the frame they
+    are about to commit; simple-mode text matches what the audit's
+    regexes expect.  Same best-effort contract as :func:`record_explain`."""
+    import contextlib
+    import io
+
+    try:
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain("simple")
+        LAST_EXPLAINS[label] = buf.getvalue()
+    except Exception:
+        pass  # audit trail only — never fail the query over it
+
+
 def reset() -> None:
     LAST_EXPLAINS.clear()
 

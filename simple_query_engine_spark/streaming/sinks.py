@@ -19,7 +19,10 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from simple_query_engine_spark.streaming.explain_capture import record_explain
+from simple_query_engine_spark.streaming.explain_capture import (
+    record_batch_explain,
+    record_explain,
+)
 from simple_query_engine_spark.streaming.windows import (
     WATERMARK,
     tumbling_window_counts,
@@ -150,10 +153,17 @@ def upsert_users_batch(
     # duplicate-key guard, the affected-file probe, the rewrite join, and
     # the not-matched insert) — uncached, each would re-aggregate the
     # micro-batch from the source files.
-    agg = batch_df.groupBy("user_id").agg(
+    rollup = batch_df.groupBy("user_id").agg(
         F.count(F.lit(1)).alias("n_events"),
         F.max("ts").alias("last_ts"),
-    ).cache()
+    )
+    # The per-batch plan the docstring claims (one partial-agg rollup of
+    # the micro-batch, nothing corpus-wide) lives here, not in the
+    # streaming query's lastExecution — record it for the PLANS.md
+    # streaming audit (VERDICT r16 item 4), BEFORE the cache below hides
+    # the rollup under an InMemoryTableScan the audit would collapse.
+    record_batch_explain(rollup, "managed_upsert:batch_rollup")
+    agg = rollup.cache()
     try:
         t = ManagedTable(spark, table_path)
         if not t.versions():
