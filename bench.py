@@ -80,7 +80,15 @@ HEADLINE = [
 # r16a = r15a +1: stream_ivf_ingest (the r16 addition — staged 4-batch
 # stream replay, per-batch managed txn-append of centroid assignments,
 # post-drain nprobe search; the suite's only streaming+managed member).
-SUITE2_VERSION = "r16a"
+# r17a = r16a +1: stream_components_incremental (the r17 addition —
+# staged 3-batch planted-doc replay, per-batch banded join + reduced
+# pointer-doubling propagation + managed txn-MERGE of cluster labels,
+# post-drain cluster report; the streaming door of the dedup-graph
+# family.  NOT in the corpus-amplified gate: its planted ids are
+# doc_id + PLANT_DOC_OFFSET and the collision guard correctly rejects
+# amplified ids >= the offset — same exclusion as
+# dedup_incremental_minhash / graph_components_incremental).
+SUITE2_VERSION = "r17a"
 SUITE2 = [
     "dedup_substring_spans",
     "sim_semdedup",
@@ -117,6 +125,7 @@ SUITE2 = [
     "multimodal_ppm_decode",
     "sim_recall_floor_planted",
     "stream_ivf_ingest",
+    "stream_components_incremental",
 ]
 
 # Third suite: the fixed-round ITERATIVE graph/cluster operators.  Their

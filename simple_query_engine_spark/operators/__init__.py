@@ -96,7 +96,13 @@ _ROTATION_FRONT = [
 # invariant.  At round-17 open the queue is empty (the r16 queue moved
 # into the front); entries added or semantically changed during r17 are
 # appended here as the round progresses.
-_ROTATION_QUEUE: list[str] = []
+_ROTATION_QUEUE: list[str] = [
+    # r17 new entry — streaming near-dup cluster maintenance door
+    # (readStream -> foreachBatch banded-join + reduced propagation ->
+    # txn-stamped MERGE into the managed label snapshot).  Leads the r18
+    # front.
+    "stream_components_incremental",
+]
 
 
 

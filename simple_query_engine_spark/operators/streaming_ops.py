@@ -530,6 +530,274 @@ def ingest_ivf_batch(
     t.insert(assigned, txn=(IVF_INGEST_APP, batch_id))
 
 
+CC_INGEST_APP = "stream_components_ingest"
+
+
+def q_stream_components_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming NEAR-DUP CLUSTER maintenance through the MANAGED layer —
+    the graph-family door of the streaming family (r17; the
+    ``stream_ivf_ingest`` discipline applied to the standing dedup
+    state): the standing cluster-label table is a ManagedTable snapshot
+    (version 0 = the corpus-only labels, the same state
+    ``graph_components_incremental`` persists), the planted batch
+    documents replay as a file-source stream in 3 micro-batches, and
+    each batch (a) MinHash-signs its documents with the STATELESS
+    projection form, (b) banded-joins them against the corpus + every
+    previously ingested document, (c) rewrites the delta edges through
+    the current labels and runs pointer-doubling propagation over the
+    reduced (batch-sized) graph, and (d) MERGEs the changed labels +
+    the batch's rows into the table in ONE txn-stamped commit — a
+    cross-standing-cluster bridge found mid-stream merges the clusters
+    by rewriting their members' labels, exactly the maintenance step a
+    continuous-ingestion dedup pipeline commits per batch.  After the
+    stream drains the cluster report equals the batch incremental entry
+    — and the oracle is the same recursive closure over ALL planted
+    pairs, so sequential per-batch merging is certified
+    order-insensitive against the full recompute.
+
+    Shape at 100 TB/day: per micro-batch the work is one banded
+    candidate join (batch bands ⋈ standing bands — 24-byte keys, never
+    all-pairs), one batch-internal banded self-join, a pointer-doubling
+    propagation over a graph whose node set is ≤ 2·|delta edges|, and
+    one MERGE commit that rewrites only files holding relabeled rows —
+    all ∝ batch, never corpus; the standing labels persist in the
+    managed snapshot between batches.  Exactly-once from the
+    checkpoint + manifest-txn pair; replay idempotence and
+    one-commit-per-micro-batch are pinned in
+    tests/test_streaming_sinks.py.
+
+    Reference basis: the brief's dedup-at-scale requirement as a
+    continuous pipeline stage; the reference has no streaming surface
+    (SURVEY §2.2)."""
+    return run_components_ingest(spark, sf_dir)
+
+
+def run_components_ingest(
+    spark: SparkSession,
+    sf_dir: str,
+    stream_path: str | None = None,
+    max_files_per_trigger: int | None = 1,
+) -> DataFrame:
+    """The :func:`q_stream_components_incremental` pipeline with an
+    overridable stream source; returns the cluster report over the final
+    committed snapshot and (for tests) leaves the table path in
+    ``run_components_ingest.last_table_path``."""
+    from pyspark.sql import functions as F
+
+    from simple_query_engine_spark.operators.dedup import (
+        PLANT_DOC_MOD,
+        PLANT_DOC_OFFSET,
+        _planted_documents,
+        _standing_labels_managed,
+    )
+    from simple_query_engine_spark.operators.storage import (
+        materialize_once,
+        scratch_dir,
+        source_cache_path,
+    )
+    from simple_query_engine_spark.sources.managed import ManagedTable
+    from simple_query_engine_spark.streaming.explain_capture import record_explain
+    from simple_query_engine_spark.streaming.windows import read_event_stream
+
+    if stream_path is None:
+        # The staged content IS the planted batch split, so the cache tag
+        # derives from the plant constants (the ivfingest discipline).
+        staged = source_cache_path(
+            sf_dir, "documents", f"ccingest_{PLANT_DOC_MOD}_{PLANT_DOC_OFFSET}_v1"
+        )
+        materialize_once(
+            staged,
+            lambda tmp: _planted_documents(spark, sf_dir)
+            .filter(F.col("doc_id") >= PLANT_DOC_OFFSET)
+            .repartition(3)
+            .write.parquet(tmp),
+        )
+        stream_path = staged
+    run_root = scratch_dir("stream_cc_")
+    table_path = os.path.join(run_root, "table")
+    run_components_ingest.last_table_path = table_path
+    # stats on the merge key: each micro-batch's merge probes prune to
+    # files whose doc_id box overlaps the batch (the streaming-upsert
+    # discipline — merge cost ∝ batch, not table).
+    ManagedTable.create(
+        spark,
+        table_path,
+        _standing_labels_managed(spark, sf_dir),
+        stats_columns=["doc_id"],
+    )
+    stream = read_event_stream(spark, stream_path, max_files_per_trigger)
+    query = (
+        stream.writeStream.foreachBatch(
+            lambda df, bid: ingest_components_batch(spark, table_path, sf_dir, df, bid)
+        )
+        .option("checkpointLocation", os.path.join(run_root, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    record_explain(query, "cc_ingest")
+    labels = ManagedTable(spark, table_path).read()
+    # Edgeless ingested documents sit in the table as self-labeled rows
+    # (they must be VISIBLE to later batches' banded joins) but belong to
+    # no pair-graph cluster; every real cluster has >= 2 members, so the
+    # size filter reproduces the batch entry's node universe exactly.
+    return (
+        labels.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("cluster_size"),
+            F.min("doc_id").alias("keep_doc_id"),
+        )
+        .filter(F.col("cluster_size") >= 2)
+        .withColumnRenamed("label", "cluster_id")
+    )
+
+
+def ingest_components_batch(
+    spark: SparkSession,
+    table_path: str,
+    sf_dir: str,
+    batch_df: DataFrame,
+    batch_id: int,
+) -> None:
+    """foreachBatch body for the managed cluster-label sink: find the
+    batch's near-dup pairs against everything already tracked (corpus +
+    prior batches) plus batch-internal pairs, reduce them through the
+    current labels, propagate over the reduced graph, and MERGE the
+    relabeled + new rows in one txn-stamped commit.  On any replay —
+    a foreachBatch retry, or a restart whose checkpoint predates the
+    commit — ``last_txn`` shows the batch already applied and the
+    handler returns without touching the state.  Module-level (not a
+    closure) so tests can replay it directly."""
+    from pyspark.sql import functions as F
+
+    from simple_query_engine_spark.operators.dedup import (
+        NUM_MINHASH,
+        PLANT_DOC_OFFSET,
+        PLANTED_JACCARD_THRESHOLD,
+        _band_rows,
+        _minhash_lsh_pairs,
+        _minhash_sig_of,
+        _planted_documents,
+        _propagate_labels,
+        _row_minhash_signature,
+        _shingles_of,
+        _symmetric_edges,
+    )
+    from simple_query_engine_spark.functions.caching import session_cache
+    from simple_query_engine_spark.sources.managed import ManagedTable
+    from simple_query_engine_spark.streaming.explain_capture import (
+        record_batch_explain,
+    )
+
+    t = ManagedTable(spark, table_path)
+    last = t.last_txn(CC_INGEST_APP)
+    if last is not None and batch_id <= last:
+        return  # replayed batch: already in the snapshot
+    std = t.read()  # (doc_id, label): corpus labels + prior ingested docs
+    # Stateless per-row signatures for the batch (pinned bit-identical to
+    # the grouped construction); the SEEN side reads the shared planted
+    # signature cache — the session stand-in for the persisted signature
+    # table a production pipeline maintains next to the label state —
+    # restricted to the corpus plus documents already committed to the
+    # label table (prior micro-batches), so a replayed or future document
+    # can never pair against itself.
+    batch_sig = _row_minhash_signature(batch_df.select("doc_id", "text"))
+    sig_all = session_cache(
+        _minhash_sig_of(
+            _shingles_of(
+                _planted_documents(spark, sf_dir), sf_dir, "dedup_shingles_planted"
+            )
+        ),
+        sf_dir,
+        "dedup_minhash_sig_planted",
+    )
+    prior_ids = std.filter(F.col("doc_id") >= PLANT_DOC_OFFSET).select("doc_id")
+    seen_sig = sig_all.filter(F.col("doc_id") < PLANT_DOC_OFFSET).unionByName(
+        sig_all.join(prior_ids, "doc_id", "semi")
+    )
+    cross_cand = (
+        _band_rows(batch_sig)
+        .alias("a")
+        .join(
+            _band_rows(seen_sig).alias("b"),
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_hash") == F.col("b.band_hash")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_id_a"),
+            F.col("b.doc_id").alias("doc_id_b"),
+        )
+        .dropDuplicates(["doc_id_a", "doc_id_b"])
+    )
+    sig_a = batch_sig.select(
+        F.col("doc_id").alias("doc_id_a"), F.col("signature").alias("sig_a")
+    )
+    sig_b = seen_sig.select(
+        F.col("doc_id").alias("doc_id_b"), F.col("signature").alias("sig_b")
+    )
+    est = F.size(
+        F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda eq: eq)
+    ) / F.lit(NUM_MINHASH)
+    cross = (
+        cross_cand.join(sig_a, "doc_id_a")
+        .join(sig_b, "doc_id_b")
+        .filter(F.round(est, 4) >= PLANTED_JACCARD_THRESHOLD)
+        .select("doc_id_a", "doc_id_b")
+    )
+    internal = _minhash_lsh_pairs(batch_sig, PLANTED_JACCARD_THRESHOLD).select(
+        "doc_id_a", "doc_id_b"
+    )
+    delta = cross.union(internal)
+    # Rewrite the delta through the current labels: standing/ingested
+    # endpoints collapse to their cluster label, untracked endpoints (this
+    # batch's docs, corpus docs gaining their first edge) stay themselves.
+    lbl_a = std.select(F.col("doc_id").alias("doc_id_a"), F.col("label").alias("la"))
+    lbl_b = std.select(F.col("doc_id").alias("doc_id_b"), F.col("label").alias("lb"))
+    reduced_pairs = (
+        delta.join(lbl_a, "doc_id_a", "left")
+        .join(lbl_b, "doc_id_b", "left")
+        .select(
+            F.coalesce("la", F.col("doc_id_a")).alias("doc_id_a"),
+            F.coalesce("lb", F.col("doc_id_b")).alias("doc_id_b"),
+        )
+        .filter(F.col("doc_id_a") != F.col("doc_id_b"))
+    )
+    reduced_labels, _ = _propagate_labels(_symmetric_edges(reduced_pairs))
+    rl = reduced_labels.select(
+        F.col("doc_id").alias("base_label"), F.col("label").alias("rlabel")
+    )
+    # (1) existing rows whose cluster merged under a smaller label;
+    # (2) every node NEW to the state — this batch's documents (edgeless
+    #     ones included: later batches must see them) and corpus documents
+    #     gaining their first edge — at their propagated (or own) label.
+    upd = (
+        std.join(rl, F.col("label") == F.col("base_label"))
+        .filter(F.col("rlabel") != F.col("base_label"))
+        .select("doc_id", F.col("rlabel").alias("label"))
+    )
+    delta_nodes = (
+        delta.select(F.col("doc_id_a").alias("doc_id"))
+        .union(delta.select(F.col("doc_id_b").alias("doc_id")))
+        .union(batch_df.select("doc_id"))
+        .distinct()
+    )
+    new_rows = (
+        delta_nodes.join(std.select("doc_id"), "doc_id", "anti")
+        .join(rl, F.col("doc_id") == F.col("base_label"), "left")
+        .select("doc_id", F.coalesce("rlabel", F.col("doc_id")).alias("label"))
+    )
+    source = upd.unionByName(new_rows)
+    # Sink-side per-batch plan for the PLANS.md streaming audit (the
+    # banded candidate joins + the reduced propagation feed this frame).
+    record_batch_explain(source, "cc_ingest:batch_merge")
+    t.merge(
+        source,
+        on="doc_id",
+        update_assignments={"label": F.col("s.label")},
+        txn=(CC_INGEST_APP, batch_id),
+    )
+
+
 def q_stream_bm25_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming INVERTED-INDEX maintenance: the documents table replays
     as a file-source stream and the per-term index statistics the BM25
@@ -894,6 +1162,7 @@ QUERIES = {
     "stream_upsert_managed": q_stream_upsert_managed,
     "stream_vector_ingest": q_stream_vector_ingest,
     "stream_ivf_ingest": q_stream_ivf_ingest,
+    "stream_components_incremental": q_stream_components_incremental,
     "stream_bm25_postings": q_stream_bm25_postings,
     "stream_mixture_sample": q_stream_mixture_sample,
     "window_tumbling_counts": q_batch_tumbling,
@@ -1213,3 +1482,18 @@ def _ivf_ingest_oracle_sql() -> str:
 
 
 ORACLES["stream_ivf_ingest"] = _ivf_ingest_oracle_sql()
+
+
+def _cc_ingest_oracle_sql() -> str:
+    """Identical to ``graph_components_incremental``'s oracle — the
+    recursive closure over ALL planted pairs at the production threshold:
+    the streaming door is certified to end in exactly the state the batch
+    incremental recompute (and therefore the full recompute) produces."""
+    from simple_query_engine_spark.operators.dedup import (
+        ORACLES as DEDUP_ORACLES,
+    )
+
+    return DEDUP_ORACLES["graph_components_incremental"]
+
+
+ORACLES["stream_components_incremental"] = _cc_ingest_oracle_sql()

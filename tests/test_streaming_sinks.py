@@ -246,3 +246,57 @@ def test_ivf_ingest_matches_batch_append_with_commit_per_batch(spark, sf_dir):
         spark, S.run_ivf_ingest.last_table_path, cent, batch_df, last + 1
     )
     assert t.current_version() == v + 1 and t.read().count() == n + 5
+
+
+def test_components_ingest_matches_batch_incremental_with_commit_per_batch(
+    spark, sf_dir
+):
+    """r17: the streaming cluster-maintenance door — 3 micro-batches MERGE
+    into the managed label table (v0 = corpus-only standing labels, one
+    commit per batch), and the drained cluster report equals the batch
+    incremental entry exactly (which the oracle certifies equals the full
+    recompute).  Replay of an already-committed batch id is a no-op
+    (exactly-once); a genuinely new batch id applies its merge."""
+    from simple_query_engine_spark.operators import streaming_ops as S
+    from simple_query_engine_spark.operators.dedup import (
+        PLANT_DOC_OFFSET,
+        _planted_documents,
+        q_graph_components_incremental,
+    )
+    from simple_query_engine_spark.sources.managed import ManagedTable
+
+    got = {
+        tuple(r)
+        for r in S.q_stream_components_incremental(spark, sf_dir).collect()
+    }
+    want = {
+        tuple(r) for r in q_graph_components_incremental(spark, sf_dir).collect()
+    }
+    assert got == want
+
+    t = ManagedTable(spark, S.run_components_ingest.last_table_path)
+    versions = t.versions()
+    assert len(versions) == 1 + 3, versions  # v0 standing + one merge per batch
+    last = t.last_txn(S.CC_INGEST_APP)
+    assert last == 2  # batch ids 0..2
+
+    # Replay an already-committed batch id: version count and label state
+    # untouched (the txn skip).  A new batch id with already-ingested docs
+    # commits but changes no label (their pairs are already in the state).
+    batch_df = (
+        _planted_documents(spark, sf_dir)
+        .filter(F.col("doc_id") >= PLANT_DOC_OFFSET)
+        .limit(5)
+    )
+    v = t.current_version()
+    rows = {tuple(r) for r in t.read().collect()}
+    S.ingest_components_batch(
+        spark, S.run_components_ingest.last_table_path, sf_dir, batch_df, last
+    )
+    assert t.current_version() == v
+    assert {tuple(r) for r in t.read().collect()} == rows
+    S.ingest_components_batch(
+        spark, S.run_components_ingest.last_table_path, sf_dir, batch_df, last + 1
+    )
+    assert t.current_version() == v + 1  # one commit, even when no-change
+    assert {tuple(r) for r in t.read().collect()} == rows  # labels unchanged
