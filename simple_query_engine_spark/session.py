@@ -89,6 +89,16 @@ def get_spark(
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
     builder = SparkSession.builder.appName(app_name).master(master or f"local[{cpus}]")
     conf = dict(_DEFAULT_CONF)
+    # Local mode runs every executor thread inside the driver JVM, whose
+    # un-configured heap is 1 GiB — 32 threads' shuffle/broadcast blocks
+    # plus a long session's accumulated broadcasts OOM at that size (r17:
+    # the 269-entry plan audit died in a broadcast exchange).  Only
+    # effective when this call actually LAUNCHES the JVM (a fresh
+    # process); sessions handed to us by a harness keep their own
+    # setting, as does an explicit SPARK_GRAFT_DRIVER_MEM.
+    conf.setdefault(
+        "spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "12g")
+    )
     if extra_conf:
         conf.update(extra_conf)
     for key, value in conf.items():
