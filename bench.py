@@ -80,15 +80,17 @@ HEADLINE = [
 # r16a = r15a +1: stream_ivf_ingest (the r16 addition — staged 4-batch
 # stream replay, per-batch managed txn-append of centroid assignments,
 # post-drain nprobe search; the suite's only streaming+managed member).
-# r17a = r16a +1: stream_components_incremental (the r17 addition —
-# staged 3-batch planted-doc replay, per-batch banded join + reduced
-# pointer-doubling propagation + managed txn-MERGE of cluster labels,
-# post-drain cluster report; the streaming door of the dedup-graph
-# family.  NOT in the corpus-amplified gate: its planted ids are
+# r17: suite2 membership UNCHANGED (version stays r16a — totals stay
+# comparable to the r16 rows).  The r17 addition
+# stream_components_incremental goes to SUITE3_ITERATIVE below with its
+# batch twin graph_components_incremental: its wall is pointer-doubling
+# rounds × micro-batch/commit floor (measured ~30 s warm at sf0.1,
+# data-invariant), exactly the scheduler-floor signature suite3
+# quarantines.  NOT in the corpus-amplified gate: its planted ids are
 # doc_id + PLANT_DOC_OFFSET and the collision guard correctly rejects
 # amplified ids >= the offset — same exclusion as
-# dedup_incremental_minhash / graph_components_incremental).
-SUITE2_VERSION = "r17a"
+# dedup_incremental_minhash / graph_components_incremental.
+SUITE2_VERSION = "r16a"
 SUITE2 = [
     "dedup_substring_spans",
     "sim_semdedup",
@@ -125,7 +127,6 @@ SUITE2 = [
     "multimodal_ppm_decode",
     "sim_recall_floor_planted",
     "stream_ivf_ingest",
-    "stream_components_incremental",
 ]
 
 # Third suite: the fixed-round ITERATIVE graph/cluster operators.  Their
@@ -145,6 +146,10 @@ SUITE3_ITERATIVE = [
     "graph_label_spread",
     "graph_components_incremental",
     "sim_ivf_rebuild",
+    # r17: the streaming twin of graph_components_incremental — 3
+    # micro-batches × (banded joins + reduced propagation + MERGE
+    # commit); wall is round/commit floor, not a data term.
+    "stream_components_incremental",
 ]
 
 
