@@ -54,5 +54,16 @@ def salted_join(
         "_salt",
         F.explode(F.array(*[F.lit(i) for i in range(salt_buckets)])),
     )
-    joined = salted_left.join(replicated_right, on=[key, "_salt"], how=how)
+    # Force a sort-merge join.  Catalyst's size estimate for the right side
+    # predates the explode (it sees the scan, not the x salt_buckets blowup),
+    # so past ~autoBroadcastJoinThreshold/salt_buckets of input it happily
+    # plans a broadcast that then OOMs the driver building it (observed at a
+    # 64x-amplified sf0.1: 9.6M orders rows x 8 salt = 77M-row broadcast).
+    # And if the right side genuinely fit in a broadcast, salting would be
+    # pointless — a broadcast join has no shuffle to skew.  SMJ is the one
+    # strategy that is spillable on both sides, and the salt has already
+    # evened the partitions it sorts.
+    joined = salted_left.join(
+        replicated_right.hint("merge"), on=[key, "_salt"], how=how
+    )
     return joined.drop("_salt")

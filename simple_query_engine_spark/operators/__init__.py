@@ -102,6 +102,10 @@ _ROTATION_QUEUE: list[str] = [
     # txn-stamped MERGE into the managed label snapshot).  Leads the r18
     # front.
     "stream_components_incremental",
+    # r17 plan change: salted_join now pins SMJ (the 64x gate caught a
+    # post-explode size misestimate planning a 77M-row broadcast that
+    # OOM'd the driver).  Semantics untouched; re-gated at sf0.001+sf0.1.
+    "join_salted_skew",
 ]
 
 

@@ -174,6 +174,22 @@ def test_salted_join_spreads_hot_key(spark):
     assert sorted(map(tuple, via_salt.collect())) == sorted(map(tuple, plain.collect()))
 
 
+def test_salted_join_never_broadcasts(spark, sf_dir):
+    """Catalyst's size estimate for the replicated side predates the
+    explode, so a large-enough input used to be planned as a broadcast —
+    which OOM'd the driver at 64x-amplified sf0.1 (77M-row broadcast
+    build).  The merge hint pins the one strategy that survives any
+    scale; this would regress silently at small SF without a plan pin."""
+    from simple_query_engine_spark.operators.udx import q_join_salted_skew
+
+    df = q_join_salted_skew(spark, sf_dir)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" in plan, plan
+    assert "BroadcastHashJoin" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
 def test_salted_join_preserves_outer_semantics(spark):
     left = spark.createDataFrame([(1, "a"), (1, "b"), (2, "c"), (3, "d")], ["k", "v"])
     right = spark.createDataFrame([(1, "x"), (2, "y")], ["k", "w"])

@@ -165,6 +165,10 @@ def main() -> int:
     out_name = (
         "AMPLIFIED_CORPUS_CORRECTNESS.json" if corpus else "AMPLIFIED_CORRECTNESS.json"
     )
+    # Non-default scales (e.g. the 64x stretch point) get their own artifact
+    # instead of clobbering the canonical per-round gate file.
+    if k != (8 if corpus else 32):
+        out_name = out_name.replace(".json", f"_{k}x.json")
 
     import __spark_entry__ as entrymod
     from simple_query_engine_spark.session import get_spark
