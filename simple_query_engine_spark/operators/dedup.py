@@ -965,6 +965,67 @@ MAX_CC_ITERATIONS = 15
 # session instead of exporting an env var on every executor host.
 CC_SCRATCH_ENV = "SQE_CC_SCRATCH_DIR"
 
+# Size-adaptive components (guide §2.4 "remove shuffles outright" applied
+# to the iterative family): below this many SYMMETRIC edge rows the
+# fixpoint is solved on the driver by union-find over one bounded collect
+# — the broadcast-join analogue for graphs (a 200k-row edge list is ~3 MB
+# of longs, the same order as a broadcast relation), replacing
+# rounds × (3 joins + a parquet round-trip + a convergence count) with a
+# single bounded job.  This is the path the REDUCED per-batch graphs of
+# the incremental/streaming entries take even at 100 TB — their node set
+# is ∝ batch by construction (the whole point of rewriting delta edges
+# through the standing labels) — while a corpus-sized pair graph blows
+# the cap and takes the unchanged distributed pointer-doubling path.
+# 0 disables the fast path (tests pin the distributed algorithm with it).
+CC_LOCAL_EDGE_CAP_CONF = "spark.sqe.cc.localEdgeCap"
+CC_LOCAL_EDGE_CAP_DEFAULT = 200_000
+
+
+def _local_components(spark: SparkSession, src_pairs, node_type) -> DataFrame:
+    """Driver-side min-label connected components over a bounded
+    ``(src, dst)`` edge list: union-find (by rank, path-halving), then
+    the component minimum as every member's label — exactly the fixpoint
+    ``_propagate_labels``' distributed rounds converge to."""
+    from pyspark.sql.types import StructField, StructType
+
+    parent: dict = {}
+    rank: dict = {}
+
+    def find(x):
+        r = x
+        while parent.get(r, r) != r:
+            r = parent[r]
+        while parent.get(x, x) != r:
+            parent[x], x = r, parent[x]
+        return r
+
+    nodes = set()
+    for a, b in src_pairs:
+        nodes.add(a)
+        nodes.add(b)
+        ra, rb = find(a), find(b)
+        if ra == rb:
+            continue
+        if rank.get(ra, 0) < rank.get(rb, 0):
+            ra, rb = rb, ra
+        parent[rb] = ra
+        if rank.get(ra, 0) == rank.get(rb, 0):
+            rank[ra] = rank.get(ra, 0) + 1
+    roots = {n: find(n) for n in nodes}
+    minl: dict = {}
+    for n, r in roots.items():
+        if r not in minl or n < minl[r]:
+            minl[r] = n
+    schema = StructType(
+        [
+            StructField("doc_id", node_type, True),
+            StructField("label", node_type, True),
+        ]
+    )
+    return spark.createDataFrame(
+        [(n, minl[r]) for n, r in roots.items()], schema
+    )
+
 
 def _cc_scratch_dir(spark: SparkSession) -> str:
     import tempfile
@@ -1036,7 +1097,10 @@ def _propagate_labels(
 ) -> tuple[DataFrame, int]:
     """Min-label propagation with pointer doubling over a bidirectional
     edge list ``(src, dst)``; returns the fixpoint ``(doc_id, label)``
-    table and the number of rounds it took.
+    table and the number of distributed rounds it took (0 when the
+    size-adaptive driver fast path solved the graph — see
+    ``CC_LOCAL_EDGE_CAP_CONF``; both paths compute the identical
+    min-label fixpoint, pinned against each other in tests).
 
     Each round does two jumps: (a) take the minimum label over direct
     neighbors, then (b) jump again to *that label's own current label*
@@ -1071,6 +1135,33 @@ def _propagate_labels(
     if max_iterations < 1:
         raise ValueError(f"max_iterations must be >= 1, got {max_iterations}")
     spark = edges.sparkSession
+    # Size-adaptive fast path: ONE bounded probe (limit cap+1 — early-out,
+    # never a full scan of an over-cap graph) both sizes the graph and,
+    # when it fits, already holds every edge — union-find on the driver
+    # replaces the whole round loop.  Rounds are reported as 0: no
+    # distributed round ran.  See CC_LOCAL_EDGE_CAP_CONF above for why
+    # this is the at-scale path for batch-reduced graphs, not a local rig
+    # shortcut.
+    try:
+        cap = int(
+            spark.conf.get(
+                CC_LOCAL_EDGE_CAP_CONF, str(CC_LOCAL_EDGE_CAP_DEFAULT)
+            )
+        )
+    except ValueError:
+        cap = CC_LOCAL_EDGE_CAP_DEFAULT
+    if cap > 0:
+        head = edges.select("src", "dst").limit(cap + 1).toPandas()
+        if len(head) <= cap:
+            node_type = edges.schema["src"].dataType
+            return (
+                _local_components(
+                    spark,
+                    zip(head["src"].tolist(), head["dst"].tolist()),
+                    node_type,
+                ),
+                0,
+            )
     scratch = _cc_scratch_dir(spark)
 
     def _materialize(df: DataFrame, round_no: int) -> DataFrame:

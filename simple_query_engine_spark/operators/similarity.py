@@ -356,36 +356,64 @@ def _neardup_lsh_pairs(
         bucket_cols.append(
             F.struct(F.lit(t).alias("table_idx"), bucket.alias("bucket"))
         )
-    # Cache: both self-join legs read this table — without it each leg
-    # recomputes all NEARDUP_TABLES*NEARDUP_BITS (144) hyperplane dot
-    # products per vector.
-    side = scaled.select(
-        "vec_id",
-        "embedding",
-        _norm(F.col("embedding")).alias("nrm"),
-        F.explode(F.array(*bucket_cols)).alias("tb"),
-    ).select("vec_id", "embedding", "nrm", "tb.table_idx", "tb.bucket")
-    side = session_cache(side, sf_dir, cache_key)
-    a = side.select(
-        F.col("vec_id").alias("vec_id_a"),
-        F.col("embedding").alias("emb_a"),
-        F.col("nrm").alias("norm_a"),
-        "table_idx",
-        "bucket",
+    # Shuffle keys, not payloads (guide §2.3/§8): the bucket SELF-join
+    # moves only (vec_id, table_idx, bucket) — ~24 bytes/row — while the
+    # 64-double embeddings stay in a one-row-per-vector table that is
+    # fetched AFTER candidate pairs are deduped.  The previous shape
+    # carried the embedding + norm through both legs of the self-join
+    # (~20× the bytes per bucket row, pushing the join past the
+    # broadcast threshold into a payload sort-merge); at 100 TB the
+    # difference is shuffling the corpus twice vs shuffling 24-byte
+    # keys.  Both tables cache: buckets feed two self-join legs (144
+    # hyperplane dot products per vector otherwise recompute per leg),
+    # vectors feed the two candidate fetch joins.
+    vecs = session_cache(
+        scaled.select(
+            "vec_id", "embedding", _norm(F.col("embedding")).alias("nrm")
+        ),
+        sf_dir,
+        f"{cache_key}_vectors",
     )
-    b = side.select(
-        F.col("vec_id").alias("vec_id_b"),
-        F.col("embedding").alias("emb_b"),
-        F.col("nrm").alias("norm_b"),
-        "table_idx",
-        "bucket",
+    buckets = session_cache(
+        scaled.select(
+            "vec_id", F.explode(F.array(*bucket_cols)).alias("tb")
+        ).select("vec_id", "tb.table_idx", "tb.bucket"),
+        sf_dir,
+        cache_key,
+    )
+    candidates = (
+        buckets.alias("a")
+        .join(
+            buckets.alias("b"),
+            (F.col("a.table_idx") == F.col("b.table_idx"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_id_a"),
+            F.col("b.vec_id").alias("vec_id_b"),
+        )
+        .dropDuplicates(["vec_id_a", "vec_id_b"])
     )
     cosine = _dot(F.col("emb_a"), F.col("emb_b")) / (F.col("norm_a") * F.col("norm_b"))
     return (
-        a.join(b, ["table_idx", "bucket"])
-        .filter(F.col("vec_id_a") < F.col("vec_id_b"))
+        candidates.join(
+            vecs.select(
+                F.col("vec_id").alias("vec_id_a"),
+                F.col("embedding").alias("emb_a"),
+                F.col("nrm").alias("norm_a"),
+            ),
+            "vec_id_a",
+        )
+        .join(
+            vecs.select(
+                F.col("vec_id").alias("vec_id_b"),
+                F.col("embedding").alias("emb_b"),
+                F.col("nrm").alias("norm_b"),
+            ),
+            "vec_id_b",
+        )
         .select("vec_id_a", "vec_id_b", F.round(cosine, 4).alias("similarity"))
-        .dropDuplicates(["vec_id_a", "vec_id_b"])
         .filter(F.col("similarity") >= threshold)
     )
 

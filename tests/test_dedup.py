@@ -183,7 +183,10 @@ def test_shingle_df_cap_is_inert_at_test_scale(spark, sf_dir):
 def test_label_propagation_doubles_pointers_on_chains(spark):
     """A 64-link chain needs ~63 rounds under plain neighbor-min
     propagation; pointer doubling must converge in O(log n) rounds and
-    still label every node with the component minimum."""
+    still label every node with the component minimum.  The local-edge
+    cap is pinned to 0 so the DISTRIBUTED algorithm is what's exercised
+    (the size-adaptive driver fast path would otherwise absorb a
+    64-node graph)."""
     from pyspark.sql import functions as F
 
     n = 64
@@ -193,12 +196,53 @@ def test_label_propagation_doubles_pointers_on_chains(spark):
     edges = one_way.union(
         one_way.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
-    labels, rounds = D._propagate_labels(edges, max_iterations=15)
-    rows = labels.collect()
+    spark.conf.set(D.CC_LOCAL_EDGE_CAP_CONF, "0")
+    try:
+        labels, rounds = D._propagate_labels(edges, max_iterations=15)
+        rows = labels.collect()
+    finally:
+        spark.conf.unset(D.CC_LOCAL_EDGE_CAP_CONF)
     assert len(rows) == n
     assert all(r.label == 0 for r in rows)
-    assert rounds <= 8, f"took {rounds} rounds for a {n}-chain"
+    assert 1 <= rounds <= 8, f"took {rounds} rounds for a {n}-chain"
     labels.unpersist()
+
+
+def test_local_components_fast_path_matches_distributed(spark):
+    """The size-adaptive driver union-find and the distributed
+    pointer-doubling rounds must compute the IDENTICAL min-label
+    fixpoint — chains (deep trees), a star, a cycle, singleton-pair and
+    disjoint components in one graph."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    random.seed(7)
+    pairs = [(i, i + 1) for i in range(40)]                     # 41-chain
+    pairs += [(1000, 1000 + i) for i in range(1, 12)]           # star
+    pairs += [(2000 + i, 2000 + (i + 1) % 9) for i in range(9)]  # cycle
+    pairs += [(3000, 3001)]                                     # pair
+    pairs += [
+        (random.randrange(4000, 4040), random.randrange(4000, 4040))
+        for _ in range(60)
+    ]                                                           # random blob
+    pairs = [(a, b) for a, b in pairs if a != b]
+    one_way = spark.createDataFrame(pairs, ["src", "dst"])
+    edges = one_way.union(
+        one_way.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    fast, fast_rounds = D._propagate_labels(edges)
+    assert fast_rounds == 0, "small graph must take the driver fast path"
+    spark.conf.set(D.CC_LOCAL_EDGE_CAP_CONF, "0")
+    try:
+        slow, slow_rounds = D._propagate_labels(edges)
+        assert slow_rounds >= 1, "cap=0 must force the distributed path"
+        assert (
+            sorted((r.doc_id, r.label) for r in fast.collect())
+            == sorted((r.doc_id, r.label) for r in slow.collect())
+        )
+    finally:
+        spark.conf.unset(D.CC_LOCAL_EDGE_CAP_CONF)
 
 
 def test_cc_scratch_root_session_conf_roundtrip(spark, tmp_path, monkeypatch):
@@ -215,6 +259,10 @@ def test_cc_scratch_root_session_conf_roundtrip(spark, tmp_path, monkeypatch):
     monkeypatch.delenv("SQE_CC_SCRATCH_DIR", raising=False)
     monkeypatch.chdir(tmp_path)
     spark.conf.set(CC_SCRATCH_CONF, "cc_scratch_rel")
+    # The materialization assertion below is about the DISTRIBUTED
+    # rounds' parquet round-trip; pin cap=0 so the tiny graph can't take
+    # the driver fast path (which writes nothing).
+    spark.conf.set(D.CC_LOCAL_EDGE_CAP_CONF, "0")
     try:
         assert cc_scratch_root(spark) == "cc_scratch_rel"
         one_way = spark.createDataFrame([(0, 1), (1, 2)], ["src", "dst"])
@@ -241,6 +289,7 @@ def test_cc_scratch_root_session_conf_roundtrip(spark, tmp_path, monkeypatch):
         assert cc_scratch_root(spark) == str(tmp_path / "env_root")
     finally:
         spark.conf.unset(CC_SCRATCH_CONF)
+        spark.conf.unset(D.CC_LOCAL_EDGE_CAP_CONF)
 
 
 def test_signatures_are_deterministic(spark, sf_dir):
