@@ -163,6 +163,24 @@ def _scaled_embedding() -> Column:
     )
 
 
+def _plane_dot_sql(vec_sql: str, plane: list[int]) -> str:
+    """SQL text for the integer-plane dot product — the SAME
+    ``aggregate(zip_with(vec, array(c…), x*y), 0.0, acc+x)`` tree
+    :func:`_dot` builds over ``F.array(F.lit(c)…)``, so the runtime plan
+    (and every float operation, in the same order) is unchanged.  Why a
+    string: the Column-graph form costs one py4j round-trip per literal
+    — measured ~10 s of driver wall for the 144-plane × 64-dim builder,
+    more than the query's whole execution — while one ``F.expr`` ships
+    the tree in a single call.  (An unrolled ``v[1]*c1 + …`` sum is
+    value-equivalent but blows up whole-stage codegen: 9,216 inlined
+    terms send janino into an OOM; the higher-order form stays tiny.)"""
+    arr = "array(" + ", ".join(f"{float(c)}D" for c in plane) + ")"
+    return (
+        f"aggregate(zip_with({vec_sql}, {arr}, (x, y) -> x * y), "
+        "0.0D, (acc, x) -> acc + x)"
+    )
+
+
 def _signed_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embeddings + their LSH bucket: sign bits of NUM_HYPERPLANES
     integer-plane dot products over the integer-grid-scaled embedding
@@ -172,14 +190,13 @@ def _signed_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     embeddings = table(spark, sf_dir, "embeddings")
     planes = _int_hyperplanes()
     scaled = embeddings.withColumn("sv", _scaled_embedding())
-    signature = sum(
-        (
-            F.when(
-                _dot(F.col("sv"), F.array(*[F.lit(float(v)) for v in plane])) >= 0,
-                F.lit(1 << i),
-            ).otherwise(0)
+    # One F.expr instead of a per-literal Column graph — see _plane_dot_sql.
+    signature = F.expr(
+        " + ".join(
+            f"(CASE WHEN {_plane_dot_sql('sv', plane)} >= 0 "
+            f"THEN {1 << i} ELSE 0 END)"
+            for i, plane in enumerate(planes)
         )
-        for i, plane in enumerate(planes)
     )
     return scaled.withColumn("bucket", signature)
 
@@ -248,17 +265,15 @@ def q_sim_multiprobe_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     that avoids re-hashing the corpus into more tables."""
     signed = _signed_embeddings(spark, sf_dir)
     planes = _int_hyperplanes()
-    margins = F.array(
-        *[
-            F.struct(
-                F.abs(
-                    _dot(F.col("sv"), F.array(*[F.lit(float(v)) for v in plane]))
-                ).alias("m"),
-                F.lit(i).alias("i"),
-                F.lit(1 << i).alias("flipbit"),
-            )
+    # One F.expr instead of a per-literal Column graph — see _plane_dot_sql.
+    margins = F.expr(
+        "array("
+        + ", ".join(
+            f"named_struct('m', abs({_plane_dot_sql('sv', plane)}), "
+            f"'i', {i}, 'flipbit', {1 << i})"
             for i, plane in enumerate(planes)
-        ]
+        )
+        + ")"
     )
     queries = (
         signed.filter(F.col("vec_id") < NUM_QUERY_VECTORS)
@@ -338,23 +353,17 @@ def _neardup_lsh_pairs(
     """Multi-table LSH near-dup pairs over any (vec_id, embedding) relation."""
     planes = _int_hyperplanes(count=NEARDUP_TABLES * NEARDUP_BITS)
     scaled = embeddings.withColumn("sv", _scaled_embedding())
+    # One F.expr per table instead of a per-literal Column graph (9,216
+    # F.lit py4j round-trips ≈ 10 s of driver wall) — see _plane_dot_sql.
     bucket_cols = []
     for t in range(NEARDUP_TABLES):
-        bucket = sum(
-            (
-                F.when(
-                    _dot(
-                        F.col("sv"),
-                        F.array(*[F.lit(float(v)) for v in planes[t * NEARDUP_BITS + i]]),
-                    )
-                    >= 0,
-                    F.lit(1 << i),
-                ).otherwise(0)
-            )
+        bucket_sql = " + ".join(
+            f"(CASE WHEN {_plane_dot_sql('sv', planes[t * NEARDUP_BITS + i])} >= 0 "
+            f"THEN {1 << i} ELSE 0 END)"
             for i in range(NEARDUP_BITS)
         )
         bucket_cols.append(
-            F.struct(F.lit(t).alias("table_idx"), bucket.alias("bucket"))
+            F.expr(f"named_struct('table_idx', {t}, 'bucket', {bucket_sql})")
         )
     # Shuffle keys, not payloads (guide §2.3/§8): the bucket SELF-join
     # moves only (vec_id, table_idx, bucket) — ~24 bytes/row — while the
