@@ -244,16 +244,23 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _minhash_sig_of(shingles: DataFrame) -> DataFrame:
-    """(doc_id, shingle) → array of NUM_MINHASH minimum permuted hashes."""
+    """(doc_id, shingle) → array of NUM_MINHASH minimum permuted hashes.
+
+    The 64 min-aggregates are built as F.expr strings (one py4j call
+    each) rather than Column graphs (~2,000 py4j round-trips ≈ 0.8 s of
+    driver wall per construction — this helper is on the build path of
+    every LSH-family query); ``{a}L * h`` promotes exactly like
+    ``F.lit(a) * col`` did, so the values are bit-identical."""
     base = md5_prefix_long("shingle", 15) % _MERSENNE_P
     hashed = shingles.select("doc_id", base.alias("h"))
     mins = [
-        F.min((F.lit(a) * F.col("h") + F.lit(b)) % _MERSENNE_P).alias(f"m{i}")
+        F.expr(f"min(({a}L * h + {b}L) % {_MERSENNE_P}L) AS m{i}")
         for i, (a, b) in enumerate(_MINHASH_PARAMS)
     ]
     sig = hashed.groupBy("doc_id").agg(*mins)
-    return sig.select(
-        "doc_id", F.array(*[f"m{i}" for i in range(NUM_MINHASH)]).alias("signature")
+    return sig.selectExpr(
+        "doc_id",
+        "array(" + ", ".join(f"m{i}" for i in range(NUM_MINHASH)) + ") AS signature",
     )
 
 
@@ -287,15 +294,16 @@ def _row_minhash_signature(documents: DataFrame) -> DataFrame:
             shingle_array, lambda s: md5_prefix_long(s, 15) % _MERSENNE_P
         ).alias("hs"),
     )
-    sig = F.array(
-        *[
-            F.array_min(
-                F.transform(
-                    F.col("hs"), lambda h: (F.lit(a) * h + F.lit(b)) % _MERSENNE_P
-                )
-            )
+    # One F.expr instead of 64 lambda-bearing Column graphs (the
+    # _minhash_sig_of py4j discipline — this runs on the per-micro-batch
+    # construction path of the streaming entries).
+    sig = F.expr(
+        "array("
+        + ", ".join(
+            f"array_min(transform(hs, h -> ({a}L * h + {b}L) % {_MERSENNE_P}L))"
             for (a, b) in _MINHASH_PARAMS
-        ]
+        )
+        + ")"
     )
     return hashed.select("doc_id", sig.alias("signature"))
 
@@ -324,7 +332,11 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     (doc_id, band_idx, band_hash) — 24 bytes/row — with the 512-byte
     signatures fetched afterwards for the deduped candidate pairs only.
     """
-    sig = session_cache(minhash_signatures(spark, sf_dir), sf_dir, "dedup_minhash_sig")
+    from simple_query_engine_spark.functions.caching import session_materialize
+
+    sig = session_materialize(
+        minhash_signatures(spark, sf_dir), sf_dir, "dedup_minhash_sig"
+    )
     return _minhash_lsh_pairs(sig, JACCARD_THRESHOLD)
 
 
@@ -337,29 +349,22 @@ def _band_rows(sig: DataFrame, keep_signature: bool = False) -> DataFrame:
     explode instead)."""
     rows_per_band = NUM_MINHASH // MINHASH_BANDS
     keep = ["doc_id", "signature"] if keep_signature else ["doc_id"]
+    # Portable band key: md5 over the pipe-joined band slice (longs render
+    # identically in both engines).  One F.expr for the whole band array
+    # (the _minhash_sig_of py4j discipline).
+    bands_sql = ", ".join(
+        "named_struct('band_idx', {b}, 'band_hash', md5(concat_ws('|', {refs})))".format(
+            b=band,
+            refs=", ".join(
+                f"signature[{band * rows_per_band + r}]"
+                for r in range(rows_per_band)
+            ),
+        )
+        for band in range(MINHASH_BANDS)
+    )
     return sig.select(
         *keep,
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(band).alias("band_idx"),
-                        # Portable band key: md5 over the pipe-joined band
-                        # slice (longs render identically in both engines).
-                        F.md5(
-                            F.concat_ws(
-                                "|",
-                                *[
-                                    F.col("signature")[band * rows_per_band + r]
-                                    for r in range(rows_per_band)
-                                ],
-                            )
-                        ).alias("band_hash"),
-                    )
-                    for band in range(MINHASH_BANDS)
-                ]
-            )
-        ).alias("band"),
+        F.expr(f"explode(array({bands_sql}))").alias("band"),
     ).select(*keep, "band.band_idx", "band.band_hash")
 
 
@@ -461,12 +466,16 @@ def _planted_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.unionByName(planted)
 
 
-def q_dedup_planted_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash-LSH near-dup pairs at the PRODUCTION threshold (0.8) over the
-    planted corpus — same plan shape as :func:`q_dedup_minhash_lsh` (banded
-    equi-join, cached signature table, no all-pairs anywhere); only the
-    input relation and the verify threshold differ."""
-    sig = session_cache(
+def _planted_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The planted-corpus signature table, MATERIALIZED for the session
+    (scan-leaf lineage): it feeds band joins in six-plus catalog entries
+    (planted/incremental/streaming dedup, the graph family, semantic
+    clusters), and as a cached-but-unmaterialized plan its 64-aggregate
+    subtree was re-analyzed by the JVM inside every consumer's every
+    transformation — see ``session_materialize``."""
+    from simple_query_engine_spark.functions.caching import session_materialize
+
+    return session_materialize(
         _minhash_sig_of(
             _shingles_of(
                 _planted_documents(spark, sf_dir), sf_dir, "dedup_shingles_planted"
@@ -475,7 +484,16 @@ def q_dedup_planted_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         sf_dir,
         "dedup_minhash_sig_planted",
     )
-    return _minhash_lsh_pairs(sig, PLANTED_JACCARD_THRESHOLD)
+
+
+def q_dedup_planted_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup pairs at the PRODUCTION threshold (0.8) over the
+    planted corpus — same plan shape as :func:`q_dedup_minhash_lsh` (banded
+    equi-join, cached signature table, no all-pairs anywhere); only the
+    input relation and the verify threshold differ."""
+    return _minhash_lsh_pairs(
+        _planted_sig(spark, sf_dir), PLANTED_JACCARD_THRESHOLD
+    )
 
 
 # Containment (|A∩B| / min(|A|,|B|)) catches the asymmetric near-dup the
@@ -522,15 +540,7 @@ def q_dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     on the 24-byte band key, so ingest cost scales with the BATCH, not
     the corpus; est-Jaccard verification at the production 0.8 threshold.
     """
-    sig = session_cache(
-        _minhash_sig_of(
-            _shingles_of(
-                _planted_documents(spark, sf_dir), sf_dir, "dedup_shingles_planted"
-            )
-        ),
-        sf_dir,
-        "dedup_minhash_sig_planted",
-    )
+    sig = _planted_sig(spark, sf_dir)
     incoming = sig.filter(F.col("doc_id") >= PLANT_DOC_OFFSET)
     corpus = sig.filter(F.col("doc_id") < PLANT_DOC_OFFSET)
     candidates = (
@@ -1849,17 +1859,7 @@ def _standing_labels_managed(spark: SparkSession, sf_dir: str) -> DataFrame:
     sweep_stale_scratch(tempfile.gettempdir(), prefix="sqe_cc_standing_")
     t = ManagedTable(spark, path)
     if not t.versions():
-        sig = session_cache(
-            _minhash_sig_of(
-                _shingles_of(
-                    _planted_documents(spark, sf_dir),
-                    sf_dir,
-                    "dedup_shingles_planted",
-                )
-            ),
-            sf_dir,
-            "dedup_minhash_sig_planted",
-        )
+        sig = _planted_sig(spark, sf_dir)
         corpus_sig = sig.filter(F.col("doc_id") < PLANT_DOC_OFFSET)
         standing_pairs = _minhash_lsh_pairs(
             corpus_sig, PLANTED_JACCARD_THRESHOLD
@@ -1902,15 +1902,7 @@ def q_graph_components_incremental(spark: SparkSession, sf_dir: str) -> DataFram
     propagation over the reduced graph whose node set is ≤ 2·|delta
     edges|.  Cost bounds pinned in tests."""
     std_labels = _standing_labels_managed(spark, sf_dir)
-    sig = session_cache(
-        _minhash_sig_of(
-            _shingles_of(
-                _planted_documents(spark, sf_dir), sf_dir, "dedup_shingles_planted"
-            )
-        ),
-        sf_dir,
-        "dedup_minhash_sig_planted",
-    )
+    sig = _planted_sig(spark, sf_dir)
     batch_sig = sig.filter(F.col("doc_id") >= PLANT_DOC_OFFSET)
     delta = (
         q_dedup_incremental_minhash(spark, sf_dir)

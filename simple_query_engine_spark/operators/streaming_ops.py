@@ -676,14 +676,11 @@ def ingest_components_batch(
         PLANTED_JACCARD_THRESHOLD,
         _band_rows,
         _minhash_lsh_pairs,
-        _minhash_sig_of,
-        _planted_documents,
+        _planted_sig,
         _propagate_labels,
         _row_minhash_signature,
-        _shingles_of,
         _symmetric_edges,
     )
-    from simple_query_engine_spark.functions.caching import session_cache
     from simple_query_engine_spark.sources.managed import ManagedTable
     from simple_query_engine_spark.streaming.explain_capture import (
         record_batch_explain,
@@ -702,15 +699,7 @@ def ingest_components_batch(
     # label table (prior micro-batches), so a replayed or future document
     # can never pair against itself.
     batch_sig = _row_minhash_signature(batch_df.select("doc_id", "text"))
-    sig_all = session_cache(
-        _minhash_sig_of(
-            _shingles_of(
-                _planted_documents(spark, sf_dir), sf_dir, "dedup_shingles_planted"
-            )
-        ),
-        sf_dir,
-        "dedup_minhash_sig_planted",
-    )
+    sig_all = _planted_sig(spark, sf_dir)
     prior_ids = std.filter(F.col("doc_id") >= PLANT_DOC_OFFSET).select("doc_id")
     seen_sig = sig_all.filter(F.col("doc_id") < PLANT_DOC_OFFSET).unionByName(
         sig_all.join(prior_ids, "doc_id", "semi")

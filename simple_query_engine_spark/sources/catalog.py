@@ -10,6 +10,7 @@ directory becomes a named temp view, queryable via DataFrame ops or
 from __future__ import annotations
 
 import os
+import weakref
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -26,6 +27,23 @@ TABLE_NAMES: tuple[str, ...] = (
     "events",
     "documents",
     "embeddings",
+)
+
+
+# Per-session memo of table HANDLES (lazy plans + the pyarrow nanos-schema
+# probe), keyed by (path, size, mtime_ns) so an in-place regeneration of
+# testdata invalidates.  This caches METADATA ONLY — no rows: every query
+# still computes from the parquet files; what's skipped is re-listing the
+# footer and re-probing the schema on every `table()` call (~80 ms/table,
+# ~0.9 s per `load_tables`, paid by every query invocation before this).
+# WeakKeyDictionary: a stopped/replaced session's handles die with it.
+_HANDLES: "weakref.WeakKeyDictionary[SparkSession, dict]" = (
+    weakref.WeakKeyDictionary()
+)
+# Per-session marker of which (sf_dir, names) registered temp views last —
+# re-registering identical views per query costs a py4j call per table.
+_VIEWS: "weakref.WeakKeyDictionary[SparkSession, tuple]" = (
+    weakref.WeakKeyDictionary()
 )
 
 
@@ -47,8 +65,12 @@ def load_tables(
             continue
         df = _read(spark, path)
         tables[name] = df
-        if register_views:
-            df.createOrReplaceTempView(name)
+    if register_views:
+        marker = (os.path.abspath(sf_dir), tuple(sorted(tables)))
+        if _VIEWS.get(spark) != marker:
+            for name, df in tables.items():
+                df.createOrReplaceTempView(name)
+            _VIEWS[spark] = marker
     return tables
 
 
@@ -58,6 +80,23 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def _read(spark: SparkSession, path: str) -> DataFrame:
+    try:
+        st = os.stat(path)
+        key = (path, st.st_size, st.st_mtime_ns)
+    except OSError:
+        return _read_uncached(spark, path)
+    per_session = _HANDLES.setdefault(spark, {})
+    df = per_session.get(key)
+    if df is None:
+        df = _read_uncached(spark, path)
+        per_session[key] = df
+        # Drop handles for older generations of the same path.
+        for other in [k for k in per_session if k[0] == path and k != key]:
+            del per_session[other]
+    return df
+
+
+def _read_uncached(spark: SparkSession, path: str) -> DataFrame:
     """Parquet read tolerant of TIMESTAMP(NANOS) columns.
 
     Spark rejects nanosecond parquet timestamps outright
