@@ -832,7 +832,11 @@ def q_pipeline_incremental_curation(spark: SparkSession, sf_dir: str) -> DataFra
     n_tokens = F.size(F.split(_normalized(F.col("text")), " ")).alias("n_tokens")
 
     # -- bootstrap at v0 (the one-off full passes) --------------------------
-    v0 = t.read(0)
+    # v0's content IS `documents` (the create wrote it one line above, and
+    # nothing commits in between), so the bootstraps read the cached
+    # source relation instead of re-scanning the freshly written files —
+    # value-identical, one corpus-wide parquet read saved per bootstrap.
+    v0 = documents
     base_rollup = (
         v0.select("source", "lang", n_tokens)
         .filter(F.col("n_tokens") >= MIN_TOKENS)
@@ -867,6 +871,11 @@ def q_pipeline_incremental_curation(spark: SparkSession, sf_dir: str) -> DataFra
         # Deterministic source (filters/projections of the documents
         # scan): skip the defensive scratch materialization.
         materialize_source=False,
+        # Keys are unique by construction — edits keep their corpus
+        # doc_id (≡ {INC_EDIT_RES} mod {INC_EDIT_MOD}, one row each) and
+        # news live above INC_NEW_OFFSET — so the per-merge duplicate
+        # scan is skippable (one full source job saved).
+        check_duplicate_keys=False,
     )
 
     # -- everything below reads the CHANGE FEED, not the corpus -------------

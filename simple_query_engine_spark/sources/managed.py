@@ -686,6 +686,7 @@ class ManagedTable:
         insert_not_matched: bool = True,
         txn: tuple[str, int] | None = None,
         materialize_source: bool = True,
+        check_duplicate_keys: bool = True,
     ) -> int:
         """Upsert ``source`` by equality on key column ``on``.
 
@@ -842,19 +843,24 @@ class ManagedTable:
                 target_keys = self.spark.createDataFrame([], base_schema).select(on)
             # SQL MERGE semantics: more than one source row per MATCHED
             # target key is an error, not a silent fan-out of the matched
-            # target rows.
-            dup_keys = (
-                source.filter(F.col(on).isNotNull())
-                .groupBy(on)
-                .agg(F.count(F.lit(1)).alias("n"))
-                .filter(F.col("n") > 1)
-            )
-            dup = dup_keys.join(target_keys, on, "left_semi").limit(1).collect()
-            if dup:
-                raise ValueError(
-                    f"merge source has multiple rows for matched key "
-                    f"{on}={dup[0][0]!r}"
+            # target rows.  The check is one full job over the source; a
+            # caller who can PROVE its keys unique (disjoint
+            # filter-branches of a keyed table, a distinct-keyed delta)
+            # may skip it — same caller-asserted contract as
+            # ``materialize_source=False``, and the safe default stays on.
+            if check_duplicate_keys:
+                dup_keys = (
+                    source.filter(F.col(on).isNotNull())
+                    .groupBy(on)
+                    .agg(F.count(F.lit(1)).alias("n"))
+                    .filter(F.col("n") > 1)
                 )
+                dup = dup_keys.join(target_keys, on, "left_semi").limit(1).collect()
+                if dup:
+                    raise ValueError(
+                        f"merge source has multiple rows for matched key "
+                        f"{on}={dup[0][0]!r}"
+                    )
             if candidates:
                 affected = self._affected_files(
                     self._with_file_path(base, candidates).join(
