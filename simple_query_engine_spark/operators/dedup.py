@@ -1216,6 +1216,35 @@ def _propagate_labels(
     return labels, rounds
 
 
+def _localize_bounded_pairs(pairs: DataFrame) -> DataFrame:
+    """Evaluate a (doc_id_a, doc_id_b) pair list ONCE and pin it as a
+    local relation when it fits under ``CC_LOCAL_EDGE_CAP_CONF`` (one
+    bounded ``limit(cap+1)`` job, the `_propagate_labels` discipline).
+
+    The incremental/streaming component entries consume their delta-edge
+    list from several independent plans — the propagation probe, the
+    node derivation, and the MERGE source materialization — and each
+    consumer re-executed the banded candidate joins upstream of it.
+    The delta is ∝ batch by design, so under the cap it becomes a local
+    relation reused by every consumer; an over-cap list is returned
+    unchanged (lazy, the pre-existing behavior)."""
+    spark = pairs.sparkSession
+    try:
+        cap = int(
+            spark.conf.get(
+                CC_LOCAL_EDGE_CAP_CONF, str(CC_LOCAL_EDGE_CAP_DEFAULT)
+            )
+        )
+    except ValueError:
+        cap = CC_LOCAL_EDGE_CAP_DEFAULT
+    if cap <= 0:
+        return pairs
+    head = pairs.limit(cap + 1).toPandas()
+    if len(head) > cap:
+        return pairs
+    return spark.createDataFrame(head, schema=pairs.schema)
+
+
 def _symmetric_edges(pairs: DataFrame) -> DataFrame:
     """(doc_id_a, doc_id_b) pair list → bidirectional (src, dst) edge
     list — the shared prefix of every component/graph construction."""
@@ -1904,7 +1933,10 @@ def q_graph_components_incremental(spark: SparkSession, sf_dir: str) -> DataFram
     std_labels = _standing_labels_managed(spark, sf_dir)
     sig = _planted_sig(spark, sf_dir)
     batch_sig = sig.filter(F.col("doc_id") >= PLANT_DOC_OFFSET)
-    delta = (
+    # One bounded evaluation of the banded pipeline: the delta feeds the
+    # label rewrite, the propagation probe AND the node derivation below
+    # (see _localize_bounded_pairs).
+    delta = _localize_bounded_pairs(
         q_dedup_incremental_minhash(spark, sf_dir)
         .select(
             F.col("new_doc_id").alias("doc_id_a"),

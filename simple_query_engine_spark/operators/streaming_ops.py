@@ -675,6 +675,7 @@ def ingest_components_batch(
         PLANT_DOC_OFFSET,
         PLANTED_JACCARD_THRESHOLD,
         _band_rows,
+        _localize_bounded_pairs,
         _minhash_lsh_pairs,
         _planted_sig,
         _propagate_labels,
@@ -736,7 +737,11 @@ def ingest_components_batch(
     internal = _minhash_lsh_pairs(batch_sig, PLANTED_JACCARD_THRESHOLD).select(
         "doc_id_a", "doc_id_b"
     )
-    delta = cross.union(internal)
+    # One bounded evaluation of the banded pipeline per batch: the delta
+    # is consumed by the propagation probe, the node derivation AND the
+    # merge-source materialization below — localized, each reads the
+    # in-memory pair list instead of re-running the candidate joins.
+    delta = _localize_bounded_pairs(cross.union(internal))
     # Rewrite the delta through the current labels: standing/ingested
     # endpoints collapse to their cluster label, untracked endpoints (this
     # batch's docs, corpus docs gaining their first edge) stay themselves.

@@ -788,6 +788,20 @@ class ManagedTable:
                 b = source.agg(F.min(on).alias("lo"), F.max(on).alias("hi")).first()
                 if b["lo"] is None:
                     candidates = []  # every source key NULL: nothing matches
+                elif (
+                    len(
+                        span_pair := self.matching_files(
+                            {on: (b["lo"], b["hi"])}, base
+                        )[0]
+                    )
+                    <= 4
+                ):
+                    # Refinement saves nothing when the span is already a
+                    # handful of files: the per-key box join is itself a
+                    # Spark job, while the downstream probes read ≤ 4
+                    # files anyway.  Large spans (the at-scale case) keep
+                    # the exact per-key refinement below.
+                    candidates = span_pair
                 else:
                     span, _ = self.matching_files({on: (b["lo"], b["hi"])}, base)
                     boxed = [
