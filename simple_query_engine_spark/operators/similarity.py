@@ -1441,6 +1441,13 @@ def _kmeans_trained(
             sf_dir,
             f"{key_prefix}_cent_{it}",
         )
+    # The trained K-row table is consumed by every search/assign/ingest
+    # plan downstream; materialized (scan-leaf lineage), those plans stop
+    # embedding — and the JVM stops re-analyzing — the whole Lloyd chain
+    # (see session_materialize; the K-row write is trivial).
+    from simple_query_engine_spark.functions.caching import session_materialize
+
+    cent = session_materialize(cent, sf_dir, f"{key_prefix}_cent_final")
     return vectors, cent
 
 
