@@ -884,7 +884,12 @@ class ManagedTable:
             else:
                 affected = []
 
-            new_files: list[str] = []
+            # Update-rewrite and not-matched-insert branches are written
+            # in ONE job (union of identically-projected frames): the
+            # change feed diffs ROWS over the file symmetric difference,
+            # so which new file carries which branch is irrelevant, and
+            # a merge costs one write instead of two.
+            branches: list[DataFrame] = []
             if affected:
                 # __matched marks source presence explicitly — probing a
                 # data column would misread legitimately-NULL values as
@@ -913,7 +918,7 @@ class ManagedTable:
                     ]
                 )
                 self._check_merge_schema(projected, base_schema, "update")
-                new_files.extend(self._write_data_files(projected))
+                branches.append(projected)
 
             if insert_not_matched:
                 # target_keys is already the pruned, exact key set: a
@@ -923,7 +928,14 @@ class ManagedTable:
                     *target_cols
                 )
                 self._check_merge_schema(inserts, base_schema, "insert")
-                new_files.extend(self._write_data_files(inserts))
+                branches.append(inserts)
+
+            new_files: list[str] = []
+            if branches:
+                combined = branches[0]
+                for b_df in branches[1:]:
+                    combined = combined.unionByName(b_df)
+                new_files = self._write_data_files(combined)
 
             affected_set = set(affected)
             untouched = [f for f in self._files(base) if f not in affected_set]
