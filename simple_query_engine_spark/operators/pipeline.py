@@ -265,10 +265,15 @@ def q_pipeline_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _contam_shingles(documents: DataFrame) -> DataFrame:
+def _contam_shingles(documents: DataFrame, sf_dir: str | None = None) -> DataFrame:
     """(doc_id, gram): each document's distinct word CONTAM_NGRAM-grams
     (whole normalized text when shorter) — shared by the exact and Bloom
     decontamination paths so they flag over identical shingle sets.
+    With ``sf_dir`` the exploded table is session-cached: each
+    decontamination entry reads it from BOTH its eval and corpus branches
+    (two evaluations of the corpus-wide explode otherwise — Spark shares
+    no subtree across plan branches without a cache), and the exact and
+    Bloom entries share one materialization.
 
     The word array materializes in its OWN projection before the gram
     transform: referenced many times (size + every lambda element), the
@@ -287,9 +292,14 @@ def _contam_shingles(documents: DataFrame) -> DataFrame:
             )
         ),
     ).otherwise(F.array(F.concat_ws(" ", words)))
-    return documents.select(
+    out = documents.select(
         "doc_id", F.split(_normalized(F.col("text")), " ").alias("w")
     ).select("doc_id", F.explode(grams).alias("gram"))
+    if sf_dir is not None:
+        from simple_query_engine_spark.functions.caching import session_cache
+
+        out = session_cache(out, sf_dir, "contam_shingles")
+    return out
 
 
 def q_text_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -302,7 +312,7 @@ def q_text_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     benchmark fingerprint set.
     """
     documents = table(spark, sf_dir, "documents")
-    shingled = _contam_shingles(documents)
+    shingled = _contam_shingles(documents, sf_dir)
     eval_grams = (
         shingled.filter(F.col("doc_id") < EVAL_SET_MAX_DOC_ID)
         .select("gram")
@@ -439,7 +449,7 @@ def q_text_decontamination_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     plan shape identical and the result engine-checkable.)
     """
     documents = table(spark, sf_dir, "documents")
-    shingled = _contam_shingles(documents)
+    shingled = _contam_shingles(documents, sf_dir)
 
     def positions(gram):
         # One md5 per gram, k disjoint 5-hex-digit slices of the digest as
