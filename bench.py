@@ -247,6 +247,14 @@ def main() -> int:
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "cold_value": round(sum(cold.values()), 3),
+        # Per-query FIRST-invocation times (pass 1 of 3, includes one-time
+        # whole-stage-codegen + any in-session materializations), so both
+        # the amortized (warm-min) and per-invocation stories are visible
+        # per query (VERDICT r17 item 7).  Additions only — the frozen
+        # "queries" warm-min contract is untouched.
+        "first_invocation_queries": cold,
+        "suite2_first_invocation_queries": cold2,
+        "suite3_first_invocation_queries": cold3,
         "suite2_version": SUITE2_VERSION,
         "suite2_value": round(sum(timings2.values()), 3),
         "suite2_queries": timings2,
@@ -257,10 +265,32 @@ def main() -> int:
         "suite3_cold_value": round(sum(cold3.values()), 3),
         "calibration_jvm_sum_sec": calibration,
         "host_phase": host_phase,
+        # Effective parallelism, straight from the live context, so the
+        # driver can verify the $SPARK_GRAFT_CPUS contract from data
+        # instead of inferring it from scaling ratios (VERDICT r17 item 2a
+        # — at sf0.1 every query sits at the job-scheduling floor and the
+        # 8-vs-32-core ratio proves nothing).
+        "cpus": spark.sparkContext.defaultParallelism,
+        "master": spark.sparkContext.master,
     }
     if amplify > 1:
         payload["amplify"] = amplify
-    print(json.dumps(payload))
+    line = json.dumps(payload)
+    # The one-line JSON is ~4 KB and the driver's finite tail capture has
+    # truncated it before (r16 lost its automated round-over-round
+    # comparison to a decapitated line) — ALSO write it to a file next to
+    # the repo so the payload can never be erased by a capture window
+    # (VERDICT r17 item 2b).
+    out_path = os.environ.get(
+        "SPARK_GRAFT_BENCH_OUT",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_LAST.json"),
+    )
+    try:
+        with open(out_path, "w") as fh:
+            fh.write(line + "\n")
+    except OSError:
+        pass  # stdout line is still the contract; the file is belt-and-braces
+    print(line)
     spark.stop()
     return 0
 

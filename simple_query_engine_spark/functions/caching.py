@@ -123,7 +123,17 @@ def session_materialize(df: DataFrame, sf_dir: str, key: str) -> DataFrame:
     prior = _MATERIALIZED.get(key)
     if prior is not None:
         try:
-            if df.sameSemantics(prior[1]):
+            # Liveness guard (ADVICE r17): a session outliving
+            # SQE_SCRATCH_TTL_SEC can have a LATER materialization's root
+            # sweep reclaim this entry's parquet — verify the files still
+            # exist before serving the handle, and refresh the swept
+            # unit's mtime (the per-call mkdtemp dir) so a live entry
+            # keeps aging from its last USE, not its creation.
+            if df.sameSemantics(prior[1]) and os.path.exists(prior[2]):
+                try:
+                    os.utime(os.path.dirname(prior[2]), None)
+                except OSError:
+                    pass
                 return prior[3]
         except Exception:
             pass  # stale handle from a stopped session: rebuild below

@@ -1160,18 +1160,44 @@ def _propagate_labels(
         )
     except ValueError:
         cap = CC_LOCAL_EDGE_CAP_DEFAULT
-    if cap > 0:
-        head = edges.select("src", "dst").limit(cap + 1).toPandas()
-        if len(head) <= cap:
-            node_type = edges.schema["src"].dataType
-            return (
-                _local_components(
-                    spark,
-                    zip(head["src"].tolist(), head["dst"].tolist()),
-                    node_type,
-                ),
-                0,
-            )
+    # Persist the edge list for the probe AND any distributed rounds
+    # (ADVICE r17): the bounded limit(cap+1) probe partially evaluates the
+    # upstream pipeline (often the banded candidate joins) — persisting
+    # first means the probe's partitions land in the cache instead of
+    # being recomputed by the distributed loop, and the loop itself stops
+    # re-running the un-cached upstream once per round.  Only unpersist
+    # what WE persisted: callers like _component_labels pass an
+    # already-cached frame they own.
+    we_persisted = False
+    if not edges.storageLevel.useMemory and not edges.storageLevel.useDisk:
+        edges = edges.persist()
+        we_persisted = True
+    try:
+        if cap > 0:
+            head = edges.select("src", "dst").limit(cap + 1).toPandas()
+            if len(head) <= cap:
+                node_type = edges.schema["src"].dataType
+                return (
+                    _local_components(
+                        spark,
+                        zip(head["src"].tolist(), head["dst"].tolist()),
+                        node_type,
+                    ),
+                    0,
+                )
+        return _propagate_labels_distributed(edges, max_iterations)
+    finally:
+        if we_persisted:
+            edges.unpersist()
+
+
+def _propagate_labels_distributed(
+    edges: DataFrame, max_iterations: int
+) -> tuple[DataFrame, int]:
+    """The distributed pointer-doubling fixpoint loop of
+    :func:`_propagate_labels` (unchanged algorithm, split out so the
+    size-adaptive wrapper can release its probe cache in one place)."""
+    spark = edges.sparkSession
     scratch = _cc_scratch_dir(spark)
 
     def _materialize(df: DataFrame, round_no: int) -> DataFrame:

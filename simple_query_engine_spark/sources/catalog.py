@@ -66,7 +66,15 @@ def load_tables(
         df = _read(spark, path)
         tables[name] = df
     if register_views:
-        marker = (os.path.abspath(sf_dir), tuple(sorted(tables)))
+        # The marker folds each handle's identity in (ADVICE r17): after an
+        # in-place regeneration of the same sf_dir, _read hands back FRESH
+        # DataFrames (the handle memo keys on size/mtime) — a marker of
+        # (sf_dir, names) alone would keep serving SQL views pinned to the
+        # old, possibly deleted file listing.
+        marker = (
+            os.path.abspath(sf_dir),
+            tuple(sorted((name, id(df)) for name, df in tables.items())),
+        )
         if _VIEWS.get(spark) != marker:
             for name, df in tables.items():
                 df.createOrReplaceTempView(name)

@@ -364,10 +364,21 @@ class ManagedTable:
     def _collect_file_stats(
         self, files: list[str], schema, columns: list[str]
     ) -> dict[str, dict]:
-        """Per-file min/max for ``columns`` over just-written ``files`` —
-        one aggregate whose result is file-count-sized (never row-sized).
-        Values must be JSON-native (int/float/str/bool); the exhibit and
-        tests use numerics, matching what footer stats prune best."""
+        """Per-file min/max for ``columns`` over just-written ``files``.
+
+        Fast path: the Parquet FOOTERS of the just-written files already
+        carry exact per-row-group min/max for integer columns, so the
+        driver lifts the stats from metadata — zero Spark jobs (this is
+        what a production writer does: stats come from the write itself).
+        Non-integer columns fall back to the original one-job aggregate:
+        binary (string) footer stats may be writer-truncated and
+        float/double footer stats are unreliable under NaN (where Spark's
+        ``max`` additionally orders NaN greatest), so only integral
+        min/max are bit-identical to the aggregate by the Parquet spec.
+        """
+        footer = self._footer_file_stats(files, schema, columns)
+        if footer is not None:
+            return footer
         rows = (
             self._read_files(files, schema)
             .groupBy(F.col("_metadata.file_path").alias("__fp"))
@@ -383,6 +394,68 @@ class ManagedTable:
             out[path] = {
                 c: [row[f"mn_{i}"], row[f"mx_{i}"]] for i, c in enumerate(columns)
             }
+        return out
+
+    @staticmethod
+    def _footer_file_stats(
+        files: list[str], schema, columns: list[str]
+    ) -> dict[str, dict] | None:
+        """Exact per-file [min, max] for integral ``columns`` straight
+        from local Parquet footers, or None when any column is
+        non-integral / any footer lacks usable statistics / the files are
+        not local (the caller then runs the Spark aggregate).  Matches the
+        aggregate exactly: empty files get no entry (the scan produces no
+        group row for them) and all-NULL files get [None, None]."""
+        from pyspark.sql.types import (
+            ByteType,
+            IntegerType,
+            LongType,
+            ShortType,
+        )
+
+        if schema is None or not files:
+            return None
+        fields = {f.name: f for f in schema.fields}
+        int_types = (ByteType, ShortType, IntegerType, LongType)
+        for c in columns:
+            f = fields.get(c)
+            if f is None or not isinstance(f.dataType, int_types):
+                return None
+        if any("://" in f for f in files):
+            return None  # object-store paths: let Spark read the footers
+        try:
+            import pyarrow.parquet as pq
+        except ImportError:
+            return None
+        out: dict[str, dict] = {}
+        for path in files:
+            try:
+                md = pq.read_metadata(path)
+            except OSError:
+                return None
+            if md.num_rows == 0:
+                continue
+            idx = {
+                md.row_group(0).column(i).path_in_schema: i
+                for i in range(md.num_columns)
+            }
+            fstats: dict[str, list] = {}
+            for c in columns:
+                if c not in idx:
+                    return None
+                lo = hi = None
+                for g in range(md.num_row_groups):
+                    st = md.row_group(g).column(idx[c]).statistics
+                    if st is None:
+                        return None
+                    if st.num_values == 0:
+                        continue  # all-NULL row group contributes nothing
+                    if not st.has_min_max:
+                        return None
+                    lo = st.min if lo is None else min(lo, st.min)
+                    hi = st.max if hi is None else max(hi, st.max)
+                fstats[c] = [lo, hi]
+            out[path] = fstats
         return out
 
     # -- data-skipping reads --------------------------------------------------
@@ -740,8 +813,21 @@ class ManagedTable:
                     f"table has {tgt.dataType}"
                 )
 
+        # Certification escape hatch (ADVICE r17): a sweep run with
+        # spark.sqe.strictMerge=true re-enables the duplicate-key scan even
+        # where a caller asserted uniqueness, so the callers' written
+        # uniqueness proofs get machine-checked periodically without the
+        # per-merge job riding every production call.
+        if not check_duplicate_keys and (
+            str(self.spark.conf.get("spark.sqe.strictMerge", "false")).lower()
+            == "true"
+        ):
+            check_duplicate_keys = True
+
         scratch = None
         scratch_lock = None
+        scratch_files: list[str] = []
+        joined: DataFrame | None = None
         if materialize_source:
             scratch = os.path.join(
                 self.path, "_tmp", f"merge_src_{uuid.uuid4().hex}"
@@ -758,6 +844,11 @@ class ManagedTable:
             scratch_lock = open(f"{scratch}.lock", "w")
             fcntl.flock(scratch_lock, fcntl.LOCK_EX)
             source.write.parquet(scratch)
+            scratch_files = sorted(
+                os.path.join(scratch, name)
+                for name in os.listdir(scratch)
+                if name.endswith(".parquet")
+            )
             source = self.spark.read.schema(source.schema).parquet(scratch)
         try:
             # Key-range file pruning (the Delta data-skipping shape): a
@@ -785,25 +876,43 @@ class ManagedTable:
             candidates = all_files
             stats = self._manifest(base).get("stats", {})
             if any(on in s for s in stats.values()):
-                b = source.agg(F.min(on).alias("lo"), F.max(on).alias("hi")).first()
-                if b["lo"] is None:
-                    candidates = []  # every source key NULL: nothing matches
-                elif (
-                    len(
-                        span_pair := self.matching_files(
-                            {on: (b["lo"], b["hi"])}, base
-                        )[0]
+                # The batch's key span: a materialized source just wrote
+                # its rows to local scratch Parquet, so for integral keys
+                # the exact [min, max] is already in the scratch FOOTERS —
+                # lifted on the driver, no Spark job.  Non-materialized or
+                # non-integral sources keep the one-job aggregate.
+                b_lo = b_hi = None
+                probed = False
+                if scratch_files:
+                    fst = self._footer_file_stats(
+                        scratch_files, source.schema, [on]
                     )
-                    <= 4
-                ):
+                    if fst is not None:
+                        los = [v[on][0] for v in fst.values() if v[on][0] is not None]
+                        his = [v[on][1] for v in fst.values() if v[on][1] is not None]
+                        b_lo = min(los) if los else None
+                        b_hi = max(his) if his else None
+                        probed = True
+                if not probed:
+                    b = source.agg(
+                        F.min(on).alias("lo"), F.max(on).alias("hi")
+                    ).first()
+                    b_lo, b_hi = b["lo"], b["hi"]
+                span = (
+                    self.matching_files({on: (b_lo, b_hi)}, base)[0]
+                    if b_lo is not None
+                    else []
+                )
+                if b_lo is None:
+                    candidates = []  # every source key NULL: nothing matches
+                elif len(span) <= 4:
                     # Refinement saves nothing when the span is already a
                     # handful of files: the per-key box join is itself a
                     # Spark job, while the downstream probes read ≤ 4
                     # files anyway.  Large spans (the at-scale case) keep
                     # the exact per-key refinement below.
-                    candidates = span_pair
+                    candidates = span
                 else:
-                    span, _ = self.matching_files({on: (b["lo"], b["hi"])}, base)
                     boxed = [
                         f
                         for f in span
@@ -847,12 +956,29 @@ class ManagedTable:
                 "candidate_files": len(candidates),
                 "total_files": len(all_files),
             }
+            # ONE read+join of the candidate files serves every remaining
+            # probe (fused-probe discipline, guide §2.4): the persisted
+            # target⟕source join yields the candidate key set (duplicate
+            # check, insert anti-join), the affected-file list (which
+            # matched rows' files to rewrite), and the update-rewrite rows
+            # themselves.  Before r18 each was its own job over a fresh
+            # read of the candidate files.  The cache is candidate-sized —
+            # already pruned ∝ batch on a stats table — and is released in
+            # the finally block.
+            matched = F.col("s.__matched").isNotNull()
             if candidates:
-                target_keys = (
-                    self._read_files(candidates, base_schema)
-                    .select(on)
-                    .distinct()
+                marked = source.withColumn("__matched", F.lit(True))
+                joined = (
+                    self._with_file_path(base, candidates)
+                    .alias("t")
+                    .join(
+                        marked.alias("s"),
+                        F.col(f"t.{on}") == F.col(f"s.{on}"),
+                        "left",
+                    )
+                    .persist()
                 )
+                target_keys = joined.select(F.col(f"t.{on}").alias(on)).distinct()
             else:
                 target_keys = self.spark.createDataFrame([], base_schema).select(on)
             # SQL MERGE semantics: more than one source row per MATCHED
@@ -875,13 +1001,23 @@ class ManagedTable:
                         f"merge source has multiple rows for matched key "
                         f"{on}={dup[0][0]!r}"
                     )
-            if candidates:
-                affected = self._affected_files(
-                    self._with_file_path(base, candidates).join(
-                        keys, on, "left_semi"
-                    )
+            if joined is not None:
+                # Affected files fall out of the SAME persisted join
+                # (__matched marks source presence explicitly — probing a
+                # data column would misread legitimately-NULL values as
+                # "no match"); only distinct file paths cross to the
+                # driver, bounded by file count, never row count.
+                raw_affected = sorted(
+                    r.file_path
+                    for r in joined.filter(matched)
+                    .select(F.col("t.file_path").alias("file_path"))
+                    .distinct()
+                    .collect()
+                    if r.file_path is not None
                 )
+                affected = sorted(self._local_path(p) for p in raw_affected)
             else:
+                raw_affected = []
                 affected = []
 
             # Update-rewrite and not-matched-insert branches are written
@@ -891,21 +1027,16 @@ class ManagedTable:
             # a merge costs one write instead of two.
             branches: list[DataFrame] = []
             if affected:
-                # __matched marks source presence explicitly — probing a
-                # data column would misread legitimately-NULL values as
-                # "no match".
-                marked = source.withColumn("__matched", F.lit(True))
-                joined = (
-                    self._read_files(affected, self._schema(base))
-                    .alias("t")
-                    .join(
-                        marked.alias("s"),
-                        F.col(f"t.{on}") == F.col(f"s.{on}"),
-                        "left",
-                    )
-                )
-                matched = F.col("s.__matched").isNotNull()
-                projected = joined.select(
+                # Rewrite rows come from the persisted join, restricted to
+                # rows whose file actually holds a match — row-for-row what
+                # re-reading the affected files and re-joining produced
+                # (the join is row-independent), minus the second read.
+                # isin() over a manifest-scale path list keeps the filter
+                # a local predicate; at extreme file counts this would
+                # become a broadcast semi-join on file_path.
+                projected = joined.filter(
+                    F.col("t.file_path").isin(raw_affected)
+                ).select(
                     *[
                         (
                             F.when(matched, update_assignments[name])
@@ -947,6 +1078,8 @@ class ManagedTable:
                 new_stats=self._stats_for_new_files(base, new_files, base_schema),
             )
         finally:
+            if joined is not None:
+                joined.unpersist()
             if scratch is not None:
                 shutil.rmtree(scratch, ignore_errors=True)
             if scratch_lock is not None:

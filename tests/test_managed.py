@@ -1076,3 +1076,77 @@ def test_insert_txn_stamp_recorded_and_vacuum_safe(spark, tmp_path, people):
     assert t.last_txn("ingest") == 1
     t.vacuum(retain_versions=1)
     assert t.last_txn("ingest") == 1
+
+
+def test_footer_stats_match_spark_aggregate(spark, tmp_path, people):
+    """r18: integer-column file stats are lifted from the Parquet footers
+    (zero Spark jobs).  They must be value-identical to the Spark
+    aggregate they replace — pinned by computing the aggregate here and
+    comparing, including the all-NULL-file [None, None] convention."""
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    schema = StructType([StructField("k", LongType(), True)])
+    df = spark.createDataFrame(
+        [(7,), (None,), (3,), (99,)], schema
+    ).repartition(2)
+    t = ManagedTable.create(spark, str(tmp_path / "t"), df, stats_columns=["k"])
+    files = t._files(0)
+    footer = ManagedTable._footer_file_stats(files, schema, ["k"])
+    assert footer is not None and set(footer) <= set(files)
+    agg = (
+        t._read_files(files, schema)
+        .groupBy(F.col("_metadata.file_path").alias("__fp"))
+        .agg(F.min("k").alias("mn"), F.max("k").alias("mx"))
+        .collect()
+    )
+    spark_stats = {
+        t._local_path(r["__fp"]): [r["mn"], r["mx"]] for r in agg
+    }
+    assert {f: s["k"] for f, s in footer.items()} == spark_stats
+    # Manifest stats (written via the same path) agree too.
+    assert {f: s["k"] for f, s in t._manifest(0)["stats"].items()} == spark_stats
+    # Non-integral columns refuse the footer path (the caller falls back
+    # to the aggregate): balance is double, name is string.
+    assert (
+        ManagedTable._footer_file_stats(files, people.schema, ["balance"]) is None
+    )
+    assert ManagedTable._footer_file_stats(files, people.schema, ["name"]) is None
+
+
+def test_all_null_key_source_with_footer_span_probe(spark, tmp_path):
+    """An all-NULL-key materialized source must still take the
+    'nothing matches' shortcut when the span comes from scratch footers."""
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    schema = StructType(
+        [StructField("k", LongType(), True), StructField("v", StringType(), True)]
+    )
+    base = spark.createDataFrame([(1, "a"), (2, "b")], schema)
+    t = ManagedTable.create(spark, str(tmp_path / "t"), base, stats_columns=["k"])
+    src = spark.createDataFrame([(None, "x"), (None, "y")], schema)
+    t.merge(src, on="k", update_assignments={"v": F.col("s.v")})
+    assert t.last_merge_probe["candidate_files"] == 0
+    rows = sorted(map(tuple, t.read().collect()), key=lambda r: (r[0] is None, r))
+    # Matched nothing: both NULL-key rows flow to WHEN NOT MATCHED inserts.
+    assert rows == [(1, "a"), (2, "b"), (None, "x"), (None, "y")]
+
+
+def test_strict_merge_conf_reenables_duplicate_check(spark, tmp_path, people):
+    """spark.sqe.strictMerge=true machine-checks caller-asserted
+    uniqueness (ADVICE r17): a duplicate matched key must raise even when
+    the caller passed check_duplicate_keys=False."""
+    t = ManagedTable.create(spark, str(tmp_path / "t"), people)
+    dup_src = spark.createDataFrame(
+        [(3, "first", 1.0, "odd"), (3, "second", 2.0, "odd")], people.schema
+    )
+    spark.conf.set("spark.sqe.strictMerge", "true")
+    try:
+        with pytest.raises(ValueError, match="multiple rows for matched key"):
+            t.merge(
+                dup_src,
+                on="id",
+                update_assignments={"name": F.col("s.name")},
+                check_duplicate_keys=False,
+            )
+    finally:
+        spark.conf.unset("spark.sqe.strictMerge")

@@ -543,3 +543,41 @@ def test_fuzzy_decontamination_catches_planted_leaks(spark, sf_dir):
     for (did, eid), est in got.items():
         assert eid < EVAL_SET_MAX_DOC_ID and did >= EVAL_SET_MAX_DOC_ID
         assert est >= PLANTED_JACCARD_THRESHOLD
+
+
+def test_inc_curation_merge_key_uniqueness_constants_pinned(spark, sf_dir):
+    """VERDICT r17 item 8: q_pipeline_incremental_curation passes
+    check_duplicate_keys=False on a written uniqueness argument.  Pin the
+    modular arithmetic that makes it true — if a future edit to the CDC
+    id-range constants breaks disjointness, this fails before the merge
+    can silently fan out matched rows:
+
+    - news ids are (real ≡ INC_NEW_RES mod INC_NEW_MOD) + INC_NEW_OFFSET;
+      the offset is ≡ 0 (mod INC_NEW_MOD) so the residue class survives,
+    - INC_NEW_MOD is a multiple of INC_EDIT_MOD so that class projects to
+      a single residue mod INC_EDIT_MOD,
+    - and that residue differs from INC_EDIT_RES — edit and news key
+      spaces are disjoint REGARDLESS of id magnitude (the runtime
+      offset_doc_id guard separately enforces real ids < INC_NEW_OFFSET).
+
+    Then machine-check the claim end-to-end: re-run the query with
+    spark.sqe.strictMerge=true, which forces the duplicate-key scan back
+    on inside merge() — a non-unique source would raise."""
+    from simple_query_engine_spark.operators.pipeline import (
+        INC_EDIT_MOD,
+        INC_EDIT_RES,
+        INC_NEW_MOD,
+        INC_NEW_OFFSET,
+        INC_NEW_RES,
+        q_pipeline_incremental_curation,
+    )
+
+    assert INC_NEW_OFFSET % INC_NEW_MOD == 0
+    assert INC_NEW_MOD % INC_EDIT_MOD == 0
+    assert (INC_NEW_RES % INC_EDIT_MOD) != INC_EDIT_RES
+
+    spark.conf.set("spark.sqe.strictMerge", "true")
+    try:
+        assert q_pipeline_incremental_curation(spark, sf_dir).count() > 0
+    finally:
+        spark.conf.unset("spark.sqe.strictMerge")

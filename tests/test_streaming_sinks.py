@@ -265,10 +265,18 @@ def test_components_ingest_matches_batch_incremental_with_commit_per_batch(
     )
     from simple_query_engine_spark.sources.managed import ManagedTable
 
-    got = {
-        tuple(r)
-        for r in S.q_stream_components_incremental(spark, sf_dir).collect()
-    }
+    # strictMerge forces the duplicate-key scan back ON inside every
+    # per-batch merge (ADVICE r17): the handler's caller-asserted
+    # uniqueness proof (upd ⊂ standing ids, new_rows anti-joined then
+    # distinct) is machine-checked end-to-end by this run.
+    spark.conf.set("spark.sqe.strictMerge", "true")
+    try:
+        got = {
+            tuple(r)
+            for r in S.q_stream_components_incremental(spark, sf_dir).collect()
+        }
+    finally:
+        spark.conf.unset("spark.sqe.strictMerge")
     want = {
         tuple(r) for r in q_graph_components_incremental(spark, sf_dir).collect()
     }
