@@ -691,7 +691,13 @@ def ingest_components_batch(
     last = t.last_txn(CC_INGEST_APP)
     if last is not None and batch_id <= last:
         return  # replayed batch: already in the snapshot
-    std = t.read()  # (doc_id, label): corpus labels + prior ingested docs
+    # One scan of the standing snapshot serves every consumer in this
+    # batch (r18): prior_ids (the seen-side restriction), the upd
+    # label-rewrite join, and the new_rows anti-join each re-read the
+    # table's parquet otherwise — three corpus-sized scans per batch.
+    # Released after the merge commits; the NEXT batch reads the NEW
+    # snapshot, so nothing stale can be served.
+    std = t.read().persist()  # (doc_id, label): corpus + prior ingested
     # Stateless per-row signatures for the batch (pinned bit-identical to
     # the grouped construction); the SEEN side reads the shared planted
     # signature cache — the session stand-in for the persisted signature
@@ -784,20 +790,24 @@ def ingest_components_batch(
     # Sink-side per-batch plan for the PLANS.md streaming audit (the
     # banded candidate joins + the reduced propagation feed this frame).
     record_batch_explain(source, "cc_ingest:batch_merge")
-    t.merge(
-        source,
-        on="doc_id",
-        update_assignments={"label": F.col("s.label")},
-        txn=(CC_INGEST_APP, batch_id),
-        # materialize_source stays ON: the source embeds the batch's
-        # banded candidate joins, and the merge consumes it from several
-        # probes — the scratch write is what keeps that pipeline
-        # evaluated once (measured 2-3x the batch wall without it).
-        # upd ⊂ standing doc_ids (one row per relabeled doc) and
-        # new_rows are anti-joined against them then made distinct —
-        # disjoint and unique, so the duplicate scan is skippable.
-        check_duplicate_keys=False,
-    )
+    try:
+        t.merge(
+            source,
+            on="doc_id",
+            update_assignments={"label": F.col("s.label")},
+            txn=(CC_INGEST_APP, batch_id),
+            # materialize_source stays ON: the source embeds the batch's
+            # banded candidate joins, and the merge consumes it from several
+            # probes — the scratch write is what keeps that pipeline
+            # evaluated once (re-measured r18 with the fused probe chain:
+            # still 1.8x the batch wall without it).
+            # upd ⊂ standing doc_ids (one row per relabeled doc) and
+            # new_rows are anti-joined against them then made distinct —
+            # disjoint and unique, so the duplicate scan is skippable.
+            check_duplicate_keys=False,
+        )
+    finally:
+        std.unpersist()
 
 
 def q_stream_bm25_postings(spark: SparkSession, sf_dir: str) -> DataFrame:

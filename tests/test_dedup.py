@@ -854,3 +854,26 @@ def test_standing_state_dirs_swept_but_live_snapshot_spared(
         for r in D._standing_labels_managed(spark, sf_dir).collect()
     }
     assert warm == live
+
+def test_graph_fast_paths_match_distributed(spark, sf_dir):
+    """r18: the three graph-analysis entries grew the same size-adaptive
+    driver fast path as connected components.  Both paths must produce
+    IDENTICAL rows AND dtypes over the real near-dup fixture graph —
+    pagerank (exact integer micro-units), label spread (majority total
+    order), k-core (synchronized peeling)."""
+    for q in (
+        D.q_graph_pagerank_neardup,
+        D.q_graph_label_spread,
+        D.q_graph_kcore_neardup,
+    ):
+        fast = q(spark, sf_dir)
+        spark.conf.set(D.CC_LOCAL_EDGE_CAP_CONF, "0")
+        try:
+            slow = q(spark, sf_dir)
+            assert fast.dtypes == slow.dtypes, q.__name__
+            assert (
+                sorted(map(tuple, fast.collect()))
+                == sorted(map(tuple, slow.collect()))
+            ), q.__name__
+        finally:
+            spark.conf.unset(D.CC_LOCAL_EDGE_CAP_CONF)
