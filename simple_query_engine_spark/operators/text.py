@@ -931,7 +931,13 @@ def _bpe_trained(
     winners) and the encode entry (which reads the final sequences; each
     level is lazy + session-cached, so an entry only pays for the levels
     it actually evaluates)."""
-    from simple_query_engine_spark.functions.caching import session_cache
+    # Each level MATERIALIZES (r18, the k-means-iteration discipline):
+    # with session_cache the level-k plan still embeds level k-1's full
+    # lineage, so every invocation re-built and re-canonicalized a chain
+    # that deepens per merge level, and the warm noop pass re-walked the
+    # whole union's analysis.  Materialized, every level is a scan leaf
+    # (vocab-sized seq tables, 1-row winners), values identical.
+    from simple_query_engine_spark.functions.caching import session_materialize
 
     docs = _documents(spark, sf_dir)
     vocab = (
@@ -943,7 +949,7 @@ def _bpe_trained(
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("freq"))
     )
-    seq = session_cache(
+    seq = session_materialize(
         vocab.select(
             F.regexp_replace("word", "(.)", r"($1)").alias("seq"), "freq"
         ),
@@ -952,7 +958,7 @@ def _bpe_trained(
     )
     winners = []
     for k in range(1, BPE_MERGES + 1):
-        win = session_cache(
+        win = session_materialize(
             _bpe_pair_counts(seq)
             .orderBy(F.col("pair_count").desc(), "left_sym", "right_sym")
             .limit(1),
@@ -968,7 +974,7 @@ def _bpe_trained(
                 "pair_count",
             )
         )
-        seq = session_cache(
+        seq = session_materialize(
             seq.crossJoin(F.broadcast(win.select("left_sym", "right_sym")))
             .select(
                 F.expr(
