@@ -22,71 +22,75 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # everything else (already green in CORRECTNESS_r01/r02) follows in module
 # order.  ROUND3_NOTES.md tracks which round certified which query.
 #
-# Round-17 front window (exactly 50 = the driver's window size), per
-# VERDICT r16 item 1: the one name queued at r16 close (the streaming
-# IVF ingest door — the only catalog entry never driver-certified)
-# leads the front, followed by the age queue — the 24 names whose
-# newest green cert is r11 (they would cross front_audit's
-# MAX_CERT_AGE = 6 bar at r18) and the 25 oldest r12-era names, in
-# registration order.  1 + 24 + 25 = exactly 50; after a green r17 the
-# oldest surviving cert is r12 (21 names, scheduled for the r18 front
-# alongside the oldest r13 certs).  ROUND17_NOTES.md tracks the ledger.
+# Round-18 front window (exactly 50 = the driver's window size), per
+# VERDICT r17 item 9: the two names queued at r17 close
+# (stream_components_incremental — new at r17, never driver-certified —
+# and join_salted_skew, whose plan was re-pinned to SMJ) lead the front,
+# followed by the age queue — the 21 remaining r12-era certs (they would
+# cross front_audit's MAX_CERT_AGE = 6 bar at r19) and the 27 oldest
+# r13-era names, in registration order.  2 + 21 + 27 = exactly 50; after
+# a green r18 the oldest surviving cert is r13 (20 names, scheduled for
+# the r19 front).  ROUND3_NOTES.md started the ledger; front_audit.py
+# prints the live cert-age table.
 _ROTATION_FRONT = [
-    # --- 1. the r16 close queue: streaming IVF ingest (new at r16,
-    #     never driver-certified — VERDICT r16 "What's missing" #1) ---
-    "stream_ivf_ingest",
-    # --- 2. age queue: all 24 r11-era certs, registration order ---
-    "text_lang_id",
-    "text_fingerprint",
-    "text_rolling_hash",
-    "text_word_freq",
-    "text_length_histogram",
-    "text_tfidf_top_terms",
-    "text_unigram_surprisal",
-    "text_repetition",
-    "text_bigram_freq",
-    "sim_kmeans_train",
-    "sim_ivf_trained_topk",
-    "sim_filtered_topk",
-    "sim_hard_negatives",
-    "sim_ivf_append_topk",
-    "sim_recall_audit_trained",
-    "source_orc_roundtrip",
-    "stream_session_counts",
-    "stream_stateful_profiles",
-    "stream_stream_join",
-    "stream_restart_resume",
-    "stream_dedup_user_counts",
-    "stream_vector_ingest",
-    "events_rfm_segments",
-    "udtf_split_fields",
-    # --- 3. age queue: the 25 oldest r12-era certs, registration
-    #     order (the remaining 21 r12 names take the r18 front) ---
-    "agg_weighted_median",
-    "agg_histogram_numeric",
-    "join_interval_overlap",
-    "events_new_vs_returning",
-    "events_wow_growth",
-    "text_quality_classifier",
-    "text_bm25_search",
-    "text_gopher_quality",
-    "text_boilerplate_templates",
-    "dedup_exact",
-    "dedup_substring_spans",
-    "dedup_cdc_chunks",
-    "dedup_clusters",
-    "dedup_clusters_lsh",
-    "dedup_ngram_jaccard",
-    "dedup_minhash_lsh",
-    "dedup_planted_minhash",
-    "dedup_incremental_minhash",
-    "dedup_containment_planted",
-    "dedup_simhash",
-    "graph_kcore_neardup",
-    "graph_label_spread",
-    "text_dup_ngram_coverage",
-    "sim_topk_bruteforce",
-    "sim_centroid_balance",
+    # --- 1. the r17 close queue (VERDICT r17 item 9): the streaming
+    #     cluster-maintenance door (new at r17, never driver-certified)
+    #     and the salted join whose plan was re-pinned to SMJ at r17 ---
+    "stream_components_incremental",
+    "join_salted_skew",
+    # --- 2. age queue: all 21 remaining r12-era certs, registration
+    #     order (they would cross front_audit's MAX_CERT_AGE = 6 bar
+    #     at r19) ---
+    "sim_power_iteration",
+    "sim_range_search",
+    "sim_diverse_topk",
+    "sim_ivf_delete_topk",
+    "sim_ivfadc_topk",
+    "sim_hybrid_retrieval",
+    "sim_multiprobe_lsh",
+    "source_csv_dialect",
+    "stream_clip_ingest",
+    "stream_bm25_postings",
+    "stream_mixture_sample",
+    "multimodal_clip_pairs",
+    "pipeline_dsir_weights",
+    "text_decontamination_fuzzy",
+    "pipeline_mixture_sample",
+    "sketch_kmv_union",
+    "stats_source_overlap",
+    "stats_k_anonymity",
+    "stats_token_gini",
+    "events_ema_features",
+    "events_forecast_holt",
+    # --- 3. age queue: the 27 oldest r13-era certs, registration order
+    #     (the remaining 20 r13 names take the r19 front) ---
+    "case_in_between",
+    "math_funcs",
+    "json_funcs",
+    "join_null_safe",
+    "stats_column_profile",
+    "events_sessionize_gap",
+    "events_rolling_wau",
+    "events_top_paths",
+    "events_markov_transitions",
+    "events_attribution_last_touch",
+    "dedup_cluster_keeper_quality",
+    "sim_ivf_rebuild",
+    "sim_neardup_pairs_baseline",
+    "sim_neardup_lsh",
+    "sim_neardup_planted",
+    "sim_ann_lsh",
+    "sim_ivf_topk",
+    "sim_label_centroids",
+    "events_partition_prune",
+    "join_bucketed_revenue",
+    "source_json_roundtrip",
+    "source_csv_roundtrip",
+    "source_python_datasource",
+    "stream_python_datasource",
+    "sink_python_datasource",
+    "stream_tumbling_counts",
+    "stream_decontamination",
 ]
 
 # Entries added or function-changed THIS round that could not displace the
@@ -97,15 +101,12 @@ _ROTATION_FRONT = [
 # into the front); entries added or semantically changed during r17 are
 # appended here as the round progresses.
 _ROTATION_QUEUE: list[str] = [
-    # r17 new entry — streaming near-dup cluster maintenance door
-    # (readStream -> foreachBatch banded-join + reduced propagation ->
-    # txn-stamped MERGE into the managed label snapshot).  Leads the r18
-    # front.
-    "stream_components_incremental",
-    # r17 plan change: salted_join now pins SMJ (the 64x gate caught a
-    # post-explode size misestimate planning a 77M-row broadcast that
-    # OOM'd the driver).  Semantics untouched; re-gated at sf0.001+sf0.1.
-    "join_salted_skew",
+    # r18 is an optimization round: no new entries; the r17 queue
+    # (stream_components_incremental, join_salted_skew) moved into the
+    # front above.  Entries whose SEMANTICS change during r18 would be
+    # appended here — the r18 fast-path/materialization work is
+    # value-identical by construction (equality- and oracle-pinned), so
+    # nothing queues.
 ]
 
 
